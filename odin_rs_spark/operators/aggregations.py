@@ -1,0 +1,82 @@
+"""Aggregation operators (SURVEY §2.5, A1-A8).
+
+All built-in hash aggregations → map-side partial aggregation + one
+shuffle on the group keys; no UDAFs needed anywhere in the reference's
+inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_counts(
+    df: DataFrame, keys: list[str], classes: dict[str, Column]
+) -> DataFrame:
+    """A1 — per-group conditional counts (n_good/n_high/... per hotspot
+    batch, odin_goesr/src/lib.rs:190-218): sum(when(cond,1)) per class,
+    one pass."""
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(name)
+        for name, cond in classes.items()
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def hourly_minute_histogram(df: DataFrame, ts: str) -> DataFrame:
+    """A2 — arrival-minute histogram used to learn availability schedules
+    (get_hourly_schedule_histogram, odin_common/src/schedule.rs:35-95)."""
+    return (
+        df.groupBy(F.minute(F.col(ts)).alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("minute")
+    )
+
+
+def schedule_stats(df: DataFrame, ts: str, step_key: str) -> DataFrame:
+    """A3 — per-step avg/max arrival minute (HRRR learned schedules,
+    odin_hrrr/src/schedule.rs:75-171)."""
+    m = F.minute(F.col(ts))
+    return df.groupBy(step_key).agg(
+        F.avg(m).alias("avg_minute"),
+        F.max(m).alias("max_minute"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def running_stats(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """A4/A5 — streaming-style mean/min/max/stddev accumulation
+    (odin_image/src/lib.rs:53-98 Stats::add). Batch form: one hash agg;
+    in streaming the same expression runs incrementally per micro-batch.
+    """
+    v = F.col(value)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("mean"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.stddev_samp(v).alias("stddev"),
+    )
+
+
+def histogram(df: DataFrame, value: str, bin_width: float, lo: float = 0.0) -> DataFrame:
+    """A7 — fixed-width binning (256-bin luminance histogram,
+    odin_image/src/lib.rs:149-172)."""
+    bin_idx = F.floor((F.col(value) - F.lit(lo)) / F.lit(bin_width)).cast("long")
+    return df.groupBy(bin_idx.alias("bin")).agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+def histogram_distance(h1: DataFrame, h2: DataFrame, bin_col: str = "bin") -> DataFrame:
+    """A8 — histogram compare metric (odin_image/src/lib.rs:241-246):
+    normalized L1 distance over aligned bins (outer join, missing=0)."""
+    a = h1.select(F.col(bin_col), F.col("n").alias("n1"))
+    b = h2.select(F.col(bin_col), F.col("n").alias("n2"))
+    joined = a.join(b, bin_col, "full").fillna(0, subset=["n1", "n2"])
+    return joined.agg(
+        (
+            F.sum(F.abs(F.col("n1") - F.col("n2")))
+            / F.greatest(F.sum("n1") + F.sum("n2"), F.lit(1))
+        ).alias("l1_distance")
+    )

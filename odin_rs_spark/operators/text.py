@@ -1,0 +1,94 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. All JVM column expressions (regexp + array ops);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from odin_rs_spark.functions.text import norm_text, quality_features, token_count
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic so the identical rule is expressible
+# as oracle SQL. Real corpora: swap in a larger lexicon or fastText via
+# pandas_udf (multimodal.py pattern).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "fr": ["le", "la", "les", "et", "des", "une"],
+    "es": ["el", "los", "las", "es", "una", "para"],
+    "de": ["der", "die", "das", "und", "ist", "mit"],
+    "zh": ["de5", "shi4", "zai4", "he2", "le5", "you3"],
+}
+
+
+def marker_hits(text: Column | str, markers: list[str]) -> Column:
+    """Count word-token hits against a marker list (array_intersect-free:
+    counts every occurrence, not distinct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(norm_text(c), " ")
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID by marker-hit-rate argmax; 'und' when no markers hit.
+
+    Deterministic tie-break: language order as listed (first max wins),
+    mirrored exactly in the SQL oracle via a CASE over GREATEST.
+    """
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(f"__hits_{lang}", marker_hits(text_col, markers))
+    hit_cols = [F.col(f"__hits_{lang}") for lang in LANG_MARKERS]
+    best = F.greatest(*hit_cols)
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(F.col(f"__hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.withColumn("pred_lang", pred).drop(
+        *[f"__hits_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length/alpha/punct/word-length
+    features (C4/Gopher-style rules, closed-form)."""
+    feats = quality_features(F.col(text_col))
+    n_words = feats["n_words"]
+    score = (
+        F.lit(0.25) * F.least(n_words / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.25) * feats["alpha_ratio"]
+        + F.lit(0.25) * (F.lit(1.0) - F.least(feats["digit_ratio"] * 4, F.lit(1.0)))
+        + F.lit(0.25)
+        * F.when(feats["mean_word_len"].between(3.0, 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    out = df
+    for name in ("n_chars", "n_words", "alpha_ratio", "digit_ratio", "mean_word_len"):
+        out = out.withColumn(name, feats[name])
+    return out.withColumn("quality", F.round(score, 6))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", keys: list[str] | None = None) -> DataFrame:
+    """Corpus token statistics per group: docs, tokens, chars, avg doc len."""
+    tc = token_count(F.col(text_col))
+    grouped = df.groupBy(*(keys or []))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars_total"),
+        F.round(F.avg(tc), 6).alias("avg_tokens_per_doc"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", num_hashes: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the num_hashes smallest
+    shingle hashes (sorted) — robust to local edits, joinable for
+    containment detection. Engine-specific hash (xxhash64) → rows-only
+    correctness check."""
+    from odin_rs_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), 3)
+    hashes = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
+    return df.withColumn("fingerprint", F.slice(hashes, 1, num_hashes))

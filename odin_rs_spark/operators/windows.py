@@ -1,0 +1,127 @@
+"""Window / ranking / retention operators (SURVEY §2.6-2.7, W1-W7, O1-O5).
+
+The reference's bounded per-key deques and ring buffers become window-rank
+retention: one shuffle on the partition key, rank, filter. At scale the
+key cardinality (devices, aircraft, satellites×hour) provides the
+parallelism; AQE coalesces small partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_n_global(df: DataFrame, order_col: str, n: int) -> DataFrame:
+    """W1/O3 — newest-N retention without a key (batch ring buffer,
+    GoesrHotspotStore odin_goesr/src/lib.rs:250-277; init_files cut
+    odin_goesr/src/live_importer.rs:112-114).
+
+    orderBy(desc).limit(n) → Spark's TakeOrderedAndProject: per-partition
+    top-n then a single small merge, no full sort.
+    """
+    return df.orderBy(F.col(order_col).desc()).limit(n)
+
+
+def last_n_per_key(
+    df: DataFrame, keys: list[str], order_col: str, n: int, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """W2/O4 — per-key newest-N retention (sort_in_record cap semantics,
+    odin_sentinel/src/lib.rs:898-949). Deterministic tie-break: ts desc,
+    then tiebreak cols desc (SURVEY §7.4.1)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """A6 — newest record per key (latest_records,
+    odin_sentinel/src/lib.rs:610-616)."""
+    return last_n_per_key(df, keys, order_col, 1, tiebreak)
+
+
+def track_trace(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    min_gap_sec: float = 0.8,
+    max_positions: int | None = None,
+) -> DataFrame:
+    """W3/W4 — per-key track derivation (Aircraft::push_position,
+    odin_adsb/src/lib.rs:221-244):
+
+    1. collapse near-duplicate updates (< min_gap_sec apart, ref: 800 ms);
+    2. derive bearing from consecutive points (GeoPoint::bearing_from,
+       odin_common/src/geo.rs:102) and elapsed seconds;
+    3. optional newest-N cap per key.
+
+    One window spec (partitionBy key, orderBy ts) reused for all three →
+    a single shuffle + sort.
+    """
+    from odin_rs_spark.functions.geo import bearing_deg
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    gap = (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / F.lit(1e6)
+    collapsed = df.withColumn("__gap", gap).filter(
+        F.col("__gap").isNull() | (F.col("__gap") >= min_gap_sec)
+    )
+
+    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    out = (
+        collapsed.withColumn("prev_lon", F.lag(lon).over(w2))
+        .withColumn("prev_lat", F.lag(lat).over(w2))
+        .withColumn(
+            "elapsed_sec",
+            (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w2))) / F.lit(1e6),
+        )
+        .withColumn(
+            "bearing_deg",
+            bearing_deg("prev_lon", "prev_lat", lon, lat),
+        )
+        .drop("__gap")
+    )
+    if max_positions is not None:
+        out = last_n_per_key(out, [key], ts, max_positions)
+    return out
+
+
+def cumulative_cdf(df: DataFrame, bin_col: str, count_col: str = "n") -> DataFrame:
+    """A7 — histogram → cumulative distribution (histogram equalization,
+    odin_image/src/lib.rs:149-217): running sum + normalize."""
+    w = Window.orderBy(F.col(bin_col).asc()).rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return df.withColumn("cum", F.sum(count_col).over(w)).withColumn(
+        "cdf", F.col("cum") / F.sum(count_col).over(total)
+    )
+
+
+def loess_smooth(
+    df: DataFrame, series_key: str, x: str, y: str, bandwidth_rows: int = 5
+) -> DataFrame:
+    """W7 — locally-weighted linear fit over a ±bandwidth row window
+    (odin_image/src/loess.rs:20-116), expressed with covariance aggregates
+    over a frame (no UDF): ŷ = ȳ + cov(x,y)/var(x) · (x − x̄).
+
+    Uniform weights within the frame (the reference uses tricube; the
+    windowed-regression shape is identical, and a pandas_udf drop-in can
+    swap the kernel if exact parity is required).
+    """
+    w = (
+        Window.partitionBy(series_key)
+        .orderBy(F.col(x).asc())
+        .rowsBetween(-bandwidth_rows, bandwidth_rows)
+    )
+    mx = F.avg(x).over(w)
+    my = F.avg(y).over(w)
+    cov = F.avg(F.col(x) * F.col(y)).over(w) - mx * my
+    var = F.avg(F.col(x) * F.col(x)).over(w) - mx * mx
+    slope = F.when(var > 0, cov / var).otherwise(F.lit(0.0))
+    return df.withColumn("y_smooth", my + slope * (F.col(x) - mx))

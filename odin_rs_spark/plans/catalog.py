@@ -1,0 +1,876 @@
+"""Query catalog: every operator from SURVEY.md §2 exposed as a named
+query over the driver's synthetic tables, each paired with an exactly
+mirrored DuckDB oracle SQL statement.
+
+Determinism rules (so Spark output hash-matches the oracle):
+- every aggregate over doubles is ROUND()ed identically on both sides
+  (fp addition is non-associative; partial-aggregation order differs);
+- per-row double arithmetic is left unrounded only when both engines
+  evaluate the identical IEEE expression tree; anything transcendental
+  (sin/cos/asin) is rounded because libm and java.lang.Math may differ
+  in the last ulp;
+- int-ratio values (Jaccard) are exact and stay unrounded;
+- all window/top-k ranks carry explicit tie-breaks (ts, then id —
+  SURVEY §7.4.1);
+- counts cast to BIGINT on both sides (DuckDB SUM(int)→HUGEINT).
+
+Queries whose output embeds engine-specific hashes (xxhash64 SimHash,
+fingerprints) or randomized structures (LSH buckets) have no oracle →
+the driver records a rows-only check (documented per entry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators import aggregations as agg_ops
+from odin_rs_spark.operators import dedup as dedup_ops
+from odin_rs_spark.operators import filters as filter_ops
+from odin_rs_spark.operators import joins as join_ops
+from odin_rs_spark.operators import setops
+from odin_rs_spark.operators import similarity as sim_ops
+from odin_rs_spark.operators import text as text_ops
+from odin_rs_spark.operators import windows as window_ops
+from odin_rs_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    tags: str  # SURVEY §2 operator ids this query exercises
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: pricing summary (TPC-H Q1 shape; A1 conditional aggs,
+# F1/F5 filter pushdown)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)::BIGINT                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — per-group conditional class counts (A1, F2 recode)
+# --------------------------------------------------------------------------
+
+def q02_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.conditional_counts(
+        ev,
+        ["event_type"],
+        {
+            "n_low": F.col("value") < 50,
+            "n_mid": (F.col("value") >= 50) & (F.col("value") < 200),
+            "n_high": F.col("value") >= 200,
+        },
+    )
+
+
+Q02_SQL = """
+SELECT event_type,
+       sum(CASE WHEN value < 50 THEN 1 ELSE 0 END)::BIGINT                  AS n_low,
+       sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END)::BIGINT AS n_mid,
+       sum(CASE WHEN value >= 200 THEN 1 ELSE 0 END)::BIGINT                AS n_high,
+       count(*)::BIGINT                                                     AS n_total
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — pushdown filter + wire projection (F1/F5/F7)
+# --------------------------------------------------------------------------
+
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li = filter_ops.mask_range(li, "l_quantity", 10, 20)
+    li = li.filter(
+        F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-12-31"))
+    )
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey AS orderkey, l_partkey AS partkey, l_linenumber AS linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — global top-k (O3/W1)
+# --------------------------------------------------------------------------
+
+def q04_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — per-key top-k retention (W2/O4)
+# --------------------------------------------------------------------------
+
+def q05_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kept = window_ops.last_n_per_key(
+        li, ["l_orderkey"], "l_extendedprice", 3, tiebreak=["l_linenumber"]
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+Q05_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+  FROM lineitem) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — latest record per key (A6)
+# --------------------------------------------------------------------------
+
+def q06_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = window_ops.latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return latest.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+Q06_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — broadcast dimension joins (J5/J6)
+# --------------------------------------------------------------------------
+
+def q07_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = join_ops.broadcast_dim_join(
+        orders, customer.select("c_custkey", "c_nationkey"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    enriched = join_ops.broadcast_dim_join(
+        enriched, nation.select("n_nationkey", "n_name", "n_regionkey"),
+        enriched["c_nationkey"] == nation["n_nationkey"],
+    )
+    enriched = join_ops.broadcast_dim_join(
+        enriched, region.select("r_regionkey", "r_name"),
+        enriched["n_regionkey"] == region["r_regionkey"],
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q07_SQL = """
+SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue, count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — anti join (U3)
+# --------------------------------------------------------------------------
+
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+Q08_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — semi join chain (U4-style skip filter)
+# --------------------------------------------------------------------------
+
+def q09_urgent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    urgent_li = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    return part.join(
+        urgent_li.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+        "p_partkey",
+        "left_semi",
+    ).select("p_partkey", "p_brand")
+
+
+Q09_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — as-of join (J2): each purchase ← latest same-user click
+# --------------------------------------------------------------------------
+
+def q10_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = join_ops.asof_join(
+        purchases, clicks, on="user_id", ts="ts", right_order="event_id", suffix="_click"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_click").alias("click_ts"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
+Q10_SQL = """
+SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value FROM (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.ts AS click_ts, c.event_id AS click_event_id, c.value AS click_value,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — interval/covering join (J3): purchases inside signup+2h windows
+# --------------------------------------------------------------------------
+
+def q11_interval_signup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = join_ops.interval_join(
+        purchases, signups, ts="ts", start="start_ts", end="end_ts",
+        extra_key=("user_id", "s_user"),
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+Q11_SQL = """
+SELECT s.event_id AS signup_id, count(*)::BIGINT AS n_purchases,
+       round(sum(p.value), 4) AS sum_value
+FROM events s JOIN events p
+  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+GROUP BY s.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — arrival-minute histogram (A2, schedule learning)
+# --------------------------------------------------------------------------
+
+def q12_minute_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.hourly_minute_histogram(_t(spark, sf_dir, "events"), "ts")
+
+
+Q12_SQL = """
+SELECT EXTRACT(minute FROM ts)::INT AS minute, count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — learned schedule stats per step (A3)
+# --------------------------------------------------------------------------
+
+def q13_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg_ops.schedule_stats(_t(spark, sf_dir, "events"), "ts", "event_type")
+    return out.select(
+        "event_type",
+        F.round("avg_minute", 6).alias("avg_minute"),
+        "max_minute",
+        "n_obs",
+    )
+
+
+Q13_SQL = """
+SELECT event_type,
+       round(avg(EXTRACT(minute FROM ts)), 6) AS avg_minute,
+       max(EXTRACT(minute FROM ts))::INT      AS max_minute,
+       count(*)::BIGINT                       AS n_obs
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — running stats (A4/A5)
+# --------------------------------------------------------------------------
+
+def q14_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg_ops.running_stats(_t(spark, sf_dir, "events"), ["event_type"], "value")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        "min",
+        "max",
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
+Q14_SQL = """
+SELECT event_type, count(value)::BIGINT AS n, round(avg(value), 6) AS mean,
+       min(value) AS min, max(value) AS max, round(stddev_samp(value), 6) AS stddev
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — histogram + cumulative CDF (A7)
+# --------------------------------------------------------------------------
+
+def q15_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = agg_ops.histogram(_t(spark, sf_dir, "events"), "value", bin_width=50.0)
+    out = window_ops.cumulative_cdf(hist, "bin", "n")
+    return out.select("bin", "n", F.col("cum").cast("long").alias("cum"),
+                      F.round("cdf", 6).alias("cdf"))
+
+
+Q15_SQL = """
+SELECT bin, n, sum(n) OVER (ORDER BY bin)::BIGINT AS cum,
+       round(sum(n) OVER (ORDER BY bin)::DOUBLE / sum(n) OVER (), 6) AS cdf
+FROM (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*)::BIGINT AS n
+      FROM events GROUP BY 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — consecutive-row deltas per key (W3/W4 trace semantics)
+# --------------------------------------------------------------------------
+
+def q16_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1000000.0)).alias("gap_sec"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+Q16_SQL = """
+SELECT event_id, user_id,
+       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap_sec,
+       value - lag(value) OVER w AS value_delta
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — dedup keep-newest per composite key (U2/W2)
+# --------------------------------------------------------------------------
+
+def q17_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = window_ops.latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"]
+    )
+    return latest.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+Q17_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — sessionization (gap > 30 min ⇒ new session)
+# --------------------------------------------------------------------------
+
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = ev.withColumn("session_id", F.sum(is_new).over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+Q18_SQL = """
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM (
+    SELECT user_id, event_id, ts, value,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — tagged multi-source union (U1)
+# --------------------------------------------------------------------------
+
+def q19_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hot = ev.filter(F.col("value") > 400).select("event_id", "value")
+    cold = ev.filter(F.col("value") < 5).select("event_id", "value")
+    return setops.tagged_union({"hot": hot, "cold": cold}, source_col="stream")
+
+
+Q19_SQL = """
+SELECT event_id, value, 'hot' AS stream FROM events WHERE value > 400
+UNION ALL
+SELECT event_id, value, 'cold' AS stream FROM events WHERE value < 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — brute-force cosine top-k (similarity baseline)
+# --------------------------------------------------------------------------
+
+def q20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+Q20_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+         AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — corpus token stats per language (text analysis)
+# --------------------------------------------------------------------------
+
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs, "text", keys=["lang"])
+
+
+Q21_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars_total,
+       round(avg(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS avg_tokens_per_doc
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — language ID heuristic (marker-lexicon argmax)
+# --------------------------------------------------------------------------
+
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs, "text").select("doc_id", "lang", "pred_lang")
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lang, markers in text_ops.LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            f"len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), w -> w IN ({inlist}))) AS h_{lang}"
+        )
+    hits = ",\n       ".join(hit_exprs)
+    langs = list(text_ops.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, lang,
+       {hits}
+FROM documents)
+SELECT doc_id, lang, {case} AS pred_lang FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — exact dedup on normalized text
+# --------------------------------------------------------------------------
+
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs).select("doc_id", "source")
+
+
+Q23_SQL = """
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents
+  GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+"""
+
+
+_SHINGLE_CTE = """
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — near-duplicate pairs: MinHash-LSH blocking + exact Jaccard verify.
+# Oracle computes exact all-pairs (feasible at sf0.01); LSH params give
+# ≥ 1-6e-8 recall at J≥0.8 so outputs coincide.
+# --------------------------------------------------------------------------
+
+def q24_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.near_dup_pairs(docs, threshold=0.8)
+
+
+Q24_SQL = _SHINGLE_CTE + """
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — near-dup dedup: drop docs matching a smaller-id doc
+# --------------------------------------------------------------------------
+
+def q25_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.near_dup_dedup(docs, threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
+
+
+Q25_SQL = _SHINGLE_CTE + """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.8)
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — SimHash near-dup pairs (engine-hash-based → rows-only check)
+# --------------------------------------------------------------------------
+
+def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q27 — LSH-bucketed approximate NN (randomized blocking → rows-only)
+# --------------------------------------------------------------------------
+
+def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.ann_lsh_topk(emb, queries, k=5, num_planes=8)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+# --------------------------------------------------------------------------
+# q28 — document fingerprints (engine-hash-based → rows-only)
+# --------------------------------------------------------------------------
+
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# q29 — JSON payload extraction (F7 wire-format semantics)
+# --------------------------------------------------------------------------
+
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+Q29_SQL = """
+SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — raster cell band math (R4/S4/K5): synthetic affine grid, windspeed
+# band combine, contour-level binning. Transcendental-derived values are
+# rounded (libm vs java.lang.Math last-ulp).
+# --------------------------------------------------------------------------
+
+def q30_grid_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(3000).select(
+        (F.col("id") % 60).alias("x"), F.floor(F.col("id") / 60).alias("y")
+    )
+    u = F.sin(F.col("x") * 0.37) * F.cos(F.col("y") * 0.23) * 10.0
+    v = F.cos(F.col("x") * 0.11) * 5.0 + F.sin(F.col("y") * 0.31) * 3.0
+    spd = F.sqrt(u * u + v * v)
+    cells = grid.select(
+        F.floor(spd / F.lit(2.2352)).cast("long").alias("level"), spd.alias("spd")
+    )
+    return cells.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.avg("spd"), 6).alias("avg_spd"),
+        F.round(F.min("spd"), 6).alias("min_spd"),
+        F.round(F.max("spd"), 6).alias("max_spd"),
+    )
+
+
+Q30_SQL = """
+WITH g AS (SELECT i % 60 AS x, i // 60 AS y FROM range(3000) t(i)),
+c AS (SELECT sqrt(u*u + v*v) AS spd FROM (
+        SELECT sin(x * 0.37) * cos(y * 0.23) * 10.0 AS u,
+               cos(x * 0.11) * 5.0 + sin(y * 0.31) * 3.0 AS v
+        FROM g))
+SELECT CAST(floor(spd / 2.2352) AS BIGINT) AS level, count(*)::BIGINT AS n_cells,
+       round(avg(spd), 6) AS avg_spd, round(min(spd), 6) AS min_spd,
+       round(max(spd), 6) AS max_spd
+FROM c GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — per-key track distance (W4 + haversine): synthetic lon/lat derived
+# from event values
+# --------------------------------------------------------------------------
+
+def q31_track_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from odin_rs_spark.functions.geo import haversine_km
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 170 - 85).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    legs = pts.select(
+        "user_id",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        "lon",
+        "lat",
+    ).filter(F.col("plon").isNotNull())
+    dist = haversine_km("plon", "plat", "lon", "lat")
+    return legs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.round(F.sum(F.round(dist, 6)), 3).alias("total_km"),
+    )
+
+
+Q31_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (value * 0.7) % 360 - 180 AS lon,
+         (value * 0.3) % 170 - 85  AS lat
+  FROM events),
+legs AS (
+  SELECT user_id,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, count(*)::BIGINT AS n_legs,
+       round(sum(round(
+         2 * 6371.0088 * asin(sqrt(
+           sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 6)), 3) AS total_km
+FROM legs WHERE plon IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QuerySpec] = {
+    s.name: s
+    for s in [
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q02_class_counts", q02_class_counts, Q02_SQL, "A1 F2"),
+        QuerySpec("q03_filter_project", q03_filter_project, Q03_SQL, "F1 F5 F7"),
+        QuerySpec("q04_topk_orders", q04_topk_orders, Q04_SQL, "O3 W1"),
+        QuerySpec("q05_topk_per_order", q05_topk_per_order, Q05_SQL, "W2 O4"),
+        QuerySpec("q06_latest_event_per_user", q06_latest_event_per_user, Q06_SQL, "A6"),
+        QuerySpec("q07_region_revenue", q07_region_revenue, Q07_SQL, "J5 J6"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
+        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
+        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
+        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
+        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
+        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
+        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
+        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
+        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
+        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
+        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
+        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
+        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
+        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
+        QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, None, "dedup-simhash"),
+        QuerySpec("q27_ann_lsh", q27_ann_lsh, None, "similarity-ann"),
+        QuerySpec("q28_fingerprint", q28_fingerprint, None, "text-fingerprint"),
+        QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
+        QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
+        QuerySpec("q31_track_distance", q31_track_distance, Q31_SQL, "W4 geo"),
+    ]
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in CATALOG.items() if spec.sql is not None}

@@ -1,0 +1,76 @@
+"""Parquet table loading for the driver's synthetic star schema.
+
+At 100 TB the same call pattern holds: ``spark.read.parquet`` on a
+partitioned path gives Catalyst filter/column pushdown and partition
+pruning for free (the reference hand-implements these for its S3 prefix
+scheme, odin_goesr/src/lib.rs:381-447; Spark's file source is the
+idiomatic equivalent — SURVEY §2.1 S1, §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read them as long (legacy conf) and convert to
+    microsecond timestamps (truncating, matching DuckDB's ns→µs read)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one table. Plain columnar scan → pushdown-friendly."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        # deterministic event-time semantics + DuckDB-oracle parity even
+        # when the caller's session was built without engine defaults
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer div (not fp: ns since epoch exceeds double's 53-bit mantissa)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
