@@ -24,15 +24,15 @@ from pyspark.sql import functions as F
 from odin_rs_spark.functions.text import norm_text
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles of the normalized text.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a pre-materialized word array.
 
-    Single-space word split on the normalized form so an identical
-    definition is expressible in ANSI SQL for the oracle.
-    Docs with < n words yield one whole-text shingle.
+    IMPORTANT for performance: pass a COLUMN REFERENCE to an already
+    projected word array, not an inline split expression — expressions
+    embedded in a transform() lambda are re-evaluated per element (no CSE
+    across lambda scopes), which turns one split per row into one split
+    per shingle.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    words = F.split(norm_text(c), " ")
     k = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0))),
@@ -43,6 +43,27 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (single-space word
+    split on the normalized form, so an identical definition is
+    expressible in ANSI SQL for the oracle). Docs with < n words yield
+    one whole-text shingle.
+
+    Prefer _shingle_df / shingles_from_words in hot paths (see note
+    there about lambda-scope recomputation).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_from_words(F.split(norm_text(c), " "), n)
+
+
+def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __sh) with words materialized in their own projection."""
+    return (
+        df.select(F.col(id_col), F.split(norm_text(F.col(text_col)), " ").alias("__w"))
+        .select(F.col(id_col), shingles_from_words(F.col("__w"), n).alias("__sh"))
+    )
 
 
 def exact_dedup(
