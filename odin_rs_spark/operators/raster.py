@@ -1,0 +1,512 @@
+"""Raster / grid operators (SURVEY §2.10, R1-R8) on the cell-DataFrame
+representation: a raster band is rows ``(x int, y int, value double)``
+(+ extra band columns), lon/lat derivable from an affine axis (S4,
+odin_common/src/ranges.rs:29-62).
+
+Why cells instead of opaque 2-D arrays: every grid op becomes a
+Catalyst-visible join/agg — filter pushdown, AQE, broadcast all apply,
+and a 100 TB raster archive partitions naturally by (tile_x, tile_y).
+The reference does these ops via GDAL on single-process arrays
+(odin_gdal/src/warp.rs, grid.rs, contour.rs); the semantics targets are
+cited per function. Only contouring needs Python (marching squares,
+Arrow-batched applyInPandas per tile with halo exchange) — everything
+else is pure JVM column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# --------------------------------------------------------------------------
+# lattice construction (S4 — linear axis decode)
+# --------------------------------------------------------------------------
+
+def affine_lattice(
+    spark: SparkSession,
+    nx: int,
+    ny: int,
+    x0: float = 0.0,
+    dx: float = 1.0,
+    y0: float = 0.0,
+    dy: float = 1.0,
+) -> DataFrame:
+    """Materialize an nx×ny cell lattice with affine lon/lat axes
+    (LinearRange{first,inc,n}, odin_common/src/ranges.rs:29-62;
+    nc axis decode odin_gdal/src/lib.rs:550).
+
+    `spark.range` is a parallel, partitioned source — no driver loop;
+    a 10^9-cell lattice stays distributed.
+    """
+    return spark.range(nx * ny).select(
+        (F.col("id") % nx).cast("int").alias("x"),
+        (F.col("id") / nx).cast("int").alias("y"),
+        (F.lit(x0) + (F.col("id") % nx) * F.lit(dx)).alias("lon"),
+        (F.lit(y0) + (F.col("id") / nx).cast("int") * F.lit(dy)).alias("lat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R4 — band combine (per-pixel map)
+# --------------------------------------------------------------------------
+
+def windspeed(u: Column | str, v: Column | str) -> Column:
+    """√(u²+v²) band combine (odin_wind/src/actor.rs:417,
+    odin_gdal/src/lib.rs:784-805). Pure column math → codegen."""
+    u, v = _col(u), _col(v)
+    return F.sqrt(u * u + v * v)
+
+
+def band_combine(df: DataFrame, out: str, expr: Column) -> DataFrame:
+    """R4 — general per-cell f(bands…) → new band column."""
+    return df.withColumn(out, expr)
+
+
+# --------------------------------------------------------------------------
+# neighborhood machinery shared by R2 / R5
+# --------------------------------------------------------------------------
+
+def _scatter_to_neighbors(df: DataFrame, cx: Column, cy: Column, radius: int) -> DataFrame:
+    """Each row is replicated to every cell within Chebyshev `radius` of
+    its (cx, cy) cell — the scatter half of a stencil op. Turns
+    neighborhood gathers into plain equi-joins on (x, y): no cross join,
+    no window over the whole grid, shuffle ∝ rows × (2r+1)²."""
+    offsets = F.expr(
+        f"flatten(transform(sequence(-{radius}, {radius}), "
+        f"dx -> transform(sequence(-{radius}, {radius}), dy -> struct(dx, dy))))"
+    )
+    return (
+        df.withColumn("__cx", cx)
+        .withColumn("__cy", cy)
+        .withColumn("__o", F.explode(offsets))
+        .withColumn("__tx", (F.col("__cx") + F.col("__o.dx")).cast("int"))
+        .withColumn("__ty", (F.col("__cy") + F.col("__o.dy")).cast("int"))
+        .drop("__o")
+    )
+
+
+# --------------------------------------------------------------------------
+# R2 — scattered observations → grid interpolation
+# --------------------------------------------------------------------------
+
+def idw_to_grid(
+    points: DataFrame,
+    lattice: DataFrame,
+    px: str = "px",
+    py: str = "py",
+    value: str = "value",
+    radius_cells: int = 2,
+    power: float = 2.0,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """R2 — inverse-distance-weighted interpolation of scattered points
+    onto a cell lattice (GDAL Grid linear/IDW, odin_gdal/src/grid.rs:20-75,
+    used for the OpenMeteo lattice odin_openmeteo/src/lib.rs:246-319).
+
+    Scale design: each observation scatters to the cells within
+    `radius_cells` (Chebyshev, in cell units) of its own cell, then a
+    hash equi-join on (x, y) + groupBy(x, y) does the weighted gather.
+    Cost is O(points·(2r+1)² + cells); a lattice×points cross join
+    (O(N·M)) never materializes. Lattice cells with no observation in
+    range come back with NULL `idw` (left join), matching GDAL nodata.
+
+    Output: lattice columns + n_obs + idw.
+    """
+    cand = _scatter_to_neighbors(
+        points.select(
+            _col(px).alias("__px"), _col(py).alias("__py"), _col(value).alias("__v")
+        ),
+        F.floor(F.col("__px")).cast("int"),
+        F.floor(F.col("__py")).cast("int"),
+        radius_cells,
+    )
+    d2 = (F.col("__px") - F.col("__tx")) ** F.lit(2.0) + (
+        F.col("__py") - F.col("__ty")
+    ) ** F.lit(2.0)
+    w = F.lit(1.0) / (d2 ** F.lit(power / 2.0) + F.lit(eps))
+    contrib = cand.groupBy(F.col("__tx").alias("x"), F.col("__ty").alias("y")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum(w * F.col("__v")) / F.sum(w)).alias("idw"),
+    )
+    return lattice.join(contrib, ["x", "y"], "left")
+
+
+def nearest_to_grid(
+    points: DataFrame,
+    lattice: DataFrame,
+    px: str = "px",
+    py: str = "py",
+    value: str = "value",
+    radius_cells: int = 2,
+) -> DataFrame:
+    """R2 (nearest-neighbor variant) — each lattice cell takes the value
+    of the closest observation within the cell-radius neighborhood; ties
+    broken by value then position for determinism. Same scatter/equi-join
+    shape as idw_to_grid."""
+    cand = _scatter_to_neighbors(
+        points.select(
+            _col(px).alias("__px"), _col(py).alias("__py"), _col(value).alias("__v")
+        ),
+        F.floor(F.col("__px")).cast("int"),
+        F.floor(F.col("__py")).cast("int"),
+        radius_cells,
+    )
+    d2 = (F.col("__px") - F.col("__tx")) ** F.lit(2.0) + (
+        F.col("__py") - F.col("__ty")
+    ) ** F.lit(2.0)
+    ranked = cand.select(
+        F.col("__tx").alias("x"),
+        F.col("__ty").alias("y"),
+        F.struct(
+            d2.alias("d2"), F.col("__v").alias("v"), F.col("__px"), F.col("__py")
+        ).alias("__cand"),
+    )
+    best = ranked.groupBy("x", "y").agg(F.min("__cand").alias("__best"))
+    picked = best.select("x", "y", F.col("__best.v").alias("nn"))
+    return lattice.join(picked, ["x", "y"], "left")
+
+
+# --------------------------------------------------------------------------
+# R5 — nodata fill
+# --------------------------------------------------------------------------
+
+def fill_nodata(
+    cells: DataFrame, value: str = "value", radius: int = 1
+) -> DataFrame:
+    """R5 — fill NULL cells with the mean of valued neighbors within
+    Chebyshev `radius` (GDAL FillNodata inverse-distance flavor,
+    odin_gdal/src/lib.rs:806-820; here an unweighted neighborhood mean —
+    deterministic and oracle-expressible).
+
+    Valued cells scatter to their neighborhood; holes equi-join the
+    aggregated contributions. Cells with no valued neighbor stay NULL.
+    Output: original columns + `filled` (value if present else fill).
+    """
+    valued = cells.filter(_col(value).isNotNull()).select(
+        F.col("x").alias("__sx"), F.col("y").alias("__sy"), _col(value).alias("__v")
+    )
+    cand = _scatter_to_neighbors(valued, F.col("__sx"), F.col("__sy"), radius).filter(
+        # a cell is not its own neighbor
+        ~((F.col("__tx") == F.col("__sx")) & (F.col("__ty") == F.col("__sy")))
+    )
+    fills = cand.groupBy(F.col("__tx").alias("x"), F.col("__ty").alias("y")).agg(
+        F.avg("__v").alias("__fill")
+    )
+    return (
+        cells.join(fills, ["x", "y"], "left")
+        .withColumn("filled", F.coalesce(_col(value), F.col("__fill")))
+        .drop("__fill")
+    )
+
+
+# --------------------------------------------------------------------------
+# R6 — crop-to-data / homogeneity
+# --------------------------------------------------------------------------
+
+def data_bbox(cells: DataFrame, value: str = "value") -> DataFrame:
+    """R6 — bounding box of valued cells (crop_to_data margin trim,
+    odin_gdal/src/lib.rs:635-683). One tiny agg row."""
+    return cells.filter(_col(value).isNotNull()).agg(
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.count(F.lit(1)).alias("n_valued"),
+    )
+
+
+def crop_to_data(cells: DataFrame, value: str = "value") -> DataFrame:
+    """R6 — drop all-nodata margins: filter to the valued bbox. The bbox
+    is a 1-row broadcast; the filter stays a scan-side predicate."""
+    bbox = data_bbox(cells, value)
+    return cells.join(F.broadcast(bbox)).filter(
+        F.col("x").between(F.col("x_min"), F.col("x_max"))
+        & F.col("y").between(F.col("y_min"), F.col("y_max"))
+    ).drop("x_min", "x_max", "y_min", "y_max", "n_valued")
+
+
+def is_homogeneous(cells: DataFrame, value: str = "value") -> DataFrame:
+    """R6 — all-same-value check (odin_gdal/src/lib.rs:676-683):
+    countDistinct==1 over valued cells; map-side partial agg, no data
+    motion beyond one combine."""
+    return cells.filter(_col(value).isNotNull()).agg(
+        (F.count_distinct(_col(value)) == F.lit(1)).alias("homogeneous")
+    )
+
+
+# --------------------------------------------------------------------------
+# R8 — tile algebra
+# --------------------------------------------------------------------------
+
+def tile_zip(a: DataFrame, b: DataFrame, value: str = "value") -> DataFrame:
+    """Align two bands on (x, y) — the cell-DF form of TileData pairwise
+    ops (odin_image/src/tile_data.rs:139-273). Both sides hash-partition
+    on the same key → co-located join; for repeated algebra over a raster
+    archive, bucket the storage by (x, y) tile to kill the shuffle."""
+    return a.select("x", "y", _col(value).alias("a")).join(
+        b.select("x", "y", _col(value).alias("b")), ["x", "y"]
+    )
+
+
+def tile_diff(a: DataFrame, b: DataFrame, value: str = "value") -> DataFrame:
+    return tile_zip(a, b, value).withColumn("diff", F.col("a") - F.col("b"))
+
+
+def tile_abs_diff(a: DataFrame, b: DataFrame, value: str = "value") -> DataFrame:
+    return tile_zip(a, b, value).withColumn("abs_diff", F.abs(F.col("a") - F.col("b")))
+
+
+def tile_rel_diff(a: DataFrame, b: DataFrame, value: str = "value") -> DataFrame:
+    """|a−b| / max(|a|,|b|), 0 where both zero (tile_data.rs:139-273)."""
+    z = tile_zip(a, b, value)
+    denom = F.greatest(F.abs(F.col("a")), F.abs(F.col("b")))
+    return z.withColumn(
+        "rel_diff",
+        F.when(denom == 0, F.lit(0.0)).otherwise(F.abs(F.col("a") - F.col("b")) / denom),
+    )
+
+
+def tile_scalar(df: DataFrame, value: str = "value", mul: float = 1.0, add: float = 0.0) -> DataFrame:
+    return df.withColumn(value, _col(value) * F.lit(mul) + F.lit(add))
+
+
+def threshold_cells(df: DataFrame, value: str = "value", t: float = 0.0) -> DataFrame:
+    """R8 — cell selection above threshold (tile_data.rs:261-273). The
+    predicate pushes to the scan when `df` is a stored band."""
+    return df.filter(_col(value) >= F.lit(t))
+
+
+def raster_stats(df: DataFrame, value: str = "value") -> DataFrame:
+    """A4/A5 — running image stats (Stats::add, odin_image/src/lib.rs:53-98;
+    TileData::stats tile_data.rs:100-106): one partial-aggregated pass."""
+    v = _col(value)
+    return df.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mean"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.stddev_pop(v).alias("stddev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R1/J7 — warp / align via quantized target lattice
+# --------------------------------------------------------------------------
+
+def warp_to_lattice(
+    cells: DataFrame,
+    src_x0: float,
+    src_dx: float,
+    src_y0: float,
+    src_dy: float,
+    dst_lattice: DataFrame,
+) -> DataFrame:
+    """R1/J7 — nearest-neighbor warp of a source band onto a destination
+    lattice (warp_to_rect/warp_to_wgs84, odin_gdal/src/warp.rs:751-813;
+    raster-raster align odin_wind/src/actor.rs:382-415).
+
+    The destination lattice carries (lon, lat); inverse-affine maps each
+    destination cell to fractional source indices, rounds to the nearest
+    source cell, and an equi-join on the quantized (x, y) gathers values.
+    Pure column math + hash join — Catalyst handles distribution; both
+    sides can be bucketed by tile for shuffle-free repeated warps.
+    """
+    keyed = dst_lattice.withColumn(
+        "__sx", F.round((F.col("lon") - F.lit(src_x0)) / F.lit(src_dx)).cast("int")
+    ).withColumn(
+        "__sy", F.round((F.col("lat") - F.lit(src_y0)) / F.lit(src_dy)).cast("int")
+    )
+    src = cells.select(
+        F.col("x").alias("__sx"), F.col("y").alias("__sy"), F.col("value").alias("warped")
+    )
+    return keyed.join(src, ["__sx", "__sy"], "left").drop("__sx", "__sy")
+
+
+# --------------------------------------------------------------------------
+# R3 — contour segments (marching squares, tiled applyInPandas)
+# --------------------------------------------------------------------------
+
+CONTOUR_SCHEMA = (
+    "level double, x1 double, y1 double, x2 double, y2 double"
+)
+
+
+def contour_segments(
+    cells: DataFrame,
+    interval: float,
+    value: str = "value",
+    tile_size: int = 64,
+) -> DataFrame:
+    """R3 — iso-line segments at multiples of `interval` (GDAL contour,
+    odin_gdal/src/contour.rs:28-215; wind contours at 2.2352 m/s
+    odin_wind/src/lib.rs:542-559).
+
+    Marching squares is a stencil over 2×2 cell squares, so it cannot be
+    a pure relational op; the scale design is tiling + halo exchange:
+
+    1. each cell goes to its owning tile (x//ts, y//ts);
+    2. cells on a tile's low edge are ALSO replicated to the neighbor
+       tile that needs them as halo (≤3 copies for a corner cell) —
+       explode, no shuffle beyond the one groupBy;
+    3. applyInPandas runs vectorized numpy marching squares per tile and
+       only emits segments for squares the tile owns (lower-left corner
+       in-tile), so halo duplication never duplicates output.
+
+    Work per tile is O(tile²·levels) in numpy; tiles are independent →
+    linear scale-out. Ambiguous saddle cases use the standard
+    non-connected resolution (same default as GDAL).
+    """
+    import pandas as pd
+
+    ts = tile_size
+
+    tiles = (
+        cells.select(F.col("x"), F.col("y"), _col(value).alias("v"))
+        .withColumn(
+            "__t",
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.struct(
+                            F.floor(F.col("x") / ts).cast("int").alias("tx"),
+                            F.floor(F.col("y") / ts).cast("int").alias("ty"),
+                        ),
+                        F.when(
+                            F.col("x") % ts == 0,
+                            F.struct(
+                                (F.floor(F.col("x") / ts) - 1).cast("int").alias("tx"),
+                                F.floor(F.col("y") / ts).cast("int").alias("ty"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("y") % ts == 0,
+                            F.struct(
+                                F.floor(F.col("x") / ts).cast("int").alias("tx"),
+                                (F.floor(F.col("y") / ts) - 1).cast("int").alias("ty"),
+                            ),
+                        ),
+                        F.when(
+                            (F.col("x") % ts == 0) & (F.col("y") % ts == 0),
+                            F.struct(
+                                (F.floor(F.col("x") / ts) - 1).cast("int").alias("tx"),
+                                (F.floor(F.col("y") / ts) - 1).cast("int").alias("ty"),
+                            ),
+                        ),
+                    )
+                )
+            ),
+        )
+        .select(F.col("__t.tx").alias("tx"), F.col("__t.ty").alias("ty"), "x", "y", "v")
+    )
+
+    def march(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        x_lo, y_lo = tx * ts, ty * ts
+        xs = pdf["x"].to_numpy() - x_lo
+        ys = pdf["y"].to_numpy() - y_lo
+        w = int(xs.max()) + 1
+        h = int(ys.max()) + 1
+        grid = np.full((h, w), np.nan)
+        grid[ys, xs] = pdf["v"].to_numpy()
+
+        out_level, out_x1, out_y1, out_x2, out_y2 = [], [], [], [], []
+        if w < 2 or h < 2:
+            return pd.DataFrame(
+                {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}, dtype=float
+            )
+
+        bl = grid[:-1, :-1]
+        br = grid[:-1, 1:]
+        tl = grid[1:, :-1]
+        tr = grid[1:, 1:]
+        valid = ~(np.isnan(bl) | np.isnan(br) | np.isnan(tl) | np.isnan(tr))
+        # squares owned by this tile: lower-left corner within [0, ts)
+        own_y, own_x = np.mgrid[0 : h - 1, 0 : w - 1]
+        own = valid & (own_x < ts) & (own_y < ts)
+
+        vmin = np.nanmin(grid)
+        vmax = np.nanmax(grid)
+        lo = int(np.floor(vmin / interval)) + 1
+        hi = int(np.floor(vmax / interval))
+        for li in range(lo, hi + 1):
+            lvl = li * interval
+            c_bl = bl >= lvl
+            c_br = br >= lvl
+            c_tl = tl >= lvl
+            c_tr = tr >= lvl
+            case = (
+                c_bl.astype(np.int8)
+                | (c_br.astype(np.int8) << 1)
+                | (c_tr.astype(np.int8) << 2)
+                | (c_tl.astype(np.int8) << 3)
+            )
+            active = own & (case != 0) & (case != 15)
+            iy, ix = np.nonzero(active)
+            if len(ix) == 0:
+                continue
+            cs = case[iy, ix]
+            a = bl[iy, ix]
+            b = br[iy, ix]
+            t_ = tl[iy, ix]
+            u = tr[iy, ix]
+
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # edge crossing parameters (linear interp), clipped for safety
+                bot = np.clip((lvl - a) / (b - a), 0, 1)  # bottom edge  y=iy
+                top = np.clip((lvl - t_) / (u - t_), 0, 1)  # top edge   y=iy+1
+                lft = np.clip((lvl - a) / (t_ - a), 0, 1)  # left edge   x=ix
+                rgt = np.clip((lvl - b) / (u - b), 0, 1)  # right edge  x=ix+1
+
+            # endpoints per edge id: 0=bottom 1=right 2=top 3=left
+            ex = np.stack([ix + bot, ix + 1.0, ix + top, ix + 0.0])
+            ey = np.stack([iy + 0.0, iy + rgt, iy + 1.0, iy + lft])
+
+            # case → (edge_a, edge_b); saddles (5, 10) emit two segments
+            table = {
+                1: (3, 0), 2: (0, 1), 3: (3, 1), 4: (1, 2), 6: (0, 2),
+                7: (3, 2), 8: (2, 3), 9: (2, 0), 11: (2, 1), 12: (1, 3),
+                13: (1, 0), 14: (0, 3),
+            }
+            for cval, (e1, e2) in table.items():
+                m = cs == cval
+                if not m.any():
+                    continue
+                out_level.append(np.full(m.sum(), lvl))
+                out_x1.append(ex[e1][m] + x_lo)
+                out_y1.append(ey[e1][m] + y_lo)
+                out_x2.append(ex[e2][m] + x_lo)
+                out_y2.append(ey[e2][m] + y_lo)
+            for cval, pairs in {5: ((3, 0), (1, 2)), 10: ((0, 1), (2, 3))}.items():
+                m = cs == cval
+                if not m.any():
+                    continue
+                for e1, e2 in pairs:
+                    out_level.append(np.full(m.sum(), lvl))
+                    out_x1.append(ex[e1][m] + x_lo)
+                    out_y1.append(ey[e1][m] + y_lo)
+                    out_x2.append(ex[e2][m] + x_lo)
+                    out_y2.append(ey[e2][m] + y_lo)
+
+        if not out_level:
+            return pd.DataFrame(
+                {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}, dtype=float
+            )
+        return pd.DataFrame(
+            {
+                "level": np.concatenate(out_level),
+                "x1": np.concatenate(out_x1),
+                "y1": np.concatenate(out_y1),
+                "x2": np.concatenate(out_x2),
+                "y2": np.concatenate(out_y2),
+            }
+        )
+
+    return tiles.groupBy("tx", "ty").applyInPandas(march, CONTOUR_SCHEMA)

@@ -31,6 +31,7 @@ from odin_rs_spark.operators import aggregations as agg_ops
 from odin_rs_spark.operators import dedup as dedup_ops
 from odin_rs_spark.operators import filters as filter_ops
 from odin_rs_spark.operators import joins as join_ops
+from odin_rs_spark.operators import raster as raster_ops
 from odin_rs_spark.operators import setops
 from odin_rs_spark.operators import similarity as sim_ops
 from odin_rs_spark.operators import text as text_ops
@@ -827,6 +828,209 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# q32 — scattered→grid IDW interpolation (R2): observations derived from
+# events, gathered onto a 40×30 lattice via the scatter/equi-join stencil
+# (no lattice×points cross join — SURVEY §2.10 R2 scale design)
+# --------------------------------------------------------------------------
+
+def q32_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "events").select(
+        ((F.col("value") * 0.13) % 40).alias("px"),
+        ((F.col("value") * 0.29) % 30).alias("py"),
+        F.col("value").alias("value"),
+    )
+    lattice = raster_ops.affine_lattice(spark, 40, 30).select("x", "y")
+    out = raster_ops.idw_to_grid(pts, lattice, radius_cells=2, power=2.0)
+    return out.select(
+        "x",
+        "y",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("idw", 6).alias("idw"),
+    )
+
+
+Q32_SQL = """
+WITH pts AS (
+  SELECT (value * 0.13) % 40 AS px, (value * 0.29) % 30 AS py, value AS v
+  FROM events),
+lat AS (SELECT CAST(i % 40 AS INT) AS x, CAST(i // 40 AS INT) AS y FROM range(1200) t(i)),
+cand AS (
+  SELECT g.x, g.y, p.v,
+         1.0 / (((p.px - g.x) * (p.px - g.x) + (p.py - g.y) * (p.py - g.y)) + 1e-9) AS w
+  FROM lat g JOIN pts p
+    ON abs(CAST(floor(p.px) AS INT) - g.x) <= 2
+   AND abs(CAST(floor(p.py) AS INT) - g.y) <= 2),
+agg AS (
+  SELECT x, y, count(*)::BIGINT AS n_obs, round(sum(w * v) / sum(w), 6) AS idw
+  FROM cand GROUP BY x, y)
+SELECT g.x, g.y, a.n_obs, a.idw
+FROM lat g LEFT JOIN agg a ON g.x = a.x AND g.y = a.y
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — tile algebra (R8): abs/rel diff of two synthetic bands + per-row
+# stats and threshold census
+# --------------------------------------------------------------------------
+
+def q33_tile_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = raster_ops.affine_lattice(spark, 60, 50)
+    a = lat.select("x", "y", (F.sin(F.col("x") * 0.2) + F.cos(F.col("y") * 0.3)).alias("value"))
+    b = lat.select("x", "y", (F.sin(F.col("x") * 0.2 + 0.05) + F.cos(F.col("y") * 0.3 - 0.02)).alias("value"))
+    d = raster_ops.tile_abs_diff(a, b)
+    return d.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("abs_diff"), 6).alias("avg_d"),
+        F.round(F.max("abs_diff"), 6).alias("max_d"),
+        F.sum((F.col("abs_diff") > 0.05).cast("long")).alias("n_above"),
+    )
+
+
+Q33_SQL = """
+WITH g AS (SELECT CAST(i % 60 AS INT) AS x, CAST(i // 60 AS INT) AS y FROM range(3000) t(i)),
+a AS (SELECT x, y, sin(x * 0.2) + cos(y * 0.3) AS v FROM g),
+b AS (SELECT x, y, sin(x * 0.2 + 0.05) + cos(y * 0.3 - 0.02) AS v FROM g),
+d AS (SELECT a.y, abs(a.v - b.v) AS ad FROM a JOIN b ON a.x = b.x AND a.y = b.y)
+SELECT y, count(*)::BIGINT AS n, round(avg(ad), 6) AS avg_d, round(max(ad), 6) AS max_d,
+       sum(CASE WHEN ad > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_above
+FROM d GROUP BY y
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — nodata fill (R5): neighborhood-mean imputation of deterministic
+# holes. Cell values are multiples of 0.25 → sums are fp-exact in any
+# order, so no rounding hazard.
+# --------------------------------------------------------------------------
+
+def q34_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = raster_ops.affine_lattice(spark, 50, 40)
+    cells = lat.select(
+        "x",
+        "y",
+        F.when(
+            (F.col("x") * 7 + F.col("y") * 13) % 11 < 2, F.lit(None).cast("double")
+        ).otherwise(F.col("x") * 0.5 + F.col("y") * 0.25).alias("value"),
+    )
+    filled = raster_ops.fill_nodata(cells, radius=1)
+    return filled.filter(F.col("value").isNull() & F.col("filled").isNotNull()).select(
+        "x", "y", F.round("filled", 6).alias("filled")
+    )
+
+
+Q34_SQL = """
+WITH g AS (
+  SELECT CAST(i % 50 AS INT) AS x, CAST(i // 50 AS INT) AS y,
+         CASE WHEN ((i % 50) * 7 + (i // 50) * 13) % 11 < 2 THEN NULL
+              ELSE (i % 50) * 0.5 + (i // 50) * 0.25 END AS v
+  FROM range(2000) t(i)),
+holes AS (SELECT x, y FROM g WHERE v IS NULL),
+fills AS (
+  SELECT h.x, h.y, round(avg(n.v), 6) AS filled
+  FROM holes h JOIN g n
+    ON abs(n.x - h.x) <= 1 AND abs(n.y - h.y) <= 1
+   AND NOT (n.x = h.x AND n.y = h.y) AND n.v IS NOT NULL
+  GROUP BY h.x, h.y)
+SELECT x, y, filled FROM fills
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — crop-to-data bbox + homogeneity (R6) over a margin-padded band
+# --------------------------------------------------------------------------
+
+def q35_crop_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = raster_ops.affine_lattice(spark, 64, 48)
+    cells = lat.select(
+        "x",
+        "y",
+        F.when(
+            F.col("x").between(5, 58) & F.col("y").between(3, 44)
+            & ((F.col("x") + F.col("y")) % 3 != 0),
+            F.col("x") + F.col("y") * 0.5,
+        ).alias("value"),
+    )
+    bbox = raster_ops.data_bbox(cells)
+    homo = raster_ops.is_homogeneous(cells)
+    return bbox.crossJoin(homo).select(
+        F.col("x_min").cast("int").alias("x_min"),
+        F.col("x_max").cast("int").alias("x_max"),
+        F.col("y_min").cast("int").alias("y_min"),
+        F.col("y_max").cast("int").alias("y_max"),
+        F.col("n_valued").cast("long").alias("n_valued"),
+        "homogeneous",
+    )
+
+
+Q35_SQL = """
+WITH g AS (
+  SELECT CAST(i % 64 AS INT) AS x, CAST(i // 64 AS INT) AS y,
+         CASE WHEN (i % 64) BETWEEN 5 AND 58 AND (i // 64) BETWEEN 3 AND 44
+                   AND ((i % 64) + (i // 64)) % 3 <> 0
+              THEN (i % 64) + (i // 64) * 0.5 END AS v
+  FROM range(3072) t(i))
+SELECT CAST(min(x) AS INT) AS x_min, CAST(max(x) AS INT) AS x_max,
+       CAST(min(y) AS INT) AS y_min, CAST(max(y) AS INT) AS y_max,
+       count(*)::BIGINT AS n_valued,
+       (count(DISTINCT v) = 1) AS homogeneous
+FROM g WHERE v IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — nearest-neighbor warp onto a destination lattice (R1/J7)
+# --------------------------------------------------------------------------
+
+def q36_warp_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = raster_ops.affine_lattice(spark, 80, 60).select(
+        "x", "y", (F.col("x") * 0.25 + F.col("y") * 1.5).alias("value")
+    )
+    dst = raster_ops.affine_lattice(spark, 40, 30, x0=0.3, dx=0.7, y0=0.1, dy=0.9)
+    warped = raster_ops.warp_to_lattice(src, 0.0, 0.25, 0.0, 0.25, dst)
+    return warped.groupBy("y").agg(
+        F.count("warped").cast("long").alias("n_hit"),
+        F.round(F.avg("warped"), 6).alias("avg_v"),
+    )
+
+
+Q36_SQL = """
+WITH src AS (
+  SELECT CAST(i % 80 AS INT) AS x, CAST(i // 80 AS INT) AS y,
+         (i % 80) * 0.25 + (i // 80) * 1.5 AS v
+  FROM range(4800) t(i)),
+dst AS (
+  SELECT CAST(i % 40 AS INT) AS x, CAST(i // 40 AS INT) AS y,
+         0.3 + (i % 40) * 0.7 AS lon, 0.1 + (i // 40) * 0.9 AS lat
+  FROM range(1200) t(i)),
+keyed AS (
+  SELECT d.y, CAST(round((d.lon - 0.0) / 0.25, 0) AS INT) AS sx,
+         CAST(round((d.lat - 0.0) / 0.25, 0) AS INT) AS sy
+  FROM dst d)
+SELECT k.y, count(s.v)::BIGINT AS n_hit, round(avg(s.v), 6) AS avg_v
+FROM keyed k LEFT JOIN src s ON k.sx = s.x AND k.sy = s.y
+GROUP BY k.y
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — contour segments (R3, marching squares via tiled applyInPandas):
+# per-level segment census. Non-relational stencil → rows-only check.
+# --------------------------------------------------------------------------
+
+def q37_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = raster_ops.affine_lattice(spark, 60, 50)
+    u = F.sin(F.col("x") * 0.37) * F.cos(F.col("y") * 0.23) * 10.0
+    v = F.cos(F.col("x") * 0.11) * 5.0 + F.sin(F.col("y") * 0.31) * 3.0
+    cells = lat.select("x", "y", raster_ops.windspeed(u, v).alias("value"))
+    segs = raster_ops.contour_segments(cells, interval=2.2352, tile_size=32)
+    return segs.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.min("x1"), 4).alias("min_x"),
+        F.round(F.max("x2"), 4).alias("max_x"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -864,6 +1068,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
         QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
         QuerySpec("q31_track_distance", q31_track_distance, Q31_SQL, "W4 geo"),
+        QuerySpec("q32_idw_grid", q32_idw_grid, Q32_SQL, "R2 S4"),
+        QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
+        QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
+        QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
+        QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
+        QuerySpec("q37_contour", q37_contour, None, "R3 K5"),
     ]
 }
 
