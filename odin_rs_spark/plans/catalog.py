@@ -1031,6 +1031,224 @@ def q37_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q38 — UTM projection over derived positions (§2.9 CRS conversion,
+# odin_common/src/utm.rs:141-241). Oracle = the identical transverse-
+# Mercator series emitted as SQL (proj.*_sql), evaluated by DuckDB's
+# libm — a genuine cross-engine parity check of the math.
+# --------------------------------------------------------------------------
+
+def q38_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions import proj
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 160 - 80).alias("lat"),
+    )
+    utm = pts.select(
+        proj.utm_zone("lon").alias("zone"),
+        proj.utm_band("lat").alias("band"),
+        F.round(proj.utm_easting("lon", "lat"), 6).alias("e"),
+        F.round(proj.utm_northing("lon", "lat"), 6).alias("n"),
+    )
+    return utm.groupBy("zone", "band").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.round(F.sum("e"), 3).alias("sum_e"),
+        F.round(F.sum("n"), 3).alias("sum_n"),
+    )
+
+
+def _q38_sql() -> str:
+    from odin_rs_spark.functions import proj
+
+    bands = "CDEFGHJKLMNPQRSTUVWX"
+    band_sql = f"{list(bands)!r}[least(greatest(CAST(floor((lat + 80.0) / 8.0) AS INT), 0), 19) + 1]"
+    return f"""
+WITH pts AS (
+  SELECT (value * 0.7) % 360 - 180 AS lon,
+         (value * 0.3) % 160 - 80  AS lat
+  FROM events),
+utm AS (
+  SELECT {proj.utm_zone_sql('lon')} AS zone,
+         {band_sql} AS band,
+         round({proj.utm_easting_sql('lon', 'lat')}, 6) AS e,
+         round({proj.utm_northing_sql('lon', 'lat')}, 6) AS n
+  FROM pts)
+SELECT zone, band, count(*)::BIGINT AS n_pts,
+       round(sum(e), 3) AS sum_e, round(sum(n), 3) AS sum_n
+FROM utm GROUP BY zone, band
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — point-in-polygon containment census (F6,
+# odin_common/src/geo.rs:409; cheap-check-first pattern
+# odin_orbital/src/overpass.rs:463). Ray-casting as a higher-order-
+# function expression on the Spark side; the oracle unrolls the same
+# crossing test per edge.
+# --------------------------------------------------------------------------
+
+_Q39_POLY = [(-60.0, -40.0), (20.0, -55.0), (70.0, 10.0), (10.0, 60.0), (-50.0, 35.0)]
+
+
+def q39_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions import polygon as poly_fns
+
+    ev = _t(spark, sf_dir, "events")
+    poly = F.array(
+        *[
+            F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat"))
+            for x, y in _Q39_POLY
+        ]
+    )
+    pts = ev.select(
+        "event_type",
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 170 - 85).alias("lat"),
+    )
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(
+            poly_fns.point_in_polygon("lon", "lat", poly).cast("bigint")
+        ).alias("n_inside"),
+    )
+
+
+def _q39_sql() -> str:
+    ring = _Q39_POLY + [_Q39_POLY[0]]
+    terms = []
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) != ({y2!r} > lat)) AND"
+            f" (lon < ({x2!r} - {x1!r}) * (lat - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    crossings = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT event_type,
+         (value * 0.7) % 360 - 180 AS lon,
+         (value * 0.3) % 170 - 85  AS lat
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n_pts,
+       sum(CASE WHEN ({crossings}) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_inside
+FROM pts GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — GOES-R fixed-grid projection of a scan-angle lattice (§2.9,
+# odin_goesr/src/geo.rs:90-117; off-Earth cells dropped like the mask
+# scan odin_goesr/src/lib.rs:513-529). Oracle mirrors the PUG formula.
+# --------------------------------------------------------------------------
+
+def q40_goes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions import proj
+
+    grid = spark.range(3600).select(
+        (F.col("id") % 60).alias("gx"), (F.col("id") / 60).cast("long").alias("gy")
+    )
+    ang = grid.select(
+        "gy",
+        (F.lit(-0.18) + F.col("gx") * F.lit(0.0061)).alias("x"),
+        (F.lit(-0.18) + F.col("gy") * F.lit(0.0061)).alias("y"),
+    )
+    geo = ang.select("gy", proj.goes_to_lonlat("x", "y", -75.0).alias("g")).filter(
+        F.col("g.lon").isNotNull()
+    )
+    return geo.groupBy("gy").agg(
+        F.count(F.lit(1)).alias("n_on_earth"),
+        F.round(F.sum(F.round(F.col("g.lon"), 6)), 3).alias("sum_lon"),
+        F.round(F.sum(F.round(F.col("g.lat"), 6)), 3).alias("sum_lat"),
+    )
+
+
+def _q40_sql() -> str:
+    from odin_rs_spark.functions import proj
+
+    lat_sql = proj.goes_lat_sql("x", "y")
+    lon_sql = proj.goes_lon_sql("x", "y", -75.0)
+    disc = (
+        f"(({-2.0 * proj.GOES_H!r} * cos(x) * cos(y))^2 - 4.0 *"
+        f" (sin(x)^2 + cos(x)^2 * (cos(y)^2 + {proj._REQ2_RPOL2!r} * sin(y)^2)) *"
+        f" {proj.GOES_H**2 - proj.GOES_REQ**2!r})"
+    )
+    return f"""
+WITH ang AS (
+  SELECT i // 60 AS gy,
+         -0.18 + (i % 60) * 0.0061 AS x,
+         -0.18 + (i // 60) * 0.0061 AS y
+  FROM range(3600) t(i)),
+geo AS (
+  SELECT gy, {lon_sql} AS lon, {lat_sql} AS lat
+  FROM ang WHERE {disc} >= 0)
+SELECT gy, count(*)::BIGINT AS n_on_earth,
+       round(sum(round(lon, 6)), 3) AS sum_lon,
+       round(sum(round(lat, 6)), 3) AS sum_lat
+FROM geo GROUP BY gy
+"""
+
+
+# --------------------------------------------------------------------------
+# q41 — relational polygon metrics (shoelace area / winding / centroid /
+# bbox from exploded vertex rows; odin_common/src/geo.rs:232-468,
+# cartographic.rs:221-285). Vertices-as-rows is the 100 TB layout:
+# one shuffle on poly_id, window lead() for the wrap edge.
+# --------------------------------------------------------------------------
+
+def q41_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from odin_rs_spark.functions.polygon import polygon_metrics_from_vertices
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("user_id") % 50).orderBy("ts", "event_id")
+    verts = ev.select(
+        (F.col("user_id") % 50).alias("poly_id"),
+        F.row_number().over(w).alias("seq"),
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 170 - 85).alias("lat"),
+    ).filter(F.col("seq") <= 8)
+    m = polygon_metrics_from_vertices(verts)
+    return m.select(
+        "poly_id",
+        "n_vertices",
+        F.round("area_deg2", 4).alias("area_deg2"),
+        F.col("clockwise").cast("int").alias("clockwise"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("west", 6).alias("west"),
+        F.round("south", 6).alias("south"),
+        F.round("east", 6).alias("east"),
+        F.round("north", 6).alias("north"),
+    )
+
+
+Q41_SQL = """
+WITH verts AS (
+  SELECT poly_id, seq, lon, lat FROM (
+    SELECT user_id % 50 AS poly_id,
+           row_number() OVER (PARTITION BY user_id % 50 ORDER BY ts, event_id) AS seq,
+           (value * 0.7) % 360 - 180 AS lon,
+           (value * 0.3) % 170 - 85  AS lat
+    FROM events) WHERE seq <= 8),
+edges AS (
+  SELECT poly_id, lon, lat,
+         lon * coalesce(lead(lat) OVER w, first_value(lat) OVER w)
+         - coalesce(lead(lon) OVER w, first_value(lon) OVER w) * lat AS cr
+  FROM verts WINDOW w AS (PARTITION BY poly_id ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT poly_id, count(*)::BIGINT AS n_vertices,
+       round(abs(sum(cr)) / 2.0, 4) AS area_deg2,
+       (CASE WHEN sum(cr) < 0 THEN 1 ELSE 0 END) AS clockwise,
+       round(avg(lon), 6) AS centroid_lon, round(avg(lat), 6) AS centroid_lat,
+       round(min(lon), 6) AS west,  round(min(lat), 6) AS south,
+       round(max(lon), 6) AS east,  round(max(lat), 6) AS north
+FROM edges GROUP BY poly_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1074,6 +1292,10 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
         QuerySpec("q37_contour", q37_contour, None, "R3 K5"),
+        QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
+        QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
+        QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
+        QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
     ]
 }
 
