@@ -1,0 +1,244 @@
+"""Multimodal (binary-column) operators — image/audio/video as opaque
+binary with typed metadata (SURVEY §2.12; parity targets: the ONNX
+smoke/fire classifier odin_onnx/src/lib.rs:47-150 with its tiling
+strategies, image ops odin_image/src/lib.rs:149-246, R9 image
+similarity).
+
+Design for 100 TB of media:
+- media rows carry `content: binary` + metadata columns; bytes NEVER
+  leave the executor (no driver collect), and Arrow moves them to
+  Python in bounded batches (`spark.sql.execution.arrow.maxRecordsPerBatch`
+  should be lowered for large blobs — see `media_repartition`).
+- every operator is `mapInPandas`/`pandas_udf` over an iterator of
+  batches → constant memory per task regardless of partition size.
+- decode itself is STUBBED here: the container has no image/audio
+  codecs. Each stub is deterministic (derived from the bytes) so tests
+  pin the plumbing — schema, batching, partitioning — while a real
+  deployment swaps `_decode_backend` for PIL/ffmpeg/onnxruntime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _decode_backend():
+    """Real decoder hook. Returns None in this container (no codec
+    libraries baked in); operators then use the deterministic fake so
+    the Spark-side plumbing stays executable and tested."""
+    try:  # pragma: no cover - not installed here
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except Exception:
+        return None
+
+
+def _fake_pixels(content: bytes, n: int = 16) -> list[float]:
+    """Deterministic stand-in for decoded pixel statistics: n floats in
+    [0,1) derived from a SHA-256 stream of the bytes. NOT a decode —
+    a placeholder with the same shape/dtype a real decoder would emit."""
+    out: list[float] = []
+    h = hashlib.sha256(content or b"")
+    while len(out) < n:
+        h = hashlib.sha256(h.digest())
+        d = h.digest()
+        for i in range(0, len(d) - 3, 4):
+            out.append(int.from_bytes(d[i : i + 4], "big") / 2**32)
+            if len(out) == n:
+                break
+    return out
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+        StructField("mean_val", DoubleType()),
+        StructField("max_val", DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame, n_features: int = 16) -> DataFrame:
+    """Decode → per-item feature vector + running stats (A4 analog,
+    Stats::add odin_image/src/lib.rs:53-98). mapInPandas over batch
+    iterators: constant memory, parallel per partition.
+
+    With a real backend this is where pixels→embedding runs; the stub
+    emits deterministic pseudo-features of identical schema.
+    """
+    if _decode_backend() is not None:  # pragma: no cover
+        raise NotImplementedError(
+            "real decode backend detected but not wired; swap _fake_pixels"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_pixels(c, n_features) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                    "mean_val": [sum(f) / len(f) for f in feats],
+                    "max_val": [max(f) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("strategy", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def tile_media(
+    media: DataFrame, nx: int = 2, ny: int = 2, strategy: str = "mosaic"
+) -> DataFrame:
+    """Tiling stage of the ONNX classifier (fit_scaled/padded/mosaic,
+    odin_onnx config): one input item → nx*ny tile rows. The stub
+    byte-slices `content` into equal chunks standing in for image
+    crops; the fan-out/partitioning (the scale-relevant part) is real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "tile_x": [], "tile_y": [], "strategy": [], "content": []}
+            for _, r in pdf.iterrows():
+                c = r["content"] or b""
+                n = nx * ny
+                step = max(1, len(c) // n)
+                for t in range(n):
+                    rows["media_id"].append(r["media_id"])
+                    rows["tile_x"].append(t % nx)
+                    rows["tile_y"].append(t // nx)
+                    rows["strategy"].append(strategy)
+                    rows["content"].append(c[t * step : (t + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, TILE_SCHEMA)
+
+
+def classify_stub(content: Column | str, labels: tuple[str, ...] = ("smoke", "fire", "none")) -> Column:
+    """predict_batch shape of the ONNX smoke/fire classifier
+    (odin_onnx/src/lib.rs:47-150) as a vectorized pandas_udf: bytes →
+    struct(label, confidence). Deterministic stub scores (hash-derived);
+    a real deployment replaces the body with an onnxruntime session —
+    the UDF signature, Arrow batching, and downstream filtering are the
+    engine surface being pinned.
+    """
+    c = F.col(content) if isinstance(content, str) else content
+
+    @F.pandas_udf(
+        StructType(
+            [StructField("label", StringType()), StructField("confidence", DoubleType())]
+        )
+    )
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        scores = [_fake_pixels(b, len(labels)) for b in s]
+        return pd.DataFrame(
+            {
+                "label": [labels[sc.index(max(sc))] for sc in scores],
+                "confidence": [max(sc) for sc in scores],
+            }
+        )
+
+    return _udf(c)
+
+
+def frame_sample(video: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: one video row → up to `max_frames`
+    frame rows (every_n-th). Stub emits byte-window pseudo-frames; the
+    row fan-out and bounded output are the real contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "content": []}
+            for _, r in pdf.iterrows():
+                c = r["content"] or b""
+                # pretend each "frame" is a 64-byte window at stride every_n*64
+                for i in range(max_frames):
+                    off = i * every_n * 64
+                    if off >= len(c):
+                        break
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_no"].append(i * every_n)
+                    rows["content"].append(c[off : off + 64])
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(
+        fn,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("frame_no", IntegerType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def media_repartition(media: DataFrame, partitions: int, max_records_per_batch: int = 64) -> DataFrame:
+    """Partitioning/batching hygiene for big blobs: hash-repartition on
+    media_id (even blob distribution, no skew from source file layout)
+    and cap Arrow batch row count so a batch of large images fits in
+    worker memory. Returns the repartitioned frame; the conf is set on
+    the session (documented side effect)."""
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
+    )
+    return media.repartition(partitions, "media_id")
+
+
+def image_similarity(a: DataFrame, b: DataFrame, n_features: int = 16) -> DataFrame:
+    """R9 — pairwise image similarity via feature vectors (RGB-hybrid /
+    SSIM-style compare, odin_image/src/lib.rs:218-246): decode both
+    sides to features, equi-join on media_id, cosine on the vectors.
+    Join stays JVM-side; only decode crosses to Python."""
+    from odin_rs_spark.operators.similarity import cosine
+
+    fa = extract_features(a, n_features).select(
+        "media_id", F.col("features").alias("fa")
+    )
+    fb = extract_features(b, n_features).select(
+        "media_id", F.col("features").alias("fb")
+    )
+    return fa.join(fb, "media_id").select(
+        "media_id", cosine(F.col("fa"), F.col("fb")).alias("similarity")
+    )

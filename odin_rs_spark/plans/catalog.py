@@ -1249,6 +1249,361 @@ FROM edges GROUP BY poly_id
 
 
 # --------------------------------------------------------------------------
+# q42 — stale-key eviction sweep (T3 batch form: the ADS-B drop_after
+# "removed" list, odin_adsb/src/lib.rs:77-101): keys whose newest record
+# is older than frontier - TTL, with their last-seen state.
+# --------------------------------------------------------------------------
+
+def q42_stale_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = window_ops.latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    frontier = ev.agg(F.max("ts").alias("__frontier"))
+    return (
+        latest.crossJoin(F.broadcast(frontier))
+        .filter(
+            F.col("ts") < F.col("__frontier") - F.expr("INTERVAL 6 HOURS")
+        )
+        .select("user_id", F.col("ts").alias("last_seen"), F.col("event_id").alias("last_event_id"))
+    )
+
+
+Q42_SQL = """
+WITH latest AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events) WHERE rk = 1),
+frontier AS (SELECT max(ts) AS f FROM events)
+SELECT user_id, ts AS last_seen, event_id AS last_event_id
+FROM latest, frontier WHERE ts < f - INTERVAL 6 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
+# q43 — inactive-source detection sweep (T4, check_inactive
+# odin_sentinel/src/alarm.rs:348-449) via streaming.state.inactive_flags.
+# --------------------------------------------------------------------------
+
+def q43_inactive_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.streaming.state import inactive_flags
+
+    ev = _t(spark, sf_dir, "events")
+    out = inactive_flags(ev, ["user_id", "event_type"], "ts", 3600.0 * 12)
+    return out.select(
+        "user_id",
+        "event_type",
+        "last_update",
+        F.col("inactive").cast("int").alias("inactive"),
+    )
+
+
+Q43_SQL = """
+WITH latest AS (
+  SELECT user_id, event_type, max(ts) AS last_update FROM events GROUP BY 1, 2),
+frontier AS (SELECT max(ts) AS f FROM events)
+SELECT user_id, event_type, last_update,
+       (CASE WHEN epoch(f) - epoch(last_update) > 43200.0 THEN 1 ELSE 0 END) AS inactive
+FROM latest, frontier
+"""
+
+
+# --------------------------------------------------------------------------
+# q44 — alarm suppression window (T5 batch form, check_new_alarm
+# odin_sentinel/src/alarm.rs:199-236): an event is suppressed when the
+# previous event of the same (user, type) lies within the window.
+# --------------------------------------------------------------------------
+
+def q44_alarm_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "suppressed",
+        F.when(gap_us.isNull(), F.lit(0))
+        .when(gap_us < 3600 * 1_000_000, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_alarms"),
+        F.sum("suppressed").cast("bigint").alias("n_suppressed"),
+    )
+
+
+Q44_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w < 3600000000 THEN 1
+              ELSE 0 END AS suppressed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC))
+SELECT event_type, count(*)::BIGINT AS n_alarms,
+       sum(suppressed)::BIGINT AS n_suppressed
+FROM flagged GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — SBS decoder round-trip (S7, odin_adsb/src/sbs.rs:27-151): build
+# SBS position lines from events, run the from_csv decoder, aggregate
+# the RECOVERED values. The oracle aggregates the original columns
+# directly — any parse error breaks the hash match.
+# --------------------------------------------------------------------------
+
+def q45_sbs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.formats import parse_sbs
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.format_string(
+            "MSG,3,1,1,%s,1,%s,%s,%s,%s,,%.1f,,,%.6f,%.6f,,,0,0,0,0",
+            F.lower(F.hex("user_id")),
+            F.date_format("ts", "yyyy/MM/dd"),
+            F.date_format("ts", "HH:mm:ss.SSS"),
+            F.date_format("ts", "yyyy/MM/dd"),
+            F.date_format("ts", "HH:mm:ss.SSS"),
+            F.col("value"),
+            (F.col("value") * 0.3) % 170 - 85,
+            (F.col("value") * 0.7) % 360 - 180,
+        ).alias("value")
+    )
+    decoded = parse_sbs(lines)
+    return decoded.groupBy("icao24").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.round(F.sum("altitude_ft"), 3).alias("sum_alt"),
+        F.round(F.sum("lat"), 4).alias("sum_lat"),
+        F.round(F.sum("lon"), 4).alias("sum_lon"),
+        F.sum(F.unix_millis("ts")).alias("sum_ts_ms"),
+    )
+
+
+Q45_SQL = """
+SELECT lower(hex(user_id)) AS icao24,
+       count(*)::BIGINT AS n_msgs,
+       round(sum(round(value, 1)), 3) AS sum_alt,
+       round(sum(round((value * 0.3) % 170 - 85, 6)), 4) AS sum_lat,
+       round(sum(round((value * 0.7) % 360 - 180, 6)), 4) AS sum_lon,
+       sum(epoch_ms(date_trunc('milliseconds', ts)))::BIGINT AS sum_ts_ms
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q46 — FIRMS confidence recode (S5, odin_orbital/src/firms.rs): letter
+# and numeric confidence codes banded to low/nominal/high.
+# --------------------------------------------------------------------------
+
+def q46_firms_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.formats import parse_firms_csv
+
+    ev = _t(spark, sf_dir, "events")
+    # synthesize the confidence column: letter codes for some rows,
+    # numeric 0-100 strings for others (both appear in real FIRMS feeds)
+    raw = ev.select(
+        F.col("event_id"),
+        (F.col("value") * 0.3 % 170 - 85).alias("latitude"),
+        (F.col("value") * 0.7 % 360 - 180).alias("longitude"),
+        F.lit(None).cast("double").alias("bright_ti4"),
+        F.lit(None).cast("double").alias("scan"),
+        F.lit(None).cast("double").alias("track"),
+        F.date_format("ts", "yyyy-MM-dd").alias("acq_date"),
+        F.date_format("ts", "HHmm").alias("acq_time"),
+        F.lit("N").alias("satellite"),
+        F.lit("VIIRS").alias("instrument"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("l"))
+        .when(F.col("event_id") % 4 == 1, F.lit("n"))
+        .when(F.col("event_id") % 4 == 2, F.lit("h"))
+        .otherwise((F.col("event_id") % 101).cast("string"))
+        .alias("confidence"),
+        F.lit("2.0NRT").alias("version"),
+        F.lit(None).cast("double").alias("bright_ti5"),
+        F.col("value").alias("frp"),
+        F.lit("N").alias("daynight"),
+    )
+    parsed = parse_firms_csv(raw)
+    return parsed.groupBy("confidence_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("frp"), 4).alias("sum_frp"),
+    )
+
+
+Q46_SQL = """
+WITH conf AS (
+  SELECT value,
+         CASE WHEN event_id % 4 = 0 THEN 'l'
+              WHEN event_id % 4 = 1 THEN 'n'
+              WHEN event_id % 4 = 2 THEN 'h'
+              ELSE CAST(event_id % 101 AS VARCHAR) END AS confidence
+  FROM events),
+recoded AS (
+  SELECT value,
+         CASE WHEN lower(confidence) IN ('l', 'low') THEN 'low'
+              WHEN lower(confidence) IN ('n', 'nominal') THEN 'nominal'
+              WHEN lower(confidence) IN ('h', 'high') THEN 'high'
+              WHEN TRY_CAST(confidence AS DOUBLE) < 30 THEN 'low'
+              WHEN TRY_CAST(confidence AS DOUBLE) < 80 THEN 'nominal'
+              WHEN TRY_CAST(confidence AS DOUBLE) >= 80 THEN 'high'
+              ELSE 'unknown' END AS confidence_class
+  FROM conf)
+SELECT confidence_class, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_frp
+FROM recoded GROUP BY confidence_class
+"""
+
+
+# --------------------------------------------------------------------------
+# q47 — GeoJSON feature scan round-trip (S13, odin_bushfire/src/lib.rs:
+# 198-218): build FeatureCollection docs (one per user), explode with
+# the decoder, recover per-feature properties + Point coordinates.
+# --------------------------------------------------------------------------
+
+def q47_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from odin_rs_spark.sources.formats import geojson_point, parse_geojson
+
+    ev = _t(spark, sf_dir, "events")
+    feature = F.format_string(
+        '{"type":"Feature","id":"e%d","geometry":{"type":"Point",'
+        '"coordinates":[%.6f,%.6f]},"properties":{"etype":"%s"}}',
+        F.col("event_id"),
+        (F.col("value") * 0.7) % 360 - 180,
+        (F.col("value") * 0.3) % 170 - 85,
+        F.col("event_type"),
+    )
+    docs = ev.groupBy("user_id").agg(
+        F.concat(
+            F.lit('{"type":"FeatureCollection","features":['),
+            F.concat_ws(",", F.collect_list(feature)),
+            F.lit("]}"),
+        ).alias("value")
+    )
+    props = StructType([StructField("etype", StringType())])
+    feats = parse_geojson(docs, props)
+    pt = geojson_point("coordinates_json")
+    return feats.groupBy(F.col("props.etype").alias("etype")).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.round(F.sum(F.col("props.etype").isNotNull().cast("int")), 0).alias("n_props"),
+        F.round(F.sum(pt["lon"]), 3).alias("sum_lon"),
+        F.round(F.sum(pt["lat"]), 3).alias("sum_lat"),
+    )
+
+
+Q47_SQL = """
+SELECT event_type AS etype, count(*)::BIGINT AS n_features,
+       count(*)::DOUBLE AS n_props,
+       round(sum(round((value * 0.7) % 360 - 180, 6)), 3) AS sum_lon,
+       round(sum(round((value * 0.3) % 170 - 85, 6)), 3) AS sum_lat
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — Mode-S JSON decode dispatch (S8, odin_adsb/src/rs1090.rs:89-234):
+# serialize frames as JSON lines, decode, count per dispatched kind.
+# --------------------------------------------------------------------------
+
+def q48_mode_s_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.formats import parse_mode_s_json
+
+    ev = _t(spark, sf_dir, "events")
+    frame = F.to_json(
+        F.struct(
+            F.when(F.col("event_id") % 3 == 0, 17).otherwise(4).alias("df"),
+            F.lower(F.hex("user_id")).alias("icao24"),
+            F.when(F.col("event_id") % 6 == 0, (F.col("value") * 0.3) % 170 - 85)
+            .alias("latitude"),
+            F.when(F.col("event_id") % 6 == 0, (F.col("value") * 0.7) % 360 - 180)
+            .alias("longitude"),
+            F.when(F.col("event_id") % 6 == 3, F.concat(F.lit("FL"), F.col("user_id")))
+            .alias("callsign"),
+            F.col("value").alias("altitude"),
+            (F.unix_micros("ts") / 1e6).alias("timestamp"),
+        )
+    )
+    lines = ev.select(frame.alias("value"))
+    decoded = parse_mode_s_json(lines)
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("altitude"), 4).alias("sum_alt"),
+    )
+
+
+Q48_SQL = """
+WITH frames AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 17 ELSE 4 END AS df,
+         CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END AS has_pos,
+         CASE WHEN event_id % 6 = 3 THEN 1 ELSE 0 END AS has_callsign,
+         value
+  FROM events),
+dispatched AS (
+  SELECT value,
+         CASE WHEN df = 17 AND has_pos = 1 THEN 'position'
+              WHEN df = 17 AND has_callsign = 1 THEN 'identification'
+              WHEN df = 4 THEN 'altitude'
+              ELSE 'status' END AS kind
+  FROM frames)
+SELECT kind, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_alt
+FROM dispatched GROUP BY kind
+"""
+
+
+# --------------------------------------------------------------------------
+# q49 — multimodal feature extraction (ONNX classifier plumbing,
+# odin_onnx/src/lib.rs:47-150; R9). The stubbed decode is hash-derived →
+# not SQL-expressible → rows-only check; the similarity leg has an exact
+# oracle (self-similarity ≡ 1).
+# --------------------------------------------------------------------------
+
+def q49_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").cast("binary").alias("content"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    feats = mm_ops.extract_features(media, n_features=16)
+    scored = media.select("media_id", mm_ops.classify_stub("content").alias("pred"))
+    return (
+        feats.join(scored, "media_id")
+        .groupBy(F.col("pred.label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_val"), 6).alias("avg_feature_mean"),
+            F.round(F.avg("pred.confidence"), 6).alias("avg_confidence"),
+        )
+    )
+
+
+def q50_image_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").cast("binary").alias("content"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    sim = mm_ops.image_similarity(media, media)
+    return sim.select("media_id", F.round("similarity", 4).alias("similarity"))
+
+
+Q50_SQL = """
+SELECT doc_id AS media_id, 1.0 AS similarity FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1296,6 +1651,15 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
         QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
+        QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),
+        QuerySpec("q43_inactive_devices", q43_inactive_devices, Q43_SQL, "T4"),
+        QuerySpec("q44_alarm_suppress", q44_alarm_suppress, Q44_SQL, "T5"),
+        QuerySpec("q45_sbs_roundtrip", q45_sbs_roundtrip, Q45_SQL, "S7 F7"),
+        QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),
+        QuerySpec("q47_geojson_roundtrip", q47_geojson_roundtrip, Q47_SQL, "S13"),
+        QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
+        QuerySpec("q49_media_pipeline", q49_media_pipeline, None, "multimodal R9"),
+        QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
     ]
 }
 

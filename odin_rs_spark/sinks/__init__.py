@@ -1,0 +1,1 @@
+"""Sink adapters (SURVEY §2.2 K1-K8)."""

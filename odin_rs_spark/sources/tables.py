@@ -45,6 +45,9 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one table. Plain columnar scan → pushdown-friendly."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     try:
         # deterministic event-time semantics + DuckDB-oracle parity even
         # when the caller's session was built without engine defaults

@@ -1,0 +1,143 @@
+"""Composed streaming pipelines (SURVEY §3.1 restated, T1/T7, K1/K2).
+
+The reference's canonical flow — importer → parse → filter/classify →
+keyed store → websocket delta broadcast + on-connect snapshot — becomes:
+file stream → column transforms → watermarked agg / keyed state →
+foreachBatch maintaining a snapshot table (K2) while appending deltas
+(K1). Snapshot = complete current state; delta = this micro-batch's
+changes; exactly the Initialize/Update protocol of
+odin_goesr/src/actor.rs:40-88.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def classify_events(stream: DataFrame) -> DataFrame:
+    """F2-style recode of the synthetic events stream (stands in for the
+    hotspot mask→class mapping, odin_goesr/src/lib.rs:96-107)."""
+    return stream.withColumn(
+        "class",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high"),
+    )
+
+
+def windowed_class_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A1 as a streaming windowed aggregation: per-window per-class
+    counts with late-data tolerance bounded by the watermark (T6).
+    Partial (map-side) aggregation happens before the shuffle, so
+    per-window state is O(#classes), not O(#events)."""
+    return (
+        classify_events(stream)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "class")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "class",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def snapshot_delta_sink(
+    snapshot_dir: str,
+    delta_dir: str,
+    merge_fn=None,
+):
+    """foreachBatch sink maintaining BOTH output modes of the reference
+    server (odin_server/src/spa.rs:486-723):
+
+    - `delta_dir`: append-only per-micro-batch changes (K1 broadcast
+      payloads, partitioned by batch id);
+    - `snapshot_dir`: the current complete state a newly connected
+      client receives (K2), atomically replaced per batch.
+
+    `merge_fn(old_snapshot_df | None, batch_df) -> DataFrame` computes
+    the new snapshot; default = latest batch wins per full overwrite.
+    Parquet stands in for a transactional table format; on a cluster
+    this sink is a Delta MERGE + CDF read, same shape.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            (
+                batch_df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(delta_dir)
+            )
+            if merge_fn is not None:
+                old = None
+                if os.path.exists(snapshot_dir):
+                    # read+rewrite via a staging dir for atomicity
+                    old = spark.read.parquet(snapshot_dir)
+                new_snap = merge_fn(old, batch_df)
+                staging = snapshot_dir.rstrip("/") + ".staging"
+                new_snap.write.mode("overwrite").parquet(staging)
+                final = spark.read.parquet(staging)
+                final.write.mode("overwrite").parquet(snapshot_dir)
+            else:
+                batch_df.write.mode("overwrite").parquet(snapshot_dir)
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+def run_available_now(
+    stream: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """Drain everything currently available through foreachBatch and
+    stop — the reference's catch-up/backfill trigger (T1/T2,
+    Trigger.AvailableNow; schedule-driven runs start one of these per
+    learned slot, odin_goesr/src/live_importer.rs:120-124)."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(sink_fn)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def backfill_then_live(
+    spark: SparkSession,
+    backfill_df: DataFrame,
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+) -> None:
+    """T7 — Initialize-then-update without duplicate emission across the
+    batch/stream seam (odin_goesr/src/actor.rs:40-88): write history
+    once, then stream appends drop ids already present (idempotent on
+    `id_col`; at scale: Delta MERGE on the id key).
+    """
+    backfill_df.write.mode("overwrite").parquet(store_dir)
+
+    def dedup_append(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        existing = s.read.parquet(store_dir).select(id_col)
+        fresh = batch_df.join(existing, on=id_col, how="left_anti")
+        fresh.write.mode("append").parquet(store_dir)
+
+    run_available_now(stream, dedup_append, checkpoint_dir, output_mode="append")

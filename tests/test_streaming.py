@@ -1,0 +1,300 @@
+"""Streaming semantics tests (SURVEY §2.11 T1-T12): replayed micro-batch
+runs with Trigger.AvailableNow, checked against the equivalent batch
+computation — the reference's Initialize/Update seam replayed
+deterministically."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators.windows import latest_per_key
+from odin_rs_spark.sources.tables import load_table
+from odin_rs_spark.streaming import pipelines, sources, state
+
+
+@pytest.fixture(scope="module")
+def events_small(spark, sf_dir):
+    return (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_id",
+            "ts",
+            F.col("user_id").cast("string").alias("key"),
+            "event_type",
+            "value",
+        )
+        .filter(F.col("user_id") % 10 == 0)  # keep the fixture quick
+    )
+
+
+@pytest.fixture(scope="module")
+def replay_root(spark, events_small, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("replay"))
+    sources.split_for_replay(events_small, root, n_chunks=3, order_col="ts")
+    return root
+
+
+def _replay(spark, events_small, replay_root):
+    return sources.replay_stream(spark, replay_root, events_small.schema)
+
+
+def test_replay_preserves_rows(spark, events_small, replay_root, tmp_path):
+    got = []
+    stream = _replay(spark, events_small, replay_root)
+    pipelines.run_available_now(
+        stream,
+        lambda df, bid: got.append((bid, df.count())),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    assert len(got) == 3  # one micro-batch per chunk
+    assert sum(n for _, n in got) == events_small.count()
+
+
+def test_windowed_class_counts_matches_batch(spark, events_small, replay_root, tmp_path):
+    stream = _replay(spark, events_small, replay_root)
+    agg = pipelines.windowed_class_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wcc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.win_start, r["class"]): (r.n, r.sum_value)
+        for r in spark.table("wcc").collect()
+    }
+    batch = {
+        (r.win_start, r["class"]): (r.n, r.sum_value)
+        for r in pipelines.windowed_class_counts(events_small).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_ttl_latest_state_matches_batch_latest(spark, events_small, replay_root, tmp_path):
+    stream = _replay(spark, events_small, replay_root)
+    out = state.ttl_latest_state(
+        stream.select("key", "ts", "value").groupBy("key"), ttl_ms=None
+    )
+    emitted: list = []
+    pipelines.run_available_now(
+        out,
+        lambda df, bid: emitted.extend(df.collect()),
+        str(tmp_path / "ckpt"),
+    )
+    # last 'live' emission per key == batch latest value per key
+    final = {}
+    for r in emitted:
+        assert r.removed == "live"  # no TTL expiry within an availableNow drain
+        final[r.key] = r
+    batch = {
+        r.key: r
+        for r in latest_per_key(
+            events_small, ["key"], "ts", tiebreak=["event_id"]
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for k, r in final.items():
+        assert r.ts == batch[k].ts
+    # n_updates sums every record seen for the key
+    counts = {r.key: r.n_updates for r in emitted if r.key in final}
+    batch_counts = {
+        r.key: r.n
+        for r in events_small.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == batch_counts
+
+
+def test_ttl_tombstones_emitted(spark, tmp_path):
+    """TTL expiry path: short TTL under a processing-time trigger emits
+    'removed' tombstones for keys with no further updates (T3)."""
+    import time
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(key=str(k), ts=t0 + dt.timedelta(seconds=k), value=float(k)) for k in range(3)]
+    )
+    root = str(tmp_path / "chunks")
+    sources.split_for_replay(df, root, n_chunks=1, order_col="ts")
+    stream = sources.replay_stream(spark, root, df.schema)
+    out = state.ttl_latest_state(stream.groupBy("key"), ttl_ms=2000)
+    emitted: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .foreachBatch(lambda d, b: emitted.extend(d.collect()))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            removed = {r.key for r in emitted if r.removed == "removed"}
+            if removed == {"0", "1", "2"}:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    removed = {r.key for r in emitted if r.removed == "removed"}
+    live = {r.key for r in emitted if r.removed == "live"}
+    assert live == {"0", "1", "2"}
+    assert removed == {"0", "1", "2"}
+
+
+def test_track_trace_state_collapse_and_cap(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # key A: 2nd point arrives 500 ms after the 1st → collapsed
+        Row(key="A", ts=t0, lon=0.0, lat=0.0),
+        Row(key="A", ts=t0 + dt.timedelta(milliseconds=500), lon=0.1, lat=0.0),
+        Row(key="A", ts=t0 + dt.timedelta(seconds=5), lon=1.0, lat=0.0),
+        # key B: 20 spaced points → capped at max_positions
+    ] + [
+        Row(key="B", ts=t0 + dt.timedelta(seconds=2 * i), lon=float(i), lat=0.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    root = str(tmp_path / "chunks")
+    sources.split_for_replay(df, root, n_chunks=2, order_col="ts")
+    stream = sources.replay_stream(spark, root, df.schema)
+    out = state.track_trace_state(
+        stream.groupBy("key"), max_positions=16, min_gap_ms=800
+    )
+    emitted: list = []
+    pipelines.run_available_now(
+        out, lambda d, b: emitted.extend(d.collect()), str(tmp_path / "ckpt")
+    )
+    last = {}
+    for r in emitted:
+        last[r.key] = r
+    # A: 3 raw points, first two collapsed → 2 retained
+    assert last["A"].n_points == 2
+    assert last["A"].last_lon == 1.0
+    # bearing of the final leg (0,0)→(1,0) is due east = 90°
+    assert abs(last["A"].bearing_deg - 90.0) < 0.5
+    # B: 20 points capped to 16, newest kept
+    assert last["B"].n_points == 16
+    assert last["B"].last_lon == 19.0
+
+
+def test_alarm_dedup_suppresses_within_window(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(device="d1", ts=t0, sev=1.0),
+        Row(device="d1", ts=t0 + dt.timedelta(minutes=3), sev=2.0),  # suppressed
+        Row(device="d2", ts=t0 + dt.timedelta(minutes=1), sev=3.0),
+        Row(device="d1", ts=t0 + dt.timedelta(minutes=4), sev=4.0),  # suppressed
+    ]
+    df = spark.createDataFrame(rows)
+    root = str(tmp_path / "chunks")
+    sources.split_for_replay(df, root, n_chunks=1, order_col="ts")
+    stream = sources.replay_stream(spark, root, df.schema)
+    deduped = state.alarm_dedup(stream, ["device"], "ts", suppress="10 minutes")
+    got: list = []
+    pipelines.run_available_now(
+        deduped,
+        lambda d, b: got.extend(d.collect()),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    per_device = {}
+    for r in got:
+        per_device.setdefault(r.device, []).append(r)
+    assert len(per_device["d1"]) == 1 and len(per_device["d2"]) == 1
+
+
+def test_upsert_sorted_capped_semantics(spark):
+    b1 = spark.createDataFrame(
+        [
+            Row(id=1, key="s1", ts=dt.datetime(2024, 1, 1, 0, 0), v="a"),
+            Row(id=2, key="s1", ts=dt.datetime(2024, 1, 1, 0, 10), v="b"),
+            Row(id=3, key="s2", ts=dt.datetime(2024, 1, 1, 0, 5), v="c"),
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [
+            # same id 2 → replaces (newest batch wins)
+            Row(id=2, key="s1", ts=dt.datetime(2024, 1, 1, 0, 10), v="b2"),
+            # late record, older ts, still inserted in order (T6)
+            Row(id=4, key="s1", ts=dt.datetime(2024, 1, 1, 0, 5), v="late"),
+            Row(id=5, key="s1", ts=dt.datetime(2024, 1, 1, 0, 20), v="d"),
+        ]
+    )
+    store = state.upsert_sorted_capped(None, b1, "id", ["key"], "ts", max_len=3)
+    store = state.upsert_sorted_capped(store, b2, "id", ["key"], "ts", max_len=3)
+    rows = {r.id: r for r in store.collect()}
+    s1 = sorted(
+        [r for r in rows.values() if r.key == "s1"], key=lambda r: r.ts, reverse=True
+    )
+    # cap 3 newest for s1: ids 5, 2, 4 (id 1 at 0:00 evicted); id2 replaced
+    assert [r.id for r in s1] == [5, 2, 4]
+    assert rows[2].v == "b2"
+    assert rows[3].key == "s2"
+
+
+def test_backfill_then_live_idempotent(spark, events_small, replay_root, tmp_path):
+    store = str(tmp_path / "store")
+    # backfill with the oldest half, then stream ALL chunks (overlap!)
+    cut = events_small.approxQuantile("event_id", [0.5], 0.01)[0]
+    backfill = events_small.filter(F.col("event_id") <= cut)
+    stream = _replay(spark, events_small, replay_root)
+    pipelines.backfill_then_live(
+        spark, backfill, stream, store, str(tmp_path / "ckpt"), "event_id"
+    )
+    got = spark.read.parquet(store)
+    assert got.count() == events_small.count()
+    assert got.select("event_id").distinct().count() == events_small.count()
+
+
+def test_inactive_flags(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(device="d1", ts=t0),
+            Row(device="d1", ts=t0 + dt.timedelta(hours=3)),  # frontier
+            Row(device="d2", ts=t0 + dt.timedelta(hours=1)),
+            Row(device="d3", ts=t0 + dt.timedelta(hours=2, minutes=45)),
+        ]
+    )
+    out = {
+        r.device: r.inactive
+        for r in state.inactive_flags(df, ["device"], "ts", 3600.0).collect()
+    }
+    assert out == {"d1": False, "d2": True, "d3": False}
+
+
+def test_snapshot_delta_sink(spark, events_small, replay_root, tmp_path):
+    snap, delta = str(tmp_path / "snap"), str(tmp_path / "delta")
+    stream = _replay(spark, events_small, replay_root)
+    latest_merge = lambda old, batch: state.upsert_sorted_capped(  # noqa: E731
+        old, batch, "event_id", ["key"], "ts", max_len=1
+    )
+    pipelines.run_available_now(
+        stream,
+        pipelines.snapshot_delta_sink(snap, delta, merge_fn=latest_merge),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    # delta dir holds every record exactly once, tagged by micro-batch
+    d = spark.read.parquet(delta)
+    assert d.count() == events_small.count()
+    assert d.select("__batch_id").distinct().count() == 3
+    # snapshot holds latest-per-key (K2 on-connect view)
+    s = spark.read.parquet(snap)
+    batch_latest = latest_per_key(events_small, ["key"], "ts", tiebreak=["event_id"])
+    assert s.count() == batch_latest.count()
+    exp = {r.key: r.event_id for r in batch_latest.collect()}
+    got = {r.key: r.event_id for r in s.collect()}
+    # ts ties can pick a different event; compare on (key, ts)
+    exp_ts = {r.key: r.ts for r in batch_latest.collect()}
+    got_ts = {r.key: r.ts for r in s.collect()}
+    assert got_ts == exp_ts
