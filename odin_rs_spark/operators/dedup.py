@@ -144,11 +144,12 @@ def lsh_candidate_pairs(
     """
     rows = num_perm // bands
     coeffs = _perm_coeffs(num_perm)
-    # materialize base hashes in their own projection so the 128 perm-min
-    # expressions share one computed array (helps CSE; keeps codegen small)
-    base = df.select(
+    # materialize shingles, then base hashes, each in their own projection:
+    # an inline expression inside a transform() lambda is re-evaluated per
+    # element (no CSE across lambda scopes) — measured 4× on this stage
+    base = _shingle_df(df, id_col, text_col, shingle_n).select(
         F.col(id_col),
-        F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
     )
     sig = base.select(
         F.col(id_col),
@@ -170,18 +171,34 @@ def lsh_candidate_pairs(
             )
         ).alias("__band"),
     ).select(id_col, "__band.band", "__band.bhash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-group instead of self-join: a self-join recomputes the whole
+    # signature pipeline on BOTH sides (broadcast join defeats exchange
+    # reuse); groupBy computes it once and shuffles only (band,bhash,id).
+    # In-bucket pair expansion is quadratic per bucket — fine because LSH
+    # buckets are tiny by construction; at 100 TB add a bucket-size cap
+    # (oversized buckets mean degenerate/boilerplate docs).
+    return _bucket_pairs(banded, ["band", "bhash"], id_col)
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket. One shuffle
+    (the groupBy); pair expansion is a JVM array expression."""
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
+    buckets = (
+        df.groupBy(*bucket_cols).agg(ids.alias("__ids")).filter(F.size("__ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
 
@@ -199,9 +216,7 @@ def jaccard_pairs(
     jaccard = |A∩B| / |A∪B| over distinct word shingles, computed with
     array intersect/union (JVM). Output: (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
-    )
+    sh = _shingle_df(df, id_col, text_col, shingle_n)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
@@ -312,24 +327,31 @@ def simhash_pairs(
             )
         ).alias("__c"),
     ).select(id_col, "__sig", "__c.ci", "__c.cv")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # bucket-group (see _bucket_pairs): one signature computation, one
+    # shuffle; pack (id, sig) into a struct so the hamming check needs
+    # no join back against the signature table
+    packed = F.array_sort(
+        F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")))
+    )
+    buckets = (
+        chunks.groupBy("ci", "cv").agg(packed.alias("__e")).filter(F.size("__e") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__e"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__e"), i + F.lit(2), F.size(F.col("__e"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__sig").alias("__siga"),
-            F.col("b.__sig").alias("__sigb"),
-        )
-        .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("__siga").bitwiseXOR(F.col("__sigb"))))
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -87,8 +87,17 @@ def fingerprint(df: DataFrame, text_col: str = "text", num_hashes: int = 8) -> D
     shingle hashes (sorted) — robust to local edits, joinable for
     containment detection. Engine-specific hash (xxhash64) → rows-only
     correctness check."""
-    from odin_rs_spark.operators.dedup import word_shingles
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators.dedup import shingles_from_words
 
-    sh = word_shingles(F.col(text_col), 3)
-    hashes = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
-    return df.withColumn("fingerprint", F.slice(hashes, 1, num_hashes))
+    # stage the words → shingles → hashes chain as separate projections:
+    # expressions inlined into a transform() lambda re-evaluate per
+    # element (no CSE across lambda scopes) — 4× on this operator
+    staged = (
+        df.withColumn("__w", F.split(norm_text(F.col(text_col)), " "))
+        .withColumn("__sh", shingles_from_words(F.col("__w"), 3))
+        .withColumn("__h", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+    )
+    return staged.withColumn(
+        "fingerprint", F.slice(F.array_sort(F.col("__h")), 1, num_hashes)
+    ).drop("__w", "__sh", "__h")
