@@ -214,6 +214,7 @@ def nearest_join(
     left_key: str,
     k: int = 1,
     coarse_key: tuple[Column, Column] | None = None,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """J8 — k-nearest join (closest ground-track point,
     odin_orbital/src/overpass.rs:148-171): cross/coarse join + per-left-key
@@ -228,7 +229,8 @@ def nearest_join(
     else:
         joined = left.crossJoin(F.broadcast(right))
     joined = joined.withColumn("__dist", distance)
-    w = Window.partitionBy(left_key).orderBy(F.col("__dist").asc())
+    order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(left_key).orderBy(*order)
     return (
         joined.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)

@@ -1604,6 +1604,293 @@ SELECT doc_id AS media_id, 1.0 AS similarity FROM documents
 
 
 # --------------------------------------------------------------------------
+# q51 — LOESS smoothing (W7, odin_image/src/loess.rs:20-116): windowed
+# local linear regression, no UDF. x = event_id (unique → deterministic
+# frame ordering).
+# --------------------------------------------------------------------------
+
+def q51_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    sm = window_ops.loess_smooth(ev, "user_id", "x", "y", bandwidth_rows=5)
+    return sm.select(
+        "user_id",
+        F.col("x").cast("long").alias("event_id"),
+        F.round("y_smooth", 6).alias("y_smooth"),
+    )
+
+
+Q51_SQL = """
+WITH pts AS (
+  SELECT user_id, CAST(event_id AS DOUBLE) AS x, value AS y FROM events),
+stats AS (
+  SELECT user_id, x,
+         avg(x) OVER w AS mx, avg(y) OVER w AS my,
+         avg(x * y) OVER w - avg(x) OVER w * avg(y) OVER w AS cov,
+         avg(x * x) OVER w - avg(x) OVER w * avg(x) OVER w AS var
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY x ASC
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
+SELECT user_id, CAST(x AS BIGINT) AS event_id,
+       round(my + (CASE WHEN var > 0 THEN cov / var ELSE 0.0 END) * (x - mx), 6)
+         AS y_smooth
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — histogram distance (A8, odin_image/src/lib.rs:241-246): compare
+# the value distribution of two event classes.
+# --------------------------------------------------------------------------
+
+def q52_histogram_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h1 = agg_ops.histogram(ev.filter(F.col("event_type") == "click"), "value", 25.0)
+    h2 = agg_ops.histogram(ev.filter(F.col("event_type") == "purchase"), "value", 25.0)
+    out = agg_ops.histogram_distance(h1, h2)
+    return out.select(F.round("l1_distance", 6).alias("l1_distance"))
+
+
+Q52_SQL = """
+WITH h1 AS (
+  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*)::BIGINT AS n1
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+h2 AS (
+  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*)::BIGINT AS n2
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+j AS (
+  SELECT coalesce(h1.n1, 0) AS n1, coalesce(h2.n2, 0) AS n2
+  FROM h1 FULL OUTER JOIN h2 USING (bin))
+SELECT round(sum(abs(n1 - n2))::DOUBLE / greatest(sum(n1) + sum(n2), 1), 6)
+         AS l1_distance
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q53 — nearest-track-point join (J8, odin_orbital/src/overpass.rs:
+# 148-171): k=1 nearest of a small ground-track per event point;
+# broadcast NLJ + rank, deterministic idx tie-break.
+# --------------------------------------------------------------------------
+
+def q53_nearest_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.geo import haversine_km
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 170 - 85).alias("lat"),
+    )
+    track = spark.range(100).select(
+        F.col("id").alias("track_idx"),
+        (F.col("id") * 3.6 - 180.0).alias("t_lon"),
+        (F.sin(F.col("id") * 0.2) * 60.0).alias("t_lat"),
+    )
+    near = join_ops.nearest_join(
+        pts,
+        track,
+        F.round(haversine_km("lon", "lat", "t_lon", "t_lat"), 6),
+        "event_id",
+        k=1,
+        tiebreak=["track_idx"],
+    )
+    return near.groupBy("track_idx").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("__dist"), 3).alias("sum_km"),
+    )
+
+
+Q53_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         (value * 0.7) % 360 - 180 AS lon,
+         (value * 0.3) % 170 - 85  AS lat
+  FROM events),
+track AS (
+  SELECT i AS track_idx, i * 3.6 - 180.0 AS t_lon, sin(i * 0.2) * 60.0 AS t_lat
+  FROM range(100) t(i)),
+scored AS (
+  SELECT p.event_id, t.track_idx,
+         round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(t.t_lat - p.lat) / 2) * sin(radians(t.t_lat - p.lat) / 2)
+           + cos(radians(p.lat)) * cos(radians(t.t_lat))
+             * sin(radians(t.t_lon - p.lon) / 2) * sin(radians(t.t_lon - p.lon) / 2))), 6)
+           AS dist,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY round(2 * 6371.0088 * asin(sqrt(
+                              sin(radians(t.t_lat - p.lat) / 2) * sin(radians(t.t_lat - p.lat) / 2)
+                              + cos(radians(p.lat)) * cos(radians(t.t_lat))
+                                * sin(radians(t.t_lon - p.lon) / 2) * sin(radians(t.t_lon - p.lon) / 2))), 6) ASC,
+                            t.track_idx ASC) AS rk
+  FROM pts p CROSS JOIN track t)
+SELECT track_idx, count(*)::BIGINT AS n_points, round(sum(dist), 3) AS sum_km
+FROM scored WHERE rk = 1 GROUP BY track_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 — evidence-ref resolution (J4, odin_sentinel/src/alarm.rs:276-338):
+# each event carries refs to its ≤3 predecessors (same user); explode +
+# equi-join against the record store recovers the referenced values.
+# --------------------------------------------------------------------------
+
+def q54_evidence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, -1)
+    )
+    with_refs = ev.select(
+        "event_id", "event_type", F.collect_list("event_id").over(w).alias("evidences")
+    ).filter(F.size("evidences") > 0)
+    store = ev.select("event_id", "value")
+    resolved = join_ops.evidence_join(
+        with_refs, "evidences", store, store_id="event_id", how="inner"
+    )
+    return resolved.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.round(F.sum("ev_value"), 4).alias("sum_ref_value"),
+    )
+
+
+Q54_SQL = """
+WITH rn AS (
+  SELECT event_id, event_type, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rk
+  FROM events)
+SELECT e.event_type, count(*)::BIGINT AS n_refs,
+       round(sum(v.value), 4) AS sum_ref_value
+FROM rn e JOIN rn v
+  ON e.user_id = v.user_id AND v.rk BETWEEN e.rk - 3 AND e.rk - 1
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — IVF approximate nearest neighbors (similarity, beyond-reference;
+# KMeans centroids → probe → exact re-rank). Centroid fit is
+# iterative/ML → rows-only check.
+# --------------------------------------------------------------------------
+
+def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+# --------------------------------------------------------------------------
+# q56 — FLAGSHIP: the reference's canonical hotspot flow end-to-end
+# (SURVEY §3.1/§7.1): raw grid batches → mask filter (F1) → quality
+# recode (F2) → GOES fixed-grid → lon/lat (S4/§2.9) → quantized DEM
+# join (J1) → per-batch class counts (A1) → newest-N batch retention
+# (W1). Every layer of the engine in one oracle-checked query.
+# --------------------------------------------------------------------------
+
+def q56_hotspot_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions import proj
+    from odin_rs_spark.functions.geo import quantize_cell
+
+    ev = _t(spark, sf_dir, "events")
+    # raw "grid cell" batches: batch = hour bucket, mask from value
+    raw = ev.select(
+        F.date_trunc("hour", "ts").alias("batch_ts"),
+        (F.col("event_id") % 50).cast("int").alias("mask"),
+        (F.lit(-0.09) + (F.col("event_id") % 60).cast("double") * 0.003).alias("x"),
+        (F.lit(-0.09) + ((F.col("event_id") / 60) % 60).cast("int").cast("double") * 0.003).alias("y"),
+        "value",
+    )
+    fire = filter_ops.mask_range(raw, "mask", 10, 35)
+    classed = fire.withColumn(
+        "pixel_class",
+        F.when(F.col("mask") <= 15, "good")
+        .when(F.col("mask") <= 25, "high")
+        .otherwise("medium"),
+    )
+    geo = classed.withColumn("g", proj.goes_to_lonlat("x", "y", -75.0)).filter(
+        F.col("g.lon").isNotNull()
+    )
+    # synthetic DEM lattice at 0.5° resolution, broadcast equi-join on
+    # quantized cells (J1: the scale trick replacing raster sampling)
+    dem = (
+        spark.range(720 * 360)
+        .select(
+            ((F.col("id") % 720) - 360).cast("int").alias("cx"),
+            ((F.col("id") / 720).cast("int") - 180).alias("cy"),
+        )
+        .withColumn("elev_m", ((F.col("cx") * 7 + F.col("cy") * 13) % 3000).cast("double"))
+    )
+    enriched = geo.join(
+        F.broadcast(dem),
+        (quantize_cell(F.col("g.lon"), 0.5) == F.col("cx"))
+        & (quantize_cell(F.col("g.lat"), 0.5) == F.col("cy")),
+        "left",
+    )
+    counts = enriched.groupBy("batch_ts", "pixel_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("g.lat"), 6)), 3).alias("sum_lat"),
+        F.round(F.avg("elev_m"), 4).alias("avg_elev_m"),
+    )
+    # W1: newest-N batch retention (ring buffer of batches)
+    recent = window_ops.last_n_per_key(
+        counts.withColumn("__one", F.lit(1)), ["pixel_class"], "batch_ts", 24
+    ).drop("__one")
+    return recent
+
+
+def _q56_sql() -> str:
+    from odin_rs_spark.functions import proj
+
+    return f"""
+WITH raw AS (
+  SELECT date_trunc('hour', ts) AS batch_ts,
+         CAST(event_id % 50 AS INT) AS mask,
+         -0.09 + (event_id % 60) * 0.003 AS x,
+         -0.09 + CAST((event_id // 60) % 60 AS INT) * 0.003 AS y,
+         value
+  FROM events),
+fire AS (
+  SELECT *, CASE WHEN mask <= 15 THEN 'good'
+                 WHEN mask <= 25 THEN 'high'
+                 ELSE 'medium' END AS pixel_class
+  FROM raw WHERE mask BETWEEN 10 AND 35),
+geo AS (
+  SELECT batch_ts, pixel_class,
+         {proj.goes_lon_sql('x', 'y', -75.0)} AS lon,
+         {proj.goes_lat_sql('x', 'y')} AS lat
+  FROM fire),
+dem AS (
+  SELECT CAST((i % 720) - 360 AS INT) AS cx,
+         CAST(i // 720 AS INT) - 180 AS cy,
+         CAST((CAST((i % 720) - 360 AS INT) * 7 + (CAST(i // 720 AS INT) - 180) * 13) % 3000 AS DOUBLE) AS elev_m
+  FROM range(259200) t(i)),
+enriched AS (
+  SELECT g.batch_ts, g.pixel_class, g.lat, d.elev_m
+  FROM geo g LEFT JOIN dem d
+    ON CAST(floor(g.lon / 0.5) AS INT) = d.cx
+   AND CAST(floor(g.lat / 0.5) AS INT) = d.cy),
+counts AS (
+  SELECT batch_ts, pixel_class, count(*)::BIGINT AS n,
+         round(sum(round(lat, 6)), 3) AS sum_lat,
+         round(avg(elev_m), 4) AS avg_elev_m
+  FROM enriched GROUP BY batch_ts, pixel_class),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pixel_class
+                               ORDER BY batch_ts DESC) AS rk
+  FROM counts)
+SELECT batch_ts, pixel_class, n, sum_lat, avg_elev_m
+FROM ranked WHERE rk <= 24
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1660,6 +1947,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
         QuerySpec("q49_media_pipeline", q49_media_pipeline, None, "multimodal R9"),
         QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
+        QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
+        QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
+        QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
+        QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
+        QuerySpec("q55_ivf_topk", q55_ivf_topk, None, "similarity-ivf"),
+        QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
     ]
 }
 
