@@ -38,3 +38,31 @@ def minute_of_hour(ts: Column | str) -> Column:
     """Arrival minute within the hour — the key of the reference's learned
     availability schedules (odin_common/src/schedule.rs:35-95)."""
     return F.minute(_col(ts))
+
+
+def with_hms(ts: Column | str, h: int, m: int, s: int) -> Column:
+    """Same date, fixed time-of-day (datetime.rs:111)."""
+    return F.date_trunc("day", _col(ts)) + F.make_dt_interval(
+        hours=F.lit(h), mins=F.lit(m), secs=F.lit(float(s))
+    )
+
+
+def elapsed_seconds(start: Column | str, end: Column | str) -> Column:
+    """Signed elapsed seconds with sub-second precision
+    (datetime.rs:116-139)."""
+    return (F.unix_micros(_col(end)) - F.unix_micros(_col(start))) / F.lit(1e6)
+
+
+def parse_flexible(ts_str: Column | str) -> Column:
+    """Best-effort datetime parse over the formats the reference accepts
+    (RFC3339 with/without fraction, space-separated, date-only;
+    datetime.rs:247-262). NULL when nothing matches (try_* semantics,
+    never throws under ANSI mode)."""
+    c = _col(ts_str)
+    return F.coalesce(
+        F.try_to_timestamp(c),  # ISO / Spark-default forms
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    )

@@ -142,6 +142,39 @@ def closest_point_on_segment(
     return F.struct((x1 + t * dx).alias("x"), (y1 + t * dy).alias("y"), t.alias("t"))
 
 
+def is_convex(poly: Column) -> Column:
+    """True when every consecutive edge pair turns the same way
+    (cross-product z-signs all ≥0 or all ≤0; GeoPolygon::is_convex,
+    odin_common/src/geo.rs:437)."""
+    closed = F.concat(poly, F.slice(poly, 1, 2))  # wrap 2 vertices
+    n = F.size(poly)
+    crosses = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            (F.element_at(closed, i + 1)["lon"] - F.element_at(closed, i)["lon"])
+            * (F.element_at(closed, i + 2)["lat"] - F.element_at(closed, i + 1)["lat"])
+            - (F.element_at(closed, i + 1)["lat"] - F.element_at(closed, i)["lat"])
+            * (F.element_at(closed, i + 2)["lon"] - F.element_at(closed, i + 1)["lon"])
+        ),
+    )
+    has_pos = F.exists(crosses, lambda c: c > 0)
+    has_neg = F.exists(crosses, lambda c: c < 0)
+    return ~(has_pos & has_neg)
+
+
+def expand_on_centroid(poly: Column, factor: float) -> Column:
+    """Scale each vertex away from the vertex-mean centroid
+    (expand_on_centroid, odin_common/src/cartographic.rs:249)."""
+    c = centroid(poly)
+    return F.transform(
+        poly,
+        lambda v: F.struct(
+            (c["lon"] + (v["lon"] - c["lon"]) * F.lit(factor)).alias("lon"),
+            (c["lat"] + (v["lat"] - c["lat"]) * F.lit(factor)).alias("lat"),
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Vertices-as-rows (relational) polygon metrics — the 100 TB representation
 # --------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""Tests for vector math, convexity/expansion, datetime helpers, and the
+driver-side schedule compaction (SURVEY §2.9, A2/T2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from odin_rs_spark.functions import datetimes, polygon, vectors
+from odin_rs_spark.streaming import schedule
+
+
+def one(df):
+    return df.collect()[0]
+
+
+def test_vector_ops(spark):
+    r = one(
+        spark.range(1).select(
+            vectors.cross3(vectors.vec3(1.0, 0.0, 0.0), vectors.vec3(0.0, 1.0, 0.0)).alias("cr"),
+            vectors.dot3(vectors.vec3(1.0, 2.0, 3.0), vectors.vec3(4.0, 5.0, 6.0)).alias("dt"),
+            vectors.norm3(vectors.vec3(3.0, 4.0, 0.0)).alias("nm"),
+            vectors.unit3(vectors.vec3(0.0, 0.0, 5.0)).alias("un"),
+            vectors.angle_between(vectors.vec3(1.0, 0.0, 0.0), vectors.vec3(0.0, 2.0, 0.0)).alias("ang"),
+            vectors.scale3(vectors.vec3(1.0, -2.0, 3.0), 2.0).alias("sc"),
+        )
+    )
+    assert (r.cr.x, r.cr.y, r.cr.z) == (0.0, 0.0, 1.0)
+    assert r.dt == 32.0
+    assert r.nm == 5.0
+    assert (r.un.x, r.un.y, r.un.z) == (0.0, 0.0, 1.0)
+    assert abs(r.ang - math.pi / 2) < 1e-12
+    assert (r.sc.x, r.sc.y, r.sc.z) == (2.0, -4.0, 6.0)
+
+
+def _poly_lit(pts):
+    return F.array(
+        *[F.struct(F.lit(x).alias("lon"), F.lit(y).alias("lat")) for x, y in pts]
+    )
+
+
+def test_is_convex(spark):
+    square = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    dart = [(0.0, 0.0), (4.0, 0.0), (1.0, 1.0), (0.0, 4.0)]  # reflex vertex
+    r = one(
+        spark.range(1).select(
+            polygon.is_convex(_poly_lit(square)).alias("sq"),
+            polygon.is_convex(_poly_lit(list(reversed(square)))).alias("sq_cw"),
+            polygon.is_convex(_poly_lit(dart)).alias("dart"),
+        )
+    )
+    assert r.sq is True and r.sq_cw is True and r.dart is False
+
+
+def test_expand_on_centroid(spark):
+    square = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    r = one(
+        spark.range(1).select(
+            polygon.expand_on_centroid(_poly_lit(square), 2.0).alias("p")
+        )
+    )
+    assert (r.p[0].lon, r.p[0].lat) == (-2.0, -2.0)
+    assert (r.p[2].lon, r.p[2].lat) == (6.0, 6.0)
+
+
+def test_datetime_helpers(spark):
+    r = one(
+        spark.sql(
+            "SELECT TIMESTAMP '2024-03-05 17:42:13.250' AS ts,"
+            " TIMESTAMP '2024-03-05 18:00:00' AS later"
+        ).select(
+            datetimes.with_hms("ts", 6, 30, 0).alias("hms"),
+            datetimes.elapsed_seconds("ts", "later").alias("el"),
+            datetimes.epoch_millis("ts").alias("ms"),
+        )
+    )
+    assert str(r.hms) == "2024-03-05 06:30:00"
+    assert abs(r.el - 1066.75) < 1e-9
+    assert r.ms == 1709660533250
+
+
+def test_parse_flexible(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-03-05T17:42:13+00:00",),
+            ("2024/03/05 17:42:13",),
+            ("2024-03-05",),
+            ("not a date",),
+        ],
+        ["s"],
+    )
+    got = [str(r.t) if r.t else None for r in df.select(datetimes.parse_flexible("s").alias("t")).collect()]
+    assert got == [
+        "2024-03-05 17:42:13",
+        "2024-03-05 17:42:13",
+        "2024-03-05 00:00:00",
+        None,
+    ]
+
+
+def test_schedule_compaction_and_next_event():
+    hist = {2: 5, 3: 4, 17: 6, 18: 1, 47: 3, 59: 1}
+    sched = schedule.schedule_from_histogram(hist, min_count=2, merge_within=2)
+    assert sched == [2, 17, 47]  # 3 merged into 2; 18 below min_count; 59 too
+    now = dt.datetime(2024, 1, 1, 10, 20, 0)
+    assert schedule.next_event(now, sched) == dt.datetime(2024, 1, 1, 10, 47)
+    assert schedule.next_event(
+        dt.datetime(2024, 1, 1, 10, 50), sched
+    ) == dt.datetime(2024, 1, 1, 11, 2)
+    assert schedule.next_event(now, sched, slack_sec=30) == dt.datetime(
+        2024, 1, 1, 10, 47, 30
+    )
