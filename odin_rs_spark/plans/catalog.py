@@ -1891,6 +1891,92 @@ FROM ranked WHERE rk <= 24
 
 
 # --------------------------------------------------------------------------
+# q57 — document quality scoring (north-star text analysis; C4/Gopher-
+# style closed-form rules). Oracle mirrors every ratio feature.
+# --------------------------------------------------------------------------
+
+def q57_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("quality"), 3).alias("sum_quality"),
+        F.sum((F.col("quality") > 0.75).cast("bigint")).alias("n_high_quality"),
+        F.round(F.sum(F.round("alpha_ratio", 6)), 3).alias("sum_alpha_ratio"),
+    )
+
+
+Q57_SQL = r"""
+WITH feats AS (
+  SELECT source,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS n_space,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_words
+  FROM documents),
+scored AS (
+  SELECT source,
+         n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+         round(
+           0.25 * least(n_words / 50.0, 1.0)
+           + 0.25 * (n_alpha / greatest(n_chars, 1.0))
+           + 0.25 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 4, 1.0))
+           + 0.25 * (CASE WHEN n_words > 0
+                          AND (n_chars - n_space) / n_words BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM feats)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(quality), 3) AS sum_quality,
+       sum(CASE WHEN quality > 0.75 THEN 1 ELSE 0 END)::BIGINT AS n_high_quality,
+       round(sum(round(alpha_ratio, 6)), 3) AS sum_alpha_ratio
+FROM scored GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q58 — rollup revenue cube (general relational surface; SURVEY §2.5
+# "grouping sets / rollup — Spark built-ins cover them").
+# --------------------------------------------------------------------------
+
+def q58_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+Q58_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1953,6 +2039,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
         QuerySpec("q55_ivf_topk", q55_ivf_topk, None, "similarity-ivf"),
         QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
+        QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
+        QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
     ]
 }
 
