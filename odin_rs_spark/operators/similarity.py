@@ -75,16 +75,20 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 0
+) -> Column:
     """Deterministic random-hyperplane sign signature (int bucket id).
 
-    Plane p component d = xxhash64(d, p) scaled to [-1,1] — reproducible
-    across runs/executors without shipping a matrix.
+    Plane p component d = xxhash64(d, p, seed) scaled to [-1,1] —
+    reproducible across runs/executors without shipping a matrix;
+    distinct seeds give independent hash tables.
     """
     planes = [
         F.array(
             *[
-                (F.xxhash64(F.lit(d), F.lit(p)) % 100003).cast("double") / 100003.0
+                (F.xxhash64(F.lit(d), F.lit(p), F.lit(seed)) % 100003).cast("double")
+                / 100003.0
                 for d in range(dim)
             ]
         )
@@ -107,37 +111,66 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate NN: exact re-rank within the query's LSH bucket.
+    """Approximate NN: multi-table sign-LSH (standard L×b scheme) with
+    exact re-rank over the union of probed buckets.
 
-    At scale the bucket join replaces the full cross product; recall is
-    tunable via num_planes (fewer planes → bigger buckets → higher
-    recall). Multi-probe: union several plane sets if needed.
+    A single hyperplane table collapses for moderate-similarity
+    neighbors (cos≈0.33 → per-plane agreement ≈0.6 → 0.6^b per table);
+    L independent tables raise candidate recall to 1-(1-p^b)^L while
+    each join stays an equi-join on (table, bucket). Tune: more tables →
+    recall; more planes/bits → precision (smaller buckets). The corpus
+    side is exploded ×L (8 small int columns per row — cheap vs the
+    vectors themselves); at 100 TB persist the exploded index bucketed
+    by (table, bucket).
     """
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cvec"),
-        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__bucket"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(F.col(vec_col), num_planes, dim, seed=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(num_tables)
+        ]
     )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"), F.explode(tables).alias("__t")
+    ).select(id_col, "__cvec", "__t.tbl", "__t.bucket")
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__bucket"),
-        )
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_signature(
+                                F.col(vec_col), num_planes, dim, seed=t
+                            ).alias("bucket"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("__t"),
+        ).select(query_id_col, "__qvec", "__t.tbl", "__t.bucket")
     )
-    scored = (
-        c.join(q, "__bucket")
+    cand = (
+        c.join(q, ["tbl", "bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
+        .dropDuplicates([query_id_col, id_col])
         .withColumn("cos_sim", cosine(F.col("__qvec"), F.col("__cvec")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )

@@ -704,7 +704,7 @@ def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim_ops.ann_lsh_topk(emb, queries, k=5, num_planes=8)
+    out = sim_ops.ann_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=8)
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 

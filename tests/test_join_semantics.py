@@ -1,0 +1,130 @@
+"""Randomized equivalence tests for the as-of / interval / nearest join
+helpers against plain-Python reference implementations (seeded, fixed
+datasets — each case is one Spark job, so examples are few and fat),
+plus an ANN recall measurement against exact brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators import joins, similarity
+
+
+def _mk_events(seed: int, n_keys=4, n_left=60, n_right=40):
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    left = [
+        Row(
+            k=f"k{rng.randrange(n_keys)}",
+            ts=t0 + dt.timedelta(seconds=rng.randrange(0, 3600)),
+            lid=i,
+        )
+        for i in range(n_left)
+    ]
+    right = [
+        Row(
+            k=f"k{rng.randrange(n_keys)}",
+            ts=t0 + dt.timedelta(seconds=rng.randrange(0, 3600)),
+            rid=i,
+            payload=float(i) * 1.5,
+        )
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+def _ref_asof(left, right, direction, tolerance_sec=None):
+    """Per-left-row scan reference: latest right ≤ ts (backward) /
+    earliest right ≥ ts (forward), ties broken by max/min rid."""
+    out = {}
+    for l in left:  # noqa: E741
+        cands = [r for r in right if r.k == l.k]
+        if direction == "backward":
+            cands = [r for r in cands if r.ts <= l.ts]
+            key = lambda r: (r.ts, r.rid)  # noqa: E731
+            best = max(cands, key=key, default=None)
+        else:
+            cands = [r for r in cands if r.ts >= l.ts]
+            best = min(cands, key=lambda r: (r.ts, -r.rid), default=None)
+        if best is not None and tolerance_sec is not None:
+            if abs((best.ts - l.ts).total_seconds()) > tolerance_sec:
+                best = None
+        out[l.lid] = best.rid if best is not None else None
+    return out
+
+
+def test_asof_backward_forward_tolerance(spark):
+    for seed in (7, 42, 1234):
+        left_rows, right_rows = _mk_events(seed)
+        left = spark.createDataFrame(left_rows)
+        right = spark.createDataFrame(right_rows)
+        for direction in ("backward", "forward"):
+            for tol in (None, 300.0):
+                got = {
+                    r.lid: r.rid
+                    for r in joins.asof_join(
+                        left,
+                        right,
+                        on="k",
+                        ts="ts",
+                        direction=direction,
+                        tolerance_sec=tol,
+                        right_order="rid",
+                    ).collect()
+                }
+                want = _ref_asof(left_rows, right_rows, direction, tol)
+                assert got == want, f"seed={seed} {direction} tol={tol}"
+
+
+def test_interval_join_matches_reference(spark):
+    rng = random.Random(99)
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [
+        Row(pid=i, ts=t0 + dt.timedelta(seconds=rng.randrange(0, 2000)))
+        for i in range(80)
+    ]
+    ivs = []
+    for i in range(25):
+        s = rng.randrange(0, 1800)
+        ivs.append(
+            Row(
+                iid=i,
+                start=t0 + dt.timedelta(seconds=s),
+                end=t0 + dt.timedelta(seconds=s + rng.randrange(60, 400)),
+            )
+        )
+    got = {
+        (r.pid, r.iid)
+        for r in joins.interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(ivs),
+            ts="ts",
+            start="start",
+            end="end",
+        ).collect()
+    }
+    want = {
+        (p.pid, iv.iid) for p in pts for iv in ivs if iv.start <= p.ts <= iv.end
+    }
+    assert got == want
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ann_lsh_topk(emb, queries, k=5, num_planes=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes → 16 buckets; deterministic signatures. Pinned floor:
+    # measured ~0.8 on the seeded sf0.001/sf0.01 embeddings.
+    assert recall >= 0.5, f"ANN recall degraded: {recall:.3f}"
