@@ -215,6 +215,8 @@ def nearest_join(
     k: int = 1,
     coarse_key: tuple[Column, Column] | None = None,
     tiebreak: list[str] | None = None,
+    payload: list[str] | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """J8 — k-nearest join (closest ground-track point,
     odin_orbital/src/overpass.rs:148-171): cross/coarse join + per-left-key
@@ -223,7 +225,20 @@ def nearest_join(
     For scale supply `coarse_key` (e.g. quantized spatial buckets on both
     sides) to turn the cross join into an equi-join; without it this is a
     broadcast NLJ suitable only when one side is small.
+
+    `payload` restricts the output columns (besides left_key and __dist)
+    — on the k=1 fast path every joined row materializes a struct, so
+    packing only the columns the caller needs (e.g. just the matched
+    right key) measurably cuts the per-row allocation on |L|×|R| rows.
+
+    `parallelism` round-robin-repartitions the left side before the
+    join: the distance stage does |L|×|R| math, so it must run at full
+    width even when the upstream scan arrives in few/skewed partitions
+    (a local single-row-group parquet file is ONE task otherwise — the
+    tiny |L|-row shuffle buys back every core).
     """
+    if parallelism:
+        left = left.repartition(parallelism)
     if coarse_key is not None:
         joined = left.join(right, coarse_key[0] == coarse_key[1])
     else:
@@ -235,7 +250,7 @@ def nearest_join(
         # the window-rank path shuffles the FULL |left|×|right| product
         # (measured 5× on the ground-track query). Requires left_key to
         # identify left rows (duplicates collapse to one winner).
-        payload = [c for c in joined.columns if c != "__dist"]
+        payload = payload or [c for c in joined.columns if c != "__dist"]
         m = joined.groupBy(left_key).agg(
             F.min(
                 F.struct(
@@ -252,8 +267,59 @@ def nearest_join(
         )
     order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(left_key).orderBy(*order)
-    return (
+    out = (
         joined.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+    if payload is not None:
+        out = out.select(left_key, *payload, "__dist")
+    return out
+
+
+def nearest_inline_join(
+    left: DataFrame,
+    right: DataFrame,
+    dist_fn,
+    tiebreak: list[str] | None = None,
+    payload: list[str] | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """J8 fast shape for k=1 with a SMALL right side: pack the right
+    table into one array-of-structs row, broadcast it, and take the
+    per-left-row argmin with array_min — a pure map-side reduction.
+
+    Compared to cross-join + aggregate this materializes no |L|×|R|
+    rows, shuffles nothing (beyond a 1-row broadcast), and needs no
+    aggregation state: the ideal plan when |R| fits a broadcast (the
+    ground-track case: |R|=100). dist_fn maps a right-row struct to a
+    distance Column (it may reference left columns via F.col).
+
+    Output: all left columns + matched right `payload` columns + __dist.
+    """
+    if parallelism:
+        left = left.repartition(parallelism)
+    rcols = right.columns
+    packed = right.select(F.struct(*rcols).alias("__r")).agg(
+        F.collect_list("__r").alias("__rarr")
+    )
+    tb = tiebreak or []
+    pay = payload if payload is not None else rcols
+    fields = lambda t: (  # noqa: E731
+        [dist_fn(t).alias("d")]
+        + [t[c].alias(f"t{i}") for i, c in enumerate(tb)]
+        + [t[c].alias(f"p_{c}") for c in pay]
+    )
+    best = F.array_min(
+        F.transform(F.col("__rarr"), lambda t: F.struct(*fields(t)))
+    )
+    out_cols = [c for c in left.columns]
+    return (
+        left.crossJoin(F.broadcast(packed))
+        .withColumn("__best", best)
+        .select(
+            *out_cols,
+            *[F.col(f"__best.p_{c}").alias(c) for c in pay],
+            F.col("__best.d").alias("__dist"),
+        )
     )

@@ -1,24 +1,50 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k — a broadcast join of queries against
-the corpus with a JVM dot product (zip_with + aggregate), then per-query
-rank. Exact, and at 100 TB the corpus side stays partitioned while the
-(small) query side broadcasts: no corpus shuffle at all.
+the corpus with a JVM dot product, then per-query rank. Exact, and at
+100 TB the corpus side stays partitioned while the (small) query side
+broadcasts: no corpus shuffle at all.
 
-Scale path: LSH random-hyperplane bucketing — sign-bit signature on H
-deterministic hyperplanes → equi-join on bucket → exact re-rank within
-candidates. Hyperplane components derive from xxhash64(dim, plane) so the
-"random" planes are reproducible with no driver-side RNG state.
+Scale path 1: multi-table sign-LSH — L independent hyperplane tables of
+b bits each; candidates come from equi-joins on (table, bucket) and are
+exactly re-ranked. Plane components are md5-derived doubles generated
+driver-side (`plane_component`), so the same planes are reproducible in
+any engine — the DuckDB oracle re-derives them in SQL.
+
+Scale path 2: IVF — partition the corpus by nearest centroid, probe the
+nprobe nearest centroids per query, re-rank inside probed cells. Two
+centroid modes: KMeans-trained on a sample (the realistic path: at
+100 TB you fit on a sample and assign in one scan) or a deterministic
+fixed-id centroid set (reproducible cross-engine, used by the oracle).
+
+Performance notes (measured on local[32] at sf0.1):
+- The L×b signature stage is a single Arrow-batched numpy matmul
+  (batch×64 @ 64×L·b) in a pandas UDF. The JVM alternatives both lose:
+  32 zip_with/aggregate HOF dots allocate an array per evaluation
+  (~40 s), and fully unrolled literal expressions blow the 64 KB
+  whole-stage-codegen method limit (Janino compile loop → driver OOM).
+  One BLAS matmul per Arrow batch is ~free and the plane matrix is a
+  16 KB closure constant.
+- Norms are computed once per row on each side and carried through the
+  join — never recomputed per candidate pair (3 HOF aggregates per pair
+  → 1).
+- Candidate pairs are scored BEFORE the dedup shuffle so only
+  (query_id, id, cos_sim) triples shuffle, never the 64-float vectors.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double precision, JVM-side."""
+    """Σ aᵢ·bᵢ in double precision, JVM-side, sequential fold order."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -47,23 +73,35 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query.
 
-    queries: (query_id, embedding). Broadcast the query side; corpus scans
-    once with no shuffle until the final per-query rank (tiny: q·k rows
-    after partial top-k under AQE).
+    queries: (query_id, embedding). Broadcast the query side; corpus
+    scans once with no shuffle until the final per-query rank. Norms are
+    precomputed per side so each |corpus|·|queries| pair costs one dot.
     Output: (query_id, vec_id, cos_sim, rank); self-matches excluded.
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
         )
     )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        )
         .join(q, F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -75,32 +113,67 @@ def cosine_topk(
     )
 
 
+def plane_component(d: int, p: int, seed: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1].
+
+    md5-derived so any engine reproduces it: take the first 15 hex chars
+    of md5("{d}_{p}_{seed}") as a 60-bit int h, then
+    (h % 200003 - 100001) / 100001.  DuckDB equivalent:
+      ((CAST(concat('0x', substr(md5(d||'_'||p||'_'||s), 1, 15)) AS BIGINT)
+        % 200003) - 100001)::DOUBLE / 100001.0
+    """
+    h = int(hashlib.md5(f"{d}_{p}_{seed}".encode()).hexdigest()[:15], 16)
+    return (h % 200003 - 100001) / 100001.0
+
+
+def _plane_matrix(num_planes: int, dim: int, num_tables: int) -> np.ndarray:
+    """(dim, num_tables·num_planes) float64 plane matrix; column t·b+p is
+    plane p of table t (seed = table index)."""
+    cols = [
+        [plane_component(d, p, t) for d in range(dim)]
+        for t in range(num_tables)
+        for p in range(num_planes)
+    ]
+    return np.array(cols, dtype=np.float64).T
+
+
+def bucket_udf(num_planes: int, dim: int, num_tables: int):
+    """pandas UDF: embedding → array of num_tables bucket ids.
+
+    Bit p of table t's bucket = sign(vec · plane_{t,p}) — all tables'
+    dots come from one float64 matmul per Arrow batch.
+    """
+    P = _plane_matrix(num_planes, dim, num_tables)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))[None, :]
+
+    @pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        D = V @ P  # N × (tables·planes)
+        bits = (D > 0).astype(np.int64).reshape(len(emb), num_tables, num_planes)
+        buckets = (bits * weights).sum(axis=2)  # N × tables
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
 def hyperplane_signature(
     vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 0
 ) -> Column:
-    """Deterministic random-hyperplane sign signature (int bucket id).
+    """Single-table deterministic hyperplane sign signature (bucket id).
 
-    Plane p component d = xxhash64(d, p, seed) scaled to [-1,1] —
-    reproducible across runs/executors without shipping a matrix;
-    distinct seeds give independent hash tables.
+    JVM HOF form for composability in plain column expressions; the
+    multi-table hot path uses `bucket_udf` instead.
     """
-    planes = [
-        F.array(
-            *[
-                (F.xxhash64(F.lit(d), F.lit(p), F.lit(seed)) % 100003).cast("double")
-                / 100003.0
-                for d in range(dim)
-            ]
+    out = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(plane_component(d, p, seed)) for d in range(dim)])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        for p in range(num_planes)
-    ]
-    bits = [
-        F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p, plane in enumerate(planes)
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out.bitwiseOR(b)
+        out = out.bitwiseOR(bit)
     return out
 
 
@@ -114,6 +187,7 @@ def ann_lsh_topk(
     num_planes: int = 4,
     num_tables: int = 8,
     dim: int = 64,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Approximate NN: multi-table sign-LSH (standard L×b scheme) with
     exact re-rank over the union of probed buckets.
@@ -121,56 +195,97 @@ def ann_lsh_topk(
     A single hyperplane table collapses for moderate-similarity
     neighbors (cos≈0.33 → per-plane agreement ≈0.6 → 0.6^b per table);
     L independent tables raise candidate recall to 1-(1-p^b)^L while
-    each join stays an equi-join on (table, bucket). Tune: more tables →
-    recall; more planes/bits → precision (smaller buckets). The corpus
-    side is exploded ×L (8 small int columns per row — cheap vs the
-    vectors themselves); at 100 TB persist the exploded index bucketed
-    by (table, bucket).
+    each probe stays an equi-join on (table, bucket). Tune: more tables
+    → recall; more planes/bits → precision (smaller buckets).
+
+    Scale shape: the query side (signatures + norm) broadcasts, so
+    candidate generation never shuffles the corpus; the only shuffled
+    rows are (query_id, id, cos_sim) triples. At 100 TB persist the
+    exploded (table, bucket, id) index bucketed by (table, bucket).
     """
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col(vec_col), num_planes, dim, seed=t).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(num_tables)
-        ]
-    )
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__cvec"), F.explode(tables).alias("__t")
-    ).select(id_col, "__cvec", "__t.tbl", "__t.bucket")
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            hyperplane_signature(
-                                F.col(vec_col), num_planes, dim, seed=t
-                            ).alias("bucket"),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("__t"),
-        ).select(query_id_col, "__qvec", "__t.tbl", "__t.bucket")
-    )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    buckets = bucket_udf(num_planes, dim, num_tables)
+
+    def tagged(df: DataFrame, key: str) -> DataFrame:
+        with_sig = df.select(
+            F.col(key),
+            F.col(vec_col).alias(f"__{key}_vec"),
+            l2_norm(F.col(vec_col)).alias(f"__{key}_n"),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        return with_sig
+
+    c = tagged(corpus.select(F.col(id_col), vec_col), id_col)
+    q = F.broadcast(tagged(queries.select(F.col(query_id_col), vec_col), query_id_col))
+    # score before dedup so the shuffle carries 3 scalar columns, not
+    # two 64-float vectors per candidate row
     cand = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col(f"__{query_id_col}_vec"), F.col(f"__{id_col}_vec"))
+                / (F.col(f"__{query_id_col}_n") * F.col(f"__{id_col}_n"))
+            ).alias("cos_sim"),
+        )
         .dropDuplicates([query_id_col, id_col])
-        .withColumn("cos_sim", cosine(F.col("__qvec"), F.col("__cvec")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def _probe_and_rerank(
+    assigned: DataFrame,
+    queries_named: DataFrame,
+    cent_df: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF tail: nprobe nearest centroids per query → candidate
+    cells → exact re-rank. assigned: (id, __cvec, __cn, __cell);
+    queries_named: (query_id, __qvec); cent_df: (__cell, __centroid)."""
+    qn = queries_named.withColumn("__qn", l2_norm(F.col("__qvec")))
+    qc = qn.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__d",
+        dot(F.col("__qvec"), F.col("__centroid"))
+        / (F.col("__qn") * l2_norm(F.col("__centroid"))),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, "__qvec", "__qn", "__cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
@@ -186,54 +301,112 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_fraction: float = 0.1,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: KMeans-partition the corpus, probe the nprobe
-    nearest centroids per query, exact re-rank inside probed cells.
+    """IVF ANN with KMeans-trained centroids.
 
-    Uses pyspark.ml KMeans to fit centroids (one pass over a sample at
-    scale); corpus cell assignment is a broadcast-centroid argmin — the
-    inverted-file layout means each query touches nprobe/num_centroids of
-    the corpus.
+    Centroids fit on a seeded sample (at 100 TB you never KMeans the
+    full corpus — sample, fit, then assign in a single scan); corpus
+    cell assignment is a broadcast-centroid argmin, so the inverted-file
+    layout means each query touches ~nprobe/num_centroids of the corpus.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
     corpus_v = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features")
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
-    km = KMeans(k=num_centroids, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(corpus_v)
+    train = corpus_v.sample(False, train_fraction, seed=seed)
+    km = KMeans(
+        k=num_centroids,
+        seed=seed,
+        maxIter=8,
+        featuresCol="__features",
+        predictionCol="__cell",
+    )
+    model = km.fit(train)
     assigned = model.transform(corpus_v).select(
-        F.col(id_col), F.col(vec_col).alias("__cvec"), F.col("__cell")
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        F.col("__cell"),
     )
-
     centroids = [c.tolist() for c in model.clusterCenters()]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], ["__cell", "__centroid"]
     )
-    # nprobe nearest centroids per query (centroid count is tiny → broadcast NLJ)
-    qc = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("__d", cosine(F.col("__qvec"), F.col("__centroid")))
+    qn = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """IVF ANN with a deterministic centroid set: the corpus vectors
+    whose ids are in `centroid_ids` (cell index = position in the list).
+
+    Fully reproducible cross-engine (no training), so the DuckDB oracle
+    can replay the exact pipeline: assignment = argmax cosine to the
+    fixed centroids (ties → lower cell), probes = nprobe best centroids
+    per query (ties → lower cell), exact re-rank inside probed cells.
+    """
+    cent_df = (
+        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
+        .withColumn(
+            "__cell",
+            F.array_position(
+                F.array(*[F.lit(i) for i in centroid_ids]), F.col("__cid")
+            ).cast("int")
+            - 1,
+        )
+        .select("__cell", "__centroid")
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("__d").desc())
-    probes = (
-        qc.withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= nprobe)
-        .select(query_id_col, "__qvec", "__cell")
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "__cell")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    ac = base.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__d",
+        dot(F.col("__cvec"), F.col("__centroid"))
+        / (F.col("__cn") * l2_norm(F.col("__centroid"))),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+    # argmax via min-struct on (-cos, cell): map-side partial agg, only
+    # |corpus| rows shuffle
+    assigned = (
+        ac.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__d")).alias("nd"),
+                    F.col("__cell").alias("cell"),
+                    F.col("__cvec").alias("v"),
+                    F.col("__cn").alias("n"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__m.v").alias("__cvec"),
+            F.col("__m.n").alias("__cn"),
+            F.col("__m.cell").alias("__cell"),
+        )
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cos_sim", "rank")
-    )
+    qn = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)

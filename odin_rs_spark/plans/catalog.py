@@ -696,7 +696,9 @@ def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q27 — LSH-bucketed approximate NN (randomized blocking → rows-only)
+# q27 — LSH-bucketed approximate NN. The hyperplane components are
+# md5-derived (plane_component), so the DuckDB oracle re-derives the
+# SAME planes in SQL and replays the exact pipeline: full oracle check.
 # --------------------------------------------------------------------------
 
 def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +708,42 @@ def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim_ops.ann_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=8)
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"
+)
+_NORM = "sqrt(list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))"
+_COS = f"{_DOT} / ({_NORM.format(a='{a}')} * {_NORM.format(a='{b}')})"
+
+Q27_SQL = f"""
+WITH planes AS (
+  SELECT t.range AS t, p.range AS p,
+         list_transform(range(0, 64), d ->
+           ((CAST(concat('0x', substr(md5(d::VARCHAR || '_' || p.range::VARCHAR || '_' || t.range::VARCHAR), 1, 15)) AS BIGINT)
+             % 200003) - 100001)::DOUBLE / 100001.0) AS pv
+  FROM range(8) t, range(4) p),
+sigs AS (
+  SELECT e.vec_id, pl.t,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
+                  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.t),
+qsigs AS (SELECT vec_id AS query_id, t, bucket FROM sigs WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM sigs s JOIN qsigs q ON s.t = q.t AND s.bucket = q.bucket
+  WHERE s.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COS.format(a='qe', b='e')} AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1688,13 +1726,15 @@ def q53_nearest_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 3.6 - 180.0).alias("t_lon"),
         (F.sin(F.col("id") * 0.2) * 60.0).alias("t_lat"),
     )
-    near = join_ops.nearest_join(
+    near = join_ops.nearest_inline_join(
         pts,
         track,
-        F.round(haversine_km("lon", "lat", "t_lon", "t_lat"), 6),
-        "event_id",
-        k=1,
+        lambda t: F.round(
+            haversine_km("lon", "lat", t["t_lon"], t["t_lat"]), 6
+        ),
         tiebreak=["track_idx"],
+        payload=["track_idx"],
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return near.groupBy("track_idx").agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -1784,6 +1824,62 @@ def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim_ops.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3)
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+# --------------------------------------------------------------------------
+# q59 — IVF ANN with a deterministic fixed-id centroid set: the full
+# inverted-file pipeline (assign → probe → re-rank) is reproducible in
+# plain SQL, so unlike the KMeans variant this one is oracle-checked.
+# --------------------------------------------------------------------------
+
+_Q59_CENTS = [11, 23, 37, 41, 53, 67, 79, 97]
+
+
+def q59_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.ivf_fixed_topk(emb, queries, _Q59_CENTS, k=5, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+_Q59_CENT_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * c.cv[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE))))"
+)
+
+Q59_SQL = f"""
+WITH cents AS (
+  SELECT list_position({_Q59_CENTS}, vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q59_CENTS)}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id < 5) WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COS.format(a='qe', b='e')} AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2009,7 +2105,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, None, "dedup-simhash"),
-        QuerySpec("q27_ann_lsh", q27_ann_lsh, None, "similarity-ann"),
+        QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
         QuerySpec("q28_fingerprint", q28_fingerprint, None, "text-fingerprint"),
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
         QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
@@ -2041,6 +2137,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
         QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
         QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
+        QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
     ]
 }
 
