@@ -264,52 +264,82 @@ def near_dup_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash64(text: Column | str, token_pattern: str = r"\s+") -> Column:
-    """64-bit SimHash signature from word tokens.
+def portable_hash60(c: Column) -> Column:
+    """60-bit cross-engine hash: first 15 hex chars of md5 as an int.
 
-    Each token hashes to 64 bits (xxhash64); signature bit j is the sign
-    of Σ_tokens (2·bit_j − 1). Expressed as a JVM aggregate over a
-    64-slot counter array — no Python, no shuffle.
+    Deterministic and reproducible in any engine with md5 — DuckDB:
+    CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT); Python:
+    int(hashlib.md5(x).hexdigest()[:15], 16). Always ≥ 0 and < 2^60,
+    so arithmetic on it never overflows int64 (ANSI-safe). Use the
+    engine hash (xxhash64) instead when cross-engine stability isn't
+    needed — it's ~3× cheaper.
     """
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    text: Column | str, token_pattern: str = r"\s+", num_bits: int = 60
+) -> Column:
+    """SimHash signature from word tokens (default 60 bits, portable).
+
+    Each token hashes with `portable_hash60`; signature bit j is the
+    sign of Σ_tokens (2·bit_j − 1). Expressed as a JVM aggregate over a
+    num_bits-slot counter array — no Python, no shuffle. The md5-based
+    token hash makes the signature engine-independent, so the DuckDB
+    oracle reproduces it bit-for-bit (and fingerprints survive engine
+    migrations — a real property for a dedup store, worth md5's ~3×
+    cost over xxhash64).
+    """
+    if num_bits > 60:
+        raise ValueError("num_bits > 60 would overflow signed int64 assembly")
     c = F.col(text) if isinstance(text, str) else text
+    # stage tokens → hashes as separate array columns: an inline hash
+    # expression inside the bit-loop lambda would re-evaluate the md5
+    # once per BIT per token (no CSE across lambda scopes)
     toks = F.split(norm_text(c), token_pattern)
+    hashes = F.transform(toks, portable_hash60)
     bitvec = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.getbit(F.xxhash64(t), j) * 2 - 1,
+                F.sequence(F.lit(0), F.lit(num_bits - 1)),
+                lambda j: F.getbit(h, j) * 2 - 1,
             ),
             lambda a, b: a + b,
         ),
     )
-    # assemble the signature driver-side per bit (shiftleft needs a
-    # literal count); bit 63 uses the signed-min literal to stay in int64
     sig = F.lit(0).cast("long")
-    for j in range(64):
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
+    for j in range(num_bits):
+        # shiftleft needs a literal count, so assemble driver-side; with
+        # num_bits ≤ 60 every bit value stays positive int64
         sig = sig.bitwiseOR(
-            F.when(F.element_at(bitvec, j + 1) > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.element_at(bitvec, j + 1) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sig
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Blocking: split the 64-bit signature into max_hamming+1 chunks — by
+    Blocking: split the signature into max_hamming+1 chunks — by
     pigeonhole any pair within the distance shares at least one exact
     chunk, so candidates come from equi-joins on (chunk_idx, chunk_val).
+    The oracle cross-check is the EXACT all-pairs hamming join, so this
+    verifies the blocking recall too.
     """
     nchunks = max_hamming + 1
-    width = 64 // nchunks
-    sig = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
+    width = num_bits // nchunks
+    sig = df.select(F.col(id_col), simhash64(text_col, num_bits=num_bits).alias("__sig"))
     chunks = sig.select(
         id_col,
         "__sig",

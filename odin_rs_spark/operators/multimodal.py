@@ -61,15 +61,20 @@ def _decode_backend():
 
 def _fake_pixels(content: bytes, n: int = 16) -> list[float]:
     """Deterministic stand-in for decoded pixel statistics: n floats in
-    [0,1) derived from a SHA-256 stream of the bytes. NOT a decode —
-    a placeholder with the same shape/dtype a real decoder would emit."""
+    [0,1) derived from a SHA-256 hex-string stream of the bytes. NOT a
+    decode — a placeholder with the same shape/dtype a real decoder
+    would emit. The stream iterates on HEX DIGEST STRINGS (not raw
+    digests) so any engine with a string sha256 reproduces it — the
+    DuckDB oracle replays it as nested sha256() calls + hex substrings:
+      float k of round r = CAST('0x' || substr(d_r, 8k+1, 8) AS BIGINT)
+                           / 4294967296.0,  d_1 = sha256(sha256(text)).
+    """
     out: list[float] = []
-    h = hashlib.sha256(content or b"")
+    h = hashlib.sha256(content or b"").hexdigest()
     while len(out) < n:
-        h = hashlib.sha256(h.digest())
-        d = h.digest()
-        for i in range(0, len(d) - 3, 4):
-            out.append(int.from_bytes(d[i : i + 4], "big") / 2**32)
+        h = hashlib.sha256(h.encode()).hexdigest()
+        for i in range(0, 57, 8):
+            out.append(int(h[i : i + 8], 16) / 2**32)
             if len(out) == n:
                 break
     return out

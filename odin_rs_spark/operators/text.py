@@ -85,10 +85,12 @@ def token_stats(df: DataFrame, text_col: str = "text", keys: list[str] | None = 
 def fingerprint(df: DataFrame, text_col: str = "text", num_hashes: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: the num_hashes smallest
     shingle hashes (sorted) — robust to local edits, joinable for
-    containment detection. Engine-specific hash (xxhash64) → rows-only
-    correctness check."""
+    containment detection. Hashes with `portable_hash60` (md5-derived)
+    so fingerprints are stable across engines — the DuckDB oracle
+    reproduces them exactly, and a fingerprint store survives engine
+    migrations."""
     from odin_rs_spark.functions.text import norm_text
-    from odin_rs_spark.operators.dedup import shingles_from_words
+    from odin_rs_spark.operators.dedup import portable_hash60, shingles_from_words
 
     # stage the words → shingles → hashes chain as separate projections:
     # expressions inlined into a transform() lambda re-evaluate per
@@ -96,7 +98,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", num_hashes: int = 8) -> D
     staged = (
         df.withColumn("__w", F.split(norm_text(F.col(text_col)), " "))
         .withColumn("__sh", shingles_from_words(F.col("__w"), 3))
-        .withColumn("__h", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        .withColumn("__h", F.transform(F.col("__sh"), portable_hash60))
     )
     return staged.withColumn(
         "fingerprint", F.slice(F.array_sort(F.col("__h")), 1, num_hashes)

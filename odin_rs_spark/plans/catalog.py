@@ -14,9 +14,12 @@ Determinism rules (so Spark output hash-matches the oracle):
   SURVEY §7.4.1);
 - counts cast to BIGINT on both sides (DuckDB SUM(int)→HUGEINT).
 
-Queries whose output embeds engine-specific hashes (xxhash64 SimHash,
-fingerprints) or randomized structures (LSH buckets) have no oracle →
-the driver records a rows-only check (documented per entry).
+Hash-derived queries (SimHash, fingerprints, LSH/IVF ANN, the media
+stub) use PORTABLE hash streams (md5 / sha256-hex, re-derivable in any
+engine), so their oracles replay the full pipelines in SQL. The one
+rows-only entry left is q55 (KMeans IVF): iterative training is not
+SQL-expressible; its fixed-centroid twin q59 value-checks the same
+inverted-file pipeline.
 """
 
 from __future__ import annotations
@@ -687,12 +690,37 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.8)
 
 
 # --------------------------------------------------------------------------
-# q26 — SimHash near-dup pairs (engine-hash-based → rows-only check)
+# q26 — SimHash near-dup pairs. The 60-bit signature uses the portable
+# md5 token hash, so the oracle recomputes the SAME signatures in SQL
+# and does the EXACT all-pairs hamming join — verifying both the
+# signature math and the pigeonhole-chunk blocking recall.
 # --------------------------------------------------------------------------
 
 def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash_pairs(docs, max_hamming=3)
+
+
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+Q26_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+th AS (SELECT doc_id, {_H60.format(x='t')} AS h FROM tok),
+bc AS (
+  SELECT doc_id, j.range AS j,
+         CASE WHEN sum(((h >> j.range) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS b
+  FROM th, range(60) j GROUP BY doc_id, j.range),
+sig AS (
+  SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sig
+  FROM bc GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -747,12 +775,28 @@ SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
 
 
 # --------------------------------------------------------------------------
-# q28 — document fingerprints (engine-hash-based → rows-only)
+# q28 — document fingerprints. Portable md5 shingle hash → the oracle
+# recomputes identical fingerprints (8 smallest shingle hashes, sorted).
 # --------------------------------------------------------------------------
 
 def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text_ops.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+Q28_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d)
+SELECT doc_id,
+       list_slice(list_sort(list_transform(s, x -> {_H60.format(x='x')})), 1, 8) AS fingerprint
+FROM sh
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1066,6 +1110,58 @@ def q37_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x1"), 4).alias("min_x"),
         F.round(F.max("x2"), 4).alias("max_x"),
     )
+
+
+# Marching squares IS relationally expressible per 2×2 square (join the
+# 4 corners, generate crossing levels per square, standard 16-case edge
+# table with linear interpolation) — the oracle below replays the tiled
+# numpy kernel exactly, saddle cases and all. The engine keeps the
+# applyInPandas tiling because per-square joins materialize 4× the grid
+# at 100 TB, but the SQL form makes q37 a full value check, verifying
+# tiling/halo ownership against a tile-free formulation.
+Q37_SQL = """
+WITH g AS (
+  SELECT x, y,
+         sin(x * 0.37) * cos(y * 0.23) * 10.0 AS u,
+         cos(x * 0.11) * 5.0 + sin(y * 0.31) * 3.0 AS w
+  FROM (SELECT xx.range AS x, yy.range AS y FROM range(60) xx, range(50) yy)),
+gv AS (SELECT x, y, sqrt(u * u + w * w) AS v FROM g),
+sq AS (
+  SELECT a.x AS ix, a.y AS iy, a.v AS bl, b.v AS br, t.v AS tl, u.v AS tr
+  FROM gv a
+  JOIN gv b ON b.x = a.x + 1 AND b.y = a.y
+  JOIN gv t ON t.x = a.x AND t.y = a.y + 1
+  JOIN gv u ON u.x = a.x + 1 AND u.y = a.y + 1),
+lv AS (
+  SELECT sq.*, unnest(range(CAST(floor(least(bl, br, tl, tr) / 2.2352) AS BIGINT) + 1,
+                            CAST(floor(greatest(bl, br, tl, tr) / 2.2352) AS BIGINT) + 1)) AS li
+  FROM sq),
+e AS (
+  SELECT ix, iy, li * CAST(2.2352 AS DOUBLE) AS lvl, bl, br, tl, tr,
+         (CASE WHEN bl >= li * CAST(2.2352 AS DOUBLE) THEN 1 ELSE 0 END
+          + CASE WHEN br >= li * CAST(2.2352 AS DOUBLE) THEN 2 ELSE 0 END
+          + CASE WHEN tr >= li * CAST(2.2352 AS DOUBLE) THEN 4 ELSE 0 END
+          + CASE WHEN tl >= li * CAST(2.2352 AS DOUBLE) THEN 8 ELSE 0 END) AS cs
+  FROM lv),
+pts AS (
+  SELECT ix, iy, lvl, cs,
+         ix + greatest(0.0, least(1.0, (lvl - bl) / (br - bl))) AS botx,
+         iy + greatest(0.0, least(1.0, (lvl - br) / (tr - br))) AS rgty,
+         ix + greatest(0.0, least(1.0, (lvl - tl) / (tr - tl))) AS topx,
+         iy + greatest(0.0, least(1.0, (lvl - bl) / (tl - bl))) AS lfty
+  FROM e WHERE cs NOT IN (0, 15)),
+m(cs, e1, e2) AS (VALUES
+  (1,3,0),(2,0,1),(3,3,1),(4,1,2),(6,0,2),(7,3,2),(8,2,3),(9,2,0),
+  (11,2,1),(12,1,3),(13,1,0),(14,0,3),(5,3,0),(5,1,2),(10,0,1),(10,2,3)),
+seg AS (
+  SELECT p.lvl AS level,
+         CASE m.e1 WHEN 0 THEN botx WHEN 1 THEN ix + 1.0 WHEN 2 THEN topx ELSE ix + 0.0 END AS x1,
+         CASE m.e2 WHEN 0 THEN botx WHEN 1 THEN ix + 1.0 WHEN 2 THEN topx ELSE ix + 0.0 END AS x2
+  FROM pts p JOIN m ON m.cs = p.cs)
+SELECT level, count(*)::BIGINT AS n_segments,
+       round(min(x1), 4) AS min_x, round(max(x2), 4) AS max_x
+FROM seg GROUP BY level
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1621,6 +1717,35 @@ def q49_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub decode stream is a sha256 HEX-STRING iteration (see
+# multimodal._fake_pixels), so the oracle replays the whole media
+# pipeline — features, mean, argmax classify — in SQL.
+_F32 = "CAST(concat('0x', substr({d}, 1 + 8 * k, 8)) AS BIGINT)::DOUBLE / 4294967296.0"
+
+Q49_SQL = f"""
+WITH h AS (SELECT doc_id, sha256(sha256(text)) AS d1 FROM documents),
+h2 AS (SELECT doc_id, d1, sha256(d1) AS d2 FROM h),
+f AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 8), k -> {_F32.format(d='d1')})
+                  || list_transform(range(0, 8), k -> {_F32.format(d='d2')})) / 16.0 AS mean_val,
+         CAST(concat('0x', substr(d1, 1, 8)) AS BIGINT)::DOUBLE / 4294967296.0 AS s0,
+         CAST(concat('0x', substr(d1, 9, 8)) AS BIGINT)::DOUBLE / 4294967296.0 AS s1,
+         CAST(concat('0x', substr(d1, 17, 8)) AS BIGINT)::DOUBLE / 4294967296.0 AS s2
+  FROM h2),
+lab AS (
+  SELECT doc_id, mean_val, greatest(s0, s1, s2) AS confidence,
+         CASE WHEN s0 = greatest(s0, s1, s2) THEN 'smoke'
+              WHEN s1 = greatest(s0, s1, s2) THEN 'fire'
+              ELSE 'none' END AS label
+  FROM f)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(mean_val), 6) AS avg_feature_mean,
+       round(avg(confidence), 6) AS avg_confidence
+FROM lab GROUP BY label
+"""
+
+
 def q50_image_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators import multimodal as mm_ops
 
@@ -2104,9 +2229,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
-        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, None, "dedup-simhash"),
+        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
         QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
-        QuerySpec("q28_fingerprint", q28_fingerprint, None, "text-fingerprint"),
+        QuerySpec("q28_fingerprint", q28_fingerprint, Q28_SQL, "text-fingerprint"),
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
         QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
         QuerySpec("q31_track_distance", q31_track_distance, Q31_SQL, "W4 geo"),
@@ -2115,7 +2240,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
-        QuerySpec("q37_contour", q37_contour, None, "R3 K5"),
+        QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
@@ -2127,7 +2252,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),
         QuerySpec("q47_geojson_roundtrip", q47_geojson_roundtrip, Q47_SQL, "S13"),
         QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
-        QuerySpec("q49_media_pipeline", q49_media_pipeline, None, "multimodal R9"),
+        QuerySpec("q49_media_pipeline", q49_media_pipeline, Q49_SQL, "multimodal R9"),
         QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
