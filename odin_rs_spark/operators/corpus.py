@@ -1,0 +1,135 @@
+"""Training-corpus construction operators (north-star scope: the ops a
+large-scale LLM data pipeline runs between raw documents and training
+shards). All are deterministic — sampling decisions derive from the
+portable md5 hash, not an RNG — so runs are reproducible across engines
+and re-executions, and every operator here is value-checkable against a
+plain-SQL oracle.
+
+Scale notes: every op is a narrow projection/filter or a single keyed
+window — no driver collects, no cross joins. Contamination check joins
+on shingle hashes (equi-join, broadcastable benchmark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators.dedup import portable_hash60, shingles_from_words
+
+
+def hash_fraction(c: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) draw per value: portable_hash60 of
+    the value (+ salt) scaled by 2^60. The same id always draws the same
+    number — in any engine — so samples are stable across reruns,
+    backfills, and engine migrations (the property that matters for
+    reproducible training mixes; an RNG-based sample() has none of it).
+    """
+    return portable_hash60(F.concat(c.cast("string"), F.lit(salt))) / F.lit(
+        float(1 << 60)
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with draw < fraction."""
+    return df.filter(hash_fraction(F.col(key), salt) < F.lit(float(fraction)))
+
+
+def source_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted source mixing: per-source deterministic sampling rates
+    (the "data recipe" step — e.g. keep 100% of wiki, 10% of crawl).
+    Unlisted sources get default_rate. One scan, no shuffle.
+    """
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_fraction(F.col(key), salt) < rate)
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: docs sharing ≥ min_hits
+    distinct n-gram shingles with any benchmark item.
+
+    Shingle hashes on both sides → explode → equi-join on the hash
+    (benchmark side is small → broadcast), count distinct shared
+    shingles per (doc, bench) pair. At 100 TB the doc side stays
+    partitioned; only (doc_id, shingle_hash) pairs flow.
+    Output: (doc_id, bench_id, n_shared).
+    """
+
+    def hashed(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        from odin_rs_spark.functions.text import norm_text
+
+        return (
+            df.select(
+                F.col(idc).alias(out_id),
+                F.split(norm_text(F.col(txt)), " ").alias("__w"),
+            )
+            .select(out_id, shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
+            .select(out_id, F.explode("__sh").alias("__s"))
+            .select(out_id, portable_hash60(F.col("__s")).alias("__h"))
+        )
+
+    d = hashed(docs, id_col, text_col, "doc_id")
+    b = F.broadcast(hashed(benchmark, bench_id_col, bench_text_col, "bench_id"))
+    return (
+        d.join(b, "__h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("__h").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    partition_col: Column | None = None,
+) -> DataFrame:
+    """Stream-slice sequence packing: concatenate docs in id order and
+    cut the token stream at max_tokens boundaries; each doc lands in the
+    chunk where its LAST token falls (counts capped at max_tokens so an
+    oversized doc advances exactly one chunk). This is the standard
+    concat-then-slice training layout, document-aligned at boundaries —
+    a chunk can exceed the budget by less than one doc, it is NOT
+    best-fit bin packing.
+
+    Deterministic and expressible as one window cumsum, so the oracle
+    reproduces it and the operator needs no stateful iteration. With
+    `partition_col` packing restarts per partition (e.g. per source/
+    shard), which is also how you bound window state at 100 TB — a
+    single global cumsum window would funnel everything through one
+    task.
+    Output: input columns + (chunk_id, chunk_pos).
+    """
+    part = [partition_col] if partition_col is not None else []
+    w = Window.partitionBy(*part).orderBy(F.col(id_col).asc())
+    capped = F.least(F.col(token_count_col).cast("long"), F.lit(int(max_tokens)))
+    run = F.sum(capped).over(w)
+    chunk = F.ceil((run.cast("double")) / F.lit(float(max_tokens))) - 1
+    out = df.withColumn("__run", run).withColumn(
+        "chunk_id", F.greatest(chunk, F.lit(0)).cast("long")
+    )
+    wp = Window.partitionBy(*part, "chunk_id").orderBy(F.col(id_col).asc())
+    return out.withColumn(
+        "chunk_pos", (F.row_number().over(wp) - 1).cast("long")
+    ).drop("__run")

@@ -2201,6 +2201,127 @@ GROUP BY ROLLUP (r_name, n_name)
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# q60-q63 — training-corpus construction ops (north star): deterministic
+# hash sampling / source mixing, benchmark-contamination detection,
+# stream-slice sequence packing. All sampling decisions derive from the
+# portable md5 hash, so the oracle replays every decision exactly.
+# --------------------------------------------------------------------------
+
+_HFRAC = (
+    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+_Q60_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q60_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = corpus_ops.source_mix(docs, _Q60_RATES, default_rate=0.05)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+Q60_SQL = f"""
+SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+FROM documents
+WHERE {_HFRAC.format(k='doc_id')}
+      < CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                         ELSE 0.05 END AS DOUBLE)
+GROUP BY source
+"""
+
+
+def q61_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = corpus_ops.contamination(docs, bench, min_hits=3)
+    return hits.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+Q61_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d),
+h AS (SELECT doc_id, {_H60.format(x='x')} AS hh
+      FROM (SELECT doc_id, unnest(s) AS x FROM sh)),
+b AS (SELECT doc_id AS bench_id, hh FROM h WHERE doc_id % 97 = 0)
+SELECT h.doc_id, b.bench_id, count(DISTINCT h.hh)::BIGINT AS n_shared
+FROM h JOIN b ON h.hh = b.hh
+WHERE h.doc_id <> b.bench_id
+GROUP BY h.doc_id, b.bench_id
+HAVING count(DISTINCT h.hh) >= 3
+"""
+
+
+def q62_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(norm_text(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = corpus_ops.pack_sequences(
+        docs, max_tokens=256, partition_col=F.col("lang")
+    )
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+Q62_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(least(n_tokens, 256)) OVER (PARTITION BY lang ORDER BY doc_id) AS run
+  FROM d),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(greatest(ceil(run / 256.0) - 1, 0) AS BIGINT) AS chunk_id
+  FROM r)
+SELECT lang, chunk_id, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_doc_id, sum(n_tokens)::BIGINT AS chunk_tokens
+FROM c GROUP BY lang, chunk_id
+"""
+
+
+def q63_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    kept = corpus_ops.hash_sample(orders, 0.25, key="o_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("sum_key")
+    )
+
+
+Q63_SQL = f"""
+SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+FROM orders
+WHERE {_HFRAC.format(k='o_orderkey')} < CAST(0.25 AS DOUBLE)
+"""
+
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2263,6 +2384,10 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
         QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
+        QuerySpec("q60_source_mix", q60_source_mix, Q60_SQL, "corpus-mix"),
+        QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
+        QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
+        QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
     ]
 }
 

@@ -1,0 +1,84 @@
+"""Training-corpus operators: deterministic-sampling properties and a
+plain-Python reference for stream-slice packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators import corpus
+
+
+def _draw(key: str) -> float:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / 2**60
+
+
+def test_hash_sample_deterministic_and_exact(spark):
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    kept = {r.k for r in corpus.hash_sample(df, 0.3, key="k").collect()}
+    # exact membership per the portable hash, not approximate
+    want = {i for i in range(2000) if _draw(str(i)) < 0.3}
+    assert kept == want
+    # rerun → identical (no RNG state)
+    again = {r.k for r in corpus.hash_sample(df, 0.3, key="k").collect()}
+    assert again == kept
+
+
+def test_source_mix_rates(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    out = corpus.source_mix(
+        df, {"s0": 1.0, "s1": 0.0}, key="doc_id", default_rate=0.5
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts["s0"] == 1000
+    assert "s1" not in counts
+    want_s2 = sum(1 for i in range(3000) if i % 3 == 2 and _draw(str(i)) < 0.5)
+    assert counts["s2"] == want_s2
+
+
+def test_contamination_detects_planted_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),  # full overlap
+            Row(doc_id=2, text="totally different words here entirely now"),
+            Row(doc_id=3, text="alpha beta gamma delta xx yy zz"),  # partial
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=base)])
+    hits = {
+        (r.doc_id, r.n_shared)
+        for r in corpus.contamination(docs, bench, min_hits=2).collect()
+    }
+    ids = {d for d, _ in hits}
+    assert 1 in ids and 2 not in ids and 3 in ids
+    # doc 1 shares all 8 shingles; doc 3 shares the 2 fully-contained ones
+    assert (1, 8) in hits and (3, 2) in hits
+
+
+def test_pack_sequences_matches_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [Row(doc_id=i, n_tokens=rng.randrange(1, 120)) for i in range(200)]
+    out = corpus.pack_sequences(
+        spark.createDataFrame(rows), max_tokens=100
+    ).collect()
+    got = {r.doc_id: (r.chunk_id, r.chunk_pos) for r in out}
+    # reference: cumsum of capped counts, chunk = ceil(run/cap) - 1
+    run = 0
+    want: dict[int, tuple[int, int]] = {}
+    pos: dict[int, int] = {}
+    for r in sorted(rows, key=lambda x: x.doc_id):
+        run += min(r.n_tokens, 100)
+        chunk = max(-(-run // 100) - 1, 0)
+        want[r.doc_id] = (chunk, pos.get(chunk, 0))
+        pos[chunk] = pos.get(chunk, 0) + 1
+    assert got == want
+    # every doc present exactly once, chunk ids contiguous from 0
+    chunks = {c for c, _ in got.values()}
+    assert chunks == set(range(max(chunks) + 1))
