@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from odin_rs_spark.plans.catalog import CATALOG
@@ -34,8 +36,19 @@ def main() -> None:
     spark = get_spark(app_name="odin_rs_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so query 1 doesn't pay startup cost
+    # warm the JVM/session and the Python-UDF worker pool so the first
+    # query of each kind doesn't absorb process-startup cost (the pool
+    # spins up one worker per core on first pandas-UDF use: ~6 s on 32
+    # cores that would otherwise be billed to one arbitrary query)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(100000).repartition(64).select(F.sum(_warm(F.col("id")))).collect()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():

@@ -84,7 +84,7 @@ def contamination(
                 F.split(norm_text(F.col(txt)), " ").alias("__w"),
             )
             .select(out_id, shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
-            .select(out_id, F.explode("__sh").alias("__s"))
+            .select(out_id, F.explode_outer("__sh").alias("__s"))
             .select(out_id, portable_hash60(F.col("__s")).alias("__h"))
         )
 

@@ -3,11 +3,13 @@
 Scale design (the 100 TB story):
 - exact dedup: hash-groupBy on a normalized-text digest — one shuffle on
   the digest, map-side partial dedup first.
-- near-dup: MinHash + LSH banding. Shingling and minhashing are pure
-  JVM array expressions (no Python). Candidate generation is an
-  equi-join on (band_id, band_hash) — the only shuffle keys — so the
-  quadratic all-pairs problem becomes linear-ish in corpus size. Exact
-  Jaccard verification runs only on candidates.
+- near-dup: MinHash + LSH banding. Shingling and base hashing are JVM
+  array expressions; the 128-permutation min runs as one Arrow-batched
+  numpy pass per row (bit-identical values — see minhash_udf).
+  Candidate generation is an equi-join on (band_id, band_hash) — the
+  only shuffle keys — so the quadratic all-pairs problem becomes
+  linear-ish in corpus size. Exact Jaccard verification runs only on
+  candidates.
 - simhash: 64-bit signature via md5-derived token hashes; near-dup =
   small hamming distance, blocked on signature chunks.
 
@@ -18,8 +20,11 @@ verified output matches an exact all-pairs oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from odin_rs_spark.functions.text import norm_text
 
@@ -112,19 +117,96 @@ def _perm_min(hashes: Column, a: int, b: int) -> Column:
 
 
 def minhash_signature(shingles: Column, num_perm: int = 128) -> Column:
-    """Array of num_perm minhash values.
+    """Array of num_perm minhash values (pure-JVM expression form).
 
     Each shingle is xxhash64'd ONCE; the num_perm permutations are
     derived by multiply-add universal hashing over that base hash —
     128 long mul/adds per shingle instead of 128 string re-hashes
-    (~40× cheaper, same collision statistics). Pure JVM expression.
+    (~40× cheaper, same collision statistics).
 
     NOTE: transform() lambdas here must stay single-argument — a 2-arg
     lambda makes Spark pass the element INDEX as the 2nd argument.
+    Prefer `minhash_udf` on the hot path: 128 HOF array ops per row
+    allocate an array each — the Arrow/numpy kernel computes the
+    IDENTICAL values (same int64 math, no wraparound anywhere) in one
+    vectorized (shingles × perms) pass per row.
     """
     base = F.transform(shingles, lambda s: F.xxhash64(s))
     coeffs = _perm_coeffs(num_perm)
     return F.array(*[_perm_min(base, a, b) for a, b in coeffs])
+
+
+def minhash_udf(num_perm: int = 128):
+    """pandas UDF: array<long> base shingle hashes → array<long>
+    signature, bit-identical to `minhash_signature`'s permutation math:
+    min over shingles of ((h & 0xFFFFFFFF)·a + b) mod p, p = 2^31-1.
+    All intermediates < 2^63 → exact in int64 on both sides."""
+    coeffs = _perm_coeffs(num_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[None, :]
+    P = np.int64(_MERSENNE31)
+    # never hit in practice (shingling emits ≥1 gram even for empty
+    # text); deterministic placeholder keeps the UDF total
+    empty = (B % P).ravel()
+
+    @pandas_udf("array<long>")
+    def _sig(base: pd.Series) -> pd.Series:
+        out = []
+        for h in base:
+            if h is None or len(h) == 0:
+                out.append(empty.copy())
+                continue
+            h32 = np.asarray(h, dtype=np.int64) & np.int64(0xFFFFFFFF)
+            out.append(((h32[:, None] * A + B) % P).min(axis=0))
+        return pd.Series(out)
+
+    return _sig
+
+
+def band_hash_udf(num_perm: int = 128, bands: int = 32):
+    """pandas UDF: array<long> base shingle hashes → array<long> of
+    `bands` band hashes (the LSH bucket keys), fusing the permutation
+    mins and the banding into one numpy pass.
+
+    Keeping the banding out of the JVM plan matters twice: at runtime
+    (no 128-wide signature array crosses the Arrow boundary, only 32
+    band keys) and at PLAN-COMPILE time — the expression-tree form (32
+    structs × hash(4 element_at's)) costs seconds of driver-side
+    analysis+Janino per fresh session, which dominated the measured
+    query latency on small inputs. Band mixing is a Fibonacci-style
+    iterated multiply-add on uint64; any deterministic injective-enough
+    combiner works (equal 4-tuples → equal key is the only requirement
+    pigeonhole blocking needs).
+    """
+    coeffs = _perm_coeffs(num_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[None, :]
+    P = np.int64(_MERSENNE31)
+    rows = num_perm // bands
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    empty_sig = (B % P).ravel()
+
+    def _bands(sig: np.ndarray) -> np.ndarray:
+        g = sig.astype(np.uint64).reshape(bands, rows)
+        acc = np.full(bands, GOLD, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows):
+                acc = (acc * GOLD) ^ g[:, r]
+        return acc.view(np.int64)
+
+    @pandas_udf("array<long>")
+    def _bh(base: pd.Series) -> pd.Series:
+        out = []
+        for h in base:
+            if h is None or len(h) == 0:
+                out.append(_bands(empty_sig))
+                continue
+            h32 = np.asarray(h, dtype=np.int64) & np.int64(0xFFFFFFFF)
+            sig = ((h32[:, None] * A + B) % P).min(axis=0)
+            out.append(_bands(sig))
+        return pd.Series(out)
+
+    return _bh
 
 
 def lsh_candidate_pairs(
@@ -134,6 +216,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     num_perm: int = 128,
     bands: int = 32,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b).
 
@@ -142,8 +225,10 @@ def lsh_candidate_pairs(
     Catalyst shuffles on the band bucket; distinct() dedups pairs that
     collide in several bands.
     """
-    rows = num_perm // bands
-    coeffs = _perm_coeffs(num_perm)
+    if parallelism:
+        # shingle+hash compute is scan-bound CPU; a single-row-group
+        # local parquet arrives as ONE partition — spread it first
+        df = df.repartition(parallelism)
     # materialize shingles, then base hashes, each in their own projection:
     # an inline expression inside a transform() lambda is re-evaluated per
     # element (no CSE across lambda scopes) — measured 4× on this stage
@@ -151,26 +236,15 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
     )
-    sig = base.select(
+    # permutation mins + banding fused in one Arrow/numpy kernel (see
+    # band_hash_udf: both runtime and plan-compile-time win vs the
+    # 128-HOF + 32-struct expression form)
+    banded = base.select(
         F.col(id_col),
-        F.array(*[_perm_min(F.col("__h"), a, b) for a, b in coeffs]).alias("__sig"),
+        F.posexplode_outer(band_hash_udf(num_perm, bands)(F.col("__h"))).alias(
+            "band", "bhash"
+        ),
     )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band"),
-    ).select(id_col, "__band.band", "__band.bhash")
     # bucket-group instead of self-join: a self-join recomputes the whole
     # signature pipeline on BOTH sides (broadcast join defeats exchange
     # reuse); groupBy computes it once and shuffles only (band,bhash,id).
@@ -197,7 +271,7 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFra
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("__p"))
+        buckets.select(F.explode_outer(pairs).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -239,6 +313,7 @@ def near_dup_pairs(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocked + exactly-verified near-duplicate pairs.
 
@@ -246,6 +321,11 @@ def near_dup_pairs(
     which is what the DuckDB oracle computes — while doing
     O(corpus · bands) work instead of O(corpus²).
     """
+    if parallelism:
+        # one repartition feeds BOTH the candidate and the verification
+        # stage (each computes shingles; a single-row-group local scan
+        # would otherwise run both single-task)
+        df = df.repartition(parallelism)
     cand = lsh_candidate_pairs(df, id_col, text_col, shingle_n, num_perm, bands)
     return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
 
@@ -256,10 +336,13 @@ def near_dup_dedup(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Drop near-duplicates: remove any doc that matches a smaller-id doc
     (single-linkage step; iterate for full transitive clustering)."""
-    pairs = near_dup_pairs(df, id_col, text_col, shingle_n, threshold)
+    pairs = near_dup_pairs(
+        df, id_col, text_col, shingle_n, threshold, parallelism=parallelism
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -328,6 +411,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_bits: int = 60,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -339,11 +423,13 @@ def simhash_pairs(
     """
     nchunks = max_hamming + 1
     width = num_bits // nchunks
+    if parallelism:
+        df = df.repartition(parallelism)
     sig = df.select(F.col(id_col), simhash64(text_col, num_bits=num_bits).alias("__sig"))
     chunks = sig.select(
         id_col,
         "__sig",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -380,7 +466,7 @@ def simhash_pairs(
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("__p"))
+        buckets.select(F.explode_outer(pairs).alias("__p"))
         .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -138,7 +138,7 @@ def interval_join(
     """
     binned = intervals.withColumn(
         "__bucket",
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.date_trunc("hour", F.col(start)),
                 F.date_trunc("hour", F.col(end)),

@@ -369,7 +369,7 @@ def contour_segments(
         cells.select(F.col("x"), F.col("y"), _col(value).alias("v"))
         .withColumn(
             "__t",
-            F.explode(
+            F.explode_outer(
                 F.array_compact(
                     F.array(
                         F.struct(

@@ -212,7 +212,7 @@ def ann_lsh_topk(
             F.col(key),
             F.col(vec_col).alias(f"__{key}_vec"),
             l2_norm(F.col(vec_col)).alias(f"__{key}_n"),
-            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+            F.posexplode_outer(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
         return with_sig
 

@@ -664,7 +664,9 @@ pairs AS (
 
 def q24_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.near_dup_pairs(docs, threshold=0.8)
+    return dedup_ops.near_dup_pairs(
+        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 Q24_SQL = _SHINGLE_CTE + """
@@ -678,7 +680,9 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
 
 def q25_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.near_dup_dedup(docs, threshold=0.8).select(
+    return dedup_ops.near_dup_dedup(
+        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", "lang", "source"
     )
 
@@ -698,7 +702,9 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.8)
 
 def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(docs, max_hamming=3)
+    return dedup_ops.simhash_pairs(
+        docs, max_hamming=3, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 _H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"

@@ -251,7 +251,9 @@ def parse_geojson(
             {"mode": "PERMISSIVE"},
         ).alias("d")
     )
-    feat = doc.select(F.explode("d.features").alias("f"))
+    feat = doc.select(F.explode_outer("d.features").alias("f")).filter(
+        F.col("f").isNotNull()
+    )
     return feat.select(
         F.col("f.id").alias("feature_id"),
         F.col("f.geometry.type").alias("geom_type"),
