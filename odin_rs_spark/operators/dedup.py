@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from odin_rs_spark.functions.text import norm_text
 
@@ -345,6 +346,100 @@ def near_dup_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC 2014). Returns (node, component) where component is the
+    minimum node id reachable — the transitive closure the single-
+    linkage step in `near_dup_dedup` only approximates.
+
+    Scale design: each half-round is ONE shuffle (a window min over the
+    node key) — no joins, no driver-side graph. Converges in
+    O(log² n) rounds on any graph (typically 2-3 for near-dup clusters,
+    which are low-diameter). Each round materializes via eager
+    localCheckpoint so lineage doesn't re-run the (expensive) edge
+    producer per iteration; convergence is detected with a cheap
+    order-independent aggregate fingerprint, not a collect of edges.
+    """
+    w = Window.partitionBy("u")
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # bidirect, then for every node u connect strictly-larger
+        # neighbors to m = min(neighborhood ∪ {u})
+        b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v").over(w), F.col("u"))
+        return (
+            b.withColumn("__m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input oriented u > v (large-star output guarantees it);
+        # connect u and all its smaller neighbors to the minimum
+        b = e.withColumn("__m", F.min("v").over(w))
+        links = b.filter(F.col("v") != F.col("__m")).select(
+            F.col("v").alias("u"), F.col("__m").alias("v")
+        )
+        self_links = b.select(F.col("u"), F.col("__m").alias("v"))
+        return links.union(self_links).distinct()
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent and immune to ANSI long overflow
+        # (sum of 64-bit hashes would throw)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    # converged edge set is a star forest: every non-root points at its
+    # component minimum; roots map to themselves
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return members.union(roots).distinct()
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: (doc_id, cluster_id) for every
+    doc with at least one near-dup, cluster_id = min doc id reachable
+    through the J ≥ threshold pair graph (full transitive closure, not
+    just direct pairs — what a corpus dedup actually keeps one doc per)."""
+    pairs = near_dup_pairs(
+        df, id_col, text_col, shingle_n, threshold, parallelism=parallelism
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
 
 
 def portable_hash60(c: Column) -> Column:

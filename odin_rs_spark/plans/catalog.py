@@ -2328,6 +2328,30 @@ WHERE {_HFRAC.format(k='o_orderkey')} < CAST(0.25 AS DOUBLE)
 
 
 
+def q64_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.near_dup_clusters(
+        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+    )
+
+
+# transitive closure of the J>=0.8 pair graph: reach enumerates
+# (node, same-component node) pairs over the symmetric edge list, so
+# min(r) per node is the component minimum — exactly what the
+# large-star/small-star Spark side converges to
+Q64_SQL = _SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS") + """,
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.8
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs WHERE jaccard >= 0.8),
+reach AS (
+  SELECT u AS id, u AS r FROM e
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2394,6 +2418,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
         QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
         QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
+        QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
     ]
 }
 

@@ -82,3 +82,44 @@ def test_pack_sequences_matches_reference(spark):
     # every doc present exactly once, chunk ids contiguous from 0
     chunks = {c for c, _ in got.values()}
     assert chunks == set(range(max(chunks) + 1))
+
+
+def test_connected_components_star_forest(spark):
+    from odin_rs_spark.operators.dedup import connected_components
+
+    # chain (forces multiple rounds), clique, pair, and reversed-order
+    # edges; node 99 is isolated (absent from edges → absent from output)
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain → comp 1
+        (10, 11), (10, 12), (11, 12),            # clique → comp 10
+        (21, 20),                                # reversed pair → comp 20
+        (31, 30), (32, 31), (33, 30),            # mixed orientation → comp 30
+    ]
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10) for n in (10, 11, 12)}
+        | {(n, 20) for n in (20, 21)}
+        | {(n, 30) for n in (30, 31, 32, 33)}
+    )
+    assert got == want
+
+
+def test_connected_components_empty_and_self_loop(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from odin_rs_spark.operators.dedup import connected_components
+
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert connected_components(empty).count() == 0
+    # self-loops are dropped, real edge survives
+    df = spark.createDataFrame([Row(id_a=7, id_b=7), Row(id_a=8, id_b=9)])
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {(8, 8), (9, 8)}
