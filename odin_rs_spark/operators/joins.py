@@ -14,10 +14,13 @@ design rules:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from odin_rs_spark.functions.geo import quantize_cell
+from odin_rs_spark.functions.geo import EARTH_RADIUS_KM, quantize_cell
 
 
 def asof_join(
@@ -323,3 +326,61 @@ def nearest_inline_join(
             F.col("__best.d").alias("__dist"),
         )
     )
+
+
+def haversine_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    r_lon: str = "t_lon",
+    r_lat: str = "t_lat",
+    r_key: str = "track_idx",
+    round_to: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """J8 vectorized shape: k=1 great-circle nearest against a
+    driver-small right side (the ground-track case, |R|≈100).
+
+    `nearest_inline_join` with a haversine dist_fn evaluates ~|R|
+    interpreted HOF-lambda trig expressions per left row (higher-order
+    functions don't enter whole-stage codegen). Here the whole |batch|×|R|
+    distance matrix is ONE numpy pass per Arrow batch; the right side is
+    collected (small by contract) and rides in the UDF closure with its
+    cos(lat) precomputed. Distances round HALF_UP to `round_to` before
+    the argmin — floor(x·10^r + 0.5), matching SQL round() — and ties go
+    to the lowest r_key (rows are key-sorted, argmin takes the first).
+
+    Output: all left columns + r_key + __dist (the rounded distance).
+    """
+    if parallelism:
+        left = left.repartition(parallelism)
+    rows = sorted(right.select(r_key, r_lon, r_lat).collect(), key=lambda r: r[0])
+    keys = np.asarray([r[0] for r in rows], dtype=np.int64)
+    tlon = np.asarray([float(r[1]) for r in rows])
+    tlat = np.asarray([float(r[2]) for r in rows])
+    tlat_cos = np.cos(np.radians(tlat))
+    scale = 10.0**round_to
+    radius2 = 2.0 * EARTH_RADIUS_KM
+
+    @pandas_udf(f"struct<{r_key}: bigint, __dist: double>")
+    def _nn(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        lo_ = lo.to_numpy(dtype=np.float64)
+        la_ = la.to_numpy(dtype=np.float64)
+        if len(lo_) == 0:
+            return pd.DataFrame(
+                {r_key: pd.Series([], dtype="int64"), "__dist": pd.Series([], dtype="float64")}
+            )
+        dphi = np.radians(tlat[None, :] - la_[:, None]) / 2.0
+        dlmb = np.radians(tlon[None, :] - lo_[:, None]) / 2.0
+        a = (
+            np.sin(dphi) ** 2
+            + np.cos(np.radians(la_))[:, None] * tlat_cos[None, :] * np.sin(dlmb) ** 2
+        )
+        d = radius2 * np.arcsin(np.sqrt(a))
+        dr = np.floor(d * scale + 0.5) / scale
+        j = dr.argmin(axis=1)
+        return pd.DataFrame({r_key: keys[j], "__dist": dr[np.arange(len(j)), j]})
+
+    res = left.withColumn("__nn", _nn(F.col(lon), F.col(lat)))
+    return res.select(*left.columns, f"__nn.{r_key}", "__nn.__dist")

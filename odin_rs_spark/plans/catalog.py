@@ -1844,8 +1844,6 @@ FROM j
 # --------------------------------------------------------------------------
 
 def q53_nearest_track(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from odin_rs_spark.functions.geo import haversine_km
-
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
@@ -1857,15 +1855,8 @@ def q53_nearest_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 3.6 - 180.0).alias("t_lon"),
         (F.sin(F.col("id") * 0.2) * 60.0).alias("t_lat"),
     )
-    near = join_ops.nearest_inline_join(
-        pts,
-        track,
-        lambda t: F.round(
-            haversine_km("lon", "lat", t["t_lon"], t["t_lat"]), 6
-        ),
-        tiebreak=["track_idx"],
-        payload=["track_idx"],
-        parallelism=spark.sparkContext.defaultParallelism,
+    near = join_ops.haversine_nearest_join(
+        pts, track, parallelism=spark.sparkContext.defaultParallelism
     )
     return near.groupBy("track_idx").agg(
         F.count(F.lit(1)).alias("n_points"),
