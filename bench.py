@@ -49,6 +49,10 @@ def main() -> None:
         return s
 
     spark.range(100000).repartition(64).select(F.sum(_warm(F.col("id")))).collect()
+    # touch the parquet datasource once (footer reader, vectorized scan
+    # classes, Hadoop FS init) so the catalog's first query isn't billed
+    # for framework class-loading
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():

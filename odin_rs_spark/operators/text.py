@@ -1,12 +1,14 @@
 """Text-analysis operators: language ID, quality scoring, token stats,
-document fingerprinting. All JVM column expressions (regexp + array ops);
-no Python in the hot path.
+document fingerprinting. JVM column expressions (regexp + array ops)
+except where a single Arrow pass beats CodegenFallback HOFs (lang_id).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from odin_rs_spark.functions.text import norm_text, quality_features, token_count
 
@@ -32,24 +34,51 @@ def marker_hits(text: Column | str, markers: list[str]) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
 
 
+def _lang_hits_udf(markers_by_lang: dict[str, list[str]]):
+    """pandas UDF: NORMALIZED text → per-language marker-hit counts in
+    one pass over the words (marker → language-index lookup table in the
+    closure). The expression form re-ran split(norm_text(...)) once per
+    language — higher-order filters are CodegenFallback, so no
+    subexpression elimination ever merged the five copies."""
+    mapping: dict[str, list[int]] = {}
+    for i, markers in enumerate(markers_by_lang.values()):
+        for m in markers:
+            mapping.setdefault(m, []).append(i)
+    n_langs = len(markers_by_lang)
+
+    @pandas_udf("array<int>")
+    def _hits(norm: pd.Series) -> pd.Series:
+        out = []
+        for t in norm:
+            counts = [0] * n_langs
+            for w in ("" if t is None else t).split(" "):
+                for i in mapping.get(w, ()):
+                    counts[i] += 1
+            out.append(counts)
+        return pd.Series(out)
+
+    return _hits
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID by marker-hit-rate argmax; 'und' when no markers hit.
 
     Deterministic tie-break: language order as listed (first max wins),
-    mirrored exactly in the SQL oracle via a CASE over GREATEST.
+    mirrored exactly in the SQL oracle via a CASE over GREATEST. Counts
+    are exact integers from a single Arrow pass, so oracle parity is
+    unaffected by the vectorization.
     """
-    scored = df
-    for lang, markers in LANG_MARKERS.items():
-        scored = scored.withColumn(f"__hits_{lang}", marker_hits(text_col, markers))
-    hit_cols = [F.col(f"__hits_{lang}") for lang in LANG_MARKERS]
+    langs = list(LANG_MARKERS)
+    scored = df.withColumn(
+        "__hits", _lang_hits_udf(LANG_MARKERS)(norm_text(F.col(text_col)))
+    )
+    hit_cols = [F.element_at("__hits", i + 1) for i in range(len(langs))]
     best = F.greatest(*hit_cols)
     pred = F.lit("und")
-    for lang in reversed(list(LANG_MARKERS)):
-        pred = F.when(F.col(f"__hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    for i in range(len(langs) - 1, -1, -1):
+        pred = F.when(hit_cols[i] == best, F.lit(langs[i])).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return scored.withColumn("pred_lang", pred).drop(
-        *[f"__hits_{lang}" for lang in LANG_MARKERS]
-    )
+    return scored.withColumn("pred_lang", pred).drop("__hits")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1498,7 +1498,11 @@ FROM flagged GROUP BY event_type
 def q45_sbs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.sources.formats import parse_sbs
 
-    ev = _t(spark, sf_dir, "events")
+    # format/parse is per-row CPU; the single-row-group local parquet
+    # arrives as ONE partition, so spread before the codec chain
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = ev.select(
         F.format_string(
             "MSG,3,1,1,%s,1,%s,%s,%s,%s,,%.1f,,,%.6f,%.6f,,,0,0,0,0",
@@ -1650,7 +1654,11 @@ FROM events GROUP BY event_type
 def q48_mode_s_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.sources.formats import parse_mode_s_json
 
-    ev = _t(spark, sf_dir, "events")
+    # same single-partition-scan spread as q45: JSON encode+decode is
+    # per-row CPU that must run at full width
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     frame = F.to_json(
         F.struct(
             F.when(F.col("event_id") % 3 == 0, 17).otherwise(4).alias("df"),
