@@ -218,6 +218,7 @@ def lsh_candidate_pairs(
     num_perm: int = 128,
     bands: int = 32,
     parallelism: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b).
 
@@ -225,6 +226,9 @@ def lsh_candidate_pairs(
     (band, band_hash) → distinct pairs. The join is a plain equi-join
     Catalyst shuffles on the band bucket; distinct() dedups pairs that
     collide in several bands.
+
+    `shingles` lets a caller share one materialized (id, __sh) frame
+    across the candidate and verification stages (see near_dup_pairs).
     """
     if parallelism:
         # shingle+hash compute is scan-bound CPU; a single-row-group
@@ -233,7 +237,8 @@ def lsh_candidate_pairs(
     # materialize shingles, then base hashes, each in their own projection:
     # an inline expression inside a transform() lambda is re-evaluated per
     # element (no CSE across lambda scopes) — measured 4× on this stage
-    base = _shingle_df(df, id_col, text_col, shingle_n).select(
+    sh = shingles if shingles is not None else _shingle_df(df, id_col, text_col, shingle_n)
+    base = sh.select(
         F.col(id_col),
         F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
     )
@@ -285,13 +290,14 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keep J >= threshold.
 
     jaccard = |A∩B| / |A∪B| over distinct word shingles, computed with
     array intersect/union (JVM). Output: (id_a, id_b, jaccard).
     """
-    sh = _shingle_df(df, id_col, text_col, shingle_n)
+    sh = shingles if shingles is not None else _shingle_df(df, id_col, text_col, shingle_n)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
@@ -324,11 +330,25 @@ def near_dup_pairs(
     """
     if parallelism:
         # one repartition feeds BOTH the candidate and the verification
-        # stage (each computes shingles; a single-row-group local scan
-        # would otherwise run both single-task)
+        # stage (a single-row-group local scan would otherwise run both
+        # single-task)
         df = df.repartition(parallelism)
-    cand = lsh_candidate_pairs(df, id_col, text_col, shingle_n, num_perm, bands)
-    return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    # shingling runs ONCE: the candidate stage and both join sides of the
+    # verification stage share a persisted (id, __sh) frame. persist (not
+    # localCheckpoint) keeps lineage, so an evicted block recomputes
+    # instead of failing the stage; MEMORY_AND_DISK spills rather than
+    # re-shingling the corpus twice more.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingle_df(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, shingle_n, num_perm, bands, shingles=sh
+    )
+    return jaccard_pairs(
+        df, cand, id_col, text_col, shingle_n, threshold, shingles=sh
+    )
 
 
 def near_dup_dedup(
