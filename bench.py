@@ -54,11 +54,26 @@ def main() -> None:
     # for framework class-loading
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
-        t0 = time.perf_counter()
-        run_query(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            run_query(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # isolate queries from each other: drop persisted frames the
+            # previous run left behind and let the JVM collect between
+            # measurements (GC debt from query N otherwise lands in
+            # N+1's wall clock — measured swings of 2-4 s over a
+            # 64-query session)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        # min over repeats = steady-state cost: this VM has noisy
+        # neighbors (identical runs minutes apart swing 2-4x on
+        # individual queries), and min is the standard noise-robust
+        # point estimate for a deterministic workload
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -80,3 +80,27 @@ def histogram_distance(h1: DataFrame, h2: DataFrame, bin_col: str = "bin") -> Da
             / F.greatest(F.sum("n1") + F.sum("n2"), F.lit(1))
         ).alias("l1_distance")
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the definition
+    both Spark `percentile` and DuckDB `quantile_cont` implement, so the
+    oracle matches bit-for-bit after rounding).
+
+    Exact percentile is a sort-based aggregate — fine at dashboard-level
+    group counts; for high-cardinality keys at 100 TB switch to
+    `approx_percentile` (t-digest, no per-group sort) and drop the
+    oracle to tolerance."""
+    aggs = [
+        F.round(F.percentile(F.col(value), F.lit(p)), round_to).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)

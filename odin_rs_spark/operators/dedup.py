@@ -373,6 +373,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -387,6 +388,13 @@ def connected_components(
     localCheckpoint so lineage doesn't re-run the (expensive) edge
     producer per iteration; convergence is detected with a cheap
     order-independent aggregate fingerprint, not a collect of edges.
+
+    Adaptive small-graph path: a near-dup edge list is tiny relative to
+    its corpus (duplicates are the exception), and the iterative path
+    costs ~4 fixed-latency jobs per round. When the (deduplicated) edge
+    count is ≤ driver_threshold the closure runs as union-find on the
+    driver instead — the same economics as a broadcast-join threshold.
+    Pass driver_threshold=None to force the distributed path.
     """
     w = Window.partitionBy("u")
 
@@ -427,6 +435,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold is not None and e.count() <= driver_threshold:
+        return _union_find_components(e)
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -439,6 +449,43 @@ def connected_components(
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     return members.union(roots).distinct()
+
+
+def _union_find_components(e: DataFrame) -> DataFrame:
+    """Driver-side closure for small edge lists: path-compressed
+    union-find, then component = min node id per root. Output schema
+    matches the distributed path: (node, component) typed like u/v."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = e.collect()
+    for r in rows:
+        u, v = r["u"], r["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = (
+        f"node {e.schema['u'].dataType.simpleString()}, "
+        f"component {e.schema['v'].dataType.simpleString()}"
+    )
+    return e.sparkSession.createDataFrame(out, schema)
 
 
 def near_dup_clusters(

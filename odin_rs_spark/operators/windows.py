@@ -125,3 +125,52 @@ def loess_smooth(
     var = F.avg(F.col(x) * F.col(x)).over(w) - mx * mx
     slope = F.when(var > 0, cov / var).otherwise(F.lit(0.0))
     return df.withColumn("y_smooth", my + slope * (F.col(x) - mx))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event for the same key exceeds the gap. Adds a
+    per-key 1-based `session_seq` column.
+
+    One shuffle (the key partition); the lag + running-sum pair runs in
+    a single window sort. Ties on ts are broken by `tiebreak` columns so
+    the assignment is deterministic (and reproducible in the SQL
+    oracle). Batch twin of Structured Streaming's session_window — use
+    that for live streams; this form backfills history and is
+    oracle-checkable.
+    """
+    tb = tiebreak or []
+    w = Window.partitionBy(key).orderBy(ts, *tb)
+    gap_s = gap_minutes * 60.0
+    prev = F.lag(F.col(ts)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / 1e6 > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key).orderBy(ts, *tb).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", F.sum(is_new).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-session rollup over `sessionize`: event count and span."""
+    s = sessionize(df, key, ts, gap_minutes, tiebreak)
+    return s.groupBy(key, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+    )

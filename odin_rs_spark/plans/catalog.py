@@ -2351,6 +2351,59 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q65_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.windows import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, key="user_id", ts="ts", gap_minutes=30, tiebreak=["event_id"])
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.unix_millis("session_start").alias("start_ms"),
+        F.unix_millis("session_end").alias("end_ms"),
+    )
+
+
+Q65_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) / 1e6 > 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sessioned AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+       CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+def q66_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.aggregations import group_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return group_percentiles(ev, ["event_type"], "value")
+
+
+Q66_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2418,6 +2471,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
         QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
         QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
+        QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
+        QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
     ]
 }
 

@@ -96,17 +96,22 @@ def test_connected_components_star_forest(spark):
         (31, 30), (32, 31), (33, 30),            # mixed orientation → comp 30
     ]
     df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
-    got = {
-        (r.node, r.component)
-        for r in connected_components(df, "id_a", "id_b").collect()
-    }
     want = (
         {(n, 1) for n in (1, 2, 3, 4, 5)}
         | {(n, 10) for n in (10, 11, 12)}
         | {(n, 20) for n in (20, 21)}
         | {(n, 30) for n in (30, 31, 32, 33)}
     )
-    assert got == want
+    # both paths must agree: distributed alternating-star and the
+    # small-graph driver union-find
+    for thr in (None, 1_000_000):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(
+                df, "id_a", "id_b", driver_threshold=thr
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={thr}"
 
 
 def test_connected_components_empty_and_self_loop(spark):

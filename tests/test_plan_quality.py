@@ -1,0 +1,82 @@
+"""Plan-quality assertions for the catalog's headline shapes: filters
+reach the parquet scan, column pruning holds, small dims broadcast, and
+the map-side operators stay shuffle-free. These are the properties that
+decide 100 TB behavior — value correctness is covered by the oracle
+suite; this file pins the PLANS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators import joins as join_ops
+from odin_rs_spark.sources.tables import load_table
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, "lineitem", sf_dir)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, lineitem):
+    q = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "l_quantity" in pushed, pushed
+
+
+def test_column_pruning_in_read_schema(spark, lineitem):
+    q = lineitem.select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # the 14 other lineitem columns must not be read
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    q = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _executed(q)
+
+
+def test_nearest_inline_join_is_shuffle_free(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        ((F.col("value") * 0.7) % 360 - 180).alias("lon"),
+        ((F.col("value") * 0.3) % 170 - 85).alias("lat"),
+    )
+    track = spark.range(50).select(
+        F.col("id").alias("track_idx"),
+        (F.col("id") * 7.2 - 180.0).alias("t_lon"),
+        (F.sin(F.col("id") * 0.4) * 60.0).alias("t_lat"),
+    )
+    q = join_ops.haversine_nearest_join(ev, track)
+    plan = _executed(q)
+    # broadcast of the packed right side is fine; no shuffle exchange of
+    # the big left side may appear before the argmin
+    assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.select("user_id", "ts", "event_id").limit(10000)
+    right = ev.select("user_id", "ts", F.col("value").alias("obs"))
+    q = join_ops.asof_join(left, right, on="user_id", ts="ts")
+    plan = _executed(q)
+    # the union+window as-of algorithm must not degenerate into a join:
+    # no SortMergeJoin/BroadcastNestedLoopJoin nodes at all
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
