@@ -449,3 +449,96 @@ def ivf_fixed_topk(
     )
     qn = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)
+
+
+def pq_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_ids: list,
+    k: int = 5,
+    num_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with a deterministic codebook: the
+    corpus vectors whose ids are in `codebook_ids` serve as the
+    per-subspace centroids (code = position in the list), so the whole
+    pipeline — encode, distance tables, ADC scan — replays in plain SQL
+    for the oracle (the ivf_fixed_topk pattern).
+
+    Scale story: PQ is the memory tier of the ANN ladder (brute → LSH →
+    IVF → PQ). Each corpus vector stores only num_sub small codes
+    (4 bytes here vs 256 for the raw float64x64 vector); the query scan
+    does table LOOKUPS (element_at) instead of d-dim float math, all
+    JVM-side. Queries broadcast with their precomputed distance tables;
+    the corpus side never shuffles. Encode is one Arrow pass against
+    the closure-resident codebook. Exact re-rank of the ADC top-R
+    (compose with cosine_topk on the survivors) is the standard recall
+    refinement at production scale.
+
+    approx_dist = Σ_m ‖q_m − c_{code_m}‖² (squared L2, ADC). Ties break
+    on the candidate id; encode ties break on the lower code.
+    """
+    n_code = len(codebook_ids)
+    rows = {
+        r[0]: r[1]
+        for r in corpus.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    C = np.asarray([rows[i] for i in codebook_ids], dtype=np.float64)
+    dim = C.shape[1]
+    sub = dim // num_sub
+    Cs = C.reshape(n_code, num_sub, sub)
+
+    @pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            X = np.asarray(x, dtype=np.float64).reshape(num_sub, sub)
+            # d2[j, m] = ||X[m] - Cs[j, m]||²; argmin over j (ties → low j)
+            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
+            out.append(d2.argmin(axis=0).astype("int32"))
+        return pd.Series(out)
+
+    @pandas_udf("array<double>")
+    def _dtable(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            X = np.asarray(x, dtype=np.float64).reshape(num_sub, sub)
+            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)  # (n_code, num_sub)
+            # flatten in (m, j) order: entry m*n_code + j
+            out.append(d2.T.reshape(-1))
+        return pd.Series(out)
+
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    coded = corpus.select(F.col(id_col), _encode(F.col(vec_col)).alias("__codes"))
+    qt = queries.select(
+        F.col(query_id_col), _dtable(F.col(vec_col)).alias("__qt")
+    )
+    approx = F.lit(0.0)
+    for m in range(num_sub):
+        approx = approx + F.element_at(
+            F.col("__qt"),
+            F.lit(m * n_code + 1) + F.element_at(F.col("__codes"), m + 1),
+        )
+    # rank on the ROUNDED distance: duplicate corpus vectors make exact
+    # mathematical ties, and last-ulp summation noise (numpy pairwise
+    # here, hash-agg order in a SQL replay) would order them at random —
+    # rounding collapses the tie so the id tiebreak decides it
+    scored = (
+        coded.crossJoin(F.broadcast(qt))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("approx_dist", F.round(approx, 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_dist", "rank")
+    )

@@ -132,3 +132,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", num_hashes: int = 8) -> D
     return staged.withColumn(
         "fingerprint", F.slice(F.array_sort(F.col("__h")), 1, num_hashes)
     ).drop("__w", "__sh", "__h")
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    tf(term, doc) · (ln((N+1)/(df+1)) + 1), ties broken by term text.
+
+    Scale shape: two hash-shuffles — (doc, term) for term frequency,
+    (term) for document frequency — then one equi-join back on term and
+    a per-doc top-k window. The corpus size N rides in as a broadcast
+    1-row cross join so the plan stays fully lazy (no driver count).
+    Stop-word-heavy df rows are the skew risk at 100 TB; the (term)
+    aggregation is a plain count that AQE splits fine, and the join
+    side carrying documents is the one that stays partitioned.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

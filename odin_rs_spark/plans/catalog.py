@@ -2404,6 +2404,84 @@ FROM events GROUP BY event_type
 """
 
 
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tf_idf_top_terms(docs, k=3)
+
+
+Q67_SQL = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q68 — product-quantization ANN with a deterministic fixed-id codebook:
+# encode (per-subspace argmin), query distance tables, ADC top-k — the
+# memory tier of the ANN ladder, fully replayed in SQL like q59.
+# --------------------------------------------------------------------------
+
+_Q68_CODES = [11, 23, 37, 41, 53, 67, 79, 97]
+_Q68_D2 = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "({a}.embedding[m.range*16+i]::DOUBLE - c.cv[m.range*16+i]::DOUBLE)"
+    " * ({a}.embedding[m.range*16+i]::DOUBLE - c.cv[m.range*16+i]::DOUBLE)))"
+)
+
+
+def q68_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.pq_fixed_topk(emb, queries, _Q68_CODES, k=5, num_sub=4)
+
+
+Q68_SQL = f"""
+WITH cents AS (
+  SELECT list_position({_Q68_CODES}, vec_id) - 1 AS j, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q68_CODES)}),
+sub AS (
+  SELECT e.vec_id, m.range AS m, c.j, {_Q68_D2.format(a='e')} AS d2
+  FROM embeddings e, range(0, 4) m, cents c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+    FROM sub) WHERE rn = 1),
+qtab AS (
+  SELECT e.vec_id AS query_id, m.range AS m, c.j, {_Q68_D2.format(a='e')} AS d2
+  FROM embeddings e, range(0, 4) m, cents c WHERE e.vec_id < 5),
+approx AS (
+  SELECT q.query_id, cd.vec_id, sum(q.d2) AS adist
+  FROM qtab q JOIN codes cd ON cd.m = q.m AND cd.code = q.j
+  WHERE cd.vec_id <> q.query_id
+  GROUP BY q.query_id, cd.vec_id)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+  SELECT query_id, vec_id, round(adist, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adist, 6) ASC, vec_id ASC)::INT AS rank
+  FROM approx) WHERE rank <= 5
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2473,6 +2551,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
         QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
         QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
+        QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
+        QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
     ]
 }
 
