@@ -141,3 +141,30 @@ def backfill_then_live(
         fresh.write.mode("append").parquet(store_dir)
 
     run_available_now(stream, dedup_append, checkpoint_dir, output_mode="append")
+
+
+def session_window_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessions via the built-in session_window:
+    per-(key, session) event counts and span, sessions closing when no
+    event arrives for `gap`. The live twin of the batch
+    `operators.windows.sessionize` (q65) — same session boundaries on
+    the same data once the watermark passes. Session-window state
+    merges adjacent windows on arrival, so state size is O(open
+    sessions per key), not O(events)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

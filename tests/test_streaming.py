@@ -298,3 +298,48 @@ def test_snapshot_delta_sink(spark, events_small, replay_root, tmp_path):
     exp_ts = {r.key: r.ts for r in batch_latest.collect()}
     got_ts = {r.key: r.ts for r in s.collect()}
     assert got_ts == exp_ts
+
+
+def test_session_window_matches_batch_sessionize(
+    spark, events_small, replay_root, tmp_path
+):
+    """Streaming session_window must produce the same session boundaries
+    as the batch sessionize operator once all data is in (complete
+    replay, watermark passed)."""
+    from odin_rs_spark.operators.windows import session_stats
+
+    stream = _replay(spark, events_small, replay_root)
+    rows = []
+    sessions = pipelines.session_window_counts(
+        stream, key="key", ts_col="ts", gap="30 minutes", watermark="0 seconds"
+    )
+    pipelines.run_available_now(
+        sessions,
+        lambda df, bid: rows.extend(df.collect()),
+        str(tmp_path / "ckpt_sess"),
+        output_mode="complete",
+    )
+    # complete mode re-emits everything per batch: keep the final state
+    # per (key, session_start)
+    final: dict = {}
+    for r in rows:
+        final[(r.key, r.session_start)] = r
+    got = {(k[0], k[1], r.session_end, r.n_events) for k, r in final.items()}
+
+    batch = session_stats(
+        events_small, key="key", ts="ts", gap_minutes=30, tiebreak=["event_id"]
+    ).collect()
+    # session_window's end = last event + gap; sessionize's session_end =
+    # last event ts. Compare on (key, start, last-event, count).
+    import datetime as _dt
+
+    want = {
+        (
+            r.key,
+            r.session_start,
+            r.session_end + _dt.timedelta(minutes=30),
+            r.n_events,
+        )
+        for r in batch
+    }
+    assert got == want
