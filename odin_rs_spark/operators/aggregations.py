@@ -104,3 +104,22 @@ def group_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct-count per group (`approx_count_distinct`).
+
+    The scale path for cardinality: constant memory per group vs the
+    exact count's per-key state, mergeable map-side. Not oracle-checked
+    (engines' HLL implementations differ by design); tests pin the
+    relative error against the exact count instead.
+    """
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(value, rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -93,3 +93,68 @@ def test_bucketed_join_has_no_shuffle(spark, events, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS users_bucketed")
+
+
+def test_zorder_key_matches_reference(spark):
+    from odin_rs_spark.operators.skew import zorder_key
+
+    def ref(x: int, y: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.range(500).select(
+        (F.col("id") % 40).cast("int").alias("x"),
+        ((F.col("id") / 40).cast("int") * 3 % 30).cast("int").alias("y"),
+    )
+    got = df.withColumn("z", zorder_key(F.col("x"), F.col("y"))).collect()
+    for r in got:
+        assert r.z == ref(r.x, r.y), (r.x, r.y)
+
+
+def test_zordered_layout_prunes_bbox_scan(spark, tmp_path):
+    from odin_rs_spark.operators.skew import write_zordered, zorder_key
+
+    cells = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    path = str(tmp_path / "zcells")
+    write_zordered(cells, path, "x", "y", bits=6, num_files=8)
+    back = spark.read.parquet(path)
+    # a bbox restated as a z-range prefilter + exact bbox predicate:
+    # the z-range is a sargable parquet filter (row-group min/max prune),
+    # the bbox check keeps exactness
+    zlo, zhi = 0, 4095  # z-range covering the x,y < 64 quadrant subset
+    q = back.filter(
+        (F.col("__z") >= zlo) & (F.col("__z") <= zhi)
+        & F.col("x").between(0, 15) & F.col("y").between(0, 15)
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "__z" in pushed
+    want = {(r.x, r.y) for r in cells.filter(
+        F.col("x").between(0, 15) & F.col("y").between(0, 15)).collect()}
+    # z-range [0, 4095] contains the whole 16x16 quadrant (bits interleave
+    # to < 2^12) so the prefilter loses nothing
+    assert {(r.x, r.y) for r in q.collect()} == want
+
+
+def test_approx_distinct_within_rsd(spark, events):
+    from odin_rs_spark.operators.aggregations import approx_distinct
+
+    got = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct(events, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(3, 0.15 * n), (k, got[k], n)
