@@ -20,8 +20,10 @@ from odin_rs_spark.plans import catalog as _catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary, TPC-H Q1 shape) on sf0.001."""
-    return _catalog.q01_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship query on sf0.001: the reference's canonical hotspot flow
+    end-to-end (mask filter → quality recode → GOES fixed-grid →
+    quantized DEM join → class counts → newest-N retention)."""
+    return _catalog.q56_hotspot_slice(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2482,6 +2482,70 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q69 — the training-data prep flagship, composed end-to-end:
+# quality filter (C4/Gopher-style) → exact dedup (min-id per normalized
+# text) → deterministic hash sample → per-source corpus stats. The whole
+# recipe is reproducible: rerunning (or re-running in another engine)
+# keeps the SAME documents.
+# --------------------------------------------------------------------------
+
+def q69_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs).filter(F.col("quality") >= 0.5)
+    deduped = dedup_ops.exact_dedup(scored)
+    sampled = corpus_ops.hash_sample(deduped, 0.5, key="doc_id", salt="prep")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.round(F.sum("quality"), 3).alias("sum_quality"),
+    )
+
+
+_Q69_QUALITY_CTE = r"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS n_space,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_words
+  FROM documents),
+scored AS (
+  SELECT doc_id, source, text,
+         round(
+           0.25 * least(n_words / 50.0, 1.0)
+           + 0.25 * (n_alpha / greatest(n_chars, 1.0))
+           + 0.25 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 4, 1.0))
+           + 0.25 * (CASE WHEN n_words > 0
+                          AND (n_chars - n_space) / n_words BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM feats),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+deduped AS (
+  SELECT * FROM kept WHERE doc_id IN (
+    SELECT min(doc_id) FROM kept
+    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE {hfrac} < CAST(0.5 AS DOUBLE))
+"""
+
+Q69_SQL = (
+    _Q69_QUALITY_CTE.format(
+        hfrac=_HFRAC.format(k="doc_id::VARCHAR || 'prep'")
+    )
+    + """
+SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id,
+       round(sum(quality), 3) AS sum_quality
+FROM sampled GROUP BY source
+"""
+)
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2553,6 +2617,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
         QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
         QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
+        QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
     ]
 }
 
