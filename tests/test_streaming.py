@@ -343,3 +343,44 @@ def test_session_window_matches_batch_sessionize(
         for r in batch
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, events_small, replay_root, tmp_path
+):
+    """Watermarked stream-stream interval join must produce the same
+    matches as the equivalent batch join once both streams drain."""
+    from odin_rs_spark.streaming import joins as stream_joins
+
+    left = _replay(spark, events_small, replay_root).select(
+        "key", "ts", F.col("event_id").alias("l_id")
+    )
+    right = _replay(spark, events_small, replay_root).select(
+        "key", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = stream_joins.interval_join_streams(
+        left, right, on="key", window="10 minutes", watermark="0 seconds"
+    )
+    rows = []
+    pipelines.run_available_now(
+        joined,
+        lambda df, bid: rows.extend(df.collect()),
+        str(tmp_path / "ckpt_ssj"),
+        output_mode="append",
+    )
+    got = {(r.key, r.l_id, r.r_id) for r in rows}
+
+    lb = events_small.select("key", "ts", F.col("event_id").alias("l_id"))
+    rb = events_small.select(
+        "key", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    want = {
+        (r.key, r.l_id, r.r_id)
+        for r in lb.join(rb, "key")
+        .where(
+            (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 minutes"))
+            & (F.col("r_ts") <= F.col("ts"))
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
