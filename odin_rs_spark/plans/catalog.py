@@ -2546,6 +2546,100 @@ FROM sampled GROUP BY source
 )
 
 
+def q70_pivot_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: events per (event_type, day-of-week) as a pivoted wide
+    table. Spark's pivot with an EXPLICIT value list compiles to
+    when/sum conditional aggregation — one shuffle, map-side partials;
+    an implicit pivot would add a distinct-values job first (driver
+    round-trip an engine should avoid). Day-of-week normalized to
+    0=Sunday to match DuckDB's date_part('dow')."""
+    ev = _t(spark, sf_dir, "events")
+    dowed = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).alias("__dow")
+    )
+    out = dowed.groupBy("event_type").pivot("__dow", list(range(7))).count()
+    for i in range(7):
+        out = out.withColumnRenamed(str(i), f"d{i}")
+    return out.select(
+        "event_type", *[F.coalesce(F.col(f"d{i}"), F.lit(0)).alias(f"d{i}") for i in range(7)]
+    )
+
+
+Q70_SQL = """
+SELECT event_type,
+       {cols}
+FROM events GROUP BY event_type
+""".format(
+    cols=",\n       ".join(
+        f"sum(CASE WHEN date_part('dow', ts) = {i} THEN 1 ELSE 0 END)::BIGINT AS d{i}"
+        for i in range(7)
+    )
+)
+
+
+def q71_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (melt) of per-flag revenue measures: the
+    DataFrame.unpivot relational primitive (UNION ALL of projections in
+    SQL), map-side only after the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+Q71_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc_price' AS measure, sum_disc_price AS value FROM wide
+"""
+
+
+def q72_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (per-type, per-user-bucket, grand total) with
+    grouping_id to disambiguate the null-key rows — one pass, one
+    shuffle (Spark expands sets map-side, same as cube/rollup)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("user_bucket"), "value"
+    )
+    ev.createOrReplaceTempView("__ev72")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket,
+               CAST(grouping_id(event_type, user_bucket) AS BIGINT) AS gid,
+               count(*) AS n, round(sum(value), 3) AS sum_value
+        FROM __ev72
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+Q72_SQL = """
+SELECT event_type, user_bucket,
+       grouping(event_type, user_bucket)::BIGINT AS gid,
+       count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
+FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -2618,6 +2712,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
         QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
         QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
+        QuerySpec("q70_pivot_dow", q70_pivot_dow, Q70_SQL, "pivot"),
+        QuerySpec("q71_unpivot_measures", q71_unpivot_measures, Q71_SQL, "unpivot"),
+        QuerySpec("q72_grouping_sets", q72_grouping_sets, Q72_SQL, "grouping-sets"),
     ]
 }
 
