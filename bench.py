@@ -56,11 +56,21 @@ def main() -> None:
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name, spec in CATALOG.items():
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
-            run_query(spec.fn(spark, sf_dir))
+            try:
+                # fault-isolated: one broken query must not zero out the
+                # round's entire perf signal (round-1 bench died at q16's
+                # AnalysisException before timing anything)
+                run_query(spec.fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+                print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+                best = float("inf")
+                break
             best = min(best, time.perf_counter() - t0)
             # isolate queries from each other: drop persisted frames the
             # previous run left behind and let the JVM collect between
@@ -73,20 +83,20 @@ def main() -> None:
         # neighbors (identical runs minutes apart swing 2-4x on
         # individual queries), and min is the standard noise-robust
         # point estimate for a deterministic workload
-        timings[name] = round(best, 3)
+        if name not in failures:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

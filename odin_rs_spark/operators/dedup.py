@@ -210,26 +210,18 @@ def band_hash_udf(num_perm: int = 128, bands: int = 32):
     return _bh
 
 
-def lsh_candidate_pairs(
+def _banded_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    num_perm: int = 128,
-    bands: int = 32,
-    parallelism: int | None = None,
-    shingles: DataFrame | None = None,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_perm: int,
+    bands: int,
+    parallelism: int | None,
+    shingles: DataFrame | None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (id_a < id_b).
-
-    signature → `bands` band-hashes → explode → self-join on
-    (band, band_hash) → distinct pairs. The join is a plain equi-join
-    Catalyst shuffles on the band bucket; distinct() dedups pairs that
-    collide in several bands.
-
-    `shingles` lets a caller share one materialized (id, __sh) frame
-    across the candidate and verification stages (see near_dup_pairs).
-    """
+    """(id, band, bhash) frame: the LSH bucket assignment shared by the
+    candidate-pair and bucket-audit paths."""
     if parallelism:
         # shingle+hash compute is scan-bound CPU; a single-row-group
         # local parquet arrives as ONE partition — spread it first
@@ -245,28 +237,94 @@ def lsh_candidate_pairs(
     # permutation mins + banding fused in one Arrow/numpy kernel (see
     # band_hash_udf: both runtime and plan-compile-time win vs the
     # 128-HOF + 32-struct expression form)
-    banded = base.select(
+    return base.select(
         F.col(id_col),
         F.posexplode_outer(band_hash_udf(num_perm, bands)(F.col("__h"))).alias(
             "band", "bhash"
         ),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    parallelism: int | None = None,
+    shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b).
+
+    signature → `bands` band-hashes → explode → self-join on
+    (band, band_hash) → distinct pairs. The join is a plain equi-join
+    Catalyst shuffles on the band bucket; distinct() dedups pairs that
+    collide in several bands.
+
+    `shingles` lets a caller share one materialized (id, __sh) frame
+    across the candidate and verification stages (see near_dup_pairs).
+
+    `max_bucket_size` is the 100 TB safety valve: in-bucket pair expansion
+    is quadratic per bucket, which is fine for genuine LSH buckets (tiny by
+    construction) but a corpus with millions of identical/boilerplate docs
+    lands them in ONE bucket and the expansion never finishes. Buckets with
+    more ids are dropped whole (their members are degenerate duplicates a
+    cheap exact-dedup pass catches first — SURVEY's dedup ladder runs exact
+    dedup before MinHash). Audit what was dropped with
+    `lsh_oversized_buckets` on the same inputs.
+    """
+    banded = _banded_signatures(
+        df, id_col, text_col, shingle_n, num_perm, bands, parallelism, shingles
+    )
     # bucket-group instead of self-join: a self-join recomputes the whole
     # signature pipeline on BOTH sides (broadcast join defeats exchange
     # reuse); groupBy computes it once and shuffles only (band,bhash,id).
-    # In-bucket pair expansion is quadratic per bucket — fine because LSH
-    # buckets are tiny by construction; at 100 TB add a bucket-size cap
-    # (oversized buckets mean degenerate/boilerplate docs).
-    return _bucket_pairs(banded, ["band", "bhash"], id_col)
+    return _bucket_pairs(banded, ["band", "bhash"], id_col, max_bucket_size)
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def lsh_oversized_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    parallelism: int | None = None,
+    shingles: DataFrame | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bhash, n_ids) for LSH buckets over the cap — the audit twin
+    of `lsh_candidate_pairs(max_bucket_size=...)`: a pipeline that caps
+    buckets silently reads as 'covered everything' when it didn't, so the
+    dropped buckets get their own countable frame."""
+    banded = _banded_signatures(
+        df, id_col, text_col, shingle_n, num_perm, bands, parallelism, shingles
+    )
+    return (
+        banded.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
+    )
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs of ids sharing a bucket. One shuffle
-    (the groupBy); pair expansion is a JVM array expression."""
+    (the groupBy); pair expansion is a JVM array expression. Buckets above
+    `max_bucket_size` (degenerate duplicates) are dropped before the
+    quadratic expansion."""
     ids = F.array_sort(F.collect_set(F.col(id_col)))
     buckets = (
         df.groupBy(*bucket_cols).agg(ids.alias("__ids")).filter(F.size("__ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     pairs = F.flatten(
         F.transform(
             F.col("__ids"),
@@ -321,6 +379,7 @@ def near_dup_pairs(
     num_perm: int = 128,
     bands: int = 32,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocked + exactly-verified near-duplicate pairs.
 
@@ -344,7 +403,14 @@ def near_dup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     cand = lsh_candidate_pairs(
-        df, id_col, text_col, shingle_n, num_perm, bands, shingles=sh
+        df,
+        id_col,
+        text_col,
+        shingle_n,
+        num_perm,
+        bands,
+        shingles=sh,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_pairs(
         df, cand, id_col, text_col, shingle_n, threshold, shingles=sh

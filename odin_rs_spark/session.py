@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver's parquet stores ts with isAdjustedToUTC=0; without this
+        # Spark 4 infers TIMESTAMP_NTZ, which unix_micros/withWatermark/cast
+        # reject. Session TZ is pinned UTC so LTZ values are identical to the
+        # stored instants and DuckDB-oracle parity holds.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Driver/executor memory only applies at JVM launch (harmless later).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -52,6 +52,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # deterministic event-time semantics + DuckDB-oracle parity even
         # when the caller's session was built without engine defaults
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # parquet isAdjustedToUTC=0 must read as TIMESTAMP (LTZ), not NTZ:
+        # unix_micros / withWatermark / double casts all require TIMESTAMP,
+        # and with the session TZ pinned UTC the instants are unchanged
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     nano_cols = _nano_ts_columns(path)
@@ -64,6 +68,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     for c in nano_cols:
         # integer div (not fp: ns since epoch exceeds double's 53-bit mantissa)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ). Defensive sweep for
+    sessions that read before the inferTimestampNTZ conf landed: the engine's
+    event-time operators (unix_micros, watermarks, double casts) all require
+    TIMESTAMP, and with the session TZ pinned UTC the cast is value-preserving.
+    """
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

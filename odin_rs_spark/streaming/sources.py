@@ -32,13 +32,22 @@ def file_stream(
     """Incremental file listing source (S1/S6 semantics). At 100 TB the
     listing cost is bounded by partition-path layout (source/yyyy/ddd/hh
     in the reference, =partition dirs here) — pass a glob that prunes."""
+    try:
+        # parquet isAdjustedToUTC=0 must stream as TIMESTAMP (LTZ), not NTZ:
+        # withWatermark and window() require TIMESTAMP (session TZ is UTC so
+        # the instants are unchanged)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     reader = spark.readStream.schema(schema)
     opts = dict(options or {})
     if max_files_per_trigger is not None:
         opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
     for k, v in opts.items():
         reader = reader.option(k, v)
-    return reader.format(fmt).load(path)
+    from odin_rs_spark.sources.tables import normalize_ntz
+
+    return normalize_ntz(reader.format(fmt).load(path))
 
 
 def split_for_replay(

@@ -128,3 +128,32 @@ def test_connected_components_empty_and_self_loop(spark):
     df = spark.createDataFrame([Row(id_a=7, id_b=7), Row(id_a=8, id_b=9)])
     got = {(r.node, r.component) for r in connected_components(df).collect()}
     assert got == {(8, 8), (9, 8)}
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A corpus dominated by one identical boilerplate doc puts every copy
+    in the same LSH bucket per band; the cap must drop those buckets before
+    the quadratic in-bucket expansion, keep genuine near-dup pairs, and the
+    audit twin must report the dropped buckets."""
+    from odin_rs_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter for daily updates and offers " * 5
+    rows = [Row(doc_id=i, text=boiler) for i in range(40)]
+    # one genuine near-dup pair, textually far from the boilerplate
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows += [Row(doc_id=100, text=a), Row(doc_id=101, text=a + " again")]
+    df = spark.createDataFrame(rows)
+
+    capped = dedup.lsh_candidate_pairs(df, max_bucket_size=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got
+    # every 40-copy boilerplate bucket is over the cap → none of its pairs
+    assert all(p == (100, 101) for p in got)
+
+    uncapped = {
+        (r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(df).collect()
+    }
+    assert (0, 1) in uncapped and len(uncapped) > len(got)
+
+    dropped = dedup.lsh_oversized_buckets(df, max_bucket_size=10).collect()
+    assert len(dropped) > 0 and all(r.n_ids == 40 for r in dropped)
