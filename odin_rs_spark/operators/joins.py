@@ -268,16 +268,26 @@ def nearest_join(
             F.col("__m.row.*"),
             F.col("__m.d").alias("__dist"),
         )
-    order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
-    w = Window.partitionBy(left_key).orderBy(*order)
-    out = (
-        joined.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+    # k>1: aggregate a NARROW struct per candidate and take the k
+    # smallest per left key with slice(array_sort(...)). The former
+    # window-rank plan shuffled the FULL |L|×|R| joined rows; this
+    # shuffles |L|×|R| minimal (__dist, tiebreaks, payload) structs —
+    # same row count but a fraction of the bytes when the joined row is
+    # wide — and the sort runs per-group in the aggregate, not as a
+    # global partition sort. Per-group state is |R| minimal structs,
+    # bounded by the broadcast-size right side this operator targets.
+    payload = payload or [c for c in joined.columns if c not in (left_key, "__dist")]
+    cand = F.struct(
+        F.col("__dist").alias("d"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak or [])],
+        F.struct(*[F.col(c) for c in payload]).alias("row"),
     )
-    if payload is not None:
-        out = out.select(left_key, *payload, "__dist")
-    return out
+    topk = joined.groupBy(left_key).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__top")
+    )
+    return topk.select(
+        F.col(left_key), F.explode("__top").alias("__m")
+    ).select(left_key, F.col("__m.row.*"), F.col("__m.d").alias("__dist"))
 
 
 def nearest_inline_join(

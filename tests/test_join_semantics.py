@@ -128,3 +128,25 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     # 4 hyperplanes → 16 buckets; deterministic signatures. Pinned floor:
     # measured ~0.8 on the seeded sf0.001/sf0.01 embeddings.
     assert recall >= 0.5, f"ANN recall degraded: {recall:.3f}"
+
+
+def test_nearest_join_topk_matches_bruteforce(spark):
+    """k>1 nearest: the top-k aggregation path must equal a brute-force
+    per-key sort, including deterministic tie-breaking."""
+    random.seed(7)
+    lrows = [Row(pid=i, x=random.uniform(0, 100)) for i in range(40)]
+    rrows = [Row(rid=j, rx=random.uniform(0, 100)) for j in range(25)]
+    left, right = spark.createDataFrame(lrows), spark.createDataFrame(rrows)
+    dist = F.abs(F.col("x") - F.col("rx"))
+    got = joins.nearest_join(
+        left, right, dist, "pid", k=3, tiebreak=["rid"], payload=["rid"]
+    ).collect()
+    by_pid = {}
+    for row in got:
+        by_pid.setdefault(row.pid, []).append((row["__dist"], row.rid))
+    exp = {
+        l.pid: sorted(((abs(l.x - r.rx), r.rid) for r in rrows))[:3] for l in lrows
+    }
+    assert set(by_pid) == set(exp)
+    for pid, pairs in by_pid.items():
+        assert sorted(pairs) == [(d, rid) for d, rid in exp[pid]], pid
