@@ -183,3 +183,90 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters + PII detection (corpus-prep; C4/Gopher-style
+# repeated-phrase rules and regex PII scrubbing — standard steps of a
+# large-scale training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-doc n-gram repetition features (the C4/Gopher repeated-phrase
+    family): total / top / distinct n-gram counts plus
+    `top_ngram_frac` (share of the single most frequent n-gram) and
+    `distinct_ngram_frac`. Docs with fewer than `ngram` words have no
+    n-grams and are excluded.
+
+    Plan shape: words materialize ONCE as a projection (HOF lambdas get
+    no CSE), then explode → count per (doc, gram) → per-doc aggregate —
+    two shuffles, both keyed by doc id, both map-side combinable. At
+    100 TB the (doc, gram) key is high-cardinality but uniform; no skew
+    (a single doc's grams bound the group).
+    """
+    words = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w"))
+    base = base.filter(F.size("__w") >= ngram)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__w") - F.lit(ngram)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.try_element_at(F.col("__w"), (i + F.lit(j + 1)).cast("int")) for j in range(ngram)],
+        ),
+    )
+    exploded = base.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.explode(grams).alias("__g")
+    )
+    per_gram = exploded.groupBy(id_col, *extra_cols, "__g").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_gram.groupBy(id_col, *extra_cols)
+        .agg(
+            F.sum("__n").alias("total_ngrams"),
+            F.max("__n").alias("top_ngram_count"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.round(F.col("top_ngram_count").cast("double") / F.col("total_ngrams"), 6),
+        )
+        .withColumn(
+            "distinct_ngram_frac",
+            F.round(F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"), 6),
+        )
+    )
+
+
+# Deliberately simple, cross-engine-portable patterns (same semantics in
+# Java regex and RE2/DuckDB: no lookaround, no backrefs). Real pipelines
+# extend the dict; every entry must stay portable so the DuckDB oracle
+# can replay detection exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern in the text (JVM regexp, no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace each PII match with a '[KIND]' token. Email runs before
+    ipv4 so an IP-shaped mail domain is consumed by the email rule, and
+    phone before ipv4 keeps separator-digit runs unambiguous."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c

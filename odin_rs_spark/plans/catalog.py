@@ -2696,6 +2696,122 @@ SELECT * FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# q74 — repetition quality filter (C4/Gopher repeated-phrase rules):
+# per-doc bigram repetition features, pass/fail flag, per-source rollup.
+# --------------------------------------------------------------------------
+
+def q74_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rep = text_ops.repetition_stats(docs, ngram=2, extra_cols=("source",))
+    ok = (F.col("top_ngram_frac") <= 0.18) & (F.col("distinct_ngram_frac") >= 0.5)
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ok.cast("bigint")).alias("n_pass"),
+        F.round(F.sum("top_ngram_frac"), 3).alias("sum_top_frac"),
+        F.round(F.sum("distinct_ngram_frac"), 3).alias("sum_distinct_frac"),
+    )
+
+
+Q74_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+f AS (SELECT doc_id, source, w FROM w WHERE len(w) >= 2),
+e AS (SELECT doc_id, source,
+             unnest([concat_ws(' ', w[i], w[i+1]) for i in range(1, len(w))]) AS g
+      FROM f),
+c AS (SELECT doc_id, source, g, count(*) AS n FROM e GROUP BY doc_id, source, g),
+s AS (SELECT doc_id, source,
+             round(max(n)::DOUBLE / sum(n), 6) AS top_frac,
+             round(count(*)::DOUBLE / sum(n), 6) AS dist_frac
+      FROM c GROUP BY doc_id, source)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN top_frac <= 0.18 AND dist_frac >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(sum(top_frac), 3) AS sum_top_frac,
+       round(sum(dist_frac), 3) AS sum_distinct_frac
+FROM s GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q75 — PII detection + redaction stats. PII is seeded deterministically
+# (synthetic docs contain none) the same way on both sides; detection and
+# redaction run on portable regexes (identical Java/RE2 semantics).
+# --------------------------------------------------------------------------
+
+def q75_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" host 192.168.10.42")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    counted = seeded.select(
+        "source",
+        "text",
+        text_ops.pii_count("text", "email").alias("n_email"),
+        text_ops.pii_count("text", "phone").alias("n_phone"),
+        text_ops.pii_count("text", "ipv4").alias("n_ipv4"),
+        (F.length("text") - F.length(text_ops.redact_pii(F.col("text")))).alias("__delta"),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).cast("bigint")).alias(
+            "docs_with_pii"
+        ),
+        F.sum("__delta").cast("bigint").alias("redacted_chars"),
+    )
+
+
+Q75_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.10.42' ELSE '' END AS text
+  FROM documents),
+counted AS (
+  SELECT source, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+         len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g')) AS delta
+  FROM seeded)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_email)::BIGINT AS emails, sum(n_phone)::BIGINT AS phones,
+       sum(n_ipv4)::BIGINT AS ipv4s,
+       sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       sum(delta)::BIGINT AS redacted_chars
+FROM counted GROUP BY source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -2706,6 +2822,8 @@ CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
         QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
+        QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
+        QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),

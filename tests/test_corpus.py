@@ -157,3 +157,31 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
 
     dropped = dedup.lsh_oversized_buckets(df, max_bucket_size=10).collect()
     assert len(dropped) > 0 and all(r.n_ids == 40 for r in dropped)
+
+
+def test_repetition_stats_and_pii(spark):
+    from odin_rs_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),  # one bigram repeated
+            Row(doc_id=2, text="all words here are fully distinct tokens"),
+            Row(doc_id=3, text="short"),  # < 2 words → excluded
+        ]
+    )
+    rep = {r.doc_id: r for r in text_ops.repetition_stats(docs).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1].top_ngram_frac == 1.0 and rep[1].distinct_ngrams == 1
+    assert rep[2].top_ngram_frac < 0.2 and rep[2].distinct_ngram_frac == 1.0
+
+    pii = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b@test.org or 555-123-4567 at 10.0.0.1 ok")]
+    )
+    row = pii.select(
+        text_ops.pii_count("text", "email").alias("e"),
+        text_ops.pii_count("text", "phone").alias("p"),
+        text_ops.pii_count("text", "ipv4").alias("i"),
+        text_ops.redact_pii(F.col("text")).alias("red"),
+    ).collect()[0]
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+    assert row.red == "mail [EMAIL] or [PHONE] at [IPV4] ok"
