@@ -133,3 +133,44 @@ def pack_sequences(
     return out.withColumn(
         "chunk_pos", (F.row_number().over(wp) - 1).cast("long")
     ).drop("__run")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into fixed-size word-window chunks with overlap
+    (stride < chunk_size), the standard context-window prep for training
+    and retrieval corpora. Chunk starts are 0, stride, 2·stride, … while
+    < n_words, so every word lands in ≥1 chunk and consecutive chunks
+    overlap by (chunk_size − stride) words.
+
+    One explode, no shuffle: chunking is embarrassingly parallel per
+    doc; downstream packing/grouping decides the partitioning. Output:
+    (id, extra…, chunk_id, chunk_text, n_words).
+    """
+    from odin_rs_spark.functions.text import norm_text
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
+    ).withColumn("__n", F.size("__w"))
+    n_chunks = F.lit(1) + F.expr(f"(__n - 1) div {stride}")
+    exploded = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        "__w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    cw = F.slice(F.col("__w"), F.col("chunk_id") * stride + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        "chunk_id",
+        F.array_join(cw, " ").alias("chunk_text"),
+        F.size(cw).alias("n_words"),
+    )

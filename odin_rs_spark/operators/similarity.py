@@ -542,3 +542,73 @@ def pq_fixed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_dist", "rank")
     )
+
+
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    parallelism: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs (id_a < id_b, cos ≥
+    threshold): multi-table sign-LSH buckets → in-bucket distinct pairs
+    → exact cosine verification.
+
+    Same scale shape as the text MinHash path: candidates come from a
+    bucket groupBy (one shuffle of (tbl, bucket, id)), vectors re-join
+    only for the candidate pairs, and `max_bucket_size` caps degenerate
+    buckets before the quadratic expansion (a corpus with millions of
+    identical embeddings — default-zero vectors, failed encoders — is
+    the embedding twin of boilerplate text). Identical directions
+    always share every bucket, so threshold≈1 pairs have recall 1.
+    """
+    from odin_rs_spark.operators.dedup import _bucket_pairs
+
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    buckets = bucket_udf(num_planes, dim, num_tables)
+    sig = corpus.select(
+        F.col(id_col), F.posexplode_outer(buckets(F.col(vec_col))).alias("tbl", "bucket")
+    )
+    pairs = _bucket_pairs(sig, ["tbl", "bucket"], id_col, max_bucket_size)
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(F.col(vec_col)).alias("__n")
+    )
+    return (
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+            ),
+            "id_b",
+        )
+        .withColumn("cos_sim", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Transitive embedding near-dup clusters: pairs → connected
+    components → (node, component). The component id is the cluster's
+    minimum member (the canonical keeper for keep-first dedup)."""
+    from odin_rs_spark.operators.dedup import connected_components
+
+    pairs = semantic_near_dup_pairs(corpus, threshold, id_col, vec_col, **kwargs)
+    return connected_components(pairs.select("id_a", "id_b"))

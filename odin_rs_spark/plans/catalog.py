@@ -2812,6 +2812,128 @@ FROM counted GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q76 — semantic (embedding-space) dedup: planted duplicate vectors →
+# sign-LSH candidate pairs → exact cosine ≥ 0.99 → transitive clusters.
+# The synthetic embeddings are near-orthogonal (max candidate cos ≈ 0.51
+# at sf0.01), so duplicates are planted deterministically the same way on
+# both sides: scaled copies share the exact direction (cos = 1), land in
+# every LSH bucket of their original, and stay far above the threshold
+# while every organic pair stays far below — numerically robust parity.
+# --------------------------------------------------------------------------
+
+def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy1 = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    copy2 = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.8)).alias("embedding"),
+    )
+    seeded = emb.unionByName(copy1).unionByName(copy2)
+    cc = sim_ops.semantic_dedup_clusters(
+        seeded, threshold=0.99, parallelism=spark.sparkContext.defaultParallelism
+    )
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("node")), lambda x: x.cast("string")),
+            "-",
+        ).alias("members"),
+    )
+
+
+Q76_SQL = """
+WITH RECURSIVE seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, list_transform(embedding, x -> x * 0.8)
+  FROM embeddings WHERE vec_id % 100 = 0),
+planes AS (
+  SELECT t.range AS t, p.range AS p,
+         list_transform(range(0, 64), d ->
+           ((CAST(concat('0x', substr(md5(d::VARCHAR || '_' || p.range::VARCHAR || '_' || t.range::VARCHAR), 1, 15)) AS BIGINT)
+             % 200003) - 100001)::DOUBLE / 100001.0) AS pv
+  FROM range(8) t, range(4) p),
+sigs AS (
+  SELECT e.vec_id, pl.t,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
+                  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+  FROM seeded e, planes pl GROUP BY e.vec_id, pl.t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+   list_sum(list_transform(range(1,65), i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
+   (sqrt(list_sum(list_transform(range(1,65), i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
+    sqrt(list_sum(list_transform(range(1,65), i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+  FROM cand
+  JOIN seeded ea ON ea.vec_id = id_a
+  JOIN seeded eb ON eb.vec_id = id_b),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM scored WHERE cos >= 0.99
+  UNION
+  SELECT id_b AS u, id_a AS v FROM scored WHERE cos >= 0.99),
+reach AS (
+  SELECT u AS id, u AS r FROM e
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, count(*)::BIGINT AS size,
+       array_to_string(list_transform(list_sort(list(id)), x -> x::VARCHAR), '-') AS members
+FROM comp GROUP BY cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — overlapping context-window chunking (training/RAG corpus prep):
+# fixed 32-word chunks, stride 24, per-source rollup.
+# --------------------------------------------------------------------------
+
+def q77_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = corpus_ops.chunk_documents(
+        docs, chunk_size=32, stride=24, extra_cols=("source",)
+    )
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_words").cast("bigint").alias("sum_chunk_words"),
+        F.max("n_words").alias("max_chunk_words"),
+        F.min("n_words").alias("min_chunk_words"),
+    )
+
+
+Q77_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, source, w,
+         unnest(range(0, 1 + (len(w) - 1) // 24)) AS chunk_id
+  FROM w),
+ch AS (
+  SELECT doc_id, source, chunk_id,
+         list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32) AS cw
+  FROM c)
+SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       sum(len(cw))::BIGINT AS sum_chunk_words,
+       max(len(cw))::INT AS max_chunk_words,
+       min(len(cw))::INT AS min_chunk_words
+FROM ch GROUP BY source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -2824,6 +2946,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
         QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
         QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
+        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
+        QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),

@@ -185,3 +185,38 @@ def test_repetition_stats_and_pii(spark):
     ).collect()[0]
     assert (row.e, row.p, row.i) == (1, 1, 1)
     assert row.red == "mail [EMAIL] or [PHONE] at [IPV4] ok"
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10)))])
+    got = {
+        r.chunk_id: r
+        for r in corpus.chunk_documents(df, chunk_size=4, stride=3).collect()
+    }
+    # starts 0,3,6,9 → 4 chunks; every word covered; overlap of 1 word
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].chunk_text == "w0 w1 w2 w3"
+    assert got[1].chunk_text == "w3 w4 w5 w6"
+    assert got[3].chunk_text == "w9" and got[3].n_words == 1
+    covered = set()
+    for r in got.values():
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_semantic_dedup_clusters_planted(spark):
+    import random
+
+    from odin_rs_spark.operators.similarity import semantic_dedup_clusters
+
+    random.seed(3)
+    rows = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(64)])
+        for i in range(30)
+    ]
+    # plant: 100 = 2×(vec 0), 101 = -3×(vec 5) (opposite direction: NOT a dup)
+    rows.append(Row(vec_id=100, embedding=[2.0 * x for x in rows[0].embedding]))
+    rows.append(Row(vec_id=101, embedding=[-3.0 * x for x in rows[5].embedding]))
+    df = spark.createDataFrame(rows)
+    got = {(r.node, r.component) for r in semantic_dedup_clusters(df, threshold=0.99).collect()}
+    assert got == {(0, 0), (100, 0)}
