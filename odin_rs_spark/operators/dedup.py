@@ -370,6 +370,64 @@ def jaccard_pairs(
     return out
 
 
+def jaccard_join_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard self-join (id_a < id_b, jaccard >= threshold)
+    with prefix-filter blocking (the All-Pairs / PPJoin family:
+    Bayardo et al. WWW'07, Xiao et al. WWW'08; MapReduce formulation in
+    Vernica et al. SIGMOD'10).
+
+    Unlike the MinHash path (probabilistic recall), this is exact. Under
+    a global shingle order, J(A,B) >= t implies |A∩B| >= ceil(t·max(|A|,
+    |B|)), and by the prefix-filtering lemma the two docs must then share
+    one of their first |X| − ceil(t·|X|) + 1 shingles — so an inverted
+    index over only those prefixes has recall 1. We order shingles by
+    ascending corpus document-frequency (ties broken lexicographically),
+    which pushes the boilerplate head of the vocabulary outside every
+    prefix: that is what bounds bucket sizes WITHOUT the lossy
+    max_bucket_size cap the LSH path needs (a cap here would break
+    exactness).
+
+    Shuffle shape at scale: explode+groupBy for document frequency
+    (map-side combinable), one shuffle join attaching frequencies to the
+    exploded shingle stream, one groupBy rebuilding per-doc
+    frequency-sorted arrays, one groupBy over prefix shingles for
+    candidates; verification then shuffles only candidate id pairs.
+    Reference parity: same role as the reference's content-dedup pass but
+    exact; cited for capability only (no counterpart algorithm there).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if parallelism:
+        df = df.repartition(parallelism)
+    sh = _shingle_df(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = (
+        ex.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__g"))).alias("__ord"))
+    )
+    plen = (
+        F.size("__ord") - F.ceil(F.size("__ord") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    prefix = ranked.select(
+        F.col(id_col), F.explode(F.slice("__ord", F.lit(1), plen)).alias("__pg")
+    ).select(F.col(id_col), F.col("__pg.__g").alias("__g"))
+    cand = _bucket_pairs(prefix, ["__g"], id_col)
+    return jaccard_pairs(
+        df, cand, id_col, text_col, shingle_n, threshold, shingles=sh
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

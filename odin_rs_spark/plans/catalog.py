@@ -2934,6 +2934,42 @@ FROM ch GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q78 — EXACT n-gram Jaccard self-join via prefix filtering (All-Pairs /
+# PPJoin family). Same output as exact all-pairs (the oracle) by the
+# prefix-filtering lemma — recall 1 without LSH's probabilistic recall or
+# its lossy bucket cap. 2-gram / t=0.7 to exercise a different operating
+# point than q24's 3-gram / t=0.8 MinHash path.
+# --------------------------------------------------------------------------
+
+def q78_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_join_pairs(
+        docs,
+        shingle_n=2,
+        threshold=0.7,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+Q78_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1]
+                        for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS s
+  FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -2948,6 +2984,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
         QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
         QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
+        QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),

@@ -204,6 +204,41 @@ def test_chunk_documents_overlap_semantics(spark):
     assert covered == {f"w{i}" for i in range(10)}
 
 
+def test_jaccard_join_exactness_vs_brute_force(spark):
+    import itertools
+    import random
+
+    from odin_rs_spark.operators.dedup import jaccard_join_pairs
+
+    random.seed(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = {}
+    for i in range(25):
+        texts[i] = " ".join(random.choices(vocab, k=random.randint(5, 30)))
+    # planted near-dups: small perturbations of doc 0 at varying overlap
+    texts[100] = texts[0]
+    texts[101] = texts[0] + " extra words here"
+    texts[102] = " ".join(texts[0].split()[2:])
+    df = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in texts.items()])
+
+    def sh2(t):
+        w = t.lower().split()
+        if len(w) < 2:
+            return {w[0]}
+        return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+
+    expect = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = sh2(texts[a]), sh2(texts[b])
+        if len(A & B) / len(A | B) >= 0.5:
+            expect.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join_pairs(df, shingle_n=2, threshold=0.5).collect()
+    }
+    assert expect and got == expect  # recall 1 AND precision 1 (exact join)
+
+
 def test_semantic_dedup_clusters_planted(spark):
     import random
 
