@@ -2859,7 +2859,7 @@ planes AS (
          list_transform(range(0, 64), d ->
            ((CAST(concat('0x', substr(md5(d::VARCHAR || '_' || p.range::VARCHAR || '_' || t.range::VARCHAR), 1, 15)) AS BIGINT)
              % 200003) - 100001)::DOUBLE / 100001.0) AS pv
-  FROM range(8) t, range(4) p),
+  FROM range(8) t, range(12) p),
 sigs AS (
   SELECT e.vec_id, pl.t,
          sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
