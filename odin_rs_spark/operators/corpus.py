@@ -55,6 +55,48 @@ def source_mix(
     return df.filter(hash_fraction(F.col(key), salt) < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing: resample so the kept
+    corpus' source shares follow p_s^alpha (renormalized) — the
+    multilingual sampling rule popularized by mBERT / XLM-R (alpha in
+    (0,1) flattens the source distribution toward uniform; alpha=1
+    keeps it unchanged). No source is upsampled (a deterministic
+    Bernoulli filter cannot repeat rows): keep rates are
+    r_s = (n_min/n_s)^(1-alpha), so the rarest source keeps everything
+    and kept counts satisfy r_s·n_s ∝ p_s^alpha.
+
+    Plan shape: one tiny per-source count agg (map-side combinable)
+    broadcast-joined back onto the corpus, then the hash-Bernoulli
+    filter — one wide scan, one broadcast, the corpus itself never
+    shuffles.
+
+    alpha=0.5 computes rates with sqrt() instead of pow(): IEEE-754
+    sqrt is correctly rounded in every engine while pow(x, 0.5) need
+    not be, so keep decisions at a rate boundary are bit-reproducible
+    across engines at the default temperature.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    n_min = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin") / F.col("__n")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        F.col(source_col), rate.alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(F.col(key), salt) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

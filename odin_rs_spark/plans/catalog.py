@@ -2970,6 +2970,34 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — temperature-scaled source mixing (mBERT/XLM-R sampling rule):
+# keep rate r_s = sqrt(n_min/n_s) at alpha=0.5, so kept source shares
+# ∝ p_s^0.5. sqrt (not pow) on both sides: IEEE correctly-rounded in
+# both engines, so boundary keep decisions are bit-identical.
+# --------------------------------------------------------------------------
+
+def q79_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = corpus_ops.temperature_mix(docs, alpha=0.5, salt="temp")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+Q79_SQL = """
+WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+r AS (SELECT source, sqrt((SELECT min(n) FROM c) / n) AS rate FROM c)
+SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.doc_id)::BIGINT AS sum_doc_id
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < r.rate
+GROUP BY d.source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -2985,6 +3013,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
         QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
         QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
+        QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),

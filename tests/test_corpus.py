@@ -204,6 +204,22 @@ def test_chunk_documents_overlap_semantics(spark):
     assert covered == {f"w{i}" for i in range(10)}
 
 
+def test_temperature_mix_flattens_distribution(spark):
+    # 1000 'big' vs 40 'rare' docs; alpha=0.5 → rare keeps 100%,
+    # big keeps ~sqrt(40/1000) ≈ 20%
+    rows = [Row(doc_id=i, source="big") for i in range(1000)]
+    rows += [Row(doc_id=10_000 + i, source="rare") for i in range(40)]
+    df = spark.createDataFrame(rows)
+    kept = corpus.temperature_mix(df, alpha=0.5).groupBy("source").count()
+    got = {r.source: r["count"] for r in kept.collect()}
+    assert got["rare"] == 40  # rarest source: rate 1, nothing dropped
+    expected_big = 1000 * (40 / 1000) ** 0.5  # ≈ 200
+    assert abs(got["big"] - expected_big) < 50  # hash-Bernoulli tolerance
+    # alpha=1 keeps everything (rates all 1)
+    all_kept = corpus.temperature_mix(df, alpha=1.0).count()
+    assert all_kept == 1040
+
+
 def test_jaccard_join_exactness_vs_brute_force(spark):
     import itertools
     import random
