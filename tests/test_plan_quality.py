@@ -80,3 +80,45 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # no SortMergeJoin/BroadcastNestedLoopJoin nodes at all
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    # chunking is embarrassingly parallel: no exchange anywhere
+    from odin_rs_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    # the per-source rate table joins back via broadcast; the corpus
+    # side must not shuffle (only the tiny count agg exchanges)
+    from odin_rs_spark.operators.corpus import temperature_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(temperature_mix(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_join_no_cartesian(spark, sf_dir):
+    # prefix filtering must block via equi-joins/groupBys only — an
+    # all-pairs fallback would show up as a nested-loop/cartesian node
+    from odin_rs_spark.operators.dedup import jaccard_join_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(jaccard_join_pairs(docs, shingle_n=2, threshold=0.7))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_pairs_no_cartesian(spark, sf_dir):
+    # sign-LSH blocking: candidates come from a bucket groupBy; vectors
+    # re-attach through equi-joins on id — never a cross product
+    from odin_rs_spark.operators.similarity import semantic_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = _executed(semantic_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
