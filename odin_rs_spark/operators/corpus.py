@@ -177,6 +177,37 @@ def pack_sequences(
     ).drop("__run")
 
 
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int = 64,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment: the
+    global order is the portable hash of the key — a fixed pseudorandom
+    permutation reproducible across engines, runs, and backfills (an
+    RNG shuffle is none of those) — with shard = hash mod n_shards and
+    pos = rank of the hash within its shard.
+
+    Scale shape: shard assignment is a narrow projection; the
+    within-shard position is ONE shuffle partitioned by shard, so each
+    writer task sorts only its own shard — the classic sharded-write
+    layout (no global sort, no driver ordering).
+
+    Output: input columns + (shard int, pos long).
+    """
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    h = portable_hash60(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("__h", key)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

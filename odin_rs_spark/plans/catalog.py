@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from odin_rs_spark.operators import aggregations as agg_ops
@@ -2998,6 +2998,111 @@ GROUP BY d.source
 """
 
 
+# --------------------------------------------------------------------------
+# q80 — deterministic corpus shuffle + shard assignment: portable-hash
+# permutation, shard = h mod 16, pos = within-shard rank. The checksum
+# sum(pos * doc_id) pins the exact permutation (any ordering or shard
+# divergence breaks it), not just the shard sizes.
+# --------------------------------------------------------------------------
+
+def q80_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = corpus_ops.shard_assignments(docs, n_shards=16, salt="v1")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("pos").cast("bigint").alias("max_pos"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+    )
+
+
+Q80_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15)) AS BIGINT) AS hh
+  FROM documents),
+s AS (
+  SELECT doc_id, (hh % 16)::INT AS shard,
+         (row_number() OVER (PARTITION BY (hh % 16) ORDER BY hh, doc_id) - 1)::BIGINT AS pos
+  FROM h)
+SELECT shard, count(*)::BIGINT AS n_docs, max(pos)::BIGINT AS max_pos,
+       sum(pos * doc_id)::BIGINT AS order_checksum
+FROM s GROUP BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# q81 — canonical selection: inside every transitive near-dup cluster
+# keep the highest-quality member (ties → smallest doc_id), the step a
+# real corpus dedup runs instead of keep-min-id. Composes the q64
+# cluster graph with the q57 quality score; both sides rank on the
+# 6dp-rounded score so the keeper choice is engine-independent.
+# --------------------------------------------------------------------------
+
+def q81_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_ops.near_dup_clusters(
+        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+    )
+    scored = text_ops.quality_score(docs).select("doc_id", "quality")
+    m = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+            "n_members",
+        )
+    )
+
+
+Q81_SQL = _SHINGLE_CTE.replace("WITH d AS", "WITH RECURSIVE d AS") + r""",
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.8
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs WHERE jaccard >= 0.8),
+reach AS (
+  SELECT u AS id, u AS r FROM e
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+feats AS (
+  SELECT doc_id, length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS n_space,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_words
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         round(
+           0.25 * least(n_words / 50.0, 1.0)
+           + 0.25 * (n_alpha / greatest(n_chars, 1.0))
+           + 0.25 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 4, 1.0))
+           + 0.25 * (CASE WHEN n_words > 0
+                          AND (n_chars - n_space) / n_words BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM feats),
+m AS (SELECT c.cluster_id, s.doc_id, s.quality FROM comp c JOIN scored s USING (doc_id)),
+rk AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+  FROM m),
+g AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM m GROUP BY cluster_id)
+SELECT rk.cluster_id, rk.doc_id AS keeper_id, rk.quality AS keeper_quality, g.n_members
+FROM rk JOIN g USING (cluster_id) WHERE rn = 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3014,6 +3119,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
         QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
         QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
+        QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
+        QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
