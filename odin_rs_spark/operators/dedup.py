@@ -475,6 +475,75 @@ def near_dup_pairs(
     )
 
 
+def near_dup_join(
+    new: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    parallelism: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup join between two corpora: (new_id, base_id,
+    jaccard >= threshold) — the incremental-ingestion primitive ("is
+    this crawl doc a near-dup of anything already kept?") that the
+    self-join operators can't express without re-pairing history with
+    itself.
+
+    Both sides get banded MinHash signatures; candidates come from the
+    (band, bhash) equi-join; exact Jaccard verifies. Scale shape: at
+    100 TB the base side's banded index is computed ONCE and persisted
+    bucket-partitioned (it's pure column math on the base corpus), so
+    each incoming batch only signatures itself and equi-joins the index
+    — incremental cost is O(batch), not O(history). `max_bucket_size`
+    (applied per joined bucket via a pre-join base-side bucket count)
+    guards the same degenerate-boilerplate blowup as the self-join path.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if parallelism:
+        new = new.repartition(parallelism)
+        base = base.repartition(parallelism)
+    sh_n = _shingle_df(new, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_b = _shingle_df(base, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bn = _banded_signatures(
+        new, id_col, text_col, shingle_n, num_perm, bands, None, sh_n
+    ).select(F.col(id_col).alias("new_id"), "band", "bhash")
+    bb = _banded_signatures(
+        base, id_col, text_col, shingle_n, num_perm, bands, None, sh_b
+    ).select(F.col(id_col).alias("base_id"), "band", "bhash")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bhash")
+        bb = bb.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+    cand = bn.join(bb, ["band", "bhash"]).select("new_id", "base_id").distinct()
+    return (
+        cand.join(
+            sh_n.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sha")),
+            "new_id",
+        )
+        .join(
+            sh_b.select(F.col(id_col).alias("base_id"), F.col("__sh").alias("__shb")),
+            "base_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sha", "__shb")).cast("double")
+            / F.size(F.array_union("__sha", "__shb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("new_id", "base_id", "jaccard")
+    )
+
+
 def near_dup_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3103,6 +3103,40 @@ FROM rk JOIN g USING (cluster_id) WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q82 — incremental (cross-corpus) near-dup join: split the corpus into
+# a "historical" side (doc_id % 5 != 0) and an "incoming batch"
+# (doc_id % 5 == 0) and find J≥0.8 matches ACROSS the split — the
+# ingestion-time dedup shape. Oracle: exact all-cross-pairs Jaccard.
+# --------------------------------------------------------------------------
+
+def q82_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_ops.near_dup_join(
+        new, base, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+    )
+
+
+Q82_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d),
+x AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+         len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+SELECT new_id, base_id, jaccard FROM x WHERE jaccard >= 0.8
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3121,6 +3155,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
         QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
         QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
+        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),

@@ -384,3 +384,53 @@ def test_stream_stream_interval_join_matches_batch(
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_near_dup_streaming(spark, tmp_path):
+    """Ingestion-time dedup: each replayed micro-batch of new docs is
+    near-dup-joined against the static historical corpus via
+    foreachBatch; the union over micro-batches must equal the one-shot
+    batch join (per-batch independence is what makes the incremental
+    pattern correct — new docs only pair with HISTORY, never each
+    other, so batch boundaries can't change the result)."""
+    import random
+
+    from odin_rs_spark.operators.dedup import near_dup_join
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(k=30):
+        return " ".join(random.choices(vocab, k=k))
+
+    base_rows = [Row(doc_id=i, text=doc()) for i in range(20)]
+    new_rows = [Row(doc_id=100 + i, text=doc()) for i in range(6)]
+    # planted: new 200 copies base 3; new 201 = base 7 with one edit
+    new_rows.append(Row(doc_id=200, text=base_rows[3].text))
+    edited = base_rows[7].text.split()
+    edited[-1] = "zzz"
+    new_rows.append(Row(doc_id=201, text=" ".join(edited)))
+    base = spark.createDataFrame(base_rows)
+    new = spark.createDataFrame(new_rows)
+
+    expect = {
+        (r.new_id, r.base_id)
+        for r in near_dup_join(new, base, threshold=0.7).collect()
+    }
+    assert {(200, 3), (201, 7)} <= expect
+
+    root = str(tmp_path / "chunks")
+    sources.split_for_replay(new, root, n_chunks=2, order_col="doc_id")
+    stream = sources.replay_stream(spark, root, new.schema)
+    got: list = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(
+            lambda d, b: got.extend(near_dup_join(d, base, threshold=0.7).collect())
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.new_id, r.base_id) for r in got} == expect
