@@ -420,9 +420,45 @@ def jaccard_join_pairs(
         F.size("__ord") - F.ceil(F.size("__ord") * F.lit(float(threshold))) + 1
     ).cast("int")
     prefix = ranked.select(
-        F.col(id_col), F.explode(F.slice("__ord", F.lit(1), plen)).alias("__pg")
-    ).select(F.col(id_col), F.col("__pg.__g").alias("__g"))
-    cand = _bucket_pairs(prefix, ["__g"], id_col)
+        F.col(id_col),
+        F.size("__ord").alias("__sz"),
+        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__pg"),
+    ).select(F.col(id_col), "__sz", F.col("__pg.__g").alias("__g"))
+    # pair expansion with the All-Pairs LENGTH filter fused in: members
+    # sort by (set size, id), and since J >= t forces |A|/|B| >= t the
+    # inner slice drops partners whose size ratio fails BEFORE the pair
+    # ever materializes (division, not multiplication, so a boundary
+    # ratio like 7/10 vs t=0.7 compares exactly). Exactness-preserving.
+    tl = F.lit(float(threshold))
+    buckets = (
+        prefix.groupBy("__g")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("__sz").alias("sz"), F.col(id_col).alias("id")))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") > 1)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("__m"), i + F.lit(2), F.size(F.col("__m"))),
+                    lambda y: x["sz"].cast("double") / y["sz"] >= tl,
+                ),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs_arr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
     return jaccard_pairs(
         df, cand, id_col, text_col, shingle_n, threshold, shingles=sh
     )
@@ -559,6 +595,82 @@ def near_dup_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Repeated-substring (ExactSubstr-style) duplicate span detection:
+    the word-window formulation of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better* (ACL 2022) — any k-token window
+    whose hash occurs >= min_occurrences times corpus-wide (including
+    within one doc) is a duplicated window; overlapping/adjacent
+    duplicated windows merge into maximal spans, the units a substring
+    dedup would cut.
+
+    Spark formulation instead of their suffix array: positional k-gram
+    rolling hashes -> corpus-wide occurrence counts (map-side
+    combinable groupBy on the 8-byte hash) -> join the duplicated
+    hashes back (second hash shuffle) -> per-doc island merge (one
+    doc-keyed window; consecutive duplicated positions with gap <= k
+    belong to one span). Three narrow shuffles of (id, pos, hash)
+    triples; documents themselves never shuffle.
+
+    Output: (id, span_start, span_end_excl, n_windows) per maximal
+    span — span token length = span_end_excl - span_start.
+    """
+    words = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size("__w") >= window_k
+    )
+    # positional (NOT distinct) k-gram hashes: pos i covers words [i, i+k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__w") - window_k),
+        lambda i: portable_hash60(
+            F.concat_ws(
+                " ",
+                *[
+                    F.try_element_at("__w", (i + F.lit(j + 1)).cast("int"))
+                    for j in range(window_k)
+                ],
+            )
+        ),
+    )
+    pos = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__h")
+    )
+    dup_h = (
+        pos.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
+    dup_pos = pos.join(dup_h, "__h").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > window_k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window_k).alias("span_end_excl"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__island")
+    )
+    return spans
 
 
 def connected_components(

@@ -2938,34 +2938,25 @@ FROM ch GROUP BY source
 # q78 — EXACT n-gram Jaccard self-join via prefix filtering (All-Pairs /
 # PPJoin family). Same output as exact all-pairs (the oracle) by the
 # prefix-filtering lemma — recall 1 without LSH's probabilistic recall or
-# its lossy bucket cap. 2-gram / t=0.7 to exercise a different operating
-# point than q24's 3-gram / t=0.8 MinHash path.
+# its lossy bucket cap. t=0.7 exercises a different operating point than
+# q24's MinHash t=0.8. 3-gram shingles, not 2-gram: this corpus' 2-gram
+# vocabulary is so reused that frequency-ordered prefixes still collide
+# heavily (measured 9.3 M candidate slots / 271-doc buckets at sf0.1 vs
+# 210 K / 9 with 3-grams — 23 s vs ~1 s; shingle rarity IS the blocking
+# power of prefix filtering).
 # --------------------------------------------------------------------------
 
 def q78_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.jaccard_join_pairs(
         docs,
-        shingle_n=2,
+        shingle_n=3,
         threshold=0.7,
         parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
-Q78_SQL = """
-WITH d AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1]
-                        for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS s
-  FROM d),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.s, b.s))::DOUBLE
-         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+Q78_SQL = _SHINGLE_CTE + """
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
 """
 
@@ -3137,6 +3128,62 @@ SELECT new_id, base_id, jaccard FROM x WHERE jaccard >= 0.8
 """
 
 
+# --------------------------------------------------------------------------
+# q83 — repeated-substring duplicate spans (ExactSubstr, Lee et al. ACL
+# 2022, word-window formulation): 8-word rolling windows whose hash
+# repeats corpus-wide, merged per doc into maximal spans; per-source
+# rollup. (At 100 TB the md5 window hash would become a Karp-Rabin
+# rolling hash in one Arrow kernel; md5 here keeps the oracle
+# replayable cross-engine.)
+# --------------------------------------------------------------------------
+
+def q83_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup_ops.repeated_substring_spans(docs, window_k=8)
+    j = spans.join(docs.select("doc_id", "source"), "doc_id")
+    ln = F.col("span_end_excl") - F.col("span_start")
+    return j.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_with_dups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(ln).cast("bigint").alias("sum_span_tokens"),
+        F.max(ln).cast("bigint").alias("max_span_tokens"),
+    )
+
+
+Q83_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         CAST(concat('0x', substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                                w[i+4], w[i+5], w[i+6], w[i+7])), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        FROM d WHERE len(w) >= 8)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+p AS (SELECT doc_id, source, pos FROM g WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, source, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS nw
+  FROM p),
+isl2 AS (
+  SELECT doc_id, source, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+sp AS (
+  SELECT doc_id, source, island, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl2 GROUP BY doc_id, source, island)
+SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs_with_dups,
+       count(*)::BIGINT AS n_spans,
+       sum(e - s)::BIGINT AS sum_span_tokens,
+       max(e - s)::BIGINT AS max_span_tokens
+FROM sp GROUP BY source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3156,6 +3203,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
         QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
         QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
+        QuerySpec("q83_repeated_substrings", q83_repeated_substrings, Q83_SQL, "dedup-exactsubstr"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
