@@ -451,6 +451,48 @@ def ivf_fixed_topk(
     return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)
 
 
+def _pq_codebook(
+    corpus: DataFrame, codebook_ids: list, num_sub: int, id_col: str, vec_col: str
+):
+    """(n_code, num_sub, dim/num_sub) codebook array from the corpus
+    vectors named by codebook_ids (bounded driver collect by contract —
+    a codebook is a few hundred small vectors)."""
+    rows = {
+        r[0]: r[1]
+        for r in corpus.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    C = np.asarray([rows[i] for i in codebook_ids], dtype=np.float64)
+    return C.reshape(len(codebook_ids), num_sub, C.shape[1] // num_sub)
+
+
+def _pq_udfs(Cs, num_sub: int):
+    """(encode, dtable) Arrow kernels over a closure-resident codebook.
+    encode: per-subspace argmin code (ties → low code). dtable: squared
+    L2 distance table flattened in (m, j) order: entry m*n_code + j."""
+
+    @pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            X = np.asarray(x, dtype=np.float64).reshape(num_sub, -1)
+            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
+            out.append(d2.argmin(axis=0).astype("int32"))
+        return pd.Series(out)
+
+    @pandas_udf("array<double>")
+    def _dtable(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            X = np.asarray(x, dtype=np.float64).reshape(num_sub, -1)
+            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
+            out.append(d2.T.reshape(-1))
+        return pd.Series(out)
+
+    return _encode, _dtable
+
+
 def pq_fixed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -482,36 +524,9 @@ def pq_fixed_topk(
     on the candidate id; encode ties break on the lower code.
     """
     n_code = len(codebook_ids)
-    rows = {
-        r[0]: r[1]
-        for r in corpus.filter(F.col(id_col).isin(list(codebook_ids)))
-        .select(id_col, vec_col)
-        .collect()
-    }
-    C = np.asarray([rows[i] for i in codebook_ids], dtype=np.float64)
-    dim = C.shape[1]
-    sub = dim // num_sub
-    Cs = C.reshape(n_code, num_sub, sub)
-
-    @pandas_udf("array<int>")
-    def _encode(v: pd.Series) -> pd.Series:
-        out = []
-        for x in v:
-            X = np.asarray(x, dtype=np.float64).reshape(num_sub, sub)
-            # d2[j, m] = ||X[m] - Cs[j, m]||²; argmin over j (ties → low j)
-            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
-            out.append(d2.argmin(axis=0).astype("int32"))
-        return pd.Series(out)
-
-    @pandas_udf("array<double>")
-    def _dtable(v: pd.Series) -> pd.Series:
-        out = []
-        for x in v:
-            X = np.asarray(x, dtype=np.float64).reshape(num_sub, sub)
-            d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)  # (n_code, num_sub)
-            # flatten in (m, j) order: entry m*n_code + j
-            out.append(d2.T.reshape(-1))
-        return pd.Series(out)
+    _encode, _dtable = _pq_udfs(
+        _pq_codebook(corpus, codebook_ids, num_sub, id_col, vec_col), num_sub
+    )
 
     if parallelism:
         corpus = corpus.repartition(parallelism)
@@ -534,6 +549,119 @@ def pq_fixed_topk(
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("approx_dist", F.round(approx, 6))
     )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_dist", "rank")
+    )
+
+
+def ivfpq_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: list,
+    codebook_ids: list,
+    k: int = 5,
+    num_sub: int = 4,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ ANN — the FAISS IVFPQ shape with
+    by_residual=False, deterministic coarse centroids and PQ codebook
+    (fixed corpus vectors, so the DuckDB oracle replays the exact
+    pipeline end-to-end).
+
+    This is the production memory/compute tier combined: the inverted
+    file bounds COMPUTE (each query ADC-scans only its nprobe probed
+    cells, ~nprobe/n_cells of the corpus) while PQ codes bound MEMORY
+    (num_sub small ints per vector instead of the raw floats). Corpus
+    vectors are touched exactly twice at index-build (one Arrow encode
+    pass, one broadcast-centroid assignment scan) and never shuffle;
+    queries broadcast with their distance tables; only candidate
+    (query, id, dist) triples flow after the cell equi-join.
+
+    approx_dist = Σ_m ‖q_m − c_{code_m}‖² over probed cells only.
+    Ranked on the 6dp-rounded distance (ties → lower id).
+    """
+    cent_df = (
+        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
+        .withColumn(
+            "__cell",
+            F.array_position(
+                F.array(*[F.lit(i) for i in centroid_ids]), F.col("__cid")
+            ).cast("int")
+            - 1,
+        )
+        .select("__cell", "__centroid")
+    )
+    n_code = len(codebook_ids)
+    _encode, _dtable = _pq_udfs(
+        _pq_codebook(corpus, codebook_ids, num_sub, id_col, vec_col), num_sub
+    )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    # index build: coarse cell (argmax cosine, ties → low cell) + codes
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    ac = base.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__d",
+        dot(F.col("__cvec"), F.col("__centroid"))
+        / (F.col("__cn") * l2_norm(F.col("__centroid"))),
+    )
+    assigned = (
+        ac.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("__d")).alias("nd"), F.col("__cell").alias("cell"))
+            ).alias("__m")
+        )
+        .select(F.col(id_col), F.col("__m.cell").alias("__cell"))
+    )
+    coded = corpus.select(F.col(id_col), _encode(F.col(vec_col)).alias("__codes"))
+    index = assigned.join(coded, id_col)
+    # query side: nprobe best cells + ADC distance table, both tiny
+    qn = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    qc = qn.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__d",
+        dot(F.col("__qvec"), F.col("__centroid"))
+        / (F.col("__qn") * l2_norm(F.col("__centroid"))),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__cell")
+    )
+    qt = queries.select(
+        F.col(query_id_col), _dtable(F.col(vec_col)).alias("__qt")
+    ).join(probes, query_id_col)
+    # candidate generation = cell equi-join; ADC = JVM table lookups
+    cand = index.join(
+        F.broadcast(qt), index["__cell"] == qt["__cell"]
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    approx = F.lit(0.0)
+    for m in range(num_sub):
+        approx = approx + F.element_at(
+            F.col("__qt"),
+            F.lit(m * n_code + 1) + F.element_at(F.col("__codes"), m + 1),
+        )
+    scored = cand.withColumn("approx_dist", F.round(approx, 6))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_dist").asc(), F.col(id_col).asc()
     )

@@ -185,6 +185,52 @@ def tf_idf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram-LM average log-probability per document — the CCNet-style
+    perplexity proxy used to quality-bucket crawl corpora (head/middle/
+    tail by LM score). The LM is the corpus' own unigram distribution,
+    ln p(w) = ln(count_w / N_tokens), so no smoothing is needed (every
+    scored token is in-vocabulary by construction; to score a foreign
+    corpus, train on the reference one and add add-one smoothing).
+
+    avg_ll(doc) = (Σ_tokens ln count_w)/n_tokens − ln N.
+
+    Shuffle shape: token counts (map-side combinable), token→count join
+    (shuffles (id, word) pairs; the vocabulary side stays the small one
+    at any scale — Heaps' law), then one per-doc aggregation. Documents
+    themselves never move.
+
+    Output: (id, n_tokens, avg_logprob rounded to `round_to`).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").cast("double").alias("__N"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("__c")).alias("__sll"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                F.col("__sll") / F.col("n_tokens") - F.log("__N"), round_to
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition quality filters + PII detection (corpus-prep; C4/Gopher-style
 # repeated-phrase rules and regex PII scrubbing — standard steps of a

@@ -3184,6 +3184,95 @@ FROM sp GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q84 — unigram-LM average log-probability per doc (CCNet-style
+# perplexity-proxy quality bucketing). Both engines sum ln(count) over
+# ~200 tokens (addition-order fp noise ~1e-13) and round to 6dp.
+# --------------------------------------------------------------------------
+
+def q84_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.unigram_logprob(docs)
+
+
+Q84_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+v AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+n AS (SELECT sum(c)::DOUBLE AS N FROM v)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(ln(v.c)) / count(*) - (SELECT ln(N) FROM n), 6) AS avg_logprob
+FROM t JOIN v USING (w)
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q85 — composed IVF-PQ ANN (FAISS IVFPQ, by_residual=False): coarse
+# cells bound compute (ADC only in nprobe probed cells), PQ codes bound
+# memory. Deterministic centroids/codebook → full SQL replay.
+# --------------------------------------------------------------------------
+
+def q85_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.ivfpq_fixed_topk(
+        emb, queries, _Q59_CENTS, _Q68_CODES, k=5, num_sub=4, nprobe=3
+    )
+
+
+Q85_SQL = f"""
+WITH ccents AS (
+  SELECT list_position({_Q59_CENTS}, vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q59_CENTS)}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, ccents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, ccents c WHERE e.vec_id < 5) WHERE rn <= 3),
+pcents AS (
+  SELECT list_position({_Q68_CODES}, vec_id) - 1 AS j, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q68_CODES)}),
+sub AS (
+  SELECT e.vec_id, m.range AS m, c.j, {_Q68_D2.format(a='e')} AS d2
+  FROM embeddings e, range(0, 4) m, pcents c),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+    FROM sub) WHERE rn = 1),
+qtab AS (
+  SELECT e.vec_id AS query_id, m.range AS m, c.j, {_Q68_D2.format(a='e')} AS d2
+  FROM embeddings e, range(0, 4) m, pcents c WHERE e.vec_id < 5),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id),
+approx AS (
+  SELECT x.query_id, x.vec_id, sum(q.d2) AS adist
+  FROM cand x
+  JOIN codes cd ON cd.vec_id = x.vec_id
+  JOIN qtab q ON q.query_id = x.query_id AND q.m = cd.m AND q.j = cd.code
+  GROUP BY x.query_id, x.vec_id)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+  SELECT query_id, vec_id, round(adist, 6) AS approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adist, 6) ASC, vec_id ASC)::INT AS rank
+  FROM approx) WHERE rank <= 5
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3204,6 +3293,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
         QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
         QuerySpec("q83_repeated_substrings", q83_repeated_substrings, Q83_SQL, "dedup-exactsubstr"),
+        QuerySpec("q84_unigram_logprob", q84_unigram_logprob, Q84_SQL, "text-lm-quality"),
+        QuerySpec("q85_ivfpq_topk", q85_ivfpq_topk, Q85_SQL, "similarity-ivfpq"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
