@@ -3273,6 +3273,77 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q86 — deterministic train/val/test split + leakage audit: hash-range
+# split (80/10/10), then near-dup pairs CROSSING the train boundary
+# (val/test docs with a J≥0.8 train twin — the contamination a split
+# must not have). Per-split doc and leaked-doc counts.
+# --------------------------------------------------------------------------
+
+def q86_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.corpus import hash_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    f = hash_fraction(F.col("doc_id"), "split")
+    tagged = docs.withColumn(
+        "split",
+        F.when(f < 0.8, "train").when(f < 0.9, "val").otherwise("test"),
+    )
+    train = tagged.filter(F.col("split") == "train")
+    held = tagged.filter(F.col("split") != "train")
+    leaks = dedup_ops.near_dup_join(
+        held, train, threshold=0.8,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    leaked = (
+        leaks.select(F.col("new_id").alias("doc_id"))
+        .union(leaks.select(F.col("base_id").alias("doc_id")))
+        .distinct()
+        .withColumn("__l", F.lit(1))
+    )
+    return (
+        tagged.join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__l"), F.lit(0))).cast("bigint").alias("n_leaked"),
+        )
+    )
+
+
+Q86_SQL = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN hfrac < 0.8 THEN 'train'
+              WHEN hfrac < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS hfrac
+        FROM documents)),
+d AS (
+  SELECT doc_id, split,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM s),
+sh AS (
+  SELECT doc_id, split,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sg
+  FROM d),
+x AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+         len(list_intersect(a.sg, b.sg))::DOUBLE
+         / len(list_distinct(list_concat(a.sg, b.sg)))::DOUBLE AS jaccard
+  FROM sh a JOIN sh b ON a.split <> 'train' AND b.split = 'train'),
+leaked AS (
+  SELECT new_id AS doc_id FROM x WHERE jaccard >= 0.8
+  UNION
+  SELECT base_id AS doc_id FROM x WHERE jaccard >= 0.8)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN s.doc_id IN (SELECT doc_id FROM leaked) THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+FROM s GROUP BY split
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3295,6 +3366,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q83_repeated_substrings", q83_repeated_substrings, Q83_SQL, "dedup-exactsubstr"),
         QuerySpec("q84_unigram_logprob", q84_unigram_logprob, Q84_SQL, "text-lm-quality"),
         QuerySpec("q85_ivfpq_topk", q85_ivfpq_topk, Q85_SQL, "similarity-ivfpq"),
+        QuerySpec("q86_split_leakage", q86_split_leakage, Q86_SQL, "corpus-split-hygiene"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
