@@ -177,6 +177,34 @@ def pack_sequences(
     ).drop("__run")
 
 
+def source_quota(
+    df: DataFrame,
+    n_max: int,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-source document quota: keep at most n_max docs per source,
+    chosen in deterministic portable-hash order — the hard-cap
+    complement of `temperature_mix`'s proportional resampling ("no
+    source may contribute more than N docs"). The hash order makes the
+    kept set stable across engines, runs, and input order; ordering is
+    on the raw 60-bit hash INTEGER (not the [0,1) fraction — dividing
+    60-bit hashes into 53-bit doubles can collide, and a collision
+    would let the engines tiebreak different rows). One window shuffle
+    partitioned by source.
+    """
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    h = portable_hash60(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_max)
+        .drop("__rn")
+    )
+
+
 def shard_assignments(
     df: DataFrame,
     n_shards: int = 64,

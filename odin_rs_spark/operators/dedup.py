@@ -406,8 +406,20 @@ def jaccard_join_pairs(
 
     if parallelism:
         df = df.repartition(parallelism)
-    sh = _shingle_df(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # hash shingles to 64-bit ints FIRST: every downstream stage — the
+    # frequency shuffle, the per-doc ordered arrays, the prefix index,
+    # and the verification intersect/union — then moves and compares
+    # 8-byte longs instead of ~40-char strings (measured 7.5 s → ~3 s at
+    # sf0.1). Jaccard over hashed shingles equals Jaccard over shingles
+    # up to 64-bit collisions (p ≈ |sh|²/2⁶⁵ per doc ≈ 1e-14 — far below
+    # fp-noise level).
+    sh = (
+        _shingle_df(df, id_col, text_col, shingle_n)
+        .select(
+            F.col(id_col),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
     freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))

@@ -231,6 +231,42 @@ def unigram_logprob(
     )
 
 
+def oov_stats(
+    new: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary audit of a corpus against a reference
+    vocabulary — the compatibility check before reusing a tokenizer or
+    LM across corpora. Vocab = distinct reference tokens (map-side
+    combinable distinct); membership is a left equi-join on the token
+    (the vocabulary side stays the small one at any corpus scale —
+    Heaps' law); then one per-doc aggregation. Documents never shuffle.
+
+    Output: (id, n_tokens, n_oov).
+    """
+    vocab = (
+        base.select(F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("w"))
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    toks = new.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("w"),
+    )
+    return (
+        toks.join(vocab, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition quality filters + PII detection (corpus-prep; C4/Gopher-style
 # repeated-phrase rules and regex PII scrubbing — standard steps of a

@@ -3344,6 +3344,74 @@ FROM s GROUP BY split
 """
 
 
+# --------------------------------------------------------------------------
+# q87 — per-source quota cap: deterministic hash-order "at most 60 docs
+# per source". Both engines order by the raw 60-bit hash integer
+# (double-rounded fractions could collide and flip tiebreaks).
+# --------------------------------------------------------------------------
+
+def q87_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = corpus_ops.source_quota(docs, n_max=60, salt="quota")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+Q87_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'quota'), 1, 15)) AS BIGINT) ASC,
+           doc_id ASC) AS rn
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id
+FROM r WHERE rn <= 60 GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q88 — OOV-rate audit: vocabulary trained on the en slice, every other
+# lang scored against it (the tokenizer/LM transfer check). Per-lang
+# rollup; oov_rate is an exact integer ratio rounded at 6dp.
+# --------------------------------------------------------------------------
+
+def q88_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.oov_stats(
+        docs.filter(F.col("lang") != "en"), docs.filter(F.col("lang") == "en")
+    )
+    j = stats.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_tokens"), 6
+        ).alias("oov_rate"),
+    )
+
+
+Q88_SQL = r"""
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE lang = 'en'),
+t AS (
+  SELECT doc_id, lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE lang <> 'en'),
+j AS (
+  SELECT t.doc_id, t.lang, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM t LEFT JOIN v ON t.w = v.w)
+SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+FROM j GROUP BY lang
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3367,6 +3435,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q84_unigram_logprob", q84_unigram_logprob, Q84_SQL, "text-lm-quality"),
         QuerySpec("q85_ivfpq_topk", q85_ivfpq_topk, Q85_SQL, "similarity-ivfpq"),
         QuerySpec("q86_split_leakage", q86_split_leakage, Q86_SQL, "corpus-split-hygiene"),
+        QuerySpec("q87_source_quota", q87_source_quota, Q87_SQL, "corpus-quota"),
+        QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
