@@ -271,3 +271,67 @@ def test_semantic_dedup_clusters_planted(spark):
     df = spark.createDataFrame(rows)
     got = {(r.node, r.component) for r in semantic_dedup_clusters(df, threshold=0.99).collect()}
     assert got == {(0, 0), (100, 0)}
+
+
+def test_repeated_substring_spans_merging(spark):
+    from odin_rs_spark.operators.dedup import repeated_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-word shared phrase
+    rows = [
+        Row(doc_id=1, text=shared + " unique tail words here alpha beta"),
+        Row(doc_id=2, text="other prefix words gamma delta " + shared),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(20))),  # no dups
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: (r.span_start, r.span_end_excl, r.n_windows)
+        for r in repeated_substring_spans(df, window_k=4).collect()
+    }
+    # docs 1 and 2 share the 10-word phrase -> 7 dup windows of size 4
+    # merge into ONE maximal span of 10 tokens; doc 3 emits nothing
+    assert set(got) == {1, 2}
+    assert got[1] == (0, 10, 7)
+    assert got[2][2] == 7 and got[2][1] - got[2][0] == 10
+    assert got[2][0] == 5  # phrase starts after the 5-word prefix
+
+
+def test_source_quota_cap_and_determinism(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    a = corpus.source_quota(df, n_max=10)
+    b = corpus.source_quota(df, n_max=10)
+    ga = sorted((r.source, r.doc_id) for r in a.collect())
+    gb = sorted((r.source, r.doc_id) for r in b.collect())
+    assert ga == gb  # deterministic
+    from collections import Counter
+
+    counts = Counter(s for s, _ in ga)
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+
+
+def test_ivfpq_probes_restrict_candidates(spark):
+    import random
+
+    from odin_rs_spark.operators.similarity import ivfpq_fixed_topk
+
+    random.seed(5)
+    rows = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [3, 17, 29, 41]
+    out = ivfpq_fixed_topk(
+        df, queries, cents, cents, k=5, num_sub=4, nprobe=2
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+        # monotone distance in rank order
+        ds = [r.approx_dist for r in sorted(
+            (x for x in out if x.query_id == qid), key=lambda x: x.rank)]
+        assert ds == sorted(ds)
