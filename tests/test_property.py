@@ -148,3 +148,86 @@ def test_connected_components_matches_python(spark, edges):
         m = min(comp)
         want |= {(n, m) for n in comp}
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=12),  # word ids, tiny vocab
+        min_size=1,
+        max_size=25,
+    ),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(docs_strategy)
+@settings(**SETTINGS)
+def test_jaccard_join_matches_brute_force(spark, word_lists):
+    """Prefix-filter exact Jaccard join == all-pairs brute force on
+    adversarial corpora (tiny vocab → heavy shingle collisions, short
+    docs, duplicates)."""
+    import itertools
+
+    from odin_rs_spark.operators.dedup import jaccard_join_pairs
+
+    texts = {i: " ".join(f"w{w}" for w in ws) for i, ws in enumerate(word_lists)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+
+    def sh(t, n=2):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = sh(texts[a]), sh(texts[b])
+        if len(A & B) / len(A | B) >= 0.6:
+            want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join_pairs(df, shingle_n=2, threshold=0.6).collect()
+    }
+    assert got == want
+
+
+chunk_docs_strategy = st.lists(
+    st.integers(min_value=1, max_value=60),  # doc lengths in words
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(chunk_docs_strategy, st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_chunking_covers_and_reconstructs(spark, lengths, chunk_size):
+    """Every word lands in >=1 chunk; stitching chunk starts (stride
+    prefix of each chunk + full last chunk) reconstructs the doc."""
+    from odin_rs_spark.operators.corpus import chunk_documents
+
+    stride = max(1, chunk_size - 1)
+    rows = [
+        Row(doc_id=d, text=" ".join(f"d{d}w{i}" for i in range(n)))
+        for d, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows)
+    out = chunk_documents(df, chunk_size=chunk_size, stride=stride)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for d, n in enumerate(lengths):
+        chunks = by_doc[d]
+        assert set(chunks) == set(range(len(chunks)))
+        rebuilt: list = []
+        for cid in sorted(chunks):
+            words = chunks[cid]
+            take = words if cid == max(chunks) else words[:stride]
+            rebuilt.extend(take)
+        # stitching may append a tail chunk fully contained in the
+        # previous one only when stride < chunk_size; dedupe by position
+        want = [f"d{d}w{i}" for i in range(n)]
+        assert rebuilt[: len(want)] == want
+        assert set(w for ws in chunks.values() for w in ws) == set(want)
