@@ -672,6 +672,42 @@ def ivfpq_fixed_topk(
     )
 
 
+def embedding_dim_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding statistics — the hygiene audit run before
+    building an ANN index (dominant/mean-shifted dimensions break
+    cosine/LSH isotropy; the fix is mean-centering, whose parameters are
+    exactly this frame). One posexplode + one map-side-combinable
+    aggregate; vectors never shuffle whole.
+
+    mean/std computed as E[x] and sqrt(E[x²]−E[x]²) from plain sums, so
+    a SQL oracle reproduces them bit-comparably at round_to digits.
+
+    Output: (dim, n, mean, std) — one row per dimension.
+    """
+    # widen float32 elements to double BEFORE any arithmetic: float*float
+    # would square at 24-bit precision while a SQL replay squares doubles
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "__xf")).select(
+        "dim", F.col("__xf").cast("double").alias("x")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("__s"),
+        F.sum(F.col("x") * F.col("x")).alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("n")
+    var = F.col("__s2") / F.col("n") - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("std"),
+    )
+
+
 def semantic_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.99,

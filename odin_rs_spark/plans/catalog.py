@@ -3412,6 +3412,29 @@ FROM j GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q89 — embedding-column hygiene panel: per-dimension mean/std (the
+# mean-centering parameters / isotropy audit before ANN indexing).
+# Plain-sum moments so both engines compute identical formulas.
+# --------------------------------------------------------------------------
+
+def q89_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_dim_stats(emb)
+
+
+Q89_SQL = """
+WITH ex AS (
+  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, 65)) AS t(i))
+SELECT dim, count(*)::BIGINT AS n,
+       round(sum(x) / count(*), 6) AS mean,
+       round(sqrt(greatest(sum(x * x) / count(*)
+                           - (sum(x) / count(*)) * (sum(x) / count(*)), 0.0)), 6) AS std
+FROM ex GROUP BY dim
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3437,6 +3460,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q86_split_leakage", q86_split_leakage, Q86_SQL, "corpus-split-hygiene"),
         QuerySpec("q87_source_quota", q87_source_quota, Q87_SQL, "corpus-quota"),
         QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
+        QuerySpec("q89_embedding_stats", q89_embedding_stats, Q89_SQL, "embedding-hygiene"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
