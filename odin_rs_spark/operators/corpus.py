@@ -106,6 +106,7 @@ def contamination(
     bench_text_col: str = "text",
     shingle_n: int = 3,
     min_hits: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination detection: docs sharing ≥ min_hits
     distinct n-gram shingles with any benchmark item.
@@ -115,11 +116,19 @@ def contamination(
     shingles per (doc, bench) pair. At 100 TB the doc side stays
     partitioned; only (doc_id, shingle_hash) pairs flow.
     Output: (doc_id, bench_id, n_shared).
+
+    The hash is only a JOIN KEY — the output (shared-shingle counts) is
+    identical for any injective-modulo-collisions hash — so the default
+    is the engine hash (xxhash64, ~2× cheaper than md5 over a corpus'
+    shingle stream). Pass portable=True to hash with `portable_hash60`
+    when the hashed stream itself is persisted as a cross-engine
+    fingerprint store.
     """
 
     def hashed(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
         from odin_rs_spark.functions.text import norm_text
 
+        hfn = portable_hash60 if portable else F.xxhash64
         return (
             df.select(
                 F.col(idc).alias(out_id),
@@ -127,7 +136,7 @@ def contamination(
             )
             .select(out_id, shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
             .select(out_id, F.explode_outer("__sh").alias("__s"))
-            .select(out_id, portable_hash60(F.col("__s")).alias("__h"))
+            .select(out_id, hfn(F.col("__s")).alias("__h"))
         )
 
     d = hashed(docs, id_col, text_col, "doc_id")
