@@ -615,6 +615,7 @@ def repeated_substring_spans(
     text_col: str = "text",
     window_k: int = 8,
     min_occurrences: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Repeated-substring (ExactSubstr-style) duplicate span detection:
     the word-window formulation of Lee et al., *Deduplicating Training
@@ -634,7 +635,13 @@ def repeated_substring_spans(
 
     Output: (id, span_start, span_end_excl, n_windows) per maximal
     span — span token length = span_end_excl - span_start.
+
+    The window hash is only a grouping key (spans are identical for any
+    collision-free hash), so the default is the engine hash; portable=
+    True switches to md5-derived `portable_hash60` for a cross-engine
+    fingerprint store.
     """
+    hfn = portable_hash60 if portable else F.xxhash64
     words = F.split(norm_text(F.col(text_col)), " ")
     base = df.select(F.col(id_col), words.alias("__w")).filter(
         F.size("__w") >= window_k
@@ -642,7 +649,7 @@ def repeated_substring_spans(
     # positional (NOT distinct) k-gram hashes: pos i covers words [i, i+k)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("__w") - window_k),
-        lambda i: portable_hash60(
+        lambda i: hfn(
             F.concat_ws(
                 " ",
                 *[
