@@ -6,7 +6,7 @@ except where a single Arrow pass beats CodegenFallback HOFs (lang_id).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -264,6 +264,80 @@ def oov_stats(
             .cast("bigint")
             .alias("n_oov"),
         )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    word pairs — the classic phrase/collocation extractor (and the
+    scoring rule behind word2phrase-style phrase merging).
+
+    PMI(w1,w2) = ln( (c12/Nb) / ((c1/N)·(c2/N)) ), kept when
+    c12 ≥ min_count. Ranked on the ROUNDED score (ties → lexicographic)
+    so a SQL replay orders identically.
+
+    Shuffle shape: one bigram count and one unigram count (both
+    map-side combinable), a join of the (already aggregated) bigram
+    vocab against the unigram vocab, then orderBy+limit — Spark plans a
+    distributed TakeOrdered, so no single-partition global sort of the
+    vocabulary ever happens.
+    """
+    words = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(words.alias("__w"))
+    uni = (
+        base.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__w") - 2, F.lit(-1))),
+        lambda i: F.struct(
+            F.try_element_at("__w", (i + 1).cast("int")).alias("w1"),
+            F.try_element_at("__w", (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bi = (
+        base.filter(F.size("__w") >= 2)
+        .select(F.explode(bi_arr).alias("__b"))
+        .select("__b.w1", "__b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("__N")
+    ).crossJoin(
+        bi.agg(F.sum("c12").cast("double").alias("__Nb"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("c12")
+                    * F.col("__N")
+                    * F.col("__N")
+                    / (F.col("__Nb") * F.col("c1") * F.col("c2"))
+                ),
+                round_to,
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "c12", "pmi"
     )
 
 

@@ -3435,6 +3435,43 @@ FROM ex GROUP BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# q90 — top-k PMI collocations over adjacent word pairs (word2phrase-
+# style phrase scoring). Rank on the 6dp-rounded PMI, lexicographic
+# tiebreak, so both engines order identically.
+# --------------------------------------------------------------------------
+
+def q90_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.pmi_collocations(docs, min_count=5, k=20)
+
+
+Q90_SQL = r"""
+WITH d AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+uni AS (
+  SELECT w AS word, count(*)::BIGINT AS c
+  FROM (SELECT unnest(w) AS w FROM d) GROUP BY w),
+bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2))
+  GROUP BY w1, w2 HAVING count(*) >= 5),
+n AS (SELECT sum(c)::DOUBLE AS N FROM uni),
+nb AS (SELECT sum(c12)::DOUBLE AS Nb FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         round(ln(b.c12 * n.N * n.N / (nb.Nb * u1.c * u2.c)), 6) AS pmi
+  FROM bi b
+  JOIN uni u1 ON u1.word = b.w1
+  JOIN uni u2 ON u2.word = b.w2, n, nb)
+SELECT row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)::INT AS rank,
+       w1, w2, c12, pmi
+FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the round-1
 # driver evaluated exactly the first 50 queries() entries, so entries the
 # driver has never verified (q51-q72) come first, then the queries fixed
@@ -3461,6 +3498,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q87_source_quota", q87_source_quota, Q87_SQL, "corpus-quota"),
         QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
         QuerySpec("q89_embedding_stats", q89_embedding_stats, Q89_SQL, "embedding-hygiene"),
+        QuerySpec("q90_pmi_collocations", q90_pmi_collocations, Q90_SQL, "text-collocations"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
