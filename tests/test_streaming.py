@@ -434,3 +434,44 @@ def test_incremental_near_dup_streaming(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {(r.new_id, r.base_id) for r in got} == expect
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Native Structured Streaming dedup: dropDuplicates on a content
+    digest in a replayed doc stream keeps exactly one doc per distinct
+    normalized text across ALL micro-batches (cumulative state), i.e.
+    the same KEY SET as batch exact_dedup — the ingestion-time exact
+    dedup q23 runs in batch. (Which duplicate survives differs: batch
+    keeps min doc_id, streaming keeps first-arrival; replay order is by
+    doc_id here so both keep the min.)"""
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators.dedup import exact_dedup
+
+    rows = [
+        Row(doc_id=i, text=f"unique doc number {i} body") for i in range(10)
+    ]
+    # duplicates across future micro-batches (doc_id order = replay order)
+    rows += [Row(doc_id=100 + i, text=f"unique doc number {i} body") for i in range(5)]
+    rows += [Row(doc_id=200, text="unique   DOC number 3 body ")]  # normalizes equal
+    df = spark.createDataFrame(rows)
+
+    want = {r.doc_id for r in exact_dedup(df).collect()}
+    assert want == set(range(10))  # every dup collapses to the min id
+
+    root = str(tmp_path / "chunks")
+    sources.split_for_replay(df, root, n_chunks=3, order_col="doc_id")
+    stream = (
+        sources.replay_stream(spark, root, df.schema)
+        .withColumn("__digest", F.xxhash64(norm_text(F.col("text"))))
+        .dropDuplicates(["__digest"])
+    )
+    got: list = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(lambda d, b: got.extend(d.collect()))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in got} == want
