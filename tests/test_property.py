@@ -231,3 +231,64 @@ def test_chunking_covers_and_reconstructs(spark, lengths, chunk_size):
         want = [f"d{d}w{i}" for i in range(n)]
         assert rebuilt[: len(want)] == want
         assert set(w for ws in chunks.values() for w in ws) == set(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # source id
+            st.integers(min_value=0, max_value=999), # doc id suffix
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_source_quota_caps_every_source(spark, pairs, n_max):
+    from collections import Counter
+
+    from odin_rs_spark.operators.corpus import source_quota
+
+    rows = [
+        Row(doc_id=s * 1000 + d, source=f"s{s}") for s, d in pairs
+    ]
+    df = spark.createDataFrame(rows)
+    input_counts = Counter(r.source for r in rows)
+    kept = source_quota(df, n_max=n_max).collect()
+    kept_counts = Counter(r.source for r in kept)
+    for src, n in input_counts.items():
+        assert kept_counts.get(src, 0) == min(n, n_max)
+    # kept rows are a subset of the input
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in rows}
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=15),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_logprob_matches_python(spark, word_lists):
+    import math
+    from collections import Counter
+
+    from odin_rs_spark.operators.text import unigram_logprob
+
+    texts = {i: " ".join(f"w{w}" for w in ws) for i, ws in enumerate(word_lists)}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(df).collect()
+    }
+    vocab = Counter(w for t in texts.values() for w in t.split())
+    N = sum(vocab.values())
+    for i, t in texts.items():
+        ws = t.split()
+        want = sum(math.log(vocab[w]) for w in ws) / len(ws) - math.log(N)
+        n, avg = got[i]
+        assert n == len(ws)
+        assert abs(avg - round(want, 6)) <= 1e-6
