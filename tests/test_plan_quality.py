@@ -122,3 +122,36 @@ def test_semantic_pairs_no_cartesian(spark, sf_dir):
     plan = _executed(semantic_near_dup_pairs(emb))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_uses_distributed_takeordered(spark, sf_dir):
+    # global top-k must plan as TakeOrdered (per-partition k + merge),
+    # never a single-partition global sort of the bigram vocabulary
+    from odin_rs_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(pmi_collocations(docs, min_count=2, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_stats_single_aggregation(spark, sf_dir):
+    # posexplode + one hash aggregate: exactly one shuffle exchange
+    from odin_rs_spark.operators.similarity import embedding_dim_stats
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = _executed(embedding_dim_stats(emb))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_oov_join_no_cartesian(spark, sf_dir):
+    from odin_rs_spark.operators.text import oov_stats
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(
+        oov_stats(docs.filter(F2.col("lang") != "en"),
+                  docs.filter(F2.col("lang") == "en"))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
