@@ -85,6 +85,56 @@ def ecef_z(lon: Column | str, lat: Column | str, alt_m: Column | str | float = 0
     return (n * F.lit(1.0 - WGS84_E2) + alt) * F.sin(lat_r)
 
 
+def ecef_lon(x: Column | str, y: Column | str) -> Column:
+    """ECEF → geodetic longitude (degrees). Inverse of ecef_x/ecef_y
+    (parity: the reference's cartesian→geodetic direction,
+    odin_common/src/geo.rs:91 — forward-only here until round 3)."""
+    return F.degrees(F.atan2(_col(y), _col(x)))
+
+
+def _bowring_lat_rad(x: Column, y: Column, z: Column) -> Column:
+    """Geodetic latitude (radians) from ECEF via Bowring's closed form
+    (Bowring 1976, the standard survey-review formulation), refined with
+    one fixed-point pass: θ' = atan((b/a)·tan(lat₁)) re-entered into the
+    same formula. Two passes give sub-mm accuracy through LEO altitudes.
+    Pure JVM expressions — no UDF in this path."""
+    a = F.lit(WGS84_A)
+    b = F.lit(WGS84_A * (1.0 - WGS84_E2) ** 0.5)
+    e2 = F.lit(WGS84_E2)
+    ep2 = F.lit(WGS84_E2 / (1.0 - WGS84_E2))
+    p = F.sqrt(x * x + y * y)
+
+    def step(theta: Column) -> Column:
+        return F.atan2(
+            z + ep2 * b * F.sin(theta) ** 3,
+            p - e2 * a * F.cos(theta) ** 3,
+        )
+
+    lat1 = step(F.atan2(z * a, p * b))  # seed: parametric-latitude guess
+    # refinement pass: parametric angle recomputed from the first result
+    return step(F.atan2(b * F.sin(lat1), a * F.cos(lat1)))
+
+
+def ecef_lat(x: Column | str, y: Column | str, z: Column | str) -> Column:
+    """ECEF → geodetic latitude (degrees)."""
+    return F.degrees(_bowring_lat_rad(_col(x), _col(y), _col(z)))
+
+
+def ecef_alt(x: Column | str, y: Column | str, z: Column | str) -> Column:
+    """ECEF → height above the WGS84 ellipsoid (meters). Near the poles
+    (p → 0) the p/cos(lat) form degenerates, so the |z|-axis expression
+    takes over there."""
+    x, y, z = _col(x), _col(y), _col(z)
+    b = F.lit(WGS84_A * (1.0 - WGS84_E2) ** 0.5)
+    p = F.sqrt(x * x + y * y)
+    lat = _bowring_lat_rad(x, y, z)
+    n = _prime_vertical_radius(lat)
+    return F.when(
+        p > F.lit(1.0),  # > 1 m from the polar axis: stable general form
+        p / F.cos(lat) - n,
+    ).otherwise(F.abs(z) - b)
+
+
 def quantize_cell(coord: Column | str, resolution_deg: float) -> Column:
     """Quantize a degree coordinate to an integer cell index.
 

@@ -370,6 +370,99 @@ def jaccard_pairs(
     return out
 
 
+def _jaccard_prefix_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    parallelism: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front of the exact-Jaccard prefix join: returns the
+    persisted hashed-shingle frame (id, __sh) and the prefix inverted
+    index (id, __sz, __g) under the ascending-document-frequency global
+    shingle order."""
+    from pyspark.storagelevel import StorageLevel
+
+    if parallelism:
+        df = df.repartition(parallelism)
+    # hash shingles to 64-bit ints FIRST: every downstream stage — the
+    # frequency shuffle, the per-doc ordered arrays, the prefix index,
+    # and the verification intersect/union — then moves and compares
+    # 8-byte longs instead of ~40-char strings (measured 7.5 s → ~3 s at
+    # sf0.1). Jaccard over hashed shingles equals Jaccard over shingles
+    # up to 64-bit collisions (p ≈ |sh|²/2⁶⁵ per doc ≈ 1e-14 — far below
+    # fp-noise level).
+    sh = (
+        _shingle_df(df, id_col, text_col, shingle_n)
+        .select(
+            F.col(id_col),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = (
+        ex.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__g"))).alias("__ord"))
+    )
+    # required overlap = ceil(size·t), computed with an epsilon guard: if
+    # the fp product of an exactly-integer real product rounds a hair
+    # ABOVE the integer (e.g. 10*0.7 → 7.000000000000001), ceil would
+    # gain 1 and the prefix would SHORTEN by one element — silently
+    # losing candidate recall and breaking the exactness guarantee. The
+    # guard only ever errs toward a LONGER prefix (more candidates,
+    # never fewer).
+    plen = (
+        F.size("__ord")
+        - F.ceil(F.size("__ord") * F.lit(float(threshold)) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefix = ranked.select(
+        F.col(id_col),
+        F.size("__ord").alias("__sz"),
+        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__pg"),
+    ).select(F.col(id_col), "__sz", F.col("__pg.__g").alias("__g"))
+    return sh, prefix
+
+
+def jaccard_prefix_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    min_bucket_size: int = 1000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(shingle_hash, n_ids, est_pairs) for prefix-index buckets at or
+    above `min_bucket_size` — the audit twin of `jaccard_join_pairs`,
+    mirroring `lsh_oversized_buckets`. Unlike the LSH path this operator
+    must NOT cap buckets (a cap would break the exactness guarantee), so
+    the audit is the safety valve: in-bucket pair expansion is quadratic
+    in bucket occupancy, and a 100× corpus whose vocabulary head shifts
+    (boilerplate becoming rare enough to enter prefixes) would otherwise
+    go quadratic silently. est_pairs = n·(n−1)/2 per bucket is the
+    expansion cost a planner would use to decide on a coarser shingle_n
+    or a pre-pass exact dedup.
+    """
+    _, prefix = _jaccard_prefix_index(
+        df, id_col, text_col, shingle_n, threshold, parallelism
+    )
+    return (
+        prefix.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") >= min_bucket_size)
+        .select(
+            F.col("__g").alias("shingle_hash"),
+            "n_ids",
+            (F.col("n_ids") * (F.col("n_ids") - 1) / 2).cast("long").alias("est_pairs"),
+        )
+    )
+
+
 def jaccard_join_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -402,40 +495,7 @@ def jaccard_join_pairs(
     Reference parity: same role as the reference's content-dedup pass but
     exact; cited for capability only (no counterpart algorithm there).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    if parallelism:
-        df = df.repartition(parallelism)
-    # hash shingles to 64-bit ints FIRST: every downstream stage — the
-    # frequency shuffle, the per-doc ordered arrays, the prefix index,
-    # and the verification intersect/union — then moves and compares
-    # 8-byte longs instead of ~40-char strings (measured 7.5 s → ~3 s at
-    # sf0.1). Jaccard over hashed shingles equals Jaccard over shingles
-    # up to 64-bit collisions (p ≈ |sh|²/2⁶⁵ per doc ≈ 1e-14 — far below
-    # fp-noise level).
-    sh = (
-        _shingle_df(df, id_col, text_col, shingle_n)
-        .select(
-            F.col(id_col),
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
-    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
-    ranked = (
-        ex.join(freq, "__g")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("__f", "__g"))).alias("__ord"))
-    )
-    plen = (
-        F.size("__ord") - F.ceil(F.size("__ord") * F.lit(float(threshold))) + 1
-    ).cast("int")
-    prefix = ranked.select(
-        F.col(id_col),
-        F.size("__ord").alias("__sz"),
-        F.explode(F.slice("__ord", F.lit(1), plen)).alias("__pg"),
-    ).select(F.col(id_col), "__sz", F.col("__pg.__g").alias("__g"))
+    sh, prefix = _jaccard_prefix_index(df, id_col, text_col, shingle_n, threshold, parallelism)
     # pair expansion with the All-Pairs LENGTH filter fused in: members
     # sort by (set size, id), and since J >= t forces |A|/|B| >= t the
     # inner slice drops partners whose size ratio fails BEFORE the pair
@@ -547,8 +607,10 @@ def near_dup_join(
     bucket-partitioned (it's pure column math on the base corpus), so
     each incoming batch only signatures itself and equi-joins the index
     — incremental cost is O(batch), not O(history). `max_bucket_size`
-    (applied per joined bucket via a pre-join base-side bucket count)
-    guards the same degenerate-boilerplate blowup as the self-join path.
+    caps bucket occupancy on BOTH sides (a boilerplate bucket dominated
+    by the incoming batch would otherwise still join every new id
+    against up to `cap` base ids per band); audit what was dropped with
+    `near_dup_join_oversized_buckets` on the same inputs.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -568,10 +630,8 @@ def near_dup_join(
         base, id_col, text_col, shingle_n, num_perm, bands, None, sh_b
     ).select(F.col(id_col).alias("base_id"), "band", "bhash")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bhash")
-        bb = bb.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
-            F.col("__bn") <= max_bucket_size
-        ).drop("__bn")
+        bn = _cap_bucket_occupancy(bn, max_bucket_size)
+        bb = _cap_bucket_occupancy(bb, max_bucket_size)
     cand = bn.join(bb, ["band", "bhash"]).select("new_id", "base_id").distinct()
     return (
         cand.join(
@@ -589,6 +649,50 @@ def near_dup_join(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("new_id", "base_id", "jaccard")
+    )
+
+
+def _cap_bucket_occupancy(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop whole (band, bhash) buckets whose occupancy exceeds the cap
+    (degenerate boilerplate buckets; the dedup ladder's exact pass owns
+    those). Window count, one shuffle on the bucket key."""
+    w = Window.partitionBy("band", "bhash")
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
+def near_dup_join_oversized_buckets(
+    new: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bhash, n_new, n_base) for buckets the capped
+    `near_dup_join` drops on EITHER side — the audit twin of the join
+    path, mirroring `lsh_oversized_buckets` for the self-join: silent
+    truncation reads as 'covered everything' when it didn't."""
+    bn = _banded_signatures(new, id_col, text_col, shingle_n, num_perm, bands, None, None)
+    bb = _banded_signatures(base, id_col, text_col, shingle_n, num_perm, bands, None, None)
+    cn = bn.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("n_new"))
+    cb = bb.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        cn.join(cb, ["band", "bhash"], "full_outer")
+        .select(
+            "band",
+            "bhash",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        )
+        .filter(
+            (F.col("n_new") > max_bucket_size) | (F.col("n_base") > max_bucket_size)
+        )
     )
 
 

@@ -23,6 +23,22 @@ from pyspark.sql.functions import pandas_udf
 from odin_rs_spark.functions.geo import EARTH_RADIUS_KM, quantize_cell
 
 
+def _contains_map(dt) -> bool:
+    """True if the data type is (or transitively contains) a MapType —
+    Spark's analysis-time orderability rule: such types can't appear
+    anywhere inside a sort key, even in a position comparison would
+    never reach."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -247,26 +263,59 @@ def nearest_join(
     else:
         joined = left.crossJoin(F.broadcast(right))
     joined = joined.withColumn("__dist", distance)
+    # Ordering key for every path is (dist, tiebreaks, __sid) — NEVER the
+    # payload: a __sid surrogate makes the ordering total, so ties past
+    # the caller's declared tiebreaks are broken arbitrarily instead of
+    # by silently comparing payload content, and non-orderable payload
+    # types (MapType) stay out of sort keys entirely. `payload=[]` is
+    # honored as "key + distance only" (`None` means all columns) —
+    # `payload or [...]` used to swallow the explicit empty list.
+    joined = joined.withColumn("__sid", F.monotonically_increasing_id())
+    sort_key = F.struct(
+        F.col("__dist").alias("d"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak or [])],
+        F.col("__sid").alias("s"),
+    )
     if k == 1:
-        # min_by fast path: a lexicographic min-struct aggregation gets
-        # map-side partial aggregation, so only |left| rows shuffle —
-        # the window-rank path shuffles the FULL |left|×|right| product
-        # (measured 5× on the ground-track query). Requires left_key to
-        # identify left rows (duplicates collapse to one winner).
-        payload = payload or [c for c in joined.columns if c != "__dist"]
-        m = joined.groupBy(left_key).agg(
-            F.min(
-                F.struct(
-                    F.col("__dist").alias("d"),
-                    *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak or [])],
-                    F.struct(*[F.col(c) for c in payload if c != left_key]).alias("row"),
-                )
-            ).alias("__m")
-        )
+        # min/min_by fast path: lexicographic aggregations get map-side
+        # partial aggregation, so only |left| rows shuffle — the
+        # window-rank path shuffles the FULL |left|×|right| product
+        # (measured 5× on the ground-track query). min_by carries the
+        # payload struct without requiring it to be orderable. Requires
+        # left_key to identify left rows (duplicates collapse to one
+        # winner).
+        if payload is None:
+            payload = [c for c in joined.columns if c not in ("__dist", "__sid")]
+        pay = [c for c in payload if c != left_key]
+        aggs = [F.min(sort_key).alias("__m")]
+        if pay:
+            aggs.append(
+                F.min_by(F.struct(*[F.col(c) for c in pay]), sort_key).alias("__row")
+            )
+        m = joined.groupBy(left_key).agg(*aggs)
         return m.select(
             F.col(left_key),
-            F.col("__m.row.*"),
+            *([F.col("__row.*")] if pay else []),
             F.col("__m.d").alias("__dist"),
+        )
+    if payload is None:
+        payload = [c for c in joined.columns if c not in (left_key, "__dist", "__sid")]
+    if any(_contains_map(joined.schema[c].dataType) for c in payload):
+        # Map-typed payloads can't ride inside a sorted struct even as a
+        # trailing field (orderability is an analysis-time property of
+        # the whole element type) — fall back to the window-rank plan,
+        # which sorts only (dist, tiebreaks, sid) and carries payload as
+        # plain columns. Costs a full |L|×|R| shuffle; correct for any
+        # payload type.
+        w = Window.partitionBy(left_key).orderBy(
+            F.col("__dist").asc(),
+            *[F.col(c).asc() for c in (tiebreak or [])],
+            F.col("__sid").asc(),
+        )
+        return (
+            joined.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(left_key, *payload, "__dist")
         )
     # k>1: aggregate a NARROW struct per candidate and take the k
     # smallest per left key with slice(array_sort(...)). The former
@@ -276,18 +325,26 @@ def nearest_join(
     # wide — and the sort runs per-group in the aggregate, not as a
     # global partition sort. Per-group state is |R| minimal structs,
     # bounded by the broadcast-size right side this operator targets.
-    payload = payload or [c for c in joined.columns if c not in (left_key, "__dist")]
     cand = F.struct(
         F.col("__dist").alias("d"),
         *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak or [])],
-        F.struct(*[F.col(c) for c in payload]).alias("row"),
+        F.col("__sid").alias("s"),
+        *(
+            [F.struct(*[F.col(c) for c in payload]).alias("row")]
+            if payload
+            else []
+        ),
     )
     topk = joined.groupBy(left_key).agg(
         F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__top")
     )
     return topk.select(
         F.col(left_key), F.explode("__top").alias("__m")
-    ).select(left_key, F.col("__m.row.*"), F.col("__m.d").alias("__dist"))
+    ).select(
+        left_key,
+        *([F.col("__m.row.*")] if payload else []),
+        F.col("__m.d").alias("__dist"),
+    )
 
 
 def nearest_inline_join(

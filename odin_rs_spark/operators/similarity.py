@@ -421,14 +421,21 @@ def ivf_fixed_topk(
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
+    assigned = _assign_nearest_cosine(base, cent_df, id_col)
+    qn = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)
+
+
+def _assign_nearest_cosine(base: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
+    """Assign each (id, __cvec, __cn) row to its max-cosine centroid
+    (ties → lower cell). argmax via min-struct on (-cos, cell): map-side
+    partial agg, only |corpus| rows shuffle."""
     ac = base.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d",
         dot(F.col("__cvec"), F.col("__centroid"))
         / (F.col("__cn") * l2_norm(F.col("__centroid"))),
     )
-    # argmax via min-struct on (-cos, cell): map-side partial agg, only
-    # |corpus| rows shuffle
-    assigned = (
+    return (
         ac.groupBy(id_col)
         .agg(
             F.min(
@@ -447,6 +454,84 @@ def ivf_fixed_topk(
             F.col("__m.cell").alias("__cell"),
         )
     )
+
+
+def ivf_lloyd_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    seed_ids: list,
+    iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+    centroid_dp: int = 6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """IVF ANN with DISTRIBUTED spherical-kmeans (Lloyd) refinement from a
+    deterministic seed-centroid set — the trained-IVF path expressed so a
+    SQL oracle can replay it, unlike the driver-side sampled kmeans of
+    `ivf_topk`.
+
+    Each Lloyd iteration is pure DataFrame algebra: (1) assign every
+    corpus vector to its max-cosine centroid via a broadcast of the k
+    centroids (map-side min-struct, |corpus| rows shuffle), (2) recompute
+    each centroid as the element-wise mean of its members (posexplode →
+    two shuffles whose reduce side is k×dim rows thanks to partial avg).
+    This is exactly how a 1000-executor KMeans iterates — no corpus data
+    ever reaches the driver; only the k×dim centroid matrix does (a
+    documented driver-bounded collect, same contract class as the PQ
+    codebook).
+
+    Centroid components are rounded to `centroid_dp` decimals after each
+    mean so the update is reproducible cross-engine (Spark and DuckDB sum
+    doubles in different orders; rounding collapses the ulp noise before
+    it can flip a downstream argmax).
+    """
+    spark = corpus.sparkSession
+    cent_df = (
+        corpus.filter(F.col(id_col).isin(list(seed_ids)))
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
+        .withColumn(
+            "__cell",
+            F.array_position(
+                F.array(*[F.lit(i) for i in seed_ids]), F.col("__cid")
+            ).cast("int")
+            - 1,
+        )
+        .select("__cell", "__centroid")
+    )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    for _ in range(int(iters)):
+        assigned = _assign_nearest_cosine(base, cent_df, id_col)
+        mean_upd = (
+            assigned.select("__cell", F.posexplode("__cvec").alias("__p", "__x"))
+            .groupBy("__cell", "__p")
+            .agg(F.round(F.avg("__x"), centroid_dp).alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__s")
+            )
+            .select(
+                "__cell",
+                F.col("__s.__m").alias("__centroid"),
+            )
+        )
+        # materialize the k×dim centroid matrix on the driver (bounded by
+        # construction: len(seed_ids) rows) so the 3 downstream uses don't
+        # each re-run the corpus-wide mean aggregation
+        rows = [(r["__cell"], list(r["__centroid"])) for r in mean_upd.collect()]
+        cent_df = spark.createDataFrame(rows, "__cell int, __centroid array<double>")
+    assigned = _assign_nearest_cosine(base, cent_df, id_col)
     qn = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     return _probe_and_rerank(assigned, qn, cent_df, k, nprobe, id_col, query_id_col)
 

@@ -1644,7 +1644,10 @@ def q47_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = geojson_point("coordinates_json")
     return feats.groupBy(F.col("props.etype").alias("etype")).agg(
         F.count(F.lit(1)).alias("n_features"),
-        F.round(F.sum(F.col("props.etype").isNotNull().cast("int")), 0).alias("n_props"),
+        # cast to double: the oracle declares count(*)::DOUBLE and the
+        # driver canonicalizer is dtype-sensitive (long 2006 != double
+        # 2006.0 even when rows/schema match) — round-2 hash failure
+        F.sum(F.col("props.etype").isNotNull().cast("int")).cast("double").alias("n_props"),
         F.round(F.sum(pt["lon"]), 3).alias("sum_lon"),
         F.round(F.sum(pt["lat"]), 3).alias("sum_lat"),
     )
@@ -1955,17 +1958,26 @@ GROUP BY e.event_type
 
 
 # --------------------------------------------------------------------------
-# q55 — IVF approximate nearest neighbors (similarity, beyond-reference;
-# KMeans centroids → probe → exact re-rank). Centroid fit is
-# iterative/ML → rows-only check.
+# q55 — IVF ANN with a DISTRIBUTED Lloyd-refined centroid set (similarity,
+# beyond-reference): one spherical-kmeans iteration from fixed-seed
+# centroids, run as pure DataFrame algebra (broadcast assign + groupBy
+# mean update) — the trained-IVF path, restructured in round 3 so the
+# oracle can replay it (the old sampled-driver-kmeans variant was the one
+# no_oracle row in CORRECTNESS_r02; it remains as the pytest-covered
+# `ivf_topk` operator).
 # --------------------------------------------------------------------------
 
-def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+_Q55_SEEDS = [11, 23, 37, 41, 53, 67, 79, 97]
+
+
+def q55_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim_ops.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3)
+    out = sim_ops.ivf_lloyd_topk(
+        emb, queries, _Q55_SEEDS, iters=1, k=5, nprobe=3
+    )
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
@@ -1997,6 +2009,55 @@ Q59_SQL = f"""
 WITH cents AS (
   SELECT list_position({_Q59_CENTS}, vec_id) - 1 AS cell, embedding AS cv
   FROM embeddings WHERE vec_id IN {tuple(_Q59_CENTS)}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id < 5) WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COS.format(a='qe', b='e')} AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+# q55's oracle: q59's skeleton plus one Lloyd mean-update CTE between the
+# seed assignment and the IVF tail. Centroid components are rounded to 6dp
+# on BOTH sides (Spark F.round / DuckDB round, both half-away-from-zero)
+# so cross-engine fp summation order in avg() can't flip a downstream
+# argmax.
+Q55_SQL = f"""
+WITH seeds AS (
+  SELECT list_position({_Q55_SEEDS}, vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q55_SEEDS)}),
+assign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC, c.cell ASC) AS rn
+    FROM embeddings e, seeds c) WHERE rn = 1),
+cmeans AS (
+  SELECT a.cell, t.i AS pos, round(avg(e.embedding[t.i]::DOUBLE), 6) AS m
+  FROM assign0 a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, 65) t(i)
+  GROUP BY a.cell, t.i),
+cents AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM cmeans GROUP BY cell),
 assigned AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
@@ -2391,8 +2452,11 @@ marked AS (
   FROM lagged),
 sessioned AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- ::BIGINT: DuckDB windowed sum() returns HUGEINT -> pandas
+         -- float64; the dtype-sensitive driver hash diverges from Spark's
+         -- long (round-2 failure; the passing q18 twin has this cast)
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
   FROM marked)
 SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
        CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
@@ -3472,85 +3536,87 @@ FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 """
 
 
-# Catalog iteration order is a PRIORITY order, not numeric: the round-1
-# driver evaluated exactly the first 50 queries() entries, so entries the
-# driver has never verified (q51-q72) come first, then the queries fixed
-# this round (q16/q18/q28/q43/q44/q47/q48), then a representative spread
-# of round-1-green queries. The 22 entries past slot 50 all have green
-# CORRECTNESS_r01 rows — the union of r01+r02 covers every query.
+# --------------------------------------------------------------------------
+# q91 — T7/T3 driver-verified: a REAL Structured Streaming run inside the
+# query (VERDICT r2 #9). Events split into an overlapping backfill half
+# and a replayed live stream; `backfill_then_live` writes history once,
+# then drains the stream with Trigger.AvailableNow through the
+# idempotent dedup-append sink. The returned aggregate equals the plain
+# batch aggregate over ALL events IFF the seam was exactly-once — the
+# 20% planted overlap (event_id % 10 ∈ {4,5} lands on both sides) would
+# double-count under an at-least-once sink, so the trivial-looking
+# oracle SQL is precisely the exactly-once check.
+# --------------------------------------------------------------------------
+
+def q91_stream_backfill_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import backfill_then_live
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="odin_q91_")
+    try:
+        backfill = ev.filter(F.col("event_id") % 10 < 6)
+        live = ev.filter(F.col("event_id") % 10 >= 4)
+        split_for_replay(live, root + "/chunks", n_chunks=4, order_col="ts")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+        backfill_then_live(
+            spark, backfill, stream, root + "/store", root + "/ckpt", "event_id"
+        )
+        final = spark.read.parquet(root + "/store")
+        out = final.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        # the streaming run is over (availableNow drained); materialize
+        # before the temp store is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q91_SQL = """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# Catalog iteration order is a PRIORITY order, not numeric: the driver
+# evaluates exactly the first 50 queries() entries per round. Round-3
+# allocation (rotation rule: every query driver-re-verified within 2
+# rounds):
+#   slots 1-4:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#               restructured as oracle-replayable Lloyd IVF, q91 new
+#               streaming AvailableNow query);
+#   slots 5-10: r2-green queries whose underlying operators CHANGED in
+#               round 3 (q53 nearest_join, q59 shares the refactored
+#               cosine-assignment helper, q78 jaccard epsilon guard,
+#               q82 near_dup_join symmetric cap) + the q56 flagship and
+#               the q69 corpus-prep composition;
+#   slots 11-50: the 40 queries whose only green row is CORRECTNESS_r01
+#               (two rounds stale after this round if not re-verified).
+# The 41 entries past slot 50 all have green CORRECTNESS_r02 rows.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
-        QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
-        QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
-        QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
-        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
-        QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
-        QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
-        QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
-        QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
-        QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
-        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
-        QuerySpec("q83_repeated_substrings", q83_repeated_substrings, Q83_SQL, "dedup-exactsubstr"),
-        QuerySpec("q84_unigram_logprob", q84_unigram_logprob, Q84_SQL, "text-lm-quality"),
-        QuerySpec("q85_ivfpq_topk", q85_ivfpq_topk, Q85_SQL, "similarity-ivfpq"),
-        QuerySpec("q86_split_leakage", q86_split_leakage, Q86_SQL, "corpus-split-hygiene"),
-        QuerySpec("q87_source_quota", q87_source_quota, Q87_SQL, "corpus-quota"),
-        QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
-        QuerySpec("q89_embedding_stats", q89_embedding_stats, Q89_SQL, "embedding-hygiene"),
-        QuerySpec("q90_pmi_collocations", q90_pmi_collocations, Q90_SQL, "text-collocations"),
-        QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
-        QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
-        QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
-        QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
-        QuerySpec("q55_ivf_topk", q55_ivf_topk, None, "similarity-ivf"),
-        QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
-        QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
-        QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
-        QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
-        QuerySpec("q60_source_mix", q60_source_mix, Q60_SQL, "corpus-mix"),
-        QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
-        QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
-        QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
-        QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
-        QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
-        QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
-        QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
-        QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
-        QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
-        QuerySpec("q70_pivot_dow", q70_pivot_dow, Q70_SQL, "pivot"),
-        QuerySpec("q71_unpivot_measures", q71_unpivot_measures, Q71_SQL, "unpivot"),
-        QuerySpec("q72_grouping_sets", q72_grouping_sets, Q72_SQL, "grouping-sets"),
-        # --- fixed this round (NTZ / output-shape / rounding parity) ---
-        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
-        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
-        QuerySpec("q28_fingerprint", q28_fingerprint, Q28_SQL, "text-fingerprint"),
-        QuerySpec("q43_inactive_devices", q43_inactive_devices, Q43_SQL, "T4"),
-        QuerySpec("q44_alarm_suppress", q44_alarm_suppress, Q44_SQL, "T5"),
+        # --- fixed / new this round ---
         QuerySpec("q47_geojson_roundtrip", q47_geojson_roundtrip, Q47_SQL, "S13"),
-        QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
-        # --- representative round-1-green spread (fills the 50-slot window) ---
-        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
-        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
-        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
-        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
-        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
-        QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
-        QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
-        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
-        QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
-        QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
-        QuerySpec("q32_idw_grid", q32_idw_grid, Q32_SQL, "R2 S4"),
-        QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
-        QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
-        QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
-        QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
-        QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),
-        QuerySpec("q45_sbs_roundtrip", q45_sbs_roundtrip, Q45_SQL, "S7 F7"),
-        QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),
-        QuerySpec("q49_media_pipeline", q49_media_pipeline, Q49_SQL, "multimodal R9"),
-        QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
-        # --- past slot 50: all have green CORRECTNESS_r01 rows on record ---
+        QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
+        QuerySpec("q55_ivf_lloyd", q55_ivf_lloyd, Q55_SQL, "similarity-ivf"),
+        QuerySpec("q91_stream_backfill_live", q91_stream_backfill_live, Q91_SQL, "T7 T3 T1 K1 K2"),
+        # --- r2-green, operator changed in round 3 → re-verify ---
+        QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
+        QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
+        QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
+        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
+        QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
+        QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
+        # --- r1-green only (rotated in: last driver row is two rounds old) ---
         QuerySpec("q02_class_counts", q02_class_counts, Q02_SQL, "A1 F2"),
         QuerySpec("q03_filter_project", q03_filter_project, Q03_SQL, "F1 F5 F7"),
         QuerySpec("q04_topk_orders", q04_topk_orders, Q04_SQL, "O3 W1"),
@@ -3565,15 +3631,74 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
         QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
         QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
+        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
+        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
+        QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
+        QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
+        QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
         QuerySpec("q31_track_distance", q31_track_distance, Q31_SQL, "W4 geo"),
+        QuerySpec("q32_idw_grid", q32_idw_grid, Q32_SQL, "R2 S4"),
+        QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
         QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
+        QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
+        QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
+        QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
         QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
+        QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),
+        QuerySpec("q45_sbs_roundtrip", q45_sbs_roundtrip, Q45_SQL, "S7 F7"),
+        QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),
+        QuerySpec("q49_media_pipeline", q49_media_pipeline, Q49_SQL, "multimodal R9"),
+        QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
+        # --- past slot 50: all have green CORRECTNESS_r02 rows on record ---
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
+        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
+        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
+        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
+        QuerySpec("q28_fingerprint", q28_fingerprint, Q28_SQL, "text-fingerprint"),
+        QuerySpec("q43_inactive_devices", q43_inactive_devices, Q43_SQL, "T4"),
+        QuerySpec("q44_alarm_suppress", q44_alarm_suppress, Q44_SQL, "T5"),
+        QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
+        QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
+        QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
+        QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
+        QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
+        QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
+        QuerySpec("q60_source_mix", q60_source_mix, Q60_SQL, "corpus-mix"),
+        QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
+        QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
+        QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
+        QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
+        QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
+        QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
+        QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
+        QuerySpec("q70_pivot_dow", q70_pivot_dow, Q70_SQL, "pivot"),
+        QuerySpec("q71_unpivot_measures", q71_unpivot_measures, Q71_SQL, "unpivot"),
+        QuerySpec("q72_grouping_sets", q72_grouping_sets, Q72_SQL, "grouping-sets"),
+        QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
+        QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
+        QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
+        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
+        QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
+        QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
+        QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
+        QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
+        QuerySpec("q83_repeated_substrings", q83_repeated_substrings, Q83_SQL, "dedup-exactsubstr"),
+        QuerySpec("q84_unigram_logprob", q84_unigram_logprob, Q84_SQL, "text-lm-quality"),
+        QuerySpec("q85_ivfpq_topk", q85_ivfpq_topk, Q85_SQL, "similarity-ivfpq"),
+        QuerySpec("q86_split_leakage", q86_split_leakage, Q86_SQL, "corpus-split-hygiene"),
+        QuerySpec("q87_source_quota", q87_source_quota, Q87_SQL, "corpus-quota"),
+        QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
+        QuerySpec("q89_embedding_stats", q89_embedding_stats, Q89_SQL, "embedding-hygiene"),
+        QuerySpec("q90_pmi_collocations", q90_pmi_collocations, Q90_SQL, "text-collocations"),
     ]
 }
 

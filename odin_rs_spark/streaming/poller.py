@@ -41,6 +41,14 @@ class RestPoller:
     - **checkpointed cursor**: `state_path` persists `last_id` across
       poller restarts (the poller's own tiny checkpoint, separate from
       the streaming query's).
+    - **crash-consistent restart**: the batch file's name embeds the
+      batch's max id, and restart recovery takes the cursor as the max
+      over the persisted state AND the ids embedded in already-landed
+      files. A crash between the rename and the state write therefore
+      can't re-land the same records: bronze rows are exactly-once
+      across restarts as long as ids are monotonic under their natural
+      ordering (ints numerically; strings lexicographically — the same
+      assumption the records-since-id protocol itself makes).
     """
 
     def __init__(
@@ -58,17 +66,59 @@ class RestPoller:
         self.last_id = self._load_state()
 
     def _load_state(self):
+        """Recover the cursor as max(persisted state, ids embedded in
+        landed batch filenames): a crash between the batch rename and the
+        state write leaves the file as the only record of its id range,
+        and this scan is what makes that window duplicate-free."""
+        cand = []
         try:
             with open(self.state_path) as f:
-                return json.load(f)["last_id"]
+                v = json.load(f)["last_id"]
+            if v is not None:
+                cand.append(v)
         except (OSError, ValueError, KeyError):
-            return None
+            pass
+        try:
+            for name in os.listdir(self.bronze_dir):
+                v = self._id_from_name(name)
+                if v is not None:
+                    cand.append(v)
+        except OSError:
+            pass
+        return max(cand) if cand else None
 
     def _save_state(self) -> None:
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"last_id": self.last_id}, f)
         os.replace(tmp, self.state_path)
+
+    @staticmethod
+    def _name_for_id(max_id) -> str:
+        # hex-encode so any id value is filename-safe; tag int vs str so
+        # recovery compares with the id's own ordering
+        tag = "i" if isinstance(max_id, int) and not isinstance(max_id, bool) else "s"
+        enc = str(max_id).encode("utf-8").hex()
+        return f"batch_{tag}{enc}_{uuid.uuid4().hex}.json"
+
+    @staticmethod
+    def _id_from_name(name: str):
+        if not (name.startswith("batch_") and name.endswith(".json")):
+            return None
+        parts = name.split("_")
+        if len(parts) != 3 or len(parts[1]) < 2:
+            return None
+        tag, enc = parts[1][0], parts[1][1:]
+        try:
+            s = bytes.fromhex(enc).decode("utf-8")
+        except ValueError:
+            return None
+        if tag == "i":
+            try:
+                return int(s)
+            except ValueError:
+                return None
+        return s
 
     def poll_once(self) -> int:
         """One fetch → at most one bronze file. Returns records landed."""
@@ -77,13 +127,17 @@ class RestPoller:
             records = [r for r in records if r[self.id_field] > self.last_id]
         if not records:
             return 0
-        name = f"batch_{uuid.uuid4().hex}.json"
+        max_id = max(r[self.id_field] for r in records)
+        name = self._name_for_id(max_id)
         tmp = os.path.join(self.bronze_dir, "." + name)
         with open(tmp, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")
         os.rename(tmp, os.path.join(self.bronze_dir, name))
-        self.last_id = max(r[self.id_field] for r in records)
+        # state write happens AFTER the rename: if we crash in between,
+        # _load_state recovers the cursor from the filename instead of
+        # re-fetching and re-landing the same range
+        self.last_id = max_id
         self._save_state()
         return len(records)
 

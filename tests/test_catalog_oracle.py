@@ -4,9 +4,10 @@ this test is a local replica of the driver's t2 correctness gate."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from odin_rs_spark.plans.catalog import CATALOG
-from tests.oracle import compare, duckdb_con
+from tests.oracle import compare, dtype_mismatches, duckdb_con
 
 ORACLE_SPECS = [s for s in CATALOG.values() if s.sql is not None]
 ROWS_ONLY_SPECS = [s for s in CATALOG.values() if s.sql is None]
@@ -24,6 +25,31 @@ def test_oracle_match(spec, spark, sf_dir, con):
     df = spec.fn(spark, sf_dir)
     ok, msg = compare(df, con, spec.sql)
     assert ok, f"{spec.name}: {msg}"
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_dtype_parity(spec, spark, sf_dir, con):
+    """The driver's hash is dtype-sensitive even when values match (q47 and
+    q65 failed exactly this way in round 2 while passing value comparison).
+    Assert both sides land on the same pandas dtype per column."""
+    df = spec.fn(spark, sf_dir)
+    bad = dtype_mismatches(df, con, spec.sql)
+    assert not bad, f"{spec.name}: dtype parity (col, spark, duckdb): {bad}"
+
+
+def test_dtype_parity_catches_int_vs_float(spark, con):
+    """Negative control: the exact round-2 bug class (Spark long vs oracle
+    ::DOUBLE, values identical) must be flagged. Pre-fix q47/q65 were
+    invisible to value comparison; this checker must see them."""
+    df = spark.range(1).select(F.lit(2006).cast("long").alias("n_props"))
+    bad = dtype_mismatches(df, con, "SELECT 2006::DOUBLE AS n_props")
+    assert bad == [("n_props", "int", "float")]
+    # and the fixed form passes
+    df2 = spark.range(1).select(F.lit(2006).cast("double").alias("n_props"))
+    assert dtype_mismatches(df2, con, "SELECT 2006::DOUBLE AS n_props") == []
+    # integer width differences are driver-tolerated (q26/q67/q89 green)
+    df3 = spark.range(1).select(F.lit(7).cast("int").alias("k"))
+    assert dtype_mismatches(df3, con, "SELECT 7::BIGINT AS k") == []
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=[s.name for s in ROWS_ONLY_SPECS])

@@ -8,7 +8,7 @@ import hashlib
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from odin_rs_spark.operators import corpus
+from odin_rs_spark.operators import corpus, dedup
 
 
 def _draw(key: str) -> float:
@@ -157,6 +157,57 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
 
     dropped = dedup.lsh_oversized_buckets(df, max_bucket_size=10).collect()
     assert len(dropped) > 0 and all(r.n_ids == 40 for r in dropped)
+
+
+def test_near_dup_join_symmetric_cap_and_audit(spark):
+    """Round-3 ADVICE fix: the join-path cap must apply to BOTH sides —
+    a boilerplate bucket dominated by the incoming batch used to still
+    join every new id against up to `cap` base ids per band — and the
+    drop must be auditable via near_dup_join_oversized_buckets."""
+    boiler = "subscribe to our newsletter for daily updates and offers " * 5
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    new = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(30)] + [Row(doc_id=100, text=a)]
+    )
+    base = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=boiler) for i in range(5)]
+        + [Row(doc_id=1100, text=a + " again")]
+    )
+    capped = dedup.near_dup_join(new, base, threshold=0.7, max_bucket_size=10)
+    got = {(r.new_id, r.base_id) for r in capped.collect()}
+    # base-side boiler bucket is only 5 (under cap) — the NEW side's 30
+    # must trigger the drop; only the genuine pair survives
+    assert got == {(100, 1100)}
+    audit = dedup.near_dup_join_oversized_buckets(
+        new, base, max_bucket_size=10
+    ).collect()
+    assert audit and all(r.n_new == 30 and r.n_base == 5 for r in audit)
+
+
+def test_jaccard_prefix_bucket_audit_degenerate_corpus(spark):
+    """VERDICT #6: the exact-Jaccard prefix join must not cap (exactness),
+    so its scale safety valve is the audit — a degenerate same-text corpus
+    shows up as quadratic-cost buckets, while the join itself stays exact."""
+    text = "identical boilerplate document body repeated verbatim in every row"
+    df = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(50)])
+    audit = dedup.jaccard_prefix_buckets(df, min_bucket_size=40).collect()
+    assert audit and all(r.n_ids == 50 and r.est_pairs == 1225 for r in audit)
+    # and the join still finds every pair (50*49/2), uncapped by design
+    assert dedup.jaccard_join_pairs(df, threshold=0.9).count() == 1225
+
+
+def test_jaccard_prefix_epsilon_guard(spark):
+    """Round-3 ADVICE fix: ceil(size*t) in fp can round an exactly-integer
+    real product UP (25*0.56 → 14.000000000000002 → ceil 15), silently
+    shortening the prefix and losing recall. The guarded form errs only
+    toward longer prefixes."""
+    assert 25 * 0.56 > 14  # the fp hazard this guards against is real
+    row = spark.range(1).select(
+        F.ceil(F.lit(25) * F.lit(0.56)).alias("naive"),
+        F.ceil(F.lit(25) * F.lit(0.56) - F.lit(1e-9)).alias("guarded"),
+    ).collect()[0]
+    assert row.naive == 15  # the bug: one extra overlap demanded
+    assert row.guarded == 14  # the guard restores the exact requirement
 
 
 def test_repetition_stats_and_pii(spark):

@@ -162,6 +162,63 @@ def test_ecef_equator_prime_meridian(spark):
     assert abs(r.zp - 6356752.314245) < 1e-3  # polar semi-minor axis
 
 
+def test_ecef_geodetic_roundtrip_property(spark):
+    """§2.9 round 3: the ECEF→geodetic inverse (Bowring) must invert the
+    forward trio to sub-mm / micro-degree accuracy across latitudes,
+    longitudes, and altitudes from -5 km through LEO. One Spark job for
+    the whole sample grid (hypothesis's per-example model would pay
+    ~1s of job latency each, so the grid is explicit)."""
+    lons = [-179.9, -120.0, -60.0, -0.1, 0.0, 45.5, 90.0, 135.25, 179.9]
+    lats = [-89.99, -85.0, -45.0, -0.001, 0.0, 23.4567, 45.0, 66.5, 89.99]
+    alts = [-5000.0, 0.0, 8848.0, 400_000.0, 2_000_000.0]
+    rows = [
+        (lon, lat, alt) for lon in lons for lat in lats for alt in alts
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double, alt double")
+    got = (
+        df.select(
+            "lon",
+            "lat",
+            "alt",
+            geo.ecef_x("lon", "lat", "alt").alias("x"),
+            geo.ecef_y("lon", "lat", "alt").alias("y"),
+            geo.ecef_z("lon", "lat", "alt").alias("z"),
+        )
+        .select(
+            "lon",
+            "lat",
+            "alt",
+            geo.ecef_lon("x", "y").alias("lon2"),
+            geo.ecef_lat("x", "y", "z").alias("lat2"),
+            geo.ecef_alt("x", "y", "z").alias("alt2"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r.lat2 - r.lat) < 1e-9, r
+        assert abs(r.alt2 - r.alt) < 1e-3, r
+        # longitude is undefined on the polar axis itself; everywhere
+        # else it must come back exactly
+        dlon = abs(r.lon2 - r.lon)
+        assert min(dlon, 360.0 - dlon) < 1e-9, r
+
+
+def test_ecef_inverse_pole_and_axis(spark):
+    """Polar-axis degeneracy: p≈0 must not NaN — lat snaps to ±90 and
+    alt falls back to |z| − b."""
+    b = 6356752.314245
+    r = one(
+        spark.createDataFrame(
+            [(0.0, 0.0, b + 1000.0)], "x double, y double, z double"
+        ).select(
+            geo.ecef_lat("x", "y", "z").alias("lat"),
+            geo.ecef_alt("x", "y", "z").alias("alt"),
+        )
+    )
+    assert abs(r.lat - 90.0) < 1e-6
+    assert abs(r.alt - 1000.0) < 1e-3
+
+
 # --------------------------------------------------------------------------
 # polygons
 # --------------------------------------------------------------------------

@@ -130,6 +130,81 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall degraded: {recall:.3f}"
 
 
+def test_nearest_join_empty_payload_and_map_payload(spark):
+    """Round-3 ADVICE regressions: (a) an explicit payload=[] means
+    'key + distance only' (it used to be swallowed by `payload or ...`
+    into all-columns), for both k=1 and k>1; (b) a MapType payload —
+    non-orderable, so it can never ride inside a sort key — still works
+    on the k>1 path via the window fallback."""
+    left = spark.createDataFrame([Row(pid=i, x=float(i)) for i in range(4)])
+    right = spark.createDataFrame(
+        [Row(rid=j, rx=float(3 * j), props={"tag": str(j)}) for j in range(3)]
+    )
+    dist = F.abs(F.col("x") - F.col("rx"))
+    for k in (1, 2):
+        slim = joins.nearest_join(left, right, dist, "pid", k=k, payload=[])
+        assert set(slim.columns) == {"pid", "__dist"}
+        assert slim.count() == 4 * min(k, 3)
+    got = joins.nearest_join(
+        left, right, dist, "pid", k=2, tiebreak=["rid"], payload=["rid", "props"]
+    ).collect()
+    assert {type(r.props) for r in got} == {dict}
+    exp = {
+        l: sorted(((abs(float(l) - 3 * j), j) for j in range(3)))[:2]
+        for l in range(4)
+    }
+    for r in got:
+        assert (r["__dist"], r.rid) in exp[r.pid]
+    # k=1 with map payload rides min_by (no sort-key orderability issue)
+    one = joins.nearest_join(left, right, dist, "pid", k=1, payload=["rid", "props"])
+    assert one.count() == 4 and "props" in one.columns
+
+
+def test_ivf_sampled_kmeans_recall_vs_exact(spark, sf_dir):
+    """`ivf_topk` (driver-side sampled-kmeans centroids) lost its catalog
+    slot to the oracle-replayable Lloyd variant in round 3 — this pins its
+    behavior directly: k results per query, exact cosine scores, and
+    recall vs brute force above the measured floor."""
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, num_centroids=8, nprobe=3, train_fraction=1.0
+    )
+    a_rows = approx.collect()
+    per_q = {}
+    for r in a_rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in a_rows}
+    recall = len(e & a) / len(e)
+    # 8 cells, 3 probed: measured ~0.9+ on the seeded embeddings
+    assert recall >= 0.5, f"IVF recall degraded: {recall:.3f}"
+
+
+def test_ivf_lloyd_matches_fixed_seed_tail(spark, sf_dir):
+    """ivf_lloyd_topk with zero iterations must equal ivf_fixed_topk on
+    the same seeds (the Lloyd loop is a pure refinement of the shared
+    assign/probe/re-rank tail)."""
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    seeds = [11, 23, 37, 41, 53, 67, 79, 97]
+    fixed = similarity.ivf_fixed_topk(emb, queries, seeds, k=5, nprobe=3)
+    lloyd0 = similarity.ivf_lloyd_topk(emb, queries, seeds, iters=0, k=5, nprobe=3)
+    fr = {(r.query_id, r.vec_id, r.rank) for r in fixed.collect()}
+    lr = {(r.query_id, r.vec_id, r.rank) for r in lloyd0.collect()}
+    assert fr == lr
+
+
 def test_nearest_join_topk_matches_bruteforce(spark):
     """k>1 nearest: the top-k aggregation path must equal a brute-force
     per-key sort, including deterministic tie-breaking."""

@@ -144,6 +144,45 @@ def test_embedding_stats_single_aggregation(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def test_ivf_lloyd_assignment_shape(spark, sf_dir):
+    """The distributed Lloyd IVF (q55): centroid assignment must be a
+    BROADCAST of the k×dim matrix (never a shuffled join of the corpus
+    against centroids), and the whole pipeline must stay free of
+    cartesian/nested-loop nodes — the properties that keep one Lloyd
+    iteration at one corpus scan + k×dim-row reduce at 100 TB."""
+    from odin_rs_spark.operators.similarity import ivf_lloyd_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    seeds = [11, 23, 37, 41, 53, 67, 79, 97]
+    plan = _executed(ivf_lloyd_topk(emb, queries, seeds, iters=1, k=5, nprobe=3))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nearest_join_k1_map_side_partial_agg(spark, sf_dir):
+    """The round-3 nearest_join rewrite (min/min_by over a sort key that
+    excludes payload) must keep map-side partial aggregation: two
+    HashAggregate nodes around ONE exchange, so only |left| rows
+    shuffle, never the |L|×|R| product."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value").limit(1000)
+    right = spark.range(50).select(
+        F.col("id").alias("rid"), (F.col("id") * 7.0).alias("rv")
+    )
+    q = join_ops.nearest_join(
+        ev, right, F.abs(F.col("value") - F.col("rv")), "event_id",
+        k=1, tiebreak=["rid"], payload=["rid"],
+    )
+    plan = _executed(q)
+    # min_by over struct buffers plans as SortAggregate (not hash-able);
+    # the property that matters is the PARTIAL stage before the exchange
+    assert "partial_min_by" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_oov_join_no_cartesian(spark, sf_dir):
     from odin_rs_spark.operators.text import oov_stats
     from pyspark.sql import functions as F2

@@ -92,6 +92,42 @@ def test_poller_to_snapshot_end_to_end(spark, tmp_path):
     assert snap2 == set(range(36, 41))
 
 
+def test_poller_crash_between_rename_and_state_write(tmp_path):
+    """Round-3 ADVICE fix: the bronze file commits BEFORE the cursor
+    write, so a crash in that window used to re-fetch and re-land the
+    same records on restart. Recovery now parses the max id embedded in
+    landed filenames, making bronze exactly-once across restarts."""
+    bronze = str(tmp_path / "bronze")
+    feed = FakeFeed()
+    feed.extend(9)
+    p1 = RestPoller(feed.fetch_since, bronze)
+    assert p1.poll_once() == 9
+    # simulate the crash window: the batch file landed, the state didn't
+    os.remove(os.path.join(bronze, "_poller_state.json"))
+    p2 = RestPoller(feed.fetch_since, bronze)
+    assert p2.last_id == 9  # recovered from the filename, not the state
+    assert p2.poll_once() == 0  # nothing re-lands
+    feed.extend(4)
+    assert p2.poll_once() == 4
+    rows = []
+    for f in os.listdir(bronze):
+        if f.startswith("batch_"):
+            rows += [json.loads(line) for line in open(os.path.join(bronze, f))]
+    assert sorted(r["id"] for r in rows) == list(range(1, 14))  # no dupes
+
+
+def test_poller_string_id_filename_roundtrip(tmp_path):
+    """Non-integer ids must survive the filename embed/recover cycle."""
+    bronze = str(tmp_path / "bronze")
+    rows = [{"id": f"evt-{i:04d}", "value": float(i)} for i in range(5)]
+    p1 = RestPoller(lambda last: [r for r in rows if last is None or r["id"] > last], bronze)
+    assert p1.poll_once() == 5
+    os.remove(os.path.join(bronze, "_poller_state.json"))
+    p2 = RestPoller(p1.fetch_since, bronze)
+    assert p2.last_id == "evt-0004"
+    assert p2.poll_once() == 0
+
+
 def test_poller_cursor_survives_restart(tmp_path):
     bronze = str(tmp_path / "bronze")
     feed = FakeFeed()
