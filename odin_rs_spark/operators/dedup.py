@@ -1101,3 +1101,109 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (approximate contamination / dedup blocklists).
+# At 100 TB the exact shingle equi-join (corpus.contamination) shuffles
+# every (doc, shingle-hash) pair; a Bloom filter compresses the benchmark
+# side to a fixed bitmap that BROADCASTS, so the probe is a map-side
+# operation with zero shuffle of the corpus — the classic trade: a
+# tunable false-positive rate (never false negatives) for a join-free
+# plan. The bitmap is plain rows (word_idx, word) built with bit_or, so
+# the whole structure — build and probe — replays exactly in ANSI SQL.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_WORD = 60  # masks stay < 2^60: shifting never hits the sign bit
+
+
+def _bloom_positions(h: Column, m_bits: int, k: int) -> list[Column]:
+    """k probe positions by double hashing (Kirsch-Mitzenmacher:
+    p_i = (h1 + i*h2) mod m preserves the asymptotic FP rate of k
+    independent hashes). h is a 60-bit portable hash; h1/h2 derive from
+    its low/high halves (integer shift — no float step whose rounding
+    could diverge between engines) so both are engine-reproducible. h2
+    is forced odd so it never degenerates to a constant probe when m is
+    even."""
+    h1 = h % m_bits
+    h2 = (F.shiftright(h, 30) % m_bits) * 2 + 1
+    return [((h1 + F.lit(i) * h2) % m_bits).cast("long") for i in range(k)]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 61440,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom bitmap from a key column (values hashed with
+    `portable_hash60`). Output: (word_idx long, word long) rows, one per
+    SET 60-bit word — i.e. at most ceil(m_bits/60) rows regardless of
+    input size, safely broadcastable. m_bits=61440 (1 KiB of words) at
+    k=4 holds ~4k keys at ~1% FP; size m ≈ -n·ln(p)/ln(2)² for target p.
+    """
+    h = portable_hash60(F.col(key_col).cast("string"))
+    pos = F.explode(F.array(*_bloom_positions(h, m_bits, k))).alias("__p")
+    return (
+        keys.select(pos)
+        .select(
+            F.expr(f"__p div {BLOOM_BITS_PER_WORD}").alias("word_idx"),
+            # SQL expr: the Python shiftleft() API only takes literal bits
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 61440,
+    k: int = 4,
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe a Bloom bitmap: adds `flag_col` — true iff ALL k probe bits
+    are set (possible member; false = definitely absent).
+
+    The bitmap is a VALUE, not a relation: by construction it has at
+    most ceil(m_bits/60) rows (~8 KiB at the default m), so it collects
+    once into a dense literal array — a bounded driver materialization,
+    same contract as the PQ codebook (`similarity.py`) — and the probe
+    compiles to a pure projection: element_at(lit_words, word_idx) plus
+    k bit tests. Zero joins, zero shuffles, zero re-computation of the
+    build subplan. (Earlier drafts — explode(k)→broadcast-join→groupBy,
+    then k broadcast joins — either re-shuffled the probe stream or
+    replicated the bitmap build per join; at 100 TB corpus-side
+    zero-shuffle membership is the entire point of the Bloom screen.)
+    """
+    n_words = (m_bits + BLOOM_BITS_PER_WORD - 1) // BLOOM_BITS_PER_WORD
+    dense = [0] * n_words
+    for r in bloom.collect():  # bounded: <= n_words rows by construction
+        dense[int(r["word_idx"])] = int(r["word"])
+    words_lit = F.array(*[F.lit(wv).cast("long") for wv in dense])
+
+    h = portable_hash60(F.col(key_col).cast("string"))
+    out = df.withColumn("__bloom_words", words_lit)
+    hit_cols: list[Column] = []
+    for i, p in enumerate(_bloom_positions(h, m_bits, k)):
+        pos, widx = f"__p{i}", f"__widx{i}"
+        out = (
+            out.withColumn(pos, p)
+            # p < m_bits << 2^53, so the fp division is exact before floor
+            .withColumn(widx, (F.floor(F.col(pos) / BLOOM_BITS_PER_WORD) + 1).cast("int"))
+        )
+        hit_cols.append(
+            F.expr(
+                f"(shiftright(element_at(__bloom_words, {widx}),"
+                f" CAST({pos} % {BLOOM_BITS_PER_WORD} AS INT)) & 1) = 1"
+            )
+        )
+    flag = hit_cols[0]
+    for c in hit_cols[1:]:
+        flag = flag & c
+    drop = ["__bloom_words"] + [c for i in range(k) for c in (f"__p{i}", f"__widx{i}")]
+    return out.withColumn(flag_col, flag).drop(*drop)

@@ -426,3 +426,228 @@ def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "
     for kind in kinds:
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return c
+
+
+def line_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Segment-level duplicate audit (CCNet / RefinedWeb line-dedup
+    shape): split each document into consecutive `seg_words`-word
+    segments (the stand-in for "lines" — the synthetic corpus has no
+    newlines), hash each segment, count how often each hash occurs
+    across the WHOLE corpus, and report per document how much of it is
+    corpus-duplicated boilerplate.
+
+    Output: (id, extra_cols..., n_segs, n_dup_segs, dup_ratio) where a
+    segment is "duplicated" when its hash occurs in more than one
+    document (count-distinct docs > 1, so a segment repeated inside one
+    doc is repetition — q74's job — not boilerplate).
+
+    Scale shape: three narrow shuffles — segment-hash counts (8-byte
+    keys, map-side combinable), hash→count join (only (id, hash) pairs
+    move), one per-doc aggregation. Full documents never shuffle.
+    Segment hashes use `portable_hash60` so an engine-external dedup
+    list (e.g. a persisted boilerplate blocklist) replays exactly.
+    """
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    staged = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
+    )
+    n_segs = F.floor((F.size("__w") + F.lit(seg_words - 1)) / F.lit(seg_words)).cast("int")
+    segs = (
+        staged.withColumn("__seg_id", F.explode(F.sequence(F.lit(0), n_segs - 1)))
+        .withColumn(
+            "__seg",
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), F.col("__seg_id") * seg_words + 1, seg_words)
+            ),
+        )
+        .select(id_col, *extra_cols, portable_hash60(F.col("__seg")).alias("__h"))
+    )
+    seg_docs = segs.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__ndocs")
+    )
+    return (
+        segs.join(seg_docs, "__h")
+        .groupBy(id_col, *extra_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_segs"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_segs") / F.col("n_segs").cast("double"), 6),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Positional winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-word gram at its
+    position, slide a w-gram window, and select each window's minimum
+    hash with ties broken by the RIGHTMOST position. Guarantee: any
+    shared word run of length >= w + k - 1 between two documents yields
+    at least one shared selected hash, while only ~2/(w+1) of all gram
+    hashes are kept.
+
+    This is the positional upgrade of `fingerprint` (bottom-k of the
+    whole doc): winnowing spreads selections uniformly across the text,
+    so LOCAL plagiarism/containment is detectable, not just whole-doc
+    similarity.
+
+    Encoding trick for one-pass selection: each gram (pos i, hash h)
+    contributes to windows ending at j in [i, i+w-1]; candidate key
+    enc = h*w + (j-i). min(enc) per (doc, j) simultaneously minimizes h
+    and, among equal h, minimizes j-i — i.e. picks the rightmost tied
+    position. h < 2^60 so h*w never overflows int64 for w <= 8.
+
+    Docs shorter than w grams collapse to a single window at the last
+    gram index (it spans every gram, so the whole doc is still covered).
+
+    Output: distinct (id, pos, gram_hash) selections.
+
+    Scale shape: the window-min groupBy keys on (doc, window) — narrow
+    16-byte keys, min() partially aggregates map-side, and the w-fold
+    row expansion happens inside the exploding projection, never as a
+    join. A zero-shuffle per-doc array-HOF formulation exists but
+    Spark's lambda HOFs are CodegenFallback (measured 10-20x slower on
+    the lang-id path), so the exploded form wins until doc counts make
+    the (doc, window) shuffle dominate.
+    """
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    n_grams = F.greatest(F.size("__w") - F.lit(k - 1), F.lit(1))
+    grams = (
+        staged.withColumn("__i", F.explode(F.sequence(F.lit(0), n_grams - 1)))
+        .withColumn(
+            "__g", F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i") + 1, k))
+        )
+        .select(
+            id_col,
+            F.col("__i"),
+            (F.size("__w") - F.lit(k)).alias("__max_i"),
+            portable_hash60(F.col("__g")).alias("__h"),
+        )
+        .withColumn("__max_i", F.greatest(F.col("__max_i"), F.lit(0)))
+    )
+    # windows this gram participates in, clamped to valid window ends
+    lo = F.least(F.greatest(F.col("__i"), F.lit(w - 1)), F.col("__max_i"))
+    hi = F.least(F.col("__i") + F.lit(w - 1), F.col("__max_i"))
+    cand = grams.withColumn("__j", F.explode(F.sequence(lo, hi))).select(
+        id_col,
+        "__j",
+        (F.col("__h") * w + (F.col("__j") - F.col("__i"))).alias("__enc"),
+    )
+    sel = cand.groupBy(id_col, "__j").agg(F.min("__enc").alias("__enc"))
+    # integer div, NOT fp: enc is up to 62 bits and double's 53-bit
+    # mantissa silently merges adjacent hashes (caught by oracle diff)
+    return sel.select(
+        F.col(id_col),
+        (F.col("__j") - F.col("__enc") % w).cast("int").alias("pos"),
+        F.expr(f"__enc div {w}").cast("long").alias("gram_hash"),
+    ).distinct()
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document containment candidates from shared winnowing
+    fingerprints: pairs of docs sharing >= min_shared selected gram
+    hashes, with the shared count. The join keys on the 8-byte
+    gram_hash; positions are dropped first so a hash selected at many
+    positions in one doc contributes once (set semantics, like MOSS's
+    match counting)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("__id"), "gram_hash"
+    ).distinct()
+    a = fp.select(F.col("__id").alias("id_a"), "gram_hash")
+    b = fp.select(F.col("__id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a bag of
+    query terms and return the top-k (Robertson/Sparck-Jones weighting
+    with the Lucene idf form, which is always positive):
+
+        idf(t)  = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+        score   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the term filter (isin over a literal list) prunes the
+    exploded token stream BEFORE any shuffle, so only matching (doc,
+    term) pairs move; doc length rides along from the pre-explode
+    projection (no separate doc-length join). Corpus stats (N, avgdl)
+    and per-term df are 1-row / |terms|-row frames broadcast into the
+    score expression. One TakeOrdered for the top-k — no global sort.
+    """
+    words = F.split(norm_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w")).select(
+        id_col, F.col("__w"), F.size("__w").cast("double").alias("__dl")
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("__N"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+    )
+    tf = (
+        base.select(id_col, "__dl", F.explode("__w").alias("__t"))
+        .filter(F.col("__t").isin(query_terms))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    scored = (
+        tf.join(dfreq, "__t")
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * F.col("__tf") * (k1 + 1.0) / denom), round_to).alias(
+                "bm25"
+            ),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topk)

@@ -3586,21 +3586,328 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q92 — segment-level duplicate audit (CCNet / RefinedWeb "line dedup"):
+# corpus-wide boilerplate detection at sub-document granularity. A
+# segment repeated across >1 document is boilerplate; per-source rollup
+# of how much of each doc is boilerplate plus a flagged-doc count.
+# --------------------------------------------------------------------------
+
+def q92_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.line_dup_stats(docs, seg_words=10, extra_cols=("source",))
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_segs").cast("bigint").alias("n_segs"),
+        F.sum("n_dup_segs").cast("bigint").alias("n_dup_segs"),
+        F.round(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
+        F.sum(F.when(F.col("dup_ratio") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+Q92_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+seg AS (
+  SELECT doc_id, source,
+         {_H60.format(x="array_to_string(list_slice(w, s * 10 + 1, s * 10 + 10), ' ')")} AS h
+  FROM (SELECT doc_id, source, w,
+               unnest(range(0, (len(w) + 9) // 10)) AS s
+        FROM d)),
+cnt AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY h),
+per_doc AS (
+  SELECT seg.doc_id, seg.source,
+         count(*) AS n_segs,
+         sum(CASE WHEN cnt.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup,
+         round(sum(CASE WHEN cnt.ndocs > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS dup_ratio
+  FROM seg JOIN cnt USING (h)
+  GROUP BY seg.doc_id, seg.source)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_segs)::BIGINT AS n_segs,
+       sum(n_dup)::BIGINT AS n_dup_segs,
+       round(avg(dup_ratio), 6) AS avg_dup_ratio,
+       sum(CASE WHEN dup_ratio > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q93 — positional winnowing (MOSS, Schleimer et al. SIGMOD'03): window
+# minimum over positional k-gram hashes with rightmost tie-break, then
+# cross-doc containment candidates by shared selected hashes. The
+# min(h*w + (j-i)) encoding makes the window selection a single
+# combinable aggregate — replayed verbatim by the oracle.
+# --------------------------------------------------------------------------
+
+def q93_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_ops.winnow_matches(docs, k=3, w=4, min_shared=2)
+    return pairs.orderBy(F.col("n_shared").desc(), "id_a", "id_b").limit(20)
+
+
+Q93_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, i,
+         greatest(len(w) - 3, 0) AS max_i,
+         {_H60.format(x="array_to_string(list_slice(w, i + 1, i + 3), ' ')")} AS h
+  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 2, 1))) AS i FROM d)),
+cand AS (
+  SELECT doc_id, j, h * 4 + (j - i) AS enc
+  FROM (SELECT doc_id, i, h,
+               unnest(range(least(greatest(i, 3), max_i), least(i + 3, max_i) + 1)) AS j
+        FROM g)),
+sel AS (SELECT doc_id, j, min(enc) AS enc FROM cand GROUP BY doc_id, j),
+fp AS (SELECT DISTINCT doc_id, enc // 4 AS gram_hash FROM sel),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2)
+SELECT id_a, id_b, n_shared FROM pairs
+ORDER BY n_shared DESC, id_a, id_b LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q94 — BM25 keyword retrieval top-k (Robertson; Lucene idf form). The
+# retrieval complement of the ANN ladder: sparse lexical scoring with
+# corpus statistics, zero shuffles of full documents.
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q94_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(docs, BM25_TERMS, topk=20)
+
+
+Q94_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+base AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, dl, unnest(w) AS t FROM base)
+  WHERE t IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, dl, t),
+dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / stats.avgdl))), 6) AS bm25,
+         count(*)::BIGINT AS n_terms_hit
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, bm25, n_terms_hit FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q95 — Bloom-filter contamination screen: the approximate, broadcastable
+# twin of q61's exact shingle equi-join. The benchmark's shingle set
+# compresses to a <=69-row bitmap (m=4096 bits as 60-bit words) that
+# broadcasts; probing is map-side. m is deliberately small so the FP
+# trade is visible: n_maybe >= n_exact per source (no false negatives —
+# asserted by test), with a measurable false-positive overhang.
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 4096
+BLOOM_K = 4
+
+
+def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                "source",
+                F.split(norm_text(F.col("text")), " ").alias("__w"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    dedup_ops.shingles_from_words(F.col("__w"), 3)
+                ).alias("shingle"),
+            )
+        )
+
+    bench_ids = F.col("doc_id") % 97 == 0
+    bench_shingles = shingled(docs.filter(bench_ids)).select("shingle").distinct()
+    bloom = dedup_ops.bloom_build(
+        bench_shingles, "shingle", m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+    probe = shingled(docs.filter(~bench_ids)).distinct()
+    flagged = dedup_ops.bloom_probe(
+        probe, "shingle", bloom, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+    exact = flagged.join(
+        F.broadcast(bench_shingles.withColumn("__exact", F.lit(1))),
+        "shingle",
+        "left",
+    )
+    return exact.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("__exact").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+    )
+
+
+_BLOOM_POS = """
+  SELECT {key_cols}, unnest([
+      (h1 + 0 * h2) % {m}, (h1 + 1 * h2) % {m},
+      (h1 + 2 * h2) % {m}, (h1 + 3 * h2) % {m}]) AS p
+  FROM (SELECT {key_cols}, h % {m} AS h1, ((h >> 30) % {m}) * 2 + 1 AS h2
+        FROM {src})
+"""
+
+Q95_SQL = (
+    r"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d),
+flat AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM flat WHERE doc_id % 97 = 0),
+bench_h AS (SELECT shingle, """
+    + _H60.format(x="shingle")
+    + r""" AS h FROM bench),
+bloom AS (
+  SELECT p // 60 AS word_idx, bit_or(CAST(1 AS BIGINT) << (p % 60)::INT) AS word
+  FROM ("""
+    + _BLOOM_POS.format(key_cols="shingle", m=4096, src="bench_h")
+    + r""")
+  GROUP BY 1),
+probe AS (
+  SELECT DISTINCT doc_id, source, shingle FROM flat WHERE doc_id % 97 <> 0),
+probe_h AS (SELECT doc_id, source, shingle, """
+    + _H60.format(x="shingle")
+    + r""" AS h FROM probe),
+hits AS (
+  SELECT doc_id, source, shingle,
+         sum(CASE WHEN ((word >> (p % 60)::INT) & 1) = 1 THEN 1 ELSE 0 END) AS nbits
+  FROM ("""
+    + _BLOOM_POS.format(key_cols="doc_id, source, shingle", m=4096, src="probe_h")
+    + r""") pos
+  LEFT JOIN bloom ON pos.p // 60 = bloom.word_idx
+  GROUP BY doc_id, source, shingle)
+SELECT source, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN nbits = 4 THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END)::BIGINT AS n_exact
+FROM hits GROUP BY source
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# q96 — streaming windowed aggregation driven end-to-end: the events
+# table replayed as an ordered file stream, hourly tumbling-window class
+# counts (T1 trigger, A1 agg, watermark state eviction) in UPDATE mode,
+# upserted into a K1/K2-style snapshot keyed by (window, class). With an
+# ordered replay nothing is ever late, so the final snapshot equals the
+# batch aggregation — which is exactly the oracle.
+# --------------------------------------------------------------------------
+
+def q96_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import (
+        run_available_now,
+        windowed_class_counts,
+    )
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="odin_q96_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+        agg = windowed_class_counts(stream, window="1 hour", watermark="2 hours")
+
+        snapshot: dict[tuple, tuple] = {}
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            for r in batch_df.collect():
+                snapshot[(r["win_start"], r["class"])] = (
+                    r["win_end"],
+                    r["n"],
+                    r["sum_value"],
+                )
+
+        run_available_now(agg, upsert, root + "/ckpt", output_mode="update")
+        rows = [
+            (ws, we, cls, n, sv)
+            for (ws, cls), (we, n, sv) in sorted(snapshot.items())
+        ]
+        return spark.createDataFrame(
+            rows, "win_start timestamp, win_end timestamp, class string, n bigint, sum_value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q96_SQL = """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       CASE WHEN value < 50 THEN 'low'
+            WHEN value < 200 THEN 'mid'
+            ELSE 'high' END AS class,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
-# rounds):
-#   slots 1-4:  fixed/new this round (q47 dtype, q65 oracle cast, q55
-#               restructured as oracle-replayable Lloyd IVF, q91 new
-#               streaming AvailableNow query);
-#   slots 5-10: r2-green queries whose underlying operators CHANGED in
+# rounds; never-driver-graded queries always take cap slots first):
+#   slots 1-9:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#               restructured as oracle-replayable Lloyd IVF, q91/q96
+#               streaming AvailableNow queries, q92 line dedup, q93
+#               winnowing, q94 BM25, q95 Bloom contamination);
+#   slots 10-15: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 11-50: the 40 queries whose only green row is CORRECTNESS_r01
-#               (two rounds stale after this round if not re-verified).
-# The 41 entries past slot 50 all have green CORRECTNESS_r02 rows.
+#   slots 16-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q96 displace q42/q45/q46/q49/
+#               q50 from this block — those five are r1-green, frozen
+#               code, locally re-verified every round, and move to the
+#               FRONT of the round-4 cap together with the remaining
+#               r2-green block.
+# Every entry past slot 50 has a green r1 or r2 driver row on record.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -3609,6 +3916,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
         QuerySpec("q55_ivf_lloyd", q55_ivf_lloyd, Q55_SQL, "similarity-ivf"),
         QuerySpec("q91_stream_backfill_live", q91_stream_backfill_live, Q91_SQL, "T7 T3 T1 K1 K2"),
+        QuerySpec("q92_line_dedup", q92_line_dedup, Q92_SQL, "dedup-line-level"),
+        QuerySpec("q93_winnow_pairs", q93_winnow_pairs, Q93_SQL, "text-winnowing"),
+        QuerySpec("q94_bm25_topk", q94_bm25_topk, Q94_SQL, "text-bm25-retrieval"),
+        QuerySpec("q95_bloom_contamination", q95_bloom_contamination, Q95_SQL, "dedup-bloom"),
+        QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -3652,12 +3964,13 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
         QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
+        # --- past slot 50: green r2 rows, plus the five r1-green queries
+        # displaced by q92-q96 (q42/q45/q46/q49/q50 — front of r4 cap) ---
         QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),
         QuerySpec("q45_sbs_roundtrip", q45_sbs_roundtrip, Q45_SQL, "S7 F7"),
         QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),
         QuerySpec("q49_media_pipeline", q49_media_pipeline, Q49_SQL, "multimodal R9"),
         QuerySpec("q50_image_self_similarity", q50_image_self_similarity, Q50_SQL, "multimodal R9 similarity"),
-        # --- past slot 50: all have green CORRECTNESS_r02 rows on record ---
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
         QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),

@@ -194,3 +194,62 @@ def test_oov_join_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_zero_shuffle_projection(spark, sf_dir):
+    """The Bloom membership screen (q95): the bitmap is a VALUE — the
+    probe must compile to a pure projection over the corpus (literal
+    word array + bit tests), with ZERO exchanges and ZERO joins on the
+    probe side. This is the whole point vs the exact shingle equi-join:
+    corpus-side membership with no shuffle at any scale."""
+    from odin_rs_spark.operators.dedup import bloom_build, bloom_probe
+
+    docs = load_table(spark, "documents", sf_dir)
+    keys = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("s")
+    )
+    bloom = bloom_build(keys, "s", m_bits=4096, k=4)
+    probe = docs.select("doc_id", F.col("text").alias("s"))
+    plan = _executed(bloom_probe(probe, "s", bloom, m_bits=4096, k=4))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_takeordered_and_broadcast_stats(spark, sf_dir):
+    """BM25 (q94): corpus stats (1 row) and per-term df (|terms| rows)
+    must broadcast into the score expression, and the global top-k must
+    plan as TakeOrdered — never a single-partition sort of all docs."""
+    from odin_rs_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(bm25_topk(docs, ["spark", "merge", "window"], topk=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winnow_window_min_is_partial_agg(spark, sf_dir):
+    """Winnowing (q93): the per-(doc, window) min must partially
+    aggregate map-side (two HashAggregate stages around one exchange of
+    16-byte keys), and the w-fold expansion must be an explode inside
+    the projection, never a join."""
+    from odin_rs_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(winnow_fingerprints(docs, k=3, w=4))
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dup_stats_doc_texts_never_shuffle(spark, sf_dir):
+    """Line-level dedup (q92): only (id, 8-byte segment hash) pairs may
+    shuffle — the exchanges must not carry the text/word-array column."""
+    from odin_rs_spark.operators.text import line_dup_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _formatted(line_dup_stats(docs, seg_words=10))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__w" not in line and "text" not in line, line

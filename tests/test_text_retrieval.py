@@ -1,0 +1,175 @@
+"""Unit/property tests for round-3 text & membership operators:
+line-level dedup, winnowing fingerprints, BM25, Bloom filters."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators.dedup import bloom_build, bloom_probe
+from odin_rs_spark.operators.text import (
+    bm25_topk,
+    line_dup_stats,
+    winnow_fingerprints,
+    winnow_matches,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dup_stats_flags_shared_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word segment
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " " + " ".join(f"u1x{i}" for i in range(10))),
+            (2, boiler + " " + " ".join(f"u2x{i}" for i in range(10))),
+            (3, " ".join(f"u3x{i}" for i in range(20))),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dup_stats(docs, seg_words=10).collect()}
+    # docs 1/2 share exactly their first segment; doc 3 shares nothing
+    assert out[1]["n_segs"] == 2 and out[1]["n_dup_segs"] == 1
+    assert out[2]["n_dup_segs"] == 1
+    assert out[3]["n_dup_segs"] == 0
+    assert abs(out[1]["dup_ratio"] - 0.5) < 1e-9
+
+
+def test_line_dup_stats_within_doc_repeat_not_flagged(spark):
+    # the same segment twice inside ONE doc is repetition, not boilerplate
+    seg = " ".join(f"r{i}" for i in range(10))
+    docs = _docs(spark, [(1, seg + " " + seg)])
+    row = line_dup_stats(docs, seg_words=10).collect()[0]
+    assert row["n_segs"] == 2 and row["n_dup_segs"] == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    # winnowing guarantee: a shared word run of >= w + k - 1 = 6 words
+    # must produce at least one shared fingerprint hash (k=3, w=4)
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+        ],
+    )
+    pairs = winnow_matches(docs, k=3, w=4, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
+
+
+def test_winnow_no_match_without_shared_grams(spark):
+    docs = _docs(
+        spark,
+        [(1, " ".join(f"a{i}" for i in range(30))), (2, " ".join(f"b{i}" for i in range(30)))],
+    )
+    assert winnow_matches(docs, k=3, w=4, min_shared=1).count() == 0
+
+
+def test_winnow_density_and_coverage(spark):
+    # ~2/(w+1) of gram positions selected; every window of w grams
+    # contains at least one selected position (coverage invariant)
+    n_words = 200
+    docs = _docs(spark, [(1, " ".join(f"w{i * 7919 % 997}x{i}" for i in range(n_words)))])
+    fps = sorted(
+        r["pos"] for r in winnow_fingerprints(docs, k=3, w=4).collect()
+    )
+    n_grams = n_words - 2
+    density = len(set(fps)) / n_grams
+    assert 0.2 < density < 0.6  # theory: 2/(w+1) = 0.4
+    # coverage: adjacent selected positions can be at most w apart
+    gaps = [b - a for a, b in zip(fps, fps[1:])]
+    assert max(gaps) <= 4
+    assert fps[0] <= 3 and fps[-1] >= n_grams - 4
+
+
+def test_winnow_short_doc_single_window(spark):
+    docs = _docs(spark, [(1, "just two")])  # 1 gram < w
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert len(fps) == 1 and fps[0]["pos"] == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = [
+        (1, "spark runs fast spark wins"),
+        (2, "ducks swim in a row"),
+        (3, "spark and ducks share a pond today ok"),
+        (4, "nothing relevant here at all"),
+    ]
+    terms = ["spark", "ducks"]
+    docs = _docs(spark, corpus)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, terms, topk=10).collect()}
+
+    # plain-python reference
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = {}
+    for d, words in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(words) / avgdl))
+        if s > 0:
+            want[d] = round(s, 6)
+    assert got == want
+    # doc with both terms outranks single-term docs here
+    order = [r["doc_id"] for r in bm25_topk(docs, terms, topk=10).collect()]
+    assert order[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(300)], "k string"
+    )
+    bloom = bloom_build(members, "k", m_bits=8192, k=4)
+    # bitmap is tiny regardless of member count
+    assert bloom.count() <= 8192 // 60 + 1
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(300)] + [(f"other{i}",) for i in range(1000)],
+        "k string",
+    )
+    out = bloom_probe(probe, "k", bloom, m_bits=8192, k=4).collect()
+    flags = {r["k"]: r["maybe_member"] for r in out}
+    # NO false negatives, ever
+    assert all(flags[f"key{i}"] for i in range(300))
+    # false positives bounded: theory (1-e^(-4*300/8192))^4 ~ 0.03%...
+    # allow generous slack for hash clustering
+    fp = sum(1 for i in range(1000) if flags[f"other{i}"])
+    assert fp <= 25
+
+
+def test_bloom_probe_empty_filter_rejects_all(spark):
+    empty = bloom_build(
+        spark.createDataFrame([], "k string"), "k", m_bits=4096, k=4
+    )
+    probe = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = bloom_probe(probe, "k", empty, m_bits=4096, k=4).collect()
+    assert all(not r["maybe_member"] for r in out)
