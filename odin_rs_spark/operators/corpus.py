@@ -284,3 +284,89 @@ def chunk_documents(
         F.array_join(cw, " ").alias("chunk_text"),
         F.size(cw).alias("n_words"),
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    salt: str = "dsir",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): pick the k raw-corpus documents that look most
+    like the target corpus. Importance weight per doc under add-one-
+    smoothed unigram LMs trained on target and raw:
+
+        ln w(d) = sum_tok [ln p_target(tok) - ln p_raw(tok)]
+
+    and sampling WITHOUT replacement via the Gumbel-max trick (the
+    paper's sampling scheme): key = ln w + Gumbel(0,1), take top-k. The
+    Gumbel draw derives from the portable doc hash — u = (h + 0.5)/2^60,
+    g = -ln(-ln(u)) — so selection is deterministic, reproducible across
+    engines, and replayable by the SQL oracle.
+
+    Scale shape: one vocabulary aggregation per corpus (map-side
+    combinable word counts), one vocab-side merge join (both sides are
+    vocabulary-sized — Heaps' law keeps them tiny relative to the
+    corpus), one token→vocab equi-join where only (id, word) pairs
+    move, one per-doc aggregation, one TakeOrdered. Documents never
+    shuffle; nothing collects.
+    """
+    from odin_rs_spark.functions.text import norm_text
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("__t"),
+        )
+
+    raw_toks = toks(raw)
+    ct = toks(target).groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
+    cr = raw_toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__cr"))
+    vocab = ct.join(cr, "__t", "full").select(
+        "__t",
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+    )
+    totals = F.broadcast(
+        vocab.agg(
+            F.sum("__ct").cast("double").alias("__Nt"),
+            F.sum("__cr").cast("double").alias("__Nr"),
+            F.count(F.lit(1)).cast("double").alias("__V"),
+        )
+    )
+    # per-token ratio uses only vocabulary counts; the corpus-size terms
+    # factor out as n_tokens * (ln(Nr+V) - ln(Nt+V))
+    scored = (
+        raw_toks.join(vocab, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("__ct") + 1.0) - F.log(F.col("__cr") + 1.0)).alias("__s"),
+        )
+        .crossJoin(totals)
+        .withColumn(
+            "__lnw",
+            F.col("__s")
+            + F.col("n_tokens") * (F.log(F.col("__Nr") + F.col("__V")) - F.log(F.col("__Nt") + F.col("__V"))),
+        )
+    )
+    u = (
+        portable_hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    out = scored.withColumn("__key", F.col("__lnw") + gumbel)
+    return (
+        out.orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("__lnw", round_to).alias("ln_weight"),
+            F.round("__key", round_to).alias("gumbel_key"),
+        )
+    )

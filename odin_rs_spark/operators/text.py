@@ -651,3 +651,72 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topk)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated bigram-LM average log-probability per document — the
+    order-2 upgrade of `unigram_logprob` (Jelinek-Mercer interpolation,
+    the standard KenLM-lite fallback chain):
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                           + (1-lam) * c(w_i)/N
+        first token: p(w_0) = c(w_0)/N
+
+    The LM is the corpus' own counts, so every scored n-gram exists
+    (no smoothing needed beyond the interpolation itself).
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    aggregations; the bigram table pre-joins its prefix's unigram count
+    VOCABULARY-side (both frames are vocab-sized), so the token stream
+    takes exactly two equi-joins — one on the bigram string, one on the
+    token — and one per-doc aggregation. Documents never shuffle.
+    """
+    words = F.split(norm_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    # token rows with their predecessor (built in the array domain —
+    # no positional self-join)
+    toks = staged.select(
+        id_col,
+        F.posexplode("__w").alias("__i", "__t"),
+        F.col("__w"),
+    ).select(
+        id_col,
+        "__i",
+        "__t",
+        F.when(F.col("__i") > 0, F.try_element_at("__w", F.col("__i"))).alias("__prev"),
+    )
+    uni = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__cu"))
+    n_total = F.broadcast(uni.agg(F.sum("__cu").cast("double").alias("__N")))
+    bi = (
+        toks.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__t")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+        .join(uni.select(F.col("__t").alias("__prev"), F.col("__cu").alias("__cprev")), "__prev")
+    )
+    scored = (
+        toks.join(uni, "__t")
+        .join(bi, ["__prev", "__t"], "left")
+        .crossJoin(n_total)
+        .withColumn(
+            "__lp",
+            F.when(
+                F.col("__prev").isNull(),
+                F.log(F.col("__cu") / F.col("__N")),
+            ).otherwise(
+                F.log(
+                    F.lit(lam) * F.col("__cb") / F.col("__cprev")
+                    + F.lit(1.0 - lam) * F.col("__cu") / F.col("__N")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("__lp") / F.count(F.lit(1)), round_to).alias("avg_logprob"),
+    )

@@ -3888,25 +3888,118 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q97 — DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank
+# non-English docs by how English-corpus-like their unigram stats are,
+# Gumbel-top-k without replacement. Deterministic: the Gumbel draw comes
+# from the portable doc hash, so the oracle replays the whole sampler.
+# --------------------------------------------------------------------------
+
+def q97_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return corpus_ops.dsir_select(raw, target, k=30)
+
+
+Q97_SQL = rf"""
+WITH tt AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE lang = 'en'),
+rt AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents WHERE lang <> 'en'),
+ct AS (SELECT t, count(*) AS ct FROM tt GROUP BY t),
+cr AS (SELECT t, count(*) AS cr FROM rt GROUP BY t),
+vocab AS (
+  SELECT coalesce(ct.t, cr.t) AS t,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM ct FULL JOIN cr ON ct.t = cr.t),
+tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr,
+               count(*)::DOUBLE AS v FROM vocab),
+scored AS (
+  SELECT rt.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(ln(vocab.ct + 1.0) - ln(vocab.cr + 1.0))
+           + count(*) * (ln(tot.nr + tot.v) - ln(tot.nt + tot.v)) AS lnw
+  FROM rt JOIN vocab ON rt.t = vocab.t CROSS JOIN tot
+  GROUP BY rt.doc_id, tot.nt, tot.nr, tot.v),
+keyed AS (
+  SELECT doc_id, n_tokens, lnw,
+         lnw - ln(-ln(({_H60.format(x="concat(doc_id::VARCHAR, 'dsir')")} + 0.5)
+                      / 1152921504606846976.0)) AS gkey
+  FROM scored)
+SELECT doc_id, n_tokens, round(lnw, 6) AS ln_weight, round(gkey, 6) AS gumbel_key
+FROM keyed ORDER BY gkey DESC, doc_id LIMIT 30
+"""
+
+
+# --------------------------------------------------------------------------
+# q98 — interpolated bigram-LM scoring (Jelinek-Mercer, the KenLM-lite
+# fallback chain): order-2 upgrade of q84's CCNet-style quality proxy.
+# NB the oracle writes (1.0 - 0.7), not 0.3 — the engine computes the
+# complement, and the two double literals are NOT the same number.
+# --------------------------------------------------------------------------
+
+def q98_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_logprob(docs, lam=0.7)
+
+
+Q98_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, i, w[i + 1] AS t,
+         CASE WHEN i > 0 THEN w[i] END AS prev
+  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d)),
+uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
+tot AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+bi AS (
+  SELECT tok.prev, tok.t, count(*) AS cb
+  FROM tok WHERE prev IS NOT NULL GROUP BY tok.prev, tok.t),
+bi2 AS (
+  SELECT bi.prev, bi.t, bi.cb, u2.cu AS cprev
+  FROM bi JOIN uni u2 ON bi.prev = u2.t),
+lp AS (
+  SELECT tok.doc_id,
+         CASE WHEN tok.prev IS NULL THEN ln(uni.cu / tot.n)
+              ELSE ln(0.7 * bi2.cb / bi2.cprev + (1.0 - 0.7) * uni.cu / tot.n)
+         END AS lp
+  FROM tok
+  JOIN uni ON tok.t = uni.t
+  LEFT JOIN bi2 ON tok.prev = bi2.prev AND tok.t = bi2.t
+  CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(lp) / count(*), 6) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
 # rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-9:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-11: fixed/new this round (q47 dtype, q65 oracle cast, q55
 #               restructured as oracle-replayable Lloyd IVF, q91/q96
 #               streaming AvailableNow queries, q92 line dedup, q93
-#               winnowing, q94 BM25, q95 Bloom contamination);
-#   slots 10-15: r2-green queries whose underlying operators CHANGED in
+#               winnowing, q94 BM25, q95 Bloom contamination, q97 DSIR,
+#               q98 bigram LM);
+#   slots 12-17: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 16-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q96 displace q42/q45/q46/q49/
-#               q50 from this block — those five are r1-green, frozen
-#               code, locally re-verified every round, and move to the
-#               FRONT of the round-4 cap together with the remaining
-#               r2-green block.
+#   slots 18-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q98 displace q40/q41/q42/q45/
+#               q46/q49/q50 from this block — those seven are r1-green,
+#               frozen code, locally re-verified every round, and move
+#               to the FRONT of the round-4 cap together with the
+#               remaining r2-green block.
 # Every entry past slot 50 has a green r1 or r2 driver row on record.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
@@ -3921,6 +4014,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q94_bm25_topk", q94_bm25_topk, Q94_SQL, "text-bm25-retrieval"),
         QuerySpec("q95_bloom_contamination", q95_bloom_contamination, Q95_SQL, "dedup-bloom"),
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
+        QuerySpec("q97_dsir_select", q97_dsir_select, Q97_SQL, "corpus-dsir"),
+        QuerySpec("q98_bigram_logprob", q98_bigram_logprob, Q98_SQL, "text-lm-bigram"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -3962,10 +4057,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
+        # --- past slot 50: green r2 rows, plus the seven r1-green queries
+        # displaced by q92-q98 (q40/q41/q42/q45/q46/q49/q50 — front of
+        # the round-4 cap) ---
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
         QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
-        # --- past slot 50: green r2 rows, plus the five r1-green queries
-        # displaced by q92-q96 (q42/q45/q46/q49/q50 — front of r4 cap) ---
         QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),
         QuerySpec("q45_sbs_roundtrip", q45_sbs_roundtrip, Q45_SQL, "S7 F7"),
         QuerySpec("q46_firms_confidence", q46_firms_confidence, Q46_SQL, "S5 F8"),

@@ -173,3 +173,66 @@ def test_bloom_probe_empty_filter_rejects_all(spark):
     probe = spark.createDataFrame([("a",), ("b",)], "k string")
     out = bloom_probe(probe, "k", empty, m_bits=4096, k=4).collect()
     assert all(not r["maybe_member"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# DSIR + bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from odin_rs_spark.operators.corpus import dsir_select
+
+    target = _docs(
+        spark, [(100 + i, "alpha beta gamma delta " * 5) for i in range(10)]
+    )
+    raw = _docs(
+        spark,
+        [(1, "alpha beta gamma delta alpha beta gamma delta")]
+        + [(i, "zeta eta theta iota kappa lambda mu nu") for i in range(2, 12)],
+    )
+    top = dsir_select(raw, target, k=3).collect()
+    # the target-like doc dominates: its ln-weight gap to the off-target
+    # docs is far larger than any Gumbel draw
+    assert top[0]["doc_id"] == 1
+    assert top[0]["ln_weight"] > top[1]["ln_weight"] + 5
+
+
+def test_dsir_deterministic(spark):
+    from odin_rs_spark.operators.corpus import dsir_select
+
+    target = _docs(spark, [(100, "a b c d e f g h")])
+    raw = _docs(spark, [(i, f"a b c x{i} y{i} z{i}") for i in range(8)])
+    a = [tuple(r) for r in dsir_select(raw, target, k=5).collect()]
+    b = [tuple(r) for r in dsir_select(raw, target, k=5).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+
+    from odin_rs_spark.operators.text import bigram_logprob
+
+    corpus = [(1, "a b a b c"), (2, "a b c a"), (3, "c c a b")]
+    lam = 0.7
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in bigram_logprob(_docs(spark, corpus), lam=lam).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus}
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for ws in toks.values():
+        for i, w in enumerate(ws):
+            uni[w] = uni.get(w, 0) + 1
+            if i > 0:
+                bi[(ws[i - 1], w)] = bi.get((ws[i - 1], w), 0) + 1
+    n = sum(uni.values())
+    for d, ws in toks.items():
+        lps = [math.log(uni[ws[0]] / n)]
+        for i in range(1, len(ws)):
+            p = lam * bi[(ws[i - 1], ws[i])] / uni[ws[i - 1]] + (1 - lam) * uni[ws[i]] / n
+            lps.append(math.log(p))
+        want = round(sum(lps) / len(lps), 6)
+        assert got[d] == (len(ws), want), (d, got[d], want)
