@@ -1,0 +1,179 @@
+"""Portable, SQL-replayable sketches: HyperLogLog cardinality and
+Count-Min frequency. Together with the Bloom membership screen
+(`dedup.bloom_build/bloom_probe`), MinHash signatures (`dedup`), and
+winnowing fingerprints (`text`), these complete the classic sketch
+family a 100 TB pipeline leans on when exact answers would shuffle the
+world: HLL = cardinality, CMS = frequency, Bloom = membership,
+MinHash = similarity, winnowing = containment.
+
+All hash streams derive from `portable_hash60` (md5), so every sketch
+is bit-for-bit reproducible in any engine — the DuckDB oracle replays
+build AND probe — and a persisted sketch survives engine migrations.
+The engine-hash (xxhash64) variant is the obvious swap when
+cross-engine stability is not needed.
+
+Reference basis: the reference keeps bounded approximate state per key
+(ring buffers, odin_goesr/src/lib.rs:250-287) but has no sketches;
+these extend SURVEY §2.5's aggregation family per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from odin_rs_spark.operators.dedup import portable_hash60
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007). Portable register statistic: the
+# TRAILING-zero rank of the (60-p)-bit suffix — same geometric law as
+# the classic leading-zero rank, and computable in pure integer ops in
+# both engines: tz(w) = bit_count((w & -w) - 1).
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Build HLL registers: one row per (group, bucket) with the max
+    rank. m = 2^p buckets; rank = trailing-zero count of the hash
+    suffix + 1 (capped by the suffix width when the suffix is 0).
+
+    Scale: ONE map-side-combinable aggregation — at most m rows per
+    group survive the partial agg, so the shuffle is O(groups * m)
+    regardless of input size. This is the entire pitch vs
+    count(DISTINCT): no distinct-shuffle of the key universe.
+    """
+    m = 1 << p
+    suffix_bits = 60 - p
+    h = portable_hash60(F.col(key_col).cast("string"))
+    bucket = (h % m).cast("int")
+    w = F.shiftright(h, p)
+    # tz(w) + 1; w == 0 -> max rank (suffix_bits + 1)
+    rank = F.when(
+        w == 0, F.lit(suffix_bits + 1)
+    ).otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+    g = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.select(*g, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    round_to: int = 2,
+) -> DataFrame:
+    """Estimate cardinality from registers (with the standard
+    small-range linear-counting correction). Zero-valued buckets are
+    implicit (registers holds only observed buckets), so V = m - rows
+    and the raw sum adds (m - rows) * 2^0 for them."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    g = [F.col(c) for c in (group_cols or [])]
+    agg = registers.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__s"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("__s") + (F.lit(m) - F.col("__nonzero")))
+    v = F.lit(m) - F.col("__nonzero")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *(group_cols or []), F.round(est, round_to).alias("hll_estimate")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    round_to: int = 2,
+) -> DataFrame:
+    """HLL approximate count-distinct per group, one call."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p), group_cols, p, round_to
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d x w counter grid,
+# est(key) = min over rows of cell counts. Always >= true count;
+# overshoot <= e/w * N with prob 1 - e^-d.
+# ---------------------------------------------------------------------------
+
+
+def _cms_positions(h: Column, width: int, depth: int) -> list[Column]:
+    """Row positions by double hashing (same scheme as the Bloom filter:
+    h2 forced odd so probes never degenerate)."""
+    h1 = h % width
+    h2 = (F.shiftright(h, 30) % width) * 2 + 1
+    return [((h1 + F.lit(i) * h2) % width).cast("int") for i in range(depth)]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the counter grid: rows (row int, col int, cnt long), at
+    most depth*width of them — broadcastable no matter the input size.
+    One map-side-combinable aggregation; the shuffle moves O(d*w) cells,
+    never the key stream."""
+    h = portable_hash60(F.col(key_col).cast("string"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), pos.alias("col"))
+                for i, pos in enumerate(_cms_positions(h, width, depth))
+            ]
+        )
+    ).alias("__c")
+    return (
+        df.select(cells)
+        .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_query(
+    keys: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each key row: min over the depth cells.
+    The grid is a VALUE (<= depth*width rows by construction) — same
+    contract as the Bloom bitmap — so it collects once into a literal
+    array and the probe is a pure projection: zero joins, zero shuffles.
+    """
+    dense = [0] * (width * depth)
+    for r in cms.collect():  # bounded by depth*width rows
+        dense[int(r["row"]) * width + int(r["col"])] = int(r["cnt"])
+    grid = F.array(*[F.lit(c).cast("long") for c in dense])
+
+    h = portable_hash60(F.col(key_col).cast("string"))
+    cells = [
+        F.element_at(grid, (F.lit(i * width) + pos + 1))
+        for i, pos in enumerate(_cms_positions(h, width, depth))
+    ]
+    return keys.withColumn(est_col, F.least(*cells))

@@ -3980,23 +3980,133 @@ FROM lp GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q99 — HyperLogLog cardinality (Flajolet et al. 2007), portable
+# registers (trailing-zero rank, pure integer ops) so the oracle replays
+# build + estimate. Reported next to the exact distinct count: the judge
+# of an approximate operator is its error, so emit both.
+# --------------------------------------------------------------------------
+
+def q99_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.hll_distinct(ev, "user_id", ["event_type"], p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+Q99_SQL = f"""
+WITH h AS (
+  SELECT event_type, {_H60.format(x="concat(user_id::VARCHAR, '')")} AS h
+  FROM events),
+br AS (
+  SELECT event_type, (h % 1024)::INT AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE bit_count(((h >> 10) & -(h >> 10)) - 1) + 1 END AS rank
+  FROM h),
+reg AS (SELECT event_type, bucket, max(rank) AS register
+        FROM br GROUP BY event_type, bucket),
+est AS (
+  SELECT event_type, count(*) AS nonzero,
+         sum(pow(2.0, -register)) AS s
+  FROM reg GROUP BY event_type),
+e2 AS (
+  SELECT event_type,
+         (0.7213/(1.0 + 1.079/1024))*1024*1024 / (s + (1024 - nonzero)) AS raw,
+         1024 - nonzero AS v
+  FROM est),
+hll AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= 2.5*1024 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 2) AS hll_estimate
+  FROM e2),
+exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+          FROM events GROUP BY event_type)
+SELECT exact.event_type, n_exact, hll_estimate,
+       round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM exact JOIN hll USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# q100 — Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+# the corpus token stream: estimate the top-20 words' counts from a
+# 4x1024 grid and report the (always >= 0) overshoot vs exact counts.
+# --------------------------------------------------------------------------
+
+def q100_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+    )
+    cms = sketches.cms_build(toks, "w", width=1024, depth=4)
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("w"))
+        .limit(20)
+    )
+    out = sketches.cms_query(top, "w", cms, width=1024, depth=4)
+    return out.select(
+        "w", "true_cnt", "cms_est", (F.col("cms_est") - F.col("true_cnt")).alias("overshoot")
+    )
+
+
+Q100_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+th AS (SELECT w, {_H60.format(x='w')} AS h FROM tok),
+pos AS (
+  SELECT row, ((h % 1024) + row * (((h >> 30) % 1024) * 2 + 1)) % 1024 AS col
+  FROM th, (SELECT unnest(range(0, 4)) AS row)),
+grid AS (SELECT row, col, count(*)::BIGINT AS cnt FROM pos GROUP BY row, col),
+top AS (
+  SELECT w, count(*)::BIGINT AS true_cnt FROM tok GROUP BY w
+  ORDER BY true_cnt DESC, w LIMIT 20),
+toph AS (SELECT w, true_cnt, {_H60.format(x='w')} AS h FROM top),
+probe AS (
+  SELECT w, true_cnt, r.row,
+         ((h % 1024) + r.row * (((h >> 30) % 1024) * 2 + 1)) % 1024 AS col
+  FROM toph, (SELECT unnest(range(0, 4)) AS row) r),
+est AS (
+  SELECT probe.w, probe.true_cnt, min(coalesce(grid.cnt, 0)) AS cms_est
+  FROM probe LEFT JOIN grid ON probe.row = grid.row AND probe.col = grid.col
+  GROUP BY probe.w, probe.true_cnt)
+SELECT w, true_cnt, cms_est, cms_est - true_cnt AS overshoot FROM est
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
 # rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-11: fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-13: fixed/new this round (q47 dtype, q65 oracle cast, q55
 #               restructured as oracle-replayable Lloyd IVF, q91/q96
 #               streaming AvailableNow queries, q92 line dedup, q93
 #               winnowing, q94 BM25, q95 Bloom contamination, q97 DSIR,
-#               q98 bigram LM);
-#   slots 12-17: r2-green queries whose underlying operators CHANGED in
+#               q98 bigram LM, q99 HLL, q100 Count-Min);
+#   slots 14-19: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 18-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q98 displace q40/q41/q42/q45/
-#               q46/q49/q50 from this block — those seven are r1-green,
+#   slots 20-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q100 displace q38-q42/q45/q46/
+#               q49/q50 from this block — those nine are r1-green,
 #               frozen code, locally re-verified every round, and move
 #               to the FRONT of the round-4 cap together with the
 #               remaining r2-green block.
@@ -4016,6 +4126,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
         QuerySpec("q97_dsir_select", q97_dsir_select, Q97_SQL, "corpus-dsir"),
         QuerySpec("q98_bigram_logprob", q98_bigram_logprob, Q98_SQL, "text-lm-bigram"),
+        QuerySpec("q99_hll_cardinality", q99_hll_cardinality, Q99_SQL, "sketch-hll"),
+        QuerySpec("q100_cms_frequency", q100_cms_frequency, Q100_SQL, "sketch-cms"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4055,11 +4167,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
         QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
+        # --- past slot 50: green r2 rows, plus the nine r1-green queries
+        # displaced by q92-q100 (q38-q42/q45/q46/q49/q50 — front of the
+        # round-4 cap) ---
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
-        # --- past slot 50: green r2 rows, plus the seven r1-green queries
-        # displaced by q92-q98 (q40/q41/q42/q45/q46/q49/q50 — front of
-        # the round-4 cap) ---
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
         QuerySpec("q41_polygon_metrics", q41_polygon_metrics, Q41_SQL, "geo-polygon A5"),
         QuerySpec("q42_stale_keys", q42_stale_keys, Q42_SQL, "T3 U3 W5"),

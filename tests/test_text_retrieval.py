@@ -236,3 +236,67 @@ def test_bigram_logprob_matches_python_reference(spark):
             lps.append(math.log(p))
         want = round(sum(lps) / len(lps), 6)
         assert got[d] == (len(ws), want), (d, got[d], want)
+
+
+# ---------------------------------------------------------------------------
+# sketches: HLL + CMS
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_within_bound(spark):
+    from odin_rs_spark.operators.sketches import hll_distinct
+
+    # 3 groups with very different cardinalities; std error at p=10 is
+    # ~3.2%, assert within 4 sigma
+    rows = []
+    for g, n in (("a", 50), ("b", 2000), ("c", 12000)):
+        rows += [(g, f"{g}-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {r["g"]: r["hll_estimate"] for r in hll_distinct(df, "k", ["g"], p=10).collect()}
+    for g, n in (("a", 50), ("b", 2000), ("c", 12000)):
+        assert abs(got[g] - n) / n < 0.13, (g, got[g], n)
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from odin_rs_spark.operators.sketches import hll_distinct
+
+    once = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    tenx = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500) for _ in range(10)], "k string"
+    )
+    a = hll_distinct(once, "k", p=10).collect()[0]["hll_estimate"]
+    b = hll_distinct(tenx, "k", p=10).collect()[0]["hll_estimate"]
+    assert a == b
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from odin_rs_spark.operators.sketches import cms_build, cms_query
+
+    # heavy skew: one key at 5000, the rest light
+    rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(200) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    truth = {}
+    for (k,) in rows:
+        truth[k] = truth.get(k, 0) + 1
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+    est = {r["k"]: r["cms_est"] for r in cms_query(keys, "k", cms_build(df, "k"), ).collect()}
+    n = len(rows)
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)  # CMS never underestimates
+        assert est[k] <= t + 0.02 * n, (k, est[k], t)  # eps = e/w ~ 0.0027
+    # the heavy hitter is approximated tightly in relative terms
+    assert est["hot"] / truth["hot"] < 1.05
+
+
+def test_cms_probe_zero_shuffle(spark):
+    from odin_rs_spark.operators.sketches import cms_build, cms_query
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    cms = cms_build(df, "k")
+    plan = (
+        cms_query(df, "k", cms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
