@@ -1135,14 +1135,18 @@ def bloom_build(
     key_col: str,
     m_bits: int = 61440,
     k: int = 4,
+    hashed: bool = False,
 ) -> DataFrame:
     """Build a Bloom bitmap from a key column (values hashed with
-    `portable_hash60`). Output: (word_idx long, word long) rows, one per
-    SET 60-bit word — i.e. at most ceil(m_bits/60) rows regardless of
-    input size, safely broadcastable. m_bits=61440 (1 KiB of words) at
-    k=4 holds ~4k keys at ~1% FP; size m ≈ -n·ln(p)/ln(2)² for target p.
+    `portable_hash60`; pass hashed=True when the column already holds a
+    60-bit portable hash — lets callers hash long keys ONCE upstream and
+    shuffle 8-byte values instead of strings). Output: (word_idx long,
+    word long) rows, one per SET 60-bit word — i.e. at most
+    ceil(m_bits/60) rows regardless of input size, safely broadcastable.
+    m_bits=61440 (1 KiB of words) at k=4 holds ~4k keys at ~1% FP; size
+    m ≈ -n·ln(p)/ln(2)² for target p.
     """
-    h = portable_hash60(F.col(key_col).cast("string"))
+    h = F.col(key_col) if hashed else portable_hash60(F.col(key_col).cast("string"))
     pos = F.explode(F.array(*_bloom_positions(h, m_bits, k))).alias("__p")
     return (
         keys.select(pos)
@@ -1165,6 +1169,7 @@ def bloom_probe(
     m_bits: int = 61440,
     k: int = 4,
     flag_col: str = "maybe_member",
+    hashed: bool = False,
 ) -> DataFrame:
     """Probe a Bloom bitmap: adds `flag_col` — true iff ALL k probe bits
     are set (possible member; false = definitely absent).
@@ -1186,7 +1191,7 @@ def bloom_probe(
         dense[int(r["word_idx"])] = int(r["word"])
     words_lit = F.array(*[F.lit(wv).cast("long") for wv in dense])
 
-    h = portable_hash60(F.col(key_col).cast("string"))
+    h = F.col(key_col) if hashed else portable_hash60(F.col(key_col).cast("string"))
     out = df.withColumn("__bloom_words", words_lit)
     hit_cols: list[Column] = []
     for i, p in enumerate(_bloom_positions(h, m_bits, k)):

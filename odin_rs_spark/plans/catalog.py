@@ -3548,6 +3548,28 @@ FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
 # oracle SQL is precisely the exactly-once check.
 # --------------------------------------------------------------------------
 
+class _stream_state_parallelism:
+    """Scope spark.sql.shuffle.partitions for a streaming run. A
+    streaming query's state-store partition count is frozen at first
+    checkpoint from this conf — it should be sized to STATE VOLUME
+    (here O(windows × classes), tiny), not to the session's batch scan
+    parallelism: 32 state partitions × N micro-batches is pure
+    commit/HDFSStateStore overhead (measured 10.4 s → 3.9 s on q96 at
+    sf0.1). On a real cluster you'd set this per-query the same way —
+    it only governs the stateful stages of THIS stream."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def q91_stream_backfill_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -3564,9 +3586,10 @@ def q91_stream_backfill_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = file_stream(
             spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
         )
-        backfill_then_live(
-            spark, backfill, stream, root + "/store", root + "/ckpt", "event_id"
-        )
+        with _stream_state_parallelism(spark, 8):
+            backfill_then_live(
+                spark, backfill, stream, root + "/store", root + "/ckpt", "event_id"
+            )
         final = spark.read.parquet(root + "/store")
         out = final.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
@@ -3733,7 +3756,9 @@ def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    def shingled(df: DataFrame) -> DataFrame:
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        # hash shingles to int64 BEFORE any distinct/shuffle (q78's
+        # measured lesson: 8-byte keys, not 20-40 byte strings, move)
         return (
             df.select(
                 "doc_id",
@@ -3745,22 +3770,23 @@ def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source",
                 F.explode(
                     dedup_ops.shingles_from_words(F.col("__w"), 3)
-                ).alias("shingle"),
+                ).alias("__s"),
             )
+            .select("doc_id", "source", dedup_ops.portable_hash60(F.col("__s")).alias("h"))
         )
 
     bench_ids = F.col("doc_id") % 97 == 0
-    bench_shingles = shingled(docs.filter(bench_ids)).select("shingle").distinct()
+    bench_hashes = shingle_hashes(docs.filter(bench_ids)).select("h").distinct()
     bloom = dedup_ops.bloom_build(
-        bench_shingles, "shingle", m_bits=BLOOM_M_BITS, k=BLOOM_K
+        bench_hashes, "h", m_bits=BLOOM_M_BITS, k=BLOOM_K, hashed=True
     )
-    probe = shingled(docs.filter(~bench_ids)).distinct()
+    probe = shingle_hashes(docs.filter(~bench_ids)).distinct()
     flagged = dedup_ops.bloom_probe(
-        probe, "shingle", bloom, m_bits=BLOOM_M_BITS, k=BLOOM_K
+        probe, "h", bloom, m_bits=BLOOM_M_BITS, k=BLOOM_K, hashed=True
     )
     exact = flagged.join(
-        F.broadcast(bench_shingles.withColumn("__exact", F.lit(1))),
-        "shingle",
+        F.broadcast(bench_hashes.withColumn("__exact", F.lit(1))),
+        "h",
         "left",
     )
     return exact.groupBy("source").agg(
@@ -3793,33 +3819,29 @@ sh AS (
          list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
   FROM d),
-flat AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
-bench AS (SELECT DISTINCT shingle FROM flat WHERE doc_id % 97 = 0),
-bench_h AS (SELECT shingle, """
-    + _H60.format(x="shingle")
-    + r""" AS h FROM bench),
+flat AS (SELECT doc_id, source, """
+    + _H60.format(x="unnest(s)")
+    + r""" AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 97 = 0),
 bloom AS (
   SELECT p // 60 AS word_idx, bit_or(CAST(1 AS BIGINT) << (p % 60)::INT) AS word
   FROM ("""
-    + _BLOOM_POS.format(key_cols="shingle", m=4096, src="bench_h")
+    + _BLOOM_POS.format(key_cols="h", m=4096, src="bench")
     + r""")
   GROUP BY 1),
 probe AS (
-  SELECT DISTINCT doc_id, source, shingle FROM flat WHERE doc_id % 97 <> 0),
-probe_h AS (SELECT doc_id, source, shingle, """
-    + _H60.format(x="shingle")
-    + r""" AS h FROM probe),
+  SELECT DISTINCT doc_id, source, h FROM flat WHERE doc_id % 97 <> 0),
 hits AS (
-  SELECT doc_id, source, shingle,
+  SELECT doc_id, source, h,
          sum(CASE WHEN ((word >> (p % 60)::INT) & 1) = 1 THEN 1 ELSE 0 END) AS nbits
   FROM ("""
-    + _BLOOM_POS.format(key_cols="doc_id, source, shingle", m=4096, src="probe_h")
+    + _BLOOM_POS.format(key_cols="doc_id, source, h", m=4096, src="probe")
     + r""") pos
   LEFT JOIN bloom ON pos.p // 60 = bloom.word_idx
-  GROUP BY doc_id, source, shingle)
+  GROUP BY doc_id, source, h)
 SELECT source, count(*)::BIGINT AS n_shingles,
        sum(CASE WHEN nbits = 4 THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
-       sum(CASE WHEN shingle IN (SELECT shingle FROM bench) THEN 1 ELSE 0 END)::BIGINT AS n_exact
+       sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)::BIGINT AS n_exact
 FROM hits GROUP BY source
 """
 )
@@ -3863,7 +3885,8 @@ def q96_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     r["sum_value"],
                 )
 
-        run_available_now(agg, upsert, root + "/ckpt", output_mode="update")
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(agg, upsert, root + "/ckpt", output_mode="update")
         rows = [
             (ws, we, cls, n, sv)
             for (ws, cls), (we, n, sv) in sorted(snapshot.items())
