@@ -4113,23 +4113,109 @@ SELECT w, true_cnt, cms_est, cms_est - true_cnt AS overshoot FROM est
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — skew-safe two-stage aggregation (salted): upgrades the skew
+# tooling (SCALE.md, `operators/skew.py`) from test-verified to
+# driver-verified. The salt is internal; the RESULT is salt-invariant
+# (counts merge associatively, sums are rounded), so the oracle is the
+# plain GROUP BY — which is exactly the claim a salted agg must honor.
+# --------------------------------------------------------------------------
+
+def q101_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.skew import salted_count_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_count_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+Q101_SQL = """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q102 — sampled quantile estimation: exact per-group percentiles on a
+# deterministic 20% hash sample vs the full data. The portable-hash
+# sample makes the "approximate" path fully replayable — the honest,
+# shuffle-light alternative to engine-specific quantile sketches whose
+# internals never match across engines.
+# --------------------------------------------------------------------------
+
+def q102_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.aggregations import group_percentiles
+    from odin_rs_spark.operators.corpus import hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    exact = group_percentiles(ev, ["event_type"], "value").select(
+        "event_type", F.col("p50").alias("p50_exact"), F.col("p95").alias("p95_exact")
+    )
+    sample = group_percentiles(
+        hash_sample(ev, 0.2, "event_id"), ["event_type"], "value"
+    ).select(
+        "event_type", F.col("p50").alias("p50_sample"), F.col("p95").alias("p95_sample")
+    )
+    return exact.join(sample, "event_type").select(
+        "event_type",
+        "p50_exact",
+        "p50_sample",
+        F.round(F.abs(F.col("p50_sample") - F.col("p50_exact")), 6).alias("p50_abs_err"),
+        "p95_exact",
+        "p95_sample",
+    )
+
+
+Q102_SQL = f"""
+WITH s AS (
+  SELECT * FROM events WHERE {_HFRAC.format(k='event_id')} < CAST(0.2 AS DOUBLE)),
+exact AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+         round(quantile_cont(value, 0.95), 6) AS p95_exact
+  FROM events GROUP BY event_type),
+samp AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6)  AS p50_sample,
+         round(quantile_cont(value, 0.95), 6) AS p95_sample
+  FROM s GROUP BY event_type)
+SELECT exact.event_type, p50_exact, p50_sample,
+       round(abs(p50_sample - p50_exact), 6) AS p50_abs_err,
+       p95_exact, p95_sample
+FROM exact JOIN samp USING (event_type)
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
 # rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-13: fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-15: fixed/new this round (q47 dtype, q65 oracle cast, q55
 #               restructured as oracle-replayable Lloyd IVF, q91/q96
 #               streaming AvailableNow queries, q92 line dedup, q93
 #               winnowing, q94 BM25, q95 Bloom contamination, q97 DSIR,
-#               q98 bigram LM, q99 HLL, q100 Count-Min);
-#   slots 14-19: r2-green queries whose underlying operators CHANGED in
+#               q98 bigram LM, q99 HLL, q100 Count-Min, q101 salted
+#               skew agg, q102 sampled quantiles);
+#   slots 16-21: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 20-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q100 displace q38-q42/q45/q46/
-#               q49/q50 from this block — those nine are r1-green,
+#   slots 22-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q102 displace q36-q42/q45/q46/
+#               q49/q50 from this block — those eleven are r1-green,
 #               frozen code, locally re-verified every round, and move
 #               to the FRONT of the round-4 cap together with the
 #               remaining r2-green block.
@@ -4151,6 +4237,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q98_bigram_logprob", q98_bigram_logprob, Q98_SQL, "text-lm-bigram"),
         QuerySpec("q99_hll_cardinality", q99_hll_cardinality, Q99_SQL, "sketch-hll"),
         QuerySpec("q100_cms_frequency", q100_cms_frequency, Q100_SQL, "sketch-cms"),
+        QuerySpec("q101_salted_agg", q101_salted_agg, Q101_SQL, "skew-salted"),
+        QuerySpec("q102_sampled_quantiles", q102_sampled_quantiles, Q102_SQL, "sample-quantiles"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4188,11 +4276,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
         QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
+        # --- past slot 50: green r2 rows, plus the eleven r1-green
+        # queries displaced by q92-q102 (q36-q42/q45/q46/q49/q50 —
+        # front of the round-4 cap) ---
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
         QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
-        # --- past slot 50: green r2 rows, plus the nine r1-green queries
-        # displaced by q92-q100 (q38-q42/q45/q46/q49/q50 — front of the
-        # round-4 cap) ---
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
         QuerySpec("q39_point_in_polygon", q39_point_in_polygon, _q39_sql(), "F6"),
         QuerySpec("q40_goes_grid", q40_goes_grid, _q40_sql(), "geo-goes S4 F1"),
