@@ -4198,6 +4198,65 @@ FROM exact JOIN samp USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q103 — the CUSTOM STATEFUL operator (applyInPandasWithState) driven
+# end-to-end through the driver surface: ttl_latest_state (T3, the
+# ADS-B keyed store) over the replayed events stream, update-mode
+# emissions upserted into a snapshot. The oracle is the batch
+# latest-per-key with cumulative update counts — which only matches if
+# the per-key state survived every micro-batch boundary intact.
+# (user_id, ts) is unique in the synthetic events table, so the batch
+# twin is well-defined without an operator-side tiebreak.
+# --------------------------------------------------------------------------
+
+def q103_stream_ttl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+    from odin_rs_spark.streaming.state import ttl_latest_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    root = tempfile.mkdtemp(prefix="odin_q103_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+        out = ttl_latest_state(stream.groupBy("key"), ttl_ms=None)
+
+        snapshot: dict[str, tuple] = {}
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            for r in batch_df.collect():
+                snapshot[r["key"]] = (r["ts"], r["value"], r["n_updates"])
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(out, upsert, root + "/ckpt", output_mode="update")
+        rows = [(k, ts, v, n) for k, (ts, v, n) in sorted(snapshot.items())]
+        return spark.createDataFrame(
+            rows, "key string, ts timestamp, value double, n_updates bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q103_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id::VARCHAR AS key, ts, value, n::BIGINT AS n_updates
+FROM ranked WHERE rn = 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
@@ -4239,6 +4298,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q100_cms_frequency", q100_cms_frequency, Q100_SQL, "sketch-cms"),
         QuerySpec("q101_salted_agg", q101_salted_agg, Q101_SQL, "skew-salted"),
         QuerySpec("q102_sampled_quantiles", q102_sampled_quantiles, Q102_SQL, "sample-quantiles"),
+        QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4275,10 +4335,10 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q32_idw_grid", q32_idw_grid, Q32_SQL, "R2 S4"),
         QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
         QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
-        QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
-        # --- past slot 50: green r2 rows, plus the eleven r1-green
-        # queries displaced by q92-q102 (q36-q42/q45/q46/q49/q50 —
+        # --- past slot 50: green r2 rows, plus the twelve r1-green
+        # queries displaced by q92-q103 (q35-q42/q45/q46/q49/q50 —
         # front of the round-4 cap) ---
+        QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
         QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),
         QuerySpec("q38_utm_project", q38_utm_project, _q38_sql(), "geo-utm F7"),
