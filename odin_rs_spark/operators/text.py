@@ -571,16 +571,33 @@ def winnow_matches(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    max_docs_per_hash: int | None = None,
 ) -> DataFrame:
     """Cross-document containment candidates from shared winnowing
     fingerprints: pairs of docs sharing >= min_shared selected gram
     hashes, with the shared count. The join keys on the 8-byte
     gram_hash; positions are dropped first so a hash selected at many
     positions in one doc contributes once (set semantics, like MOSS's
-    match counting)."""
+    match counting).
+
+    `max_docs_per_hash` drops fingerprints selected in more than N
+    documents BEFORE the self-join. This is both the scale guard (an
+    over-common hash makes the join quadratic in its doc count — the
+    same degenerate-bucket failure the LSH/jaccard paths cap) and
+    faithful MOSS semantics: fingerprints shared by many submissions
+    are "base code" and carry no containment signal. The rule is a
+    deterministic count filter, so a capped run stays SQL-replayable.
+    """
     fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("__id"), "gram_hash"
     ).distinct()
+    if max_docs_per_hash is not None:
+        counts = fp.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("__nd"))
+        fp = (
+            fp.join(counts, "gram_hash")
+            .filter(F.col("__nd") <= max_docs_per_hash)
+            .drop("__nd")
+        )
     a = fp.select(F.col("__id").alias("id_a"), "gram_hash")
     b = fp.select(F.col("__id").alias("id_b"), "gram_hash")
     return (

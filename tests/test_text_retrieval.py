@@ -300,3 +300,28 @@ def test_cms_probe_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_winnow_matches_base_code_cap(spark):
+    # a boilerplate run shared by ALL docs is "base code" (MOSS): with
+    # max_docs_per_hash set, it stops generating pairs; the pair that
+    # shares a RARE run survives
+    boiler = " ".join(f"c{i}" for i in range(8))
+    rare = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [(1, boiler + " " + rare), (2, boiler + " " + rare)]
+        + [(i, boiler + f" tail{i} x{i} y{i}") for i in range(3, 9)],
+    )
+    uncapped = winnow_matches(docs, k=3, w=4, min_shared=1)
+    n_uncapped = uncapped.count()
+    assert n_uncapped > 10  # boilerplate pairs everyone with everyone
+    capped = winnow_matches(
+        docs, k=3, w=4, min_shared=1, max_docs_per_hash=2
+    ).collect()
+    # cap kills the all-pairs boilerplate clique (the cap counts docs
+    # where a hash was SELECTED, so a near-boundary boilerplate hash
+    # selected in exactly 2 docs may legitimately survive)
+    assert len(capped) < n_uncapped / 3
+    best = max(capped, key=lambda r: r["n_shared"])
+    assert (best["id_a"], best["id_b"]) == (1, 2)  # the rare shared run wins
