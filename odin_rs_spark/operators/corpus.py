@@ -370,3 +370,39 @@ def dsir_select(
             F.round("__key", round_to).alias("gumbel_key"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    fraction: float,
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exact-count stratified sample: per stratum, keep EXACTLY
+    ceil(fraction·n_stratum) rows — the ones with the smallest portable
+    hash draw (ties broken by key). `hash_sample` gives each stratum a
+    binomial count; this gives the guaranteed per-stratum quota a
+    balanced eval split or a per-language calibration set needs, while
+    keeping the same engine-portable determinism (the kept set is a pure
+    function of (key, salt), never of partitioning or an RNG).
+
+    One shuffle: a window over the strata columns computes both the
+    stratum size and the hash rank in a single pass — no pre-count join,
+    no driver collect. Skew note: a stratum is a language/source-sized
+    group, so a single window partition holds an entire stratum; at
+    100 TB with few huge strata, pre-aggregate the counts instead and
+    sample via the threshold trick (hash < quantile) — this exact-rank
+    form is for stratum counts that fit a partition (the eval-split use
+    case).
+    """
+    h = hash_fraction(F.col(key), salt)
+    w = Window.partitionBy(*strata)
+    wr = w.orderBy(h.asc(), F.col(key).asc())
+    need = F.ceil(F.count(F.lit(1)).over(w) * F.lit(float(fraction)) - F.lit(1e-9))
+    return (
+        df.withColumn("__rk", F.row_number().over(wr))
+        .withColumn("__need", need)
+        .filter(F.col("__rk") <= F.col("__need"))
+        .drop("__rk", "__need")
+    )

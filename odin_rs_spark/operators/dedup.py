@@ -1212,3 +1212,107 @@ def bloom_probe(
         flag = flag & c
     drop = ["__bloom_words"] + [c for i in range(k) for c in (f"__p{i}", f"__widx{i}")]
     return out.withColumn(flag_col, flag).drop(*drop)
+
+
+def containment_join_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """EXACT directed containment self-join: pairs (a, b), a != b, with
+    C(a→b) = |S(a)∩S(b)| / |S(a)| >= threshold — "most of a's n-gram set
+    appears inside b". This is the asymmetric sibling of
+    `jaccard_join_pairs`: Jaccard misses a short quote swallowed by a
+    long document (the union is dominated by b), while containment is
+    exactly the "b subsumes a" test a training pipeline runs to drop
+    excerpts, quote-farms, and wrapper pages around already-kept text.
+
+    Blocking is the asymmetric prefix filter (Xiao et al. WWW'08 §5's
+    containment variant): C(a→b) >= t forces |S(a)∩S(b)| >=
+    ceil(t·|S(a)|), so under ANY global shingle order a must share one
+    of its first |S(a)| − ceil(t·|S(a)|) + 1 shingles with *some*
+    shingle of b — the probe side (a) indexes only prefixes, the build
+    side (b) indexes its FULL shingle set. Recall 1, no cap.
+
+    Scale shape: same three narrow shuffles as the Jaccard path for the
+    df-ordered prefix index, plus one equi-join of prefix postings
+    against full postings. The full side is the scale risk — a
+    boilerplate shingle's posting list is its document frequency, and
+    the df-ascending order only keeps the head out of PREFIXES, not out
+    of the full index. The join cost is Σ_g pref(g)·df(g), so hot
+    shingles only hurt when they also enter someone's prefix; audit
+    with `containment_postings_audit` before raising corpus size 100×.
+    A length filter (|S(b)| >= ceil(t·|S(a)|)) fuses into the join.
+
+    Output: (id_a, id_b, containment) — directed, a's set covered by b.
+    """
+    sh, prefix = _jaccard_prefix_index(
+        df, id_col, text_col, shingle_n, threshold, parallelism
+    )
+    full = sh.select(
+        F.col(id_col).alias("__idb"),
+        F.size("__sh").alias("__szb"),
+        F.explode("__sh").alias("__g"),
+    )
+    need = F.ceil(F.col("__sz") * F.lit(float(threshold)) - F.lit(1e-9))
+    cand = (
+        prefix.join(full, "__g")
+        .filter(F.col(id_col) != F.col("__idb"))
+        .filter(F.col("__szb") >= need)
+        .select(F.col(id_col).alias("id_a"), F.col("__idb").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sha", "__shb")).cast("double")
+            / F.size("__sha").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "containment")
+    )
+    return out
+
+
+def containment_postings_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    min_cost: int = 1000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(shingle_hash, n_prefix, n_full, est_candidates) for shingles
+    whose prefix×full join cost meets `min_cost` — the audit twin of
+    `containment_join_pairs`, mirroring `jaccard_prefix_buckets` /
+    `lsh_oversized_buckets`. est_candidates = n_prefix·n_full is the
+    exact candidate-row count the join materializes for that shingle;
+    a corpus whose boilerplate starts leaking into prefixes shows up
+    here before it shows up as a blown shuffle."""
+    sh, prefix = _jaccard_prefix_index(
+        df, id_col, text_col, shingle_n, threshold, parallelism
+    )
+    pc = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("n_prefix"))
+    fc = (
+        sh.select(F.explode("__sh").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n_full"))
+    )
+    return (
+        pc.join(fc, "__g")
+        .withColumn("est_candidates", F.col("n_prefix") * F.col("n_full"))
+        .filter(F.col("est_candidates") >= min_cost)
+        .select(F.col("__g").alias("shingle_hash"), "n_prefix", "n_full", "est_candidates")
+    )

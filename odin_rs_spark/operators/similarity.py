@@ -868,3 +868,163 @@ def semantic_dedup_clusters(
 
     pairs = semantic_near_dup_pairs(corpus, threshold, id_col, vec_col, **kwargs)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    rerank_k: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Two-stage ANN over Matryoshka-style embeddings (Kusupati et al.,
+    NeurIPS'22): stage 1 scores every corpus vector with a cosine over
+    only the first `prefix_dim` dimensions (MRL models front-load
+    information, so the prefix is a usable coarse embedding) and keeps
+    the top `rerank_k` candidates per query; stage 2 re-ranks only those
+    candidates with the exact full-dimension cosine and returns top `k`.
+
+    Scale shape: the corpus-wide stage computes a prefix_dim-wide dot
+    (d/prefix_dim cheaper than full) and shuffles only (query_id, id,
+    score) triples for the per-query rank — vectors never shuffle. The
+    survivor set (|queries|·rerank_k rows) is broadcast back onto the
+    corpus scan to fetch full vectors, so stage 2 adds a broadcast
+    semi-pattern join and a trivially small rank — no second wide
+    shuffle. At 100 TB with the prefix stored as its own parquet column,
+    stage 1 would also read d/prefix_dim fewer bytes.
+
+    Determinism: both ranks tie-break on ascending id; prefix and full
+    dots sum float->double in array order, mirroring the SQL oracle.
+    Output: (query_id, vec_id, cos_sim, rank) — cos_sim is the exact
+    full-dimension cosine.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qfull"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("__qpre"),
+        ).select(
+            query_id_col,
+            "__qfull",
+            l2_norm(F.col("__qfull")).alias("__qfn"),
+            "__qpre",
+            l2_norm(F.col("__qpre")).alias("__qpn"),
+        )
+    )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    base = corpus.select(F.col(id_col), F.col(vec_col).alias("__cfull"))
+    coarse = (
+        base.select(
+            id_col,
+            F.slice(F.col("__cfull"), 1, prefix_dim).alias("__cpre"),
+        )
+        .select(id_col, "__cpre", l2_norm(F.col("__cpre")).alias("__cpn"))
+        .join(q.select(query_id_col, "__qpre", "__qpn"), F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col("__qpre"), F.col("__cpre"))
+                / (F.col("__qpn") * F.col("__cpn"))
+            ).alias("__pre_cos"),
+        )
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("__pre_cos").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        coarse.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= rerank_k)
+        .select(query_id_col, id_col)
+    )
+    exact = (
+        base.join(F.broadcast(cand), id_col)
+        .join(q.select(query_id_col, "__qfull", "__qfn"), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col("__qfull"), F.col("__cfull"))
+                / (F.col("__qfn") * l2_norm(F.col("__cfull")))
+            ).alias("cos_sim"),
+        )
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def quantize_int8_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Int8 scalar quantization audit: quantize every vector with
+    per-dimension symmetric max-abs scales (q_i = floor(x_i/s_i*127 +
+    0.5), the standard symmetric int8 scheme; |x_i| <= s_i by
+    construction so no clamp branch exists to diverge on) and report,
+    per `group_col`: how much cosine geometry the corpus would keep
+    (avg cos(x, dequant(x))) and the worst/typical absolute
+    reconstruction error. This is the go/no-go audit before shipping a
+    4x-smaller int8 ANN index at 100 TB.
+
+    Scale shape: pass 1 is a posexplode + map-side-combinable per-dim
+    max (vectors never shuffle; dim-count rows out). The scale vector
+    (one row per dimension — bounded by model width, ~10^2..10^3) is
+    collected to a literal array under that explicit contract, so pass 2
+    is a ZERO-shuffle zip_with projection per row followed by one
+    map-side-combinable aggregate. No joins at all.
+
+    Determinism: floor(+0.5) rounding is identical in every engine
+    (unlike banker's/HALF_UP round); max-aggregates are order-free;
+    the only order-sensitive sums are 64-element per-row dots, rounded
+    at round_to digits like every cosine in this module.
+    """
+    exd = corpus.select(F.posexplode(F.col(vec_col)).alias("__d", "__xf")).select(
+        "__d", F.abs(F.col("__xf").cast("double")).alias("__ax")
+    )
+    # bounded driver collect: one row per embedding dimension
+    srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
+    scales = [0.0] * (max(r["__d"] for r in srows) + 1)
+    for r in srows:
+        scales[r["__d"]] = float(r["__s"])
+    sc = F.array(*[F.lit(s) for s in scales])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    recon = F.zip_with(
+        x,
+        sc,
+        lambda xi, si: F.when(
+            si > 0, F.floor(xi / si * 127.0 + 0.5) * si / 127.0
+        ).otherwise(F.lit(0.0)),
+    )
+    per = corpus.select(
+        F.col(group_col),
+        x.alias("__x"),
+        recon.alias("__r"),
+    ).select(
+        group_col,
+        (
+            dot(F.col("__x"), F.col("__r"))
+            / (l2_norm(F.col("__x")) * l2_norm(F.col("__r")))
+        ).alias("__cos"),
+        F.array_max(
+            F.zip_with(F.col("__x"), F.col("__r"), lambda a, b: F.abs(a - b))
+        ).alias("__maxerr"),
+    )
+    return per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__cos"), round_to).alias("avg_cos_keep"),
+        F.round(F.max("__maxerr"), round_to).alias("max_abs_err"),
+        F.round(F.avg("__maxerr"), round_to).alias("avg_max_err"),
+    )

@@ -4257,27 +4257,235 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q104 — Matryoshka two-stage ANN: coarse top-20 on the first 16
+# embedding dims, exact full-dim rerank to top-5. The oracle replays
+# both stages; ranks tie-break on vec_id in both engines.
+# --------------------------------------------------------------------------
+
+def q104_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.matryoshka_topk(emb, queries, prefix_dim=16, rerank_k=20, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+Q104_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+pre AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 17), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 17), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 17), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+         AS pcos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, vec_id ASC) AS rn
+    FROM pre) WHERE rn <= 20),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+         AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q105 — int8 scalar-quantization audit: per-dim max-abs scales, then
+# per-label cosine-preservation and reconstruction-error stats. floor(
+# x+0.5) rounding (identical cross-engine, unlike HALF_UP round); the
+# oracle mirrors Spark's per-row ordered list folds exactly.
+# --------------------------------------------------------------------------
+
+def q105_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.quantize_int8_stats(emb)
+
+
+Q105_SQL = """
+WITH ex AS (
+  SELECT i, max(abs(embedding[i]::DOUBLE)) AS s
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY i),
+sc AS (SELECT list(s ORDER BY i) AS sv FROM ex),
+per AS (
+  SELECT label,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS xv,
+         list_transform(range(1, 65), i ->
+           CASE WHEN sv[i] > 0
+                THEN floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5) * sv[i] / 127.0
+                ELSE 0.0 END) AS rv
+  FROM embeddings, sc),
+m AS (
+  SELECT label,
+         list_sum(list_transform(range(1, 65), i -> xv[i] * rv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> xv[i] * xv[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> rv[i] * rv[i])))) AS cosp,
+         list_max(list_transform(range(1, 65), i -> abs(xv[i] - rv[i]))) AS maxerr
+  FROM per)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(cosp), 6) AS avg_cos_keep,
+       round(max(maxerr), 6) AS max_abs_err,
+       round(avg(maxerr), 6) AS avg_max_err
+FROM m GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# q106 — exact directed containment join (asymmetric prefix filter):
+# pairs where >= 60% of a's 3-gram shingle set appears in b — the
+# "b subsumes a" test Jaccard misses for short-quote-in-long-doc.
+# Oracle = exact all-pairs containment over the same shingling.
+# --------------------------------------------------------------------------
+
+def q106_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.containment_join_pairs(
+        docs, threshold=0.6, parallelism=spark.sparkContext.defaultParallelism
+    )
+
+
+Q106_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# q107 — exact-count stratified sample: per-lang quota ceil(0.3·n) by
+# portable-hash rank. Unlike the Bernoulli q63, the kept COUNT per
+# stratum is guaranteed; sum_doc_id pins the exact membership.
+# --------------------------------------------------------------------------
+
+def q107_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = corpus_ops.stratified_sample(
+        docs, ["lang"], 0.3, key="doc_id", salt="strat"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+Q107_SQL = """
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 15)) AS BIGINT)
+         / 1152921504606846976.0 AS hv
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h)
+SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS sum_doc_id
+FROM r WHERE rk <= ceil(n * 0.3 - 1e-9) GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q108 — streaming exact dedup through the driver surface: native
+# dropDuplicates state over an AvailableNow replay of the events table
+# (T3's exact-dedup twin, driver-verified like q91/q96/q103). The
+# emitted measure is per-type distinct-user membership — invariant to
+# which physical row wins inside a microbatch, so the batch-SQL oracle
+# replays it exactly.
+# --------------------------------------------------------------------------
+
+def q108_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    root = tempfile.mkdtemp(prefix="odin_q108_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+        dedup = stream.dropDuplicates(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+
+        keys: set[tuple] = set()
+
+        def collect_keys(batch_df: DataFrame, batch_id: int) -> None:
+            for r in batch_df.collect():
+                keys.add((r["user_id"], r["event_type"]))
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(dedup, collect_keys, root + "/ckpt", output_mode="append")
+        pairs = spark.createDataFrame(
+            sorted(keys), "user_id bigint, event_type string"
+        )
+        return pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("sum_user_id"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q108_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_users, sum(user_id)::BIGINT AS sum_user_id
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
 # rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-15: fixed/new this round (q47 dtype, q65 oracle cast, q55
-#               restructured as oracle-replayable Lloyd IVF, q91/q96
-#               streaming AvailableNow queries, q92 line dedup, q93
-#               winnowing, q94 BM25, q95 Bloom contamination, q97 DSIR,
-#               q98 bigram LM, q99 HLL, q100 Count-Min, q101 salted
-#               skew agg, q102 sampled quantiles);
-#   slots 16-21: r2-green queries whose underlying operators CHANGED in
+#   slots 1-21: fixed/new this round (q47 dtype, q65 oracle cast, q55
+#               restructured as oracle-replayable Lloyd IVF, q91/q96/
+#               q103/q108 streaming AvailableNow queries, q92 line
+#               dedup, q93 winnowing, q94 BM25, q95 Bloom contamination,
+#               q97 DSIR, q98 bigram LM, q99 HLL, q100 Count-Min, q101
+#               salted skew agg, q102 sampled quantiles, q104 Matryoshka
+#               two-stage ANN, q105 int8 quantization audit, q106
+#               containment join, q107 stratified sample);
+#   slots 22-27: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 22-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q102 displace q36-q42/q45/q46/
-#               q49/q50 from this block — those eleven are r1-green,
-#               frozen code, locally re-verified every round, and move
-#               to the FRONT of the round-4 cap together with the
-#               remaining r2-green block.
+#   slots 28-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q108 displace q32-q42/q45/q46/
+#               q49/q50 from this block — those are r1-green, frozen
+#               code, locally re-verified every round, and move to the
+#               FRONT of the round-4 cap together with the remaining
+#               r2-green block.
 # Every entry past slot 50 has a green r1 or r2 driver row on record.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
@@ -4299,6 +4507,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q101_salted_agg", q101_salted_agg, Q101_SQL, "skew-salted"),
         QuerySpec("q102_sampled_quantiles", q102_sampled_quantiles, Q102_SQL, "sample-quantiles"),
         QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
+        QuerySpec("q104_matryoshka_topk", q104_matryoshka_topk, Q104_SQL, "similarity-matryoshka"),
+        QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),
+        QuerySpec("q106_containment_join", q106_containment_join, Q106_SQL, "dedup-containment"),
+        QuerySpec("q107_stratified_sample", q107_stratified_sample, Q107_SQL, "corpus-stratified"),
+        QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),

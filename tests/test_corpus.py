@@ -386,3 +386,161 @@ def test_ivfpq_probes_restrict_candidates(spark):
         ds = [r.approx_dist for r in sorted(
             (x for x in out if x.query_id == qid), key=lambda x: x.rank)]
         assert ds == sorted(ds)
+
+
+def test_containment_join_exactness_vs_brute_force(spark):
+    # exact recall: the asymmetric prefix filter must reproduce the
+    # brute-force directed containment over the same 2-gram shingles
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "quick brown fox jumps over the lazy dog"),  # near-subset of 1
+        (3, "a completely different sentence about spark engines"),
+        (4, "different sentence about spark engines and scale"),
+        (5, "the quick brown fox"),  # short excerpt of 1/2
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def sh2(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 2]) for i in range(max(len(w) - 1, 1))}
+
+    want = set()
+    for a, ta in texts:
+        for b, tb in texts:
+            if a != b:
+                sa, sb = sh2(ta), sh2(tb)
+                if len(sa & sb) / len(sa) >= 0.6:
+                    want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.containment_join_pairs(df, shingle_n=2, threshold=0.6).collect()
+    }
+    assert got == want
+    # the defining asymmetric case: the short excerpt (5) is contained
+    # in the long doc (1) but their Jaccard is far below 0.6
+    assert (5, 1) in got
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_join_pairs(df, shingle_n=2, threshold=0.6).collect()
+    }
+    assert (1, 5) not in jac and (5, 1) not in jac
+
+
+def test_containment_postings_audit_degenerate_corpus(spark):
+    # a same-text corpus puts every shingle in every prefix AND every
+    # full posting list: the audit must surface the quadratic cost
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    audit = dedup.containment_postings_audit(
+        df, shingle_n=3, threshold=0.6, min_cost=100
+    ).collect()
+    assert audit, "degenerate corpus must trip the postings audit"
+    assert all(r.est_candidates == r.n_prefix * r.n_full for r in audit)
+    assert max(r.n_full for r in audit) == 40
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    import math
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = corpus.stratified_sample(df, ["lang"], 0.25, key="doc_id", salt="s")
+    by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in totals.items():
+        assert by_lang[lang] == math.ceil(n * 0.25 - 1e-9)
+    # partitioning-invariant membership (pure function of key+salt)
+    again = corpus.stratified_sample(
+        df.repartition(13), ["lang"], 0.25, key="doc_id", salt="s"
+    )
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}
+    # matches the portable-hash reference rank per stratum
+    for lang, n in totals.items():
+        ids = [i for i, l in rows if l == lang]
+        ids.sort(key=lambda i: (_draw(f"{i}s"), i))
+        want = set(ids[: math.ceil(n * 0.25 - 1e-9)])
+        got = {r.doc_id for r in kept.filter(F.col("lang") == lang).collect()}
+        assert got == want
+
+
+def test_matryoshka_full_rerank_equals_brute_force(spark, sf_dir):
+    # with rerank_k >= corpus size stage 1 keeps everyone, so the
+    # two-stage result must equal exact brute-force cosine top-k
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.cosine_topk(emb, q, k=3).collect()
+    }
+    two_stage = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.matryoshka_topk(
+            emb, q, prefix_dim=16, rerank_k=n, k=3
+        ).collect()
+    }
+    assert two_stage == exact
+
+
+def test_matryoshka_coarse_recall_grows_with_rerank_k(spark, sf_dir):
+    # the driver knob: recall@1 must be monotone-improving in rerank_k
+    # and substantial once the coarse cut is generous. (The synthetic
+    # embeddings are NOT Matryoshka-trained — a 16-dim prefix of random
+    # directions keeps ~25% of the cosine signal — so the meaningful
+    # invariant is the knob's shape, not an absolute recall bar.)
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact1 = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, q, k=1).collect()
+    }
+
+    def recall(rk: int) -> float:
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in sim.matryoshka_topk(
+                emb, q, prefix_dim=16, rerank_k=rk, k=1
+            ).collect()
+        }
+        return len(exact1 & approx) / len(exact1)
+
+    r20, r100 = recall(20), recall(100)
+    assert r100 >= r20
+    assert r100 >= 0.6
+
+
+def test_quantize_int8_error_bound_and_cos(spark, sf_dir):
+    # symmetric max-abs int8: per-element error is bounded by s/254 and
+    # cosine preservation on real embeddings stays near 1
+    import numpy as np
+
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    s = np.abs(X).max(axis=0)
+    out = sim.quantize_int8_stats(emb).collect()
+    bound = float((s[s > 0] / 254.0).max()) + 1e-12
+    for r in out:
+        assert r.max_abs_err <= bound + 5e-7  # 6dp rounding slack
+        assert r.avg_cos_keep > 0.999
+    # cross-check one aggregate against the numpy reference
+    with np.errstate(invalid="ignore"):
+        Q = np.where(s > 0, np.floor(X / s * 127.0 + 0.5), 0.0)
+        R = np.where(s > 0, Q * s / 127.0, 0.0)
+    maxerr = np.abs(X - R).max()
+    got_max = max(r.max_abs_err for r in out)
+    assert abs(got_max - round(float(maxerr), 6)) <= 1e-9

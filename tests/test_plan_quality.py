@@ -253,3 +253,60 @@ def test_line_dup_stats_doc_texts_never_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "__w" not in line and "text" not in line, line
+
+
+def test_matryoshka_stage1_shuffles_triples_not_vectors(spark, sf_dir):
+    # the per-query coarse rank may shuffle only (query_id, id, score)
+    # triples; full vectors re-attach via a BROADCAST join of the tiny
+    # candidate set — never a wide shuffle carrying embeddings
+    from odin_rs_spark.operators.similarity import matryoshka_topk
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _executed(matryoshka_topk(emb, q, prefix_dim=16, rerank_k=20, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every Exchange row must be a narrow score/candidate projection:
+    # no exchange operator output may contain the full embedding column
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "__cfull" not in first_line and "__qfull" not in first_line
+
+
+def test_quantize_int8_zero_join_single_agg(spark, sf_dir):
+    # pass 2 is a pure projection + one map-side-combinable aggregate:
+    # no join nodes at all, and exactly one shuffle (the final groupBy)
+    from odin_rs_spark.operators.similarity import quantize_int8_stats
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = _executed(quantize_int8_stats(emb))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    # asymmetric prefix filter must block via equi-joins: prefix(a)
+    # postings against full(b) postings, then id equi-joins for verify
+    from odin_rs_spark.operators.dedup import containment_join_pairs
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(containment_join_pairs(docs, shingle_n=2, threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    # one window pass computes stratum size and hash rank together: a
+    # single Exchange on the strata key, no pre-count join
+    from odin_rs_spark.operators.corpus import stratified_sample
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(stratified_sample(docs, ["lang"], 0.3))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
