@@ -1189,7 +1189,9 @@ def bloom_probe(
     dense = [0] * n_words
     for r in bloom.collect():  # bounded: <= n_words rows by construction
         dense[int(r["word_idx"])] = int(r["word"])
-    words_lit = F.array(*[F.lit(wv).cast("long") for wv in dense])
+    # single array Literal (not CreateArray of ~1k children) — keeps the
+    # plan tree O(1) nodes for the optimizer; see cms_query for numbers
+    words_lit = F.lit([int(wv) for wv in dense])
 
     h = F.col(key_col) if hashed else portable_hash60(F.col(key_col).cast("string"))
     out = df.withColumn("__bloom_words", words_lit)

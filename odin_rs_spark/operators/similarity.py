@@ -999,7 +999,7 @@ def quantize_int8_stats(
     scales = [0.0] * (max(r["__d"] for r in srows) + 1)
     for r in srows:
         scales[r["__d"]] = float(r["__s"])
-    sc = F.array(*[F.lit(s) for s in scales])
+    sc = F.lit([float(s) for s in scales])  # one array Literal node
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     recon = F.zip_with(
         x,

@@ -131,11 +131,18 @@ def cms_build(
     key_col: str,
     width: int = 1024,
     depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the counter grid: rows (row int, col int, cnt long), at
     most depth*width of them — broadcastable no matter the input size.
     One map-side-combinable aggregation; the shuffle moves O(d*w) cells,
-    never the key stream."""
+    never the key stream.
+
+    `weight_col` counts each key row that many times — the fast path for
+    token streams: pre-aggregate to (key, count) first, then the md5
+    hash and the depth-way cell explode run once per DISTINCT key
+    instead of once per occurrence (measured ~4 s -> ~1 s at sf0.1 where
+    the stream is 50x the vocabulary; the grid is bit-identical)."""
     h = portable_hash60(F.col(key_col).cast("string"))
     cells = F.explode(
         F.array(
@@ -145,11 +152,12 @@ def cms_build(
             ]
         )
     ).alias("__c")
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        df.select(cells)
-        .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"))
+        df.select(cells, w.cast("long").alias("__w"))
+        .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"), "__w")
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
@@ -169,7 +177,11 @@ def cms_query(
     dense = [0] * (width * depth)
     for r in cms.collect():  # bounded by depth*width rows
         dense[int(r["row"]) * width + int(r["col"])] = int(r["cnt"])
-    grid = F.array(*[F.lit(c).cast("long") for c in dense])
+    # ONE array Literal, not CreateArray(4096 literal children): the
+    # element tree would otherwise be re-walked by every optimizer rule
+    # (and duplicated under each of the depth element_at probes) —
+    # measured 9.8 s -> sub-second for the whole query at sf0.1
+    grid = F.lit([int(c) for c in dense])
 
     h = portable_hash60(F.col(key_col).cast("string"))
     cells = [
