@@ -406,3 +406,66 @@ def stratified_sample(
         .filter(F.col("__rk") <= F.col("__need"))
         .drop("__rk", "__need")
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    key: str = "doc_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Token-budget data selection: walk the corpus in (score DESC, key
+    ASC) order and keep documents while the running token total stays
+    within `budget` — "take the best docs until the training budget is
+    full", the final step of a scored data recipe.
+
+    The naive form is a global-order window cumsum = ONE partition doing
+    all the work. This implementation is the distributed two-phase
+    prefix sum: range-partition on the sort key (`repartitionByRange`
+    samples the distribution, so ranges balance even when scores skew),
+    cumsum WITHIN each range partition, and add each partition's prefix
+    offset — computed from a tiny per-partition total aggregate
+    (num_ranges rows, broadcast back). The corpus shuffles once (the
+    range exchange); the only other moving data is num_ranges rows.
+    Partition count is a knob: at 100 TB raise num_ranges so each range
+    holds ~one executor-core's worth of rows.
+
+    Keep rule is inclusive-while-fits: a doc is kept iff every token up
+    to AND including it fits the budget (prefix + within-cumsum <=
+    budget). Deterministic: (score, key) totally orders the corpus.
+    """
+    from pyspark.sql.functions import spark_partition_id
+
+    order = [F.col(score_col).desc(), F.col(key).asc()]
+    ranged = df.repartitionByRange(num_ranges, *order).withColumn(
+        "__pid", spark_partition_id()
+    )
+    # per-partition token totals -> prefix offsets (bounded: num_ranges
+    # rows; broadcast back as a tiny dim join)
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__t"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    wp = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(wp)
+        )
+        .join(F.broadcast(totals), "__pid")
+        .filter(F.col("__offset") + F.col("__cum") <= F.lit(int(budget)))
+        .drop("__pid", "__cum", "__offset")
+    )

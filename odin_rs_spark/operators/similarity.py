@@ -1028,3 +1028,79 @@ def quantize_int8_stats(
         F.round(F.max("__maxerr"), round_to).alias("max_abs_err"),
         F.round(F.avg("__maxerr"), round_to).alias("avg_max_err"),
     )
+
+
+def int8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scales: list[float] | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over an int8-quantized corpus: the
+    corpus side is stored/scored as int8 codes under per-dimension
+    max-abs scales (the index `quantize_int8_stats` audits), queries
+    stay full-precision, and the score is the cosine between the query
+    and the DEQUANTIZED corpus vector (ADC, the SQ8 flat-index scheme
+    FAISS calls IndexScalarQuantizer). 4x smaller corpus bytes for a
+    rank-k loss the q105 audit quantifies in advance.
+
+    `scales` injects a precomputed scale vector (the 100 TB path: train
+    once, reuse per query batch); when None, one bounded per-dim max
+    aggregation derives it from the corpus (one row per dimension).
+
+    Scale shape: identical to `cosine_topk` — broadcast query side, one
+    corpus scan, only (query_id, id, score) triples shuffle for the
+    per-query rank. Quantize→dequantize is a zero-join zip_with
+    projection fused into the scan.
+
+    Determinism: floor(+0.5) quantization and in-order double folds,
+    exactly replayable in SQL; rank ties break on ascending id.
+    """
+    if scales is None:
+        exd = corpus.select(
+            F.posexplode(F.col(vec_col)).alias("__d", "__xf")
+        ).select("__d", F.abs(F.col("__xf").cast("double")).alias("__ax"))
+        # bounded driver collect: one row per embedding dimension
+        srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
+        scales = [0.0] * (max(r["__d"] for r in srows) + 1)
+        for r in srows:
+            scales[r["__d"]] = float(r["__s"])
+    sc = F.lit([float(s) for s in scales])
+    recon = F.zip_with(
+        F.col(vec_col),
+        sc,
+        lambda xi, si: F.when(
+            si > 0, F.floor(xi.cast("double") / si * 127.0 + 0.5) * si / 127.0
+        ).otherwise(F.lit(0.0)),
+    )
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    base = corpus.select(
+        F.col(id_col), recon.alias("__rvec")
+    ).select(id_col, "__rvec", l2_norm(F.col("__rvec")).alias("__rn"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = base.join(q, F.col(query_id_col) != F.col(id_col)).select(
+        query_id_col,
+        id_col,
+        (
+            dot(F.col("__qvec"), F.col("__rvec")) / (F.col("__qn") * F.col("__rn"))
+        ).alias("adc_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_cos", "rank")
+    )

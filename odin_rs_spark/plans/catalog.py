@@ -4464,25 +4464,115 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q109 — int8 ADC retrieval (FAISS SQ8-flat scheme): corpus scored as
+# dequantized int8 codes under the q105 scales, queries full-precision.
+# Deterministic floor(+0.5) arithmetic, so the oracle replays the
+# quantized index exactly.
+# --------------------------------------------------------------------------
+
+def q109_int8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim_ops.int8_adc_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_cos", 6).alias("adc_cos"), "rank"
+    )
+
+
+Q109_SQL = """
+WITH ex AS (
+  SELECT i, max(abs(embedding[i]::DOUBLE)) AS s
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY i),
+sc AS (SELECT list(s ORDER BY i) AS sv FROM ex),
+r AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN sv[i] > 0
+                THEN floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5) * sv[i] / 127.0
+                ELSE 0.0 END) AS rv
+  FROM embeddings, sc),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, r.vec_id,
+         list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * r.rv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> r.rv[i] * r.rv[i])))) AS cos
+  FROM r, q WHERE r.vec_id <> q.query_id)
+SELECT query_id, vec_id, round(cos, 6) AS adc_cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q110 — token-budget data selection: best docs first (n_chars DESC,
+# doc_id tiebreak), keep while the running token total fits the budget.
+# Spark side = distributed two-phase prefix sum (range partition +
+# per-range cumsum + tiny offset join); oracle = the equivalent global
+# window cumsum.
+# --------------------------------------------------------------------------
+
+def q110_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "__tok",
+        F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+    )
+    kept = corpus_ops.select_until_budget(
+        scored, score_col="n_chars", token_col="__tok", budget=50000, key="doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("__tok").alias("sum_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+Q110_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM documents),
+c AS (
+  SELECT *, sum(tok) OVER (ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM t)
+SELECT source, count(*)::BIGINT AS n_kept, sum(tok)::BIGINT AS sum_tokens,
+       sum(doc_id)::BIGINT AS sum_doc_id
+FROM c WHERE cum <= 50000 GROUP BY source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
 # rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-21: fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-23: fixed/new this round (q47 dtype, q65 oracle cast, q55
 #               restructured as oracle-replayable Lloyd IVF, q91/q96/
 #               q103/q108 streaming AvailableNow queries, q92 line
 #               dedup, q93 winnowing, q94 BM25, q95 Bloom contamination,
 #               q97 DSIR, q98 bigram LM, q99 HLL, q100 Count-Min, q101
 #               salted skew agg, q102 sampled quantiles, q104 Matryoshka
 #               two-stage ANN, q105 int8 quantization audit, q106
-#               containment join, q107 stratified sample);
-#   slots 22-27: r2-green queries whose underlying operators CHANGED in
+#               containment join, q107 stratified sample, q109 int8 ADC
+#               retrieval, q110 token-budget selection);
+#   slots 24-29: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 28-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q108 displace q32-q42/q45/q46/
+#   slots 30-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q110 displace q31-q42/q45/q46/
 #               q49/q50 from this block — those are r1-green, frozen
 #               code, locally re-verified every round, and move to the
 #               FRONT of the round-4 cap together with the remaining
@@ -4513,6 +4603,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q106_containment_join", q106_containment_join, Q106_SQL, "dedup-containment"),
         QuerySpec("q107_stratified_sample", q107_stratified_sample, Q107_SQL, "corpus-stratified"),
         QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
+        QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
+        QuerySpec("q110_budget_select", q110_budget_select, Q110_SQL, "corpus-budget"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),

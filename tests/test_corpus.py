@@ -544,3 +544,90 @@ def test_quantize_int8_error_bound_and_cos(spark, sf_dir):
     maxerr = np.abs(X - R).max()
     got_max = max(r.max_abs_err for r in out)
     assert abs(got_max - round(float(maxerr), 6)) <= 1e-9
+
+
+def test_select_until_budget_matches_global_cumsum(spark):
+    # distributed two-phase prefix sum == plain global-order cumsum,
+    # regardless of how many range partitions the corpus splits into
+    rows = [(i, (i * 37) % 100 + 1, (i * 13) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "tok"])
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = set(), 0
+    for i, _, tok in ordered:
+        cum += tok
+        if cum > 3000:
+            break
+        want.add(i)
+    for nr in (1, 7, 32):
+        kept = corpus.select_until_budget(
+            df, "score", "tok", budget=3000, key="doc_id", num_ranges=nr
+        )
+        assert {r.doc_id for r in kept.collect()} == want, f"num_ranges={nr}"
+
+
+def test_select_until_budget_boundary_doc_excluded(spark):
+    # the doc that would overflow the budget is dropped, later smaller
+    # docs are NOT back-filled (prefix semantics, not knapsack)
+    df = spark.createDataFrame(
+        [(1, 10, 40), (2, 9, 40), (3, 8, 40), (4, 7, 5)],
+        ["doc_id", "score", "tok"],
+    )
+    kept = {r.doc_id for r in corpus.select_until_budget(
+        df, "score", "tok", budget=85, key="doc_id", num_ranges=2
+    ).collect()}
+    assert kept == {1, 2}  # 40+40 fits; doc 3 overflows; doc 4 never reached
+
+
+def test_int8_adc_topk_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = emb.collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    s = np.abs(X).max(axis=0)
+    with np.errstate(invalid="ignore"):
+        R = np.where(s > 0, np.floor(X / s * 127.0 + 0.5) * s / 127.0, 0.0)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.int8_adc_topk(emb, q, k=3).collect()
+    }
+    want = set()
+    for r in rows:
+        if r.vec_id >= 3:
+            continue
+        qv = np.array(r.embedding, dtype=np.float64)
+        mask = ids != r.vec_id
+        cos = (R[mask] @ qv) / (
+            np.linalg.norm(R[mask], axis=1) * np.linalg.norm(qv)
+        )
+        order = sorted(zip(-cos, ids[mask]))
+        for rank, (_, vid) in enumerate(order[:3], 1):
+            want.add((r.vec_id, int(vid), rank))
+    assert got == want
+
+
+def test_int8_adc_injected_scales_match_derived(spark, sf_dir):
+    import numpy as np
+
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    scales = [float(v) for v in np.abs(X).max(axis=0)]
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    derived = sim.int8_adc_topk(emb, q, k=3).collect()
+    injected = sim.int8_adc_topk(emb, q, k=3, scales=scales).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.vec_id, r.rank) for r in derived]) == sorted(
+        [(r.query_id, r.vec_id, r.rank) for r in injected]
+    )

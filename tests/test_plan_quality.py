@@ -310,3 +310,22 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     plan = _executed(stratified_sample(docs, ["lang"], 0.3))
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_budget_select_one_wide_shuffle(spark, sf_dir):
+    # the corpus moves exactly once (the range exchange); the offset
+    # table re-attaches via BROADCAST join, never a shuffled join
+    from odin_rs_spark.operators.corpus import select_until_budget
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "__tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    plan = _executed(
+        select_until_budget(docs, "n_chars", "__tok", budget=10000)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # wide movements of the corpus: one range repartition only (the
+    # tiny totals frame contributes its own small exchanges)
+    assert plan.count("rangepartitioning") <= 2
