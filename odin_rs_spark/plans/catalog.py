@@ -4553,6 +4553,52 @@ FROM c WHERE cum <= 50000 GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q111 — video frame-sampling plumbing driven end-to-end: binary media
+# column → mapInPandas frame fan-out (every_n stride, bounded frames) →
+# per-frame byte stats. The stub "frames" are deterministic byte
+# windows, so the oracle replays the whole mapInPandas fan-out with
+# blob substring arithmetic — the schema/partitioning/batch contract is
+# the real thing a codec-backed decoder drops into (multimodal.py's
+# raising real-backend seam).
+# --------------------------------------------------------------------------
+
+def q111_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import multimodal as mm_ops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # printable-ASCII guard BEFORE encoding: this DuckDB build cannot
+    # slice BLOBs, so the oracle windows on chars and encodes after —
+    # equivalent to Spark's byte windows only when every char is one
+    # byte, which the guard makes true by construction
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", ""), "UTF-8"
+        ).alias("content"),
+    )
+    frames = mm_ops.frame_sample(media, every_n=2, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("frame_md5"),
+    )
+
+
+Q111_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+  FROM documents WHERE doc_id < 50),
+f AS (
+  SELECT media_id, (i * 2)::INT AS frame_no, substring(s, i * 128 + 1, 64) AS fr
+  FROM m, unnest(range(0, 4)) AS t(i)
+  WHERE i * 128 < length(s))
+SELECT media_id, frame_no, length(fr)::BIGINT AS n_bytes, md5(fr) AS frame_md5
+FROM f
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
@@ -4565,14 +4611,15 @@ FROM c WHERE cum <= 50000 GROUP BY source
 #               salted skew agg, q102 sampled quantiles, q104 Matryoshka
 #               two-stage ANN, q105 int8 quantization audit, q106
 #               containment join, q107 stratified sample, q109 int8 ADC
-#               retrieval, q110 token-budget selection);
-#   slots 24-29: r2-green queries whose underlying operators CHANGED in
+#               retrieval, q110 token-budget selection, q111 frame-
+#               sampling plumbing);
+#   slots 25-30: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 30-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q110 displace q31-q42/q45/q46/
+#   slots 31-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q111 displace q30-q42/q45/q46/
 #               q49/q50 from this block — those are r1-green, frozen
 #               code, locally re-verified every round, and move to the
 #               FRONT of the round-4 cap together with the remaining
@@ -4605,6 +4652,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
         QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
         QuerySpec("q110_budget_select", q110_budget_select, Q110_SQL, "corpus-budget"),
+        QuerySpec("q111_frame_sample", q111_frame_sample, Q111_SQL, "multimodal frame-sampling"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
