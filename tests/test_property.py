@@ -292,3 +292,73 @@ def test_unigram_logprob_matches_python(spark, word_lists):
         n, avg = got[i]
         assert n == len(ws)
         assert abs(avg - round(want, 6)) <= 1e-6
+
+
+@given(docs_strategy)
+@settings(**SETTINGS)
+def test_containment_join_matches_brute_force(spark, word_lists):
+    """Asymmetric prefix-filter containment join == all-ordered-pairs
+    brute force on adversarial corpora (tiny vocab, duplicates, short
+    docs — the cases where a prefix-length off-by-one loses recall)."""
+    from odin_rs_spark.operators.dedup import containment_join_pairs
+
+    texts = {i: " ".join(f"w{w}" for w in ws) for i, ws in enumerate(word_lists)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+
+    def sh(t, n=2):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    want = set()
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a != b:
+                A, B = sh(texts[a]), sh(texts[b])
+                if len(A & B) / len(A) >= 0.6:
+                    want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_join_pairs(df, shingle_n=2, threshold=0.6).collect()
+    }
+    assert got == want
+
+
+budget_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),   # score (ties likely)
+        st.integers(min_value=1, max_value=30),   # tokens
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(budget_strategy, st.integers(min_value=1, max_value=300),
+       st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_budget_select_matches_python(spark, rows, budget, num_ranges):
+    """Two-phase distributed prefix sum == plain in-order walk for any
+    scores (heavy ties), budgets (incl. smaller than the first doc),
+    and range-partition counts."""
+    from odin_rs_spark.operators.corpus import select_until_budget
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "score", "tok"])
+    want, cum = set(), 0
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum > budget:
+            break
+        want.add(i)
+    got = {
+        r.doc_id
+        for r in select_until_budget(
+            df, "score", "tok", budget=budget, key="doc_id",
+            num_ranges=num_ranges,
+        ).collect()
+    }
+    assert got == want
