@@ -737,3 +737,121 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("__lp") / F.count(F.lit(1)), round_to).alias("avg_logprob"),
     )
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    keys: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token accounting under a BPE-style pre-tokenizer vs whitespace:
+    per group, document count, both token totals, and the mean
+    tokens-per-whitespace-word inflation ratio — the number that turns
+    a corpus word count into a model token budget (punctuation and
+    digit runs split into their own tokens, so the ratio is >= 1).
+
+    Pure projection + one map-side-combinable aggregate: no joins, no
+    UDFs (regexp_extract_all is JVM-side), documents never shuffle.
+    """
+    from odin_rs_spark.functions.text import token_count, tokens
+
+    # TOKEN_PATTERN (functions/text.py): letter runs with optional
+    # contraction | digit runs | single punctuation marks — the
+    # ASCII-class subset of the GPT-2/tiktoken pre-tokenizer split,
+    # identical in Java regex and RE2 so a SQL oracle replays it
+    nb = F.size(tokens(F.col(text_col)))
+
+    nw = token_count(F.col(text_col))
+    staged = df.select(
+        *[F.col(k) for k in (keys or [])], nb.alias("__nb"), nw.alias("__nw")
+    )
+    return staged.groupBy(*(keys or [])).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nb").cast("long").alias("n_bpe_tokens"),
+        F.sum("__nw").cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.avg(F.col("__nb").cast("double") / F.col("__nw")), round_to
+        ).alias("avg_inflation"),
+    )
+
+
+def remove_dup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    max_docs: int = 1,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Boilerplate REMOVAL (the transform `line_dup_stats` audits —
+    CCNet/RefinedWeb line-dedup applied): split each document into
+    consecutive `seg_words`-word segments, drop every segment whose
+    text occurs in more than `max_docs` distinct documents, and rebuild
+    the document from the surviving segments in order.
+
+    Output: (id, extra_cols..., clean_text, n_segs, n_removed) — one
+    row per input document, clean_text possibly empty.
+
+    Scale shape: segment-hash doc-counts are a map-side-combinable
+    aggregate on 8-byte keys; the count join moves (id, seg_id, hash)
+    triples. The rebuild is the one stage where text moves — but
+    boilerplate segments collapse to NULL BEFORE that shuffle, so what
+    moves is the OUTPUT corpus, not the input (for the boilerplate-
+    heavy corpora this op exists for, that is the smaller side).
+    Determinism: array_sort on (seg_id, segment) structs — seg_id is
+    unique per doc, so order is total.
+    """
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    staged = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
+    )
+    n_segs = F.floor((F.size("__w") + F.lit(seg_words - 1)) / F.lit(seg_words)).cast(
+        "int"
+    )
+    segs = (
+        staged.withColumn("__seg_id", F.explode(F.sequence(F.lit(0), n_segs - 1)))
+        .withColumn(
+            "__seg",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__w"), F.col("__seg_id") * seg_words + 1, seg_words),
+            ),
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            "__seg_id",
+            "__seg",
+            portable_hash60(F.col("__seg")).alias("__h"),
+        )
+    )
+    seg_docs = segs.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__ndocs")
+    )
+    flagged = segs.join(seg_docs, "__h").withColumn(
+        "__kept",
+        F.when(
+            F.col("__ndocs") <= max_docs,
+            F.struct(F.col("__seg_id"), F.col("__seg")),
+        ),  # NULL struct for dropped segments -> skipped by collect_list
+    )
+    return (
+        flagged.groupBy(id_col, *extra_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("__kept").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list("__kept")), lambda x: x["__seg"]
+                ),
+            ).alias("clean_text"),
+        )
+        .select(id_col, *extra_cols, "clean_text", "n_segs", "n_removed")
+    )

@@ -4599,6 +4599,91 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# q112 — BPE-style pre-tokenizer accounting: tokens under the
+# word/number/punct TOKEN_PATTERN vs whitespace words, per source. The
+# corpus is pure lowercase words, so the query deterministically
+# enriches each doc with doc_id-derived digits/punctuation (q47's
+# pattern) to exercise the regex split for real; the oracle applies the
+# identical pattern (ASCII classes — same meaning in Java regex & RE2).
+# --------------------------------------------------------------------------
+
+def q112_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rich = docs.withColumn(
+        "rich",
+        F.concat(
+            F.col("text"),
+            F.lit(" v"),
+            F.col("doc_id").cast("string"),
+            F.lit(".9, (q-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(")! it's"),
+        ),
+    )
+    return text_ops.bpe_token_stats(rich, text_col="rich", keys=["source"])
+
+
+Q112_SQL = r"""
+WITH r AS (
+  SELECT source,
+         text || ' v' || doc_id || '.9, (q-' || (doc_id % 7) || ')! it''s' AS rich
+  FROM documents),
+t AS (
+  SELECT source,
+         len(regexp_extract_all(rich, '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]', 0)) AS nb,
+         CASE WHEN trim(rich) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(rich), '\s+')) END AS nw
+  FROM r)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(nb)::BIGINT AS n_bpe_tokens,
+       sum(nw)::BIGINT AS n_ws_tokens,
+       round(avg(nb::DOUBLE / nw), 6) AS avg_inflation
+FROM t GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q113 — boilerplate segment REMOVAL (the transform q92 audits): drop
+# every 10-word segment that occurs in >1 document, rebuild each doc
+# from the survivors in order. clean_md5 pins the exact rebuilt text.
+# --------------------------------------------------------------------------
+
+def q113_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.remove_dup_segments(docs, seg_words=10, max_docs=1)
+    return out.select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+Q113_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+seg AS (
+  SELECT doc_id, s AS seg_id,
+         array_to_string(list_slice(w, s * 10 + 1, s * 10 + 10), ' ') AS seg
+  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + 9) // 10)) AS s FROM d)),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY seg),
+j AS (SELECT s.doc_id, s.seg_id, s.seg, c.nd FROM seg s JOIN cnt c USING (seg)),
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_segs,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         coalesce(string_agg(seg, ' ' ORDER BY seg_id) FILTER (WHERE nd <= 1), '') AS clean
+  FROM j GROUP BY doc_id)
+SELECT doc_id, n_segs, n_removed,
+       length(clean)::BIGINT AS clean_len, md5(clean) AS clean_md5
+FROM per
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: every query driver-re-verified within 2
@@ -4612,14 +4697,15 @@ FROM f
 #               two-stage ANN, q105 int8 quantization audit, q106
 #               containment join, q107 stratified sample, q109 int8 ADC
 #               retrieval, q110 token-budget selection, q111 frame-
-#               sampling plumbing);
-#   slots 25-30: r2-green queries whose underlying operators CHANGED in
+#               sampling plumbing, q112 BPE pre-tokenizer accounting,
+#               q113 boilerplate-segment removal);
+#   slots 27-32: r2-green queries whose underlying operators CHANGED in
 #               round 3 (q53 nearest_join, q59 shares the refactored
 #               cosine-assignment helper, q78 jaccard epsilon guard,
 #               q82 near_dup_join symmetric cap) + the q56 flagship and
 #               the q69 corpus-prep composition;
-#   slots 31-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q111 displace q30-q42/q45/q46/
+#   slots 33-50: r1-green-only queries (their last driver row is two
+#               rounds old). The new q92-q113 displace q28-q42/q45/q46/
 #               q49/q50 from this block — those are r1-green, frozen
 #               code, locally re-verified every round, and move to the
 #               FRONT of the round-4 cap together with the remaining
@@ -4653,6 +4739,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
         QuerySpec("q110_budget_select", q110_budget_select, Q110_SQL, "corpus-budget"),
         QuerySpec("q111_frame_sample", q111_frame_sample, Q111_SQL, "multimodal frame-sampling"),
+        QuerySpec("q112_bpe_tokens", q112_bpe_tokens, Q112_SQL, "text-bpe-tokens"),
+        QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),

@@ -325,3 +325,62 @@ def test_winnow_matches_base_code_cap(spark):
     assert len(capped) < n_uncapped / 3
     best = max(capped, key=lambda r: r["n_shared"])
     assert (best["id_a"], best["id_b"]) == (1, 2)  # the rare shared run wins
+
+
+def test_remove_dup_segments_planted_boilerplate(spark):
+    from odin_rs_spark.operators.text import remove_dup_segments
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word segment
+    uniq = {d: " ".join(f"u{d}w{i}" for i in range(10)) for d in range(3)}
+    rows = [(d, boiler + " " + uniq[d]) for d in range(3)]
+    rows.append((9, " ".join(f"only{i}" for i in range(10))))  # no boilerplate
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in remove_dup_segments(df, seg_words=10).collect()}
+    for d in range(3):
+        # the shared leading segment is removed; the unique tail survives
+        assert got[d].n_segs == 2 and got[d].n_removed == 1
+        assert got[d].clean_text == uniq[d]
+    assert got[9].n_removed == 0 and got[9].clean_text == rows[3][1]
+
+
+def test_remove_dup_segments_order_and_empty(spark):
+    from odin_rs_spark.operators.text import remove_dup_segments
+
+    seg = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    shared = seg("s")
+    # doc 1: unique-A, shared, unique-B → rebuild must keep A before B
+    df = spark.createDataFrame(
+        [
+            (1, " ".join([seg("a"), shared, seg("b")])),
+            (2, shared),  # all boilerplate → empty clean_text
+            (3, shared + " " + seg("c")),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in remove_dup_segments(df, seg_words=10).collect()}
+    assert got[1].clean_text == seg("a") + " " + seg("b")
+    assert got[2].clean_text == "" and got[2].n_removed == 1
+    assert got[3].clean_text == seg("c")
+    assert set(got) == {1, 2, 3}  # all-boilerplate docs still emit a row
+
+
+def test_bpe_token_stats_matches_python_re(spark):
+    import re
+
+    from odin_rs_spark.functions.text import TOKEN_PATTERN
+    from odin_rs_spark.operators.text import bpe_token_stats
+
+    texts = [
+        "hello world",
+        "it's a 12.5% gain (net), v2!",
+        "a-b--c 007 ...",
+    ]
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(texts)], ["doc_id", "grp", "text"]
+    )
+    out = bpe_token_stats(df, keys=["grp"]).collect()[0]
+    n_bpe = sum(len(re.findall(TOKEN_PATTERN, t)) for t in texts)
+    n_ws = sum(len(t.split()) for t in texts)
+    assert out.n_bpe_tokens == n_bpe
+    assert out.n_ws_tokens == n_ws
+    assert out.avg_inflation >= 1.0
