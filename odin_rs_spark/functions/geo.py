@@ -88,7 +88,7 @@ def ecef_z(lon: Column | str, lat: Column | str, alt_m: Column | str | float = 0
 def ecef_lon(x: Column | str, y: Column | str) -> Column:
     """ECEF → geodetic longitude (degrees). Inverse of ecef_x/ecef_y
     (parity: the reference's cartesian→geodetic direction,
-    odin_common/src/geo.rs:91 — forward-only here until round 3)."""
+    odin_common/src/geo.rs:91)."""
     return F.degrees(F.atan2(_col(y), _col(x)))
 
 

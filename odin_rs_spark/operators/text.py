@@ -428,6 +428,49 @@ def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "
     return c
 
 
+def _segment_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared segmentation front of `line_dup_stats` (the audit) and
+    `remove_dup_segments` (the transform): consecutive `seg_words`-word
+    segments of the normalized text, one row per segment with its
+    in-doc position and portable hash. Keeping ONE implementation is a
+    correctness invariant — if the audit and the transform segmented
+    differently, q92's numbers would not describe what q113 removes.
+
+    Output: (id, extra_cols..., __seg_id, __seg, __h)."""
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    staged = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
+    )
+    n_segs = F.floor(
+        (F.size("__w") + F.lit(seg_words - 1)) / F.lit(seg_words)
+    ).cast("int")
+    return (
+        staged.withColumn("__seg_id", F.explode(F.sequence(F.lit(0), n_segs - 1)))
+        .withColumn(
+            "__seg",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__w"), F.col("__seg_id") * seg_words + 1, seg_words),
+            ),
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            "__seg_id",
+            "__seg",
+            portable_hash60(F.col("__seg")).alias("__h"),
+        )
+    )
+
+
 def line_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -453,22 +496,8 @@ def line_dup_stats(
     Segment hashes use `portable_hash60` so an engine-external dedup
     list (e.g. a persisted boilerplate blocklist) replays exactly.
     """
-    from odin_rs_spark.operators.dedup import portable_hash60
-
-    words = F.split(norm_text(F.col(text_col)), " ")
-    staged = df.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
-    )
-    n_segs = F.floor((F.size("__w") + F.lit(seg_words - 1)) / F.lit(seg_words)).cast("int")
-    segs = (
-        staged.withColumn("__seg_id", F.explode(F.sequence(F.lit(0), n_segs - 1)))
-        .withColumn(
-            "__seg",
-            F.concat_ws(
-                " ", F.slice(F.col("__w"), F.col("__seg_id") * seg_words + 1, seg_words)
-            ),
-        )
-        .select(id_col, *extra_cols, portable_hash60(F.col("__seg")).alias("__h"))
+    segs = _segment_hashes(df, id_col, text_col, seg_words, extra_cols).select(
+        id_col, *extra_cols, "__h"
     )
     seg_docs = segs.groupBy("__h").agg(
         F.count_distinct(F.col(id_col)).alias("__ndocs")
@@ -528,6 +557,11 @@ def winnow_fingerprints(
     the lang-id path), so the exploded form wins until doc counts make
     the (doc, window) shuffle dominate.
     """
+    if w < 1 or w > 8:
+        # enc = h*w + (j-i) with h < 2^60: w = 8 is the largest factor
+        # that provably cannot overflow int64. Silently wrapping would
+        # corrupt every downstream fingerprint/match — refuse instead.
+        raise ValueError(f"w must be in [1, 8] (int64 h*w encoding), got {w}")
     from odin_rs_spark.operators.dedup import portable_hash60
 
     words = F.split(norm_text(F.col(text_col)), " ")
@@ -802,33 +836,7 @@ def remove_dup_segments(
     Determinism: array_sort on (seg_id, segment) structs — seg_id is
     unique per doc, so order is total.
     """
-    from odin_rs_spark.functions.text import norm_text
-    from odin_rs_spark.operators.dedup import portable_hash60
-
-    words = F.split(norm_text(F.col(text_col)), " ")
-    staged = df.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
-    )
-    n_segs = F.floor((F.size("__w") + F.lit(seg_words - 1)) / F.lit(seg_words)).cast(
-        "int"
-    )
-    segs = (
-        staged.withColumn("__seg_id", F.explode(F.sequence(F.lit(0), n_segs - 1)))
-        .withColumn(
-            "__seg",
-            F.concat_ws(
-                " ",
-                F.slice(F.col("__w"), F.col("__seg_id") * seg_words + 1, seg_words),
-            ),
-        )
-        .select(
-            id_col,
-            *extra_cols,
-            "__seg_id",
-            "__seg",
-            portable_hash60(F.col("__seg")).alias("__h"),
-        )
-    )
+    segs = _segment_hashes(df, id_col, text_col, seg_words, extra_cols)
     seg_docs = segs.groupBy("__h").agg(
         F.count_distinct(F.col(id_col)).alias("__ndocs")
     )

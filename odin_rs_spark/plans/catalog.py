@@ -645,7 +645,7 @@ WITH d AS (
   FROM documents),
 sh AS (
   SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
   FROM d),
 pairs AS (
@@ -3180,7 +3180,7 @@ WITH d AS (
   FROM documents),
 sh AS (
   SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
   FROM d),
 x AS (
@@ -3390,7 +3390,7 @@ d AS (
   FROM s),
 sh AS (
   SELECT doc_id, split,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sg
   FROM d),
 x AS (
@@ -4365,8 +4365,11 @@ WITH d AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents),
 sh AS (
+  -- list_slice clamps at the array end, mirroring Spark's
+  -- try_element_at + concat_ws-skips-nulls shingling for sub-n-word
+  -- docs (the `w[i] || ...` form NULLs out and strips their shingles)
   SELECT doc_id,
-         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
                         for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
   FROM d),
 pairs AS (
@@ -4686,30 +4689,33 @@ FROM per
 
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
-# allocation (rotation rule: every query driver-re-verified within 2
-# rounds; never-driver-graded queries always take cap slots first):
-#   slots 1-23: fixed/new this round (q47 dtype, q65 oracle cast, q55
-#               restructured as oracle-replayable Lloyd IVF, q91/q96/
-#               q103/q108 streaming AvailableNow queries, q92 line
-#               dedup, q93 winnowing, q94 BM25, q95 Bloom contamination,
-#               q97 DSIR, q98 bigram LM, q99 HLL, q100 Count-Min, q101
-#               salted skew agg, q102 sampled quantiles, q104 Matryoshka
-#               two-stage ANN, q105 int8 quantization audit, q106
-#               containment join, q107 stratified sample, q109 int8 ADC
-#               retrieval, q110 token-budget selection, q111 frame-
-#               sampling plumbing, q112 BPE pre-tokenizer accounting,
-#               q113 boilerplate-segment removal);
+# allocation (rotation rule: never-driver-graded queries always take
+# cap slots first; previously-green queries rotate back in as slots
+# allow):
+#   slots 1-26:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#                restructured as oracle-replayable Lloyd IVF, q91/q96/
+#                q103/q108 streaming AvailableNow queries, q92 line
+#                dedup, q93 winnowing, q94 BM25, q95 Bloom
+#                contamination, q97 DSIR, q98 bigram LM, q99 HLL, q100
+#                Count-Min, q101 salted skew agg, q102 sampled
+#                quantiles, q104 Matryoshka two-stage ANN, q105 int8
+#                quantization audit, q106 containment join, q107
+#                stratified sample, q109 int8 ADC retrieval, q110
+#                token-budget selection, q111 frame-sampling plumbing,
+#                q112 BPE pre-tokenizer accounting, q113 boilerplate-
+#                segment removal);
 #   slots 27-32: r2-green queries whose underlying operators CHANGED in
-#               round 3 (q53 nearest_join, q59 shares the refactored
-#               cosine-assignment helper, q78 jaccard epsilon guard,
-#               q82 near_dup_join symmetric cap) + the q56 flagship and
-#               the q69 corpus-prep composition;
-#   slots 33-50: r1-green-only queries (their last driver row is two
-#               rounds old). The new q92-q113 displace q28-q42/q45/q46/
-#               q49/q50 from this block — those are r1-green, frozen
-#               code, locally re-verified every round, and move to the
-#               FRONT of the round-4 cap together with the remaining
-#               r2-green block.
+#                round 3 (q53 nearest_join, q59 shares the refactored
+#                cosine-assignment helper, q78 jaccard epsilon guard,
+#                q82 near_dup_join symmetric cap) + the q56 flagship
+#                and the q69 corpus-prep composition;
+#   slots 33-50: the first 18 r1-green-only queries (q02-q23; last
+#                driver row two rounds old). The 26 new queries squeeze
+#                the REST of the r1-green block (q24-q42/q45/q46/q49/
+#                q50) past the cap this round — they are r1-green,
+#                frozen code, locally re-verified every round, and take
+#                the front of the round-4 cap together with the
+#                remaining r2-green block.
 # Every entry past slot 50 has a green r1 or r2 driver row on record.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
@@ -4767,6 +4773,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
+        # --- past slot 50 (q23 above is slot 50 exactly: 26 new/changed
+        # + 6 re-verify + 18 r1-green). Everything below has a green r1
+        # or r2 driver row on record; q24-q42/q45/q46/q49/q50 are the
+        # r1-green block displaced by this round's 26 new queries and
+        # form the FRONT of the round-4 cap. ---
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
@@ -4777,9 +4788,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q32_idw_grid", q32_idw_grid, Q32_SQL, "R2 S4"),
         QuerySpec("q33_tile_algebra", q33_tile_algebra, Q33_SQL, "R8 A5"),
         QuerySpec("q34_fill_nodata", q34_fill_nodata, Q34_SQL, "R5"),
-        # --- past slot 50: green r2 rows, plus the twelve r1-green
-        # queries displaced by q92-q103 (q35-q42/q45/q46/q49/q50 —
-        # front of the round-4 cap) ---
         QuerySpec("q35_crop_homogeneity", q35_crop_homogeneity, Q35_SQL, "R6"),
         QuerySpec("q36_warp_align", q36_warp_align, Q36_SQL, "R1 J7"),
         QuerySpec("q37_contour", q37_contour, Q37_SQL, "R3 K5"),

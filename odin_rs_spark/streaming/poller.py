@@ -85,7 +85,19 @@ class RestPoller:
                     cand.append(v)
         except OSError:
             pass
-        return max(cand) if cand else None
+        if not cand:
+            return None
+        # a feed that switches id representation (or a legacy state file)
+        # can mix int and str candidates — plain max() would TypeError in
+        # the constructor. Recover within the majority type (ties → int)
+        # and let the over-returning-poll dedup absorb the one-time
+        # at-least-once window a conservative cursor implies.
+        ints = [c for c in cand if isinstance(c, int) and not isinstance(c, bool)]
+        strs = [c for c in cand if isinstance(c, str)]
+        if ints and strs:
+            pick = ints if len(ints) >= len(strs) else strs
+            return max(pick)
+        return max(cand)
 
     def _save_state(self) -> None:
         tmp = self.state_path + ".tmp"

@@ -12,6 +12,18 @@ from tests.oracle import compare, dtype_mismatches, duckdb_con
 ORACLE_SPECS = [s for s in CATALOG.values() if s.sql is not None]
 ROWS_ONLY_SPECS = [s for s in CATALOG.values() if s.sql is None]
 
+# spec.fn is where streaming queries pay their real cost (the
+# AvailableNow replay runs DURING construction, before any action) —
+# build each query's DataFrame once and share it between the value and
+# dtype tests instead of re-running the stream per test.
+_df_cache: dict = {}
+
+
+def _df_for(spec, spark, sf_dir):
+    if spec.name not in _df_cache:
+        _df_cache[spec.name] = spec.fn(spark, sf_dir)
+    return _df_cache[spec.name]
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -22,7 +34,7 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_oracle_match(spec, spark, sf_dir, con):
-    df = spec.fn(spark, sf_dir)
+    df = _df_for(spec, spark, sf_dir)
     ok, msg = compare(df, con, spec.sql)
     assert ok, f"{spec.name}: {msg}"
 
@@ -32,7 +44,7 @@ def test_oracle_dtype_parity(spec, spark, sf_dir, con):
     """The driver's hash is dtype-sensitive even when values match (q47 and
     q65 failed exactly this way in round 2 while passing value comparison).
     Assert both sides land on the same pandas dtype per column."""
-    df = spec.fn(spark, sf_dir)
+    df = _df_for(spec, spark, sf_dir)
     bad = dtype_mismatches(df, con, spec.sql)
     assert not bad, f"{spec.name}: dtype parity (col, spark, duckdb): {bad}"
 

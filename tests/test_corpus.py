@@ -631,3 +631,35 @@ def test_int8_adc_injected_scales_match_derived(spark, sf_dir):
     assert sorted([(r.query_id, r.vec_id, r.rank) for r in derived]) == sorted(
         [(r.query_id, r.vec_id, r.rank) for r in injected]
     )
+
+
+def test_shingle_oracle_short_doc_parity(spark):
+    """Regression (round-3 review): the oracle shingle CTEs used
+    `w[i] || ' ' || w[i+1] || ...`, which NULLs out for sub-3-word docs
+    (DuckDB strips the NULL, leaving an EMPTY shingle set) while Spark's
+    try_element_at + concat_ws yields the whole-text shingle. The
+    list_slice form must agree with Spark on exactly these docs."""
+    import duckdb
+    import pandas as pd
+
+    from odin_rs_spark.operators.dedup import containment_join_pairs
+    from odin_rs_spark.plans.catalog import Q106_SQL
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta", "alpha beta", "alpha beta gamma delta", "solo"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    d_rows = {(a, b, round(c, 9)) for a, b, c in con.sql(Q106_SQL).fetchall()}
+    sdf = spark.createDataFrame(docs)
+    s_rows = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in containment_join_pairs(sdf, threshold=0.6).collect()
+    }
+    assert s_rows == d_rows
+    # the defining case: two identical 2-word docs must pair up (the old
+    # CTE silently dropped them)
+    assert (1, 2, 1.0) in s_rows and (2, 1, 1.0) in s_rows

@@ -141,3 +141,26 @@ def test_poller_cursor_survives_restart(tmp_path):
     assert p2.poll_once() == 3
     state = json.load(open(os.path.join(bronze, "_poller_state.json")))
     assert state["last_id"] == 10
+
+
+def test_load_state_mixed_id_types_no_crash(tmp_path):
+    """A feed that switches id representation (int state file, str ids in
+    landed filenames) must not TypeError in the constructor; recovery
+    picks the majority-type max (conservative = at-least-once, absorbed
+    by the over-returning-poll dedup)."""
+    import json as _json
+
+    from odin_rs_spark.streaming.poller import RestPoller
+
+    bronze = str(tmp_path / "bronze")
+    import os as _os
+
+    _os.makedirs(bronze)
+    with open(_os.path.join(bronze, "_poller_state.json"), "w") as f:
+        _json.dump({"last_id": 3}, f)
+    # two landed batches with string ids (hex-encoded, 's' tag)
+    for sid in ("evt-0004", "evt-0005"):
+        name = RestPoller._name_for_id(sid)
+        open(_os.path.join(bronze, name), "w").write("[]")
+    p = RestPoller(fetch_since=lambda since: [], bronze_dir=bronze)
+    assert p.last_id == "evt-0005"  # str majority (2 vs 1) wins

@@ -384,3 +384,15 @@ def test_bpe_token_stats_matches_python_re(spark):
     assert out.n_bpe_tokens == n_bpe
     assert out.n_ws_tokens == n_ws
     assert out.avg_inflation >= 1.0
+
+
+def test_winnow_rejects_overflow_window(spark):
+    import pytest as _pytest
+
+    from odin_rs_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match=r"\[1, 8\]"):
+        winnow_fingerprints(df, w=9)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)
