@@ -4687,12 +4687,41 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# q114 — skew-safe salted join driven end-to-end (q101's twin for the
+# JOIN path): salt the fact side, replicate the dim once per salt
+# bucket, join on (key, salt). The salt only routes rows, so the result
+# equals the plain equi-join the oracle runs — salt-invariance IS the
+# correctness claim.
+# --------------------------------------------------------------------------
+
+def q114_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "user_id", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+Q114_SQL = """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; previously-green queries rotate back in as slots
 # allow):
-#   slots 1-26:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-27:  fixed/new this round (q47 dtype, q65 oracle cast, q55
 #                restructured as oracle-replayable Lloyd IVF, q91/q96/
 #                q103/q108 streaming AvailableNow queries, q92 line
 #                dedup, q93 winnowing, q94 BM25, q95 Bloom
@@ -4703,15 +4732,15 @@ FROM per
 #                stratified sample, q109 int8 ADC retrieval, q110
 #                token-budget selection, q111 frame-sampling plumbing,
 #                q112 BPE pre-tokenizer accounting, q113 boilerplate-
-#                segment removal);
-#   slots 27-32: r2-green queries whose underlying operators CHANGED in
+#                segment removal, q114 salted skew join);
+#   slots 28-33: r2-green queries whose underlying operators CHANGED in
 #                round 3 (q53 nearest_join, q59 shares the refactored
 #                cosine-assignment helper, q78 jaccard epsilon guard,
 #                q82 near_dup_join symmetric cap) + the q56 flagship
 #                and the q69 corpus-prep composition;
-#   slots 33-50: the first 18 r1-green-only queries (q02-q23; last
-#                driver row two rounds old). The 26 new queries squeeze
-#                the REST of the r1-green block (q24-q42/q45/q46/q49/
+#   slots 34-50: the first 17 r1-green-only queries (q02-q22; last
+#                driver row two rounds old). The 27 new queries squeeze
+#                the REST of the r1-green block (q23-q42/q45/q46/q49/
 #                q50) past the cap this round — they are r1-green,
 #                frozen code, locally re-verified every round, and take
 #                the front of the round-4 cap together with the
@@ -4747,6 +4776,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q111_frame_sample", q111_frame_sample, Q111_SQL, "multimodal frame-sampling"),
         QuerySpec("q112_bpe_tokens", q112_bpe_tokens, Q112_SQL, "text-bpe-tokens"),
         QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
+        QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4772,12 +4802,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
-        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
-        # --- past slot 50 (q23 above is slot 50 exactly: 26 new/changed
-        # + 6 re-verify + 18 r1-green). Everything below has a green r1
-        # or r2 driver row on record; q24-q42/q45/q46/q49/q50 are the
-        # r1-green block displaced by this round's 26 new queries and
+        # --- past slot 50 (q22 above is slot 50 exactly: 27 new/changed
+        # + 6 re-verify + 17 r1-green). Everything below has a green r1
+        # or r2 driver row on record; q23-q42/q45/q46/q49/q50 are the
+        # r1-green block displaced by this round's 27 new queries and
         # form the FRONT of the round-4 cap. ---
+        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
