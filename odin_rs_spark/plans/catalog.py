@@ -4716,12 +4716,89 @@ GROUP BY c.c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q115 — streaming HLL register merge: per-microbatch registers folded
+# into a cross-batch store by max (register max is ASSOCIATIVE, so the
+# stream-merged estimate must equal the one-pass batch estimate the
+# oracle computes — mergeability is the whole reason sketches work in
+# incremental pipelines, and this query proves it through the driver).
+# --------------------------------------------------------------------------
+
+def q115_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.operators import sketches
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    root = tempfile.mkdtemp(prefix="odin_q115_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+
+        merged: dict[tuple, int] = {}
+
+        def fold_registers(batch_df: DataFrame, batch_id: int) -> None:
+            regs = sketches.hll_registers(
+                batch_df, "user_id", ["event_type"], p=10
+            )
+            for r in regs.collect():
+                k = (r["event_type"], r["bucket"])
+                if r["register"] > merged.get(k, 0):
+                    merged[k] = r["register"]
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(
+                stream, fold_registers, root + "/ckpt", output_mode="append"
+            )
+        reg_df = spark.createDataFrame(
+            [(t, b, v) for (t, b), v in sorted(merged.items())],
+            "event_type string, bucket int, register int",
+        )
+        return sketches.hll_estimate(reg_df, ["event_type"], p=10)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q115_SQL = f"""
+WITH h AS (
+  SELECT event_type, {_H60.format(x="concat(user_id::VARCHAR, '')")} AS h
+  FROM events),
+br AS (
+  SELECT event_type, (h % 1024)::INT AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE bit_count(((h >> 10) & -(h >> 10)) - 1) + 1 END AS rank
+  FROM h),
+reg AS (SELECT event_type, bucket, max(rank) AS register
+        FROM br GROUP BY event_type, bucket),
+est AS (
+  SELECT event_type, count(*) AS nonzero,
+         sum(pow(2.0, -register)) AS s
+  FROM reg GROUP BY event_type),
+e2 AS (
+  SELECT event_type,
+         (0.7213/(1.0 + 1.079/1024))*1024*1024 / (s + (1024 - nonzero)) AS raw,
+         1024 - nonzero AS v
+  FROM est),
+hll AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= 2.5*1024 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 2) AS hll_estimate
+  FROM e2)
+SELECT event_type, hll_estimate FROM hll
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; previously-green queries rotate back in as slots
 # allow):
-#   slots 1-27:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-28:  fixed/new this round (q47 dtype, q65 oracle cast, q55
 #                restructured as oracle-replayable Lloyd IVF, q91/q96/
 #                q103/q108 streaming AvailableNow queries, q92 line
 #                dedup, q93 winnowing, q94 BM25, q95 Bloom
@@ -4732,15 +4809,16 @@ GROUP BY c.c_mktsegment
 #                stratified sample, q109 int8 ADC retrieval, q110
 #                token-budget selection, q111 frame-sampling plumbing,
 #                q112 BPE pre-tokenizer accounting, q113 boilerplate-
-#                segment removal, q114 salted skew join);
-#   slots 28-33: r2-green queries whose underlying operators CHANGED in
+#                segment removal, q114 salted skew join, q115 streaming
+#                HLL register merge);
+#   slots 29-34: r2-green queries whose underlying operators CHANGED in
 #                round 3 (q53 nearest_join, q59 shares the refactored
 #                cosine-assignment helper, q78 jaccard epsilon guard,
 #                q82 near_dup_join symmetric cap) + the q56 flagship
 #                and the q69 corpus-prep composition;
-#   slots 34-50: the first 17 r1-green-only queries (q02-q22; last
-#                driver row two rounds old). The 27 new queries squeeze
-#                the REST of the r1-green block (q23-q42/q45/q46/q49/
+#   slots 35-50: the first 16 r1-green-only queries (q02-q21; last
+#                driver row two rounds old). The 28 new queries squeeze
+#                the REST of the r1-green block (q22-q42/q45/q46/q49/
 #                q50) past the cap this round — they are r1-green,
 #                frozen code, locally re-verified every round, and take
 #                the front of the round-4 cap together with the
@@ -4777,6 +4855,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q112_bpe_tokens", q112_bpe_tokens, Q112_SQL, "text-bpe-tokens"),
         QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
         QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
+        QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4801,12 +4880,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
         QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
-        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
-        # --- past slot 50 (q22 above is slot 50 exactly: 27 new/changed
-        # + 6 re-verify + 17 r1-green). Everything below has a green r1
-        # or r2 driver row on record; q23-q42/q45/q46/q49/q50 are the
-        # r1-green block displaced by this round's 27 new queries and
+        # --- past slot 50 (q21 above is slot 50 exactly: 28 new/changed
+        # + 6 re-verify + 16 r1-green). Everything below has a green r1
+        # or r2 driver row on record; q22-q42/q45/q46/q49/q50 are the
+        # r1-green block displaced by this round's 28 new queries and
         # form the FRONT of the round-4 cap. ---
+        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
