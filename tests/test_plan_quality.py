@@ -329,3 +329,26 @@ def test_budget_select_one_wide_shuffle(spark, sf_dir):
     # wide movements of the corpus: one range repartition only (the
     # tiny totals frame contributes its own small exchanges)
     assert plan.count("rangepartitioning") <= 2
+
+
+def test_bpe_token_stats_zero_join_single_agg(spark, sf_dir):
+    # pure projection (JVM regexp_extract_all) + one combinable agg
+    from odin_rs_spark.operators.text import bpe_token_stats
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(bpe_token_stats(docs, keys=["source"]))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+
+
+def test_remove_dup_segments_no_cartesian(spark, sf_dir):
+    # segment counts attach via an equi-join on the 8-byte segment hash;
+    # the rebuild groups by doc id — never a cross product
+    from odin_rs_spark.operators.text import remove_dup_segments
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(remove_dup_segments(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
