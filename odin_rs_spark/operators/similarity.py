@@ -1104,3 +1104,55 @@ def int8_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_cos", "rank")
     )
+
+
+def center_embeddings(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    means: list[float] | None = None,
+    renormalize: bool = True,
+    out_col: str = "centered",
+) -> DataFrame:
+    """Mean-center (and optionally re-normalize) an embedding column —
+    the transform whose parameters `embedding_dim_stats` (q89) audits.
+    Mean-shifted dimensions break cosine/LSH isotropy (every vector
+    leans toward the corpus centroid, so buckets collapse and cosine
+    saturates); centering restores it, and unit renorm makes dot ==
+    cosine for every downstream ANN stage.
+
+    `means` injects precomputed per-dim means (the 100 TB path: audit
+    once with embedding_dim_stats, reuse the vector); when None, one
+    posexplode + combinable avg derives it (one bounded collect — one
+    row per dimension, same contract as the int8 scale vector).
+
+    Zero-join zip_with projection per row; the original column is kept
+    so callers can A/B the geometry.
+    """
+    if means is None:
+        exd = corpus.select(
+            F.posexplode(F.col(vec_col)).alias("__d", "__xf")
+        ).select("__d", F.col("__xf").cast("double").alias("__x"))
+        # bounded driver collect: one row per embedding dimension
+        mrows = exd.groupBy("__d").agg(F.avg("__x").alias("__m")).collect()
+        means = [0.0] * (max(r["__d"] for r in mrows) + 1)
+        for r in mrows:
+            means[r["__d"]] = float(r["__m"])
+    mv = F.lit([float(m) for m in means])
+    centered = F.zip_with(
+        F.col(vec_col), mv, lambda xi, mi: xi.cast("double") - mi
+    )
+    out = corpus.withColumn(out_col, centered)
+    if renormalize:
+        # stage the norm as its OWN column before the divide: an inline
+        # l2_norm expression inside the transform() lambda would
+        # re-evaluate per element (no CSE across lambda scopes — the
+        # measured 4x trap documented at text.fingerprint)
+        out = out.withColumn("__n", l2_norm(F.col(out_col)))
+        out = out.withColumn(
+            out_col,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col(out_col), lambda v: v / F.col("__n")),
+            ).otherwise(F.col(out_col)),
+        ).drop("__n")
+    return out

@@ -4793,12 +4793,74 @@ SELECT event_type, hll_estimate FROM hll
 """
 
 
+# --------------------------------------------------------------------------
+# q116 — mean-centering + renorm transform (the fix q89's audit
+# parameterizes): per-label proof metrics — unit norms after renorm,
+# and the cosine between original and centered geometry.
+# --------------------------------------------------------------------------
+
+def q116_center_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.center_embeddings(emb, renormalize=True)
+    return out.select(
+        "label",
+        sim_ops.l2_norm(F.col("centered")).alias("__nrm"),
+        (
+            sim_ops.dot(F.col("embedding"), F.col("centered"))
+            / (
+                sim_ops.l2_norm(F.col("embedding"))
+                * sim_ops.l2_norm(F.col("centered"))
+            )
+        ).alias("__cos"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__nrm"), 6).alias("avg_norm"),
+        F.round(F.avg("__cos"), 6).alias("avg_cos_to_original"),
+    )
+
+
+Q116_SQL = """
+WITH ex AS (
+  SELECT i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY i),
+mv AS (SELECT list(m ORDER BY i) AS ms FROM ex),
+per AS (
+  SELECT label,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS xv,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE - ms[i]) AS cv
+  FROM embeddings, mv),
+nrm AS (
+  SELECT label, xv,
+         sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i]))) AS cn,
+         cv
+  FROM per),
+fin AS (
+  SELECT label,
+         CASE WHEN cn > 0 THEN list_transform(range(1, 65), i -> cv[i] / cn)
+              ELSE cv END AS nv,
+         xv
+  FROM nrm),
+m2 AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(range(1, 65), i -> nv[i] * nv[i]))) AS nrm2,
+         list_sum(list_transform(range(1, 65), i -> xv[i] * nv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> xv[i] * xv[i])))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> nv[i] * nv[i])))) AS cosv
+  FROM fin)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(nrm2), 6) AS avg_norm,
+       round(avg(cosv), 6) AS avg_cos_to_original
+FROM m2 GROUP BY label
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; previously-green queries rotate back in as slots
 # allow):
-#   slots 1-28:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-29:  fixed/new this round (q47 dtype, q65 oracle cast, q55
 #                restructured as oracle-replayable Lloyd IVF, q91/q96/
 #                q103/q108 streaming AvailableNow queries, q92 line
 #                dedup, q93 winnowing, q94 BM25, q95 Bloom
@@ -4810,15 +4872,15 @@ SELECT event_type, hll_estimate FROM hll
 #                token-budget selection, q111 frame-sampling plumbing,
 #                q112 BPE pre-tokenizer accounting, q113 boilerplate-
 #                segment removal, q114 salted skew join, q115 streaming
-#                HLL register merge);
-#   slots 29-34: r2-green queries whose underlying operators CHANGED in
+#                HLL register merge, q116 embedding mean-centering);
+#   slots 30-35: r2-green queries whose underlying operators CHANGED in
 #                round 3 (q53 nearest_join, q59 shares the refactored
 #                cosine-assignment helper, q78 jaccard epsilon guard,
 #                q82 near_dup_join symmetric cap) + the q56 flagship
 #                and the q69 corpus-prep composition;
-#   slots 35-50: the first 16 r1-green-only queries (q02-q21; last
-#                driver row two rounds old). The 28 new queries squeeze
-#                the REST of the r1-green block (q22-q42/q45/q46/q49/
+#   slots 36-50: the first 15 r1-green-only queries (q02-q20; last
+#                driver row two rounds old). The 29 new queries squeeze
+#                the REST of the r1-green block (q21-q42/q45/q46/q49/
 #                q50) past the cap this round — they are r1-green,
 #                frozen code, locally re-verified every round, and take
 #                the front of the round-4 cap together with the
@@ -4856,6 +4918,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
         QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
+        QuerySpec("q116_center_embeddings", q116_center_embeddings, Q116_SQL, "embedding-centering"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4879,12 +4942,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
         QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
         QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
-        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
-        # --- past slot 50 (q21 above is slot 50 exactly: 28 new/changed
-        # + 6 re-verify + 16 r1-green). Everything below has a green r1
-        # or r2 driver row on record; q22-q42/q45/q46/q49/q50 are the
-        # r1-green block displaced by this round's 28 new queries and
+        # --- past slot 50 (q20 above is slot 50 exactly: 29 new/changed
+        # + 6 re-verify + 15 r1-green). Everything below has a green r1
+        # or r2 driver row on record; q21-q42/q45/q46/q49/q50 are the
+        # r1-green block displaced by this round's 29 new queries and
         # form the FRONT of the round-4 cap. ---
+        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),

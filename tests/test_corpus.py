@@ -663,3 +663,28 @@ def test_shingle_oracle_short_doc_parity(spark):
     # the defining case: two identical 2-word docs must pair up (the old
     # CTE silently dropped them)
     assert (1, 2, 1.0) in s_rows and (2, 1, 1.0) in s_rows
+
+
+def test_center_embeddings_geometry(spark, sf_dir):
+    import numpy as np
+
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim.center_embeddings(emb, renormalize=True).collect()
+    X = np.array([r.embedding for r in out], dtype=np.float64)
+    C = np.array([r.centered for r in out], dtype=np.float64)
+    mu = X.mean(axis=0)
+    R = X - mu
+    nz = np.linalg.norm(R, axis=1) > 0
+    R[nz] = R[nz] / np.linalg.norm(R[nz], axis=1, keepdims=True)
+    assert np.allclose(C, R, atol=1e-9)
+    # unit norms and (near-)zero mean direction after centering
+    assert np.allclose(np.linalg.norm(C[nz], axis=1), 1.0, atol=1e-9)
+    # injected means path matches derived
+    injected = sim.center_embeddings(
+        emb, means=[float(m) for m in mu], renormalize=True
+    ).collect()
+    C2 = np.array([r.centered for r in injected], dtype=np.float64)
+    assert np.allclose(C, C2, atol=0)
