@@ -994,11 +994,12 @@ def quantize_int8_stats(
     exd = corpus.select(F.posexplode(F.col(vec_col)).alias("__d", "__xf")).select(
         "__d", F.abs(F.col("__xf").cast("double")).alias("__ax")
     )
-    # bounded driver collect: one row per embedding dimension
+    # bounded driver collect: one row per embedding dimension (empty
+    # corpus / all-NULL dims degrade to zero scales, not a crash)
     srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
-    scales = [0.0] * (max(r["__d"] for r in srows) + 1)
+    scales = [0.0] * ((max(r["__d"] for r in srows) + 1) if srows else 0)
     for r in srows:
-        scales[r["__d"]] = float(r["__s"])
+        scales[r["__d"]] = 0.0 if r["__s"] is None else float(r["__s"])
     sc = F.lit([float(s) for s in scales])  # one array Literal node
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     recon = F.zip_with(
@@ -1064,11 +1065,12 @@ def int8_adc_topk(
         exd = corpus.select(
             F.posexplode(F.col(vec_col)).alias("__d", "__xf")
         ).select("__d", F.abs(F.col("__xf").cast("double")).alias("__ax"))
-        # bounded driver collect: one row per embedding dimension
+        # bounded driver collect: one row per embedding dimension (empty
+        # corpus / all-NULL dims degrade to zero scales, not a crash)
         srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
-        scales = [0.0] * (max(r["__d"] for r in srows) + 1)
+        scales = [0.0] * ((max(r["__d"] for r in srows) + 1) if srows else 0)
         for r in srows:
-            scales[r["__d"]] = float(r["__s"])
+            scales[r["__d"]] = 0.0 if r["__s"] is None else float(r["__s"])
     sc = F.lit([float(s) for s in scales])
     recon = F.zip_with(
         F.col(vec_col),
@@ -1132,11 +1134,22 @@ def center_embeddings(
         exd = corpus.select(
             F.posexplode(F.col(vec_col)).alias("__d", "__xf")
         ).select("__d", F.col("__xf").cast("double").alias("__x"))
-        # bounded driver collect: one row per embedding dimension
+        # bounded driver collect: one row per embedding dimension (empty
+        # corpus / all-NULL dims degrade to zero means, not a crash)
         mrows = exd.groupBy("__d").agg(F.avg("__x").alias("__m")).collect()
-        means = [0.0] * (max(r["__d"] for r in mrows) + 1)
+        means = [0.0] * ((max(r["__d"] for r in mrows) + 1) if mrows else 0)
         for r in mrows:
-            means[r["__d"]] = float(r["__m"])
+            means[r["__d"]] = 0.0 if r["__m"] is None else float(r["__m"])
+    else:
+        # injected path: a wrong-length vector would make zip_with pad
+        # with NULL and silently emit NULL-holed, un-renormalized output
+        # — probe one row (bounded action) and refuse instead
+        probe = corpus.select(F.size(F.col(vec_col)).alias("__dim")).first()
+        if probe is not None and probe["__dim"] != len(means):
+            raise ValueError(
+                f"means has {len(means)} entries but {vec_col} has "
+                f"{probe['__dim']} dimensions"
+            )
     mv = F.lit([float(m) for m in means])
     centered = F.zip_with(
         F.col(vec_col), mv, lambda xi, mi: xi.cast("double") - mi

@@ -4028,8 +4028,11 @@ def q99_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q99_SQL = f"""
-WITH h AS (
+# shared HLL oracle chain (p=10, m=1024): register build + raw/linear-
+# counting estimate per event_type. ONE copy used by both q99 (batch,
+# joined to exact counts) and q115 (streaming merge - whose whole claim
+# is equality with this very chain).
+_HLL_CHAIN = f"""WITH h AS (
   SELECT event_type, {_H60.format(x="concat(user_id::VARCHAR, '')")} AS h
   FROM events),
 br AS (
@@ -4052,7 +4055,9 @@ hll AS (
   SELECT event_type,
          round(CASE WHEN raw <= 2.5*1024 AND v > 0
                     THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 2) AS hll_estimate
-  FROM e2),
+  FROM e2)"""
+
+Q99_SQL = _HLL_CHAIN + """,
 exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
           FROM events GROUP BY event_type)
 SELECT exact.event_type, n_exact, hll_estimate,
@@ -4764,31 +4769,7 @@ def q115_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-Q115_SQL = f"""
-WITH h AS (
-  SELECT event_type, {_H60.format(x="concat(user_id::VARCHAR, '')")} AS h
-  FROM events),
-br AS (
-  SELECT event_type, (h % 1024)::INT AS bucket,
-         CASE WHEN (h >> 10) = 0 THEN 51
-              ELSE bit_count(((h >> 10) & -(h >> 10)) - 1) + 1 END AS rank
-  FROM h),
-reg AS (SELECT event_type, bucket, max(rank) AS register
-        FROM br GROUP BY event_type, bucket),
-est AS (
-  SELECT event_type, count(*) AS nonzero,
-         sum(pow(2.0, -register)) AS s
-  FROM reg GROUP BY event_type),
-e2 AS (
-  SELECT event_type,
-         (0.7213/(1.0 + 1.079/1024))*1024*1024 / (s + (1024 - nonzero)) AS raw,
-         1024 - nonzero AS v
-  FROM est),
-hll AS (
-  SELECT event_type,
-         round(CASE WHEN raw <= 2.5*1024 AND v > 0
-                    THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 2) AS hll_estimate
-  FROM e2)
+Q115_SQL = _HLL_CHAIN + """
 SELECT event_type, hll_estimate FROM hll
 """
 

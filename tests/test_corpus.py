@@ -688,3 +688,38 @@ def test_center_embeddings_geometry(spark, sf_dir):
     ).collect()
     C2 = np.array([r.centered for r in injected], dtype=np.float64)
     assert np.allclose(C, C2, atol=0)
+
+
+def test_center_embeddings_rejects_wrong_means_length(spark, sf_dir):
+    import pytest as _pytest
+
+    from odin_rs_spark.operators import similarity as sim
+    from odin_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    with _pytest.raises(ValueError, match="dimensions"):
+        sim.center_embeddings(emb, means=[0.0] * 63)
+
+
+def test_embedding_ops_empty_corpus_no_crash(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from odin_rs_spark.operators import similarity as sim
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert sim.center_embeddings(empty).count() == 0
+    assert sim.quantize_int8_stats(empty).count() == 0
