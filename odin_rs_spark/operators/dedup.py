@@ -1149,7 +1149,11 @@ def bloom_build(
     h = F.col(key_col) if hashed else portable_hash60(F.col(key_col).cast("string"))
     pos = F.explode(F.array(*_bloom_positions(h, m_bits, k))).alias("__p")
     return (
-        keys.select(pos)
+        # NULL keys hash to NULL positions → a (word_idx=NULL) row that
+        # crashes the probe's dense fill; a NULL key has no membership
+        # semantics, so drop it here
+        keys.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             F.expr(f"__p div {BLOOM_BITS_PER_WORD}").alias("word_idx"),
             # SQL expr: the Python shiftleft() API only takes literal bits

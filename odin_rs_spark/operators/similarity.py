@@ -870,6 +870,45 @@ def semantic_dedup_clusters(
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def _per_dim_dense(corpus, vec_col, value_fn, agg_fn) -> list[float]:
+    """Per-dimension statistic as a dense python list: one posexplode +
+    map-side-combinable aggregate, collected under the bounded contract
+    (one row per embedding dimension — model width, ~10^2..10^3). Empty
+    corpora / all-NULL dims degrade to 0.0 entries, never a crash.
+    ONE implementation shared by the int8 scale derivation (q105 audit
+    AND q109 index — if they derived scales separately, the audit could
+    silently stop describing the index it certifies) and the centering
+    means."""
+    exd = corpus.select(
+        F.posexplode(F.col(vec_col)).alias("__d", "__xf")
+    ).select("__d", value_fn(F.col("__xf")).alias("__v"))
+    rows = exd.groupBy("__d").agg(agg_fn(F.col("__v")).alias("__a")).collect()
+    dense = [0.0] * ((max(r["__d"] for r in rows) + 1) if rows else 0)
+    for r in rows:
+        dense[r["__d"]] = 0.0 if r["__a"] is None else float(r["__a"])
+    return dense
+
+
+def _int8_scales(corpus, vec_col) -> list[float]:
+    """Symmetric max-abs int8 scales (the q105/q109 shared contract)."""
+    return _per_dim_dense(
+        corpus, vec_col, lambda x: F.abs(x.cast("double")), F.max
+    )
+
+
+def _int8_recon(vec: Column, sc: Column) -> Column:
+    """Quantize+dequantize under per-dim scales: floor(x/s*127+0.5)*s/127,
+    0.0 where s == 0. floor(+0.5) is engine-identical (unlike HALF_UP
+    round); |x| <= s by max-abs construction so no clamp branch exists."""
+    return F.zip_with(
+        vec,
+        sc,
+        lambda xi, si: F.when(
+            si > 0, F.floor(xi.cast("double") / si * 127.0 + 0.5) * si / 127.0
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def matryoshka_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -991,24 +1030,9 @@ def quantize_int8_stats(
     the only order-sensitive sums are 64-element per-row dots, rounded
     at round_to digits like every cosine in this module.
     """
-    exd = corpus.select(F.posexplode(F.col(vec_col)).alias("__d", "__xf")).select(
-        "__d", F.abs(F.col("__xf").cast("double")).alias("__ax")
-    )
-    # bounded driver collect: one row per embedding dimension (empty
-    # corpus / all-NULL dims degrade to zero scales, not a crash)
-    srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
-    scales = [0.0] * ((max(r["__d"] for r in srows) + 1) if srows else 0)
-    for r in srows:
-        scales[r["__d"]] = 0.0 if r["__s"] is None else float(r["__s"])
-    sc = F.lit([float(s) for s in scales])  # one array Literal node
+    sc = F.lit(_int8_scales(corpus, vec_col))  # one array Literal node
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    recon = F.zip_with(
-        x,
-        sc,
-        lambda xi, si: F.when(
-            si > 0, F.floor(xi / si * 127.0 + 0.5) * si / 127.0
-        ).otherwise(F.lit(0.0)),
-    )
+    recon = _int8_recon(F.col(vec_col), sc)
     per = corpus.select(
         F.col(group_col),
         x.alias("__x"),
@@ -1062,23 +1086,9 @@ def int8_adc_topk(
     exactly replayable in SQL; rank ties break on ascending id.
     """
     if scales is None:
-        exd = corpus.select(
-            F.posexplode(F.col(vec_col)).alias("__d", "__xf")
-        ).select("__d", F.abs(F.col("__xf").cast("double")).alias("__ax"))
-        # bounded driver collect: one row per embedding dimension (empty
-        # corpus / all-NULL dims degrade to zero scales, not a crash)
-        srows = exd.groupBy("__d").agg(F.max("__ax").alias("__s")).collect()
-        scales = [0.0] * ((max(r["__d"] for r in srows) + 1) if srows else 0)
-        for r in srows:
-            scales[r["__d"]] = 0.0 if r["__s"] is None else float(r["__s"])
+        scales = _int8_scales(corpus, vec_col)
     sc = F.lit([float(s) for s in scales])
-    recon = F.zip_with(
-        F.col(vec_col),
-        sc,
-        lambda xi, si: F.when(
-            si > 0, F.floor(xi.cast("double") / si * 127.0 + 0.5) * si / 127.0
-        ).otherwise(F.lit(0.0)),
-    )
+    recon = _int8_recon(F.col(vec_col), sc)
     if parallelism:
         corpus = corpus.repartition(parallelism)
     base = corpus.select(
@@ -1131,15 +1141,9 @@ def center_embeddings(
     so callers can A/B the geometry.
     """
     if means is None:
-        exd = corpus.select(
-            F.posexplode(F.col(vec_col)).alias("__d", "__xf")
-        ).select("__d", F.col("__xf").cast("double").alias("__x"))
-        # bounded driver collect: one row per embedding dimension (empty
-        # corpus / all-NULL dims degrade to zero means, not a crash)
-        mrows = exd.groupBy("__d").agg(F.avg("__x").alias("__m")).collect()
-        means = [0.0] * ((max(r["__d"] for r in mrows) + 1) if mrows else 0)
-        for r in mrows:
-            means[r["__d"]] = 0.0 if r["__m"] is None else float(r["__m"])
+        means = _per_dim_dense(
+            corpus, vec_col, lambda x: x.cast("double"), F.avg
+        )
     else:
         # injected path: a wrong-length vector would make zip_with pad
         # with NULL and silently emit NULL-holed, un-renormalized output

@@ -154,7 +154,11 @@ def cms_build(
     ).alias("__c")
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        df.select(cells, w.cast("long").alias("__w"))
+        # NULL keys hash to NULL cell positions → (col=NULL) rows that
+        # crash the query's dense fill; a NULL key has no frequency
+        # semantics, so drop it here
+        df.filter(F.col(key_col).isNotNull())
+        .select(cells, w.cast("long").alias("__w"))
         .select(F.col("__c.row").alias("row"), F.col("__c.col").alias("col"), "__w")
         .groupBy("row", "col")
         .agg(F.sum("__w").alias("cnt"))

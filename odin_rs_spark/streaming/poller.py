@@ -88,16 +88,34 @@ class RestPoller:
         if not cand:
             return None
         # a feed that switches id representation (or a legacy state file)
-        # can mix int and str candidates — plain max() would TypeError in
-        # the constructor. Recover within the majority type (ties → int)
-        # and let the over-returning-poll dedup absorb the one-time
-        # at-least-once window a conservative cursor implies.
-        ints = [c for c in cand if isinstance(c, int) and not isinstance(c, bool)]
-        strs = [c for c in cand if isinstance(c, str)]
-        if ints and strs:
-            pick = ints if len(ints) >= len(strs) else strs
-            return max(pick)
-        return max(cand)
+        # can mix candidate types — plain max() would TypeError in the
+        # constructor. Group by EXACT type and recover within the largest
+        # group (ties → the persisted state value's type, then int); the
+        # over-returning-poll dedup (`_newer_than` keeps cross-type
+        # records) absorbs the one-time at-least-once window a
+        # conservative cursor implies.
+        by_type: dict[type, list] = {}
+        for v in cand:
+            by_type.setdefault(type(v), []).append(v)
+        if len(by_type) == 1:
+            return max(cand)
+        state_type = type(cand[0])  # state-file value is appended first
+        pick = max(
+            by_type.values(),
+            key=lambda g: (len(g), type(g[0]) is state_type, type(g[0]) is int),
+        )
+        return max(pick)
+
+    @staticmethod
+    def _newer_than(rid, last) -> bool:
+        """True when `rid` is past the cursor. A cross-type comparison
+        (feed switched id representation mid-stream) cannot be ordered —
+        treat the record as NEW (at-least-once, the safe direction) rather
+        than raising on every poll."""
+        try:
+            return rid > last
+        except TypeError:
+            return True
 
     def _save_state(self) -> None:
         tmp = self.state_path + ".tmp"
@@ -136,10 +154,21 @@ class RestPoller:
         """One fetch → at most one bronze file. Returns records landed."""
         records = self.fetch_since(self.last_id) or []
         if self.last_id is not None:
-            records = [r for r in records if r[self.id_field] > self.last_id]
+            records = [
+                r for r in records if self._newer_than(r[self.id_field], self.last_id)
+            ]
         if not records:
             return 0
-        max_id = max(r[self.id_field] for r in records)
+        ids = [r[self.id_field] for r in records]
+        try:
+            max_id = max(ids)
+        except TypeError:
+            # mixed-type batch (feed switching representation): advance
+            # the cursor within the newest representation's type group
+            by_type: dict[type, list] = {}
+            for v in ids:
+                by_type.setdefault(type(v), []).append(v)
+            max_id = max(max(by_type.values(), key=len))
         name = self._name_for_id(max_id)
         tmp = os.path.join(self.bronze_dir, "." + name)
         with open(tmp, "w") as f:

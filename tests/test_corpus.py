@@ -723,3 +723,31 @@ def test_embedding_ops_empty_corpus_no_crash(spark):
     empty = spark.createDataFrame([], schema)
     assert sim.center_embeddings(empty).count() == 0
     assert sim.quantize_int8_stats(empty).count() == 0
+
+
+def test_sketch_builds_tolerate_null_keys(spark):
+    """NULL keys hash to NULL positions; the builds must drop them
+    instead of emitting NULL-index rows that crash the probes' dense
+    fill (round-3 review finding)."""
+    from odin_rs_spark.operators.dedup import bloom_build, bloom_probe
+    from odin_rs_spark.operators.sketches import cms_build, cms_query
+
+    keys = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], ["k"]
+    )
+    bloom = bloom_build(keys, "k", m_bits=6000, k=3)
+    probed = bloom_probe(
+        spark.createDataFrame([("a",), ("zz",)], ["k"]), "k", bloom,
+        m_bits=6000, k=3,
+    ).collect()
+    got = {r.k: r.maybe_member for r in probed}
+    assert got["a"] is True  # present key must hit (no false negatives)
+    cms = cms_build(keys, "k", width=64, depth=3)
+    est = {
+        r.k: r.cms_est
+        for r in cms_query(
+            spark.createDataFrame([("a",), ("b",)], ["k"]), "k", cms,
+            width=64, depth=3,
+        ).collect()
+    }
+    assert est["a"] >= 2 and est["b"] >= 1  # never underestimates

@@ -164,3 +164,29 @@ def test_load_state_mixed_id_types_no_crash(tmp_path):
         open(_os.path.join(bronze, name), "w").write("[]")
     p = RestPoller(fetch_since=lambda since: [], bronze_dir=bronze)
     assert p.last_id == "evt-0005"  # str majority (2 vs 1) wins
+
+
+def test_poll_once_survives_feed_type_switch(tmp_path):
+    """Round-3 review: after recovering an int cursor, a feed that now
+    returns string ids must not TypeError on the dedup compare — the
+    cross-type records are treated as new (at-least-once, safe)."""
+    from odin_rs_spark.streaming.poller import RestPoller
+
+    batches = [
+        [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}],
+        [{"id": "evt-0003", "v": "c"}],  # representation switch
+        [{"id": "evt-0003", "v": "c"}, {"id": "evt-0004", "v": "d"}],
+    ]
+    calls = {"n": 0}
+
+    def fetch(since):
+        i = min(calls["n"], len(batches) - 1)
+        calls["n"] += 1
+        return batches[i]
+
+    p = RestPoller(fetch_since=fetch, bronze_dir=str(tmp_path / "bronze"))
+    assert p.poll_once() == 2          # int batch
+    assert p.poll_once() == 1          # str batch lands (treated as new)
+    assert p.last_id == "evt-0003"
+    assert p.poll_once() == 1          # same-type dedup works again
+    assert p.last_id == "evt-0004"
