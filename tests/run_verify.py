@@ -7,7 +7,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from oracle import compare, duckdb_con  # noqa: E402
+from oracle import compare, dtype_mismatches, duckdb_con  # noqa: E402
 
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -25,10 +25,14 @@ def main(sf_dir="/root/testdata/sf0.01"):
     fails = 0
     for name, fn in qs.items():
         if name in osql:
-            ok, msg = compare(fn(spark, sf_dir), con, osql[name])
-            if not ok:
+            df = fn(spark, sf_dir)
+            ok, msg = compare(df, con, osql[name])
+            # the driver's hash is dtype-sensitive even when values
+            # match (both round-2 failures were exactly this class)
+            bad = dtype_mismatches(df, con, osql[name])
+            if not ok or bad:
                 fails += 1
-                print("FAIL", name, msg, flush=True)
+                print("FAIL", name, msg, bad or "", flush=True)
         else:
             print("RAN ", name, fn(spark, sf_dir).count(), "rows", flush=True)
     print("DONE fails=", fails, "of", len(qs), flush=True)
