@@ -4836,12 +4836,104 @@ FROM m2 GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# q117 — streaming gap-based session windows driven end-to-end (T6:
+# built-in session_window state, update-mode upsert keyed by the
+# session's fixed start under time-ordered replay). Oracle = the
+# lag-cumsum batch twin; boundary rule matched exactly: Spark's
+# [t, t+gap) windows do NOT merge at a gap of exactly 30 min (end
+# exclusive), so the oracle opens a new session on diff >= gap.
+# --------------------------------------------------------------------------
+
+def q117_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import (
+        run_available_now,
+        session_window_counts,
+    )
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    root = tempfile.mkdtemp(prefix="odin_q117_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
+        # session_window aggs are APPEND-only (update is rejected):
+        # closed sessions emit once the watermark passes their end. A
+        # per-user sentinel event far past the real data, landed as the
+        # LAST file, pushes the watermark beyond every real session —
+        # the sentinel's own session never closes, so append output is
+        # exactly the real session set, no filtering needed.
+        # ONE GLOBAL sentinel instant for every user: per-user sentinels
+        # would close for any user trailing the global max by > gap +
+        # delay (the global watermark passes their sentinel session's
+        # end) and leak into the append output
+        gmax = ev.agg(F.max("ts")).collect()[0][0]  # bounded: 1 scalar
+        sentinel = (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                (F.lit(gmax) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            )
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            root + "/chunks/chunk_zz_sentinel"
+        )
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        )
+        sessions = session_window_counts(
+            stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 minute"
+        )
+
+        rows_out: list[tuple] = []
+
+        def collect_rows(batch_df: DataFrame, batch_id: int) -> None:
+            for r in batch_df.collect():
+                rows_out.append(
+                    (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                )
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(sessions, collect_rows, root + "/ckpt", output_mode="append")
+        return spark.createDataFrame(
+            sorted(rows_out),
+            "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q117_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS seq
+  FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, seq
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; previously-green queries rotate back in as slots
 # allow):
-#   slots 1-29:  fixed/new this round (q47 dtype, q65 oracle cast, q55
+#   slots 1-30:  fixed/new this round (q47 dtype, q65 oracle cast, q55
 #                restructured as oracle-replayable Lloyd IVF, q91/q96/
 #                q103/q108 streaming AvailableNow queries, q92 line
 #                dedup, q93 winnowing, q94 BM25, q95 Bloom
@@ -4853,15 +4945,16 @@ FROM m2 GROUP BY label
 #                token-budget selection, q111 frame-sampling plumbing,
 #                q112 BPE pre-tokenizer accounting, q113 boilerplate-
 #                segment removal, q114 salted skew join, q115 streaming
-#                HLL register merge, q116 embedding mean-centering);
-#   slots 30-35: r2-green queries whose underlying operators CHANGED in
+#                HLL register merge, q116 embedding mean-centering,
+#                q117 streaming session windows);
+#   slots 31-36: r2-green queries whose underlying operators CHANGED in
 #                round 3 (q53 nearest_join, q59 shares the refactored
 #                cosine-assignment helper, q78 jaccard epsilon guard,
 #                q82 near_dup_join symmetric cap) + the q56 flagship
 #                and the q69 corpus-prep composition;
-#   slots 36-50: the first 15 r1-green-only queries (q02-q20; last
-#                driver row two rounds old). The 29 new queries squeeze
-#                the REST of the r1-green block (q21-q42/q45/q46/q49/
+#   slots 37-50: the first 14 r1-green-only queries (q02-q19; last
+#                driver row two rounds old). The 30 new queries squeeze
+#                the REST of the r1-green block (q20-q42/q45/q46/q49/
 #                q50) past the cap this round — they are r1-green,
 #                frozen code, locally re-verified every round, and take
 #                the front of the round-4 cap together with the
@@ -4900,6 +4993,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         QuerySpec("q116_center_embeddings", q116_center_embeddings, Q116_SQL, "embedding-centering"),
+        QuerySpec("q117_stream_sessions", q117_stream_sessions, Q117_SQL, "T6 streaming session_window"),
         # --- r2-green, operator changed in round 3 → re-verify ---
         QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
@@ -4922,12 +5016,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
         QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
         QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
-        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
-        # --- past slot 50 (q20 above is slot 50 exactly: 29 new/changed
-        # + 6 re-verify + 15 r1-green). Everything below has a green r1
-        # or r2 driver row on record; q21-q42/q45/q46/q49/q50 are the
-        # r1-green block displaced by this round's 29 new queries and
+        # --- past slot 50 (q19 above is slot 50 exactly: 30 new/changed
+        # + 6 re-verify + 14 r1-green). Everything below has a green r1
+        # or r2 driver row on record; q20-q42/q45/q46/q49/q50 are the
+        # r1-green block displaced by this round's 30 new queries and
         # form the FRONT of the round-4 cap. ---
+        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
