@@ -97,6 +97,19 @@ def main() -> None:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+    # The driver only records the FINAL ~2 KB of stdout; at 117+ queries the
+    # full line above overflows that window and BENCH_r{N}.json gets
+    # "parsed": null. Emit a compact summary as the very last line so the
+    # harness always has one parseable JSON object in its tail capture.
+    summary = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "failures": len(failures),
+        "sf": sf,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

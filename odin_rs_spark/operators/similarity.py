@@ -897,14 +897,27 @@ def _int8_scales(corpus, vec_col) -> list[float]:
 
 
 def _int8_recon(vec: Column, sc: Column) -> Column:
-    """Quantize+dequantize under per-dim scales: floor(x/s*127+0.5)*s/127,
-    0.0 where s == 0. floor(+0.5) is engine-identical (unlike HALF_UP
-    round); |x| <= s by max-abs construction so no clamp branch exists."""
+    """Quantize+dequantize under per-dim scales: clamp(floor(x/s*127+0.5),
+    -127, 127)*s/127, 0.0 where s == 0. floor(+0.5) is engine-identical
+    (unlike HALF_UP round). When scales are max-abs-derived from the same
+    corpus |x| <= s and the clamp is a no-op; on the train-once/reuse path
+    (injected scales, later batches) out-of-range values saturate at
+    ±127 — the same behavior as a real SQ8/FAISS flat index — instead of
+    silently encoding codes the int8 domain cannot hold."""
     return F.zip_with(
         vec,
         sc,
         lambda xi, si: F.when(
-            si > 0, F.floor(xi.cast("double") / si * 127.0 + 0.5) * si / 127.0
+            si > 0,
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(xi.cast("double") / si * 127.0 + 0.5),
+                ),
+            )
+            * si
+            / 127.0,
         ).otherwise(F.lit(0.0)),
     )
 
@@ -1087,6 +1100,17 @@ def int8_adc_topk(
     """
     if scales is None:
         scales = _int8_scales(corpus, vec_col)
+    else:
+        # injected path: a wrong-length vector would make zip_with pad
+        # with NULL and silently emit NULL adc_cos scores / empty
+        # rankings — probe one row (bounded action) and refuse instead
+        # (same guard as center_embeddings' injected means)
+        probe = corpus.select(F.size(F.col(vec_col)).alias("__dim")).first()
+        if probe is not None and probe["__dim"] != len(scales):
+            raise ValueError(
+                f"scales has {len(scales)} entries but {vec_col} has "
+                f"{probe['__dim']} dimensions"
+            )
     sc = F.lit([float(s) for s in scales])
     recon = _int8_recon(F.col(vec_col), sc)
     if parallelism:

@@ -4333,7 +4333,7 @@ per AS (
          list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS xv,
          list_transform(range(1, 65), i ->
            CASE WHEN sv[i] > 0
-                THEN floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5) * sv[i] / 127.0
+                THEN greatest(-127.0, least(127.0, floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5))) * sv[i] / 127.0
                 ELSE 0.0 END) AS rv
   FROM embeddings, sc),
 m AS (
@@ -4500,7 +4500,7 @@ r AS (
   SELECT vec_id,
          list_transform(range(1, 65), i ->
            CASE WHEN sv[i] > 0
-                THEN floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5) * sv[i] / 127.0
+                THEN greatest(-127.0, least(127.0, floor(embedding[i]::DOUBLE / sv[i] * 127.0 + 0.5))) * sv[i] / 127.0
                 ELSE 0.0 END) AS rv
   FROM embeddings, sc),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

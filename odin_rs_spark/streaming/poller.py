@@ -48,7 +48,12 @@ class RestPoller:
       can't re-land the same records: bronze rows are exactly-once
       across restarts as long as ids are monotonic under their natural
       ordering (ints numerically; strings lexicographically — the same
-      assumption the records-since-id protocol itself makes).
+      assumption the records-since-id protocol itself makes) AND the
+      feed keeps one id representation. If a feed switches id type
+      mid-stream (int→str or back), cross-type records are deliberately
+      treated as new (`_newer_than`), so that transition opens a bounded
+      at-least-once window; downstream `dropDuplicates` on the record id
+      restores exactly-once in the silver layer.
     """
 
     def __init__(
@@ -71,11 +76,13 @@ class RestPoller:
         state write leaves the file as the only record of its id range,
         and this scan is what makes that window duplicate-free."""
         cand = []
+        state_type = None  # set ONLY when the state file actually parses
         try:
             with open(self.state_path) as f:
                 v = json.load(f)["last_id"]
             if v is not None:
                 cand.append(v)
+                state_type = type(v)
         except (OSError, ValueError, KeyError):
             pass
         try:
@@ -99,7 +106,9 @@ class RestPoller:
             by_type.setdefault(type(v), []).append(v)
         if len(by_type) == 1:
             return max(cand)
-        state_type = type(cand[0])  # state-file value is appended first
+        # prefer the parsed state file's type when one exists; when the
+        # state file is missing/corrupt every candidate is
+        # filename-derived and no type gets that preference
         pick = max(
             by_type.values(),
             key=lambda g: (len(g), type(g[0]) is state_type, type(g[0]) is int),
