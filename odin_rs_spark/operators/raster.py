@@ -510,3 +510,173 @@ def contour_segments(
         )
 
     return tiles.groupBy("tx", "ty").applyInPandas(march, CONTOUR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# R3b — contour POLYLINE assembly (segments → iso-lines)
+# --------------------------------------------------------------------------
+
+_NODE_BASE = 1 << 28  # quantized coord < 2^28 → packed node id < 2^59
+
+
+def _contour_node(level_idx: Column, xc: Column, yc: Column, quant: float) -> Column:
+    """Pack (level, quantized endpoint) into one BIGINT graph-node id.
+    floor(x*quant + 0.5) is the engine-identical rounding used by the
+    int8 path; coords must be in [0, 2^28/quant) (true for cell-grid
+    contours — the packing stays injective for any integer level index,
+    negative levels included). The level lives IN the id so one
+    connected-components pass handles every level without cross-level
+    merges."""
+    qx = F.floor(xc * quant + 0.5).cast("long")
+    qy = F.floor(yc * quant + 0.5).cast("long")
+    return (level_idx * _NODE_BASE + qx) * _NODE_BASE + qy
+
+
+def contour_lines(
+    segments: DataFrame,
+    interval: float,
+    quant: float = 1.0e6,
+) -> DataFrame:
+    """Assemble marching-squares segments into iso-LINES with attributes
+    (odin_gdal/src/contour.rs:28-215 emits assembled lines, not raw
+    segments; odin_wind/src/lib.rs:542-559 serves them as features).
+
+    Relational restatement: segments sharing a quantized endpoint are
+    the same line, so assembly is connected components over the
+    endpoint graph — large-star/small-star CC (the dedup module's
+    operator, reused), no geometry library. Marching squares gives
+    every node degree <= 2, so each component is one open chain or one
+    closed ring; `closed` falls out of the degree histogram (a line is
+    closed iff its component has no degree-1 node).
+
+    Returns one row per iso-line: (level, line_id, n_segments, length,
+    closed) where line_id is the component's minimum node id — a
+    deterministic label both engines can replay.
+
+    Scale shape: one CC over the segment graph (output-bounded: contour
+    graphs are sparse paths/rings), one degree aggregation, one
+    groupBy. Segments never collect to the driver.
+    """
+    from odin_rs_spark.operators.dedup import connected_components
+
+    li = F.round(F.col("level") / F.lit(interval)).cast("long")
+    seg = (
+        segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
+        .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
+        # zero-length (degenerate corner) segments are not lines
+        .filter(F.col("__ka") != F.col("__kb"))
+        .withColumn(
+            "__len",
+            F.sqrt(
+                (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+                + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+            ),
+        )
+    )
+    edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
+    comp = connected_components(edges)  # (node, component)
+    segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")
+    ends = seg.select(F.col("__ka").alias("node")).unionAll(
+        seg.select(F.col("__kb").alias("node"))
+    )
+    open_ends = (
+        ends.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .filter(F.col("__deg") == 1)
+        .join(comp, "node")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("__n_open"))
+    )
+    lines = segc.groupBy("level", "component").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(F.sum("__len"), 4).alias("length"),
+    )
+    return lines.join(open_ends, "component", "left").select(
+        "level",
+        F.col("component").alias("line_id"),
+        "n_segments",
+        "length",
+        (F.coalesce(F.col("__n_open"), F.lit(0)) == 0).alias("closed"),
+    )
+
+
+CONTOUR_POLYLINE_SCHEMA = (
+    "level double, line_id long, closed boolean, seq int, x double, y double"
+)
+
+
+def contour_polylines(
+    segments: DataFrame,
+    interval: float,
+    quant: float = 1.0e6,
+) -> DataFrame:
+    """Ordered vertex chains per iso-line — the LineString geometry K5's
+    GeoJSON product wants. Components come from the same endpoint-graph
+    CC as `contour_lines`; the per-line vertex walk runs in
+    applyInPandas with the component as the group key, so each task
+    holds exactly one polyline (bounded by line length, never by corpus
+    size).
+
+    Deterministic order: open chains start at their smallest degree-1
+    node; rings start at their smallest node; at each step the walk
+    takes the smallest-key unvisited neighbor (ties only at the start
+    of a ring, broken the same way). Returns one row per vertex:
+    (level, line_id, closed, seq, x, y).
+    """
+    import pandas as pd
+
+    from odin_rs_spark.operators.dedup import connected_components
+
+    li = F.round(F.col("level") / F.lit(interval)).cast("long")
+    seg = (
+        segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
+        .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
+        .filter(F.col("__ka") != F.col("__kb"))
+    )
+    edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
+    comp = connected_components(edges)
+    segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = float(pdf["level"].iloc[0])
+        line_id = int(pdf["component"].iloc[0])
+        adj: dict[int, list[int]] = {}
+        coords: dict[int, tuple[float, float]] = {}
+        # not itertuples: namedtuple positional-renames the __-prefixed cols
+        for ka, kb, x1, y1, x2, y2 in zip(
+            pdf["__ka"], pdf["__kb"], pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]
+        ):
+            ka, kb = int(ka), int(kb)
+            adj.setdefault(ka, []).append(kb)
+            adj.setdefault(kb, []).append(ka)
+            coords[ka] = (float(x1), float(y1))
+            coords[kb] = (float(x2), float(y2))
+        deg1 = sorted(k for k, ns in adj.items() if len(ns) == 1)
+        closed = not deg1
+        start = deg1[0] if deg1 else min(adj)
+        seq_nodes = [start]
+        seen = {start}
+        cur = start
+        while True:
+            nxt = [n for n in sorted(adj[cur]) if n not in seen]
+            if not nxt:
+                break
+            cur = nxt[0]
+            seen.add(cur)
+            seq_nodes.append(cur)
+        if closed:
+            seq_nodes.append(start)  # GeoJSON rings repeat the first vertex
+        return pd.DataFrame(
+            {
+                "level": lvl,
+                "line_id": line_id,
+                "closed": closed,
+                "seq": range(len(seq_nodes)),
+                "x": [coords[k][0] for k in seq_nodes],
+                "y": [coords[k][1] for k in seq_nodes],
+            }
+        )
+
+    return segc.groupBy("level", "component").applyInPandas(
+        walk, CONTOUR_POLYLINE_SCHEMA
+    )

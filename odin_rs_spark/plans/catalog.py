@@ -5185,6 +5185,103 @@ FROM ranked WHERE rk <= 20 GROUP BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# q121 — contour POLYLINE assembly (VERDICT r3 #3): marching-squares
+# segments stitched into iso-LINES with attributes, matching the
+# reference's contour op emitting assembled lines
+# (odin_gdal/src/contour.rs:28-215, odin_wind/src/lib.rs:542-559).
+# Assembly = connected components over the quantized endpoint graph
+# (large-star/small-star, reused from dedup); closed-ness falls out of
+# the degree histogram. The oracle replays the ENTIRE pipeline in SQL:
+# tile-free marching squares (Q37's CTEs) + recursive-CTE min-label
+# propagation — so line count, per-line segment count, length and
+# closed flag are all value-checked.
+# --------------------------------------------------------------------------
+
+def q121_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = raster_ops.affine_lattice(spark, 60, 50)
+    u = F.sin(F.col("x") * 0.37) * F.cos(F.col("y") * 0.23) * 10.0
+    v = F.cos(F.col("x") * 0.11) * 5.0 + F.sin(F.col("y") * 0.31) * 3.0
+    cells = lat.select("x", "y", raster_ops.windspeed(u, v).alias("value"))
+    segs = raster_ops.contour_segments(cells, interval=2.2352, tile_size=32)
+    return raster_ops.contour_lines(segs, interval=2.2352)
+
+
+Q121_SQL = """
+WITH RECURSIVE g AS (
+  SELECT x, y,
+         sin(x * 0.37) * cos(y * 0.23) * 10.0 AS u,
+         cos(x * 0.11) * 5.0 + sin(y * 0.31) * 3.0 AS w
+  FROM (SELECT xx.range AS x, yy.range AS y FROM range(60) xx, range(50) yy)),
+gv AS (SELECT x, y, sqrt(u * u + w * w) AS v FROM g),
+sq AS (
+  SELECT a.x AS ix, a.y AS iy, a.v AS bl, b.v AS br, t.v AS tl, u.v AS tr
+  FROM gv a
+  JOIN gv b ON b.x = a.x + 1 AND b.y = a.y
+  JOIN gv t ON t.x = a.x AND t.y = a.y + 1
+  JOIN gv u ON u.x = a.x + 1 AND u.y = a.y + 1),
+lv AS (
+  SELECT sq.*, unnest(range(CAST(floor(least(bl, br, tl, tr) / 2.2352) AS BIGINT) + 1,
+                            CAST(floor(greatest(bl, br, tl, tr) / 2.2352) AS BIGINT) + 1)) AS li
+  FROM sq),
+e AS (
+  SELECT ix, iy, li, li * CAST(2.2352 AS DOUBLE) AS lvl, bl, br, tl, tr,
+         (CASE WHEN bl >= li * CAST(2.2352 AS DOUBLE) THEN 1 ELSE 0 END
+          + CASE WHEN br >= li * CAST(2.2352 AS DOUBLE) THEN 2 ELSE 0 END
+          + CASE WHEN tr >= li * CAST(2.2352 AS DOUBLE) THEN 4 ELSE 0 END
+          + CASE WHEN tl >= li * CAST(2.2352 AS DOUBLE) THEN 8 ELSE 0 END) AS cs
+  FROM lv),
+pts AS (
+  SELECT ix, iy, li, lvl, cs,
+         ix + greatest(0.0, least(1.0, (lvl - bl) / (br - bl))) AS botx,
+         iy + greatest(0.0, least(1.0, (lvl - br) / (tr - br))) AS rgty,
+         ix + greatest(0.0, least(1.0, (lvl - tl) / (tr - tl))) AS topx,
+         iy + greatest(0.0, least(1.0, (lvl - bl) / (tl - bl))) AS lfty
+  FROM e WHERE cs NOT IN (0, 15)),
+m(cs, e1, e2) AS (VALUES
+  (1,3,0),(2,0,1),(3,3,1),(4,1,2),(6,0,2),(7,3,2),(8,2,3),(9,2,0),
+  (11,2,1),(12,1,3),(13,1,0),(14,0,3),(5,3,0),(5,1,2),(10,0,1),(10,2,3)),
+seg0 AS (
+  SELECT p.li, p.lvl AS level,
+         CASE m.e1 WHEN 0 THEN botx WHEN 1 THEN ix + 1.0 WHEN 2 THEN topx ELSE ix + 0.0 END AS x1,
+         CASE m.e1 WHEN 0 THEN iy + 0.0 WHEN 1 THEN rgty WHEN 2 THEN iy + 1.0 ELSE lfty END AS y1,
+         CASE m.e2 WHEN 0 THEN botx WHEN 1 THEN ix + 1.0 WHEN 2 THEN topx ELSE ix + 0.0 END AS x2,
+         CASE m.e2 WHEN 0 THEN iy + 0.0 WHEN 1 THEN rgty WHEN 2 THEN iy + 1.0 ELSE lfty END AS y2
+  FROM pts p JOIN m ON m.cs = p.cs),
+segn AS (
+  SELECT level, x1, y1, x2, y2,
+         (li * 268435456 + CAST(floor(x1 * 1000000.0 + 0.5) AS BIGINT)) * 268435456
+           + CAST(floor(y1 * 1000000.0 + 0.5) AS BIGINT) AS ka,
+         (li * 268435456 + CAST(floor(x2 * 1000000.0 + 0.5) AS BIGINT)) * 268435456
+           + CAST(floor(y2 * 1000000.0 + 0.5) AS BIGINT) AS kb
+  FROM seg0),
+segf AS (SELECT * FROM segn WHERE ka <> kb),
+nodes AS (SELECT DISTINCT ka AS id FROM segf UNION SELECT DISTINCT kb FROM segf),
+ed AS (SELECT ka AS a, kb AS b FROM segf UNION SELECT kb, ka FROM segf),
+reach(node, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT ed.b, reach.label FROM reach JOIN ed ON ed.a = reach.node
+  WHERE reach.label < ed.b),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+degs AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT ka AS node FROM segf UNION ALL SELECT kb FROM segf) GROUP BY node),
+open_ends AS (
+  SELECT c.component, count(*) AS n_open
+  FROM degs d JOIN comp c ON c.node = d.node WHERE d.deg = 1
+  GROUP BY c.component),
+lines AS (
+  SELECT s.level, c.component, count(*)::BIGINT AS n_segments,
+         round(sum(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))), 4) AS length
+  FROM segf s JOIN comp c ON c.node = s.ka
+  GROUP BY s.level, c.component)
+SELECT l.level, l.component AS line_id, l.n_segments, l.length,
+       coalesce(o.n_open, 0) = 0 AS closed
+FROM lines l LEFT JOIN open_ends o ON o.component = l.component
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take

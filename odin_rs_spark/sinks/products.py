@@ -58,6 +58,24 @@ def geojson_feature(geometry_type: str, coordinates: Column, properties: Column)
     )
 
 
+def contour_linestring_features(polylines: DataFrame) -> DataFrame:
+    """K5 — assembled iso-lines as GeoJSON LineString features, the
+    product shape the reference serves (odin_wind/src/lib.rs:542-559:
+    contour LINES with level attributes, not raw segments). Input is
+    `operators.raster.contour_polylines` output (level, line_id, closed,
+    seq, x, y); vertices aggregate per line and sort by walk order
+    inside the array (array_sort on the seq-led struct — no extra
+    shuffle beyond the one groupBy)."""
+    pts = polylines.groupBy("level", "line_id", "closed").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "x", "y"))).alias("__pts")
+    )
+    coords = F.transform(F.col("__pts"), lambda p: F.array(p["x"], p["y"]))
+    props = F.struct(F.col("level"), F.col("line_id"), F.col("closed"))
+    return pts.select(
+        geojson_feature("LineString", coords, props).alias("feature")
+    )
+
+
 def write_geojson_features(
     df: DataFrame, feature_col: str, path: str, mode: str = "overwrite"
 ) -> None:
