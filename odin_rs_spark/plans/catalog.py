@@ -5282,6 +5282,59 @@ FROM lines l LEFT JOIN open_ends o ON o.component = l.component
 """
 
 
+# --------------------------------------------------------------------------
+# q122 — S2 NetCDF decode END-TO-END on real bytes (VERDICT r3 #6): the
+# pure-Python NetCDF-3 classic reader (sources/netcdf3.py) decodes a
+# checked-in CDF-1 granule inside mapInPandas with the quality-mask
+# predicate pushed into the kernel (odin_gdal/src/lib.rs:431-472 masked
+# read). The fixture's values are pure-arithmetic ((x*37+y*23)%97)*0.25
+# - 10 — exactly representable doubles — so the oracle REGENERATES the
+# grid from the formula and never touches the file: equality holds IFF
+# header parse, big-endian row-major layout, dtype decode and mask
+# filtering are all byte-correct. Flips S2 from stubbed to real.
+# --------------------------------------------------------------------------
+
+def q122_netcdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.netcdf3 import netcdf_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "grid_cdf1.nc",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = netcdf_grid_cells(
+        files, "speed", mask_var="quality", mask_min=2.0
+    )
+    return cells.groupBy((F.col("x") % 4).alias("xb")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_speed"),
+        F.round(F.avg("mask"), 6).alias("avg_quality"),
+        F.round(F.min("value"), 6).alias("min_speed"),
+        F.round(F.max("value"), 6).alias("max_speed"),
+    )
+
+
+Q122_SQL = """
+WITH g AS (SELECT xx.range AS x, yy.range AS y
+           FROM range(16) xx, range(12) yy),
+c AS (SELECT x, y,
+             ((x * 37 + y * 23) % 97) * 0.25 - 10.0 AS value,
+             ((x * 7 + y * 11) % 5)::DOUBLE AS mask
+      FROM g)
+SELECT (x % 4)::INT AS xb, count(*)::BIGINT AS n_cells,
+       round(sum(value), 6) AS sum_speed,
+       round(avg(mask), 6) AS avg_quality,
+       round(min(value), 6) AS min_speed,
+       round(max(value), 6) AS max_speed
+FROM c WHERE mask >= 2.0 GROUP BY xb
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-3
 # allocation (rotation rule: never-driver-graded queries always take
