@@ -5335,99 +5335,121 @@ FROM c WHERE mask >= 2.0 GROUP BY xb
 """
 
 
+# --------------------------------------------------------------------------
+# q123 — segment-level dedup as a LIVE pipeline (VERDICT r3 stretch #8):
+# q92's CCNet line-dedup run incrementally in foreachBatch against a
+# persistent segment-hash store — the streaming twin a production
+# training-corpus ingest runs. Documents replay in 4 doc_id-ordered
+# chunks; a segment instance is duplicate iff its hash was seen in a
+# strictly earlier batch (store folds in new hashes between batches,
+# O(batch) appends only). The oracle replays batch assignment (ntile)
+# and the first-seen-batch rule exactly.
+# --------------------------------------------------------------------------
+
+def q123_stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import (
+        incremental_segment_dedup_sink,
+        run_available_now,
+    )
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    root = tempfile.mkdtemp(prefix="odin_q123_")
+    try:
+        split_for_replay(docs, root + "/chunks", n_chunks=4, order_col="doc_id")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", docs.schema, max_files_per_trigger=1
+        )
+        sink = incremental_segment_dedup_sink(
+            root + "/store",
+            root + "/stats",
+            seg_words=10,
+            extra_cols=("source",),
+        )
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(stream, sink, root + "/ckpt", output_mode="append")
+        stats = spark.read.parquet(root + "/stats").withColumn(
+            "__ratio", F.col("n_dup_segs") / F.col("n_segs").cast("double")
+        )
+        out = stats.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_segs").cast("bigint").alias("n_segs"),
+            F.sum("n_dup_segs").cast("bigint").alias("n_dup_segs"),
+            F.round(F.avg("__ratio"), 6).alias("avg_dup_ratio"),
+            F.sum(F.when(F.col("__ratio") > 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        rows = out.collect()  # materialize before the temp store is deleted
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q123_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+         ntile(4) OVER (ORDER BY doc_id) AS batch
+  FROM documents),
+seg AS (
+  SELECT doc_id, source, batch,
+         {_H60.format(x="array_to_string(list_slice(w, s * 10 + 1, s * 10 + 10), ' ')")} AS h
+  FROM (SELECT doc_id, source, batch, w,
+               unnest(range(0, (len(w) + 9) // 10)) AS s
+        FROM d)),
+firstb AS (SELECT h, min(batch) AS mb FROM seg GROUP BY h),
+per_doc AS (
+  SELECT seg.doc_id, seg.source,
+         count(*) AS n_segs,
+         sum(CASE WHEN fb.mb < seg.batch THEN 1 ELSE 0 END) AS n_dup
+  FROM seg JOIN firstb fb USING (h)
+  GROUP BY seg.doc_id, seg.source)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_segs)::BIGINT AS n_segs,
+       sum(n_dup)::BIGINT AS n_dup_segs,
+       round(avg(n_dup / n_segs::DOUBLE), 6) AS avg_dup_ratio,
+       sum(CASE WHEN n_dup / n_segs::DOUBLE > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
-# evaluates exactly the first 50 queries() entries per round. Round-3
+# evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
-# cap slots first; previously-green queries rotate back in as slots
+# cap slots first; stalest-green queries rotate back in as slots
 # allow):
-#   slots 1-30:  fixed/new this round (q47 dtype, q65 oracle cast, q55
-#                restructured as oracle-replayable Lloyd IVF, q91/q96/
-#                q103/q108 streaming AvailableNow queries, q92 line
-#                dedup, q93 winnowing, q94 BM25, q95 Bloom
-#                contamination, q97 DSIR, q98 bigram LM, q99 HLL, q100
-#                Count-Min, q101 salted skew agg, q102 sampled
-#                quantiles, q104 Matryoshka two-stage ANN, q105 int8
-#                quantization audit, q106 containment join, q107
-#                stratified sample, q109 int8 ADC retrieval, q110
-#                token-budget selection, q111 frame-sampling plumbing,
-#                q112 BPE pre-tokenizer accounting, q113 boilerplate-
-#                segment removal, q114 salted skew join, q115 streaming
-#                HLL register merge, q116 embedding mean-centering,
-#                q117 streaming session windows);
-#   slots 31-36: r2-green queries whose underlying operators CHANGED in
-#                round 3 (q53 nearest_join, q59 shares the refactored
-#                cosine-assignment helper, q78 jaccard epsilon guard,
-#                q82 near_dup_join symmetric cap) + the q56 flagship
-#                and the q69 corpus-prep composition;
-#   slots 37-50: the first 14 r1-green-only queries (q02-q19; last
-#                driver row two rounds old). The 30 new queries squeeze
-#                the REST of the r1-green block (q20-q42/q45/q46/q49/
-#                q50) past the cap this round — they are r1-green,
-#                frozen code, locally re-verified every round, and take
-#                the front of the round-4 cap together with the
-#                remaining r2-green block.
-# Every entry past slot 50 has a green r1 or r2 driver row on record.
+#   slots 1-10:  new this round (q118 Python DataSource ingest, q119
+#                stream-stream interval join, q120 streaming keyed
+#                upsert store, q121 contour polyline assembly, q122
+#                real NetCDF-3 decode, q123 incremental segment dedup)
+#                + queries whose code CHANGED this round (q96/q115
+#                snapshot-sink rewrite, q105/q109 int8 clamp);
+#   slots 11-36: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
+#                last driver row is now THREE rounds old, displaced by
+#                round 3's 30 new queries);
+#   slots 37-50: the oldest r2-green-only queries (q01, q10, q11, q16,
+#                q18, q28, q43, q44, q48, q51, q52, q54, q57, q58).
+# Past slot 50: the remaining r2-green block (q60-q90 minus the ones
+# above), then the r3-green block (q47/q55/q65, q53/q56/q59/q69/q78/
+# q82, q02-q19, q91-q117) — every one has a green driver row at most
+# two rounds old and is locally re-verified every round.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
-        # --- fixed / new this round ---
-        QuerySpec("q47_geojson_roundtrip", q47_geojson_roundtrip, Q47_SQL, "S13"),
-        QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
-        QuerySpec("q55_ivf_lloyd", q55_ivf_lloyd, Q55_SQL, "similarity-ivf"),
-        QuerySpec("q91_stream_backfill_live", q91_stream_backfill_live, Q91_SQL, "T7 T3 T1 K1 K2"),
-        QuerySpec("q92_line_dedup", q92_line_dedup, Q92_SQL, "dedup-line-level"),
-        QuerySpec("q93_winnow_pairs", q93_winnow_pairs, Q93_SQL, "text-winnowing"),
-        QuerySpec("q94_bm25_topk", q94_bm25_topk, Q94_SQL, "text-bm25-retrieval"),
-        QuerySpec("q95_bloom_contamination", q95_bloom_contamination, Q95_SQL, "dedup-bloom"),
+        QuerySpec("q118_rest_source_ingest", q118_rest_source_ingest, Q118_SQL, "S9 S10 T1 python-datasource"),
+        QuerySpec("q119_stream_interval_join", q119_stream_interval_join, Q119_SQL, "J3 stream-stream"),
+        QuerySpec("q120_stream_upsert_capped", q120_stream_upsert_capped, Q120_SQL, "W2 T6 keyed-store"),
+        QuerySpec("q121_contour_lines", q121_contour_lines, Q121_SQL, "R3 K5 contour-assembly"),
+        QuerySpec("q122_netcdf_decode", q122_netcdf_decode, Q122_SQL, "S2 netcdf-decode"),
+        QuerySpec("q123_stream_segment_dedup", q123_stream_segment_dedup, Q123_SQL, "dedup-line-streaming"),
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
-        QuerySpec("q97_dsir_select", q97_dsir_select, Q97_SQL, "corpus-dsir"),
-        QuerySpec("q98_bigram_logprob", q98_bigram_logprob, Q98_SQL, "text-lm-bigram"),
-        QuerySpec("q99_hll_cardinality", q99_hll_cardinality, Q99_SQL, "sketch-hll"),
-        QuerySpec("q100_cms_frequency", q100_cms_frequency, Q100_SQL, "sketch-cms"),
-        QuerySpec("q101_salted_agg", q101_salted_agg, Q101_SQL, "skew-salted"),
-        QuerySpec("q102_sampled_quantiles", q102_sampled_quantiles, Q102_SQL, "sample-quantiles"),
-        QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
-        QuerySpec("q104_matryoshka_topk", q104_matryoshka_topk, Q104_SQL, "similarity-matryoshka"),
-        QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),
-        QuerySpec("q106_containment_join", q106_containment_join, Q106_SQL, "dedup-containment"),
-        QuerySpec("q107_stratified_sample", q107_stratified_sample, Q107_SQL, "corpus-stratified"),
-        QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
-        QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
-        QuerySpec("q110_budget_select", q110_budget_select, Q110_SQL, "corpus-budget"),
-        QuerySpec("q111_frame_sample", q111_frame_sample, Q111_SQL, "multimodal frame-sampling"),
-        QuerySpec("q112_bpe_tokens", q112_bpe_tokens, Q112_SQL, "text-bpe-tokens"),
-        QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
-        QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
-        QuerySpec("q116_center_embeddings", q116_center_embeddings, Q116_SQL, "embedding-centering"),
-        QuerySpec("q117_stream_sessions", q117_stream_sessions, Q117_SQL, "T6 streaming session_window"),
-        # --- r2-green, operator changed in round 3 → re-verify ---
-        QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
-        QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
-        QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
-        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
-        QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
-        QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
-        # --- r1-green only (rotated in: last driver row is two rounds old) ---
-        QuerySpec("q02_class_counts", q02_class_counts, Q02_SQL, "A1 F2"),
-        QuerySpec("q03_filter_project", q03_filter_project, Q03_SQL, "F1 F5 F7"),
-        QuerySpec("q04_topk_orders", q04_topk_orders, Q04_SQL, "O3 W1"),
-        QuerySpec("q05_topk_per_order", q05_topk_per_order, Q05_SQL, "W2 O4"),
-        QuerySpec("q06_latest_event_per_user", q06_latest_event_per_user, Q06_SQL, "A6"),
-        QuerySpec("q07_region_revenue", q07_region_revenue, Q07_SQL, "J5 J6"),
-        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
-        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
-        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
-        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
-        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
-        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
-        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
-        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
-        # --- past slot 50 (q19 above is slot 50 exactly: 30 new/changed
-        # + 6 re-verify + 14 r1-green). Everything below has a green r1
-        # or r2 driver row on record; q20-q42/q45/q46/q49/q50 are the
-        # r1-green block displaced by this round's 30 new queries and
-        # form the FRONT of the round-4 cap. ---
+        QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),
+        QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
         QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
@@ -5495,6 +5517,52 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q88_oov_rate", q88_oov_rate, Q88_SQL, "text-oov"),
         QuerySpec("q89_embedding_stats", q89_embedding_stats, Q89_SQL, "embedding-hygiene"),
         QuerySpec("q90_pmi_collocations", q90_pmi_collocations, Q90_SQL, "text-collocations"),
+        QuerySpec("q47_geojson_roundtrip", q47_geojson_roundtrip, Q47_SQL, "S13"),
+        QuerySpec("q55_ivf_lloyd", q55_ivf_lloyd, Q55_SQL, "similarity-ivf"),
+        QuerySpec("q65_sessionize", q65_sessionize, Q65_SQL, "sessionization"),
+        QuerySpec("q53_nearest_track", q53_nearest_track, Q53_SQL, "J8"),
+        QuerySpec("q56_hotspot_slice", q56_hotspot_slice, _q56_sql(), "F1 F2 S4 J1 A1 W1 geo-goes"),
+        QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
+        QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
+        QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
+        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
+        QuerySpec("q02_class_counts", q02_class_counts, Q02_SQL, "A1 F2"),
+        QuerySpec("q03_filter_project", q03_filter_project, Q03_SQL, "F1 F5 F7"),
+        QuerySpec("q04_topk_orders", q04_topk_orders, Q04_SQL, "O3 W1"),
+        QuerySpec("q05_topk_per_order", q05_topk_per_order, Q05_SQL, "W2 O4"),
+        QuerySpec("q06_latest_event_per_user", q06_latest_event_per_user, Q06_SQL, "A6"),
+        QuerySpec("q07_region_revenue", q07_region_revenue, Q07_SQL, "J5 J6"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
+        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
+        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
+        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
+        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
+        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
+        QuerySpec("q91_stream_backfill_live", q91_stream_backfill_live, Q91_SQL, "T7 T3 T1 K1 K2"),
+        QuerySpec("q92_line_dedup", q92_line_dedup, Q92_SQL, "dedup-line-level"),
+        QuerySpec("q93_winnow_pairs", q93_winnow_pairs, Q93_SQL, "text-winnowing"),
+        QuerySpec("q94_bm25_topk", q94_bm25_topk, Q94_SQL, "text-bm25-retrieval"),
+        QuerySpec("q95_bloom_contamination", q95_bloom_contamination, Q95_SQL, "dedup-bloom"),
+        QuerySpec("q97_dsir_select", q97_dsir_select, Q97_SQL, "corpus-dsir"),
+        QuerySpec("q98_bigram_logprob", q98_bigram_logprob, Q98_SQL, "text-lm-bigram"),
+        QuerySpec("q99_hll_cardinality", q99_hll_cardinality, Q99_SQL, "sketch-hll"),
+        QuerySpec("q100_cms_frequency", q100_cms_frequency, Q100_SQL, "sketch-cms"),
+        QuerySpec("q101_salted_agg", q101_salted_agg, Q101_SQL, "skew-salted"),
+        QuerySpec("q102_sampled_quantiles", q102_sampled_quantiles, Q102_SQL, "sample-quantiles"),
+        QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
+        QuerySpec("q104_matryoshka_topk", q104_matryoshka_topk, Q104_SQL, "similarity-matryoshka"),
+        QuerySpec("q106_containment_join", q106_containment_join, Q106_SQL, "dedup-containment"),
+        QuerySpec("q107_stratified_sample", q107_stratified_sample, Q107_SQL, "corpus-stratified"),
+        QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
+        QuerySpec("q110_budget_select", q110_budget_select, Q110_SQL, "corpus-budget"),
+        QuerySpec("q111_frame_sample", q111_frame_sample, Q111_SQL, "multimodal frame-sampling"),
+        QuerySpec("q112_bpe_tokens", q112_bpe_tokens, Q112_SQL, "text-bpe-tokens"),
+        QuerySpec("q113_remove_boilerplate", q113_remove_boilerplate, Q113_SQL, "dedup-line-removal"),
+        QuerySpec("q114_salted_join", q114_salted_join, Q114_SQL, "skew-salted-join"),
+        QuerySpec("q116_center_embeddings", q116_center_embeddings, Q116_SQL, "embedding-centering"),
+        QuerySpec("q117_stream_sessions", q117_stream_sessions, Q117_SQL, "T6 streaming session_window"),
     ]
 }
 

@@ -113,9 +113,18 @@ class _RestFeedReader(SimpleDataSourceStreamReader):
             except OSError:
                 recs = []  # feed not landed yet → empty poll, retry next trigger
         else:
-            from odin_rs_spark.streaming.poller import http_json_fetcher
+            # urllib inline rather than poller.http_json_fetcher: this
+            # method runs inside Spark's Python source-runner process,
+            # where the odin_rs_spark package may not be importable (the
+            # class itself travels by-value — see register_rest_source)
+            import urllib.request
 
-            recs = list(http_json_fetcher(self.url)(since) or [])
+            url = self.url.format(since=since if since is not None else 0)
+            try:
+                with urllib.request.urlopen(url, timeout=10.0) as resp:
+                    recs = list(json.loads(resp.read().decode("utf-8")) or [])
+            except Exception:
+                recs = []  # network error → empty poll, retry next trigger (T8)
         idf = self.id_field
         if since is not None:
             skey = _order_key(since)
@@ -220,6 +229,22 @@ def drain_polling_source(start_run, max_runs: int = 64, timeout_sec: float = 300
 def register_rest_source(spark, fetch_since=None) -> str | None:
     """Register the source with a session (idempotent). When
     `fetch_since` is given, returns its encoded form for
-    ``.option("fetcher", <returned value>)``."""
+    ``.option("fetcher", <returned value>)``.
+
+    The module registers itself for BY-VALUE cloudpickling first: the
+    registered class is deserialized inside Spark's Python
+    source-runner process, whose sys.path does not necessarily include
+    this repo (the driver harness runs from its own cwd) — by-value
+    serialization makes the source self-contained, the same trick Spark
+    itself applies to __main__-defined sources."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules[register_rest_source.__module__]
+    try:
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference (same-path runners)
     spark.dataSource.register(RestFeedDataSource)
     return encode_fetcher(fetch_since) if fetch_since is not None else None

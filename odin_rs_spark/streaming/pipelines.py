@@ -143,6 +143,71 @@ def backfill_then_live(
     run_available_now(stream, dedup_append, checkpoint_dir, output_mode="append")
 
 
+def incremental_segment_dedup_sink(
+    store_dir: str,
+    stats_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    extra_cols: tuple[str, ...] = (),
+):
+    """Segment-level dedup as a LIVE pipeline (the streaming twin of the
+    CCNet/RefinedWeb line-dedup audit, operators.text.line_dup_stats —
+    what the production ingest of a training corpus actually runs): per
+    micro-batch, flag each segment whose hash already exists in the
+    persistent segment store (seen in ANY earlier batch), append
+    per-document stats, then fold ONLY this batch's previously-unseen
+    hashes into the store.
+
+    Incremental-cost contract (the q82 shape): the store grows by an
+    append of distinct-new 8-byte hashes — O(batch), never a rewrite of
+    the corpus-sized store — and the dup probe is one hash join against
+    the store. Documents never shuffle; only (id, hash) pairs move.
+
+    Determinism: a segment instance is a duplicate iff its hash was
+    seen in a STRICTLY EARLIER batch (the store updates between
+    batches), so a fixed replay chunking replays exactly — the batch
+    twin is min-batch-per-hash < my-batch.
+    """
+    from odin_rs_spark.operators.text import _segment_hashes
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        segs = _segment_hashes(
+            batch_df, id_col, text_col, seg_words, extra_cols
+        ).select(id_col, *extra_cols, "__h")
+        segs.persist()
+        try:
+            seen = (
+                s.read.parquet(store_dir) if os.path.exists(store_dir) else None
+            )
+            if seen is not None:
+                flagged = segs.join(
+                    seen.withColumn("__dup", F.lit(1)), "__h", "left"
+                )
+            else:
+                flagged = segs.withColumn("__dup", F.lit(None).cast("int"))
+            stats = flagged.groupBy(id_col, *extra_cols).agg(
+                F.count(F.lit(1)).alias("n_segs"),
+                F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_dup_segs"),
+            )
+            stats.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(stats_dir)
+            new_hashes = segs.select("__h").distinct()
+            if seen is not None:
+                new_hashes = new_hashes.join(
+                    seen.select("__h"), "__h", "left_anti"
+                )
+            new_hashes.write.mode("append").parquet(store_dir)
+        finally:
+            segs.unpersist()
+
+    return sink
+
+
 def session_window_counts(
     stream: DataFrame,
     key: str = "user_id",
