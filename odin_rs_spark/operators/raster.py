@@ -573,6 +573,9 @@ def contour_lines(
             ),
         )
     )
+    # CC runs several jobs (edge count, closure, fingerprints); without
+    # a persist each re-runs the upstream marching-squares kernel
+    seg = seg.persist()
     edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
     comp = connected_components(edges)  # (node, component)
     segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")
@@ -632,7 +635,7 @@ def contour_polylines(
         segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
         .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
         .filter(F.col("__ka") != F.col("__kb"))
-    )
+    ).persist()  # same re-execution guard as contour_lines
     edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
     comp = connected_components(edges)
     segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")

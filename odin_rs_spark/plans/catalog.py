@@ -4977,7 +4977,10 @@ def q118_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         feed = glob.glob(feed_dir + "/part-*")[0]
         n = ev.count()
-        batch_limit = max(1, -(-n // 3))  # ceil(n/3) → 3 polls + 1 empty
+        batch_limit = max(1, -(-n // 2))  # ceil(n/2) → 2 polls + 1 empty
+        # (each poll is a full AvailableNow run ≈ 2-3 s of fixed
+        # engine/source-runner startup; two non-empty polls already
+        # prove the multi-batch offset advance)
         register_rest_source(spark)
         ddl = "id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
 
@@ -5049,11 +5052,14 @@ def q119_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         split_for_replay(purchases, root + "/left", n_chunks=4, order_col="ts")
         split_for_replay(clicks, root + "/right", n_chunks=4, order_col="r_ts")
+        # 2 files/trigger → 2 microbatches per side: still proves
+        # cross-batch join-state buffering (pairs span the chunk
+        # boundary) at half the per-microbatch state-commit cost
         lstream = file_stream(
-            spark, root + "/left/chunk_*", purchases.schema, max_files_per_trigger=1
+            spark, root + "/left/chunk_*", purchases.schema, max_files_per_trigger=2
         )
         rstream = file_stream(
-            spark, root + "/right/chunk_*", clicks.schema, max_files_per_trigger=1
+            spark, root + "/right/chunk_*", clicks.schema, max_files_per_trigger=2
         )
         joined = interval_join_streams(
             lstream,

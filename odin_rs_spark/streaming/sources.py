@@ -66,14 +66,21 @@ def split_for_replay(
 
     w = Window.orderBy(F.col(order_col).asc())
     chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(w))
-    paths = []
-    for i in range(1, n_chunks + 1):
-        p = os.path.join(out_dir, f"chunk_{i:04d}")
-        chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(p)
-        paths.append(p)
-    return paths
+    # persist across the n_chunks filtered writes: without it every
+    # chunk write re-runs the source scan + global sort (measured ~40%
+    # of several streaming queries' wall at sf0.1)
+    chunked.persist()
+    try:
+        paths = []
+        for i in range(1, n_chunks + 1):
+            p = os.path.join(out_dir, f"chunk_{i:04d}")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.mode("overwrite").parquet(p)
+            paths.append(p)
+        return paths
+    finally:
+        chunked.unpersist()
 
 
 def replay_stream(

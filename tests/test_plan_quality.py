@@ -352,3 +352,42 @@ def test_remove_dup_segments_no_cartesian(spark, sf_dir):
     plan = _executed(remove_dup_segments(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contour_lines_no_cartesian(spark):
+    # assembly = endpoint-graph CC + degree agg + equi-joins on packed
+    # BIGINT node keys — never a cross product, and the marching-squares
+    # kernel stays a single applyInPandas over the tile groupBy
+    from odin_rs_spark.operators import raster as raster_ops
+
+    lat = raster_ops.affine_lattice(spark, 20, 16)
+    cells = lat.select(
+        "x", "y", (F.col("x") * 0.5 + F.col("y") * 0.25).alias("value")
+    )
+    segs = raster_ops.contour_segments(cells, interval=2.0, tile_size=8)
+    plan = _executed(raster_ops.contour_lines(segs, interval=2.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_netcdf_cells_single_scan_mapinpandas(spark):
+    # granule decode is one binaryFile scan feeding one Arrow-batched
+    # python stage — no shuffle before the cells exist, and the mask
+    # filter lives INSIDE the kernel (no Spark-side Filter needed to
+    # bound the row fan-out)
+    import os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.netcdf3 import netcdf_grid_cells
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "grid_cdf1.nc",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = netcdf_grid_cells(files, "speed", mask_var="quality", mask_min=2.0)
+    plan = _executed(cells)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # decode fans out without any shuffle
