@@ -247,3 +247,73 @@ def image_similarity(a: DataFrame, b: DataFrame, n_features: int = 16) -> DataFr
     return fa.join(fb, "media_id").select(
         "media_id", cosine(F.col("fa"), F.col("fb")).alias("similarity")
     )
+
+
+# --------------------------------------------------------------------------
+# R9 real decode path (PNG/PNM via sources.imagecodec — no libraries)
+# --------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL image decode → per-image pixel statistics + 64-bit dHash
+    (odin_image/src/lib.rs:149-246 load/stats; R9 similarity via
+    perceptual hash). PNG/PNM decode runs in pure Python inside
+    mapInPandas (sources/imagecodec) — bytes never leave the executor,
+    no shuffle before the stats exist. Every number is integer-exact
+    arithmetic (mean as sum/count in double, dHash fully integer), so an
+    external oracle that knows the pixel generator replays it verbatim
+    (q124). JPEG and other DCT formats raise here and remain the
+    documented `_decode_backend` swap point.
+    """
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, dhash64, luma
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "channels": [], "mean_luma": [], "dhash": [],
+            }
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                img = decode_image(bytes(content))
+                g = luma(img)
+                rows["media_id"].append(mid)
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["channels"].append(1 if img.ndim == 2 else img.shape[2])
+                rows["mean_luma"].append(
+                    float(g.astype(np.int64).sum()) / g.size
+                )
+                # dhash packs bit 63 — reinterpret as signed for the
+                # LongType column (same 64 bits; oracle does the same)
+                rows["dhash"].append(
+                    int(np.uint64(dhash64(img)).astype(np.int64))
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(F.col(id_col), "content").mapInPandas(
+        fn, IMAGE_STATS_SCHEMA
+    )
+
+
+def image_near_dup_groups(stats: DataFrame) -> DataFrame:
+    """R9 image near-dup: exact grouping on the perceptual dHash (the
+    0-distance case; Hamming-radius>0 would bucket on hash bands like
+    SimHash — dedup.simhash's shape). One groupBy on an 8-byte key."""
+    return stats.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("keeper_id"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+    )

@@ -5423,6 +5423,91 @@ FROM per_doc GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q124 — R9 image decode + perceptual dedup on REAL bytes: executors
+# ENCODE formula-pixel PNGs (sources/imagecodec.encode_png, cycling all
+# five scanline filters), `image_pixel_stats` DECODES them (zlib
+# inflate, CRC check, unfilter) and computes integer-exact mean luma +
+# 64-bit dHash, and near-dup groups collapse on the hash. The oracle
+# never sees a byte: it regenerates pixels from the formula, replays
+# the floor-index 9x8 resample and the bit packing (HUGEINT shift with
+# signed-64 reinterpretation). Equality holds IFF the whole
+# encode→decode→resample→hash path is bit-correct — R9's decode seam
+# made real, the q122 move applied to images.
+# --------------------------------------------------------------------------
+
+def q124_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.operators.multimodal import (
+        image_near_dup_groups,
+        image_pixel_stats,
+    )
+
+    n = 200
+
+    def _mk(s):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_png
+
+        out = []
+        for mid in s:
+            seed = int(mid) % 40
+            a_, b_, m_ = seed % 7, seed % 5 + 1, (seed * 13) % 256
+            jj, ii = np.mgrid[0:24, 0:32]
+            arr = ((m_ + ii * a_ + jj * b_) % 256).astype(np.uint8)
+            out.append(encode_png(arr, filter_mode="cycle"))
+        return pd.Series(out)
+
+    mk_png = F.pandas_udf(_mk, BinaryType())
+
+    media = spark.range(n).select(
+        F.col("id").alias("media_id"), mk_png(F.col("id")).alias("content")
+    )
+    stats = image_pixel_stats(media)
+    return image_near_dup_groups(stats)
+
+
+Q124_SQL = """
+WITH img AS (
+  SELECT r.range AS media_id, (r.range % 40) AS seed FROM range(200) r),
+par AS (
+  SELECT media_id, seed % 7 AS a, seed % 5 + 1 AS b, (seed * 13) % 256 AS m
+  FROM img),
+px AS (  -- full 24x32 grid for the exact mean luma
+  SELECT media_id,
+         avg(((m + x * a + y * b) % 256)::DOUBLE) AS mean_luma
+  FROM par, range(32) xs(x), range(24) ys(y)
+  GROUP BY media_id),
+samp AS (  -- 9x8 nearest-neighbor samples: src = (dst * src_len) // dst_len
+  SELECT media_id, i, j,
+         ((m + ((i * 32) // 9) * a + ((j * 24) // 8) * b) % 256) AS p
+  FROM par, range(9) ii(i), range(8) jj(j)),
+bits AS (
+  SELECT s1.media_id, s1.j, s1.i,
+         CASE WHEN s1.p > s2.p THEN 1 ELSE 0 END AS bit
+  FROM samp s1 JOIN samp s2
+    ON s1.media_id = s2.media_id AND s1.j = s2.j AND s2.i = s1.i + 1
+  WHERE s1.i < 8),
+hash_u AS (
+  SELECT media_id,
+         sum(bit::HUGEINT * (1::HUGEINT << (j * 8 + i))) AS h
+  FROM bits GROUP BY media_id),
+hash_s AS (
+  SELECT media_id,
+         (CASE WHEN h >= 9223372036854775808::HUGEINT
+               THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS dhash
+  FROM hash_u)
+SELECT hs.dhash, count(*)::BIGINT AS n_images,
+       min(hs.media_id) AS keeper_id,
+       round(avg(px.mean_luma), 6) AS avg_luma
+FROM hash_s hs JOIN px ON px.media_id = hs.media_id
+GROUP BY hs.dhash
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take

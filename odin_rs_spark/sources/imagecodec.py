@@ -1,0 +1,255 @@
+"""Pure-Python image codec: PNG (8-bit gray/RGB/GA/RGBA, non-interlaced)
+and binary PNM (P5/P6) — the R9 decode path made real (SURVEY §2.10 R9,
+§2.12; parity: odin_image/src/lib.rs:149-246 load/stats/resize).
+
+The container has no PIL/cv2, but PNG is zlib (stdlib) + a fully public
+chunk/filter spec, and PNM is a trivial header + raw bytes — so like the
+NetCDF-3 reader (sources/netcdf3.py) this turns an "env-blocked decode
+kernel" into an executable byte path. JPEG/video stay behind the
+documented backend seam (operators/multimodal._decode_backend): DCT
+codecs are where a real deployment genuinely swaps in PIL/ffmpeg.
+
+Decoder compliance notes:
+- all five PNG scanline filters (None/Sub/Up/Average/Paeth) implemented
+  and unit-tested against hand-built scanlines;
+- chunk CRCs verified (zlib.crc32);
+- bit depth 8, color types 0/2/4/6, interlace 0 — the subset our writer
+  emits and the overwhelming majority of real-world PNGs; anything else
+  raises with a precise reason.
+
+Spark-side ops live in operators/multimodal.py (`image_pixel_stats`,
+`image_dhash`): binary column → mapInPandas decode → stats/perceptual
+hash. Everything here is per-row pure Python on executors — no driver
+round-trip, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """8-bit PNG from a (H,W) gray or (H,W,C) C∈{2,3,4} array.
+    `filter_mode="cycle"` applies scanline filters 0..4 round-robin —
+    spec-valid output that forces a decoder through every unfilter
+    path; "none" writes filter 0 only."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w, ch, color = a.shape[0], a.shape[1], 1, 0
+        a = a[:, :, None]
+    else:
+        h, w, ch = a.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        if ch == 1:
+            color = 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    bpp = ch  # bytes per pixel at depth 8
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = a[y].reshape(-1)
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        if ft == 0:
+            out = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            out = (line.astype(np.int16) - left).astype(np.uint8)
+        elif ft == 2:  # Up
+            out = (line.astype(np.int16) - prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            out = (
+                line.astype(np.int16)
+                - ((left.astype(np.int16) + prev.astype(np.int16)) // 2)
+            ).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            out = (line.astype(np.int16) - _paeth(left, prev, ul)).astype(np.uint8)
+        raw.append(ft)
+        raw.extend(out.tobytes())
+        prev = line
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (H,W) for gray, (H,W,C) otherwise.
+    Verifies chunk CRCs; supports depth 8, color 0/2/4/6, interlace 0."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
+            "only 8-bit non-interlaced supported"
+        )
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = ch
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub — sequential in pixel steps
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Binary PNM: P5 for (H,W) gray, P6 for (H,W,3) RGB, maxval 255."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        head = f"P5\n{a.shape[1]} {a.shape[0]}\n255\n"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        head = f"P6\n{a.shape[1]} {a.shape[0]}\n255\n"
+    else:
+        raise ValueError("PNM supports (H,W) gray or (H,W,3) RGB")
+    return head.encode("ascii") + a.tobytes()
+
+
+def decode_pnm(buf: bytes) -> np.ndarray:
+    """Binary P5/P6 (with comment and whitespace handling per spec)."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6)")
+    rgb = buf[:2] == b"P6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    ch = 3 if rgb else 1
+    data = np.frombuffer(buf, dtype=np.uint8, count=h * w * ch, offset=pos)
+    img = data.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-sniffing dispatch — the `_decode_backend` entry point."""
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:2] in (b"P5", b"P6"):
+        return decode_pnm(buf)
+    raise ValueError("unrecognized image format (PNG and binary PNM supported)")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with floor index mapping
+    (src = (dst * src_len) // dst_len) — integer-exact, so an external
+    engine replays it verbatim (the q124 oracle does)."""
+    h, w = img.shape[:2]
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """Gray plane: pass-through for 2-D, integer BT.601-ish average for
+    color ((r+2g+b)//4 — exact integer math, oracle-replayable)."""
+    if img.ndim == 2:
+        return img
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+    return ((r + 2 * g + b) // 4).astype(np.uint8)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): gray → 9x8 nearest-neighbor
+    resample → bit(j,i) = p[j,i] > p[j,i+1], packed row-major LSB-first.
+    Integer-exact end to end."""
+    g = resize_nearest(luma(img), 9, 8).astype(np.int16)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
