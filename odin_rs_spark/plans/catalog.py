@@ -5508,6 +5508,67 @@ GROUP BY hs.dhash
 """
 
 
+# --------------------------------------------------------------------------
+# q125 — MLP classify kernel (the ONNX seam made real, functions/mlp.py;
+# odin_onnx/src/lib.rs:47-150 predict_batch). A 64→8(ReLU)→3 network
+# with dyadic-rational weights classifies the embeddings table inside a
+# vectorized pandas UDF; inputs quantize to 1/16 steps so EVERY product
+# and sum in the forward pass is exact in doubles — the oracle replays
+# the entire network in SQL with exact equality (no fp tolerance), and
+# argmax/margin cannot flip on a summation-order ulp. The ONNX
+# file-format/runtime remains the one documented swap point.
+# --------------------------------------------------------------------------
+
+def q125_mlp_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.mlp import classify_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = classify_embeddings(emb)
+    return scored.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("margin"), 6).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+    )
+
+
+Q125_SQL = """
+WITH xq AS (
+  SELECT label,
+         list_transform(range(1, 65),
+                        i -> floor(embedding[i]::DOUBLE * 16.0 + 0.5) / 16.0) AS x
+  FROM embeddings),
+hid AS (
+  SELECT label,
+         list_transform(range(0, 8), k -> greatest(0.0,
+           (k % 5 - 2) / 16.0 +
+           list_sum(list_transform(range(1, 65),
+             i -> x[i] * ((((i - 1) * 7 + k * 11) % 13 - 6) / 16.0))))) AS h
+  FROM xq),
+lg AS (
+  SELECT label,
+         list_transform(range(0, 3), c ->
+           ((c * 7) % 3 - 1) / 16.0 +
+           list_sum(list_transform(range(0, 8),
+             k -> h[k + 1] * (((k * 5 + c * 3) % 11 - 5) / 16.0)))) AS l
+  FROM hid),
+cls AS (
+  SELECT label,
+         CASE WHEN l[1] >= l[2] AND l[1] >= l[3] THEN 0
+              WHEN l[2] >= l[3] THEN 1 ELSE 2 END AS pred,
+         greatest(l[1], l[2], l[3])
+           - (l[1] + l[2] + l[3]
+              - greatest(l[1], l[2], l[3])
+              - least(l[1], l[2], l[3])) AS margin
+  FROM lg)
+SELECT label, pred::INT AS pred, count(*)::BIGINT AS n,
+       round(avg(margin), 6) AS avg_margin,
+       round(min(margin), 6) AS min_margin,
+       round(max(margin), 6) AS max_margin
+FROM cls GROUP BY label, pred
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
