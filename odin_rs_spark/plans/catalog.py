@@ -5569,26 +5569,77 @@ FROM cls GROUP BY label, pred
 """
 
 
+# --------------------------------------------------------------------------
+# q126 — S11 GRIB2 decode END-TO-END on real bytes (the q122 move for
+# forecast granules; odin_hrrr/src/lib.rs:262-307): the pure-Python
+# simple-packing reader (sources/grib2.py) parses a checked-in GRIB2
+# message — section framing, template 3.0 lat/lon axes (sign-magnitude
+# microdegrees), template 5.0 bit-packed values (R=0.5, E=-2: every
+# decoded value is exact dyadic) — inside mapInPandas with the value
+# predicate in-kernel. The oracle regenerates grid + axes from the
+# formula and never touches the file. The byte-range FETCH of S11 stays
+# scoped out per SURVEY §7.3; this closes the decode half.
+# --------------------------------------------------------------------------
+
+def q126_grib2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.grib2 import grib2_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "wind_t50.grib2",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = grib2_grid_cells(files, value_min=5.0)
+    return cells.groupBy(F.floor("lat").cast("int").alias("lat_band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+    )
+
+
+Q126_SQL = """
+WITH g AS (SELECT xs.range AS i, ys.range AS j
+           FROM range(24) xs, range(20) ys),
+c AS (SELECT ((i * 5 + j * 3) % 50) * 0.25 + 0.5 AS value,
+             30.0 + j * 0.125 AS lat, -100.0 + i * 0.25 AS lon
+      FROM g)
+SELECT floor(lat)::INT AS lat_band, count(*)::BIGINT AS n_cells,
+       round(sum(value), 6) AS sum_value,
+       round(min(lon), 6) AS min_lon,
+       round(max(lon), 6) AS max_lon
+FROM c WHERE value >= 5.0 GROUP BY lat_band
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; stalest-green queries rotate back in as slots
 # allow):
-#   slots 1-10:  new this round (q118 Python DataSource ingest, q119
+#   slots 1-13:  new this round (q118 Python DataSource ingest, q119
 #                stream-stream interval join, q120 streaming keyed
 #                upsert store, q121 contour polyline assembly, q122
-#                real NetCDF-3 decode, q123 incremental segment dedup)
-#                + queries whose code CHANGED this round (q96/q115
-#                snapshot-sink rewrite, q105/q109 int8 clamp);
-#   slots 11-36: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
+#                real NetCDF-3 decode, q123 incremental segment dedup,
+#                q124 real PNG decode + image dedup, q125 MLP classify
+#                kernel, q126 real GRIB2 decode) + queries whose code
+#                CHANGED this round (q96/q115 snapshot-sink rewrite,
+#                q105/q109 int8 clamp);
+#   slots 14-39: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
 #                last driver row is now THREE rounds old, displaced by
 #                round 3's 30 new queries);
-#   slots 37-50: the oldest r2-green-only queries (q01, q10, q11, q16,
-#                q18, q28, q43, q44, q48, q51, q52, q54, q57, q58).
-# Past slot 50: the remaining r2-green block (q60-q90 minus the ones
-# above), then the r3-green block (q47/q55/q65, q53/q56/q59/q69/q78/
-# q82, q02-q19, q91-q117) — every one has a green driver row at most
-# two rounds old and is locally re-verified every round.
+#   slots 40-50: the oldest r2-green-only queries (q01, q10, q11, q16,
+#                q18, q28, q43, q44, q48, q51, q52).
+# Past slot 50: the remaining r2-green block (q54/q57/q58, q60-q90
+# minus the ones above), then the r3-green block (q47/q55/q65, q53/
+# q56/q59/q69/q78/q82, q02-q19, q91-q117) — every one has a green
+# driver row at most two rounds old and is locally re-verified every
+# round.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
@@ -5598,6 +5649,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q121_contour_lines", q121_contour_lines, Q121_SQL, "R3 K5 contour-assembly"),
         QuerySpec("q122_netcdf_decode", q122_netcdf_decode, Q122_SQL, "S2 netcdf-decode"),
         QuerySpec("q123_stream_segment_dedup", q123_stream_segment_dedup, Q123_SQL, "dedup-line-streaming"),
+        QuerySpec("q124_image_dedup", q124_image_dedup, Q124_SQL, "R9 multimodal image-decode dedup"),
+        QuerySpec("q125_mlp_classify", q125_mlp_classify, Q125_SQL, "UDF onnx-classify mlp"),
+        QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),
