@@ -532,6 +532,32 @@ def _contour_node(level_idx: Column, xc: Column, yc: Column, quant: float) -> Co
     return (level_idx * _NODE_BASE + qx) * _NODE_BASE + qy
 
 
+def _contour_graph(
+    segments: DataFrame, interval: float, quant: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front of `contour_lines` and `contour_polylines`: packed
+    endpoint keys, degenerate-segment filter, and the endpoint-graph
+    connected components. Returns (seg, comp).
+
+    The keyed segment frame is eagerly localCheckpoint-ed: CC runs
+    several jobs (edge count, closure rounds, fingerprints) and would
+    otherwise re-run the upstream marching-squares kernel per job;
+    unlike persist(), checkpoint blocks are released by the
+    ContextCleaner once the frame goes out of scope — no session-
+    lifetime cache leak."""
+    from odin_rs_spark.operators.dedup import connected_components
+
+    li = F.round(F.col("level") / F.lit(interval)).cast("long")
+    seg = (
+        segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
+        .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
+        # zero-length (degenerate corner) segments are not lines
+        .filter(F.col("__ka") != F.col("__kb"))
+    ).localCheckpoint(eager=True)
+    edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
+    return seg, connected_components(edges)  # comp = (node, component)
+
+
 def contour_lines(
     segments: DataFrame,
     interval: float,
@@ -557,27 +583,14 @@ def contour_lines(
     graphs are sparse paths/rings), one degree aggregation, one
     groupBy. Segments never collect to the driver.
     """
-    from odin_rs_spark.operators.dedup import connected_components
-
-    li = F.round(F.col("level") / F.lit(interval)).cast("long")
-    seg = (
-        segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
-        .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
-        # zero-length (degenerate corner) segments are not lines
-        .filter(F.col("__ka") != F.col("__kb"))
-        .withColumn(
-            "__len",
-            F.sqrt(
-                (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
-                + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
-            ),
-        )
+    seg, comp = _contour_graph(segments, interval, quant)
+    seg = seg.withColumn(
+        "__len",
+        F.sqrt(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ),
     )
-    # CC runs several jobs (edge count, closure, fingerprints); without
-    # a persist each re-runs the upstream marching-squares kernel
-    seg = seg.persist()
-    edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
-    comp = connected_components(edges)  # (node, component)
     segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")
     ends = seg.select(F.col("__ka").alias("node")).unionAll(
         seg.select(F.col("__kb").alias("node"))
@@ -628,16 +641,7 @@ def contour_polylines(
     """
     import pandas as pd
 
-    from odin_rs_spark.operators.dedup import connected_components
-
-    li = F.round(F.col("level") / F.lit(interval)).cast("long")
-    seg = (
-        segments.withColumn("__ka", _contour_node(li, F.col("x1"), F.col("y1"), quant))
-        .withColumn("__kb", _contour_node(li, F.col("x2"), F.col("y2"), quant))
-        .filter(F.col("__ka") != F.col("__kb"))
-    ).persist()  # same re-execution guard as contour_lines
-    edges = seg.select(F.col("__ka").alias("id_a"), F.col("__kb").alias("id_b"))
-    comp = connected_components(edges)
+    seg, comp = _contour_graph(segments, interval, quant)
     segc = seg.join(comp, seg["__ka"] == comp["node"]).drop("node")
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -79,14 +79,28 @@ def parse_grib2(buf: bytes) -> dict:
             la1, lo1 = struct.unpack(">II", body[46:54])
             la2, lo2 = struct.unpack(">II", body[55:63])
             di, dj = struct.unpack(">II", body[63:71])
+            scan = body[71]
+            # Di/Dj are unsigned magnitudes; the DIRECTION comes from
+            # the scanning-mode flags (spec table 3.4): bit 0x80 set →
+            # -i (west), bit 0x40 set → +j (south→north). Real products
+            # (GFS/HRRR) use 0x00: rows run NORTH→SOUTH, so dlat must
+            # come out negative or every cell gets a wrong latitude.
+            dlon = _sm32(di) / 1e6
+            dlat = _sm32(dj) / 1e6
+            if scan & 0x80:
+                dlon = -abs(dlon)
+            if not (scan & 0x40):
+                dlat = -abs(dlat)
+            if scan & 0x20:
+                raise ValueError("column-major (consecutive-j) scanning unsupported")
             grid = {
                 "ni": ni,
                 "nj": nj,
                 "lat0": _sm32(la1) / 1e6,
                 "lon0": _sm32(lo1) / 1e6,
-                "dlat": _sm32(dj) / 1e6,
-                "dlon": _sm32(di) / 1e6,
-                "scan": body[71],
+                "dlat": dlat,
+                "dlon": dlon,
+                "scan": scan,
             }
         elif sec_num == 4:
             category, number = body[9], body[10]
@@ -187,8 +201,10 @@ def write_grib2(
             _sm32_enc(round((lat0 + dlat * (nj - 1)) * 1e6)),
             _sm32_enc(round((lon0 + dlon * (ni - 1)) * 1e6)),
         )
-        + struct.pack(">II", _sm32_enc(round(dlon * 1e6)), _sm32_enc(round(dlat * 1e6)))
-        + bytes([0x40])  # scanning mode: +i, +j rows
+        # Di/Dj carry MAGNITUDES; direction goes in the scanning-mode
+        # flags (−i → 0x80, +j → 0x40), matching the reader
+        + struct.pack(">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6))
+        + bytes([(0x80 if dlon < 0 else 0) | (0x40 if dlat > 0 else 0)])
     )
     sec3 = struct.pack(">IB", 5 + len(t30), 3) + t30
     sec4 = (

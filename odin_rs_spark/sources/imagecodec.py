@@ -56,8 +56,6 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
     else:
         h, w, ch = a.shape
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-        if ch == 1:
-            color = 0
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     bpp = ch  # bytes per pixel at depth 8
     raw = bytearray()
@@ -232,14 +230,17 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     h, w = img.shape[:2]
     xs = (np.arange(out_w) * w) // out_w
     ys = (np.arange(out_h) * h) // out_h
-    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[np.ix_(ys, xs)]
+    return img[np.ix_(ys, xs)]  # trailing channel dims broadcast
 
 
 def luma(img: np.ndarray) -> np.ndarray:
-    """Gray plane: pass-through for 2-D, integer BT.601-ish average for
-    color ((r+2g+b)//4 — exact integer math, oracle-replayable)."""
+    """Gray plane: pass-through for 2-D and gray+alpha (channel 0),
+    integer BT.601-ish average ((r+2g+b)//4 — exact, oracle-replayable)
+    for RGB/RGBA (alpha ignored)."""
     if img.ndim == 2:
         return img
+    if img.shape[2] < 3:  # gray or gray+alpha
+        return img[:, :, 0]
     r = img[:, :, 0].astype(np.int32)
     g = img[:, :, 1].astype(np.int32)
     b = img[:, :, 2].astype(np.int32)

@@ -226,8 +226,29 @@ def ws_fetch_since(
     connection reconnects on the next poll (T8), relying on the
     server's snapshot-on-connect replay + the cursor filter for
     exactly-once — the same recovery contract as the HTTP fetcher.
+
+    Buffer hygiene: records at-or-below the caller's cursor are PRUNED
+    each poll (the cursor is Spark's committed offset, so nothing below
+    it is ever re-asked), and the retained window dedupes by id — a
+    reconnect's snapshot replay therefore cannot double-deliver into
+    one batch, and memory is O(records past the committed offset), not
+    O(feed history). Cross-type ids order via the same tagged key as
+    the source (`datasource._order_key`). A malformed (non-UTF-8 /
+    non-JSON) frame is treated as a protocol error: drop the
+    connection and rely on the reconnect replay.
     """
+    from odin_rs_spark.streaming.datasource import _order_key
+
     state: dict = {"client": None, "buffered": []}
+
+    def _drop_client() -> None:
+        c = state["client"]
+        state["client"] = None
+        if c is not None:
+            try:
+                c.close()
+            except OSError:
+                pass
 
     def fetch(last_id):
         if state["client"] is None:
@@ -246,9 +267,22 @@ def ws_fetch_since(
         except (TimeoutError, socket.timeout):
             pass  # drained everything currently available
         except (StopIteration, ConnectionError, OSError):
-            state["client"] = None  # reconnect on next poll
-        if last_id is None:
-            return list(state["buffered"])
-        return [r for r in state["buffered"] if r[id_field] > last_id]
+            _drop_client()  # reconnect on next poll
+        except ValueError:  # UnicodeDecodeError / JSONDecodeError
+            _drop_client()  # protocol error → resync via snapshot replay
+        # prune + dedupe the retained window (see docstring)
+        seen: set = set()
+        kept = []
+        skey = None if last_id is None else _order_key(last_id)
+        for r in state["buffered"]:
+            k = _order_key(r[id_field])
+            if skey is not None and not (k > skey):
+                continue
+            if k in seen:
+                continue
+            seen.add(k)
+            kept.append(r)
+        state["buffered"] = kept
+        return list(kept)
 
     return fetch

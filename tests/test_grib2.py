@@ -102,3 +102,22 @@ def test_spark_cells_predicate_in_kernel(spark):
         assert r["value"] == ((r["x"] * 5 + r["y"] * 3) % 50) * 0.25 + 0.5
         assert r["lat"] == 30.0 + r["y"] * 0.125
         assert r["lon"] == -100.0 + r["x"] * 0.25
+
+
+def test_north_to_south_scan_mode(tmp_path):
+    """Real products (GFS/HRRR) scan rows north→south (mode 0x00): the
+    writer encodes a negative dlat via the flags and the reader must
+    return DESCENDING latitudes — not mirror them positive."""
+    jj, ii = np.mgrid[0:4, 0:3]
+    vals = (ii + jj * 3).astype(float)
+    p = str(tmp_path / "n2s.grib2")
+    write_grib2(p, vals, lat0=50.0, lon0=0.0, dlat=-0.5, dlon=1.0, nbits=4)
+    g = parse_grib2(open(p, "rb").read())
+    assert g["dlat"] == -0.5 and g["lat0"] == 50.0
+    assert (g["scan"] & 0x40) == 0
+    assert np.array_equal(g["values"], vals)  # row order preserved
+    # negative lon direction flag too
+    p2 = str(tmp_path / "wlon.grib2")
+    write_grib2(p2, vals, lat0=0.0, lon0=10.0, dlat=0.5, dlon=-1.0, nbits=4)
+    g2 = parse_grib2(open(p2, "rb").read())
+    assert g2["dlon"] == -1.0 and (g2["scan"] & 0x80)
