@@ -1,0 +1,98 @@
+"""Iterative graph operators beyond connected components (SURVEY §4.2
+"new design surface"; the LLM-pipeline use is web/document-graph
+quality signals — link-based authority is a standard pretraining-data
+quality feature, and the reference's evidence graphs
+(odin_sentinel/src/alarm.rs) are the same edges-over-records shape).
+
+`integer_pagerank` is PageRank restated as EXACT integer mass
+diffusion, which buys two things at once:
+
+1. **Cross-engine replayability**: every step is integer `//` and `+`,
+   so a SQL oracle replays all iterations bit-for-bit — no fp
+   summation-order drift, no rounding tolerance, no flaky hash compare
+   (the same trick as the dyadic MLP in functions/mlp.py).
+2. **Scale shape**: one equi-join (mass → edges) + one groupBy
+   (inflow) per iteration, lineage cut by eager localCheckpoint each
+   round — identical economics to the star-CC operator. Mass is
+   conserved exactly (what a node can't split evenly it keeps), so a
+   drifting total can't hide a lost-update bug.
+
+Semantics per iteration (damping 1/2 via shift, exact):
+    share(v)    = (mass(v) // 2) // deg(v)
+    retained(v) = mass(v) - share(v) * deg(v)
+    mass'(v)    = retained(v) + Σ_{u→v} share(u)
+Total Σ mass is invariant; after `iterations` rounds high-degree,
+well-connected nodes hold the most mass — the PageRank ordering under
+a uniform-teleport-free random surfer with lazy self-retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bidirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list → both directions, self-loops dropped,
+    deduplicated."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    initial_mass: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Exact integer-mass diffusion over an undirected edge list.
+    Returns (node, mass) after `iterations` rounds — see module
+    docstring for the per-round recurrence and why it is exact."""
+    e = bidirect(edges, src, dst)
+    e = e.localCheckpoint(eager=True)  # iterations re-read the edge list
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    mass = deg.select(
+        F.col("src").alias("node"), F.lit(int(initial_mass)).alias("mass")
+    )
+    for i in range(iterations):
+        staged = mass.join(deg, mass["node"] == deg["src"]).select(
+            "node",
+            "mass",
+            "__deg",
+            F.floor(F.floor(F.col("mass") / 2) / F.col("__deg"))
+            .cast("long")
+            .alias("__share"),
+        )
+        # floor(floor(mass/2)/deg) == (mass // 2) // deg exactly: both
+        # quotients stay far below 2^53, and IEEE division of exact
+        # integers is correctly rounded, so the floor can't slip a ulp.
+        # ANSI mode: no overflow possible (mass <= total initial mass).
+        retained = staged.select(
+            "node",
+            (F.col("mass") - F.col("__share") * F.col("__deg")).alias("__ret"),
+        )
+        ee = e.select(F.col("src").alias("__esrc"), F.col("dst").alias("__edst"))
+        inflow = (
+            staged.join(ee, staged["node"] == ee["__esrc"])
+            .groupBy(F.col("__edst").alias("node"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        mass = (
+            retained.join(inflow, "node", "left")
+            .select(
+                "node",
+                (F.col("__ret") + F.coalesce(F.col("__in"), F.lit(0))).alias(
+                    "mass"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # cut the per-iteration lineage the same way star-CC does
+            mass = mass.localCheckpoint(eager=True)
+    return mass

@@ -5617,6 +5617,73 @@ FROM c WHERE value >= 5.0 GROUP BY lat_band
 """
 
 
+# --------------------------------------------------------------------------
+# q127 — iterative graph authority (integer PageRank) over the user
+# co-activity graph: the link-based quality signal a web-scale
+# pretraining pipeline computes over its document graph, here over
+# users sharing (event_type, hour) activity. PageRank restated as EXACT
+# integer mass diffusion (share = (mass//2)//deg, remainder retained,
+# total conserved), so the oracle unrolls all 10 iterations in SQL and
+# matches bit-for-bit — the iterative-join family (beyond CC) proven
+# with zero fp tolerance (6 unrolled SQL stages, MATERIALIZED to stop
+# DuckDB's CTE inlining from going exponential).
+# --------------------------------------------------------------------------
+
+def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.graph import integer_pagerank
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(b, ["event_type", "hb"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    # 6 iterations: the exactness claim is iteration-count-independent,
+    # and each round costs ~1.5 s of fixed small-stage latency here; the
+    # graph is driver-small so the query scopes shuffle parallelism to
+    # the GRAPH size, not the session's scan parallelism
+    with _stream_state_parallelism(spark, 8):
+        pr = integer_pagerank(edges, iterations=6)
+        out = pr.select(F.col("node").alias("user_id"), "mass")
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _q127_sql(iterations: int = 6) -> str:
+    head = """
+WITH ev AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS hb FROM events),
+ed0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM ev a JOIN ev b ON a.event_type = b.event_type AND a.hb = b.hb
+  WHERE a.user_id < b.user_id),
+e AS MATERIALIZED (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
+m0 AS (SELECT node, 1000000::BIGINT AS mass FROM deg)"""
+    steps = []
+    for i in range(iterations):
+        steps.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT m.node, m.mass, deg.d, (m.mass // 2) // deg.d AS share
+  FROM m{i} m JOIN deg ON deg.node = m.node),
+m{i + 1} AS MATERIALIZED (
+  SELECT s.node,
+         (s.mass - s.share * s.d + coalesce(inf.t, 0))::BIGINT AS mass
+  FROM s{i} s LEFT JOIN (
+    SELECT e.dst AS node, sum(s2.share)::BIGINT AS t
+    FROM s{i} s2 JOIN e ON e.src = s2.node GROUP BY e.dst) inf
+  ON inf.node = s.node)""")
+    return head + "".join(steps) + f"""
+SELECT node AS user_id, mass FROM m{iterations}
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
@@ -5633,8 +5700,9 @@ FROM c WHERE value >= 5.0 GROUP BY lat_band
 #   slots 14-39: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
 #                last driver row is now THREE rounds old, displaced by
 #                round 3's 30 new queries);
-#   slots 40-50: the oldest r2-green-only queries (q01, q10, q11, q16,
-#                q18, q28, q43, q44, q48, q51, q52).
+#   slots 41-50: the oldest r2-green-only queries (q01, q10, q11, q16,
+#                q18, q28, q43, q44, q48, q51) — q127 (exact integer
+#                PageRank) takes the extra new-query slot.
 # Past slot 50: the remaining r2-green block (q54/q57/q58, q60-q90
 # minus the ones above), then the r3-green block (q47/q55/q65, q53/
 # q56/q59/q69/q78/q82, q02-q19, q91-q117) — every one has a green
@@ -5652,6 +5720,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q124_image_dedup", q124_image_dedup, Q124_SQL, "R9 multimodal image-decode dedup"),
         QuerySpec("q125_mlp_classify", q125_mlp_classify, Q125_SQL, "UDF onnx-classify mlp"),
         QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
+        QuerySpec("q127_graph_pagerank", q127_graph_pagerank, _q127_sql(), "graph-pagerank iterative"),
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),

@@ -1,0 +1,56 @@
+"""Integer PageRank (operators/graph.py): exact-diffusion semantics on
+hand-checked graphs, mass conservation, and degree ordering."""
+
+from __future__ import annotations
+
+from odin_rs_spark.operators.graph import bidirect, integer_pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bidirect_dedup_and_self_loops(spark):
+    e = bidirect(_edges(spark, [(1, 2), (2, 1), (1, 1), (2, 3)]))
+    got = sorted((r["src"], r["dst"]) for r in e.collect())
+    assert got == [(1, 2), (1, 3)] or got == [
+        (1, 2),
+        (2, 1),
+        (2, 3),
+        (3, 2),
+    ]  # bidirected, no self-loop, deduped
+    assert (1, 1) not in got
+    assert len(got) == 4
+
+
+def test_hand_checked_diffusion_path_graph(spark):
+    """Path 1-2-3, one iteration, M0=1000:
+    deg: 1→1, 2→2, 3→1.
+    share: node1 (1000//2)//1=500; node2 (1000//2)//2=250; node3 500.
+    retained: 1→500, 2→500, 3→500.
+    inflow: 1←250, 2←500+500, 3←250.
+    mass': 1→750, 2→1500, 3→750. Total conserved = 3000."""
+    pr = integer_pagerank(
+        _edges(spark, [(1, 2), (2, 3)]), iterations=1, initial_mass=1000
+    )
+    got = {r["node"]: r["mass"] for r in pr.collect()}
+    assert got == {1: 750, 2: 1500, 3: 750}
+
+
+def test_mass_conserved_and_hub_wins(spark):
+    # star: hub 0 connected to 1..6, plus a 7-8 pendant pair
+    pairs = [(0, i) for i in range(1, 7)] + [(7, 8)]
+    pr = integer_pagerank(_edges(spark, pairs), iterations=8, initial_mass=10_000)
+    got = {r["node"]: r["mass"] for r in pr.collect()}
+    assert sum(got.values()) == 9 * 10_000  # exact conservation
+    assert got[0] == max(got.values())  # the hub accumulates the most
+    assert got[7] == got[8]  # symmetric pendant pair stays symmetric
+
+
+def test_iteration_determinism_across_parallelism(spark):
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)]
+    a = integer_pagerank(_edges(spark, pairs), iterations=5)
+    b = integer_pagerank(
+        _edges(spark, pairs).repartition(7), iterations=5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
