@@ -317,3 +317,52 @@ def image_near_dup_groups(stats: DataFrame) -> DataFrame:
         F.min("media_id").alias("keeper_id"),
         F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
     )
+
+
+TILE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def image_tile_stats(media: DataFrame, nx: int = 2, ny: int = 2) -> DataFrame:
+    """REAL pixel tiling (the odin_onnx mosaic/fit strategies on actual
+    pixels, not byte slices): decode each image, split the luma plane
+    into nx*ny tiles on floor boundaries (tile tx spans columns
+    [tx*W//nx, (tx+1)*W//nx)), and emit per-tile pixel count + exact
+    mean luma. One mapInPandas stage; the tile fan-out (the
+    scale-relevant part) is rows-out = rows-in * nx * ny. Integer-exact
+    boundaries + sums make the whole stage SQL-replayable (q128)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "tile_x": [], "tile_y": [],
+                "n_px": [], "mean_luma": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                g = luma(decode_image(bytes(content)))
+                h, w = g.shape
+                for ty in range(ny):
+                    y0, y1 = ty * h // ny, (ty + 1) * h // ny
+                    for tx in range(nx):
+                        x0, x1 = tx * w // nx, (tx + 1) * w // nx
+                        t = g[y0:y1, x0:x1]
+                        rows["media_id"].append(mid)
+                        rows["tile_x"].append(tx)
+                        rows["tile_y"].append(ty)
+                        rows["n_px"].append(t.size)
+                        rows["mean_luma"].append(
+                            float(t.astype(np.int64).sum()) / t.size
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, TILE_STATS_SCHEMA)

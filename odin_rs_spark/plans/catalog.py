@@ -5684,6 +5684,119 @@ SELECT node AS user_id, mass FROM m{iterations}
 """
 
 
+# --------------------------------------------------------------------------
+# q128 — the full odin_onnx inference pipeline on REAL pixels: encode
+# formula PNGs → decode → pixel-tile fan-out (image_tile_stats — the
+# mosaic tiling strategy on actual crops, odin_onnx's tile stage) →
+# per-tile feature vector → MLP classify (functions/mlp.py) → per-tile
+# class histogram. Every stage is exact arithmetic (integer tile
+# boundaries, exact mean luma, dyadic features and weights), so the
+# oracle replays encode-less: formula pixels → tile means → the same
+# 4→8→3 network — bit-for-bit, no tolerance.
+# --------------------------------------------------------------------------
+
+def q128_tile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.functions.mlp import formula_weights, mlp_classify
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    n = 120
+
+    def _mk(s):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_png
+
+        out = []
+        for mid in s:
+            seed = int(mid) % 40
+            a_, b_, m_ = seed % 7, seed % 5 + 1, (seed * 13) % 256
+            jj, ii = np.mgrid[0:24, 0:32]
+            arr = ((m_ + ii * a_ + jj * b_) % 256).astype(np.uint8)
+            out.append(encode_png(arr, filter_mode="cycle"))
+        return pd.Series(out)
+
+    mk_png = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(n).select(
+        F.col("id").alias("media_id"), mk_png(F.col("id")).alias("content")
+    )
+    tiles = image_tile_stats(media, nx=2, ny=2)
+    feats = tiles.withColumn(
+        "__f",
+        F.array(
+            F.col("mean_luma") / 32.0,
+            (F.col("tile_x") + 1) / F.lit(2.0),
+            (F.col("tile_y") + 1) / F.lit(2.0),
+            (F.col("n_px") % 13) / F.lit(4.0),
+        ),
+    )
+    w = formula_weights(in_dim=4, hidden=8, out=3)
+    scored = feats.withColumn("__cls", mlp_classify("__f", w))
+    return scored.groupBy(
+        "tile_x", "tile_y", F.col("__cls.pred").alias("pred")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__cls.margin"), 6).alias("avg_margin"),
+    )
+
+
+Q128_SQL = """
+WITH img AS (
+  SELECT r.range AS media_id, (r.range % 40) AS seed FROM range(120) r),
+par AS (
+  SELECT media_id, seed % 7 AS a, seed % 5 + 1 AS b, (seed * 13) % 256 AS m
+  FROM img),
+tl AS (
+  SELECT media_id, a, b, m, txs.range AS tile_x, tys.range AS tile_y
+  FROM par, range(2) txs, range(2) tys),
+px AS (
+  SELECT t.media_id, t.tile_x, t.tile_y,
+         count(*)::BIGINT AS n_px,
+         avg(((t.m + xs.range * t.a + ys.range * t.b) % 256)::DOUBLE) AS mean_luma
+  FROM tl t, range(32) xs, range(24) ys
+  WHERE xs.range >= t.tile_x * 32 // 2 AND xs.range < (t.tile_x + 1) * 32 // 2
+    AND ys.range >= t.tile_y * 24 // 2 AND ys.range < (t.tile_y + 1) * 24 // 2
+  GROUP BY t.media_id, t.tile_x, t.tile_y),
+ft AS (
+  SELECT media_id, tile_x, tile_y,
+         [mean_luma / 32.0, (tile_x + 1) / 2.0, (tile_y + 1) / 2.0,
+          (n_px % 13) / 4.0] AS f
+  FROM px),
+xq AS (
+  SELECT media_id, tile_x, tile_y,
+         list_transform(range(1, 5), i -> floor(f[i] * 16.0 + 0.5) / 16.0) AS x
+  FROM ft),
+hid AS (
+  SELECT media_id, tile_x, tile_y,
+         list_transform(range(0, 8), k -> greatest(0.0,
+           (k % 5 - 2) / 16.0 +
+           list_sum(list_transform(range(1, 5),
+             i -> x[i] * ((((i - 1) * 7 + k * 11) % 13 - 6) / 16.0))))) AS h
+  FROM xq),
+lg AS (
+  SELECT media_id, tile_x, tile_y,
+         list_transform(range(0, 3), c ->
+           ((c * 7) % 3 - 1) / 16.0 +
+           list_sum(list_transform(range(0, 8),
+             k -> h[k + 1] * (((k * 5 + c * 3) % 11 - 5) / 16.0)))) AS l
+  FROM hid),
+cls AS (
+  SELECT tile_x, tile_y,
+         CASE WHEN l[1] >= l[2] AND l[1] >= l[3] THEN 0
+              WHEN l[2] >= l[3] THEN 1 ELSE 2 END AS pred,
+         greatest(l[1], l[2], l[3])
+           - (l[1] + l[2] + l[3]
+              - greatest(l[1], l[2], l[3])
+              - least(l[1], l[2], l[3])) AS margin
+  FROM lg)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y, pred::INT AS pred,
+       count(*)::BIGINT AS n, round(avg(margin), 6) AS avg_margin
+FROM cls GROUP BY tile_x, tile_y, pred
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
@@ -5700,9 +5813,10 @@ SELECT node AS user_id, mass FROM m{iterations}
 #   slots 14-39: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
 #                last driver row is now THREE rounds old, displaced by
 #                round 3's 30 new queries);
-#   slots 41-50: the oldest r2-green-only queries (q01, q10, q11, q16,
-#                q18, q28, q43, q44, q48, q51) — q127 (exact integer
-#                PageRank) takes the extra new-query slot.
+#   slots 42-50: the oldest r2-green-only queries (q01, q10, q11, q16,
+#                q18, q28, q43, q44, q48) — q127 (exact integer
+#                PageRank) and q128 (real-pixel tile classify pipeline)
+#                take the extra new-query slots.
 # Past slot 50: the remaining r2-green block (q54/q57/q58, q60-q90
 # minus the ones above), then the r3-green block (q47/q55/q65, q53/
 # q56/q59/q69/q78/q82, q02-q19, q91-q117) — every one has a green
@@ -5721,6 +5835,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q125_mlp_classify", q125_mlp_classify, Q125_SQL, "UDF onnx-classify mlp"),
         QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
         QuerySpec("q127_graph_pagerank", q127_graph_pagerank, _q127_sql(), "graph-pagerank iterative"),
+        QuerySpec("q128_tile_classify", q128_tile_classify, Q128_SQL, "multimodal onnx-pipeline tiling classify"),
         QuerySpec("q96_stream_windowed", q96_stream_windowed, Q96_SQL, "T1 A1 K1 K2 windowed"),
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),

@@ -178,3 +178,42 @@ def test_spark_image_stats_and_dedup(spark):
     assert len(groups) == 3
     assert all(g["n_images"] == 4 for g in groups)
     assert sorted(g["keeper_id"] for g in groups) == [0, 1, 2]
+
+
+def test_image_tile_stats_real_crops(spark):
+    """Tile boundaries are floor splits of the PIXEL grid (not byte
+    slices): per-tile pixel counts and exact means must match numpy
+    crops of the decoded image."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+    from odin_rs_spark.sources.imagecodec import decode_image
+
+    def _mk(s):
+        import pandas as pd
+
+        from odin_rs_spark.sources.imagecodec import encode_png
+
+        out = []
+        for mid in s:
+            jj, ii = np.mgrid[0:10, 0:13]  # odd width → uneven tiles
+            out.append(encode_png(((ii * 7 + jj * 3 + int(mid)) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(3).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+    rows = image_tile_stats(media, nx=2, ny=2).collect()
+    assert len(rows) == 12  # 3 images x 4 tiles
+    by_img = {}
+    for r in media.collect():
+        by_img[r["media_id"]] = decode_image(bytes(r["content"]))
+    for r in rows:
+        g = by_img[r["media_id"]]
+        x0, x1 = r["tile_x"] * 13 // 2, (r["tile_x"] + 1) * 13 // 2
+        y0, y1 = r["tile_y"] * 10 // 2, (r["tile_y"] + 1) * 10 // 2
+        t = g[y0:y1, x0:x1]
+        assert r["n_px"] == t.size
+        assert r["mean_luma"] == float(t.astype(np.int64).sum()) / t.size
