@@ -49,7 +49,6 @@ def integer_pagerank(
     initial_mass: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Exact integer-mass diffusion over an undirected edge list.
     Returns (node, mass) after `iterations` rounds — see module
@@ -69,6 +68,11 @@ def integer_pagerank(
             .cast("long")
             .alias("__share"),
         )
+        # staged feeds BOTH retained and inflow: without a cut the plan
+        # embeds it twice per round and recompute doubles each
+        # iteration (the Spark-side twin of the DuckDB MATERIALIZED
+        # requirement on the oracle's unrolled stages)
+        staged = staged.localCheckpoint(eager=True)
         # floor(floor(mass/2)/deg) == (mass // 2) // deg exactly: both
         # quotients stay far below 2^53, and IEEE division of exact
         # integers is correctly rounded, so the floor can't slip a ulp.
@@ -92,7 +96,4 @@ def integer_pagerank(
                 ),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            # cut the per-iteration lineage the same way star-CC does
-            mass = mass.localCheckpoint(eager=True)
     return mass

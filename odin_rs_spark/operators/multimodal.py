@@ -356,6 +356,11 @@ def image_tile_stats(media: DataFrame, nx: int = 2, ny: int = 2) -> DataFrame:
                     for tx in range(nx):
                         x0, x1 = tx * w // nx, (tx + 1) * w // nx
                         t = g[y0:y1, x0:x1]
+                        if t.size == 0:
+                            # image smaller than the tile grid: floor
+                            # boundaries produce empty tiles — skip
+                            # rather than divide by zero
+                            continue
                         rows["media_id"].append(mid)
                         rows["tile_x"].append(tx)
                         rows["tile_y"].append(ty)

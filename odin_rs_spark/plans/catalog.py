@@ -5436,24 +5436,23 @@ FROM per_doc GROUP BY source
 # made real, the q122 move applied to images.
 # --------------------------------------------------------------------------
 
-def q124_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _formula_png_media(spark: SparkSession, n: int):
+    """Shared q124/q128 fixture generator: n formula-pixel PNGs encoded
+    IN EXECUTORS (cycling all five scanline filters). The pixel formula
+    (seed = id %% 40; a = seed %% 7, b = seed %% 5 + 1, m = (seed*13) %% 256;
+    p[j,i] = (m + i*a + j*b) %% 256 on a 32x24 grid) is the single
+    definition both queries' oracles replay — keep the img/par CTEs of
+    Q124_SQL and Q128_SQL in sync with THIS function."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
-    from odin_rs_spark.operators.multimodal import (
-        image_near_dup_groups,
-        image_pixel_stats,
-    )
-
-    n = 200
-
-    def _mk(s):
+    def _mk(series):
         import numpy as np
 
         from odin_rs_spark.sources.imagecodec import encode_png
 
         out = []
-        for mid in s:
+        for mid in series:
             seed = int(mid) % 40
             a_, b_, m_ = seed % 7, seed % 5 + 1, (seed * 13) % 256
             jj, ii = np.mgrid[0:24, 0:32]
@@ -5462,10 +5461,18 @@ def q124_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     mk_png = F.pandas_udf(_mk, BinaryType())
-
-    media = spark.range(n).select(
+    return spark.range(n).select(
         F.col("id").alias("media_id"), mk_png(F.col("id")).alias("content")
     )
+
+
+def q124_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import (
+        image_near_dup_groups,
+        image_pixel_stats,
+    )
+
+    media = _formula_png_media(spark, 200)
     stats = image_pixel_stats(media)
     return image_near_dup_groups(stats)
 
@@ -5532,35 +5539,48 @@ def q125_mlp_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q125_SQL = """
-WITH xq AS (
-  SELECT label,
-         list_transform(range(1, 65),
-                        i -> floor(embedding[i]::DOUBLE * 16.0 + 0.5) / 16.0) AS x
-  FROM embeddings),
+def _mlp_sql_stages(in_dim: int, carry: str, src: str, elem: str) -> str:
+    """xq/hid/lg/cls oracle CTE stages replaying the
+    functions.mlp.formula_weights forward pass (quantize → hidden ReLU →
+    logits → argmax/margin). ONE definition serves every MLP query
+    (q125 on embeddings, q128 on tile features): `carry` = carried
+    columns, `src` = input CTE/table, `elem` = per-element SQL for the
+    raw input vector (uses `i`, 1-indexed). Weight formulas here and in
+    functions/mlp.py:formula_weights must stay in sync — this helper
+    exists so they only need syncing in ONE SQL place."""
+    d1 = in_dim + 1
+    return f"""xq AS (
+  SELECT {carry},
+         list_transform(range(1, {d1}), i -> floor(({elem}) * 16.0 + 0.5) / 16.0) AS x
+  FROM {src}),
 hid AS (
-  SELECT label,
+  SELECT {carry},
          list_transform(range(0, 8), k -> greatest(0.0,
            (k % 5 - 2) / 16.0 +
-           list_sum(list_transform(range(1, 65),
+           list_sum(list_transform(range(1, {d1}),
              i -> x[i] * ((((i - 1) * 7 + k * 11) % 13 - 6) / 16.0))))) AS h
   FROM xq),
 lg AS (
-  SELECT label,
+  SELECT {carry},
          list_transform(range(0, 3), c ->
            ((c * 7) % 3 - 1) / 16.0 +
            list_sum(list_transform(range(0, 8),
              k -> h[k + 1] * (((k * 5 + c * 3) % 11 - 5) / 16.0)))) AS l
   FROM hid),
 cls AS (
-  SELECT label,
+  SELECT {carry},
          CASE WHEN l[1] >= l[2] AND l[1] >= l[3] THEN 0
               WHEN l[2] >= l[3] THEN 1 ELSE 2 END AS pred,
          greatest(l[1], l[2], l[3])
            - (l[1] + l[2] + l[3]
               - greatest(l[1], l[2], l[3])
               - least(l[1], l[2], l[3])) AS margin
-  FROM lg)
+  FROM lg)"""
+
+
+Q125_SQL = "WITH " + _mlp_sql_stages(
+    64, carry="label", src="embeddings", elem="embedding[i]::DOUBLE"
+) + """
 SELECT label, pred::INT AS pred, count(*)::BIGINT AS n,
        round(avg(margin), 6) AS avg_margin,
        round(min(margin), 6) AS min_margin,
@@ -5623,7 +5643,7 @@ FROM c WHERE value >= 5.0 GROUP BY lat_band
 # pretraining pipeline computes over its document graph, here over
 # users sharing (event_type, hour) activity. PageRank restated as EXACT
 # integer mass diffusion (share = (mass//2)//deg, remainder retained,
-# total conserved), so the oracle unrolls all 10 iterations in SQL and
+# total conserved), so the oracle unrolls all 6 iterations in SQL and
 # matches bit-for-bit — the iterative-join family (beyond CC) proven
 # with zero fp tolerance (6 unrolled SQL stages, MATERIALIZED to stop
 # DuckDB's CTE inlining from going exponential).
@@ -5696,32 +5716,10 @@ SELECT node AS user_id, mass FROM m{iterations}
 # --------------------------------------------------------------------------
 
 def q128_tile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
     from odin_rs_spark.functions.mlp import formula_weights, mlp_classify
     from odin_rs_spark.operators.multimodal import image_tile_stats
 
-    n = 120
-
-    def _mk(s):
-        import numpy as np
-
-        from odin_rs_spark.sources.imagecodec import encode_png
-
-        out = []
-        for mid in s:
-            seed = int(mid) % 40
-            a_, b_, m_ = seed % 7, seed % 5 + 1, (seed * 13) % 256
-            jj, ii = np.mgrid[0:24, 0:32]
-            arr = ((m_ + ii * a_ + jj * b_) % 256).astype(np.uint8)
-            out.append(encode_png(arr, filter_mode="cycle"))
-        return pd.Series(out)
-
-    mk_png = F.pandas_udf(_mk, BinaryType())
-    media = spark.range(n).select(
-        F.col("id").alias("media_id"), mk_png(F.col("id")).alias("content")
-    )
+    media = _formula_png_media(spark, 120)
     tiles = image_tile_stats(media, nx=2, ny=2)
     feats = tiles.withColumn(
         "__f",
@@ -5764,33 +5762,7 @@ ft AS (
          [mean_luma / 32.0, (tile_x + 1) / 2.0, (tile_y + 1) / 2.0,
           (n_px % 13) / 4.0] AS f
   FROM px),
-xq AS (
-  SELECT media_id, tile_x, tile_y,
-         list_transform(range(1, 5), i -> floor(f[i] * 16.0 + 0.5) / 16.0) AS x
-  FROM ft),
-hid AS (
-  SELECT media_id, tile_x, tile_y,
-         list_transform(range(0, 8), k -> greatest(0.0,
-           (k % 5 - 2) / 16.0 +
-           list_sum(list_transform(range(1, 5),
-             i -> x[i] * ((((i - 1) * 7 + k * 11) % 13 - 6) / 16.0))))) AS h
-  FROM xq),
-lg AS (
-  SELECT media_id, tile_x, tile_y,
-         list_transform(range(0, 3), c ->
-           ((c * 7) % 3 - 1) / 16.0 +
-           list_sum(list_transform(range(0, 8),
-             k -> h[k + 1] * (((k * 5 + c * 3) % 11 - 5) / 16.0)))) AS l
-  FROM hid),
-cls AS (
-  SELECT tile_x, tile_y,
-         CASE WHEN l[1] >= l[2] AND l[1] >= l[3] THEN 0
-              WHEN l[2] >= l[3] THEN 1 ELSE 2 END AS pred,
-         greatest(l[1], l[2], l[3])
-           - (l[1] + l[2] + l[3]
-              - greatest(l[1], l[2], l[3])
-              - least(l[1], l[2], l[3])) AS margin
-  FROM lg)
+""" + _mlp_sql_stages(4, carry="tile_x, tile_y", src="ft", elem="f[i]") + """
 SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y, pred::INT AS pred,
        count(*)::BIGINT AS n, round(avg(margin), 6) AS avg_margin
 FROM cls GROUP BY tile_x, tile_y, pred
@@ -5802,7 +5774,7 @@ FROM cls GROUP BY tile_x, tile_y, pred
 # allocation (rotation rule: never-driver-graded queries always take
 # cap slots first; stalest-green queries rotate back in as slots
 # allow):
-#   slots 1-13:  new this round (q118 Python DataSource ingest, q119
+#   slots 1-15:  new this round (q118 Python DataSource ingest, q119
 #                stream-stream interval join, q120 streaming keyed
 #                upsert store, q121 contour polyline assembly, q122
 #                real NetCDF-3 decode, q123 incremental segment dedup,
@@ -5810,13 +5782,14 @@ FROM cls GROUP BY tile_x, tile_y, pred
 #                kernel, q126 real GRIB2 decode) + queries whose code
 #                CHANGED this round (q96/q115 snapshot-sink rewrite,
 #                q105/q109 int8 clamp);
-#   slots 14-39: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
+#   slots 16-41: the r1-green-only block (q20-q42, q45/q46/q49/q50 —
 #                last driver row is now THREE rounds old, displaced by
 #                round 3's 30 new queries);
 #   slots 42-50: the oldest r2-green-only queries (q01, q10, q11, q16,
 #                q18, q28, q43, q44, q48) — q127 (exact integer
 #                PageRank) and q128 (real-pixel tile classify pipeline)
-#                take the extra new-query slots.
+#                take the extra new-query slots; q51/q52 rotate just
+#                past the cap (slots 51-52, r2-green on record).
 # Past slot 50: the remaining r2-green block (q54/q57/q58, q60-q90
 # minus the ones above), then the r3-green block (q47/q55/q65, q53/
 # q56/q59/q69/q78/q82, q02-q19, q91-q117) — every one has a green
