@@ -391,3 +391,16 @@ def test_netcdf_cells_single_scan_mapinpandas(spark):
     plan = _executed(cells)
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # decode fans out without any shuffle
+
+
+def test_integer_pagerank_no_cartesian(spark):
+    # mass→degree and share→edge joins are equi-joins on node ids; no
+    # round may degenerate into a cross product
+    from odin_rs_spark.operators.graph import integer_pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 23) for i in range(23)], "src long, dst long"
+    )
+    plan = _executed(integer_pagerank(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
