@@ -265,7 +265,30 @@ IMAGE_STATS_SCHEMA = StructType(
 )
 
 
-def image_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def image_decode_errors(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Dead-letter audit for image decode: one (id, error) row per
+    undecodable item (same contract as the netcdf3/grib2 audits)."""
+    from odin_rs_spark.sources.imagecodec import decode_image
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, errs = [], []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                try:
+                    decode_image(bytes(content))
+                except ValueError as exc:
+                    ids.append(mid)
+                    errs.append(str(exc)[:500])
+            yield pd.DataFrame({id_col: ids, "error": errs})
+
+    return media.select(F.col(id_col), "content").mapInPandas(
+        probe, f"{id_col} long, error string"
+    )
+
+
+def image_pixel_stats(
+    media: DataFrame, id_col: str = "media_id", on_error: str = "raise"
+) -> DataFrame:
     """REAL image decode → per-image pixel statistics + 64-bit dHash
     (odin_image/src/lib.rs:149-246 load/stats; R9 similarity via
     perceptual hash). PNG/PNM decode runs in pure Python inside
@@ -274,11 +297,15 @@ def image_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     arithmetic (mean as sum/count in double, dHash fully integer), so an
     external oracle that knows the pixel generator replays it verbatim
     (q124). JPEG and other DCT formats raise here and remain the
-    documented `_decode_backend` swap point.
+    documented `_decode_backend` swap point. `on_error="skip"` drops
+    undecodable items (pair with `image_decode_errors`).
     """
     import numpy as np
 
     from odin_rs_spark.sources.imagecodec import decode_image, dhash64, luma
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,7 +314,12 @@ def image_pixel_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 "channels": [], "mean_luma": [], "dhash": [],
             }
             for mid, content in zip(pdf[id_col], pdf["content"]):
-                img = decode_image(bytes(content))
+                try:
+                    img = decode_image(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 g = luma(img)
                 rows["media_id"].append(mid)
                 rows["width"].append(img.shape[1])
@@ -330,7 +362,9 @@ TILE_STATS_SCHEMA = StructType(
 )
 
 
-def image_tile_stats(media: DataFrame, nx: int = 2, ny: int = 2) -> DataFrame:
+def image_tile_stats(
+    media: DataFrame, nx: int = 2, ny: int = 2, on_error: str = "raise"
+) -> DataFrame:
     """REAL pixel tiling (the odin_onnx mosaic/fit strategies on actual
     pixels, not byte slices): decode each image, split the luma plane
     into nx*ny tiles on floor boundaries (tile tx spans columns
@@ -342,6 +376,9 @@ def image_tile_stats(media: DataFrame, nx: int = 2, ny: int = 2) -> DataFrame:
 
     from odin_rs_spark.sources.imagecodec import decode_image, luma
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {
@@ -349,7 +386,12 @@ def image_tile_stats(media: DataFrame, nx: int = 2, ny: int = 2) -> DataFrame:
                 "n_px": [], "mean_luma": [],
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                g = luma(decode_image(bytes(content)))
+                try:
+                    g = luma(decode_image(bytes(content)))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 h, w = g.shape
                 for ty in range(ny):
                     y0, y1 = ty * h // ny, (ty + 1) * h // ny

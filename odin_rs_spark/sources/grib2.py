@@ -53,7 +53,20 @@ def _sm32_enc(v: int) -> int:
 def parse_grib2(buf: bytes) -> dict:
     """Single-message GRIB2 → {"ni","nj","lat0","lon0","dlat","dlon",
     "values" (nj, ni) float64, "param" (discipline, category, number),
-    "missing" bool mask or None}."""
+    "missing" bool mask or None}.
+
+    Error contract: every malformed input raises ValueError (struct /
+    index / reshape errors are wrapped) — one catchable type per
+    corrupt granule (see `grib2_grid_cells` on_error="skip")."""
+    try:
+        return _parse_grib2(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError, reshape…
+        raise ValueError(f"corrupt GRIB2 file: {exc}") from exc
+
+
+def _parse_grib2(buf: bytes) -> dict:
     if buf[:4] != b"GRIB":
         raise ValueError("not a GRIB file (bad magic)")
     if buf[7] != 2:
@@ -236,16 +249,49 @@ GRIB_CELL_SCHEMA = (
 )
 
 
-def grib2_grid_cells(files_df, value_min: float | None = None):
+def grib2_decode_errors(files_df):
+    """Dead-letter audit: one (path, error) row per unparseable granule
+    (same contract as netcdf3.netcdf_decode_errors)."""
+    import pandas as pd
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            paths, errs = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    parse_grib2(bytes(content))
+                except ValueError as exc:
+                    paths.append(path)
+                    errs.append(str(exc)[:500])
+            yield pd.DataFrame({"path": paths, "error": errs})
+
+    return files_df.select("path", "content").mapInPandas(
+        probe, "path string, error string"
+    )
+
+
+def grib2_grid_cells(
+    files_df, value_min: float | None = None, on_error: str = "raise"
+):
     """S11 decode — binary GRIB2 granules → cell DataFrame with decoded
     lat/lon axes. `value_min` is the in-kernel predicate (numpy mask
-    before any Spark row exists), mirroring netcdf_grid_cells."""
+    before any Spark row exists), mirroring netcdf_grid_cells;
+    `on_error="skip"` drops corrupt granules (pair with
+    `grib2_decode_errors`)."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                g = parse_grib2(bytes(content))
+                try:
+                    g = parse_grib2(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 v = g["values"]
                 nj, ni = v.shape
                 yy, xx = np.mgrid[0:nj, 0:ni]

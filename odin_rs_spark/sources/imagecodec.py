@@ -101,7 +101,20 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (H,W) for gray, (H,W,C) otherwise.
-    Verifies chunk CRCs; supports depth 8, color 0/2/4/6, interlace 0."""
+    Verifies chunk CRCs; supports depth 8, color 0/2/4/6, interlace 0.
+
+    Error contract: every malformed input raises ValueError (zlib /
+    struct / index errors are wrapped) — one catchable type per corrupt
+    image (see multimodal image ops' on_error="skip")."""
+    try:
+        return _decode_png(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib.error, struct.error, IndexError…
+        raise ValueError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -188,7 +201,17 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 
 def decode_pnm(buf: bytes) -> np.ndarray:
-    """Binary P5/P6 (with comment and whitespace handling per spec)."""
+    """Binary P5/P6 (with comment and whitespace handling per spec).
+    Error contract: malformed input raises ValueError only."""
+    try:
+        return _decode_pnm(buf)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"corrupt PNM: {exc}") from exc
+
+
+def _decode_pnm(buf: bytes) -> np.ndarray:
     if buf[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM (P5/P6)")
     rgb = buf[:2] == b"P6"

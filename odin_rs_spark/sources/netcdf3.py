@@ -101,7 +101,22 @@ def parse_netcdf3(buf: bytes) -> dict:
     """Decode a classic NetCDF-3 byte string → header + full variable
     arrays. Returns {"dims": [(name, length)], "numrecs": int,
     "attrs": {...}, "vars": {name: {"dims", "shape", "attrs", "data"}}}
-    with data as numpy arrays in native byte order."""
+    with data as numpy arrays in native byte order.
+
+    Error contract: EVERY malformed input raises ValueError (struct /
+    index / overflow errors are wrapped) — a 100 TB scan wants one
+    catchable exception type per corrupt granule, not whatever a
+    truncated buffer happens to trip (see `netcdf_grid_cells`
+    on_error="skip")."""
+    try:
+        return _parse_netcdf3(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError, OverflowError…
+        raise ValueError(f"corrupt NetCDF-3 file: {exc}") from exc
+
+
+def _parse_netcdf3(buf: bytes) -> dict:
     c = _Cursor(buf)
     if c.take(3) != b"CDF":
         raise ValueError("not a NetCDF classic file (bad magic)")
@@ -168,6 +183,11 @@ def parse_netcdf3(buf: bytes) -> dict:
             )
         else:
             count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            if v["begin"] + count * size > len(buf):
+                raise ValueError(
+                    f"truncated NetCDF-3 file: variable {nm!r} data section "
+                    f"ends past EOF"
+                )
             data = np.frombuffer(
                 buf[v["begin"] : v["begin"] + count * size], dtype=dt
             ).reshape(shape)
@@ -238,6 +258,29 @@ def write_netcdf3(
 NC_GRID_CELL_SCHEMA = "path string, x int, y int, value double, mask double"
 
 
+def netcdf_decode_errors(files_df):
+    """Dead-letter audit for a granule scan: one (path, error) row per
+    file that fails to parse — the countable record a skip-mode
+    pipeline pairs with (same philosophy as `lsh_oversized_buckets`:
+    never drop silently, always emit the audit)."""
+    import pandas as pd
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            paths, errs = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    parse_netcdf3(bytes(content))
+                except ValueError as exc:
+                    paths.append(path)
+                    errs.append(str(exc)[:500])
+            yield pd.DataFrame({"path": paths, "error": errs})
+
+    return files_df.select("path", "content").mapInPandas(
+        probe, "path string, error string"
+    )
+
+
 def netcdf_grid_cells(
     files_df,
     value_var: str,
@@ -245,6 +288,7 @@ def netcdf_grid_cells(
     x_dim: str = "x",
     y_dim: str = "y",
     mask_min: float | None = None,
+    on_error: str = "raise",
 ):
     """S2 — binary .nc granules → the standard cell DataFrame.
 
@@ -254,13 +298,26 @@ def netcdf_grid_cells(
     `value_var` (dims [y_dim, x_dim], row-major). When `mask_min` is
     given, the mask predicate runs on the numpy array INSIDE the kernel
     — the reference's masked read (odin_gdal/src/lib.rs:431-472) — so
-    excluded cells never become rows."""
+    excluded cells never become rows.
+
+    `on_error`: "raise" (default) fails the task on a corrupt granule;
+    "skip" drops it — pair with `netcdf_decode_errors` for the audit
+    (at 10⁶ granules one bad file must not kill the scan, but it must
+    stay countable)."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                nc = parse_netcdf3(bytes(content))
+                try:
+                    nc = parse_netcdf3(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 v = nc["vars"][value_var]
                 if v["dims"] != [y_dim, x_dim]:
                     raise ValueError(

@@ -1,0 +1,147 @@
+"""Corrupt-granule behavior across the three binary decoders: every
+malformed input raises ValueError ONLY (fuzzed by byte mutation and
+truncation with hypothesis), and the Spark scan ops skip-and-audit
+instead of dying when asked to — the 10⁶-granule contract: one bad file
+must neither kill the scan nor disappear silently."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import odin_rs_spark
+from odin_rs_spark.sources.grib2 import parse_grib2
+from odin_rs_spark.sources.imagecodec import decode_image, encode_png
+from odin_rs_spark.sources.netcdf3 import parse_netcdf3
+
+FIX = os.path.join(
+    os.path.dirname(os.path.abspath(odin_rs_spark.__file__)), "sources", "fixtures"
+)
+NC = open(os.path.join(FIX, "grid_cdf1.nc"), "rb").read()
+GRIB = open(os.path.join(FIX, "wind_t50.grib2"), "rb").read()
+PNG = encode_png(np.arange(48, dtype=np.uint8).reshape(6, 8))
+
+
+def _assert_valueerror_or_ok(fn, buf):
+    try:
+        fn(buf)
+    except ValueError:
+        pass  # the one allowed failure type
+    # any other exception type propagates and fails the test
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(NC) - 1), st.integers(1, 255))
+def test_netcdf_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(NC)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_netcdf3, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(NC)))
+def test_netcdf_truncation_raises_valueerror_only(cut):
+    _assert_valueerror_or_ok(parse_netcdf3, NC[:cut])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(GRIB) - 1), st.integers(1, 255))
+def test_grib2_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(GRIB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_grib2, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(GRIB)))
+def test_grib2_truncation_raises_valueerror_only(cut):
+    _assert_valueerror_or_ok(parse_grib2, GRIB[:cut])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PNG) - 1), st.integers(1, 255))
+def test_png_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(PNG)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_image, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_arbitrary_bytes_raise_valueerror_only(junk):
+    for fn in (parse_netcdf3, parse_grib2, decode_image):
+        _assert_valueerror_or_ok(fn, junk)
+
+
+def test_netcdf_scan_skip_and_audit(spark, tmp_path):
+    from odin_rs_spark.sources.netcdf3 import (
+        netcdf_decode_errors,
+        netcdf_grid_cells,
+    )
+
+    good, bad = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    open(good, "wb").write(NC)
+    open(bad, "wb").write(NC[: len(NC) // 2])  # truncated granule
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.nc")
+    with pytest.raises(Exception):  # default: the corrupt granule raises
+        netcdf_grid_cells(files, "speed", mask_var="quality").count()
+    cells = netcdf_grid_cells(
+        files, "speed", mask_var="quality", on_error="skip"
+    )
+    assert cells.count() == 16 * 12  # only the good granule's cells
+    errs = netcdf_decode_errors(files).collect()
+    assert len(errs) == 1 and errs[0]["path"].endswith("b.nc")
+    assert "corrupt" in errs[0]["error"] or "truncated" in errs[0]["error"]
+
+
+def test_grib2_scan_skip_and_audit(spark, tmp_path):
+    from odin_rs_spark.sources.grib2 import grib2_decode_errors, grib2_grid_cells
+
+    open(str(tmp_path / "a.grib2"), "wb").write(GRIB)
+    open(str(tmp_path / "b.grib2"), "wb").write(GRIB[:60])
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.grib2")
+    cells = grib2_grid_cells(files, on_error="skip")
+    assert cells.count() == 24 * 20
+    errs = grib2_decode_errors(files).collect()
+    assert len(errs) == 1 and errs[0]["path"].endswith("b.grib2")
+
+
+def test_image_stats_skip_and_audit(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.operators.multimodal import (
+        image_decode_errors,
+        image_pixel_stats,
+    )
+
+    import pandas as pd
+
+    def _mk(s):
+        return pd.Series(
+            [bytes(PNG) if int(m) % 2 == 0 else b"JUNK" + bytes(20) for m in s]
+        )
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(6).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+    stats = image_pixel_stats(media, on_error="skip")
+    assert stats.count() == 3
+    errs = image_decode_errors(media)
+    assert errs.count() == 3
+    assert all("unrecognized" in r["error"] for r in errs.collect())
+
+
+def test_bad_on_error_value_rejected(spark):
+    from odin_rs_spark.sources.grib2 import grib2_grid_cells
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(FIX, "wind_t50.grib2")
+    )
+    with pytest.raises(ValueError, match="on_error"):
+        grib2_grid_cells(files, on_error="ignore")
