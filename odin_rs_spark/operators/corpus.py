@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from odin_rs_spark.operators.dedup import portable_hash60, shingles_from_words
 
 
+def _salted_hash(c: Column, salt: str = "") -> Column:
+    """The module's ONE salted portable hash (used by hash_fraction,
+    source_quota, shard_assignments — one definition, no drift)."""
+    return portable_hash60(F.concat(c.cast("string"), F.lit(salt)))
+
+
 def hash_fraction(c: Column, salt: str = "") -> Column:
     """Deterministic uniform [0,1) draw per value: portable_hash60 of
     the value (+ salt) scaled by 2^60. The same id always draws the same
@@ -25,9 +31,7 @@ def hash_fraction(c: Column, salt: str = "") -> Column:
     backfills, and engine migrations (the property that matters for
     reproducible training mixes; an RNG-based sample() has none of it).
     """
-    return portable_hash60(F.concat(c.cast("string"), F.lit(salt))) / F.lit(
-        float(1 << 60)
-    )
+    return _salted_hash(c, salt) / F.lit(float(1 << 60))
 
 
 def hash_sample(
@@ -81,19 +85,25 @@ def temperature_mix(
     not be, so keep decisions at a rate boundary are bit-reproducible
     across engines at the default temperature.
     """
-    counts = df.groupBy(source_col).agg(
+    # NULL sources form their own group: a plain equi-join would drop
+    # every NULL-source row silently (SQL NULL != NULL), inconsistent
+    # with source_mix's default_rate handling — normalize through a
+    # sentinel on both sides instead
+    src = F.coalesce(F.col(source_col).cast("string"), F.lit("\u0000null"))
+    counts = df.groupBy(src.alias("__src")).agg(
         F.count(F.lit(1)).cast("double").alias("__n")
     )
     n_min = counts.agg(F.min("__n").alias("__nmin"))
     ratio = F.col("__nmin") / F.col("__n")
     rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        F.col(source_col), rate.alias("__rate")
+        F.col("__src"), rate.alias("__rate")
     )
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.withColumn("__src", src)
+        .join(F.broadcast(rates), "__src")
         .filter(hash_fraction(F.col(key), salt) < F.col("__rate"))
-        .drop("__rate")
+        .drop("__rate", "__src")
     )
 
 
@@ -136,6 +146,10 @@ def contamination(
             )
             .select(out_id, shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
             .select(out_id, F.explode_outer("__sh").alias("__s"))
+            # blank/NULL text yields the single empty shingle — without
+            # this filter every blank doc "matches" every blank
+            # benchmark row and gets flagged contaminated
+            .filter(F.col("__s") != "")
             .select(out_id, hfn(F.col("__s")).alias("__h"))
         )
 
@@ -176,14 +190,15 @@ def pack_sequences(
     w = Window.partitionBy(*part).orderBy(F.col(id_col).asc())
     capped = F.least(F.col(token_count_col).cast("long"), F.lit(int(max_tokens)))
     run = F.sum(capped).over(w)
-    chunk = F.ceil((run.cast("double")) / F.lit(float(max_tokens))) - 1
+    # ceil(run/max) - 1 == (run - 1) div max for run >= 1: pure integer
+    # form (no double round-trip, no 2^53 precision cliff, no clamp)
     out = df.withColumn("__run", run).withColumn(
-        "chunk_id", F.greatest(chunk, F.lit(0)).cast("long")
-    )
+        "chunk_id", F.expr(f"(__run - 1) div {int(max_tokens)}")
+    ).drop("__run")
     wp = Window.partitionBy(*part, "chunk_id").orderBy(F.col(id_col).asc())
     return out.withColumn(
         "chunk_pos", (F.row_number().over(wp) - 1).cast("long")
-    ).drop("__run")
+    )
 
 
 def source_quota(
@@ -203,9 +218,7 @@ def source_quota(
     would let the engines tiebreak different rows). One window shuffle
     partitioned by source.
     """
-    from odin_rs_spark.operators.dedup import portable_hash60
-
-    h = portable_hash60(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    h = _salted_hash(F.col(key), salt)
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -233,9 +246,7 @@ def shard_assignments(
 
     Output: input columns + (shard int, pos long).
     """
-    from odin_rs_spark.operators.dedup import portable_hash60
-
-    h = portable_hash60(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    h = _salted_hash(F.col(key), salt)
     w = Window.partitionBy("shard").orderBy("__h", key)
     return (
         df.withColumn("__h", h)
@@ -265,6 +276,13 @@ def chunk_documents(
     """
     from odin_rs_spark.functions.text import norm_text
 
+    if stride <= 0 or stride > chunk_size:
+        # stride > chunk_size would silently drop the words between
+        # chunk ends and the next stride boundary; stride <= 0 divides
+        # by zero — both violate the every-word-covered invariant
+        raise ValueError(
+            f"stride must be in [1, chunk_size={chunk_size}], got {stride}"
+        )
     words = F.split(norm_text(F.col(text_col)), " ")
     base = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
@@ -354,10 +372,7 @@ def dsir_select(
             + F.col("n_tokens") * (F.log(F.col("__Nr") + F.col("__V")) - F.log(F.col("__Nt") + F.col("__V"))),
         )
     )
-    u = (
-        portable_hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 60))
+    u = (_salted_hash(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(1 << 60))
     gumbel = -F.log(-F.log(u))
     out = scored.withColumn("__key", F.col("__lnw") + gumbel)
     return (

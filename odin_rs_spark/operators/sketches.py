@@ -180,7 +180,17 @@ def cms_query(
     """
     dense = [0] * (width * depth)
     for r in cms.collect():  # bounded by depth*width rows
-        dense[int(r["row"]) * width + int(r["col"])] = int(r["cnt"])
+        row, col = int(r["row"]), int(r["col"])
+        if row >= depth or col >= width:
+            # a sketch built with LARGER dims than the query's would
+            # otherwise read wrong cells (or IndexError) — the probe
+            # positions are a function of (width, depth), so the two
+            # sides must agree exactly
+            raise ValueError(
+                f"cms cell (row={row}, col={col}) outside the queried "
+                f"{depth}x{width} grid — width/depth must match cms_build"
+            )
+        dense[row * width + col] = int(r["cnt"])
     # ONE array Literal, not CreateArray(4096 literal children): the
     # element tree would otherwise be re-walked by every optimizer rule
     # (and duplicated under each of the depth element_at probes) —

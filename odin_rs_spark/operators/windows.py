@@ -58,7 +58,12 @@ def track_trace(
     """W3/W4 — per-key track derivation (Aircraft::push_position,
     odin_adsb/src/lib.rs:221-244):
 
-    1. collapse near-duplicate updates (< min_gap_sec apart, ref: 800 ms);
+    1. collapse near-duplicate updates (< min_gap_sec apart, ref: 800 ms)
+       keeping the LATEST of each dense run — the reference REPLACES the
+       stored last point on a sub-gap update, and a replaced point is the
+       raw predecessor of the next, so "last of each maximal chain of
+       sub-gap neighbors" is exactly the replace semantics (and what the
+       streaming twin `state.track_trace_state` retains);
     2. derive bearing from consecutive points (GeoPoint::bearing_from,
        odin_common/src/geo.rs:102) and elapsed seconds;
     3. optional newest-N cap per key.
@@ -69,9 +74,11 @@ def track_trace(
     from odin_rs_spark.functions.geo import bearing_deg
 
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
-    gap = (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / F.lit(1e6)
-    collapsed = df.withColumn("__gap", gap).filter(
-        F.col("__gap").isNull() | (F.col("__gap") >= min_gap_sec)
+    gap_next = (
+        F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(F.col(ts))
+    ) / F.lit(1e6)
+    collapsed = df.withColumn("__gap_next", gap_next).filter(
+        F.col("__gap_next").isNull() | (F.col("__gap_next") >= min_gap_sec)
     )
 
     w2 = Window.partitionBy(key).orderBy(F.col(ts).asc())
@@ -86,7 +93,7 @@ def track_trace(
             "bearing_deg",
             bearing_deg("prev_lon", "prev_lat", lon, lat),
         )
-        .drop("__gap")
+        .drop("__gap_next")
     )
     if max_positions is not None:
         out = last_n_per_key(out, [key], ts, max_positions)
@@ -96,7 +103,11 @@ def track_trace(
 def cumulative_cdf(df: DataFrame, bin_col: str, count_col: str = "n") -> DataFrame:
     """A7 — histogram → cumulative distribution (histogram equalization,
     odin_image/src/lib.rs:149-217): running sum + normalize."""
-    w = Window.orderBy(F.col(bin_col).asc()).rowsBetween(Window.unboundedPreceding, 0)
+    # RANGE frame, not ROWS: duplicate bin values must share ONE cum/cdf
+    # (ROWS would assign tied rows arbitrary, order-dependent partial
+    # sums) — and SQL's default frame for `sum() OVER (ORDER BY bin)` is
+    # RANGE, so this is also what the oracle computes
+    w = Window.orderBy(F.col(bin_col).asc()).rangeBetween(Window.unboundedPreceding, 0)
     total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return df.withColumn("cum", F.sum(count_col).over(w)).withColumn(
         "cdf", F.col("cum") / F.sum(count_col).over(total)
@@ -113,18 +124,27 @@ def loess_smooth(
     Uniform weights within the frame (the reference uses tricube; the
     windowed-regression shape is identical, and a pandas_udf drop-in can
     swap the kernel if exact parity is required).
+
+    Numerical hygiene: x is ANCHORED to the per-key minimum before the
+    E[x²]−E[x]² moments — translation leaves slope/ŷ mathematically
+    unchanged, but without it a large-magnitude x (epoch micros ≈ 1.7e9
+    s) makes avg(x·x) − mx² pure cancellation noise (double ulp at
+    x² ≈ 3e18 is ~512) and the fit silently degrades to a moving
+    average. The oracle applies the identical anchor.
     """
+    wkey = Window.partitionBy(series_key)
     w = (
         Window.partitionBy(series_key)
         .orderBy(F.col(x).asc())
         .rowsBetween(-bandwidth_rows, bandwidth_rows)
     )
-    mx = F.avg(x).over(w)
+    xa = F.col(x) - F.min(x).over(wkey)
+    mx = F.avg(xa).over(w)
     my = F.avg(y).over(w)
-    cov = F.avg(F.col(x) * F.col(y)).over(w) - mx * my
-    var = F.avg(F.col(x) * F.col(x)).over(w) - mx * mx
+    cov = F.avg(xa * F.col(y)).over(w) - mx * my
+    var = F.avg(xa * xa).over(w) - mx * mx
     slope = F.when(var > 0, cov / var).otherwise(F.lit(0.0))
-    return df.withColumn("y_smooth", my + slope * (F.col(x) - mx))
+    return df.withColumn("y_smooth", my + slope * (xa - mx))
 
 
 def sessionize(
@@ -143,7 +163,11 @@ def sessionize(
     the assignment is deterministic (and reproducible in the SQL
     oracle). Batch twin of Structured Streaming's session_window — use
     that for live streams; this form backfills history and is
-    oracle-checkable.
+    oracle-checkable. Boundary rule: a new session starts at gap >=
+    `gap_minutes` — Spark's session_window windows are [t, t+gap)
+    END-EXCLUSIVE, so two events exactly one gap apart do NOT merge;
+    this batch twin uses the same rule (q117's streaming oracle pins
+    it).
     """
     tb = tiebreak or []
     w = Window.partitionBy(key).orderBy(ts, *tb)
@@ -151,7 +175,7 @@ def sessionize(
     prev = F.lag(F.col(ts)).over(w)
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / 1e6 > gap_s),
+        | ((F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / 1e6 >= gap_s),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy(key).orderBy(ts, *tb).rowsBetween(

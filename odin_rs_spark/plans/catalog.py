@@ -511,7 +511,7 @@ SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
 FROM (
   SELECT user_id, ts, value,
-         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM (
@@ -1817,16 +1817,19 @@ def q51_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q51_SQL = """
 WITH pts AS (
   SELECT user_id, CAST(event_id AS DOUBLE) AS x, value AS y FROM events),
+anch AS (  -- identical per-key anchor to the engine's cancellation guard
+  SELECT user_id, x, x - min(x) OVER (PARTITION BY user_id) AS xa, y
+  FROM pts),
 stats AS (
   SELECT user_id, x,
-         avg(x) OVER w AS mx, avg(y) OVER w AS my,
-         avg(x * y) OVER w - avg(x) OVER w * avg(y) OVER w AS cov,
-         avg(x * x) OVER w - avg(x) OVER w * avg(x) OVER w AS var
-  FROM pts
+         avg(xa) OVER w AS mx, avg(y) OVER w AS my, xa,
+         avg(xa * y) OVER w - avg(xa) OVER w * avg(y) OVER w AS cov,
+         avg(xa * xa) OVER w - avg(xa) OVER w * avg(xa) OVER w AS var
+  FROM anch
   WINDOW w AS (PARTITION BY user_id ORDER BY x ASC
                ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING))
 SELECT user_id, CAST(x AS BIGINT) AS event_id,
-       round(my + (CASE WHEN var > 0 THEN cov / var ELSE 0.0 END) * (x - mx), 6)
+       round(my + (CASE WHEN var > 0 THEN cov / var ELSE 0.0 END) * (xa - mx), 6)
          AS y_smooth
 FROM stats
 """
@@ -2447,7 +2450,7 @@ WITH lagged AS (
 marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN prev_ts IS NULL
-                   OR date_diff('microsecond', prev_ts, ts) / 1e6 > 1800.0
+                   OR date_diff('microsecond', prev_ts, ts) / 1e6 >= 1800.0
               THEN 1 ELSE 0 END AS is_new
   FROM lagged),
 sessioned AS (
