@@ -1216,6 +1216,11 @@ def bloom_probe(
     flag = hit_cols[0]
     for c in hit_cols[1:]:
         flag = flag & c
+    # NULL key → NULL probe positions → NULL flag, which silently drops
+    # the row from BOTH filter(flag) and filter(~flag). bloom_build
+    # skips NULL keys, so a NULL key was never inserted: the defined
+    # answer is "definitely absent" (false)
+    flag = F.coalesce(flag, F.lit(False))
     drop = ["__bloom_words"] + [c for i in range(k) for c in (f"__p{i}", f"__widx{i}")]
     return out.withColumn(flag_col, flag).drop(*drop)
 

@@ -62,8 +62,21 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_cosine(num: Column, den: Column) -> Column:
+    """num/den guarded for the two ways a cosine silently goes wrong on
+    real corpora: a ZERO-NORM vector (failed encoder, default-zero row)
+    makes den = 0 — under Spark 4's default ANSI mode that is a
+    job-killing DIVIDE_BY_ZERO — and a NaN component makes the score
+    NaN, which Spark ORDERS ABOVE every real value and which passes
+    `>= threshold` filters, silently ranking the broken vector first
+    for every query. Both cases yield NULL here: NULLs sort last under
+    desc() and fail threshold filters, so broken vectors drop out of
+    rankings instead of dominating or killing them."""
+    return F.when((den > 0) & ~F.isnan(den) & ~F.isnan(num), num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_cosine(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -100,7 +113,10 @@ def cosine_topk(
         .join(q, F.col(query_id_col) != F.col(id_col))
         .withColumn(
             "cos_sim",
-            dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+            safe_cosine(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qn") * F.col("__cn"),
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -150,11 +166,20 @@ def bucket_udf(num_planes: int, dim: int, num_tables: int):
     def _buckets(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(emb.to_numpy()).astype(np.float64)
-        D = V @ P  # N × (tables·planes)
-        bits = (D > 0).astype(np.int64).reshape(len(emb), num_tables, num_planes)
-        buckets = (bits * weights).sum(axis=2)  # N × tables
-        return pd.Series(list(buckets))
+        # NULL embeddings → NULL signature (downstream explode_outer
+        # tolerates it); np.stack would crash the task on a None row
+        mask = emb.notna().to_numpy()
+        out = np.full(len(emb), None, dtype=object)
+        if mask.any():
+            V = np.stack(emb.to_numpy()[mask]).astype(np.float64)
+            D = V @ P  # n_valid × (tables·planes)
+            bits = (D > 0).astype(np.int64).reshape(int(mask.sum()), num_tables, num_planes)
+            buckets = (bits * weights).sum(axis=2)
+            # positional assignment: object-array boolean fancy-assign
+            # would try to broadcast the 2-D bucket matrix
+            for j, b in zip(np.flatnonzero(mask), buckets):
+                out[j] = b
+        return pd.Series(out)
 
     return _buckets
 
@@ -258,8 +283,10 @@ def _probe_and_rerank(
     qn = queries_named.withColumn("__qn", l2_norm(F.col("__qvec")))
     qc = qn.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d",
-        dot(F.col("__qvec"), F.col("__centroid"))
-        / (F.col("__qn") * l2_norm(F.col("__centroid"))),
+        safe_cosine(
+            dot(F.col("__qvec"), F.col("__centroid")),
+            F.col("__qn") * l2_norm(F.col("__centroid")),
+        ),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("__d").desc(), F.col("__cell").asc()
@@ -275,9 +302,9 @@ def _probe_and_rerank(
         .select(
             query_id_col,
             id_col,
-            (
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qn") * F.col("__cn"))
+            safe_cosine(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qn") * F.col("__cn"),
             ).alias("cos_sim"),
         )
     )
@@ -298,8 +325,16 @@ def _kmeans_lloyd(
     Empty cells keep their previous centroid."""
     rng = np.random.RandomState(seed)
     n = X.shape[0]
+    if n == 0:
+        # an empty training sample has no dimensionality to invent; a
+        # zeros((k, 1)) fallback would crash the downstream (n,dim) @
+        # (dim,k) assignment with a shape error far from the cause
+        raise ValueError(
+            "k-means training sample is empty — raise the sample "
+            "fraction or seed the centroids explicitly"
+        )
     if n <= k:
-        return X.copy() if n else np.zeros((k, 1))
+        return X.copy()
     first = int(rng.randint(n))
     chosen = [first]
     d2 = ((X - X[first]) ** 2).sum(axis=1)
@@ -319,6 +354,27 @@ def _kmeans_lloyd(
     return C
 
 
+def _fixed_centroids(
+    corpus: DataFrame, centroid_ids, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid frame (__cell, __centroid) from explicit
+    corpus ids — cell index = position in `centroid_ids`. ONE definition
+    for ivf_fixed_topk / ivf_lloyd_topk / ivfpq_fixed_topk (the three
+    copies had already started needing lockstep edits)."""
+    return (
+        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
+        .withColumn(
+            "__cell",
+            F.array_position(
+                F.array(*[F.lit(i) for i in centroid_ids]), F.col("__cid")
+            ).cast("int")
+            - 1,
+        )
+        .select("__cell", "__centroid")
+    )
+
+
 def _assign_cell_udf(C: np.ndarray):
     """pandas UDF: embedding → nearest-centroid cell (squared-L2 argmin),
     one BLAS matmul per Arrow batch; the centroid matrix rides along as
@@ -328,10 +384,17 @@ def _assign_cell_udf(C: np.ndarray):
 
     @pandas_udf("int")
     def _cell(v: pd.Series) -> pd.Series:
-        M = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        if len(M) == 0:
+        if len(v) == 0:
             return pd.Series([], dtype="int32")
-        return pd.Series(((-2.0) * (M @ Ct) + c2).argmin(axis=1).astype("int32"))
+        # NULL embeddings → NULL cell (row drops out of every probe)
+        mask = v.notna().to_numpy()
+        out = pd.Series([None] * len(v), dtype="Int32")
+        if mask.any():
+            M = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in v.to_numpy()[mask]]
+            )
+            out[mask] = ((-2.0) * (M @ Ct) + c2).argmin(axis=1).astype("int32")
+        return out
 
     return _cell
 
@@ -402,18 +465,7 @@ def ivf_fixed_topk(
     fixed centroids (ties → lower cell), probes = nprobe best centroids
     per query (ties → lower cell), exact re-rank inside probed cells.
     """
-    cent_df = (
-        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
-        .withColumn(
-            "__cell",
-            F.array_position(
-                F.array(*[F.lit(i) for i in centroid_ids]), F.col("__cid")
-            ).cast("int")
-            - 1,
-        )
-        .select("__cell", "__centroid")
-    )
+    cent_df = _fixed_centroids(corpus, centroid_ids, id_col, vec_col)
     if parallelism:
         corpus = corpus.repartition(parallelism)
     base = corpus.select(
@@ -432,8 +484,10 @@ def _assign_nearest_cosine(base: DataFrame, cent_df: DataFrame, id_col: str) -> 
     partial agg, only |corpus| rows shuffle."""
     ac = base.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d",
-        dot(F.col("__cvec"), F.col("__centroid"))
-        / (F.col("__cn") * l2_norm(F.col("__centroid"))),
+        safe_cosine(
+            dot(F.col("__cvec"), F.col("__centroid")),
+            F.col("__cn") * l2_norm(F.col("__centroid")),
+        ),
     )
     return (
         ac.groupBy(id_col)
@@ -490,18 +544,7 @@ def ivf_lloyd_topk(
     it can flip a downstream argmax).
     """
     spark = corpus.sparkSession
-    cent_df = (
-        corpus.filter(F.col(id_col).isin(list(seed_ids)))
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
-        .withColumn(
-            "__cell",
-            F.array_position(
-                F.array(*[F.lit(i) for i in seed_ids]), F.col("__cid")
-            ).cast("int")
-            - 1,
-        )
-        .select("__cell", "__centroid")
-    )
+    cent_df = _fixed_centroids(corpus, seed_ids, id_col, vec_col)
     if parallelism:
         corpus = corpus.repartition(parallelism)
     base = corpus.select(
@@ -561,6 +604,9 @@ def _pq_udfs(Cs, num_sub: int):
     def _encode(v: pd.Series) -> pd.Series:
         out = []
         for x in v:
+            if x is None:  # NULL embedding → NULL code row
+                out.append(None)
+                continue
             X = np.asarray(x, dtype=np.float64).reshape(num_sub, -1)
             d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
             out.append(d2.argmin(axis=0).astype("int32"))
@@ -570,6 +616,9 @@ def _pq_udfs(Cs, num_sub: int):
     def _dtable(v: pd.Series) -> pd.Series:
         out = []
         for x in v:
+            if x is None:  # NULL query vector → NULL table row
+                out.append(None)
+                continue
             X = np.asarray(x, dtype=np.float64).reshape(num_sub, -1)
             d2 = ((X[None, :, :] - Cs) ** 2).sum(axis=2)
             out.append(d2.T.reshape(-1))
@@ -674,18 +723,7 @@ def ivfpq_fixed_topk(
     approx_dist = Σ_m ‖q_m − c_{code_m}‖² over probed cells only.
     Ranked on the 6dp-rounded distance (ties → lower id).
     """
-    cent_df = (
-        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__centroid"))
-        .withColumn(
-            "__cell",
-            F.array_position(
-                F.array(*[F.lit(i) for i in centroid_ids]), F.col("__cid")
-            ).cast("int")
-            - 1,
-        )
-        .select("__cell", "__centroid")
-    )
+    cent_df = _fixed_centroids(corpus, centroid_ids, id_col, vec_col)
     n_code = len(codebook_ids)
     _encode, _dtable = _pq_udfs(
         _pq_codebook(corpus, codebook_ids, num_sub, id_col, vec_col), num_sub
@@ -700,8 +738,10 @@ def ivfpq_fixed_topk(
     )
     ac = base.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d",
-        dot(F.col("__cvec"), F.col("__centroid"))
-        / (F.col("__cn") * l2_norm(F.col("__centroid"))),
+        safe_cosine(
+            dot(F.col("__cvec"), F.col("__centroid")),
+            F.col("__cn") * l2_norm(F.col("__centroid")),
+        ),
     )
     assigned = (
         ac.groupBy(id_col)
@@ -722,8 +762,10 @@ def ivfpq_fixed_topk(
     )
     qc = qn.crossJoin(F.broadcast(cent_df)).withColumn(
         "__d",
-        dot(F.col("__qvec"), F.col("__centroid"))
-        / (F.col("__qn") * l2_norm(F.col("__centroid"))),
+        safe_cosine(
+            dot(F.col("__qvec"), F.col("__centroid")),
+            F.col("__qn") * l2_norm(F.col("__centroid")),
+        ),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("__d").desc(), F.col("__cell").asc()
@@ -848,7 +890,12 @@ def semantic_near_dup_pairs(
             ),
             "id_b",
         )
-        .withColumn("cos_sim", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+        .withColumn(
+            "cos_sim",
+            safe_cosine(
+                dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
+            ),
+        )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "cos_sim")
     )
@@ -980,9 +1027,9 @@ def matryoshka_topk(
         .select(
             query_id_col,
             id_col,
-            (
-                dot(F.col("__qpre"), F.col("__cpre"))
-                / (F.col("__qpn") * F.col("__cpn"))
+            safe_cosine(
+                dot(F.col("__qpre"), F.col("__cpre")),
+                F.col("__qpn") * F.col("__cpn"),
             ).alias("__pre_cos"),
         )
     )
@@ -1000,9 +1047,9 @@ def matryoshka_topk(
         .select(
             query_id_col,
             id_col,
-            (
-                dot(F.col("__qfull"), F.col("__cfull"))
-                / (F.col("__qfn") * l2_norm(F.col("__cfull")))
+            safe_cosine(
+                dot(F.col("__qfull"), F.col("__cfull")),
+                F.col("__qfn") * l2_norm(F.col("__cfull")),
             ).alias("cos_sim"),
         )
     )
@@ -1052,9 +1099,11 @@ def quantize_int8_stats(
         recon.alias("__r"),
     ).select(
         group_col,
-        (
-            dot(F.col("__x"), F.col("__r"))
-            / (l2_norm(F.col("__x")) * l2_norm(F.col("__r")))
+        # safe_cosine: a zero-norm row contributes NULL (excluded from
+        # the avg) instead of an ANSI DIVIDE_BY_ZERO job kill
+        safe_cosine(
+            dot(F.col("__x"), F.col("__r")),
+            l2_norm(F.col("__x")) * l2_norm(F.col("__r")),
         ).alias("__cos"),
         F.array_max(
             F.zip_with(F.col("__x"), F.col("__r"), lambda a, b: F.abs(a - b))
@@ -1129,7 +1178,10 @@ def int8_adc_topk(
         query_id_col,
         id_col,
         (
-            dot(F.col("__qvec"), F.col("__rvec")) / (F.col("__qn") * F.col("__rn"))
+            safe_cosine(
+                dot(F.col("__qvec"), F.col("__rvec")),
+                F.col("__qn") * F.col("__rn"),
+            )
         ).alias("adc_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(

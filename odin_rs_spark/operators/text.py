@@ -302,18 +302,21 @@ def pmi_collocations(
             F.try_element_at("__w", (i + 2).cast("int")).alias("w2"),
         ),
     )
-    bi = (
+    bi_all = (
         base.filter(F.size("__w") >= 2)
         .select(F.explode(bi_arr).alias("__b"))
         .select("__b.w1", "__b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= min_count)
     )
+    bi = bi_all.filter(F.col("c12") >= min_count)
     totals = uni.agg(
         F.sum("c").cast("double").alias("__N")
     ).crossJoin(
-        bi.agg(F.sum("c12").cast("double").alias("__Nb"))
+        # Nb = TOTAL corpus bigram mass, computed BEFORE the min_count
+        # cut: c12/Nb must be a probability; summing only the kept
+        # pairs would inflate every PMI by ln(Nb_true/Nb_kept)
+        bi_all.agg(F.sum("c12").cast("double").alias("__Nb"))
     )
     scored = (
         bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
@@ -445,7 +448,11 @@ def _segment_hashes(
     Output: (id, extra_cols..., __seg_id, __seg, __h)."""
     from odin_rs_spark.operators.dedup import portable_hash60
 
-    words = F.split(norm_text(F.col(text_col)), " ")
+    # coalesce NULL text to '': under ANSI size(NULL)=NULL silently
+    # DROPS the document from the explode; under legacy sizeOfNull=-1
+    # the descending sequence fabricates a phantom seg_id=-1 — both
+    # break the one-row-per-document contract downstream
+    words = F.split(norm_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     staged = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("__w")
     )
@@ -622,9 +629,12 @@ def winnow_matches(
     are "base code" and carry no containment signal. The rule is a
     deterministic count filter, so a capped run stays SQL-replayable.
     """
+    # persist: the frame feeds BOTH self-join sides (plus the cap
+    # counts) — without it the whole gram-explode → window-min pipeline
+    # recomputes per consumer (the self-join trap dedup.py documents)
     fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("__id"), "gram_hash"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if max_docs_per_hash is not None:
         counts = fp.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("__nd"))
         fp = (
@@ -805,7 +815,15 @@ def bpe_token_stats(
         F.sum("__nb").cast("long").alias("n_bpe_tokens"),
         F.sum("__nw").cast("long").alias("n_ws_tokens"),
         F.round(
-            F.avg(F.col("__nb").cast("double") / F.col("__nw")), round_to
+            # empty/whitespace-only docs have __nw = 0 — NULL ratio
+            # (excluded from avg) instead of an ANSI DIVIDE_BY_ZERO
+            F.avg(
+                F.when(
+                    F.col("__nw") > 0,
+                    F.col("__nb").cast("double") / F.col("__nw"),
+                )
+            ),
+            round_to
         ).alias("avg_inflation"),
     )
 

@@ -3524,13 +3524,14 @@ bi AS (
   SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
     SELECT w[i] AS w1, w[i + 1] AS w2
     FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2))
-  GROUP BY w1, w2 HAVING count(*) >= 5),
+  GROUP BY w1, w2),
+bif AS (SELECT * FROM bi WHERE c12 >= 5),
 n AS (SELECT sum(c)::DOUBLE AS N FROM uni),
 nb AS (SELECT sum(c12)::DOUBLE AS Nb FROM bi),
 scored AS (
   SELECT b.w1, b.w2, b.c12,
          round(ln(b.c12 * n.N * n.N / (nb.Nb * u1.c * u2.c)), 6) AS pmi
-  FROM bi b
+  FROM bif b
   JOIN uni u1 ON u1.word = b.w1
   JOIN uni u2 ON u2.word = b.w2, n, nb)
 SELECT row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)::INT AS rank,

@@ -120,3 +120,78 @@ def test_pack_sequences_integer_chunking(spark):
            corpus_ops.pack_sequences(df, max_tokens=100).collect()}
     # runs (capped at 100): 60, 120, 180, 280 → chunks 0, 1, 1, 2
     assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_cosine_guards_zero_norm_and_nan(spark):
+    """Zero-norm and NaN embeddings must neither kill the job (ANSI
+    DIVIDE_BY_ZERO) nor rank first (Spark orders NaN above all reals) —
+    they drop out of rankings as NULL scores."""
+    from odin_rs_spark.operators import similarity as sim_ops
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),          # zero-norm (failed encoder)
+        (4, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = sim_ops.cosine_topk(corpus, queries, k=4).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # real vectors first, broken vectors last with NULL scores
+    assert ranked[:2] == [1, 2]
+    scores = {r["vec_id"]: r["cos_sim"] for r in out}
+    assert scores[3] is None and scores[4] is None
+
+
+def test_null_embedding_survives_lsh_pipeline(spark):
+    from odin_rs_spark.operators import similarity as sim_ops
+
+    rows = [(1, [1.0] * 64), (2, [0.9] * 64), (3, None)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 64)], "query_id long, embedding array<double>"
+    )
+    out = sim_ops.ann_lsh_topk(corpus, queries, k=2).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}  # NULL row dropped, no crash
+
+
+def test_bpe_stats_empty_doc_no_crash(spark):
+    from odin_rs_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "hello world code"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    row = text_ops.bpe_token_stats(df).collect()[0]
+    assert row["n_docs"] == 3  # empty docs counted, not crashing the agg
+
+
+def test_pmi_mass_from_unfiltered_bigrams(spark):
+    """c12/Nb must be a probability: Nb is the TOTAL bigram mass, not
+    the post-min_count survivor mass."""
+    from odin_rs_spark.operators import text as text_ops
+    import math
+
+    # "a b" x3 (kept), plus 6 distinct singleton bigrams (filtered out)
+    docs = [("a b",)] * 3 + [(f"x{i} y{i}",) for i in range(6)]
+    df = spark.createDataFrame(docs, "text string")
+    out = text_ops.pmi_collocations(df, min_count=3, k=5).collect()
+    assert len(out) == 1 and out[0]["w1"] == "a"
+    # N=18 unigrams, Nb=9 bigrams (NOT 3), c1=c2=c12=3
+    want = round(math.log(3 * 18.0 * 18.0 / (9.0 * 3 * 3)), 6)
+    assert out[0]["pmi"] == want
+
+
+def test_bloom_probe_null_key_definitely_absent(spark):
+    from odin_rs_spark.operators import dedup as dedup_ops
+
+    base = spark.createDataFrame([("x",), ("y",)], "k string")
+    bloom = dedup_ops.bloom_build(base, "k")
+    probe = spark.createDataFrame([("x",), ("zz",), (None,)], "k string")
+    out = {r["k"]: r["maybe_member"] for r in
+           dedup_ops.bloom_probe(probe, "k", bloom).collect()}
+    assert out["x"] is True
+    assert out[None] is False  # defined, not NULL-vanishing
