@@ -16,8 +16,11 @@ def _col(c: Column | str) -> Column:
 
 
 def epoch_millis(ts: Column | str) -> Column:
-    """Timestamp → UTC epoch milliseconds (wire format, datetime.rs:86)."""
-    return (F.unix_micros(_col(ts)) / F.lit(1000)).cast("long")
+    """Timestamp → UTC epoch milliseconds (wire format, datetime.rs:86).
+    FLOOR division, not truncation: chrono's timestamp_millis floors,
+    so a pre-epoch timestamp with sub-ms precision (micros = -500) must
+    map to -1, not 0 — cast('long') alone truncates toward zero."""
+    return F.floor(F.unix_micros(_col(ts)) / F.lit(1000)).cast("long")
 
 
 def from_epoch_millis(ms: Column | str) -> Column:

@@ -79,12 +79,16 @@ def asof_join(
     ltypes = dict(left.dtypes)
     lstruct = "struct<" + ",".join(f"`{c}`:{ltypes[c]}" for c in lcols) + ">"
 
+    # the lhs NULL tiebreak must carry the SAME type as the right-side
+    # order column — a hardcoded long fails unionByName analysis for
+    # string/timestamp orders (or lexicographic-coerces numeric strings)
+    tb_type = dict(right.dtypes)[right_order] if right_order else "long"
     tb = (F.col(right_order) if right_order else F.lit(None).cast("long")).alias("__tb")
     lhs = left.select(
         F.col(on).alias("__k"),
         F.col(ts).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
         F.lit(None).cast(rstruct).alias("__rrow"),
     )
@@ -155,6 +159,10 @@ def interval_join(
     a bounded number of hours (the reference's overpasses span minutes).
     Each fact has exactly one bucket → no dup matches per interval.
     """
+    # end < start (clock skew, corrupt upstream row) would throw inside
+    # F.sequence and kill the job; an inverted interval matches nothing,
+    # so drop it — the skippable-corruption contract the decode ops use
+    intervals = intervals.filter(F.col(end) >= F.col(start))
     binned = intervals.withColumn(
         "__bucket",
         F.explode_outer(
@@ -196,11 +204,16 @@ def quantized_point_join(
     pts = points.withColumn("__cx", quantize_cell(lon, resolution_deg)).withColumn(
         "__cy", quantize_cell(lat, resolution_deg)
     )
-    rhs = F.broadcast(cells) if broadcast_cells else cells
+    # rename the raster key columns BEFORE the join: DataFrame.drop by
+    # NAME would otherwise also delete same-named columns from the
+    # points side (x/y is the universal cell convention, so collisions
+    # are the norm, not the exception)
+    rhs = cells.withColumnRenamed(cell_x, "__rx").withColumnRenamed(cell_y, "__ry")
+    rhs = F.broadcast(rhs) if broadcast_cells else rhs
     out = pts.join(
-        rhs, (F.col("__cx") == rhs[cell_x]) & (F.col("__cy") == rhs[cell_y]), how
+        rhs, (F.col("__cx") == F.col("__rx")) & (F.col("__cy") == F.col("__ry")), how
     )
-    return out.drop("__cx", "__cy", cell_x, cell_y)
+    return out.drop("__cx", "__cy", "__rx", "__ry")
 
 
 def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
@@ -217,8 +230,13 @@ def evidence_join(
     how: str = "left",
 ) -> DataFrame:
     """J4 — resolve an array of record-id refs against the record store
-    (alarm evidences, odin_sentinel/src/alarm.rs:276-338): explode + equi-join."""
-    exploded = records.withColumn("__ref", F.explode(F.col(refs_col)))
+    (alarm evidences, odin_sentinel/src/alarm.rs:276-338): explode + equi-join.
+
+    With how='left', records whose refs array is empty or NULL are KEPT
+    (one row, NULL evidence columns) — plain explode would silently drop
+    them before the join ever saw the left-ness."""
+    exploder = F.explode_outer if how == "left" else F.explode
+    exploded = records.withColumn("__ref", exploder(F.col(refs_col)))
     renamed = store.select(
         F.col(store_id).alias("__store_id"),
         *[F.col(c).alias(f"ev_{c}") for c in store.columns if c != store_id],
@@ -375,13 +393,20 @@ def nearest_inline_join(
     )
     tb = tiebreak or []
     pay = payload if payload is not None else rcols
-    fields = lambda t: (  # noqa: E731
-        [dist_fn(t).alias("d")]
-        + [t[c].alias(f"t{i}") for i, c in enumerate(tb)]
+    # struct comparison falls through field by field, so two guards
+    # keep the argmin honest: NULL distances sort LAST (coalesce to
+    # +inf — a NULL-dist right row must never win), and the payload
+    # fields are fenced off behind a unique per-row index `i` so ties
+    # never compare payload content (which may be unorderable — maps —
+    # or simply not a documented tiebreak)
+    fields = lambda t, i: (  # noqa: E731
+        [F.coalesce(dist_fn(t), F.lit(float("inf"))).alias("d")]
+        + [t[c].alias(f"t{j}") for j, c in enumerate(tb)]
+        + [i.alias("__ri")]
         + [t[c].alias(f"p_{c}") for c in pay]
     )
     best = F.array_min(
-        F.transform(F.col("__rarr"), lambda t: F.struct(*fields(t)))
+        F.transform(F.col("__rarr"), lambda t, i: F.struct(*fields(t, i)))
     )
     out_cols = [c for c in left.columns]
     return (
@@ -423,6 +448,13 @@ def haversine_nearest_join(
     if parallelism:
         left = left.repartition(parallelism)
     rows = sorted(right.select(r_key, r_lon, r_lat).collect(), key=lambda r: r[0])
+    if not rows:
+        # argmin over a zero-width axis would raise inside every
+        # executor task — fail fast at the driver with the actual cause
+        raise ValueError(
+            "haversine_nearest_join: right side is empty — nothing to "
+            "match against"
+        )
     keys = np.asarray([r[0] for r in rows], dtype=np.int64)
     tlon = np.asarray([float(r[1]) for r in rows])
     tlat = np.asarray([float(r[2]) for r in rows])

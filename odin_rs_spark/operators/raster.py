@@ -432,8 +432,13 @@ def contour_segments(
         own_y, own_x = np.mgrid[0 : h - 1, 0 : w - 1]
         own = valid & (own_x < ts) & (own_y < ts)
 
-        vmin = np.nanmin(grid)
-        vmax = np.nanmax(grid)
+        with np.errstate(all="ignore"):
+            vmin = np.nanmin(grid)
+            vmax = np.nanmax(grid)
+        if np.isnan(vmin):  # fully-nodata tile (masked region): no contours
+            return pd.DataFrame(
+                {"level": [], "x1": [], "y1": [], "x2": [], "y2": []}, dtype=float
+            )
         lo = int(np.floor(vmin / interval)) + 1
         hi = int(np.floor(vmax / interval))
         for li in range(lo, hi + 1):
@@ -516,20 +521,44 @@ def contour_segments(
 # R3b — contour POLYLINE assembly (segments → iso-lines)
 # --------------------------------------------------------------------------
 
-_NODE_BASE = 1 << 28  # quantized coord < 2^28 → packed node id < 2^59
+_NODE_BASE = 1 << 26  # quantized coord < 2^26 per axis
+_LEVEL_OFFSET = 512  # level index in [-511, 511] → offset field < 2^10
 
 
 def _contour_node(level_idx: Column, xc: Column, yc: Column, quant: float) -> Column:
-    """Pack (level, quantized endpoint) into one BIGINT graph-node id.
-    floor(x*quant + 0.5) is the engine-identical rounding used by the
-    int8 path; coords must be in [0, 2^28/quant) (true for cell-grid
-    contours — the packing stays injective for any integer level index,
-    negative levels included). The level lives IN the id so one
-    connected-components pass handles every level without cross-level
-    merges."""
+    """Pack (level, quantized endpoint) into one BIGINT graph-node id:
+    ((li + 512) · 2^26 + qx) · 2^26 + qy with qx = floor(x·quant + 0.5)
+    (the engine-identical rounding the int8 path uses). Budget: 10 bits
+    of level, 26 bits per axis → max id < 2^62, no BIGINT overflow.
+
+    VALIDATED, not assumed: coords outside [0, 2^26/quant) or levels
+    outside ±511 raise a descriptive error instead of silently bleeding
+    into the neighboring bit field and merging unrelated iso-lines
+    (with the default quant=1e4 the packable raster is 6710 cells per
+    axis; pass a smaller quant for bigger grids — quantization only
+    needs to unify IDENTICAL endpoints, and two distinct crossings of
+    the same level sit on different cell edges)."""
     qx = F.floor(xc * quant + 0.5).cast("long")
     qy = F.floor(yc * quant + 0.5).cast("long")
-    return (level_idx * _NODE_BASE + qx) * _NODE_BASE + qy
+    li = level_idx + F.lit(_LEVEL_OFFSET)
+    ok = (
+        (qx >= 0) & (qx < _NODE_BASE)
+        & (qy >= 0) & (qy < _NODE_BASE)
+        & (li >= 0) & (li < 2 * _LEVEL_OFFSET)
+    )
+    packed = (li * _NODE_BASE + qx) * _NODE_BASE + qy
+    return F.when(ok, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "contour node out of packable range (coord >= "
+                    f"{_NODE_BASE / quant:.0f} cells at quant={quant:g}, "
+                    "or |level index| > 511) — pass a smaller quant: "
+                ),
+                xc.cast("string"), F.lit(","), yc.cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def _contour_graph(
@@ -561,7 +590,7 @@ def _contour_graph(
 def contour_lines(
     segments: DataFrame,
     interval: float,
-    quant: float = 1.0e6,
+    quant: float = 1.0e4,
 ) -> DataFrame:
     """Assemble marching-squares segments into iso-LINES with attributes
     (odin_gdal/src/contour.rs:28-215 emits assembled lines, not raw
@@ -624,7 +653,7 @@ CONTOUR_POLYLINE_SCHEMA = (
 def contour_polylines(
     segments: DataFrame,
     interval: float,
-    quant: float = 1.0e6,
+    quant: float = 1.0e4,
 ) -> DataFrame:
     """Ordered vertex chains per iso-line — the LineString geometry K5's
     GeoJSON product wants. Components come from the same endpoint-graph

@@ -59,7 +59,17 @@ def salted_join(
 
     Dim replication cost: |dim| × salt_buckets rows through one shuffle —
     bounded and chosen explicitly, unlike the straggler task it removes.
+
+    Only inner/left joins are supported: under right/full-outer, every
+    UNMATCHED dim key would survive once per salt replica — silent
+    salt_buckets× row multiplication.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): an "
+            "outer join would emit one row per salt replica for every "
+            "unmatched dim key"
+        )
     fact = skewed.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -5260,10 +5260,10 @@ seg0 AS (
   FROM pts p JOIN m ON m.cs = p.cs),
 segn AS (
   SELECT level, x1, y1, x2, y2,
-         (li * 268435456 + CAST(floor(x1 * 1000000.0 + 0.5) AS BIGINT)) * 268435456
-           + CAST(floor(y1 * 1000000.0 + 0.5) AS BIGINT) AS ka,
-         (li * 268435456 + CAST(floor(x2 * 1000000.0 + 0.5) AS BIGINT)) * 268435456
-           + CAST(floor(y2 * 1000000.0 + 0.5) AS BIGINT) AS kb
+         ((li + 512) * 67108864 + CAST(floor(x1 * 10000.0 + 0.5) AS BIGINT)) * 67108864
+           + CAST(floor(y1 * 10000.0 + 0.5) AS BIGINT) AS ka,
+         ((li + 512) * 67108864 + CAST(floor(x2 * 10000.0 + 0.5) AS BIGINT)) * 67108864
+           + CAST(floor(y2 * 10000.0 + 0.5) AS BIGINT) AS kb
   FROM seg0),
 segf AS (SELECT * FROM segn WHERE ka <> kb),
 nodes AS (SELECT DISTINCT ka AS id FROM segf UNION SELECT DISTINCT kb FROM segf),

@@ -195,3 +195,97 @@ def test_bloom_probe_null_key_definitely_absent(spark):
            dedup_ops.bloom_probe(probe, "k", bloom).collect()}
     assert out["x"] is True
     assert out[None] is False  # defined, not NULL-vanishing
+
+
+def test_evidence_join_keeps_refless_records(spark):
+    from odin_rs_spark.operators import joins as join_ops
+
+    records = spark.createDataFrame(
+        [(1, [10, 11]), (2, []), (3, None)],
+        "rec_id long, refs array<long>",
+    )
+    store = spark.createDataFrame([(10, "a"), (11, "b")], "id long, v string")
+    out = join_ops.evidence_join(records, "refs", store)
+    by_rec = {}
+    for r in out.collect():
+        by_rec.setdefault(r["rec_id"], []).append(r["ev_v"])
+    # left semantics: refcount-zero records survive with NULL evidence
+    assert sorted(by_rec[1]) == ["a", "b"]
+    assert by_rec[2] == [None] and by_rec[3] == [None]
+
+
+def test_interval_join_skips_inverted_intervals(spark):
+    from odin_rs_spark.operators import joins as join_ops
+
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(3600)), (2, _ts(7200), _ts(3600))],  # 2 inverted
+        "iv_id long, start timestamp, end timestamp",
+    )
+    fact = spark.createDataFrame([(100, _ts(100))], "f_id long, ts timestamp")
+    out = join_ops.interval_join(fact, iv, "ts", "start", "end").collect()
+    # no crash from F.sequence; only the valid interval matches
+    assert len(out) == 1 and out[0]["iv_id"] == 1
+
+
+def test_quantized_point_join_preserves_point_xy(spark):
+    from odin_rs_spark.operators import joins as join_ops
+
+    pts = spark.createDataFrame(
+        [(7, 8, 0.5, 0.5)], "x long, y long, lon double, lat double"
+    )
+    cells = spark.createDataFrame(
+        [(60, 60, 123.0)], "x int, y int, height double"
+    )
+    out = join_ops.quantized_point_join(pts, cells).collect()[0]
+    # the points' own x/y must survive the join (previously dropped)
+    assert out["x"] == 7 and out["y"] == 8 and out["height"] == 123.0
+
+
+def test_asof_join_string_order_column(spark):
+    from odin_rs_spark.operators import joins as join_ops
+
+    left = spark.createDataFrame([(1, _ts(100))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(50), "rec9", 1.0), (1, _ts(50), "rec10", 2.0)],
+        "k long, ts timestamp, rid string, v double",
+    )
+    out = join_ops.asof_join(left, right, on="k", ts="ts", right_order="rid").collect()
+    # analyzes fine with a string order column; max(rid) wins the tie
+    assert len(out) == 1 and out[0]["v"] == 1.0  # 'rec9' > 'rec10' lexicographically
+
+
+def test_salted_join_rejects_outer(spark):
+    from odin_rs_spark.operators import skew
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(df, df, "k", how="full")
+
+
+def test_contour_all_nan_tile_no_crash(spark):
+    from odin_rs_spark.operators import raster as raster_ops
+
+    lat = raster_ops.affine_lattice(spark, 8, 8)
+    cells = lat.select("x", "y", F.lit(None).cast("double").alias("value"))
+    assert raster_ops.contour_segments(cells, interval=1.0, tile_size=4).count() == 0
+
+
+def test_contour_node_range_validated(spark):
+    from odin_rs_spark.operators import raster as raster_ops
+
+    segs = spark.createDataFrame(
+        [(1.0, 1.0e7, 0.0, 1.0e7, 1.0)],  # coord far past the packable range
+        "level double, x1 double, y1 double, x2 double, y2 double",
+    )
+    with pytest.raises(Exception, match="packable range"):
+        raster_ops.contour_lines(segs, interval=1.0).collect()
+
+
+def test_epoch_millis_floors_pre_epoch(spark):
+    from odin_rs_spark.functions import datetimes
+
+    df = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 59, 59, 999500),)], "ts timestamp"
+    )
+    ms = df.select(datetimes.epoch_millis("ts").alias("ms")).collect()[0]["ms"]
+    assert ms == -1  # chrono floors; truncation would give 0
