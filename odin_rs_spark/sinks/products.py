@@ -178,8 +178,13 @@ class SharedStore:
 
     def _emit(self, change: dict) -> None:
         change["ts"] = time.time()
-        with open(self._path, "w") as f:
+        # tmp + atomic replace: a crash mid-dump must not truncate the
+        # persistent snapshot (the RestPoller state file uses the same
+        # pattern)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self._data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._path)
         with open(self._changes_path, "a") as f:
             f.write(json.dumps(change) + "\n")
         for fn in self._subscribers:

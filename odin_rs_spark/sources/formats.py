@@ -67,8 +67,9 @@ def parse_sbs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         parsed.filter(F.col("msg_type") == "MSG")
         .withColumn(
             "ts",
-            F.to_timestamp(
-                F.concat_ws(" ", "date_gen", "time_gen"), "yyyy/MM/dd HH:mm:ss.SSS"
+            F.try_to_timestamp(
+                F.concat_ws(" ", "date_gen", "time_gen"),
+                F.lit("yyyy/MM/dd HH:mm:ss.SSS"),
             ),
         )
         .withColumn("callsign", F.nullif(F.trim("callsign"), F.lit("")))
@@ -138,8 +139,8 @@ def parse_firms_csv(spark_or_df, path: str | None = None) -> DataFrame:
     return (
         df.withColumn(
             "acq_ts",
-            F.to_timestamp(
-                F.concat_ws(" ", "acq_date", hhmm), "yyyy-MM-dd HHmm"
+            F.try_to_timestamp(
+                F.concat_ws(" ", "acq_date", hhmm), F.lit("yyyy-MM-dd HHmm")
             ),
         )
         .withColumn(

@@ -218,7 +218,17 @@ def drain_polling_source(start_run, max_runs: int = 64, timeout_sec: float = 300
     total = 0
     for _ in range(max_runs):
         q = start_run()
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # a pass that outlives the timeout is still RUNNING: reading
+            # partial progress would under-count, and the next start_run
+            # would race this query on the same checkpoint — stop and
+            # surface the stall instead
+            q.stop()
+            raise TimeoutError(
+                f"drain pass exceeded {timeout_sec}s; query stopped "
+                "(raise timeout_sec for slow feeds)"
+            )
         rows = sum(int(p["numInputRows"]) for p in (q.recentProgress or []))
         total += rows
         if rows == 0:

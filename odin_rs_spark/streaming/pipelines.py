@@ -12,6 +12,7 @@ odin_goesr/src/actor.rs:40-88.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,13 +85,22 @@ def snapshot_delta_sink(
             if merge_fn is not None:
                 old = None
                 if os.path.exists(snapshot_dir):
-                    # read+rewrite via a staging dir for atomicity
                     old = spark.read.parquet(snapshot_dir)
                 new_snap = merge_fn(old, batch_df)
+                # ONE write to staging, then a directory swap: the old
+                # rewrite-in-place path wrote the snapshot twice per
+                # batch and still deleted the target before the second
+                # write (a crash there lost the snapshot); renames keep
+                # a complete snapshot on disk at every instant except
+                # the two-rename window, and never double-write
                 staging = snapshot_dir.rstrip("/") + ".staging"
+                retired = snapshot_dir.rstrip("/") + ".old"
                 new_snap.write.mode("overwrite").parquet(staging)
-                final = spark.read.parquet(staging)
-                final.write.mode("overwrite").parquet(snapshot_dir)
+                shutil.rmtree(retired, ignore_errors=True)
+                if os.path.exists(snapshot_dir):
+                    os.rename(snapshot_dir, retired)
+                os.rename(staging, snapshot_dir)
+                shutil.rmtree(retired, ignore_errors=True)
             else:
                 batch_df.write.mode("overwrite").parquet(snapshot_dir)
         finally:
@@ -137,7 +147,12 @@ def backfill_then_live(
     def dedup_append(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         existing = s.read.parquet(store_dir).select(id_col)
-        fresh = batch_df.join(existing, on=id_col, how="left_anti")
+        # dropDuplicates WITHIN the batch too: the seam exists to absorb
+        # duplicate delivery, and a twice-landed record inside ONE
+        # micro-batch passes the store anti-join on both copies
+        fresh = batch_df.dropDuplicates([id_col]).join(
+            existing, on=id_col, how="left_anti"
+        )
         fresh.write.mode("append").parquet(store_dir)
 
     run_available_now(stream, dedup_append, checkpoint_dir, output_mode="append")
@@ -168,6 +183,13 @@ def incremental_segment_dedup_sink(
     seen in a STRICTLY EARLIER batch (the store updates between
     batches), so a fixed replay chunking replays exactly — the batch
     twin is min-batch-per-hash < my-batch.
+
+    foreachBatch RETRY safety: store rows carry the batch id and the
+    dup probe reads only rows with __batch_id < current — a replayed
+    batch therefore ignores its own first attempt's append and
+    recomputes identical stats; the stats write overwrites the batch's
+    own partition (dynamic partitionOverwriteMode) instead of
+    double-appending.
     """
     from odin_rs_spark.operators.text import _segment_hashes
 
@@ -178,8 +200,16 @@ def incremental_segment_dedup_sink(
         ).select(id_col, *extra_cols, "__h")
         segs.persist()
         try:
-            seen = (
+            store = (
                 s.read.parquet(store_dir) if os.path.exists(store_dir) else None
+            )
+            # only STRICTLY EARLIER batches count as "seen": on a
+            # foreachBatch retry the store may already hold this batch's
+            # first-attempt rows, which must not flag its own segments
+            seen = (
+                store.filter(F.col("__batch_id") < batch_id).select("__h")
+                if store is not None
+                else None
             )
             if seen is not None:
                 flagged = segs.join(
@@ -193,15 +223,21 @@ def incremental_segment_dedup_sink(
                 .cast("bigint")
                 .alias("n_dup_segs"),
             )
-            stats.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(stats_dir)
+            (
+                stats.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(stats_dir)
+            )
             new_hashes = segs.select("__h").distinct()
-            if seen is not None:
+            if store is not None:
                 new_hashes = new_hashes.join(
-                    seen.select("__h"), "__h", "left_anti"
+                    store.select("__h").distinct(), "__h", "left_anti"
                 )
-            new_hashes.write.mode("append").parquet(store_dir)
+            new_hashes.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(store_dir)
         finally:
             segs.unpersist()
 

@@ -31,14 +31,22 @@ class RegionManager:
 
     def add_client(self, region: str, client_id: str, region_conf: dict | None = None) -> None:
         clients = self._clients.setdefault(region, set())
-        first = not clients
-        clients.add(client_id)
-        if first:
-            self._queries[region] = self._factory(region, region_conf or {})
+        if not clients:
+            # start the query BEFORE registering the client: if the
+            # factory throws (transient start failure), no client is
+            # recorded, so the next subscriber retries the factory
+            # instead of joining a permanently queryless region
+            try:
+                self._queries[region] = self._factory(region, region_conf or {})
+            except Exception:
+                if not clients:
+                    self._clients.pop(region, None)
+                raise
             if self._store is not None:
                 self._store.set(
                     f"region/{region}", {"active": True, "conf": region_conf or {}}
                 )
+        clients.add(client_id)
 
     def remove_client(self, region: str, client_id: str) -> None:
         clients = self._clients.get(region)

@@ -178,13 +178,26 @@ def track_trace_state(
             lats = [float(x) for x in lat_s.split(",")] if lat_s else []
         else:
             ts, lons, lats = [], [], []
+        import bisect
+
         rows = pd.concat(list(pdfs)).sort_values("ts")
         for _, r in rows.iterrows():
             t = int(r["ts"].value // 1_000_000)
-            if ts and t - ts[-1] < min_gap_ms:
+            if ts and 0 <= t - ts[-1] < min_gap_ms:
                 # collapse: replace the newest position (reference keeps
                 # the latest of a sub-800ms pair, lib.rs:233-243)
                 ts[-1], lons[-1], lats[-1] = t, float(r["lon"]), float(r["lat"])
+            elif ts and t < ts[-1]:
+                # CROSS-BATCH late arrival: sorted insert (T6) — an old
+                # point must never overwrite the newest position (the
+                # lower bound on the gap test matters: t - ts[-1] is
+                # NEGATIVE here and would otherwise take the collapse
+                # branch and move the track backwards)
+                i = bisect.bisect_left(ts, t)
+                if not (i < len(ts) and ts[i] == t):  # drop exact-ts dups
+                    ts.insert(i, t)
+                    lons.insert(i, float(r["lon"]))
+                    lats.insert(i, float(r["lat"]))
             else:
                 ts.append(t)
                 lons.append(float(r["lon"]))
@@ -311,7 +324,13 @@ def upsert_sorted_capped(
         if store_df is None
         else store_df.withColumn("__gen", F.lit(0)).unionByName(tagged_new)
     )
-    dedup_w = Window.partitionBy(id_col).orderBy(F.col("__gen").desc())
+    # (__gen desc, ts desc, id desc): newest batch wins across batches,
+    # and WITHIN a batch the newest event time wins deterministically
+    # (a bare __gen order leaves same-id-same-batch rows to arbitrary,
+    # replay-unstable row_number assignment)
+    dedup_w = Window.partitionBy(id_col).orderBy(
+        F.col("__gen").desc(), F.col(ts_col).desc(), F.col(id_col).desc()
+    )
     cap_w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).desc(), F.col(id_col).desc()
     )

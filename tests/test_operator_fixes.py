@@ -289,3 +289,104 @@ def test_epoch_millis_floors_pre_epoch(spark):
     )
     ms = df.select(datetimes.epoch_millis("ts").alias("ms")).collect()[0]["ms"]
     assert ms == -1  # chrono floors; truncation would give 0
+
+
+def test_parse_sbs_malformed_line_yields_null_ts(spark):
+    """One garbage line must not kill the job (ANSI to_timestamp throws);
+    it parses to a NULL ts row instead."""
+    from odin_rs_spark.sources.formats import parse_sbs
+
+    lines = spark.createDataFrame(
+        [("MSG,3,1,1,ABC123,1,BADDATE,BADTIME,2024/01/01,00:00:00.000,,"
+          "1000,,,52.0,4.0,,,,,,0",)],
+        "value string",
+    )
+    rows = parse_sbs(lines).collect()
+    assert len(rows) == 1 and rows[0]["ts"] is None
+
+
+def test_parse_firms_malformed_date_yields_null(spark, tmp_path):
+    from odin_rs_spark.sources.formats import parse_firms_csv
+
+    p = str(tmp_path / "firms.csv")
+    head = ("latitude,longitude,bright_ti4,scan,track,acq_date,acq_time,"
+            "satellite,instrument,confidence,version,bright_ti5,frp,daynight")
+    with open(p, "w") as f:
+        f.write(head + "\n")
+        f.write("1.0,2.0,300.0,0.4,0.4,2024-01-01,0130,N,VIIRS,h,2,290.0,5.0,N\n")
+        f.write("3.0,4.0,300.0,0.4,0.4,BAD,xx,N,VIIRS,l,2,290.0,5.0,N\n")
+    rows = {r["latitude"]: r["acq_ts"] for r in parse_firms_csv(spark, p).collect()}
+    assert rows[1.0] is not None and rows[3.0] is None
+
+
+def test_track_state_late_record_does_not_overwrite_newest(spark, tmp_path):
+    """A record an hour LATE must sorted-insert (T6), not replace the
+    newest stored position via the unbounded sub-gap test."""
+    import datetime as dtm
+
+    from odin_rs_spark.streaming.sources import file_stream
+    from odin_rs_spark.streaming.state import track_trace_state
+    from odin_rs_spark.streaming.pipelines import run_available_now
+
+    root = str(tmp_path)
+    base = dtm.datetime(2024, 1, 1, 10, 0, 0)
+    chunk1 = spark.createDataFrame(
+        [("a", base, 10.0, 0.0)], "key string, ts timestamp, lon double, lat double"
+    )
+    chunk2 = spark.createDataFrame(  # one hour OLDER than the stored point
+        [("a", base - dtm.timedelta(hours=1), 99.0, 0.0)],
+        "key string, ts timestamp, lon double, lat double",
+    )
+    chunk1.coalesce(1).write.parquet(root + "/chunks/chunk_0001")
+    chunk2.coalesce(1).write.parquet(root + "/chunks/chunk_0002")
+    stream = file_stream(
+        spark, root + "/chunks/chunk_*", chunk1.schema, max_files_per_trigger=1
+    )
+    grouped = stream.groupBy("key")
+    out = track_trace_state(
+        grouped.applyInPandasWithState.__self__.applyInPandasWithState
+        if False
+        else grouped,
+    )
+    rows = []
+
+    def keep(batch_df, bid):
+        rows.extend(batch_df.collect())
+
+    run_available_now(out, keep, root + "/ckpt", output_mode="update")
+    final = rows[-1]
+    assert final["last_lon"] == 10.0  # newest position survives
+    assert final["n_points"] == 2  # late point inserted, not dropped
+
+
+def test_upsert_sorted_capped_in_batch_dup_deterministic(spark):
+    from odin_rs_spark.streaming.state import upsert_sorted_capped
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [(1, 9, t0, 1.0), (1, 9, t0 + dtm.timedelta(minutes=5), 2.0)],
+        "k long, rid long, ts timestamp, v double",
+    )
+    for _ in range(3):  # stable across replans
+        out = upsert_sorted_capped(None, batch, "rid", ["k"], "ts", max_len=5).collect()
+        assert len(out) == 1 and out[0]["v"] == 2.0  # newest ts wins
+
+
+def test_incremental_seg_dedup_retry_idempotent(spark, tmp_path):
+    """Replaying a batch (foreachBatch retry) must neither double-append
+    stats nor flag the batch's own first-attempt hashes as dups."""
+    from odin_rs_spark.streaming.pipelines import incremental_segment_dedup_sink
+
+    store, stats = str(tmp_path / "store"), str(tmp_path / "stats")
+    sink = incremental_segment_dedup_sink(store, stats, seg_words=3)
+    b0 = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    sink(b0, 0)
+    sink(b0, 0)  # retry of the SAME batch
+    rows = spark.read.parquet(stats).collect()
+    assert len(rows) == 1  # no duplicate stats rows
+    assert rows[0]["n_dup_segs"] == 0  # own first attempt not seen as dup
+    b1 = spark.createDataFrame([(2, "alpha beta gamma")], "doc_id long, text string")
+    sink(b1, 1)
+    by_doc = {r["doc_id"]: r["n_dup_segs"] for r in spark.read.parquet(stats).collect()}
+    assert by_doc == {1: 0, 2: 1}  # later batch still sees batch 0's hash
