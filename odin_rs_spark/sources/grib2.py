@@ -82,6 +82,11 @@ def _parse_grib2(buf: bytes) -> dict:
         if buf[pos : pos + 4] == b"7777":
             break
         (sec_len,) = struct.unpack(">I", buf[pos : pos + 4])
+        if sec_len < 5:
+            # a zero/short section length would never advance `pos` —
+            # an INFINITE LOOP on corrupt input (found by the mutation
+            # fuzzer), not just a bad parse
+            raise ValueError(f"corrupt GRIB2: section length {sec_len} < 5")
         sec_num = buf[pos + 4]
         body = buf[pos : pos + sec_len]
         if sec_num == 3:

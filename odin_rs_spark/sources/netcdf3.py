@@ -161,6 +161,14 @@ def _parse_netcdf3(buf: bytes) -> dict:
         raise ValueError(f"bad variable-list tag {tag}")
 
     recsize = sum(variables[v]["vsize"] for v in rec_vars)
+    if rec_vars and numrecs * max(recsize, 1) > len(buf):
+        # bound the per-record chunk loop by the buffer: a corrupt
+        # numrecs (mutated int32) would otherwise iterate billions of
+        # times building empty slices — the unbounded-loop class the
+        # GRIB2 section-length fuzzer caught
+        raise ValueError(
+            f"corrupt NetCDF-3 file: numrecs={numrecs} exceeds the file size"
+        )
     out_vars: dict[str, dict] = {}
     for nm, v in variables.items():
         dt, size = _TYPES[v["nc_type"]]

@@ -121,3 +121,14 @@ def test_north_to_south_scan_mode(tmp_path):
     write_grib2(p2, vals, lat0=0.0, lon0=10.0, dlat=0.5, dlon=-1.0, nbits=4)
     g2 = parse_grib2(open(p2, "rb").read())
     assert g2["dlon"] == -1.0 and (g2["scan"] & 0x80)
+
+
+def test_zero_section_length_raises_not_loops(tmp_path):
+    """A section length mutated to 0 must raise, not spin forever
+    (pos += sec_len would never advance — found by the byte fuzzer)."""
+    p = str(tmp_path / "z.grib2")
+    write_grib2(p, np.zeros((2, 2)), lat0=0, lon0=0, dlat=1, dlon=1, nbits=1)
+    buf = bytearray(open(p, "rb").read())
+    struct.pack_into(">I", buf, 16, 0)  # first section's length → 0
+    with pytest.raises(ValueError, match="section length"):
+        parse_grib2(bytes(buf))

@@ -121,3 +121,17 @@ def test_grid_cells_mask_pushdown(spark):
     # decoded values match the generator formula cell-by-cell
     for r in rows[:20]:
         assert r["value"] == ((r["x"] * 37 + r["y"] * 23) % 97) * 0.25 - 10.0
+
+
+def test_huge_numrecs_raises_not_loops():
+    """A corrupt numrecs must raise, not iterate billions of empty
+    record slices (the unbounded-loop class the GRIB2 fuzzer caught)."""
+    header = b"CDF\x01" + struct.pack(">i", 0x7FFFFFFF)  # absurd numrecs
+    header += struct.pack(">ii", 0x0A, 1) + _name("t") + struct.pack(">i", 0)
+    header += struct.pack(">ii", 0, 0)
+    header += struct.pack(">ii", 0x0B, 1)
+    var = _name("v") + struct.pack(">i", 1) + struct.pack(">i", 0)
+    var += struct.pack(">ii", 0, 0) + struct.pack(">ii", 5, 4)
+    buf = header + var + struct.pack(">i", len(header) + len(var) + 4)
+    with pytest.raises(ValueError, match="numrecs"):
+        parse_netcdf3(buf)
