@@ -87,13 +87,28 @@ def mlp_classify(
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def _udf(s: pd.Series) -> pd.DataFrame:
-        x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        # NULL embeddings (failed encoder rows) classify to NULL instead
+        # of letting np.array build a ragged object array and fail the
+        # matmul with an opaque shape error — same mask-and-skip
+        # contract as the LSH/cell-assign/PQ kernels
+        valid = np.array([v is not None for v in s])
+        in_dim = weights["w1"].shape[0]
+        x = np.array(
+            [
+                np.asarray(v, dtype=np.float64) if ok else np.zeros(in_dim)
+                for v, ok in zip(s, valid)
+            ]
+        )
         xq = np.floor(x * quant + 0.5) / quant
         logits = mlp_forward(xq, weights)
         pred = np.argmax(logits, axis=1)  # first max wins ties
         part = np.partition(logits, -2, axis=1)
         margin = part[:, -1] - part[:, -2]
-        return pd.DataFrame({"pred": pred.astype(np.int32), "margin": margin})
+        out = pd.DataFrame(
+            {"pred": pred.astype(np.int32), "margin": margin}
+        ).astype({"pred": "Int32"})
+        out.loc[~valid, ["pred", "margin"]] = None
+        return out
 
     return F.pandas_udf(_udf, CLASSIFY_SCHEMA)(c)
 

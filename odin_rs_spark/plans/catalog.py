@@ -4228,7 +4228,11 @@ def q103_stream_ttl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.pipelines import (
+        latest_per_key_merge,
+        run_available_now,
+        snapshot_delta_sink,
+    )
     from odin_rs_spark.streaming.sources import file_stream, split_for_replay
     from odin_rs_spark.streaming.state import ttl_latest_state
 
@@ -4245,18 +4249,18 @@ def q103_stream_ttl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ttl_latest_state(stream.groupBy("key"), ttl_ms=None)
 
-        snapshot: dict[str, tuple] = {}
-
-        def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            for r in batch_df.collect():
-                snapshot[r["key"]] = (r["ts"], r["value"], r["n_updates"])
-
+        # snapshot_delta_sink (not a driver dict): the per-key upsert is
+        # one anti-join per batch, executor-side — a driver dict grows
+        # with KEY CARDINALITY, not aggregation output, which at 100×
+        # users is exactly the driver-memory pattern this repo documents
+        # against (VERDICT r3/r4)
+        snap, delta = root + "/snapshot", root + "/delta"
+        sink = snapshot_delta_sink(snap, delta, latest_per_key_merge(["key"]))
         with _stream_state_parallelism(spark, 8):
-            run_available_now(out, upsert, root + "/ckpt", output_mode="update")
-        rows = [(k, ts, v, n) for k, (ts, v, n) in sorted(snapshot.items())]
-        return spark.createDataFrame(
-            rows, "key string, ts timestamp, value double, n_updates bigint"
-        )
+            run_available_now(out, sink, root + "/ckpt", output_mode="update")
+        kept = spark.read.parquet(snap).select("key", "ts", "value", "n_updates")
+        rows = kept.collect()  # materialize before the temp store is deleted
+        return spark.createDataFrame(rows, kept.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4455,21 +4459,31 @@ def q108_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type"
         )
 
-        keys: set[tuple] = set()
+        # partitioned_append_sink (not a driver set): streaming
+        # dropDuplicates already guarantees exactly-once emission per
+        # key pair, so each batch lands as its own retry-idempotent
+        # parquet partition — the distinct-key set never visits the
+        # driver (it grows with key cardinality)
+        from odin_rs_spark.streaming.pipelines import partitioned_append_sink
 
-        def collect_keys(batch_df: DataFrame, batch_id: int) -> None:
-            for r in batch_df.collect():
-                keys.add((r["user_id"], r["event_type"]))
-
+        out_dir = root + "/pairs"
         with _stream_state_parallelism(spark, 8):
-            run_available_now(dedup, collect_keys, root + "/ckpt", output_mode="append")
-        pairs = spark.createDataFrame(
-            sorted(keys), "user_id bigint, event_type string"
+            run_available_now(
+                dedup,
+                partitioned_append_sink(out_dir),
+                root + "/ckpt",
+                output_mode="append",
+            )
+        agg = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("user_id").alias("sum_user_id"),
+            )
         )
-        return pairs.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("user_id").alias("sum_user_id"),
-        )
+        rows = agg.collect()  # materialize before the temp store is deleted
+        return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -4905,20 +4919,25 @@ def q117_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 minute"
         )
 
-        rows_out: list[tuple] = []
+        # partitioned_append_sink (not a driver list): watermark-closed
+        # session windows emit exactly once, so batches land as
+        # retry-idempotent parquet partitions; closed sessions scale
+        # with the corpus and must never accumulate in driver memory
+        from odin_rs_spark.streaming.pipelines import partitioned_append_sink
 
-        def collect_rows(batch_df: DataFrame, batch_id: int) -> None:
-            for r in batch_df.collect():
-                rows_out.append(
-                    (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-                )
-
+        out_dir = root + "/sessions"
         with _stream_state_parallelism(spark, 8):
-            run_available_now(sessions, collect_rows, root + "/ckpt", output_mode="append")
-        return spark.createDataFrame(
-            sorted(rows_out),
-            "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint",
+            run_available_now(
+                sessions,
+                partitioned_append_sink(out_dir),
+                root + "/ckpt",
+                output_mode="append",
+            )
+        kept = spark.read.parquet(out_dir).select(
+            "user_id", "session_start", "session_end", "n_events"
         )
+        rows = kept.collect()  # materialize before the temp store is deleted
+        return spark.createDataFrame(rows, kept.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -5121,11 +5140,14 @@ GROUP BY bucket
 # --------------------------------------------------------------------------
 
 def q120_stream_upsert_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
     import shutil
     import tempfile
 
-    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.pipelines import (
+        atomic_snapshot_swap,
+        read_snapshot,
+        run_available_now,
+    )
     from odin_rs_spark.streaming.sources import file_stream, split_for_replay
     from odin_rs_spark.streaming.state import upsert_sorted_capped
 
@@ -5150,14 +5172,17 @@ def q120_stream_upsert_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = root + "/store"
 
         def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            s = batch_df.sparkSession
-            old = s.read.parquet(store) if _os.path.exists(store) else None
+            # rename-swap (not delete-before-write): a crash mid-swap
+            # leaves a complete store at '.old'/'.staging' that
+            # read_snapshot recovers, so a replayed batch never rebuilds
+            # from None. At 100× the O(store) snapshot rewrite is the
+            # cost to swap for a Delta/Iceberg MERGE — see
+            # atomic_snapshot_swap's docstring for the exact seam.
+            old = read_snapshot(batch_df.sparkSession, store)
             new = upsert_sorted_capped(
                 old, batch_df, "event_id", ["user_id"], "ts", max_len=20
             )
-            staging = store + ".staging"
-            new.write.mode("overwrite").parquet(staging)
-            s.read.parquet(staging).write.mode("overwrite").parquet(store)
+            atomic_snapshot_swap(new, store)
 
         with _stream_state_parallelism(spark, 8):
             run_available_now(stream, upsert, root + "/ckpt", output_mode="append")

@@ -1,6 +1,6 @@
-"""Pure-Python GRIB2 reader/writer for simple packing (SURVEY §2.1 S11;
-parity: the reference's HRRR forecast reader decodes GRIB2 fields via
-external tooling, odin_hrrr/src/lib.rs:262-307).
+"""Pure-Python GRIB2 reader/writer for simple AND complex packing
+(SURVEY §2.1 S11; parity: the reference's HRRR forecast reader decodes
+GRIB2 fields via external tooling, odin_hrrr/src/lib.rs:262-307).
 
 GRIB2 (WMO FM 92) is a public sectioned binary format. This module
 implements the subset that covers regular forecast products:
@@ -11,13 +11,23 @@ implements the subset that covers regular forecast products:
   spec);
 - Section 5 data template **5.0** (simple packing): value = (R + X·2^E)
   · 10^-D with X an `nbits`-wide big-endian integer stream;
+- Section 5 data templates **5.2 / 5.3** (complex packing, optionally
+  with first/second-order spatial differencing) — what production HRRR
+  granules actually carry: octet-aligned extra descriptors (ival1
+  [, ival2], gmin in sign-magnitude), general group splitting (group
+  references / widths / scaled lengths, each field zero-padded to an
+  octet boundary), per-group bit-packed deviations, then the inverse
+  difference recurrence restated as cumulative sums (vectorized);
 - Section 6 bitmap indicator 255 (no bitmap) or 0 (embedded bitmap:
   missing points carry no packed value).
 
-Complex/JPEG2000 packing (templates 5.2/5.40) genuinely needs external
-codecs and remains the documented seam — same policy as JPEG in
-imagecodec.py. The byte-range FETCH side of S11 (the reference's .idx
-scheme) stays scoped out per SURVEY §7.3; this closes the DECODE side.
+JPEG2000 packing (template 5.40) genuinely needs an external DCT/
+wavelet codec and remains the documented seam — same policy as JPEG in
+imagecodec.py. Missing-value management within complex packing (DRT
+octet 23 ≠ 0) is rejected explicitly: the granules this engine targets
+signal missing data via the section-6 bitmap. The byte-range FETCH side
+of S11 (the reference's .idx scheme) stays scoped out per SURVEY §7.3;
+this closes the DECODE side.
 
 Scale shape (`grib2_grid_cells`): binaryFile scan → mapInPandas decode
 per message → cell rows (x, y, lat, lon, value); one forecast granule
@@ -48,6 +58,43 @@ def _sm32(v: int) -> int:
 
 def _sm32_enc(v: int) -> int:
     return (0x80000000 | (-v)) if v < 0 else v
+
+
+def _sm_bytes(b: bytes) -> int:
+    """Arbitrary-width sign-magnitude big-endian int (the GRIB2 'extra
+    descriptor' encoding: first bit = sign, rest = magnitude)."""
+    v = int.from_bytes(b, "big")
+    sign_bit = 1 << (len(b) * 8 - 1)
+    return -(v & (sign_bit - 1)) if v & sign_bit else v
+
+
+def _sm_bytes_enc(v: int, octets: int) -> bytes:
+    sign_bit = 1 << (octets * 8 - 1)
+    mag = -v if v < 0 else v
+    if mag >= sign_bit:
+        raise ValueError(f"{v} does not fit sign-magnitude in {octets} octets")
+    return ((sign_bit | mag) if v < 0 else mag).to_bytes(octets, "big")
+
+
+def _take_uints(bits: np.ndarray, pos: int, n: int, width: int):
+    """Read `n` consecutive big-endian unsigned ints of `width` bits
+    from the unpacked bit array starting at `pos`; returns (values,
+    new_pos). Bounds-checked: corrupt counts raise instead of reshaping
+    garbage (the unbounded-loop/fuzzer class)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.int64), pos
+    if width > 32:
+        raise ValueError(f"bit width {width} > 32 unsupported")
+    end = pos + n * width
+    if end > len(bits):
+        raise ValueError("packed field runs past the data section")
+    seg = bits[pos:end].reshape(n, width)
+    vals = (seg.astype(np.int64) * (1 << np.arange(width - 1, -1, -1))).sum(axis=1)
+    return vals, end
+
+
+def _pad8(pos: int) -> int:
+    return (pos + 7) // 8 * 8
 
 
 def parse_grib2(buf: bytes) -> dict:
@@ -124,16 +171,51 @@ def _parse_grib2(buf: bytes) -> dict:
             category, number = body[9], body[10]
         elif sec_num == 5:
             (tmpl,) = struct.unpack(">H", body[9:11])
-            if tmpl != 0:
-                raise ValueError(f"data template 5.{tmpl} unsupported (5.0 only)")
+            if tmpl not in (0, 2, 3):
+                raise ValueError(
+                    f"data template 5.{tmpl} unsupported (5.0/5.2/5.3 only)"
+                )
             (r_ref,) = struct.unpack(">f", body[11:15])
             (e_raw, d_raw) = struct.unpack(">HH", body[15:19])
             pack = {
+                "tmpl": tmpl,
                 "R": float(r_ref),
                 "E": _sm16(e_raw),
                 "D": _sm16(d_raw),
                 "nbits": body[19],
             }
+            if tmpl in (2, 3):
+                # DRT 5.2 octets 22-47 (general group splitting); 5.3
+                # appends octets 48-49 (differencing order, descriptor
+                # octet count)
+                if body[21] != 1:
+                    raise ValueError(
+                        f"group splitting method {body[21]} unsupported "
+                        "(general group splitting only)"
+                    )
+                if body[22] != 0:
+                    raise ValueError(
+                        "missing value management within complex packing "
+                        "unsupported (use a section-6 bitmap)"
+                    )
+                pack.update(
+                    ng=struct.unpack(">I", body[31:35])[0],
+                    wref=body[35],
+                    wbits=body[36],
+                    lref=struct.unpack(">I", body[37:41])[0],
+                    linc=body[41],
+                    last_len=struct.unpack(">I", body[42:46])[0],
+                    lbits=body[46],
+                )
+                if tmpl == 3:
+                    order, ods = body[47], body[48]
+                    if order not in (1, 2):
+                        raise ValueError(
+                            f"spatial differencing order {order} unsupported"
+                        )
+                    if ods == 0 or ods > 8:
+                        raise ValueError(f"bad descriptor octet count {ods}")
+                    pack.update(order=order, ods=ods)
         elif sec_num == 6:
             ind = body[5]
             if ind == 0:
@@ -149,13 +231,18 @@ def _parse_grib2(buf: bytes) -> dict:
         raise ValueError("GRIB2 message missing section 3, 5 or 7")
     n = grid["ni"] * grid["nj"]
     n_packed = n if bitmap is None else int(bitmap[:n].sum())
-    bits = np.unpackbits(np.frombuffer(values, dtype=np.uint8))
-    nb = pack["nbits"]
-    if nb == 0:
-        x = np.zeros(n_packed, dtype=np.int64)
+    if pack["tmpl"] == 0:
+        bits = np.unpackbits(np.frombuffer(values, dtype=np.uint8))
+        nb = pack["nbits"]
+        if nb == 0:
+            x = np.zeros(n_packed, dtype=np.int64)
+        else:
+            bits = bits[: n_packed * nb].reshape(n_packed, nb)
+            x = (bits.astype(np.int64) * (1 << np.arange(nb - 1, -1, -1))).sum(
+                axis=1
+            )
     else:
-        bits = bits[: n_packed * nb].reshape(n_packed, nb)
-        x = (bits.astype(np.int64) * (1 << np.arange(nb - 1, -1, -1))).sum(axis=1)
+        x = _unpack_complex(values, pack, n_packed)
     vals = (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
     if bitmap is not None:
         full = np.full(n, np.nan)
@@ -170,32 +257,108 @@ def _parse_grib2(buf: bytes) -> dict:
     }
 
 
-def write_grib2(
-    path: str,
-    values: np.ndarray,
+def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
+    """Data templates 7.2/7.3: general group splitting, optional
+    spatial differencing. Returns the reconstructed integer field X of
+    length n_packed (Y = (R + X·2^E)·10^-D applied by the caller).
+
+    Vectorization: groups are unpacked per DISTINCT bit width (≤ 32
+    classes), each class as one fancy-indexed reshape over the global
+    bit array — no per-group Python loop, so a real granule with tens
+    of thousands of groups costs a handful of numpy passes. The inverse
+    spatial-difference recurrence is restated as cumulative sums
+    (order 1: one cumsum; order 2: two), not a scalar loop."""
+    pos = 0
+    order = pack.get("order", 0)
+    if order:
+        ods = pack["ods"]
+        need = (order + 1) * ods
+        if len(data) < need:
+            raise ValueError("truncated spatial-differencing descriptors")
+        ivals = [
+            _sm_bytes(data[i * ods : (i + 1) * ods]) for i in range(order)
+        ]
+        gmin = _sm_bytes(data[order * ods : need])
+        pos = need * 8
+
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    ng = pack["ng"]
+    if ng == 0:
+        if n_packed:
+            raise ValueError("zero groups but nonzero data points")
+        return np.zeros(0, dtype=np.int64)
+    # each of the three group-descriptor fields is zero-padded to an
+    # octet boundary (spec 7.2 notes 1-3)
+    refs, pos = _take_uints(bits, pos, ng, pack["nbits"])
+    pos = _pad8(pos)
+    widths, pos = _take_uints(bits, pos, ng, pack["wbits"])
+    pos = _pad8(pos)
+    lens_scaled, pos = _take_uints(bits, pos, ng, pack["lbits"])
+    pos = _pad8(pos)
+    widths = widths + pack["wref"]
+    if widths.max() > 32:
+        raise ValueError(f"group width {int(widths.max())} > 32 unsupported")
+    lengths = lens_scaled * pack["linc"] + pack["lref"]
+    lengths[-1] = pack["last_len"]
+    total = int(lengths.sum())
+    if total != n_packed:
+        raise ValueError(
+            f"group lengths sum to {total}, expected {n_packed} data points"
+        )
+
+    # deviations, grouped by distinct width (one vector pass per class)
+    starts = pos + np.concatenate(([0], np.cumsum(lengths * widths)[:-1]))
+    end = int(pos + (lengths * widths).sum())
+    if end > len(bits):
+        raise ValueError("packed group data runs past the data section")
+    elem_group = np.repeat(np.arange(ng), lengths)
+    elem_idx = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths
+    )
+    x = np.repeat(refs, lengths)  # width-0 groups: all elements = ref
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths[elem_group] == w
+        bit0 = starts[elem_group[sel]] + elem_idx[sel] * w
+        seg = bits[bit0[:, None] + np.arange(w)]
+        dev = (seg.astype(np.int64) * (1 << np.arange(w - 1, -1, -1))).sum(axis=1)
+        x[sel] += dev
+
+    if order == 0:
+        return x
+    # 7.3: x holds (spatial differences − gmin) for k ≥ order; the
+    # first `order` original values arrive via the descriptors
+    if n_packed <= order:
+        return np.array(ivals[:n_packed], dtype=np.int64)
+    if order == 1:
+        out = np.empty(n_packed, dtype=np.int64)
+        out[0] = ivals[0]
+        out[1:] = ivals[0] + np.cumsum(x[1:] + gmin)
+        return out
+    sd = x[2:] + gmin  # second differences, k ≥ 2
+    d1 = (ivals[1] - ivals[0]) + np.concatenate(
+        ([0], np.cumsum(sd))
+    )  # first differences d1[k] = f[k+1] − f[k]
+    out = np.empty(n_packed, dtype=np.int64)
+    out[0] = ivals[0]
+    out[1:] = ivals[0] + np.cumsum(d1)
+    return out
+
+
+def _sections_0134(
+    ni: int,
+    nj: int,
     lat0: float,
     lon0: float,
     dlat: float,
     dlon: float,
-    e_scale: int = 0,
-    d_scale: int = 0,
-    r_ref: float = 0.0,
-    nbits: int = 12,
-    discipline: int = 0,
-    category: int = 2,
-    number: int = 2,
-) -> None:
-    """Minimal GRIB2 writer (template 3.0 + 5.0, no bitmap) — the
-    fixture generator and the reader's roundtrip twin. Values must
-    satisfy X = (v·10^D − R)·2^−E being integers in [0, 2^nbits)."""
-    nj, ni = values.shape
-    x = (values * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
-    xi = np.round(x).astype(np.int64)
-    if not np.allclose(x, xi, rtol=0, atol=1e-9):
-        raise ValueError("values not representable under the given scales")
-    if xi.min() < 0 or xi.max() >= (1 << nbits):
-        raise ValueError("packed integers out of nbits range")
-
+    discipline: int,
+    category: int,
+    number: int,
+) -> tuple[bytes, bytes, bytes, bytes]:
+    """Shared writer framing: sections 0 (sans total length), 1, 3
+    (grid template 3.0) and 4 (product template 4.0)."""
     sec0 = b"GRIB\x00\x00" + bytes([discipline, 2])  # + total length later
     sec1 = (
         struct.pack(">IB", 21, 1)
@@ -230,6 +393,171 @@ def write_grib2(
         + struct.pack(">H", 0)  # template 4.0
         + bytes([category, number])
         + bytes(23)
+    )
+    return sec0, sec1, sec3, sec4
+
+
+def _pack_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Big-endian bit explosion: (n,) ints → (n·width,) uint8 bits."""
+    if width == 0:
+        return np.zeros(0, dtype=np.uint8)
+    return (
+        ((vals[:, None] >> np.arange(width - 1, -1, -1)) & 1)
+        .astype(np.uint8)
+        .reshape(-1)
+    )
+
+
+def write_grib2_complex(
+    path: str,
+    values: np.ndarray,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    e_scale: int = 0,
+    d_scale: int = 0,
+    r_ref: float = 0.0,
+    order: int = 2,
+    group_len: int = 8,
+    discipline: int = 0,
+    category: int = 2,
+    number: int = 2,
+) -> None:
+    """GRIB2 writer for complex packing (template 5.2 when order=0,
+    5.3 with first/second-order spatial differencing otherwise) — the
+    encode twin of `_unpack_complex` and the q129 fixture generator.
+    Fixed-size general group splitting: every group is `group_len`
+    points (last group shorter), per-group reference = group min,
+    per-group width = bits of the max deviation; group lengths ride the
+    reference/last-length fields with zero scaled-length bits."""
+    if order not in (0, 1, 2):
+        raise ValueError(f"order must be 0, 1 or 2, got {order}")
+    nj, ni = values.shape
+    x = (values * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
+    xi = np.round(x).astype(np.int64)
+    if not np.allclose(x, xi, rtol=0, atol=1e-9):
+        raise ValueError("values not representable under the given scales")
+    flat = xi.reshape(-1)
+    n = flat.size
+    if n <= order:
+        raise ValueError("too few points for the differencing order")
+
+    extra = b""
+    if order == 1:
+        sd = flat[1:] - flat[:-1]
+        gmin = int(sd.min())
+        field = np.concatenate(([0], sd - gmin))
+        ivals = [int(flat[0])]
+    elif order == 2:
+        sd = flat[2:] - 2 * flat[1:-1] + flat[:-2]
+        gmin = int(sd.min())
+        field = np.concatenate(([0, 0], sd - gmin))
+        ivals = [int(flat[0]), int(flat[1])]
+    else:
+        field = flat
+        if field.min() < 0:
+            raise ValueError("template 5.2 packs non-negative integers only")
+        gmin, ivals = 0, []
+    if order:
+        ods = max(
+            (abs(v).bit_length() + 8) // 8 for v in ivals + [gmin, 1]
+        )  # +1 sign bit, min 1 octet
+        extra = b"".join(_sm_bytes_enc(v, ods) for v in ivals)
+        extra += _sm_bytes_enc(gmin, ods)
+
+    ng = (n + group_len - 1) // group_len
+    g_of = np.arange(n) // group_len
+    lengths = np.bincount(g_of, minlength=ng)
+    refs = np.array(
+        [field[i * group_len : (i + 1) * group_len].min() for i in range(ng)],
+        dtype=np.int64,
+    )
+    dev = field - refs[g_of]
+    widths = np.array(
+        [
+            int(dev[i * group_len : (i + 1) * group_len].max()).bit_length()
+            for i in range(ng)
+        ],
+        dtype=np.int64,
+    )
+    wref = int(widths.min())
+    nbits = max(int(refs.max()).bit_length(), 1)
+    wbits = max(int((widths - wref).max()).bit_length(), 1)
+
+    stream = np.concatenate(
+        [
+            _pad_to_octet(_pack_bits(refs, nbits)),
+            _pad_to_octet(_pack_bits(widths - wref, wbits)),
+            # lbits = 0: lengths come entirely from lref/last_len
+            np.concatenate(
+                [_pack_bits(dev[g_of == i], int(widths[i])) for i in range(ng)]
+            ),
+        ]
+    )
+    packed = extra + np.packbits(stream).tobytes()
+
+    sec0, sec1, sec3, sec4 = _sections_0134(
+        ni, nj, lat0, lon0, dlat, dlon, discipline, category, number
+    )
+    tmpl = 3 if order else 2
+    t5 = (
+        struct.pack(">f", r_ref)
+        + struct.pack(">HH", _sm16_enc(e_scale), _sm16_enc(d_scale))
+        + bytes([nbits, 0])  # bits per group ref, original field type
+        + bytes([1, 0])  # general group splitting, no missing mgmt
+        + bytes(8)  # primary/secondary missing substitutes
+        + struct.pack(">I", ng)
+        + bytes([wref, wbits])
+        + struct.pack(">I", group_len)  # group length reference
+        + bytes([1])  # length increment
+        + struct.pack(">I", int(lengths[-1]))
+        + bytes([0])  # bits for scaled group lengths
+    )
+    if order:
+        t5 += bytes([order, ods])
+    sec5 = struct.pack(">IBI", 11 + len(t5), 5, n) + struct.pack(">H", tmpl) + t5
+    sec6 = struct.pack(">IBB", 6, 6, 255)
+    sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+    body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+    total = 16 + len(body) + 4
+    with open(path, "wb") as f:
+        f.write(sec0 + struct.pack(">Q", total) + body + b"7777")
+
+
+def _pad_to_octet(bits: np.ndarray) -> np.ndarray:
+    pad = (-len(bits)) % 8
+    return np.concatenate([bits, np.zeros(pad, dtype=np.uint8)]) if pad else bits
+
+
+def write_grib2(
+    path: str,
+    values: np.ndarray,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    e_scale: int = 0,
+    d_scale: int = 0,
+    r_ref: float = 0.0,
+    nbits: int = 12,
+    discipline: int = 0,
+    category: int = 2,
+    number: int = 2,
+) -> None:
+    """Minimal GRIB2 writer (template 3.0 + 5.0, no bitmap) — the
+    fixture generator and the reader's roundtrip twin. Values must
+    satisfy X = (v·10^D − R)·2^−E being integers in [0, 2^nbits)."""
+    nj, ni = values.shape
+    x = (values * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
+    xi = np.round(x).astype(np.int64)
+    if not np.allclose(x, xi, rtol=0, atol=1e-9):
+        raise ValueError("values not representable under the given scales")
+    if xi.min() < 0 or xi.max() >= (1 << nbits):
+        raise ValueError("packed integers out of nbits range")
+
+    sec0, sec1, sec3, sec4 = _sections_0134(
+        ni, nj, lat0, lon0, dlat, dlon, discipline, category, number
     )
     sec5 = (
         struct.pack(">IBI", 21, 5, ni * nj)

@@ -161,6 +161,18 @@ def _parse_netcdf3(buf: bytes) -> dict:
         raise ValueError(f"bad variable-list tag {tag}")
 
     recsize = sum(variables[v]["vsize"] for v in rec_vars)
+    if numrecs == -1:
+        # STREAMING sentinel (0xFFFFFFFF = numrecs unknown, spec: derive
+        # from file size). Read as signed i4 this is -1; without this
+        # branch it surfaced later as a wrapped 'negative dimensions'
+        # error instead of being computed.
+        if rec_vars and recsize > 0:
+            first_begin = min(variables[v]["begin"] for v in rec_vars)
+            numrecs = max(0, (len(buf) - first_begin) // recsize)
+        else:
+            numrecs = 0
+    elif numrecs < 0:
+        raise ValueError(f"corrupt NetCDF-3 file: negative numrecs {numrecs}")
     if rec_vars and numrecs * max(recsize, 1) > len(buf):
         # bound the per-record chunk loop by the buffer: a corrupt
         # numrecs (mutated int32) would otherwise iterate billions of

@@ -54,6 +54,78 @@ def windowed_class_counts(
     )
 
 
+def recover_snapshot(snapshot_dir: str) -> None:
+    """Crash recovery for the rename-swap snapshot protocol (called
+    before every read of `snapshot_dir`): a crash between the two
+    os.rename calls leaves the current state parked at '.old' (or a
+    COMPLETE '_SUCCESS'-marked new state at '.staging') with
+    `snapshot_dir` itself missing. Without this, the next batch would
+    read old=None AND delete the '.old' copy — silently losing all
+    pre-crash state. Preference order: a complete staging dir is the
+    NEWER state (the merge that produced it finished), else the retired
+    copy is the last complete state."""
+    if os.path.exists(snapshot_dir):
+        return
+    staging = snapshot_dir.rstrip("/") + ".staging"
+    retired = snapshot_dir.rstrip("/") + ".old"
+    if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, snapshot_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+    elif os.path.exists(retired):
+        os.rename(retired, snapshot_dir)
+
+
+def atomic_snapshot_swap(new_snap: DataFrame, snapshot_dir: str) -> None:
+    """ONE write to staging, then a directory swap: a rewrite-in-place
+    path writes the snapshot twice per batch and deletes the target
+    before the second write (a crash there loses the snapshot); renames
+    keep a complete snapshot on disk at every instant except the
+    two-rename window — and `recover_snapshot` closes even that one.
+
+    Transactional swap point: this parquet staging+rename dance is what
+    a Delta/Iceberg table replaces outright — `MERGE INTO` (or
+    overwrite) is atomic at the table-commit level, readers never see a
+    missing directory, and the per-batch O(store) snapshot rewrite
+    becomes an O(changed-files) commit. On a cluster this function is
+    one `DeltaTable.merge` call; the shape of everything around it is
+    unchanged."""
+    staging = snapshot_dir.rstrip("/") + ".staging"
+    retired = snapshot_dir.rstrip("/") + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    new_snap.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(snapshot_dir):
+        os.rename(snapshot_dir, retired)
+    os.rename(staging, snapshot_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """Read the current snapshot, running crash recovery first; None if
+    no snapshot has ever been committed."""
+    recover_snapshot(snapshot_dir)
+    if os.path.exists(snapshot_dir):
+        return spark.read.parquet(snapshot_dir)
+    return None
+
+
+def latest_per_key_merge(key_cols: list[str]):
+    """merge_fn for `snapshot_delta_sink`: this batch's rows win per
+    key, untouched keys survive from the old snapshot — the generic
+    keyed-store upsert (odin_server's per-entity item map). One
+    left_anti hash join per batch, O(batch + store), no driver state."""
+
+    def merge(old: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        if old is None:
+            return batch_df
+        keep = old.join(
+            batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        return batch_df.unionByName(keep)
+
+    return merge
+
+
 def snapshot_delta_sink(
     snapshot_dir: str,
     delta_dir: str,
@@ -70,7 +142,8 @@ def snapshot_delta_sink(
     `merge_fn(old_snapshot_df | None, batch_df) -> DataFrame` computes
     the new snapshot; default = latest batch wins per full overwrite.
     Parquet stands in for a transactional table format; on a cluster
-    this sink is a Delta MERGE + CDF read, same shape.
+    this sink is a Delta MERGE + CDF read, same shape (see
+    `atomic_snapshot_swap` for the exact swap point).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -83,28 +156,36 @@ def snapshot_delta_sink(
                 .parquet(delta_dir)
             )
             if merge_fn is not None:
-                old = None
-                if os.path.exists(snapshot_dir):
-                    old = spark.read.parquet(snapshot_dir)
+                old = read_snapshot(spark, snapshot_dir)
                 new_snap = merge_fn(old, batch_df)
-                # ONE write to staging, then a directory swap: the old
-                # rewrite-in-place path wrote the snapshot twice per
-                # batch and still deleted the target before the second
-                # write (a crash there lost the snapshot); renames keep
-                # a complete snapshot on disk at every instant except
-                # the two-rename window, and never double-write
-                staging = snapshot_dir.rstrip("/") + ".staging"
-                retired = snapshot_dir.rstrip("/") + ".old"
-                new_snap.write.mode("overwrite").parquet(staging)
-                shutil.rmtree(retired, ignore_errors=True)
-                if os.path.exists(snapshot_dir):
-                    os.rename(snapshot_dir, retired)
-                os.rename(staging, snapshot_dir)
-                shutil.rmtree(retired, ignore_errors=True)
+                atomic_snapshot_swap(new_snap, snapshot_dir)
             else:
                 batch_df.write.mode("overwrite").parquet(snapshot_dir)
         finally:
             batch_df.unpersist()
+
+    return sink
+
+
+def partitioned_append_sink(out_dir: str):
+    """foreachBatch sink for APPEND-mode streams whose emissions are
+    exactly-once per logical row (watermark-closed windows, streaming
+    dropDuplicates): lands each micro-batch as its own __batch_id
+    partition with dynamic partition overwrite, so a foreachBatch RETRY
+    replaces its own first attempt instead of double-appending. The
+    read side is a plain parquet scan (drop __batch_id). This replaces
+    the driver-dict/collect() upsert pattern — rows never visit the
+    driver, so output cardinality is bounded by the cluster, not driver
+    memory."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_dir)
+        )
 
     return sink
 

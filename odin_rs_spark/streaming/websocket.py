@@ -88,18 +88,35 @@ def decode_frame(sock: socket.socket) -> tuple[int, bytes]:
     return opcode, payload
 
 
+class WebSocketClosed(ConnectionError):
+    """Peer sent a close frame. A ConnectionError subclass — NOT
+    StopIteration, which PEP 479 would convert to RuntimeError if
+    recv() were ever called from inside a generator, silently breaking
+    the caller's handling — so every existing ConnectionError retry
+    path (ws_fetch_since) catches it unchanged."""
+
+
 class WebSocketClient:
     """Blocking client: connect → handshake → recv()/send_text().
     Control frames are handled inline (ping → pong, close → raises
-    StopIteration to end the drain loop)."""
+    WebSocketClosed to end the drain loop). wss:// wraps the socket in
+    a default-verifying TLS context (stdlib ssl) — live endpoints need
+    a reachable network, so the wss path is covered by an opt-in test
+    (`ODIN_WSS_URL`) rather than the in-process loopback server."""
 
     def __init__(self, url: str, timeout_sec: float = 10.0):
         u = urlparse(url)
-        if u.scheme != "ws":
-            raise ValueError("only ws:// supported here (wrap ssl for wss)")
+        if u.scheme not in ("ws", "wss"):
+            raise ValueError(f"unsupported websocket scheme {u.scheme!r}")
+        default_port = 443 if u.scheme == "wss" else 80
         self.sock = socket.create_connection(
-            (u.hostname, u.port or 80), timeout=timeout_sec
+            (u.hostname, u.port or default_port), timeout=timeout_sec
         )
+        if u.scheme == "wss":
+            import ssl
+
+            ctx = ssl.create_default_context()
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=u.hostname)
         key = base64.b64encode(os.urandom(16)).decode()
         path = u.path or "/"
         if u.query:
@@ -193,7 +210,7 @@ class WebSocketClient:
                 self.sock.sendall(encode_frame(OP_PONG, payload, mask=True))
             elif opcode == OP_CLOSE:
                 self.sock.sendall(encode_frame(OP_CLOSE, b"", mask=True))
-                raise StopIteration("websocket closed by peer")
+                raise WebSocketClosed("websocket closed by peer")
             elif opcode in (OP_TEXT, OP_BINARY):
                 return payload.decode("utf-8")
 
@@ -266,7 +283,7 @@ def ws_fetch_since(
                 state["buffered"].append(json.loads(c.recv()))
         except (TimeoutError, socket.timeout):
             pass  # drained everything currently available
-        except (StopIteration, ConnectionError, OSError):
+        except (ConnectionError, OSError):  # incl. WebSocketClosed
             _drop_client()  # reconnect on next poll
         except ValueError:  # UnicodeDecodeError / JSONDecodeError
             _drop_client()  # protocol error → resync via snapshot replay

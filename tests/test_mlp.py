@@ -77,3 +77,18 @@ def test_argmax_tie_breaks_low_index(spark):
         assert row["margin"] == 0.0  # runner-up is the duplicate
     else:
         assert row["pred"] == 1
+
+
+def test_null_embedding_classifies_to_null(spark):
+    """ADVICE r4: a None embedding row must yield NULL (pred, margin),
+    not an opaque ragged-array shape error in the matmul."""
+    from odin_rs_spark.functions.mlp import classify_embeddings, formula_weights
+
+    w = formula_weights(in_dim=4, hidden=3, out=2)
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0, 0.0]), (2, None)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in classify_embeddings(df, weights=w).collect()}
+    assert rows[1].pred is not None and rows[1].margin is not None
+    assert rows[2].pred is None and rows[2].margin is None

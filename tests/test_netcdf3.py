@@ -135,3 +135,40 @@ def test_huge_numrecs_raises_not_loops():
     buf = header + var + struct.pack(">i", len(header) + len(var) + 4)
     with pytest.raises(ValueError, match="numrecs"):
         parse_netcdf3(buf)
+
+
+def test_streaming_numrecs_sentinel():
+    """numrecs = 0xFFFFFFFF (classic STREAMING sentinel: record count
+    unknown, derive from file size) must decode, not surface as a
+    wrapped 'negative dimensions' error (ADVICE r4)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.netcdf3 import parse_netcdf3
+
+    # hand-packed: CDF-1, numrecs=0xFFFFFFFF, dim t=UNLIMITED(0),
+    # one record var "v" (t,), int32 -> 2 records derivable from size
+    hdr = b"CDF\x01" + b"\xff\xff\xff\xff"
+    hdr += struct.pack(">ii", 0x0A, 1)  # NC_DIMENSION, 1
+    hdr += struct.pack(">i", 1) + b"t\x00\x00\x00" + struct.pack(">i", 0)
+    hdr += struct.pack(">ii", 0, 0)  # no global attrs
+    hdr += struct.pack(">ii", 0x0B, 1)  # NC_VARIABLE, 1
+    hdr += struct.pack(">i", 1) + b"v\x00\x00\x00"  # name
+    hdr += struct.pack(">i", 1) + struct.pack(">i", 0)  # 1 dim, dimid 0
+    hdr += struct.pack(">ii", 0, 0)  # no var attrs
+    begin = len(hdr) + 12  # nc_type + vsize + begin fields remain
+    hdr += struct.pack(">i", 4)  # NC_INT
+    hdr += struct.pack(">i", 4)  # vsize (one record slab, padded)
+    hdr += struct.pack(">i", begin)
+    buf = hdr + struct.pack(">ii", 7, 9)  # 2 records
+    out = parse_netcdf3(buf)
+    assert out["numrecs"] == 2
+    assert np.array_equal(out["vars"]["v"]["data"], np.array([7, 9]))
+
+
+def test_negative_numrecs_rejected():
+    from odin_rs_spark.sources.netcdf3 import parse_netcdf3
+
+    buf = b"CDF\x01" + struct.pack(">i", -5) + struct.pack(">ii", 0, 0)
+    buf += struct.pack(">ii", 0, 0) + struct.pack(">ii", 0, 0)
+    with pytest.raises(ValueError, match="negative numrecs"):
+        parse_netcdf3(buf)

@@ -475,3 +475,62 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r.doc_id for r in got} == want
+
+
+def test_snapshot_crash_recovery(spark, tmp_path):
+    """ADVICE r4 (medium): a crash between the two renames of the
+    snapshot swap parks the current state at '.old' (or a complete
+    '.staging'); recover_snapshot must restore it instead of letting
+    the next batch read old=None and rmtree the only surviving copy."""
+    snap = str(tmp_path / "snap")
+    one = spark.createDataFrame([Row(k=1, v="a")])
+    two = spark.createDataFrame([Row(k=1, v="b")])
+
+    # crash window 1: snapshot renamed away, staging complete
+    one.write.parquet(snap + ".old")
+    two.write.parquet(snap + ".staging")
+    got = pipelines.read_snapshot(spark, snap)
+    assert got is not None and got.collect()[0].v == "b"  # staging is newer
+    assert not os.path.exists(snap + ".old")
+    assert not os.path.exists(snap + ".staging")
+
+    # crash window 2: staging incomplete (no _SUCCESS) -> .old wins
+    import shutil as _sh
+
+    _sh.rmtree(snap)
+    one.write.parquet(snap + ".old")
+    os.makedirs(snap + ".staging")
+    (tmp_path / "snap.staging" / "part-0.parquet").write_bytes(b"torn")
+    got = pipelines.read_snapshot(spark, snap)
+    assert got is not None and got.collect()[0].v == "a"
+
+    # no snapshot at all -> None, not an exception
+    _sh.rmtree(snap)
+    _sh.rmtree(snap + ".staging")
+    assert pipelines.read_snapshot(spark, str(tmp_path / "never")) is None
+
+
+def test_atomic_snapshot_swap_single_write(spark, tmp_path):
+    """The swap writes the new state ONCE (to staging) and leaves no
+    residue; repeated swaps keep exactly the latest state."""
+    snap = str(tmp_path / "s")
+    for i in range(3):
+        pipelines.atomic_snapshot_swap(
+            spark.createDataFrame([Row(k=1, gen=i)]), snap
+        )
+    assert spark.read.parquet(snap).collect()[0].gen == 2
+    assert not os.path.exists(snap + ".staging")
+    assert not os.path.exists(snap + ".old")
+
+
+def test_partitioned_append_sink_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-lands the SAME __batch_id partition via
+    dynamic overwrite instead of double-appending."""
+    out = str(tmp_path / "o")
+    sink = pipelines.partitioned_append_sink(out)
+    b0 = spark.createDataFrame([Row(k=i) for i in range(4)])
+    sink(b0, 0)
+    sink(b0, 0)  # retry of batch 0
+    sink(spark.createDataFrame([Row(k=9)]), 1)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 9]

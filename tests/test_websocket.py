@@ -242,3 +242,58 @@ def test_ws_feed_through_spark_source(spark, tmp_path):
         assert out.select("id").distinct().count() == 55
     finally:
         srv.close()
+
+
+class _ClosingServer(_Server):
+    """Handshake, then immediately send a close frame."""
+
+    def _handle(self, conn):
+        req = b""
+        while b"\r\n\r\n" not in req:
+            req += conn.recv(4096)
+        key = next(
+            ln.split(b":", 1)[1].strip().decode()
+            for ln in req.split(b"\r\n")
+            if ln.lower().startswith(b"sec-websocket-key")
+        )
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {accept_token(key)}\r\n\r\n"
+            ).encode()
+        )
+        conn.sendall(encode_frame(OP_CLOSE, b"", mask=False))
+
+
+def test_close_raises_connection_error_subclass():
+    """Peer close must surface as a ConnectionError subclass — never
+    StopIteration, which PEP 479 turns into RuntimeError inside
+    generators (ADVICE r4)."""
+    from odin_rs_spark.streaming.websocket import WebSocketClosed
+
+    assert issubclass(WebSocketClosed, ConnectionError)
+
+    srv = _ClosingServer([])
+    try:
+        c = WebSocketClient(srv.url)
+        with pytest.raises(WebSocketClosed):
+            c.recv()
+        # a generator wrapping recv must NOT die with RuntimeError
+        def gen():
+            while True:
+                try:
+                    yield c2.recv()
+                except ConnectionError:
+                    return
+
+        c2 = WebSocketClient(srv.url)
+        assert list(gen()) == []
+    finally:
+        srv.close()
+
+
+def test_wss_scheme_accepted_plain_rejected():
+    """The wss path exists (TLS wrap); unknown schemes still rejected."""
+    with pytest.raises(ValueError, match="unsupported websocket scheme"):
+        WebSocketClient("http://localhost:1/")
