@@ -5798,6 +5798,57 @@ FROM cls GROUP BY tile_x, tile_y, pred
 """
 
 
+# --------------------------------------------------------------------------
+# q129 — GRIB2 COMPLEX packing decode (VERDICT r4 #1): the checked-in
+# fixture is template 5.3 (general group splitting + second-order
+# spatial differencing) — the encoding real HRRR granules actually
+# carry (odin_hrrr/src/lib.rs:262-307), not the 5.0 minority path q126
+# covers. The decode is pure bit-twiddling (sources/grib2.py
+# _unpack_complex): sign-magnitude extra descriptors, octet-aligned
+# group refs/widths/lengths, per-width vectorized deviation unpack,
+# inverse differencing as two cumsums. The oracle replays the cell
+# values from the generating formula — integer-exact under E=-2 — so a
+# single mis-decoded group reference or difference shifts sums and
+# fails the hash. A hand-packed spec-level byte fixture (not writer
+# round-trip) pins the wire format in tests/test_grib2.py.
+# --------------------------------------------------------------------------
+
+def q129_grib2_complex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.grib2 import grib2_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "wind_complex.grib2",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = grib2_grid_cells(files, value_min=4.0)
+    return cells.groupBy(F.floor("lon").cast("int").alias("lon_band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+    )
+
+
+Q129_SQL = """
+WITH g AS (SELECT xs.range AS i, ys.range AS j
+           FROM range(30) xs, range(16) ys),
+c AS (SELECT ((i * 5 + j * 3) % 50) * 0.25 + 0.5 AS value,
+             35.0 + j * 0.125 AS lat, -110.0 + i * 0.25 AS lon
+      FROM g)
+SELECT floor(lon)::INT AS lon_band, count(*)::BIGINT AS n_cells,
+       round(sum(value), 6) AS sum_value,
+       round(min(lat), 6) AS min_lat,
+       round(max(lat), 6) AS max_lat
+FROM c WHERE value >= 4.0 GROUP BY lon_band
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-4
 # allocation (rotation rule: never-driver-graded queries always take
