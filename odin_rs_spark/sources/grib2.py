@@ -287,6 +287,17 @@ def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
         if n_packed:
             raise ValueError("zero groups but nonzero data points")
         return np.zeros(0, dtype=np.int64)
+    # ng is a raw 4-byte field: bound it BEFORE the first O(ng)
+    # allocation (a ~100-byte corrupt file with ng=2^31 and zero-width
+    # descriptors would otherwise demand multi-GB zeros() arrays).
+    # Groups partition the n_packed points (every group holds >= 1
+    # point under general group splitting), and the three descriptor
+    # fields must fit in the section-7 payload.
+    if ng > n_packed:
+        raise ValueError(f"{ng} groups exceed {n_packed} data points")
+    desc_bits = ng * (pack["nbits"] + pack["wbits"] + pack["lbits"])
+    if pos + desc_bits > len(bits):
+        raise ValueError("group descriptors run past the data section")
     # each of the three group-descriptor fields is zero-padded to an
     # octet boundary (spec 7.2 notes 1-3)
     refs, pos = _take_uints(bits, pos, ng, pack["nbits"])

@@ -109,6 +109,20 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     return None
 
 
+def read_sink_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a foreachBatch sink directory after the stream drains, or an
+    empty DataFrame with `schema` (a DDL string) when the replayed
+    source yielded ZERO batches — foreachBatch never fired, so the sink
+    directory was never created and a bare spark.read.parquet would
+    throw AnalysisException where the query semantics call for an empty
+    result. Runs rename-swap crash recovery first so it is also safe on
+    snapshot directories."""
+    recover_snapshot(path)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
 def latest_per_key_merge(key_cols: list[str]):
     """merge_fn for `snapshot_delta_sink`: this batch's rows win per
     key, untouched keys survive from the old snapshot — the generic

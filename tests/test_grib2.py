@@ -270,6 +270,30 @@ def test_complex_corrupt_group_lengths_raise(tmp_path):
         parse_grib2(bytes(buf))
 
 
+def test_complex_huge_ng_rejected_before_allocation():
+    """NG is a raw 4-byte field: a ~100-byte corrupt message claiming
+    ng=2^31 must raise on the bounds check, not attempt the multi-GB
+    O(ng) descriptor allocations (ADVICE r5 — the fuzzer class)."""
+    import resource
+
+    buf = bytearray(_hand_packed_53_message())
+    pos = 16
+    while pos < len(buf) - 4:
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        if buf[pos + 4] == 5:
+            struct.pack_into(">I", buf, pos + 31, 2**31)
+            break
+        pos += ln
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="exceed"):
+        parse_grib2(bytes(buf))
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is in KiB on Linux: the rejection must not have grown
+    # the high-water mark by anything near the 16+ GiB an O(2^31)
+    # int64 allocation would demand
+    assert after - before < 1_000_000
+
+
 def test_complex_missing_mgmt_rejected():
     buf = bytearray(_hand_packed_53_message())
     pos = 16

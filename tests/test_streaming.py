@@ -510,6 +510,30 @@ def test_snapshot_crash_recovery(spark, tmp_path):
     assert pipelines.read_snapshot(spark, str(tmp_path / "never")) is None
 
 
+def test_read_sink_or_empty_zero_batches(spark, tmp_path):
+    """ADVICE r5 (low): a replayed source that yields ZERO batches never
+    creates the foreachBatch sink directory — the post-drain read must
+    return an empty frame with the declared schema, not throw
+    AnalysisException; an existing sink reads through unchanged."""
+    missing = str(tmp_path / "never_created")
+    out = pipelines.read_sink_or_empty(
+        spark, missing, "key string, n bigint"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["key", "n"]
+
+    existing = str(tmp_path / "sink")
+    spark.createDataFrame([Row(key="a", n=3)]).write.parquet(existing)
+    got = pipelines.read_sink_or_empty(spark, existing, "key string, n bigint")
+    assert got.collect()[0].n == 3
+
+    # crash-recovery composes: state parked at '.old' is restored first
+    parked = str(tmp_path / "parked")
+    spark.createDataFrame([Row(key="b", n=7)]).write.parquet(parked + ".old")
+    got = pipelines.read_sink_or_empty(spark, parked, "key string, n bigint")
+    assert got.collect()[0].key == "b"
+
+
 def test_atomic_snapshot_swap_single_write(spark, tmp_path):
     """The swap writes the new state ONCE (to staging) and leaves no
     residue; repeated swaps keep exactly the latest state."""
