@@ -54,6 +54,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _doc_par(spark: SparkSession, df: DataFrame) -> int:
+    """Repartition width for the doc-corpus dedup family, scaled to the
+    corpus size instead of the session default (q81 drift, VERDICT r5):
+    the count is parquet-metadata-cheap, small fixtures stop paying 32
+    partitions of fixed task latency per shuffle, and at 100 TB the
+    value is capped at defaultParallelism — identical to before."""
+    from odin_rs_spark.operators.dedup import scaled_parallelism
+
+    return scaled_parallelism(spark, df.count())
+
+
 # --------------------------------------------------------------------------
 # q01 — flagship: pricing summary (TPC-H Q1 shape; A1 conditional aggs,
 # F1/F5 filter pushdown)
@@ -665,7 +676,7 @@ pairs AS (
 def q24_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.near_dup_pairs(
-        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+        docs, threshold=0.8, parallelism=_doc_par(spark, docs)
     )
 
 
@@ -681,7 +692,7 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
 def q25_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.near_dup_dedup(
-        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+        docs, threshold=0.8, parallelism=_doc_par(spark, docs)
     ).select(
         "doc_id", "lang", "source"
     )
@@ -703,7 +714,7 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= 0.8)
 def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash_pairs(
-        docs, max_hamming=3, parallelism=spark.sparkContext.defaultParallelism
+        docs, max_hamming=3, parallelism=_doc_par(spark, docs)
     )
 
 
@@ -2407,7 +2418,7 @@ WHERE {_HFRAC.format(k='o_orderkey')} < CAST(0.25 AS DOUBLE)
 def q64_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.near_dup_clusters(
-        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+        docs, threshold=0.8, parallelism=_doc_par(spark, docs)
     )
 
 
@@ -2901,7 +2912,7 @@ def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeded = emb.unionByName(copy1).unionByName(copy2)
     cc = sim_ops.semantic_dedup_clusters(
-        seeded, threshold=0.99, parallelism=spark.sparkContext.defaultParallelism
+        seeded, threshold=0.99, parallelism=_doc_par(spark, seeded)
     )
     return cc.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("size"),
@@ -3101,7 +3112,7 @@ FROM s GROUP BY shard
 def q81_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     clusters = dedup_ops.near_dup_clusters(
-        docs, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+        docs, threshold=0.8, parallelism=_doc_par(spark, docs)
     )
     scored = text_ops.quality_score(docs).select("doc_id", "quality")
     m = clusters.join(scored, "doc_id")
@@ -3173,7 +3184,7 @@ def q82_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_ops.near_dup_join(
-        new, base, threshold=0.8, parallelism=spark.sparkContext.defaultParallelism
+        new, base, threshold=0.8, parallelism=_doc_par(spark, docs)
     )
 
 
@@ -5872,22 +5883,24 @@ FROM c WHERE value >= 4.0 GROUP BY lon_band
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-7:   q129 (GRIB2 complex decode — defined in r5 but never
+#   slots 1-10:  q129 (GRIB2 complex decode — defined in r5 but never
 #                registered, so never driver-graded) + the round-5/6
 #                changed code: q103/q108/q117 (executor-side sink
 #                migration in r5, zero-batch read fallback in r6),
 #                q127 (bounded fixture-graph generation, r6), q81
-#                (CC shuffle-parallelism scoping, r6), q126 (shares
-#                the grib2 decoder whose ng bound-check landed in r6).
+#                (data-scaled dedup parallelism, r6), q126 (shares
+#                the grib2 decoder whose ng bound-check landed in r6),
+#                q24/q25/q26 (data-scaled parallelism, r6; q64/q76/
+#                q82 also changed and already sit in-cap below).
 #                New r6 queries (ONNX file load, SSIM/smoke compare,
 #                DEM tile-boundary sampling) are inserted at the very
 #                front as they land.
-#   slots 8-38:  the r2-green-only block (q51/q52/q54/q57/q58,
+#   slots 11-41: the r2-green-only block (q51/q52/q54/q57/q58,
 #                q60-q64, q66-q68, q70-q77, q79/q80, q83-q90) — their
 #                last driver row is now FOUR rounds old, the stalest
 #                on record.
-#   slots 39-50: the oldest r3-green queries (q47/q55/q65, q53/q56/
-#                q59/q69/q78/q82, q02/q03/q04).
+#   slots 42-50: the oldest r3-green queries (q47/q55/q65, q53/q56/
+#                q59/q69/q78/q82).
 # Past slot 50: the rest of the r3-green block (q05-q19, q91-q116
 # minus the rotated ones), then the entire r5-green set (q118-q128,
 # q96/q115/q105/q109, q20-q50, q01/q10/q11/q16/q18/q28/q43/q44/q48)
@@ -5903,6 +5916,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q127_graph_pagerank", q127_graph_pagerank, _q127_sql(), "graph-pagerank iterative"),
         QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
         QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
+        QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
+        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
@@ -5994,9 +6010,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
         QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
         QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
-        QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
-        QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
-        QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
         QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
         QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
