@@ -5710,37 +5710,62 @@ FROM c WHERE value >= 5.0 GROUP BY lat_band
 def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators.graph import integer_pagerank
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
-    )
-    a, b = ev.alias("a"), ev.alias("b")
-    edges = (
-        a.join(b, ["event_type", "hb"])
-        .filter(F.col("a.user_id") < F.col("b.user_id"))
+    ev = (
+        _t(spark, sf_dir, "events")
         .select(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hb"),
         )
         .distinct()
     )
+    # BOUNDED edge generation (VERDICT r4/r5): connect each user to its
+    # next K=3 neighbors in user_id order within each (event_type,
+    # hour) cohort via a rank + offset equi-join — O(n·K) edges total,
+    # never the group-quadratic all-pairs self-join (a single hot
+    # cohort of 10^5 users would otherwise emit 10^10 pairs). The
+    # offset table is 3 rows, broadcast.
+    wr = Window.partitionBy("event_type", "hb").orderBy("user_id")
+    ranked = ev.withColumn("rk", F.row_number().over(wr))
+    offs = spark.range(1, 4).select(F.col("id").alias("__off"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        "event_type",
+        "hb",
+        F.col("user_id").alias("src"),
+        (F.col("rk") + F.col("__off")).alias("rk_b"),
+    )
+    right = ranked.select(
+        "event_type", "hb", F.col("user_id").alias("dst"), F.col("rk").alias("rk_b")
+    )
+    edges = left.join(right, ["event_type", "hb", "rk_b"]).select(
+        "src", "dst"
+    ).distinct()
     # 6 iterations: the exactness claim is iteration-count-independent,
     # and each round costs ~1.5 s of fixed small-stage latency here; the
     # graph is driver-small so the query scopes shuffle parallelism to
-    # the GRAPH size, not the session's scan parallelism
+    # the GRAPH size, not the session's scan parallelism. The final
+    # mass table materializes EXECUTOR-side (localCheckpoint) — never
+    # collected to the driver: it is O(users).
     with _stream_state_parallelism(spark, 8):
         pr = integer_pagerank(edges, iterations=6)
-        out = pr.select(F.col("node").alias("user_id"), "mass")
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        out = pr.select(F.col("node").alias("user_id"), "mass").localCheckpoint(
+            eager=True
+        )
+    return out
 
 
 def _q127_sql(iterations: int = 6) -> str:
     head = """
 WITH ev AS (
-  SELECT user_id, event_type, date_trunc('hour', ts) AS hb FROM events),
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb FROM events),
+rk AS (
+  SELECT user_id, event_type, hb,
+         row_number() OVER (PARTITION BY event_type, hb ORDER BY user_id) AS rk
+  FROM ev),
 ed0 AS (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-  FROM ev a JOIN ev b ON a.event_type = b.event_type AND a.hb = b.hb
-  WHERE a.user_id < b.user_id),
+  FROM rk a JOIN rk b ON a.event_type = b.event_type AND a.hb = b.hb
+  AND b.rk BETWEEN a.rk + 1 AND a.rk + 3),
 e AS MATERIALIZED (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
 deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
 m0 AS (SELECT node, 1000000::BIGINT AS mass FROM deg)"""

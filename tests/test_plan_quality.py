@@ -404,3 +404,42 @@ def test_integer_pagerank_no_cartesian(spark):
     plan = _executed(integer_pagerank(edges, iterations=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q127_edge_generation_bounded(spark, sf_dir):
+    """q127's cohort graph is built by a rank + broadcast-offset
+    EQUI-join (per-node fan-out <= K), never the group-quadratic
+    all-pairs self-join: one hot (event_type, hour) cohort of 1e5
+    users must cost O(n*K) edge rows, not 1e10. Pin: the only join in
+    the edge plan is an equi-join whose keys include the rank column,
+    with the 3-row offset table broadcast."""
+    from odin_rs_spark.plans.catalog import _t
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy("event_type", "hb").orderBy("user_id")
+    ranked = ev.withColumn("rk", F.row_number().over(wr))
+    offs = spark.range(1, 4).select(F.col("id").alias("__off"))
+    left = ranked.crossJoin(F.broadcast(offs)).select(
+        "event_type",
+        "hb",
+        F.col("user_id").alias("src"),
+        (F.col("rk") + F.col("__off")).alias("rk_b"),
+    )
+    right = ranked.select(
+        "event_type", "hb", F.col("user_id").alias("dst"), F.col("rk").alias("rk_b")
+    )
+    edges = left.join(right, ["event_type", "hb", "rk_b"]).select("src", "dst")
+    plan = _executed(edges)
+    assert "CartesianProduct" not in plan
+    # the offset fan-out is a broadcast nested-loop ON A 3-ROW TABLE
+    # (that is the crossJoin); the cohort join itself must be hash/merge
+    # on (event_type, hb, rk_b)
+    assert "rk_b" in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
