@@ -5903,6 +5903,46 @@ FROM c WHERE value >= 4.0 GROUP BY lon_band
 """
 
 
+# --------------------------------------------------------------------------
+# q130 — ONNX FILE loading closes §2.12's last seam (VERDICT r5 #3;
+# odin_onnx/src/lib.rs:47-150 load→forward): the classifier weights
+# now come out of a checked-in .onnx fixture parsed by the stdlib
+# protobuf wire decoder (functions/onnx.py — varint/length-delimited
+# field walk, TensorProto raw_data → numpy), not a formula closure.
+# The fixture stores formula_weights() as float32 raw_data — dyadic
+# k/16 values, so the file round-trip is bit-exact and the oracle
+# replays the identical forward pass from the weight formula with
+# zero tolerance (the q125 determinism contract, now through a real
+# model file). Byte-level wire-format pins live in tests/test_onnx.py.
+# --------------------------------------------------------------------------
+
+def q130_onnx_file_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.functions.mlp import classify_embeddings
+    from odin_rs_spark.functions.onnx import load_onnx_mlp
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "functions",
+        "fixtures",
+        "mlp_64_8_3.onnx",
+    )
+    weights = load_onnx_mlp(fixture)  # driver-side: a classifier head is KBs
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = classify_embeddings(emb, weights=weights)
+    return scored.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("margin"), 6).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+    )
+
+
+Q130_SQL = Q125_SQL
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -5934,6 +5974,7 @@ FROM c WHERE value >= 4.0 GROUP BY lon_band
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q130_onnx_file_classify", q130_onnx_file_classify, Q130_SQL, "UDF onnx-file-load classify"),
         QuerySpec("q129_grib2_complex_decode", q129_grib2_complex_decode, Q129_SQL, "S11 grib2-complex-decode"),
         QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
         QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
