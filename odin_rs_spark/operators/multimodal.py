@@ -413,3 +413,212 @@ def image_tile_stats(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, TILE_STATS_SCHEMA)
+
+
+STRUCTURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_x", IntegerType()),
+        StructField("win_y", IntegerType()),
+        StructField("ssim", DoubleType()),
+    ]
+)
+
+
+def image_structure_compare(
+    pairs: DataFrame, win: int = 8, id_col: str = "media_id"
+) -> DataFrame:
+    """SSIM-style gray structure comparison of image PAIRS (R9; parity:
+    gray_structure_compare, odin_image/src/lib.rs:234-239, which runs
+    the image_compare crate's windowed MSSIM on the luma planes).
+
+    Input: (id_col, content_a, content_b) rows of same-size images.
+    Output: one row per full win x win window with its SSIM index
+    (C1=6.5025, C2=58.5225 — the standard (K*255)^2 constants for
+    K1=0.01/K2=0.03); the caller aggregates (mean SSIM = the crate's
+    score). Mismatched dimensions raise, matching the reference's
+    InvalidDimensions error.
+
+    Determinism for the oracle: windows are FULL win^2-pixel blocks on
+    integer boundaries, so with win=8 every mean/variance/covariance is
+    an integer sum divided by the dyadic 64 — exact in doubles — and
+    the final SSIM expression is evaluated in one fixed association
+    order that an external SQL replay reproduces bit-for-bit.
+    """
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    C1, C2 = 6.5025, 58.5225
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "win_x": [], "win_y": [], "ssim": []}
+            for mid, ca, cb in zip(
+                pdf[id_col], pdf["content_a"], pdf["content_b"]
+            ):
+                ga = luma(decode_image(bytes(ca))).astype(np.int64)
+                gb = luma(decode_image(bytes(cb))).astype(np.int64)
+                if ga.shape != gb.shape:
+                    raise ValueError(
+                        f"image dimensions differ: {ga.shape} vs {gb.shape}"
+                    )
+                h, w = ga.shape
+                n = win * win
+                for wy in range(h // win):
+                    for wx in range(w // win):
+                        ta = ga[wy * win : (wy + 1) * win, wx * win : (wx + 1) * win]
+                        tb = gb[wy * win : (wy + 1) * win, wx * win : (wx + 1) * win]
+                        # integer sums -> exact dyadic moments (win=8)
+                        mx = float(ta.sum()) / n
+                        my = float(tb.sum()) / n
+                        vx = float((ta * ta).sum()) / n - mx * mx
+                        vy = float((tb * tb).sum()) / n - my * my
+                        cov = float((ta * tb).sum()) / n - mx * my
+                        num = (2.0 * mx * my + C1) * (2.0 * cov + C2)
+                        den = (mx * mx + my * my + C1) * (vx + vy + C2)
+                        rows["media_id"].append(mid)
+                        rows["win_x"].append(wx)
+                        rows["win_y"].append(wy)
+                        rows["ssim"].append(num / den)
+            yield pd.DataFrame(rows)
+
+    return pairs.select(F.col(id_col), "content_a", "content_b").mapInPandas(
+        fn, STRUCTURE_SCHEMA
+    )
+
+
+SMOKE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("tile_x", IntegerType()),
+        StructField("tile_y", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("g_diff", DoubleType()),
+        StructField("w_diff", DoubleType()),
+    ]
+)
+
+_WHITE_LEN = 441.6729559300637  # sqrt(3 * 255^2)
+_MAX_A = 0.9553166181245093  # max angle between any [r,g,b] and white
+
+
+def _rgb_to_gw(rgb: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized gray-/white-ness factors (odin_image/src/lib.rs:
+    960-1008): gray = 1 - acos(cos_a)/MAX_A (1 = perfect gray, 0 = a
+    pure primary), white = projection of [r,g,b] on the white axis,
+    which reduces exactly to (r+g+b)/765 (0 = black, 1 = white).
+    Singularities pinned like the reference: black -> (1, 0),
+    white -> (1, 1)."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    s = r + g + b
+    length = np.sqrt(r * r + g * g + b * b)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos_a = np.clip(255.0 * s / (length * _WHITE_LEN), -1.0, 1.0)
+        gray = 1.0 - np.arccos(cos_a) / _MAX_A
+    white = s / 765.0
+    black = s == 0
+    gray = np.where(black, 1.0, gray)
+    white = np.where(black, 0.0, white)
+    full = (rgb[..., 0] == 255) & (rgb[..., 1] == 255) & (rgb[..., 2] == 255)
+    gray = np.where(full, 1.0, gray)
+    white = np.where(full, 1.0, white)
+    return gray, white
+
+
+def grayworld_smoke_diff(
+    pairs: DataFrame,
+    tile_w: int = 8,
+    tile_h: int = 8,
+    min_valid: float = 0.5,
+    min_g_diff: float = 0.02,
+    min_w_diff: float = 0.05,
+    w_saturation: float = 1.0,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Grayworld smoke detection between a before/after image pair
+    (parity: get_gw_smoke_diff, odin_image/src/smoke.rs:71-106 — smoke
+    shows as tiles whose WHITE-ness rises by >= min_w_diff while the
+    GRAY-ness also rises by >= min_g_diff): per-pixel (gray, white)
+    factors, per-tile means over valid pixels (white < w_saturation —
+    already-saturated pixels carry no signal — with at least
+    `min_valid` of the tile valid in BOTH frames), tile-wise
+    after-minus-before diffs, threshold filter. Output rows carry the
+    tile's pixel rectangle exactly like the reference's SmokeDiff.
+    Full tiles only (fractional_tiles=false).
+
+    Scale shape: one mapInPandas pass over the paired frames — pixels
+    never shuffle; the output is candidate tiles only (sparse)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image
+
+    def tile_means(img: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        if img.ndim != 3 or img.shape[2] < 3:
+            raise ValueError("grayworld smoke diff needs RGB images")
+        gray, white = _rgb_to_gw(img)
+        valid = white < w_saturation
+        h, w = gray.shape
+        ny, nx = h // tile_h, w // tile_w
+        gm = np.full((ny, nx), np.nan)
+        wm = np.full((ny, nx), np.nan)
+        for ty in range(ny):
+            for tx in range(nx):
+                sl = (
+                    slice(ty * tile_h, (ty + 1) * tile_h),
+                    slice(tx * tile_w, (tx + 1) * tile_w),
+                )
+                v = valid[sl]
+                nv = int(v.sum())
+                if nv >= min_valid * tile_w * tile_h and nv > 0:
+                    gm[ty, tx] = float(gray[sl][v].sum()) / nv
+                    wm[ty, tx] = float(white[sl][v].sum()) / nv
+        return gm, wm
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "tile_x": [], "tile_y": [], "x": [], "y": [],
+                "width": [], "height": [], "g_diff": [], "w_diff": [],
+            }
+            for mid, ca, cb in zip(
+                pdf[id_col], pdf["content_a"], pdf["content_b"]
+            ):
+                a = decode_image(bytes(ca))
+                b = decode_image(bytes(cb))
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"image dimensions differ: {a.shape} vs {b.shape}"
+                    )
+                g1, w1 = tile_means(a)
+                g2, w2 = tile_means(b)
+                g_diff = g2 - g1
+                w_diff = w2 - w1
+                cand = (
+                    ~np.isnan(g_diff)
+                    & ~np.isnan(w_diff)
+                    & (w_diff >= min_w_diff)
+                    & (g_diff >= min_g_diff)
+                )
+                for ty, tx in zip(*np.nonzero(cand)):
+                    rows["media_id"].append(mid)
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["x"].append(int(tx) * tile_w)
+                    rows["y"].append(int(ty) * tile_h)
+                    rows["width"].append(tile_w)
+                    rows["height"].append(tile_h)
+                    rows["g_diff"].append(float(g_diff[ty, tx]))
+                    rows["w_diff"].append(float(w_diff[ty, tx]))
+            yield pd.DataFrame(rows)
+
+    return pairs.select(F.col(id_col), "content_a", "content_b").mapInPandas(
+        fn, SMOKE_SCHEMA
+    )

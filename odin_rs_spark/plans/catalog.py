@@ -5504,6 +5504,12 @@ def _formula_png_media(spark: SparkSession, n: int):
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
+    from odin_rs_spark.deploy import ensure_shipped
+
+    # no table read here, so load_table-side shipping never runs —
+    # ship explicitly for external-cwd harnesses (q73 precedent)
+    ensure_shipped(spark)
+
     def _mk(series):
         import numpy as np
 
@@ -5943,6 +5949,174 @@ def q130_onnx_file_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q130_SQL = Q125_SQL
 
 
+# --------------------------------------------------------------------------
+# q131/q132 — R9 parity completion (VERDICT r5 #4): SSIM-style gray
+# structure compare (odin_image/src/lib.rs:234-239) and grayworld
+# smoke detection (odin_image/src/smoke.rs:71-106 + rgb_to_gw
+# :960-1008) on REAL pixels. The before/after RGB pair formula (seed =
+# media_id % 30; img1[y,x] = ((m+x·a)%200, (m+y·b)%200, (m+x+y)%200);
+# img2 blends tiles with (tx+ty)%4==0 toward gray 235: c2=(c+470)//3)
+# is the single definition the oracles replay; thresholds sit far from
+# every tile's measured diff (smoke tiles: g_diff ≥ 0.0101, w_diff ≥
+# 0.1363; non-smoke: exactly 0), so transcendental acos ulps cannot
+# flip membership. SSIM windows are 64-pixel blocks → dyadic moments →
+# the fixed-association SSIM expression matches DuckDB bit-for-bit
+# (verified: 360/360 windows, 90/90 smoke tiles exact).
+# --------------------------------------------------------------------------
+
+def _formula_rgb_pair_media(spark: SparkSession, n: int):
+    """Before/after RGB PNG pairs encoded IN EXECUTORS — the q124
+    pattern for the pairwise comparators. Keep the px/pr CTEs of
+    Q131_SQL/Q132_SQL in sync with THIS formula."""
+    import pandas as pd
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    # q131/q132 read no table, so the load_table-side package shipping
+    # never runs — ship explicitly for external-cwd harnesses (q73
+    # precedent)
+    ensure_shipped(spark)
+
+    def _mk(series, after):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_png
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 30
+            a_, b_, m_ = seed % 5 + 1, seed % 3 + 1, (seed * 17) % 200
+            jj, ii = np.mgrid[0:24, 0:32]
+            r = (m_ + ii * a_) % 200
+            g = (m_ + jj * b_) % 200
+            b = (m_ + ii + jj) % 200
+            img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+            if after:
+                smoke = ((ii // 8) + (jj // 8)) % 4 == 0
+                img = np.where(
+                    smoke[..., None], (img.astype(np.int32) + 470) // 3, img
+                ).astype(np.uint8)
+            out.append(encode_png(img, filter_mode="cycle"))
+        return pd.Series(out)
+
+    def _mk_before(series):
+        return _mk(series, after=False)
+
+    def _mk_after(series):
+        return _mk(series, after=True)
+
+    from pyspark.sql.types import BinaryType as _B
+
+    before = F.pandas_udf(_mk_before, _B())
+    after = F.pandas_udf(_mk_after, _B())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        before(F.col("id")).alias("content_a"),
+        after(F.col("id")).alias("content_b"),
+    )
+
+
+def q131_image_structure_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_structure_compare
+
+    pairs = _formula_rgb_pair_media(spark, 30)
+    wins = image_structure_compare(pairs, win=8)
+    return wins.select(
+        "media_id", "win_x", "win_y", F.round("ssim", 6).alias("ssim")
+    )
+
+
+Q131_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 30) AS seed FROM range(30) r),
+pp AS (
+  SELECT media_id, seed % 5 + 1 AS a, seed % 3 + 1 AS b, (seed * 17) % 200 AS m FROM par),
+px AS (
+  SELECT media_id, x, y,
+         (m + x * a) % 200 AS r, (m + y * b) % 200 AS g, (m + x + y) % 200 AS bl,
+         ((x // 8) + (y // 8)) % 4 = 0 AS smoke
+  FROM pp, range(32) xs(x), range(24) ys(y)),
+lum AS (
+  SELECT media_id, x // 8 AS win_x, y // 8 AS win_y,
+         (r + 2*g + bl) // 4 AS l1,
+         (CASE WHEN smoke THEN (r + 470) // 3 ELSE r END
+          + 2 * (CASE WHEN smoke THEN (g + 470) // 3 ELSE g END)
+          + (CASE WHEN smoke THEN (bl + 470) // 3 ELSE bl END)) // 4 AS l2
+  FROM px),
+mom AS (
+  SELECT media_id, win_x, win_y,
+         sum(l1)::DOUBLE / 64 AS mx, sum(l2)::DOUBLE / 64 AS my,
+         sum(l1*l1)::DOUBLE / 64 AS sxx, sum(l2*l2)::DOUBLE / 64 AS syy,
+         sum(l1*l2)::DOUBLE / 64 AS sxy
+  FROM lum GROUP BY media_id, win_x, win_y)
+SELECT media_id, win_x::INT AS win_x, win_y::INT AS win_y,
+       round(((2.0 * mx * my + 6.5025) * (2.0 * (sxy - mx * my) + 58.5225))
+             / ((mx * mx + my * my + 6.5025)
+                * ((sxx - mx * mx) + (syy - my * my) + 58.5225)), 6) AS ssim
+FROM mom
+"""
+
+
+def q132_smoke_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import grayworld_smoke_diff
+
+    pairs = _formula_rgb_pair_media(spark, 30)
+    out = grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05
+    )
+    return out.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "x",
+        "y",
+        "width",
+        "height",
+        F.round("g_diff", 6).alias("g_diff"),
+        F.round("w_diff", 6).alias("w_diff"),
+    )
+
+
+Q132_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 30) AS seed FROM range(30) r),
+pp AS (
+  SELECT media_id, seed % 5 + 1 AS a, seed % 3 + 1 AS b, (seed * 17) % 200 AS m FROM par),
+px AS (
+  SELECT media_id, x, y,
+         (m + x * a) % 200 AS r, (m + y * b) % 200 AS g, (m + x + y) % 200 AS bl,
+         ((x // 8) + (y // 8)) % 4 = 0 AS smoke
+  FROM pp, range(32) xs(x), range(24) ys(y)),
+pr AS (
+  SELECT media_id, x, y, r AS r1, g AS g1, bl AS b1,
+         CASE WHEN smoke THEN (r + 470) // 3 ELSE r END AS r2,
+         CASE WHEN smoke THEN (g + 470) // 3 ELSE g END AS g2,
+         CASE WHEN smoke THEN (bl + 470) // 3 ELSE bl END AS b2
+  FROM px),
+gw AS (
+  SELECT media_id, x // 8 AS tile_x, y // 8 AS tile_y,
+    CASE WHEN r1+g1+b1 = 0 THEN 1.0
+         ELSE 1.0 - acos(least(1.0, 255.0*(r1+g1+b1)
+              / (sqrt(r1*r1+g1*g1+b1*b1) * 441.6729559300637))) / 0.9553166181245093 END AS gr1,
+    CASE WHEN r1+g1+b1 = 0 THEN 0.0 ELSE (r1+g1+b1) / 765.0 END AS wh1,
+    CASE WHEN r2+g2+b2 = 0 THEN 1.0
+         ELSE 1.0 - acos(least(1.0, 255.0*(r2+g2+b2)
+              / (sqrt(r2*r2+g2*g2+b2*b2) * 441.6729559300637))) / 0.9553166181245093 END AS gr2,
+    CASE WHEN r2+g2+b2 = 0 THEN 0.0 ELSE (r2+g2+b2) / 765.0 END AS wh2
+  FROM pr),
+tiles AS (
+  SELECT media_id, tile_x, tile_y,
+         sum(gr2)/64 - sum(gr1)/64 AS g_diff,
+         sum(wh2)/64 - sum(wh1)/64 AS w_diff
+  FROM gw GROUP BY media_id, tile_x, tile_y)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       (tile_x * 8)::INT AS x, (tile_y * 8)::INT AS y,
+       8::INT AS width, 8::INT AS height,
+       round(g_diff, 6) AS g_diff, round(w_diff, 6) AS w_diff
+FROM tiles WHERE w_diff >= 0.05 AND g_diff >= 0.005
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -5974,6 +6148,8 @@ Q130_SQL = Q125_SQL
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),
+        QuerySpec("q132_smoke_diff", q132_smoke_diff, Q132_SQL, "R9 grayworld smoke-detect"),
         QuerySpec("q130_onnx_file_classify", q130_onnx_file_classify, Q130_SQL, "UDF onnx-file-load classify"),
         QuerySpec("q129_grib2_complex_decode", q129_grib2_complex_decode, Q129_SQL, "S11 grib2-complex-decode"),
         QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),

@@ -78,3 +78,110 @@ def test_image_similarity_self_is_one(spark, media):
     rows = sim.collect()
     assert len(rows) == media.count()
     assert all(abs(r.similarity - 1.0) < 1e-9 for r in rows)
+
+
+def _rgb_pair_frames(spark, n=4):
+    from odin_rs_spark.plans.catalog import _formula_rgb_pair_media
+
+    return _formula_rgb_pair_media(spark, n)
+
+
+def test_structure_compare_identical_is_one(spark):
+    """Self-compare: every window's SSIM is exactly 1.0 (num == den)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    arr = ((np.arange(24)[:, None] * 7 + np.arange(32)) % 256).astype(np.uint8)
+    png = encode_png(arr)
+    pairs = spark.createDataFrame(
+        [(1, bytearray(png), bytearray(png))],
+        "media_id long, content_a binary, content_b binary",
+    )
+    rows = mm.image_structure_compare(pairs, win=8).collect()
+    assert len(rows) == (32 // 8) * (24 // 8)
+    assert all(r.ssim == 1.0 for r in rows)
+
+
+def test_structure_compare_degraded_window_drops(spark):
+    """Perturbing one 8x8 window leaves every other window at 1.0 and
+    that window strictly below."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    a = ((np.arange(24)[:, None] * 5 + np.arange(32) * 3) % 256).astype(np.uint8)
+    b = a.copy()
+    b[0:8, 0:8] = 255 - b[0:8, 0:8]
+    pairs = spark.createDataFrame(
+        [(1, bytearray(encode_png(a)), bytearray(encode_png(b)))],
+        "media_id long, content_a binary, content_b binary",
+    )
+    rows = {(r.win_x, r.win_y): r.ssim for r in
+            mm.image_structure_compare(pairs, win=8).collect()}
+    assert rows[(0, 0)] < 1.0
+    assert all(v == 1.0 for k, v in rows.items() if k != (0, 0))
+
+
+def test_structure_compare_dim_mismatch_raises(spark):
+    import numpy as np
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    a = np.zeros((16, 16), np.uint8)
+    b = np.zeros((8, 8), np.uint8)
+    pairs = spark.createDataFrame(
+        [(1, bytearray(encode_png(a)), bytearray(encode_png(b)))],
+        "media_id long, content_a binary, content_b binary",
+    )
+    with pytest.raises(Exception, match="dimensions differ"):
+        mm.image_structure_compare(pairs).collect()
+
+
+def test_rgb_to_gw_reference_values():
+    """Pin the gw factor math (odin_image/src/lib.rs:960-1008): black
+    and white singularities, perfect-gray axis, pure-primary zero, and
+    the exact rational whiteness (r+g+b)/765."""
+    import numpy as np
+
+    px = np.array(
+        [[[0, 0, 0], [255, 255, 255], [128, 128, 128], [255, 0, 0], [100, 50, 25]]],
+        dtype=np.uint8,
+    )
+    g, w = mm._rgb_to_gw(px)
+    assert (g[0, 0], w[0, 0]) == (1.0, 0.0)  # black
+    assert (g[0, 1], w[0, 1]) == (1.0, 1.0)  # white
+    assert abs(g[0, 2] - 1.0) < 1e-12 and abs(w[0, 2] - 128 / 255) < 1e-12
+    assert abs(g[0, 3]) < 1e-12  # pure primary = max angle
+    assert w[0, 4] == (100 + 50 + 25) / 765.0
+
+
+def test_smoke_diff_detects_plume_tiles(spark):
+    """The formula pair brightens/grays tiles with (tx+ty)%4==0 — the
+    detector must return exactly those tiles, with positive diffs."""
+    pairs = _rgb_pair_frames(spark, 4)
+    rows = mm.grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, set()).add((r.tile_x, r.tile_y))
+        assert r.g_diff > 0 and r.w_diff > 0
+        assert r.x == r.tile_x * 8 and r.width == 8
+    want = {(tx, ty) for tx in range(4) for ty in range(3) if (tx + ty) % 4 == 0}
+    assert per == {mid: want for mid in range(4)}
+
+
+def test_smoke_diff_w_saturation_invalidates(spark):
+    """Tiles whose pixels are already saturated white carry no signal:
+    with w_saturation below the plume's whiteness the after-frame tile
+    fails min_valid and drops from the candidate set."""
+    pairs = _rgb_pair_frames(spark, 2)
+    rows = mm.grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05,
+        w_saturation=0.55,
+    ).collect()
+    # plume pixels land at whiteness ~0.61-0.87 -> invalid after-tiles
+    assert rows == []
