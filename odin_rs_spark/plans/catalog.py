@@ -6117,6 +6117,78 @@ FROM tiles WHERE w_diff >= 0.05 AND g_diff >= 0.005
 """
 
 
+# --------------------------------------------------------------------------
+# q133 — R7 DEM tiling as CHECKED BEHAVIOR (VERDICT r5 #5; parity:
+# odin_dem/src/lib.rs:137-258 get_dem_heights over a VRT tileset +
+# odin_gdal/src/lib.rs:578-624): a 2x2-tile DEM store is WRITTEN as a
+# (tx, ty)-partitioned parquet layout (each tile its own partition
+# directory — the lakehouse twin of the reference's per-tile files
+# under a VRT), then height samples are taken at formula (lon, lat)
+# positions whose cells span all four tiles AND the tile boundaries,
+# via the quantized-coord equi-join (floor to cell ix/iy, derive tile
+# tx/ty, join the store). The oracle replays heights from the DEM
+# formula directly — a single mis-assigned tile or off-by-one at the
+# ix=100 boundary shifts heights and fails the hash. Partition pruning
+# on the layout is pinned in tests/test_plan_quality.py.
+# --------------------------------------------------------------------------
+
+def q133_dem_tile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="odin_q133_")
+    try:
+        # DEM: 200x200 cells at 0.01 deg over lon [-110,-108) lat [35,37),
+        # h = ((ix*13 + iy*7) % 500) * 0.25 (exact dyadic); tile = 100x100
+        cells = spark.range(200 * 200).select(
+            (F.col("id") % 200).alias("ix"), (F.col("id") / 200).cast("long").alias("iy")
+        )
+        cells = cells.select(
+            "ix",
+            "iy",
+            (((F.col("ix") * 13 + F.col("iy") * 7) % 500) * 0.25).alias("height"),
+            (F.col("ix") / 100).cast("int").alias("tx"),
+            (F.col("iy") / 100).cast("int").alias("ty"),
+        )
+        cells.write.mode("overwrite").partitionBy("tx", "ty").parquet(root)
+        store = spark.read.parquet(root)
+
+        # sample points at cell centers (+0.005 keeps floor() away from
+        # the cell edge in both engines); ix = k*37 % 200 and iy =
+        # k*53 % 200 sweep every tile and cross the ix/iy = 100 seams
+        pts = spark.range(120).select(
+            F.col("id").alias("pt_id"),
+            (F.lit(-110.0) + (F.col("id") * 37 % 200) * 0.01 + 0.005).alias("lon"),
+            (F.lit(35.0) + (F.col("id") * 53 % 200) * 0.01 + 0.005).alias("lat"),
+        )
+        q = (
+            pts.withColumn("ix", F.floor((F.col("lon") + 110.0) / 0.01))
+            .withColumn("iy", F.floor((F.col("lat") - 35.0) / 0.01))
+            .withColumn("tx", (F.col("ix") / 100).cast("int"))
+            .withColumn("ty", (F.col("iy") / 100).cast("int"))
+        )
+        joined = F.broadcast(q).join(store, ["tx", "ty", "ix", "iy"], "inner")
+        out = joined.select(
+            "pt_id",
+            F.round("lon", 6).alias("lon"),
+            F.round("lat", 6).alias("lat"),
+            "height",
+        )
+        rows = out.collect()  # 120 rows — materialize before rmtree
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q133_SQL = """
+SELECT k AS pt_id,
+       round(-110.0 + (k * 37 % 200)::DOUBLE * 0.01 + 0.005, 6) AS lon,
+       round(35.0 + (k * 53 % 200)::DOUBLE * 0.01 + 0.005, 6) AS lat,
+       ((((k * 37 % 200) * 13 + (k * 53 % 200) * 7) % 500)::DOUBLE) * 0.25 AS height
+FROM range(120) t(k)
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6148,6 +6220,7 @@ FROM tiles WHERE w_diff >= 0.05 AND g_diff >= 0.005
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),
         QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),
         QuerySpec("q132_smoke_diff", q132_smoke_diff, Q132_SQL, "R9 grayworld smoke-detect"),
         QuerySpec("q130_onnx_file_classify", q130_onnx_file_classify, Q130_SQL, "UDF onnx-file-load classify"),

@@ -406,6 +406,45 @@ def test_integer_pagerank_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dem_tile_store_partition_pruning(spark, tmp_path):
+    """R7 (q133): the (tx, ty)-partitioned DEM layout must turn a tile
+    bbox predicate into PARTITION pruning — a one-tile query reads one
+    directory of the 2x2 store, not the whole DEM — and the
+    quantized-coord sample join must broadcast the point side."""
+    root = str(tmp_path / "dem")
+    cells = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("ix"),
+        (F.col("id") / 200).cast("long").alias("iy"),
+    )
+    cells = cells.select(
+        "ix",
+        "iy",
+        (((F.col("ix") * 13 + F.col("iy") * 7) % 500) * 0.25).alias("height"),
+        (F.col("ix") / 100).cast("int").alias("tx"),
+        (F.col("iy") / 100).cast("int").alias("ty"),
+    )
+    cells.write.partitionBy("tx", "ty").parquet(root)
+    store = spark.read.parquet(root)
+
+    one_tile = store.filter((F.col("tx") == 1) & (F.col("ty") == 0))
+    plan = one_tile._sc._jvm.PythonSQLUtils.explainString(
+        one_tile._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "tx" in pf and "ty" in pf, pf
+    assert one_tile.count() == 100 * 100
+
+    pts = spark.range(50).select(
+        F.col("id").alias("pt_id"),
+        (F.col("id") * 37 % 200).alias("ix"),
+        (F.col("id") * 53 % 200).alias("iy"),
+    ).withColumn("tx", (F.col("ix") / 100).cast("int")).withColumn(
+        "ty", (F.col("iy") / 100).cast("int")
+    )
+    joined = F.broadcast(pts).join(store, ["tx", "ty", "ix", "iy"], "inner")
+    assert "BroadcastHashJoin" in _executed(joined)
+
+
 def test_q127_edge_generation_bounded(spark, sf_dir):
     """q127's cohort graph is built by a rank + broadcast-offset
     EQUI-join (per-node fan-out <= K), never the group-quadratic
