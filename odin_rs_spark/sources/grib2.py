@@ -113,6 +113,39 @@ def parse_grib2(buf: bytes) -> dict:
         raise ValueError(f"corrupt GRIB2 file: {exc}") from exc
 
 
+def parse_grib2_messages(buf: bytes) -> list[dict]:
+    """Multi-message GRIB2 file → one parsed dict per message. Real
+    granules (HRRR/GFS wgrib2 output) CONCATENATE hundreds of messages
+    back-to-back — each its own GRIB...7777 envelope with independent
+    grid/packing sections (the reference's .idx scheme byte-range
+    fetches exactly one such envelope per field,
+    odin_hrrr/src/lib.rs:262-307; this is the whole-file decode path).
+    Strict framing: every message must start with the magic, declare a
+    length that fits the buffer, and end with '7777' — a corrupt
+    envelope names its byte offset."""
+    msgs: list[dict] = []
+    pos = 0
+    while pos < len(buf):
+        if buf[pos : pos + 4] != b"GRIB":
+            raise ValueError(
+                f"expected GRIB magic at byte {pos} (message {len(msgs)})"
+            )
+        if pos + 16 > len(buf):
+            raise ValueError(f"truncated GRIB2 header at byte {pos}")
+        (total_len,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+        if total_len < 20 or pos + total_len > len(buf):
+            raise ValueError(
+                f"message {len(msgs)} length {total_len} runs past the file"
+            )
+        if buf[pos + total_len - 4 : pos + total_len] != b"7777":
+            raise ValueError(f"message {len(msgs)} missing 7777 terminator")
+        msgs.append(parse_grib2(buf[pos : pos + total_len]))
+        pos += total_len
+    if not msgs:
+        raise ValueError("empty GRIB2 file")
+    return msgs
+
+
 def _parse_grib2(buf: bytes) -> dict:
     if buf[:4] != b"GRIB":
         raise ValueError("not a GRIB file (bad magic)")
@@ -589,7 +622,7 @@ def write_grib2(
 
 
 GRIB_CELL_SCHEMA = (
-    "path string, x int, y int, lat double, lon double, value double"
+    "path string, msg int, x int, y int, lat double, lon double, value double"
 )
 
 
@@ -603,7 +636,7 @@ def grib2_decode_errors(files_df):
             paths, errs = [], []
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    parse_grib2(bytes(content))
+                    parse_grib2_messages(bytes(content))
                 except ValueError as exc:
                     paths.append(path)
                     errs.append(str(exc)[:500])
@@ -618,39 +651,48 @@ def grib2_grid_cells(
     files_df, value_min: float | None = None, on_error: str = "raise"
 ):
     """S11 decode — binary GRIB2 granules → cell DataFrame with decoded
-    lat/lon axes. `value_min` is the in-kernel predicate (numpy mask
-    before any Spark row exists), mirroring netcdf_grid_cells;
-    `on_error="skip"` drops corrupt granules (pair with
-    `grib2_decode_errors`)."""
+    lat/lon axes. Handles MULTI-MESSAGE files (one row-set per message,
+    indexed by `msg` — real granules concatenate hundreds of fields).
+    `value_min` is the in-kernel predicate (numpy mask before any Spark
+    row exists), mirroring netcdf_grid_cells; `on_error="skip"` drops
+    corrupt granules (pair with `grib2_decode_errors`)."""
     import pandas as pd
+
+    from odin_rs_spark.deploy import ensure_shipped
 
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    # the decode closure references module-level parsers (pickled by
+    # reference): ship the package so binaryFile-only pipelines work on
+    # external-cwd harnesses that never touched load_table
+    ensure_shipped(files_df.sparkSession)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    g = parse_grib2(bytes(content))
+                    msgs = parse_grib2_messages(bytes(content))
                 except ValueError:
                     if on_error == "skip":
                         continue
                     raise
-                v = g["values"]
-                nj, ni = v.shape
-                yy, xx = np.mgrid[0:nj, 0:ni]
-                keep = ~np.isnan(v)
-                if value_min is not None:
-                    keep &= v >= value_min
-                yield pd.DataFrame(
-                    {
-                        "path": path,
-                        "x": xx[keep].astype(np.int32),
-                        "y": yy[keep].astype(np.int32),
-                        "lat": g["lat0"] + yy[keep] * g["dlat"],
-                        "lon": g["lon0"] + xx[keep] * g["dlon"],
-                        "value": v[keep],
-                    }
-                )
+                for mi, g in enumerate(msgs):
+                    v = g["values"]
+                    nj, ni = v.shape
+                    yy, xx = np.mgrid[0:nj, 0:ni]
+                    keep = ~np.isnan(v)
+                    if value_min is not None:
+                        keep &= v >= value_min
+                    yield pd.DataFrame(
+                        {
+                            "path": path,
+                            "msg": np.int32(mi),
+                            "x": xx[keep].astype(np.int32),
+                            "y": yy[keep].astype(np.int32),
+                            "lat": g["lat0"] + yy[keep] * g["dlat"],
+                            "lon": g["lon0"] + xx[keep] * g["dlon"],
+                            "value": v[keep],
+                        }
+                    )
 
     return files_df.select("path", "content").mapInPandas(decode, GRIB_CELL_SCHEMA)

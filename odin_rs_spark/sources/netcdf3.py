@@ -326,8 +326,14 @@ def netcdf_grid_cells(
     stay countable)."""
     import pandas as pd
 
+    from odin_rs_spark.deploy import ensure_shipped
+
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    # the decode closure references module-level parsers (pickled by
+    # reference): ship the package so binaryFile-only pipelines work on
+    # external-cwd harnesses that never touched load_table
+    ensure_shipped(files_df.sparkSession)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -294,6 +294,50 @@ def test_complex_huge_ng_rejected_before_allocation():
     assert after - before < 1_000_000
 
 
+def test_multi_message_file(tmp_path, spark):
+    """Real granules CONCATENATE messages (one per field): a 2-message
+    file must decode to two independent row-sets indexed by `msg`, and
+    a corrupt second envelope must name its message/offset."""
+    from odin_rs_spark.sources.grib2 import (
+        parse_grib2_messages,
+        write_grib2,
+        write_grib2_complex,
+    )
+
+    v1 = np.arange(12, dtype=np.float64).reshape(3, 4) * 0.5
+    v2 = np.arange(12, dtype=np.float64).reshape(3, 4) * 0.25 + 1.0
+    p1, p2 = str(tmp_path / "a.grib2"), str(tmp_path / "b.grib2")
+    write_grib2(p1, v1, lat0=10, lon0=20, dlat=1, dlon=1, e_scale=-1)
+    write_grib2_complex(p2, v2, lat0=30, lon0=40, dlat=1, dlon=1, e_scale=-2)
+    cat = open(p1, "rb").read() + open(p2, "rb").read()
+    multi = str(tmp_path / "multi.grib2")
+    open(multi, "wb").write(cat)
+
+    msgs = parse_grib2_messages(cat)
+    assert len(msgs) == 2
+    assert np.array_equal(msgs[0]["values"], v1)
+    assert np.array_equal(msgs[1]["values"], v2)
+    assert msgs[1]["lat0"] == 30.0
+
+    # the Spark cell reader emits one row-set per message
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(multi)
+    cells = grib2_grid_cells(files)
+    per = {r["msg"]: r["n"] for r in
+           cells.groupBy("msg").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {0: 12, 1: 12}
+
+    # corrupt second envelope names the failing message
+    bad = bytearray(cat)
+    bad[len(open(p1, "rb").read())] = 0x58  # break 2nd magic
+    with pytest.raises(ValueError, match="message 1"):
+        parse_grib2_messages(bytes(bad))
+    # truncated tail: declared length runs past the buffer
+    with pytest.raises(ValueError, match="runs past"):
+        parse_grib2_messages(cat[:-10])
+
+
 def test_complex_missing_mgmt_rejected():
     buf = bytearray(_hand_packed_53_message())
     pos = 16
