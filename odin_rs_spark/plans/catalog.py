@@ -6194,24 +6194,22 @@ FROM range(120) t(k)
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-10:  q129 (GRIB2 complex decode — defined in r5 but never
-#                registered, so never driver-graded) + the round-5/6
-#                changed code: q103/q108/q117 (executor-side sink
-#                migration in r5, zero-batch read fallback in r6),
-#                q127 (bounded fixture-graph generation, r6), q81
-#                (data-scaled dedup parallelism, r6), q126 (shares
-#                the grib2 decoder whose ng bound-check landed in r6),
-#                q24/q25/q26 (data-scaled parallelism, r6; q64/q76/
-#                q82 also changed and already sit in-cap below).
-#                New r6 queries (ONNX file load, SSIM/smoke compare,
-#                DEM tile-boundary sampling) are inserted at the very
-#                front as they land.
-#   slots 11-41: the r2-green-only block (q51/q52/q54/q57/q58,
+#   slots 1-15:  the r6 NEW queries (q133 DEM tile store, q131 SSIM,
+#                q132 smoke diff, q130 ONNX file load, q129 GRIB2
+#                complex decode — defined in r5 but never registered,
+#                so never driver-graded) + the round-5/6 changed code:
+#                q103/q108/q117 (executor-side sink migration in r5,
+#                zero-batch read fallback in r6), q127 (bounded
+#                fixture-graph generation, r6), q81/q24/q25/q26/q82
+#                (data-scaled dedup parallelism, r6), q126 (shares the
+#                grib2 decoder that gained multi-message iteration +
+#                the ng bound-check in r6). q64/q76 also changed and
+#                sit in-cap inside the stale block below.
+#   slots 16-46: the r2-green-only block (q51/q52/q54/q57/q58,
 #                q60-q64, q66-q68, q70-q77, q79/q80, q83-q90) — their
 #                last driver row is now FOUR rounds old, the stalest
 #                on record.
-#   slots 42-50: the oldest r3-green queries (q47/q55/q65, q53/q56/
-#                q59/q69/q78/q82).
+#   slots 47-50: the oldest r3-green queries (q47/q55/q65/q53).
 # Past slot 50: the rest of the r3-green block (q05-q19, q91-q116
 # minus the rotated ones), then the entire r5-green set (q118-q128,
 # q96/q115/q105/q109, q20-q50, q01/q10/q11/q16/q18/q28/q43/q44/q48)
@@ -6234,6 +6232,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
+        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
@@ -6273,7 +6272,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q59_ivf_fixed", q59_ivf_fixed, Q59_SQL, "similarity-ivf"),
         QuerySpec("q69_corpus_prep", q69_corpus_prep, Q69_SQL, "corpus-prep flagship"),
         QuerySpec("q78_jaccard_join", q78_jaccard_join, Q78_SQL, "dedup-jaccard-exact"),
-        QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
         QuerySpec("q02_class_counts", q02_class_counts, Q02_SQL, "A1 F2"),
         QuerySpec("q03_filter_project", q03_filter_project, Q03_SQL, "F1 F5 F7"),
         QuerySpec("q04_topk_orders", q04_topk_orders, Q04_SQL, "O3 W1"),
