@@ -622,3 +622,83 @@ def grayworld_smoke_diff(
     return pairs.select(F.col(id_col), "content_a", "content_b").mapInPandas(
         fn, SMOKE_SCHEMA
     )
+
+
+EQUALIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("cdf_min", LongType()),
+        StructField("eq_mean", DoubleType()),
+        StructField("eq_min", IntegerType()),
+        StructField("eq_max", IntegerType()),
+    ]
+)
+
+
+def equalize_lut(hist: "np.ndarray", n_pixels: int) -> "np.ndarray":
+    """Histogram-equalization lookup table (parity: compute_lut,
+    odin_image/src/lib.rs:192-213): cdf over the 256-bin gray
+    histogram, cdf_min = the first nonzero cdf entry, lut[v] =
+    round((cdf[v]-cdf_min)/(n-cdf_min)*255) for populated bins, 0
+    otherwise. Rounding is floor(x+0.5) — Rust's round() half-away
+    semantics, NOT numpy's banker's rounding — in float64 (the
+    reference uses f32; same formula, documented precision widening).
+    A constant image (n == cdf_min) maps to 0, matching the
+    reference's NaN-as-u8 collapse."""
+    import numpy as np
+
+    cdf = np.cumsum(hist.astype(np.int64))
+    nz = np.nonzero(cdf)[0]
+    cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+    lut = np.zeros(256, dtype=np.int64)
+    if n_pixels > cdf_min:
+        pop = cdf > 0
+        lut[pop] = np.floor(
+            (cdf[pop] - cdf_min).astype(np.float64)
+            / (n_pixels - cdf_min)
+            * 255.0
+            + 0.5
+        ).astype(np.int64)
+    return lut
+
+
+def image_equalize_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Histogram equalization over decoded luma planes, emitting the
+    per-image equalized statistics (cdf_min, exact mean of the
+    equalized plane, min/max). One mapInPandas pass — histograms and
+    LUTs are 256-slot arrays, pixels never leave the executor. Every
+    number is integer arithmetic except the single LUT division, so an
+    oracle that knows the pixel generator replays it verbatim (q134)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "cdf_min": [], "eq_mean": [],
+                "eq_min": [], "eq_max": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    g = luma(decode_image(bytes(content)))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                hist = np.bincount(g.reshape(-1), minlength=256)[:256]
+                lut = equalize_lut(hist, g.size)
+                eq = lut[g]
+                cdf = np.cumsum(hist)
+                nz = np.nonzero(cdf)[0]
+                rows["media_id"].append(mid)
+                rows["cdf_min"].append(int(cdf[nz[0]]) if len(nz) else 0)
+                rows["eq_mean"].append(float(eq.sum()) / g.size)
+                rows["eq_min"].append(int(eq.min()))
+                rows["eq_max"].append(int(eq.max()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, EQUALIZE_SCHEMA)

@@ -6189,6 +6189,63 @@ FROM range(120) t(k)
 """
 
 
+# --------------------------------------------------------------------------
+# q134 — histogram EQUALIZATION on real pixels (R9; parity:
+# compute_lut + equalize, odin_image/src/lib.rs:165-213): decode the
+# formula PNGs, per-image 256-bin luma histogram → cdf → the
+# reference's LUT ((cdf-cdf_min)/(n-cdf_min)*255, half-away rounding,
+# cdf_min = first nonzero cdf), and emit the equalized plane's exact
+# stats. Everything is integer arithmetic except the one LUT division,
+# so the oracle replays the whole transform from formula pixels with
+# zero tolerance.
+# --------------------------------------------------------------------------
+
+def q134_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_equalize_stats
+
+    media = _formula_png_media(spark, 200)
+    out = image_equalize_stats(media)
+    return out.select(
+        "media_id",
+        "cdf_min",
+        F.round("eq_mean", 6).alias("eq_mean"),
+        "eq_min",
+        "eq_max",
+    )
+
+
+Q134_SQL = """
+WITH img AS (
+  SELECT r.range AS media_id, (r.range % 40) AS seed FROM range(200) r),
+par AS (
+  SELECT media_id, seed % 7 AS a, seed % 5 + 1 AS b, (seed * 13) % 256 AS m
+  FROM img),
+px AS (
+  SELECT media_id, ((m + x * a + y * b) % 256) AS p
+  FROM par, range(32) xs(x), range(24) ys(y)),
+hist AS (
+  SELECT media_id, p, count(*)::BIGINT AS cnt FROM px GROUP BY media_id, p),
+cdf AS (
+  SELECT media_id, p, cnt,
+         sum(cnt) OVER (PARTITION BY media_id ORDER BY p) AS cdf
+  FROM hist),
+cm AS (
+  SELECT media_id, min(cdf)::BIGINT AS cdf_min FROM cdf WHERE cdf > 0
+  GROUP BY media_id),
+lut AS (
+  SELECT c.media_id, c.cnt, cm.cdf_min,
+         CASE WHEN 768 > cm.cdf_min
+              THEN floor((c.cdf - cm.cdf_min)::DOUBLE
+                         / (768 - cm.cdf_min) * 255.0 + 0.5)::BIGINT
+              ELSE 0 END AS eq
+  FROM cdf c JOIN cm ON c.media_id = cm.media_id)
+SELECT media_id, cdf_min,
+       round(sum(eq * cnt)::DOUBLE / 768, 6) AS eq_mean,
+       min(eq)::INT AS eq_min, max(eq)::INT AS eq_max
+FROM lut GROUP BY media_id, cdf_min
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6218,6 +6275,7 @@ FROM range(120) t(k)
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q134_hist_equalize", q134_hist_equalize, Q134_SQL, "R9 histogram-equalize"),
         QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),
         QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),
         QuerySpec("q132_smoke_diff", q132_smoke_diff, Q132_SQL, "R9 grayworld smoke-detect"),

@@ -185,3 +185,48 @@ def test_smoke_diff_w_saturation_invalidates(spark):
     ).collect()
     # plume pixels land at whiteness ~0.61-0.87 -> invalid after-tiles
     assert rows == []
+
+
+def test_equalize_lut_reference_semantics():
+    """Pin compute_lut (odin_image/src/lib.rs:192-213) by hand: 4
+    pixels {0:1, 100:2, 200:1} -> cdf [1,3,4], cdf_min=1, lut = round(
+    (cdf-1)/3*255): 0 -> 0, 100 -> 170, 200 -> 255. Constant image
+    collapses to 0 (the reference's NaN-as-u8 path)."""
+    import numpy as np
+
+    hist = np.zeros(256, dtype=np.int64)
+    hist[0], hist[100], hist[200] = 1, 2, 1
+    lut = mm.equalize_lut(hist, 4)
+    assert (lut[0], lut[100], lut[200]) == (0, 170, 255)
+    assert lut[50] == 0  # unpopulated bin
+
+    const = np.zeros(256, dtype=np.int64)
+    const[7] = 64
+    assert mm.equalize_lut(const, 64)[7] == 0
+
+    # half-away rounding, not banker's: cdf=[1,2], n=2? use a case where
+    # the scaled value lands exactly on .5: hist {0:1, 255:1} -> lut[255]
+    # = round(1/1*255) = 255; {0:2,1:1,2:1} -> lut[1]=round(1/2*255)=
+    # round(127.5) -> 128 (banker's would give 128 too); use 85/2:
+    h = np.zeros(256, dtype=np.int64)
+    h[0], h[1], h[2] = 3, 1, 1
+    # cdf=[3,4,5], cdf_min=3, n=5: lut[1]=round(1/2*255)=round(127.5)=128
+    assert mm.equalize_lut(h, 5)[1] == 128
+
+
+def test_image_equalize_stats_spreads_histogram(spark):
+    """Equalization must stretch the equalized range to [~0, 255] and
+    keep the row count (one row per decodable image)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    jj, ii = np.mgrid[0:24, 0:32]
+    # low-contrast ramp confined to [100, 131]
+    arr = (100 + ((ii + jj) % 32)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(arr)))], "media_id long, content binary"
+    )
+    r = mm.image_equalize_stats(media).collect()[0]
+    assert r.eq_min == 0 and r.eq_max == 255
+    assert 100 < r.eq_mean < 160  # spread across the full range
