@@ -881,3 +881,97 @@ def remove_dup_segments(
         )
         .select(id_col, *extra_cols, "clean_text", "n_segs", "n_removed")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """REAL byte-pair-encoding merge training (Sennrich et al. 2016 —
+    the algorithm GPT-2's tokenizer is built on; the repo's
+    `bpe_token_stats` counts tokens with a FIXED regex, this LEARNS the
+    merge table): start from characters, repeatedly merge the most
+    frequent adjacent symbol pair across the corpus, emit one row per
+    learned merge (rank, left, right, pair_count).
+
+    Scale shape (the standard trick): training runs over the DISTINCT
+    word -> frequency table, not the corpus — pair counting each round
+    is one shuffle over the vocabulary, and the corpus-sized explode
+    happens exactly once in the word count. Re-segmentation stays
+    entirely JVM-side: a word's segmentation is a STRING
+    '·tok··tok··tok·' (every token wrapped in '·', so boundaries are
+    matchable without regex lookarounds), and applying merge (a, b) is
+    one literal replace('·a··b·' -> '·ab·') — plain left-to-right
+    non-overlapping substring replacement, which IS greedy BPE merge
+    order, and which any engine reproduces exactly (the DuckDB oracle
+    unrolls the same stages). Words containing the separator char are
+    excluded (synthetic-corpus-safe guard). Top pair ties break on
+    (count DESC, left, right) deterministically; training stops early
+    when the best pair drops below `min_pair_count`.
+
+    Each round materializes the vocabulary via eager localCheckpoint —
+    K rounds of replace would otherwise stack K plan layers — and the
+    per-round driver traffic is ONE row (the argmax pair).
+    """
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators.dedup import scaled_parallelism
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(norm_text(F.col(text_col)), r"\s+")).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("·")))
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    seg = F.concat(
+        F.lit("·"),
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), "··"),
+        F.lit("·"),
+    )
+    cur = vocab.select("freq", seg.alias("seg"))
+    n_words = cur.count()  # also materializes the corpus-sized explode
+    par = scaled_parallelism(spark, n_words)
+    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    try:
+        cur = cur.localCheckpoint(eager=True)
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(num_merges):
+            toks = F.split(
+                F.expr("substring(seg, 2, length(seg) - 2)"), "··"
+            )
+            pairs = F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(
+                    toks,
+                    2,
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            top = (
+                cur.select("freq", F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()  # bounded: exactly one row per round
+            )
+            if not top or top[0]["cnt"] < min_pair_count:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((rank, a, b, cnt))
+            cur = cur.withColumn(
+                "seg",
+                F.replace(
+                    F.col("seg"),
+                    F.lit(f"·{a}··{b}·"),
+                    F.lit(f"·{a}{b}·"),
+                ),
+            ).localCheckpoint(eager=True)
+        return spark.createDataFrame(
+            merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)

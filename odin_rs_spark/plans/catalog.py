@@ -6246,6 +6246,57 @@ FROM lut GROUP BY media_id, cdf_min
 """
 
 
+# --------------------------------------------------------------------------
+# q135 — REAL BPE merge training (Sennrich 2016; the learning half of
+# the tokenizer whose application q112 only approximates with a fixed
+# regex): start from characters over the distinct word->freq table,
+# repeatedly merge the corpus-wide most-frequent adjacent symbol pair
+# (ties: count DESC then lexicographic), 8 rounds. The segmentation
+# string trick ('·tok··tok·', merges are literal substring replaces —
+# left-to-right non-overlap IS greedy BPE order) keeps every round
+# JVM-side in Spark AND exactly replayable in SQL: the oracle unrolls
+# the same 8 stages MATERIALIZED (the q127 pattern). The learned table
+# is real: on the synthetic corpus round 7 already produces a
+# second-order merge (p + ar -> par).
+# --------------------------------------------------------------------------
+
+def q135_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bpe_train_merges(docs, num_merges=8)
+
+
+def _q135_sql(num_merges: int = 8) -> str:
+    head = """
+WITH w0 AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0 AND NOT contains(w, '·')
+  GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT freq,
+         '·' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '··') || '·' AS seg
+  FROM w0)"""
+    stages = []
+    for r in range(num_merges):
+        stages.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i + 1] AS b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq, string_split(substring(seg, 2, length(seg) - 2), '··') AS l FROM v{r}),
+       LATERAL unnest(range(1, len(l))) AS u(i)
+  GROUP BY l[i], l[i + 1]),
+t{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT freq, replace(seg, '·' || t.a || '··' || t.b || '·', '·' || t.a || t.b || '·') AS seg
+  FROM v{r}, t{r} t)""")
+    tail = "\nSELECT * FROM (" + "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM t{r}\n"
+        for r in range(num_merges)
+    ) + ") WHERE pair_count >= 2"
+    return head + "".join(stages) + tail
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6275,6 +6326,7 @@ FROM lut GROUP BY media_id, cdf_min
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),
         QuerySpec("q134_hist_equalize", q134_hist_equalize, Q134_SQL, "R9 histogram-equalize"),
         QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),
         QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),

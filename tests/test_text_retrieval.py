@@ -396,3 +396,64 @@ def test_winnow_rejects_overflow_window(spark):
         winnow_fingerprints(df, w=9)
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    """Hand-checkable corpus: 'low low low lower newest newest' —
+    merge 0 must be the most frequent adjacent pair with (count DESC,
+    lhs, rhs) tie-breaking, and later merges must build on earlier
+    ones (second-order merges)."""
+    from odin_rs_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest")],
+        "doc_id long, text string",
+    )
+    m = {r.merge_rank: (r.lhs, r.rhs, r.pair_count) for r in
+         bpe_train_merges(docs, num_merges=6).collect()}
+    # pair counts over words {low:3, lower:2, newest:4}:
+    # (w,e) = lower 2 + newest 4 = 6 wins round 0
+    assert m[0] == ("w", "e", 6)
+    # round 1: low/lower both contribute (l,o) = 5; (o,w) fell to 3
+    # because lower is now [l,o,we,r]
+    assert m[1] == ("l", "o", 5)
+    # round 2: four pairs tie at 4 ((e,we),(n,e),(s,t),(we,s)) ->
+    # lexicographic tie-break picks (e,we); the chain then grows
+    # ewe -> ewes -> ewest -> newest, all second-order merges
+    assert m[2] == ("e", "we", 4)
+    assert m[3] == ("ewe", "s", 4)
+    assert m[4] == ("ewes", "t", 4)
+    assert m[5] == ("n", "ewest", 4)
+    # merges must chain: every later lhs/rhs is either a char or a
+    # previously-built symbol
+    built = set("abcdefghijklmnopqrstuvwxyz")
+    for r in sorted(m):
+        lhs, rhs, _ = m[r]
+        assert lhs in built and rhs in built, (r, lhs, rhs)
+        built.add(lhs + rhs)
+
+
+def test_bpe_train_early_stop_and_separator_guard(spark):
+    from odin_rs_spark.operators.text import bpe_train_merges
+
+    # all words distinct single chars -> zero pairs -> zero merges
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    assert bpe_train_merges(docs, num_merges=4).count() == 0
+
+    # min_pair_count stops training once the best pair is rare
+    docs2 = spark.createDataFrame(
+        [(1, "aa aa ab")], "doc_id long, text string"
+    )
+    m = bpe_train_merges(docs2, num_merges=4, min_pair_count=3).collect()
+    # (a,a)=2 and (a,b)=1 both < 3 -> nothing learned
+    assert m == []
+
+    # words containing the separator char are excluded, not corrupted
+    docs3 = spark.createDataFrame(
+        [(1, "x·y x·y zz zz zz")], "doc_id long, text string"
+    )
+    m3 = bpe_train_merges(docs3, num_merges=2).collect()
+    assert all("·" not in r.lhs + r.rhs for r in m3)
+    assert m3[0].lhs == "z" and m3[0].rhs == "z" and m3[0].pair_count == 3
