@@ -702,3 +702,121 @@ def image_equalize_stats(media: DataFrame, on_error: str = "raise") -> DataFrame
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, EQUALIZE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("mean_abs", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL audio decode → per-clip sample statistics: the WAV bytes
+    (sources/audiocodec — pure-stdlib RIFF PCM) decode inside
+    mapInPandas and every emitted number is integer-exact arithmetic
+    over the samples (mean_abs = integer sum / count, zero crossings =
+    sign-change count on channel 0), so an oracle that knows the sample
+    generator replays verbatim. Lossy codecs raise and remain the
+    `_decode_backend` seam — same contract as image_pixel_stats."""
+    import numpy as np
+
+    from odin_rs_spark.sources.audiocodec import decode_wav
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "rate": [], "channels": [], "n_samples": [],
+                "peak": [], "mean_abs": [], "zero_crossings": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, a = decode_wav(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                s = a.astype(np.int64)
+                c0 = s[:, 0]
+                # sign-change count, zeros attach to the previous sign
+                # (np.sign(0)=0 would double-count plateaus): compare
+                # consecutive NONZERO signs
+                nz = c0[c0 != 0]
+                zc = int((np.sign(nz[1:]) != np.sign(nz[:-1])).sum()) if len(nz) > 1 else 0
+                rows["media_id"].append(mid)
+                rows["rate"].append(rate)
+                rows["channels"].append(a.shape[1])
+                rows["n_samples"].append(a.shape[0])
+                rows["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                rows["mean_abs"].append(
+                    float(np.abs(s).sum()) / s.size if s.size else 0.0
+                )
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win", IntegerType()),
+        StructField("mean_abs", DoubleType()),
+        StructField("is_silent", IntegerType()),
+    ]
+)
+
+
+def audio_silence_windows(
+    media: DataFrame,
+    window: int = 256,
+    threshold: float = 100.0,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Windowed silence detection on decoded samples (the
+    voice-activity-style segmentation a speech-corpus pipeline runs
+    before transcription): fixed `window`-sample frames on channel 0
+    (full frames only), per-frame integer-exact mean absolute level,
+    silent iff strictly below `threshold`. One mapInPandas pass;
+    output is one row per frame — rows-out = n_samples/window."""
+    import numpy as np
+
+    from odin_rs_spark.sources.audiocodec import decode_wav
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "win": [], "mean_abs": [], "is_silent": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _rate, a = decode_wav(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                c0 = a[:, 0].astype(np.int64)
+                nwin = len(c0) // window
+                if nwin == 0:
+                    continue
+                fr = np.abs(c0[: nwin * window]).reshape(nwin, window)
+                mean_abs = fr.sum(axis=1) / float(window)
+                rows["media_id"].extend([mid] * nwin)
+                rows["win"].extend(range(nwin))
+                rows["mean_abs"].extend(mean_abs.tolist())
+                rows["is_silent"].extend(
+                    (mean_abs < threshold).astype(np.int32).tolist()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, AUDIO_WINDOW_SCHEMA)

@@ -6297,6 +6297,111 @@ v{r + 1} AS MATERIALIZED (
     return head + "".join(stages) + tail
 
 
+# --------------------------------------------------------------------------
+# q136/q137 — REAL audio byte path (multimodal §2.12: the audio twin
+# of the q124 image move): formula PCM16 WAVs are ENCODED in executors
+# (sources/audiocodec — pure-stdlib RIFF writer), decoded back inside
+# mapInPandas, and the sample statistics / windowed silence
+# segmentation are integer-exact, so the oracles replay them from the
+# sample formula without touching a byte. Sample formula (keep the
+# oracle CTEs in sync): seed = media_id % 25; f = seed % 7 + 3;
+# ph = (seed * 11) % 100; s[i] = ((i*f + ph) % 4001) - 2000, except
+# windows with (i // 256) % 4 == 3 are muted to 0 (planted silence).
+# n = 2048 samples, mono, 16 kHz.
+# --------------------------------------------------------------------------
+
+def _formula_wav_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly (q73 precedent)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.audiocodec import encode_wav
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 25
+            f, ph = seed % 7 + 3, (seed * 11) % 100
+            i = np.arange(2048, dtype=np.int64)
+            s = ((i * f + ph) % 4001) - 2000
+            s[(i // 256) % 4 == 3] = 0
+            out.append(encode_wav(s.astype(np.int16), rate=16000))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+_WAV_PX_CTE = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 25) AS seed FROM range(25) r),
+pp AS (
+  SELECT media_id, seed % 7 + 3 AS f, (seed * 11) % 100 AS ph FROM par),
+smp AS (
+  SELECT media_id, i,
+         CASE WHEN (i // 256) % 4 = 3 THEN 0
+              ELSE ((i * f + ph) % 4001) - 2000 END AS s
+  FROM pp, range(2048) ii(i))"""
+
+
+def q136_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import audio_stats
+
+    media = _formula_wav_media(spark, 25)
+    out = audio_stats(media)
+    return out.select(
+        "media_id",
+        "rate",
+        "channels",
+        "n_samples",
+        "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
+Q136_SQL = _WAV_PX_CTE + """,
+nz AS (
+  SELECT media_id, i, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM smp WHERE s != 0)
+SELECT m.media_id, 16000 AS rate, 1 AS channels, 2048::BIGINT AS n_samples,
+       m.peak::INT AS peak, round(m.sum_abs / 2048.0, 6) AS mean_abs,
+       coalesce(z.zc, 0)::BIGINT AS zero_crossings
+FROM (SELECT media_id, max(abs(s)) AS peak, sum(abs(s))::DOUBLE AS sum_abs
+      FROM smp GROUP BY media_id) m
+LEFT JOIN (SELECT media_id, count(*)::BIGINT AS zc FROM nz
+           WHERE prev IS NOT NULL AND sign(s) != sign(prev)
+           GROUP BY media_id) z
+ON m.media_id = z.media_id
+"""
+
+
+def q137_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import audio_silence_windows
+
+    media = _formula_wav_media(spark, 25)
+    out = audio_silence_windows(media, window=256, threshold=100.0)
+    return out.select(
+        "media_id", "win", F.round("mean_abs", 6).alias("mean_abs"), "is_silent"
+    )
+
+
+Q137_SQL = _WAV_PX_CTE + """
+SELECT media_id, (i // 256)::INT AS win,
+       round(sum(abs(s))::DOUBLE / 256.0, 6) AS mean_abs,
+       CASE WHEN sum(abs(s))::DOUBLE / 256.0 < 100.0 THEN 1 ELSE 0 END AS is_silent
+FROM smp GROUP BY media_id, i // 256
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6326,6 +6431,8 @@ v{r + 1} AS MATERIALIZED (
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
+        QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),
         QuerySpec("q134_hist_equalize", q134_hist_equalize, Q134_SQL, "R9 histogram-equalize"),
         QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),

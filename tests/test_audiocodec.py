@@ -1,0 +1,110 @@
+"""WAV codec (sources/audiocodec.py) + audio multimodal operators:
+hand-packed RIFF bytes pin the wire layout; roundtrips, 8-bit scaling,
+chunk-walk padding, corruption contract, and the Spark stats/silence
+kernels on planted signals."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from odin_rs_spark.sources.audiocodec import decode_wav, encode_wav
+
+
+def test_hand_packed_wav_bytes():
+    """Derive a minimal 16-bit mono WAV byte-by-byte from the RIFF spec
+    and decode it — no encoder involved."""
+    samples = struct.pack("<4h", 100, -200, 300, 0)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 8) + samples
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, a = decode_wav(buf)
+    assert rate == 8000
+    assert a.shape == (4, 1)
+    assert a[:, 0].tolist() == [100, -200, 300, 0]
+
+
+def test_roundtrip_mono_stereo():
+    mono = (np.arange(100, dtype=np.int16) * 31 - 1500).astype(np.int16)
+    rate, a = decode_wav(encode_wav(mono, rate=22050))
+    assert rate == 22050 and np.array_equal(a[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, b = decode_wav(encode_wav(stereo, rate=44100))
+    assert rate == 44100 and b.shape == (100, 2)
+    assert np.array_equal(b, stereo)
+
+
+def test_8bit_centered_to_int16_scale():
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 3) + data + b"\x00"  # odd -> pad
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _, a = decode_wav(buf)
+    assert a[:, 0].tolist() == [-32768, 0, 32512]  # (v-128)*256
+
+
+def test_unknown_chunks_skipped_with_padding():
+    """An odd-sized LIST chunk before fmt/data must be skipped with its
+    pad byte, or the walk desynchronizes."""
+    inner = encode_wav(np.array([5, -5, 7], dtype=np.int16))
+    # rebuild with a 3-byte junk chunk injected after 'WAVE'
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = junk + inner[12:]
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _, a = decode_wav(buf)
+    assert a[:, 0].tolist() == [5, -5, 7]
+
+
+def test_corrupt_raises_valueerror():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOPE" + b"\x00" * 40)
+    good = encode_wav(np.zeros(8, dtype=np.int16))
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(good[:12])  # header only
+    # non-PCM format tag
+    bad = bytearray(good)
+    bad[20] = 3  # fmt tag -> IEEE float
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(bad))
+    # truncated data chunk: declared length past the file
+    trunc = bytearray(good)
+    struct.pack_into("<I", trunc, 40, 10_000)
+    with pytest.raises(ValueError, match="runs past"):
+        decode_wav(bytes(trunc))
+
+
+def test_audio_stats_exact(spark):
+    from odin_rs_spark.operators import multimodal as mm
+
+    s = np.array([10, -10, 10, -10, 0, 0, 300], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, rate=16000)))],
+        "media_id long, content binary",
+    )
+    r = mm.audio_stats(media).collect()[0]
+    assert (r.rate, r.channels, r.n_samples, r.peak) == (16000, 1, 7, 300)
+    assert r.mean_abs == (10 * 4 + 300) / 7
+    # nonzero signs: + - + - + -> 4 changes; zeros don't double-count
+    assert r.zero_crossings == 4
+
+
+def test_audio_silence_windows_planted(spark):
+    from odin_rs_spark.operators import multimodal as mm
+
+    s = np.concatenate(
+        [np.full(256, 500), np.zeros(256), np.full(256, -2000), np.full(100, 9)]
+    ).astype(np.int16)
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_wav(s)))], "media_id long, content binary"
+    )
+    rows = {r.win: r for r in
+            mm.audio_silence_windows(media, window=256, threshold=100.0).collect()}
+    assert set(rows) == {0, 1, 2}  # trailing partial frame dropped
+    assert rows[0].is_silent == 0 and rows[0].mean_abs == 500.0
+    assert rows[1].is_silent == 1 and rows[1].mean_abs == 0.0
+    assert rows[2].is_silent == 0 and rows[2].mean_abs == 2000.0
