@@ -6402,6 +6402,54 @@ FROM smp GROUP BY media_id, i // 256
 """
 
 
+# --------------------------------------------------------------------------
+# q138 — GRIB2 complex packing with IN-PACKING missing values (octet
+# 23 = 1 — what r5 explicitly rejected, now decoded): the fixture is
+# the q129 wind field with every (i+j)%7==3 cell encoded as a primary
+# missing value (all-ones group codes, difference sequence over
+# present values only, all-missing groups as width-0 all-ones refs).
+# The oracle replays ONLY the present cells from the formula — a
+# decoder that mistakes one marker for data, or mis-scatters the
+# compacted difference sequence, changes counts and sums and fails
+# the hash.
+# --------------------------------------------------------------------------
+
+def q138_grib2_missing_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.grib2 import grib2_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "wind_complex_missing.grib2",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = grib2_grid_cells(files, value_min=4.0)
+    return cells.groupBy(F.floor("lon").cast("int").alias("lon_band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+    )
+
+
+Q138_SQL = """
+WITH g AS (SELECT xs.range AS i, ys.range AS j
+           FROM range(30) xs, range(16) ys),
+c AS (SELECT ((i * 5 + j * 3) % 50) * 0.25 + 0.5 AS value,
+             35.0 + j * 0.125 AS lat, -110.0 + i * 0.25 AS lon
+      FROM g WHERE (i + j) % 7 != 3)
+SELECT floor(lon)::INT AS lon_band, count(*)::BIGINT AS n_cells,
+       round(sum(value), 6) AS sum_value,
+       round(min(lat), 6) AS min_lat,
+       round(max(lat), 6) AS max_lat
+FROM c WHERE value >= 4.0 GROUP BY lon_band
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6431,6 +6479,7 @@ FROM smp GROUP BY media_id, i // 256
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

@@ -226,12 +226,25 @@ def _parse_grib2(buf: bytes) -> dict:
                         f"group splitting method {body[21]} unsupported "
                         "(general group splitting only)"
                     )
-                if body[22] != 0:
+                mvm = body[22]
+                if mvm not in (0, 1):
                     raise ValueError(
-                        "missing value management within complex packing "
-                        "unsupported (use a section-6 bitmap)"
+                        f"missing value management {mvm} unsupported "
+                        "(0 = none, 1 = primary only)"
                     )
+                # octets 24-27: primary missing substitute, typed by the
+                # original-field-type octet 21 (0 = IEEE float)
+                if mvm:
+                    mv1 = (
+                        float(struct.unpack(">f", body[23:27])[0])
+                        if body[20] == 0
+                        else int(struct.unpack(">I", body[23:27])[0])
+                    )
+                else:
+                    mv1 = None
                 pack.update(
+                    mvm=mvm,
+                    mv1=mv1,
                     ng=struct.unpack(">I", body[31:35])[0],
                     wref=body[35],
                     wbits=body[36],
@@ -264,6 +277,7 @@ def _parse_grib2(buf: bytes) -> dict:
         raise ValueError("GRIB2 message missing section 3, 5 or 7")
     n = grid["ni"] * grid["nj"]
     n_packed = n if bitmap is None else int(bitmap[:n].sum())
+    emb_miss = None
     if pack["tmpl"] == 0:
         bits = np.unpackbits(np.frombuffer(values, dtype=np.uint8))
         nb = pack["nbits"]
@@ -275,25 +289,53 @@ def _parse_grib2(buf: bytes) -> dict:
                 axis=1
             )
     else:
-        x = _unpack_complex(values, pack, n_packed)
+        x, emb_miss = _unpack_complex(values, pack, n_packed)
     vals = (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
+    if emb_miss is not None:
+        # embedded (in-packing) primary missing values: NaN in the
+        # decoded grid, same contract as bitmap-excluded cells; the
+        # encoder's substitute value rides out in "missing_value"
+        vals = vals.copy()
+        vals[emb_miss] = np.nan
+    miss_flat = np.zeros(n, dtype=bool)
     if bitmap is not None:
         full = np.full(n, np.nan)
         full[bitmap[:n]] = vals
         vals = full
+        miss_flat = ~bitmap[:n]
+        if emb_miss is not None:
+            idx = np.nonzero(bitmap[:n])[0]
+            miss_flat[idx[emb_miss]] = True
+    elif emb_miss is not None:
+        miss_flat = emb_miss
     out = vals.reshape(grid["nj"], grid["ni"])
+    has_missing = bitmap is not None or emb_miss is not None
     return {
         **grid,
         "param": (discipline, category, number),
         "values": out,
-        "missing": None if bitmap is None else ~bitmap[:n].reshape(grid["nj"], grid["ni"]),
+        "missing": miss_flat.reshape(grid["nj"], grid["ni"]) if has_missing else None,
+        "missing_value": pack.get("mv1"),
     }
 
 
-def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
+def _unpack_complex(
+    data: bytes, pack: dict, n_packed: int
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Data templates 7.2/7.3: general group splitting, optional
-    spatial differencing. Returns the reconstructed integer field X of
-    length n_packed (Y = (R + X·2^E)·10^-D applied by the caller).
+    spatial differencing, optional PRIMARY missing-value management
+    (octet 23 = 1). Returns (X, miss): the reconstructed integer field
+    of length n_packed (Y = (R + X·2^E)·10^-D applied by the caller)
+    and a boolean missing mask (None when management is off).
+
+    Missing encoding (spec 7.2 note 6 / how wgrib2 packs it): with
+    management on, a group of width w > 0 marks a missing point with
+    the all-ones code 2^w − 1 (real deviations stay ≤ 2^w − 2), and an
+    ALL-missing group is a width-0 group whose reference is the
+    all-ones 2^nbits − 1. With spatial differencing the difference
+    sequence runs over the PRESENT values only — the inverse cumsums
+    reconstruct the compacted present subsequence, which then scatters
+    back to its grid positions.
 
     Vectorization: groups are unpacked per DISTINCT bit width (≤ 32
     classes), each class as one fancy-indexed reshape over the global
@@ -316,10 +358,11 @@ def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
 
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     ng = pack["ng"]
+    mvm = pack.get("mvm", 0)
     if ng == 0:
         if n_packed:
             raise ValueError("zero groups but nonzero data points")
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), None
     # ng is a raw 4-byte field: bound it BEFORE the first O(ng)
     # allocation (a ~100-byte corrupt file with ng=2^31 and zero-width
     # descriptors would otherwise demand multi-GB zeros() arrays).
@@ -360,6 +403,11 @@ def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
         np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths
     )
     x = np.repeat(refs, lengths)  # width-0 groups: all elements = ref
+    miss = np.zeros(total, dtype=bool) if mvm else None
+    if mvm and pack["nbits"] > 0:
+        # all-missing groups: width 0, reference all-ones
+        allones = (1 << pack["nbits"]) - 1
+        miss |= ((widths == 0) & (refs == allones))[elem_group]
     for w in np.unique(widths):
         if w == 0:
             continue
@@ -367,27 +415,40 @@ def _unpack_complex(data: bytes, pack: dict, n_packed: int) -> np.ndarray:
         bit0 = starts[elem_group[sel]] + elem_idx[sel] * w
         seg = bits[bit0[:, None] + np.arange(w)]
         dev = (seg.astype(np.int64) * (1 << np.arange(w - 1, -1, -1))).sum(axis=1)
+        if mvm:
+            miss[sel] |= dev == (1 << int(w)) - 1
         x[sel] += dev
 
-    if order == 0:
-        return x
-    # 7.3: x holds (spatial differences − gmin) for k ≥ order; the
-    # first `order` original values arrive via the descriptors
-    if n_packed <= order:
-        return np.array(ivals[:n_packed], dtype=np.int64)
-    if order == 1:
-        out = np.empty(n_packed, dtype=np.int64)
+    def _inverse_diff(xs: np.ndarray) -> np.ndarray:
+        # 7.3: xs holds (spatial differences − gmin) for k ≥ order; the
+        # first `order` original values arrive via the descriptors
+        m = len(xs)
+        if m <= order:
+            return np.array(ivals[:m], dtype=np.int64)
+        if order == 1:
+            out = np.empty(m, dtype=np.int64)
+            out[0] = ivals[0]
+            out[1:] = ivals[0] + np.cumsum(xs[1:] + gmin)
+            return out
+        sd = xs[2:] + gmin  # second differences, k ≥ 2
+        d1 = (ivals[1] - ivals[0]) + np.concatenate(
+            ([0], np.cumsum(sd))
+        )  # first differences d1[k] = f[k+1] − f[k]
+        out = np.empty(m, dtype=np.int64)
         out[0] = ivals[0]
-        out[1:] = ivals[0] + np.cumsum(x[1:] + gmin)
+        out[1:] = ivals[0] + np.cumsum(d1)
         return out
-    sd = x[2:] + gmin  # second differences, k ≥ 2
-    d1 = (ivals[1] - ivals[0]) + np.concatenate(
-        ([0], np.cumsum(sd))
-    )  # first differences d1[k] = f[k+1] − f[k]
-    out = np.empty(n_packed, dtype=np.int64)
-    out[0] = ivals[0]
-    out[1:] = ivals[0] + np.cumsum(d1)
-    return out
+
+    if miss is not None and miss.any():
+        # differencing (when on) ran over the PRESENT subsequence only
+        present = ~miss
+        recon = _inverse_diff(x[present]) if order else x[present]
+        x = np.zeros(total, dtype=np.int64)
+        x[present] = recon
+        return x, miss
+    if order:
+        x = _inverse_diff(x)
+    return x, miss
 
 
 def _sections_0134(
@@ -474,33 +535,41 @@ def write_grib2_complex(
     Fixed-size general group splitting: every group is `group_len`
     points (last group shorter), per-group reference = group min,
     per-group width = bits of the max deviation; group lengths ride the
-    reference/last-length fields with zero scaled-length bits."""
+    reference/last-length fields with zero scaled-length bits.
+
+    NaN cells encode as PRIMARY missing values (octet 23 = 1): the
+    difference sequence runs over present values only, a missing point
+    carries the all-ones code of its group's width (real deviations are
+    kept ≤ 2^w − 2), and an all-missing group is width 0 with the
+    all-ones reference — the exact layout `_unpack_complex` reverses."""
     if order not in (0, 1, 2):
         raise ValueError(f"order must be 0, 1 or 2, got {order}")
     nj, ni = values.shape
-    x = (values * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
-    xi = np.round(x).astype(np.int64)
-    if not np.allclose(x, xi, rtol=0, atol=1e-9):
+    flat_vals = values.reshape(-1)
+    present = ~np.isnan(flat_vals)
+    mvm = 0 if present.all() else 1
+    n = flat_vals.size
+    x = (flat_vals[present] * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
+    pv = np.round(x).astype(np.int64)
+    if not np.allclose(x, pv, rtol=0, atol=1e-9):
         raise ValueError("values not representable under the given scales")
-    flat = xi.reshape(-1)
-    n = flat.size
-    if n <= order:
-        raise ValueError("too few points for the differencing order")
+    if pv.size <= order:
+        raise ValueError("too few present points for the differencing order")
 
     extra = b""
     if order == 1:
-        sd = flat[1:] - flat[:-1]
+        sd = pv[1:] - pv[:-1]
         gmin = int(sd.min())
-        field = np.concatenate(([0], sd - gmin))
-        ivals = [int(flat[0])]
+        fieldp = np.concatenate(([0], sd - gmin))
+        ivals = [int(pv[0])]
     elif order == 2:
-        sd = flat[2:] - 2 * flat[1:-1] + flat[:-2]
+        sd = pv[2:] - 2 * pv[1:-1] + pv[:-2]
         gmin = int(sd.min())
-        field = np.concatenate(([0, 0], sd - gmin))
-        ivals = [int(flat[0]), int(flat[1])]
+        fieldp = np.concatenate(([0, 0], sd - gmin))
+        ivals = [int(pv[0]), int(pv[1])]
     else:
-        field = flat
-        if field.min() < 0:
+        fieldp = pv
+        if fieldp.size and fieldp.min() < 0:
             raise ValueError("template 5.2 packs non-negative integers only")
         gmin, ivals = 0, []
     if order:
@@ -510,33 +579,57 @@ def write_grib2_complex(
         extra = b"".join(_sm_bytes_enc(v, ods) for v in ivals)
         extra += _sm_bytes_enc(gmin, ods)
 
+    field = np.zeros(n, dtype=np.int64)
+    field[present] = fieldp
     ng = (n + group_len - 1) // group_len
     g_of = np.arange(n) // group_len
     lengths = np.bincount(g_of, minlength=ng)
-    refs = np.array(
-        [field[i * group_len : (i + 1) * group_len].min() for i in range(ng)],
-        dtype=np.int64,
-    )
-    dev = field - refs[g_of]
-    widths = np.array(
-        [
-            int(dev[i * group_len : (i + 1) * group_len].max()).bit_length()
-            for i in range(ng)
-        ],
-        dtype=np.int64,
-    )
-    wref = int(widths.min())
+    refs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    all_missing = np.zeros(ng, dtype=bool)
+    for i in range(ng):
+        sl = slice(i * group_len, i * group_len + int(lengths[i]))
+        p = present[sl]
+        if not p.any():
+            all_missing[i] = True  # ref patched to all-ones after nbits
+            continue
+        gfield = field[sl][p]
+        refs[i] = int(gfield.min())
+        dmax = int((gfield - refs[i]).max())
+        w = dmax.bit_length()
+        if mvm:
+            # reserve the all-ones code in EVERY group (decoder
+            # convention); a constant group with a missing member
+            # widens from 0 to 1 bit
+            while dmax >= (1 << w) - 1:
+                w += 1
+        widths[i] = w
     nbits = max(int(refs.max()).bit_length(), 1)
+    if mvm:
+        while int(refs.max()) >= (1 << nbits) - 1:
+            nbits += 1  # all-ones reference must stay unambiguous
+        refs[all_missing] = (1 << nbits) - 1
+    wref = int(widths.min())
     wbits = max(int((widths - wref).max()).bit_length(), 1)
 
+    dev = field - np.where(all_missing, 0, refs)[g_of]
+    if mvm:
+        # missing slots carry their group's all-ones marker
+        marker = (1 << widths)[g_of] - 1
+        dev = np.where(present, dev, marker)
+    group_devs = [
+        _pack_bits(dev[g_of == i], int(widths[i]))
+        for i in range(ng)
+        if widths[i] > 0
+    ]
     stream = np.concatenate(
         [
             _pad_to_octet(_pack_bits(refs, nbits)),
             _pad_to_octet(_pack_bits(widths - wref, wbits)),
             # lbits = 0: lengths come entirely from lref/last_len
-            np.concatenate(
-                [_pack_bits(dev[g_of == i], int(widths[i])) for i in range(ng)]
-            ),
+            np.concatenate(group_devs)
+            if group_devs
+            else np.zeros(0, dtype=np.uint8),
         ]
     )
     packed = extra + np.packbits(stream).tobytes()
@@ -545,12 +638,17 @@ def write_grib2_complex(
         ni, nj, lat0, lon0, dlat, dlon, discipline, category, number
     )
     tmpl = 3 if order else 2
+    subs = (
+        struct.pack(">f", 9.999e20) + bytes(4)  # primary substitute
+        if mvm
+        else bytes(8)
+    )
     t5 = (
         struct.pack(">f", r_ref)
         + struct.pack(">HH", _sm16_enc(e_scale), _sm16_enc(d_scale))
         + bytes([nbits, 0])  # bits per group ref, original field type
-        + bytes([1, 0])  # general group splitting, no missing mgmt
-        + bytes(8)  # primary/secondary missing substitutes
+        + bytes([1, mvm])  # general group splitting, missing mgmt
+        + subs  # primary/secondary missing substitutes
         + struct.pack(">I", ng)
         + bytes([wref, wbits])
         + struct.pack(">I", group_len)  # group length reference

@@ -338,14 +338,59 @@ def test_multi_message_file(tmp_path, spark):
         parse_grib2_messages(cat[:-10])
 
 
-def test_complex_missing_mgmt_rejected():
+def test_complex_secondary_missing_mgmt_rejected():
+    """Primary missing management (octet 23 = 1) decodes; SECONDARY
+    (= 2) remains an explicit rejection."""
     buf = bytearray(_hand_packed_53_message())
     pos = 16
     while pos < len(buf) - 4:
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
         if buf[pos + 4] == 5:
-            buf[pos + 22] = 1  # primary missing value management
+            buf[pos + 22] = 2  # primary + secondary management
             break
         pos += ln
     with pytest.raises(ValueError, match="missing value management"):
         parse_grib2(bytes(buf))
+
+
+def test_complex_missing_values_roundtrip(tmp_path):
+    """NaN cells ride the in-packing primary-missing encoding (octet
+    23 = 1) through every order: scattered NaNs, NaNs inside the first
+    `order` slots, and whole all-missing groups all reconstruct, with
+    present values exact and the missing mask faithful."""
+    from odin_rs_spark.sources.grib2 import write_grib2_complex
+
+    rng = np.arange(48, dtype=np.float64).reshape(6, 8)
+    for order in (0, 1, 2):
+        v = (rng * 0.25 + 1.0).copy()
+        v[0, 3] = np.nan          # scattered
+        v[2, :] = np.nan          # a full row -> one all-missing group
+        v[5, 7] = np.nan          # last point
+        p = str(tmp_path / f"miss{order}.grib2")
+        write_grib2_complex(
+            p, v, lat0=10, lon0=20, dlat=0.5, dlon=0.5, e_scale=-2,
+            order=order, group_len=8,
+        )
+        g = parse_grib2(open(p, "rb").read())
+        assert g["missing"] is not None
+        assert np.array_equal(g["missing"], np.isnan(v))
+        assert np.array_equal(
+            g["values"][~np.isnan(v)], v[~np.isnan(v)]
+        ), f"order {order}"
+        assert np.isnan(g["values"][np.isnan(v)]).all()
+        assert g["missing_value"] == struct.unpack(">f", struct.pack(">f", 9.999e20))[0]
+
+
+def test_complex_missing_in_leading_slots(tmp_path):
+    """NaN at positions 0/1 forces the descriptors to carry the first
+    PRESENT values — the compacted-sequence contract."""
+    from odin_rs_spark.sources.grib2 import write_grib2_complex
+
+    v = (np.arange(24, dtype=np.float64).reshape(3, 8) * 0.5 + 2.0).copy()
+    v[0, 0] = np.nan
+    v[0, 1] = np.nan
+    p = str(tmp_path / "lead.grib2")
+    write_grib2_complex(p, v, lat0=0, lon0=0, dlat=1, dlon=1, e_scale=-1, order=2)
+    g = parse_grib2(open(p, "rb").read())
+    assert np.array_equal(g["values"][~np.isnan(v)], v[~np.isnan(v)])
+    assert np.array_equal(g["missing"], np.isnan(v))
