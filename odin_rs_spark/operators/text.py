@@ -975,3 +975,34 @@ def bpe_train_merges(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank-ordered (lhs, rhs) pairs,
+    e.g. from `bpe_train_merges`) to a word column: adds `n_tokens` =
+    the word's BPE token count under those merges. Same separator-string
+    mechanics as training — each merge is one literal JVM replace, so
+    encoding a vocabulary is K narrow column ops with no Python in the
+    path; a checkpoint every 16 merges keeps the plan shallow for
+    production-sized merge tables."""
+    seg = F.concat(
+        F.lit("·"),
+        F.array_join(
+            F.filter(F.split(F.col(word_col), ""), lambda c: c != ""), "··"
+        ),
+        F.lit("·"),
+    )
+    cur = words.withColumn("__seg", seg)
+    for i, (a, b) in enumerate(merges):
+        cur = cur.withColumn(
+            "__seg",
+            F.replace(F.col("__seg"), F.lit(f"·{a}··{b}·"), F.lit(f"·{a}{b}·")),
+        )
+        if (i + 1) % 16 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    toks = F.split(F.expr("substring(__seg, 2, length(__seg) - 2)"), "··")
+    return cur.withColumn("n_tokens", F.size(toks)).drop("__seg")

@@ -6450,6 +6450,80 @@ FROM c WHERE value >= 4.0 GROUP BY lon_band
 """
 
 
+# --------------------------------------------------------------------------
+# q139 — BPE ENCODE with the learned merges (train → encode, the full
+# tokenizer loop): train the q135 merge table, apply it to the distinct
+# vocabulary (K literal replaces, JVM-side), join word token counts
+# back to the corpus words, aggregate per language. The oracle carries
+# the word column through the same unrolled training stages and
+# replays the encode join — so a wrong merge ORDER (BPE is
+# order-sensitive) shifts token counts and fails the hash.
+# --------------------------------------------------------------------------
+
+def q139_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.text import norm_text
+
+    docs = _t(spark, sf_dir, "documents")
+    merges_df = text_ops.bpe_train_merges(docs, num_merges=8)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_rank").collect()  # bounded: 8 rows
+    ]
+    words = docs.select(
+        "lang",
+        F.explode(F.split(norm_text(F.col("text")), r"\s+")).alias("w"),
+    ).filter((F.length("w") > 0) & (~F.col("w").contains("·")))
+    vocab = text_ops.bpe_segment_words(
+        words.select("w").distinct(), merges
+    ).select("w", "n_tokens")
+    joined = words.join(vocab, "w")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_word"),
+    )
+
+
+def _q139_sql(num_merges: int = 8) -> str:
+    head = """
+WITH w0 AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents)
+  WHERE length(w) > 0 AND NOT contains(w, '·')
+  GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT w, freq,
+         '·' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '··') || '·' AS seg
+  FROM w0)"""
+    stages = []
+    for r in range(num_merges):
+        stages.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i + 1] AS b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT freq, string_split(substring(seg, 2, length(seg) - 2), '··') AS l FROM v{r}),
+       LATERAL unnest(range(1, len(l))) AS u(i)
+  GROUP BY l[i], l[i + 1]),
+t{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT w, freq, replace(seg, '·' || t.a || '··' || t.b || '·', '·' || t.a || t.b || '·') AS seg
+  FROM v{r}, t{r} t)""")
+    tail = f""",
+enc AS MATERIALIZED (
+  SELECT w, len(string_split(substring(seg, 2, length(seg) - 2), '··'))::BIGINT AS n_tok
+  FROM v{num_merges}),
+docw AS (
+  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+dw AS (SELECT lang, w FROM docw WHERE length(w) > 0 AND NOT contains(w, '·'))
+SELECT d.lang, count(*)::BIGINT AS n_words, sum(e.n_tok)::BIGINT AS n_tokens,
+       round(avg(e.n_tok), 6) AS avg_tokens_per_word
+FROM dw d JOIN enc e ON d.w = e.w
+GROUP BY d.lang"""
+    return head + "".join(stages) + tail
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6480,6 +6554,7 @@ CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
+        QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

@@ -457,3 +457,19 @@ def test_bpe_train_early_stop_and_separator_guard(spark):
     m3 = bpe_train_merges(docs3, num_merges=2).collect()
     assert all("·" not in r.lhs + r.rhs for r in m3)
     assert m3[0].lhs == "z" and m3[0].rhs == "z" and m3[0].pair_count == 3
+
+
+def test_bpe_segment_words_applies_in_order(spark):
+    """BPE is merge-ORDER sensitive: applying (l,o) then (lo,w) must
+    tokenize 'low' as [low] (1 token), while the reverse order leaves
+    it as [lo, w] (2 tokens — the (lo,w) merge can't fire before (l,o)
+    exists)."""
+    from odin_rs_spark.operators.text import bpe_segment_words
+
+    words = spark.createDataFrame([("low",), ("lot",)], "w string")
+    fwd = {r.w: r.n_tokens for r in
+           bpe_segment_words(words, [("l", "o"), ("lo", "w")]).collect()}
+    assert fwd == {"low": 1, "lot": 2}  # l+o -> lo, lo+w -> low; lot = lo,t
+    rev = {r.w: r.n_tokens for r in
+           bpe_segment_words(words, [("lo", "w"), ("l", "o")]).collect()}
+    assert rev == {"low": 2, "lot": 2}  # (lo,w) fires on nothing first
