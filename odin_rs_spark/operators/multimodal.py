@@ -820,3 +820,118 @@ def audio_silence_windows(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, AUDIO_WINDOW_SCHEMA)
+
+
+FOCUS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("focus", DoubleType()),
+    ]
+)
+
+
+def image_focus(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Brenner focus measure over decoded luma (parity:
+    avg_horizontal_brenner_focus, odin_image/src/lib.rs:550-567 — the
+    reference differences along y with stride 2 despite the name; the
+    camera-health metric its tower monitors alarm on): focus =
+    sum((l[y+2,x] - l[y,x])^2) / (w * (h-2)). Integer-exact numerator,
+    one division — an oracle that knows the pixel generator replays it
+    verbatim."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "focus": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    g = luma(decode_image(bytes(content))).astype(np.int64)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                h, w = g.shape
+                if h < 3:
+                    continue  # no y+2 differences exist
+                d = g[2:, :] - g[:-2, :]
+                rows["media_id"].append(mid)
+                rows["focus"].append(float((d * d).sum()) / (w * (h - 2)))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, FOCUS_SCHEMA)
+
+
+FRACTAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fractal_dim", DoubleType()),
+    ]
+)
+
+
+def image_fractal_dim(
+    media: DataFrame, s_min: float = 0.5, on_error: str = "raise"
+) -> DataFrame:
+    """Compression-based fractal-dimension estimate (parity:
+    fractal_dim, odin_image/src/lib.rs:580-608, after Del-Pozo-Velazquez
+    et al. 2025's smoke/no-smoke texture classifier): resize the luma
+    plane at scales s_min, s_min+0.1, ..., 1.0, take log2 of each
+    scale's DEFLATE-compressed byte size, and return the least-squares
+    slope of log2(size) against log2(10*s). Deviations from the
+    reference, both documented: nearest-neighbor resampling (no image
+    libs in this container; the reference uses CatmullRom) and zlib
+    level 6 as the compressor. Deterministic for a given zlib build but
+    NOT SQL-expressible (no oracle can run DEFLATE), so the catalog
+    entry is a rows-only check."""
+    import zlib
+
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma, resize_nearest
+
+    if not 0.0 < s_min < 1.0:
+        raise ValueError(f"s_min out of range: {s_min}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "fractal_dim": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    g = luma(decode_image(bytes(content)))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                h, w = g.shape
+                xs, ys = [], []
+                s = s_min
+                while s < 1.0:
+                    sw, sh = int(w * s), int(h * s)
+                    if sw < 1 or sh < 1:
+                        s += 0.1
+                        continue
+                    sz = len(zlib.compress(resize_nearest(g, sw, sh).tobytes(), 6))
+                    xs.append(np.log2(s * 10.0))
+                    ys.append(np.log2(sz))
+                    s += 0.1
+                xs.append(np.log2(10.0))
+                ys.append(np.log2(len(zlib.compress(g.tobytes(), 6))))
+                xa, ya = np.array(xs), np.array(ys)
+                denom = ((xa - xa.mean()) ** 2).sum()
+                slope = (
+                    ((xa - xa.mean()) * (ya - ya.mean())).sum() / denom
+                    if denom > 0
+                    else 0.0
+                )
+                rows["media_id"].append(mid)
+                rows["fractal_dim"].append(float(slope))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, FRACTAL_SCHEMA)

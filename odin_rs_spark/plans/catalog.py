@@ -6524,6 +6524,54 @@ GROUP BY d.lang"""
     return head + "".join(stages) + tail
 
 
+# --------------------------------------------------------------------------
+# q140 — Brenner focus on real pixels (odin_image/src/lib.rs:550-567 —
+# the camera-health metric): focus = sum over x of (p[y+2]-p[y])^2,
+# normalized by w*(h-2). Integer-exact numerator over the decoded
+# plane; the oracle replays it with a lead(2) window over the formula
+# pixels. q141 — compression-based fractal dimension (lib.rs:580-608;
+# Del-Pozo-Velazquez 2025 smoke texture classifier): multi-scale
+# resize → DEFLATE size → log-log least-squares slope. DEFLATE is not
+# SQL-expressible, so q141 is the catalog's one deliberate rows-only
+# entry (the driver records the weaker check; determinism is pinned by
+# tests instead).
+# --------------------------------------------------------------------------
+
+def q140_image_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_focus
+
+    media = _formula_png_media(spark, 200)
+    out = image_focus(media)
+    return out.select("media_id", F.round("focus", 6).alias("focus"))
+
+
+Q140_SQL = """
+WITH img AS (
+  SELECT r.range AS media_id, (r.range % 40) AS seed FROM range(200) r),
+par AS (
+  SELECT media_id, seed % 7 AS a, seed % 5 + 1 AS b, (seed * 13) % 256 AS m
+  FROM img),
+px AS (
+  SELECT media_id, x, y, ((m + x * a + y * b) % 256) AS p
+  FROM par, range(32) xs(x), range(24) ys(y)),
+d AS (
+  SELECT media_id, x, y, p,
+         lead(p, 2) OVER (PARTITION BY media_id, x ORDER BY y) AS p2
+  FROM px)
+SELECT media_id,
+       round(sum((p2 - p) * (p2 - p))::DOUBLE / (32 * 22), 6) AS focus
+FROM d WHERE p2 IS NOT NULL GROUP BY media_id
+"""
+
+
+def q141_fractal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_fractal_dim
+
+    media = _formula_png_media(spark, 40)
+    out = image_fractal_dim(media, s_min=0.5)
+    return out.select("media_id", F.round("fractal_dim", 6).alias("fractal_dim"))
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6555,6 +6603,8 @@ CATALOG: dict[str, QuerySpec] = {
     for s in [
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
+        QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),
+        QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

@@ -230,3 +230,45 @@ def test_image_equalize_stats_spreads_histogram(spark):
     r = mm.image_equalize_stats(media).collect()[0]
     assert r.eq_min == 0 and r.eq_max == 255
     assert 100 < r.eq_mean < 160  # spread across the full range
+
+
+def test_image_focus_reference_semantics(spark):
+    """Brenner focus = mean of squared stride-2 y-differences: a
+    constant image scores 0, a y-ramp of slope k scores (2k)^2, and
+    images shorter than 3 rows emit nothing."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    flat = np.full((8, 5), 77, np.uint8)
+    ramp = (np.arange(8)[:, None] * 3 + np.zeros((1, 5), int)).astype(np.uint8)
+    tiny = np.zeros((2, 5), np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(flat))), (2, bytearray(encode_png(ramp))),
+         (3, bytearray(encode_png(tiny)))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r.focus for r in mm.image_focus(media).collect()}
+    assert rows[1] == 0.0
+    assert rows[2] == 36.0  # (2*3)^2 everywhere
+    assert 3 not in rows
+
+
+def test_fractal_dim_deterministic_and_ordered(spark):
+    """The compression-slope estimate must be deterministic run-to-run
+    and rank a high-texture (noisy) plane above a flat one."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    flat = np.full((48, 64), 9, np.uint8)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (48, 64)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(flat))), (2, bytearray(encode_png(noise)))],
+        "media_id long, content binary",
+    )
+    a = {r.media_id: r.fractal_dim for r in mm.image_fractal_dim(media).collect()}
+    b = {r.media_id: r.fractal_dim for r in mm.image_fractal_dim(media).collect()}
+    assert a == b  # deterministic
+    assert a[2] > a[1]  # noise compresses worse at every scale
