@@ -541,6 +541,8 @@ def grayworld_smoke_diff(
     min_g_diff: float = 0.02,
     min_w_diff: float = 0.05,
     w_saturation: float = 1.0,
+    horizon: list[int] | None = None,
+    mask: set[tuple[int, int]] | None = None,
     id_col: str = "media_id",
 ) -> DataFrame:
     """Grayworld smoke detection between a before/after image pair
@@ -548,11 +550,16 @@ def grayworld_smoke_diff(
     shows as tiles whose WHITE-ness rises by >= min_w_diff while the
     GRAY-ness also rises by >= min_g_diff): per-pixel (gray, white)
     factors, per-tile means over valid pixels (white < w_saturation —
-    already-saturated pixels carry no signal — with at least
-    `min_valid` of the tile valid in BOTH frames), tile-wise
-    after-minus-before diffs, threshold filter. Output rows carry the
-    tile's pixel rectangle exactly like the reference's SmokeDiff.
-    Full tiles only (fractional_tiles=false).
+    already-saturated pixels carry no signal — and, when `horizon` is
+    given, y >= horizon[x]: the sky above a camera's horizon line is
+    excluded, the reference's valid_pixel_predicate), with at least
+    `min_valid` of the tile valid in BOTH frames; tile-wise
+    after-minus-before diffs, threshold filter. `mask` excludes whole
+    (tile_x, tile_y) tiles — the reference's per-tile Mask for known
+    false-alarm regions. Output rows carry the tile's pixel rectangle
+    exactly like the reference's SmokeDiff. Full tiles only
+    (fractional_tiles=false). `horizon` must have one entry per pixel
+    COLUMN of the frames (the reference errors likewise).
 
     Scale shape: one mapInPandas pass over the paired frames — pixels
     never shuffle; the output is candidate tiles only (sparse)."""
@@ -566,6 +573,13 @@ def grayworld_smoke_diff(
         gray, white = _rgb_to_gw(img)
         valid = white < w_saturation
         h, w = gray.shape
+        if horizon is not None:
+            if len(horizon) != w:
+                raise ValueError(
+                    f"horizon length {len(horizon)} != image width {w}"
+                )
+            yy = np.arange(h)[:, None]
+            valid &= yy >= np.asarray(horizon, dtype=np.int64)[None, :]
         ny, nx = h // tile_h, w // tile_w
         gm = np.full((ny, nx), np.nan)
         wm = np.full((ny, nx), np.nan)
@@ -607,6 +621,10 @@ def grayworld_smoke_diff(
                     & (w_diff >= min_w_diff)
                     & (g_diff >= min_g_diff)
                 )
+                if mask:
+                    for mtx, mty in mask:
+                        if 0 <= mty < cand.shape[0] and 0 <= mtx < cand.shape[1]:
+                            cand[mty, mtx] = False
                 for ty, tx in zip(*np.nonzero(cand)):
                     rows["media_id"].append(mid)
                     rows["tile_x"].append(int(tx))

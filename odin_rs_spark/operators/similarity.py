@@ -1249,3 +1249,93 @@ def center_embeddings(
             ).otherwise(F.col(out_col)),
         ).drop("__n")
     return out
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision, JVM-side, sequential fold order —
+    the same element-order fold DuckDB's list_sum performs, so both
+    engines produce bit-identical distances."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def greedy_kcenter_select(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) DIVERSITY selection — the
+    coreset move a training-data pipeline runs to pick k maximally
+    spread exemplars from an embedding corpus (dedup keeps one per
+    near-dup cluster; this picks the k that COVER the space: classic
+    2-approximation to the k-center objective, Gonzalez 1985).
+
+    Deterministic: seed = the minimum id; each round selects the point
+    whose distance to its NEAREST already-selected center is largest
+    (squared L2, sequential fold order), ties broken by minimum id.
+    Returns (sel_rank, id, dist) — dist is the max-min distance at
+    selection time (0.0 for the seed).
+
+    Scale shape: k rounds, each ONE narrow column pass over the corpus
+    (update min-distance against the single newly selected center —
+    the center's vector rides the plan as a broadcast 1-row cross
+    join) + one orderBy(...).limit(1) argmax; localCheckpoint per
+    round keeps the lineage flat, and the only driver traffic is k
+    single rows. Embeddings never shuffle."""
+    spark = emb.sparkSession
+    cur = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    seed = cur.orderBy("__id").limit(1).collect()  # bounded: 1 row
+    if not seed:
+        return spark.createDataFrame(
+            [], f"sel_rank int, {id_col} long, dist double"
+        )
+    picked = [(0, seed[0]["__id"], 0.0)]
+    center = spark.createDataFrame(
+        [(seed[0]["__id"], seed[0]["__v"])], cur.schema
+    ).select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+    cur = (
+        cur.crossJoin(F.broadcast(center))
+        .withColumn("__mind", sq_l2(F.col("__v"), F.col("__cv")))
+        .drop("__cid", "__cv")
+        .localCheckpoint(eager=True)
+    )
+    for rank in range(1, k):
+        top = (
+            cur.filter(~F.col("__id").isin([p[1] for p in picked]))
+            .orderBy(F.col("__mind").desc(), "__id")
+            .limit(1)
+            .collect()  # bounded: 1 row per round
+        )
+        if not top:
+            break
+        cid, cdist = top[0]["__id"], float(top[0]["__mind"])
+        picked.append((rank, cid, cdist))
+        from pyspark.sql.types import StructType as _ST
+
+        crow = cur.filter(F.col("__id") == cid).collect()[0]
+        center = spark.createDataFrame(
+            [(crow["__id"], crow["__v"])], _ST(cur.schema.fields[:2])
+        ).select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+        cur = (
+            cur.crossJoin(F.broadcast(center))
+            .withColumn(
+                "__mind",
+                F.least(F.col("__mind"), sq_l2(F.col("__v"), F.col("__cv"))),
+            )
+            .drop("__cid", "__cv")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        picked, f"sel_rank int, {id_col} long, dist double"
+    )

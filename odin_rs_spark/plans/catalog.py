@@ -6572,6 +6572,55 @@ def q141_fractal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", F.round("fractal_dim", 6).alias("fractal_dim"))
 
 
+# --------------------------------------------------------------------------
+# q142 — greedy k-center DIVERSITY selection (Gonzalez 1985 farthest-
+# point coreset — the "pick k maximally spread exemplars" move of a
+# training-data curation pipeline, complementing dedup's "drop the
+# redundant"): seed = min id, then 5 rounds of max-min-distance argmax
+# with min-id tie-breaks. Squared-L2 distances are computed as the
+# SAME sequential element-order fold in both engines (F.aggregate ↔
+# list_sum), so the per-round argmax agrees exactly; the oracle
+# unrolls the 6 selection stages MATERIALIZED (q127 pattern).
+# --------------------------------------------------------------------------
+
+def q142_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.greedy_kcenter_select(emb, k=6)
+    return out.select(
+        "sel_rank", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+def _q142_sql(k: int = 6, dim: int = 64) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (a.v[i]::DOUBLE - c.v[i]::DOUBLE) * (a.v[i]::DOUBLE - c.v[i]::DOUBLE)))"
+    )
+    head = """
+WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+s0 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),
+m0 AS MATERIALIZED (
+  SELECT a.id, a.v, """ + d2.replace("c.v", "s.v") + """ AS mind
+  FROM e a, s0 s)"""
+    stages = []
+    for r in range(1, k):
+        excl = " UNION ALL ".join(f"SELECT id FROM s{j}" for j in range(r))
+        stages.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT id, v, mind FROM m{r - 1}
+  WHERE id NOT IN ({excl})
+  ORDER BY mind DESC, id LIMIT 1),
+m{r} AS MATERIALIZED (
+  SELECT a.id, a.v, least(a.mind, {d2}) AS mind
+  FROM m{r - 1} a, s{r} c)""")
+    sel = ["SELECT 0 AS sel_rank, id AS vec_id, 0.0 AS dist FROM s0"]
+    sel += [
+        f"SELECT {r} AS sel_rank, id AS vec_id, round(mind, 6) AS dist FROM s{r}"
+        for r in range(1, k)
+    ]
+    return head + "".join(stages) + "\nSELECT * FROM (" + "\nUNION ALL ".join(sel) + ")"
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6605,6 +6654,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),
         QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
+        QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

@@ -751,3 +751,33 @@ def test_sketch_builds_tolerate_null_keys(spark):
         ).collect()
     }
     assert est["a"] >= 2 and est["b"] >= 1  # never underestimates
+
+
+def test_greedy_kcenter_covers_clusters(spark):
+    """Three tight clusters + k=3 must pick one exemplar per cluster
+    (farthest-point never picks two from the same tight cluster before
+    covering the others); seed is the min id; dist decreases
+    monotonically after rank 1."""
+    from odin_rs_spark.operators.similarity import greedy_kcenter_select
+
+    pts = []
+    for cid, base in enumerate([0.0, 10.0, 20.0]):
+        for j in range(5):
+            pts.append((cid * 10 + j, [base + j * 0.01, base - j * 0.01]))
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    sel = greedy_kcenter_select(emb, k=3).collect()
+    assert [r.sel_rank for r in sel] == [0, 1, 2]
+    assert sel[0].vec_id == 0 and sel[0].dist == 0.0
+    clusters = {r.vec_id // 10 for r in sel}
+    assert clusters == {0, 1, 2}
+    assert sel[1].dist >= sel[2].dist
+
+
+def test_greedy_kcenter_k_exceeds_n(spark):
+    from odin_rs_spark.operators.similarity import greedy_kcenter_select
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    sel = greedy_kcenter_select(emb, k=5).collect()
+    assert [r.vec_id for r in sel] == [1, 2]  # stops when exhausted

@@ -272,3 +272,37 @@ def test_fractal_dim_deterministic_and_ordered(spark):
     b = {r.media_id: r.fractal_dim for r in mm.image_fractal_dim(media).collect()}
     assert a == b  # deterministic
     assert a[2] > a[1]  # noise compresses worse at every scale
+
+
+def test_smoke_diff_horizon_and_mask(spark):
+    """Horizon excludes sky rows (valid = y >= horizon[x]); a tile mask
+    drops known false-alarm tiles; a wrong-length horizon raises —
+    the reference's InvalidDimensions contract."""
+    import pytest
+
+    pairs = _rgb_pair_frames(spark, 1)
+    base = {(r.tile_x, r.tile_y) for r in mm.grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05
+    ).collect()}
+    assert (0, 0) in base and (3, 1) in base
+
+    # horizon at y=8 for every column: tile row 0 becomes sky-only ->
+    # invalid in both frames -> its candidates vanish, others survive
+    rows = mm.grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05,
+        horizon=[8] * 32,
+    ).collect()
+    got = {(r.tile_x, r.tile_y) for r in rows}
+    assert got == {t for t in base if t[1] != 0}
+
+    # masking one tile removes exactly it
+    got2 = {(r.tile_x, r.tile_y) for r in mm.grayworld_smoke_diff(
+        pairs, tile_w=8, tile_h=8, min_g_diff=0.005, min_w_diff=0.05,
+        mask={(3, 1)},
+    ).collect()}
+    assert got2 == base - {(3, 1)}
+
+    with pytest.raises(Exception, match="horizon length"):
+        mm.grayworld_smoke_diff(
+            pairs, min_g_diff=0.005, min_w_diff=0.05, horizon=[0] * 5
+        ).collect()
