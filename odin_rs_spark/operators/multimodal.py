@@ -953,3 +953,58 @@ def image_fractal_dim(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, FRACTAL_SCHEMA)
+
+
+FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("keyframe", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_micro", LongType()),
+    ]
+)
+
+
+def video_frame_index(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL video container walk → per-frame index rows (frame number,
+    absolute byte offset, payload size, keyframe flag, plus the
+    clip's dimensions and frame interval) from the AVI idx1 index
+    (sources/avicodec) — NO frame decode: this is the metadata a video
+    training pipeline needs to turn frame sampling into byte-range
+    reads (sample every Nth frame / keyframes only, then hand each
+    payload to the `_decode_backend` seam). One mapInPandas pass;
+    output is rows-out = frames-in, bytes never shuffle."""
+    from odin_rs_spark.sources.avicodec import parse_avi_index
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_no": [], "offset": [], "size": [],
+                "keyframe": [], "width": [], "height": [], "fps_micro": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    g = parse_avi_index(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for fno, off, size, kf in g["frames"]:
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["offset"].append(off)
+                    rows["size"].append(size)
+                    rows["keyframe"].append(int(kf))
+                    rows["width"].append(g["width"])
+                    rows["height"].append(g["height"])
+                    rows["fps_micro"].append(g["fps_micro"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, FRAME_INDEX_SCHEMA)

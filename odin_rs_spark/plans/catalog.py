@@ -6621,6 +6621,77 @@ m{r} AS MATERIALIZED (
     return head + "".join(stages) + "\nSELECT * FROM (" + "\nUNION ALL ".join(sel) + ")"
 
 
+# --------------------------------------------------------------------------
+# q143 — REAL video container walk (the video modality's byte path,
+# completing the image/audio/video trio): executor-encoded AVI clips
+# (sources/avicodec — RIFF hdrl/movi/idx1 layout with fake MJPG
+# payloads) are index-walked WITHOUT decoding into per-frame rows
+# (frame_no, size, keyframe flag, clip dims/fps). Frame sizes and
+# keyframe cadence come from a formula, so the oracle replays the
+# entire index; the parser cross-checks every idx1 entry against the
+# movi chunk headers, so a single mis-computed offset fails the parse.
+# Frame formula: seed = media_id % 20; n = 12 + seed % 5; size(f) =
+# 50 + (f*13 + seed*7) % 150; keyframe every 4th; 64+seed x 48 @ 24fps.
+# --------------------------------------------------------------------------
+
+def _formula_avi_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        from odin_rs_spark.sources.avicodec import encode_avi
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 20
+            nf = 12 + seed % 5
+            sizes = [50 + (f * 13 + seed * 7) % 150 for f in range(nf)]
+            out.append(
+                encode_avi(
+                    sizes,
+                    width=64 + seed,
+                    height=48,
+                    fps=24,
+                    keyframe_every=4,
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q143_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import video_frame_index
+
+    media = _formula_avi_media(spark, 20)
+    out = video_frame_index(media)
+    return out.select(
+        "media_id", "frame_no", "size", "keyframe", "width", "height", "fps_micro"
+    )
+
+
+Q143_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 20) AS seed FROM range(20) r),
+fr AS (
+  SELECT media_id, seed, f.range AS frame_no
+  FROM par, range(17) f WHERE f.range < 12 + seed % 5)
+SELECT media_id, frame_no::INT AS frame_no,
+       (50 + (frame_no * 13 + seed * 7) % 150)::BIGINT AS size,
+       CASE WHEN frame_no % 4 = 0 THEN 1 ELSE 0 END AS keyframe,
+       (64 + seed)::INT AS width, 48 AS height,
+       (1000000 // 24)::BIGINT AS fps_micro
+FROM fr
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6663,6 +6734,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),
         QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
         QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
+        QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),
