@@ -6692,6 +6692,77 @@ FROM fr
 """
 
 
+# --------------------------------------------------------------------------
+# q144 — REAL baseline JPEG decode (sources/jpegcodec — pure-Python
+# T.81 sequential-DCT codec; what was "JPEG = documented backend seam"
+# since r4 is now a decoded byte path): executor-encoded JPEGs flow
+# through the SAME image_tile_stats pipeline as PNG. The oracle trick:
+# fixtures are CONSTANT 8x8 blocks with even values, for which the
+# lossy codec is EXACT (DC-only FDCT, Annex-K DC quantizer 16, even v
+# ⇒ round((v−128)/2) exact), so per-tile means replay from the block
+# formula with zero tolerance — Huffman tables, byte stuffing, zigzag,
+# dequantize and IDCT all sit on the verified path. Block formula:
+# seed = media_id % 30; v(bx, by) = 2·((seed·3 + bx·7 + by·11) % 100)
+# + 12 on a 4x3 block grid (32x24 px).
+# --------------------------------------------------------------------------
+
+def _formula_jpeg_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 30
+            byy, bxx = np.mgrid[0:3, 0:4]
+            vals = 2 * ((seed * 3 + bxx * 7 + byy * 11) % 100) + 12
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                np.uint8
+            )
+            out.append(encode_jpeg(img))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q144_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    media = _formula_jpeg_media(spark, 60)
+    tiles = image_tile_stats(media, nx=4, ny=3)
+    return tiles.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "n_px",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q144_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 30) AS seed FROM range(60) r),
+blocks AS (
+  SELECT media_id, bx.range AS tile_x, by.range AS tile_y,
+         2 * ((seed * 3 + bx.range * 7 + by.range * 11) % 100) + 12 AS v
+  FROM par, range(4) bx, range(3) by)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       64::BIGINT AS n_px, round(v::DOUBLE, 6) AS mean_luma
+FROM blocks
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6735,6 +6806,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
         QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
         QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
+        QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

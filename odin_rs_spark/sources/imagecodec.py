@@ -5,9 +5,12 @@ and binary PNM (P5/P6) — the R9 decode path made real (SURVEY §2.10 R9,
 The container has no PIL/cv2, but PNG is zlib (stdlib) + a fully public
 chunk/filter spec, and PNM is a trivial header + raw bytes — so like the
 NetCDF-3 reader (sources/netcdf3.py) this turns an "env-blocked decode
-kernel" into an executable byte path. JPEG/video stay behind the
-documented backend seam (operators/multimodal._decode_backend): DCT
-codecs are where a real deployment genuinely swaps in PIL/ffmpeg.
+kernel" into an executable byte path. Baseline JPEG decodes too
+(sources/jpegcodec — pure-Python T.81 sequential DCT, dispatched here
+by SOI magic); progressive/subsampled JPEG and video frames stay
+behind the documented backend seam
+(operators/multimodal._decode_backend), where a real deployment
+genuinely swaps in PIL/ffmpeg.
 
 Decoder compliance notes:
 - all five PNG scanline filters (None/Sub/Up/Average/Paeth) implemented
@@ -243,7 +246,13 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     if buf[:2] in (b"P5", b"P6"):
         return decode_pnm(buf)
-    raise ValueError("unrecognized image format (PNG and binary PNM supported)")
+    if buf[:2] == b"\xff\xd8":
+        from odin_rs_spark.sources.jpegcodec import decode_jpeg
+
+        return decode_jpeg(buf)
+    raise ValueError(
+        "unrecognized image format (PNG, binary PNM and baseline JPEG supported)"
+    )
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -103,8 +103,12 @@ def test_unsupported_rejected():
     buf = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(buf)
-    with pytest.raises(ValueError, match="unrecognized image format"):
+    # JPEG magic now DISPATCHES to the baseline decoder (r6), which
+    # rejects this truncated stream as corrupt rather than unrecognized
+    with pytest.raises(ValueError, match="missing SOF0|corrupt|missing EOI"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError, match="unrecognized image format"):
+        decode_image(b"GIF89a not supported")
 
 
 def test_pnm_comment_and_roundtrip():

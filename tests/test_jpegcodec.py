@@ -1,0 +1,104 @@
+"""Baseline JPEG codec (sources/jpegcodec.py): exact roundtrip on the
+DC-only fixture class, lossy-bounded roundtrips on smooth content,
+marker/structure validation, Huffman table construction against T.81,
+and the decode_image dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from odin_rs_spark.sources.jpegcodec import (
+    DC_LUMA_SPEC,
+    _build_huffman,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _block_constant(bx=4, by=3, seed=0):
+    byy, bxx = np.mgrid[0:by, 0:bx]
+    vals = 2 * ((seed * 3 + bxx * 7 + byy * 11) % 100) + 12
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def test_dc_only_roundtrip_exact():
+    """Constant 8x8 blocks with even values survive the LOSSY codec
+    bit-for-bit — the q144 exactness contract."""
+    for seed in range(5):
+        img = _block_constant(seed=seed)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img), seed
+
+
+def test_smooth_gradient_bounded_error():
+    """A smooth (wrap-free) ramp roundtrips within small error — the
+    general lossy path with nonzero AC coefficients, ZRL runs and
+    byte stuffing exercised."""
+    jj, ii = np.mgrid[0:24, 0:32]
+    img = (40 + ii * 3 + jj * 2).astype(np.uint8)  # max 40+93+46 < 256
+    back = decode_jpeg(encode_jpeg(img))
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 2.0
+
+
+def test_color_roundtrip_bounded_error():
+    jj, ii = np.mgrid[0:16, 0:16]
+    r = (60 + ii * 4).astype(np.uint8)
+    g = (200 - jj * 4).astype(np.uint8)
+    b = (100 + ii * 2 + jj * 2).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    back = decode_jpeg(encode_jpeg(rgb))
+    assert back.shape == rgb.shape
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    # chroma quantization is coarse (Annex-K table starts at 17)
+    assert err.max() <= 24 and err.mean() < 6.0
+
+
+def test_huffman_table_matches_t81_examples():
+    """T.81 Annex C worked example: the DC luminance table's first
+    codes are 00 (cat 0, 2 bits), 010/011/100/101/110 (cats 1-5,
+    3 bits), 1110 (cat 6, 4 bits)."""
+    t = _build_huffman(DC_LUMA_SPEC)
+    assert t[0] == (0b00, 2)
+    assert t[1] == (0b010, 3)
+    assert t[5] == (0b110, 3)
+    assert t[6] == (0b1110, 4)
+    assert t[11] == (0b111111110, 9)
+
+
+def test_unsupported_and_corrupt_raise():
+    img = _block_constant()
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + good)
+    # progressive SOF2 rejected by name
+    bad = bytearray(good)
+    sof = bytes(bad).find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(bad))
+    # truncated scan
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+    # odd dimensions rejected by the fixture encoder
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg(np.zeros((10, 16), np.uint8))
+
+
+def test_decode_image_dispatch_and_spark_pipeline(spark):
+    """JPEG bytes flow through the SAME multimodal pipeline as PNG:
+    decode_image sniffs the SOI magic and image_pixel_stats emits the
+    exact mean for the DC-only fixture."""
+    from odin_rs_spark.operators.multimodal import image_pixel_stats
+    from odin_rs_spark.sources.imagecodec import decode_image
+
+    img = _block_constant(seed=3)
+    buf = encode_jpeg(img)
+    assert np.array_equal(decode_image(buf), img)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(buf))], "media_id long, content binary"
+    )
+    r = image_pixel_stats(media).collect()[0]
+    assert (r.width, r.height, r.channels) == (32, 24, 1)
+    assert r.mean_luma == img.astype(np.int64).sum() / img.size
