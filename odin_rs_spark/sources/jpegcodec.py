@@ -6,10 +6,10 @@ scans. The encode twin writes grayscale or 4:4:4 color with the spec's
 Annex-K quantization and Huffman tables.
 
 Scope (errors name anything else): baseline SOF0, 8-bit, 1 or 3
-components, no subsampling on the color path (4:4:4; a 4:2:0 file
-raises — the common camera layout needs chroma upsampling this
-container's pipelines don't exercise), no restart intervals, no
-progressive/arithmetic coding.
+components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:4:0 and the
+camera-standard 4:2:0 — chroma upsampled by pixel replication),
+restart intervals (DRI/RSTn with DC-predictor reset and bit
+realignment), no progressive/arithmetic coding.
 
 Exactness contract for oracles (the dyadic-MLP trick applied to a
 LOSSY codec): an image built of CONSTANT 8x8 blocks with even pixel
@@ -203,6 +203,21 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def expect_restart(self, m: int) -> None:
+        """Byte-align and consume the RST(m) marker (T.81 E.2.4):
+        restart boundaries discard partial bits and reset DC
+        prediction in the caller."""
+        self.nbits = 0
+        self.acc = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("missing restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + m:
+            raise ValueError(
+                f"expected RST{m} at byte {self.pos}, got "
+                f"{self.data[self.pos:self.pos + 2]!r}"
+            )
+        self.pos += 2
+
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
@@ -245,16 +260,26 @@ def _extend(bits: int, cat: int) -> int:
 # -- encoder ---------------------------------------------------------------
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF bytes
-    (Annex-K tables, 4:4:4 on the color path). Dimensions must be
-    multiples of 8 — fixture generation, not a general-purpose encoder
-    (padding policy is the caller's business)."""
+    (Annex-K tables). `subsampling` is "444" or "420" (color only —
+    chroma box-mean-subsampled 2x2, the camera-standard layout);
+    `restart_interval` > 0 inserts RSTn markers every that many MCUs.
+    Dimensions must be multiples of the MCU size (8, or 16 for 4:2:0)
+    — fixture generation, not a general-purpose encoder."""
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encoder requires multiple-of-8 dimensions")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} unsupported")
+    sub420 = subsampling == "420" and not gray
+    mcu = 16 if sub420 else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encoder requires multiple-of-{mcu} dimensions")
 
     if gray:
         planes = [a.astype(np.float64)]
@@ -266,6 +291,9 @@ def encode_jpeg(img: np.ndarray) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub420:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
         planes = [y, cb, cr]
         quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
 
@@ -278,41 +306,62 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _fdct(block)
-                q = np.round(coef / quants[ci]).astype(np.int64)
-                zz = q.reshape(-1)[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat, bits = _magnitude(diff)
-                code, ln = dc_tabs[ci][cat]
+
+    def emit_block(ci: int, plane: np.ndarray, by: int, bx: int) -> None:
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = _fdct(block)
+        q = np.round(coef / quants[ci]).astype(np.int64)
+        zz = q.reshape(-1)[ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat, bits = _magnitude(diff)
+        code, ln = dc_tabs[ci][cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tabs[ci][0xF0]  # ZRL
                 bw.write(code, ln)
-                if cat:
-                    bw.write(bits, cat)
-                # AC with run-lengths, ZRL, EOB
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[ci][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat, bits = _magnitude(v)
-                    code, ln = ac_tabs[ci][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(bits, cat)
-                    run = 0
-                if run:
-                    code, ln = ac_tabs[ci][0x00]  # EOB
-                    bw.write(code, ln)
-    scan = bw.flush()
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = ac_tabs[ci][(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if run:
+            code, ln = ac_tabs[ci][0x00]  # EOB
+            bw.write(code, ln)
+
+    mcus_y, mcus_x = h // mcu, w // mcu
+    mcu_no = 0
+    rst_m = 0
+    scan_parts = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst_m]))
+                rst_m = (rst_m + 1) % 8
+                bw = _BitWriter()
+                pred = [0] * len(planes)
+            if sub420:
+                for byy in range(2):
+                    for bxx in range(2):
+                        emit_block(0, planes[0], my * 2 + byy, mx * 2 + bxx)
+                emit_block(1, planes[1], my, mx)
+                emit_block(2, planes[2], my, mx)
+            else:
+                for ci, plane in enumerate(planes):
+                    emit_block(ci, plane, my, mx)
+            mcu_no += 1
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -330,8 +379,11 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        hv = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     def dht(cls: int, tid: int, spec) -> bytes:
         counts, values = spec
@@ -372,6 +424,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     comps = []
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -408,16 +461,17 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if hv != 0x11:
+                hf, vf = hv >> 4, hv & 0xF
+                if hf not in (1, 2) or vf not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"sampling factor {hf}x{vf} unsupported (1-2 only)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": hf, "v": vf})
             frame = (fh, fw, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"SOF{marker - 0xC0} unsupported (baseline only)")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -437,43 +491,75 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("missing EOI")
     br = _BitReader(buf[scan_start:end])
 
-    bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(nc)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (fw + mcu_w - 1) // mcu_w
+    mcus_y = (fh + mcu_h - 1) // mcu_h
+    # each component's plane at ITS OWN resolution
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
     pred = [0] * nc
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci in range(nc):
-                _, dc_t, ac_t = scan_comps[ci]
-                q = quants[comps[ci]["tq"]]
-                dct = huff.get((0, dc_t))
-                act = huff.get((1, ac_t))
-                if dct is None or act is None:
-                    raise ValueError("scan references undefined Huffman table")
-                zz = np.zeros(64, dtype=np.int64)
-                cat = br.read_symbol(dct)
-                diff = _extend(br.read_bits(cat), cat) if cat else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_symbol(act)
-                    run, cat = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read_bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
-                block = _idct(coef.reshape(8, 8)) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
 
-    planes = [p[:fh, :fw] for p in planes]
+    def decode_block(ci: int) -> np.ndarray:
+        _, dc_t, ac_t = scan_comps[ci]
+        q = quants[comps[ci]["tq"]]
+        dct = huff.get((0, dc_t))
+        act = huff.get((1, ac_t))
+        if dct is None or act is None:
+            raise ValueError("scan references undefined Huffman table")
+        zz = np.zeros(64, dtype=np.int64)
+        cat = br.read_symbol(dct)
+        diff = _extend(br.read_bits(cat), cat) if cat else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = br.read_symbol(act)
+            run, cat = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.read_bits(cat), cat)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
+        return _idct(coef.reshape(8, 8)) + 128.0
+
+    mcu_no = 0
+    rst_m = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                br.expect_restart(rst_m)
+                rst_m = (rst_m + 1) % 8
+                pred = [0] * nc
+            for ci, c in enumerate(comps):
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        block = decode_block(ci)
+                        y0 = (my * c["v"] + byy) * 8
+                        x0 = (mx * c["h"] + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_no += 1
+
+    # upsample subsampled components to frame resolution by pixel
+    # replication, then crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:fh, :fw])
+    planes = full
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if nc != 3:

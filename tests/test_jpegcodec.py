@@ -102,3 +102,40 @@ def test_decode_image_dispatch_and_spark_pipeline(spark):
     r = image_pixel_stats(media).collect()[0]
     assert (r.width, r.height, r.channels) == (32, 24, 1)
     assert r.mean_luma == img.astype(np.int64).sum() / img.size
+
+
+def test_420_subsampling_roundtrip():
+    """The camera-standard 4:2:0 layout: 16x16 MCUs (4 Y blocks +
+    box-subsampled Cb/Cr), chroma upsampled by replication on decode."""
+    jj, ii = np.mgrid[0:32, 0:32]
+    rgb = np.stack(
+        [
+            (60 + ii * 4).astype(np.uint8),
+            (200 - jj * 4).astype(np.uint8),
+            (100 + ii * 2 + jj * 2).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    back = decode_jpeg(encode_jpeg(rgb, subsampling="420"))
+    assert back.shape == rgb.shape
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    assert err.max() <= 16 and err.mean() < 4.0
+    # 4:2:0 demands multiple-of-16 dims from the fixture encoder
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_jpeg(np.zeros((24, 32, 3), np.uint8), subsampling="420")
+
+
+def test_restart_intervals_exact_and_validated():
+    """DRI/RSTn: bit realignment + DC-predictor reset at every
+    boundary — the DC-only fixture stays EXACT through restarts, and a
+    corrupted restart marker is rejected by name."""
+    img = _block_constant(seed=1)
+    buf = encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xd0" in buf  # RST0 present
+    assert np.array_equal(decode_jpeg(buf), img)
+
+    bad = bytearray(buf)
+    pos = bytes(bad).find(b"\xff\xd0")
+    bad[pos + 1] = 0xD5  # wrong restart number
+    with pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg(bytes(bad))
