@@ -1009,3 +1009,113 @@ def video_frame_index(media: DataFrame, on_error: str = "raise") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, FRAME_INDEX_SCHEMA)
+
+
+def fit_image(
+    img: "np.ndarray",
+    model_w: int,
+    model_h: int,
+    policy: str = "scale",
+    pad_value: int | tuple = 0,
+) -> "np.ndarray":
+    """Fit an arbitrary-size decoded image to fixed model dimensions —
+    the reference's FitPolicy (odin_onnx/src/lib.rs:37-108) on REAL
+    pixels: "scale" resamples to (model_w, model_h) with Catmull-Rom
+    ignoring aspect ratio (fit_scaled); "pad" preserves aspect — copy
+    at the origin when the image already fits, else downscale by the
+    dominant factor min(mw/w, mh/h) and pad the remainder with
+    `pad_value` (fit_padded). "mosaic" raises, as it does in the
+    reference (todo!())."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import resize_catmullrom
+
+    h, w = img.shape[:2]
+    if policy == "scale":
+        return resize_catmullrom(img, model_w, model_h)
+    if policy == "pad":
+        if w <= model_w and h <= model_h:
+            scaled = img
+        else:
+            s = min(model_w / w, model_h / h)
+            sw, sh = max(int(w * s), 1), max(int(h * s), 1)
+            scaled = resize_catmullrom(img, sw, sh)
+        shape = (
+            (model_h, model_w)
+            if img.ndim == 2
+            else (model_h, model_w, img.shape[2])
+        )
+        out = np.full(shape, pad_value, dtype=img.dtype)
+        out[: scaled.shape[0], : scaled.shape[1]] = scaled
+        return out
+    if policy == "mosaic":
+        raise NotImplementedError("mosaic fit is todo!() in the reference too")
+    raise ValueError(f"unknown fit policy {policy!r}")
+
+
+FIT_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("n_pad_px", LongType()),
+    ]
+)
+
+
+def image_fit_stats(
+    media: DataFrame,
+    model_w: int,
+    model_h: int,
+    policy: str = "pad",
+    pad_value: int = 0,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Decode → fit to model dims → exact stats of the fitted luma
+    plane (mean + pad-pixel count). The model-input normalization
+    stage of the odin_onnx classify pipeline, driven through Spark:
+    one mapInPandas pass, pixels never shuffle."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "out_w": [], "out_h": [],
+                "mean_luma": [], "n_pad_px": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    g = luma(decode_image(bytes(content)))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                fitted = fit_image(g, model_w, model_h, policy, pad_value)
+                h, w = g.shape
+                if policy == "pad" and w <= model_w and h <= model_h:
+                    n_pad = model_w * model_h - w * h
+                else:
+                    n_pad = 0 if policy == "scale" else None
+                    if n_pad is None:
+                        sh, sw = fitted.shape[:2]
+                        # padded area after downscale
+                        s = min(model_w / w, model_h / h)
+                        n_pad = model_w * model_h - max(int(w * s), 1) * max(
+                            int(h * s), 1
+                        )
+                rows["media_id"].append(mid)
+                rows["out_w"].append(fitted.shape[1])
+                rows["out_h"].append(fitted.shape[0])
+                rows["mean_luma"].append(
+                    float(fitted.astype(np.int64).sum()) / fitted.size
+                )
+                rows["n_pad_px"].append(int(n_pad))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, FIT_STATS_SCHEMA)

@@ -6763,6 +6763,49 @@ FROM blocks
 """
 
 
+# --------------------------------------------------------------------------
+# q145 — odin_onnx FIT policy on real pixels (FitPolicy::Pad,
+# odin_onnx/src/lib.rs:64-95): decode the formula PNGs and fit them to
+# 48x32 model dimensions. Every image is SMALLER than the model, so
+# the reference semantics are pure copy-at-origin + pad — no
+# resampling — which keeps the fitted plane's mean luma integer-exact:
+# mean = (sum(pixels) + pad·(48·32 − 32·24)) / 1536, replayed by the
+# oracle from the pixel formula. The Catmull-Rom downscale branch of
+# the same operator is pinned by unit tests (cubic-interpolates-linear
+# invariants), not by this oracle.
+# --------------------------------------------------------------------------
+
+def q145_image_fit_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_fit_stats
+
+    media = _formula_png_media(spark, 120)
+    out = image_fit_stats(media, model_w=48, model_h=32, policy="pad", pad_value=7)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "n_pad_px",
+    )
+
+
+Q145_SQL = """
+WITH img AS (
+  SELECT r.range AS media_id, (r.range % 40) AS seed FROM range(120) r),
+par AS (
+  SELECT media_id, seed % 7 AS a, seed % 5 + 1 AS b, (seed * 13) % 256 AS m
+  FROM img),
+px AS (
+  SELECT media_id, sum((m + x * a + y * b) % 256)::BIGINT AS s
+  FROM par, range(32) xs(x), range(24) ys(y)
+  GROUP BY media_id)
+SELECT media_id, 48 AS out_w, 32 AS out_h,
+       round((s + 7 * (48 * 32 - 32 * 24))::DOUBLE / 1536, 6) AS mean_luma,
+       (48 * 32 - 32 * 24)::BIGINT AS n_pad_px
+FROM px
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6807,6 +6850,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
         QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
         QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
+        QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

@@ -16,9 +16,10 @@ Decoder compliance notes:
 - all five PNG scanline filters (None/Sub/Up/Average/Paeth) implemented
   and unit-tested against hand-built scanlines;
 - chunk CRCs verified (zlib.crc32);
-- bit depth 8, color types 0/2/4/6, interlace 0 — the subset our writer
-  emits and the overwhelming majority of real-world PNGs; anything else
-  raises with a precise reason.
+- bit depths 8 and 16 (16-bit big-endian — the reference's luma16
+  DEM/radiance path), color types 0/2/4/6, interlace 0 — the subset our
+  writer emits and the overwhelming majority of real-world PNGs;
+  anything else raises with a precise reason.
 
 Spark-side ops live in operators/multimodal.py (`image_pixel_stats`,
 `image_dhash`): binary column → mapInPandas decode → stats/perceptual
@@ -48,23 +49,33 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
-    """8-bit PNG from a (H,W) gray or (H,W,C) C∈{2,3,4} array.
-    `filter_mode="cycle"` applies scanline filters 0..4 round-robin —
-    spec-valid output that forces a decoder through every unfilter
-    path; "none" writes filter 0 only."""
-    a = np.asarray(arr, dtype=np.uint8)
+    """PNG from a (H,W) gray or (H,W,C) C∈{2,3,4} array. uint8 input
+    writes depth 8; uint16 input writes depth 16 (big-endian per spec
+    — the reference's luma16 DEM/radiance path, odin_image
+    to_luma16/create_luma16_image). `filter_mode="cycle"` applies
+    scanline filters 0..4 round-robin — spec-valid output that forces
+    a decoder through every unfilter path; "none" writes filter 0
+    only. Filters operate on BYTES with bpp = channels x bytes-per-
+    sample, exactly as the spec defines for 16-bit."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         h, w, ch, color = a.shape[0], a.shape[1], 1, 0
         a = a[:, :, None]
     else:
         h, w, ch = a.shape
         color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    bpp = ch  # bytes per pixel at depth 8
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    bpp = ch * (depth // 8)  # filter step in BYTES
+    if depth == 16:
+        byte_rows = a.astype(">u2").reshape(h, -1).view(np.uint8)
+    else:
+        byte_rows = a.reshape(h, -1)
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
     for y in range(h):
-        line = a[y].reshape(-1)
+        line = byte_rows[y].reshape(-1)
         ft = (y % 5) if filter_mode == "cycle" else 0
         if ft == 0:
             out = line
@@ -140,21 +151,21 @@ def _decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
-            "only 8-bit non-interlaced supported"
+            "only 8/16-bit non-interlaced supported"
         )
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
     ch = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    stride = w * ch * (depth // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = ch
+    bpp = ch * (depth // 8)  # filter step in BYTES (spec: per byte)
     for y in range(h):
         ft = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -187,7 +198,12 @@ def _decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur
         prev = cur
-    img = out.reshape(h, w, ch)
+    if depth == 16:
+        img = (
+            out.reshape(-1).view(">u2").astype(np.uint16).reshape(h, w, ch)
+        )
+    else:
+        img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
 
 
@@ -286,3 +302,50 @@ def dhash64(img: np.ndarray) -> int:
     g = resize_nearest(luma(img), 9, 8).astype(np.int16)
     bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).reshape(-1)
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def resize_catmullrom(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Separable Catmull-Rom (cubic, a = -1/2) resample — the filter
+    the reference uses for every image fit (FilterType::CatmullRom,
+    odin_onnx/src/lib.rs:59-95, odin_image fractal_dim). Center-aligned
+    sampling (src = (dst + 0.5)·scale − 0.5), kernel support widened by
+    the scale factor when MINIFYING (anti-aliasing, the standard
+    resampling construction), edge clamp, per-tap weight normalization,
+    round-half-up back to the input dtype range."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dimensions must be positive")
+
+    def kernel(t: np.ndarray) -> np.ndarray:
+        t = np.abs(t)
+        return np.where(
+            t < 1.0,
+            1.5 * t**3 - 2.5 * t**2 + 1.0,
+            np.where(t < 2.0, -0.5 * t**3 + 2.5 * t**2 - 4.0 * t + 2.0, 0.0),
+        )
+
+    def axis_resize(a: np.ndarray, out_len: int, axis: int) -> np.ndarray:
+        src_len = a.shape[axis]
+        scale = src_len / out_len
+        fscale = max(scale, 1.0)
+        support = 2.0 * fscale
+        moved = np.moveaxis(a, axis, 0)
+        out = np.empty((out_len,) + moved.shape[1:], dtype=np.float64)
+        for i in range(out_len):
+            center = (i + 0.5) * scale - 0.5
+            lo = int(np.floor(center - support)) + 1
+            hi = int(np.floor(center + support))
+            taps = np.arange(lo, hi + 1)
+            w = kernel((center - taps) / fscale)
+            s = w.sum()
+            if s <= 0:
+                raise ValueError("degenerate resample window")
+            w = w / s
+            idx = np.clip(taps, 0, src_len - 1)
+            out[i] = np.tensordot(w, moved[idx], axes=(0, 0))
+        return np.moveaxis(out, 0, axis)
+
+    x = img.astype(np.float64)
+    x = axis_resize(x, out_h, 0)
+    x = axis_resize(x, out_w, 1)
+    hi = 65535 if img.dtype == np.uint16 else 255
+    return np.clip(np.floor(x + 0.5), 0, hi).astype(img.dtype)

@@ -98,8 +98,8 @@ def test_crc_corruption_rejected():
 def test_unsupported_rejected():
     with pytest.raises(ValueError, match="bad signature"):
         decode_png(b"JFIF" + b"\x00" * 32)
-    # 16-bit depth header
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # 4-bit depth header (16-bit became a SUPPORTED path in r6)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     buf = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(buf)
@@ -221,3 +221,26 @@ def test_image_tile_stats_real_crops(spark):
         t = g[y0:y1, x0:x1]
         assert r["n_px"] == t.size
         assert r["mean_luma"] == float(t.astype(np.int64).sum()) / t.size
+
+
+def test_png_16bit_roundtrip_all_filters():
+    """Depth-16 PNG (the reference's luma16 DEM/radiance path): filters
+    operate on BYTES with bpp = 2*channels per spec; values round-trip
+    exactly through every filter type and decode as uint16."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 65536, (24, 32)).astype(np.uint16)
+    for mode in ("none", "cycle"):
+        back = decode_png(encode_png(img, filter_mode=mode))
+        assert back.dtype == np.uint16
+        assert np.array_equal(back, img), mode
+    rgb = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    back3 = decode_png(encode_png(rgb))
+    assert back3.dtype == np.uint16 and np.array_equal(back3, rgb)
+    # byte order is big-endian per spec: pin via the DEFLATE-stored
+    # scanline (filter byte 0 + 0x12 0x34)
+    one = np.array([[0x1234]], dtype=np.uint16)
+    buf = encode_png(one, filter_mode="none")
+    idat = buf.find(b"IDAT")
+    (ln,) = struct.unpack(">I", buf[idat - 4 : idat])
+    assert zlib.decompress(buf[idat + 4 : idat + 4 + ln]) == b"\x00\x12\x34"
+    assert decode_png(buf)[0, 0] == 0x1234

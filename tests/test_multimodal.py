@@ -306,3 +306,50 @@ def test_smoke_diff_horizon_and_mask(spark):
         mm.grayworld_smoke_diff(
             pairs, min_g_diff=0.005, min_w_diff=0.05, horizon=[0] * 5
         ).collect()
+
+
+def test_fit_image_policies():
+    """FitPolicy parity (odin_onnx/src/lib.rs:37-108): scale ignores
+    aspect; pad copies at origin when the image fits, downscales by the
+    dominant factor otherwise; mosaic raises like the reference's
+    todo!()."""
+    import numpy as np
+    import pytest
+
+    small = np.full((10, 20), 50, np.uint8)
+    scaled = mm.fit_image(small, 40, 40, "scale")
+    assert scaled.shape == (40, 40) and (scaled == 50).all()
+
+    padded = mm.fit_image(small, 32, 16, "pad", pad_value=9)
+    assert padded.shape == (16, 32)
+    assert (padded[:10, :20] == 50).all()
+    assert (padded[10:, :] == 9).all() and (padded[:, 20:] == 9).all()
+
+    big = np.full((100, 60), 80, np.uint8)
+    fit = mm.fit_image(big, 30, 30, "pad", pad_value=0)
+    # dominant factor = min(30/60, 30/100) = 0.3 -> 18x30 content
+    assert fit.shape == (30, 30)
+    assert (fit[:30, :18] == 80).all() and (fit[:, 18:] == 0).all()
+
+    with pytest.raises(NotImplementedError):
+        mm.fit_image(small, 8, 8, "mosaic")
+    with pytest.raises(ValueError, match="unknown fit policy"):
+        mm.fit_image(small, 8, 8, "stretch")
+
+
+def test_catmullrom_linear_invariants():
+    """Cubic resampling reproduces constants everywhere and linear
+    ramps in the interior (the filter's defining property) — and a
+    sharp edge must NOT ring outside the uint8 clamp."""
+    import numpy as np
+
+    from odin_rs_spark.sources.imagecodec import resize_catmullrom
+
+    const = np.full((6, 6), 200, np.uint16)
+    out = resize_catmullrom(const, 13, 9)
+    assert out.dtype == np.uint16 and (out == 200).all()
+
+    edge = np.zeros((8, 16), np.uint8)
+    edge[:, 8:] = 255
+    up = resize_catmullrom(edge, 32, 8)
+    assert up.min() == 0 and up.max() == 255  # clamped, no wrap
