@@ -6806,6 +6806,66 @@ FROM px
 """
 
 
+# --------------------------------------------------------------------------
+# q146 — MODEL-BASED quality filtering (the fastText-classifier step of
+# CCNet/RefinedWeb-style corpus pipelines, here with the repo's exact
+# MLP): per-doc quality features (length/alpha/digit/word-length
+# ratios — integer-ratio arithmetic, engine-identical) feed the 4→8→3
+# dyadic network, and documents aggregate per (lang, predicted class).
+# The oracle replays features in SQL and reuses the shared
+# _mlp_sql_stages forward pass — zero tolerance end to end.
+# --------------------------------------------------------------------------
+
+def q146_quality_mlp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.mlp import formula_weights, mlp_classify
+    from odin_rs_spark.functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    feats = docs.select(
+        "lang",
+        F.array(
+            F.least(f["n_words"] / 50.0, F.lit(1.0)),
+            f["alpha_ratio"],
+            f["digit_ratio"],
+            F.least(f["mean_word_len"] / 10.0, F.lit(1.0)),
+        ).alias("__f"),
+    )
+    w = formula_weights(in_dim=4)
+    cls = feats.withColumn("__c", mlp_classify("__f", w))
+    return cls.groupBy("lang", F.col("__c.pred").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__c.margin"), 6).alias("avg_margin"),
+        F.round(F.min("__c.margin"), 6).alias("min_margin"),
+    )
+
+
+Q146_SQL = r"""
+WITH feats AS (
+  SELECT lang,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS n_space,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS n_words
+  FROM documents),
+ft AS (
+  SELECT lang,
+         [least(n_words / 50.0, 1.0),
+          n_alpha / greatest(n_chars, 1.0),
+          n_digit / greatest(n_chars, 1.0),
+          least((CASE WHEN n_words > 0 THEN (n_chars - n_space) / n_words
+                      ELSE 0.0 END) / 10.0, 1.0)] AS f
+  FROM feats),
+""" + _mlp_sql_stages(4, carry="lang", src="ft", elem="f[i]") + """
+SELECT lang, pred::INT AS pred, count(*)::BIGINT AS n,
+       round(avg(margin), 6) AS avg_margin,
+       round(min(margin), 6) AS min_margin
+FROM cls GROUP BY lang, pred
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6851,6 +6911,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
         QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
         QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
+        QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),
