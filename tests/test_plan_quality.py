@@ -445,6 +445,84 @@ def test_dem_tile_store_partition_pruning(spark, tmp_path):
     assert "BroadcastHashJoin" in _executed(joined)
 
 
+def test_bpe_pair_count_is_partial_agg(spark, sf_dir):
+    """BPE training's per-round pair count must keep map-side partial
+    aggregation (HashAggregate below the exchange) — at corpus scale
+    the explode emits |vocab| x word-length pair rows and the shuffle
+    must carry per-partition partials, not raw pairs."""
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.plans.catalog import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(norm_text(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    seg = F.concat(
+        F.lit("·"),
+        F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), "··"),
+        F.lit("·"),
+    )
+    cur = vocab.select("freq", seg.alias("seg"))
+    toks = F.split(F.expr("substring(seg, 2, length(seg) - 2)"), "··")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    counts = (
+        cur.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a"), F.col("p.b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    plan = _executed(counts)
+    # partial + final aggregate = two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2, plan[:800]
+
+
+def test_kcenter_center_side_broadcasts(spark):
+    """Each k-center round joins the corpus against ONE new center —
+    that single-row side must broadcast, never shuffle the corpus."""
+    from odin_rs_spark.operators.similarity import sq_l2
+
+    emb = spark.range(1000).select(
+        F.col("id").alias("__id"),
+        F.array(F.col("id") * 0.1, F.col("id") * 0.2).alias("__v"),
+    )
+    center = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "__cid long, __cv array<double>"
+    )
+    stage = emb.crossJoin(F.broadcast(center)).withColumn(
+        "__mind", sq_l2(F.col("__v"), F.col("__cv"))
+    )
+    plan = _executed(stage)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_kernels_single_scan_no_shuffle(spark):
+    """The decode kernels (audio stats, frame index, fit stats) are one
+    mapInPandas over the media scan — no exchange before the pixels/
+    samples/index exist."""
+    from odin_rs_spark.operators import multimodal as mm
+    from odin_rs_spark.sources.audiocodec import encode_wav
+    from odin_rs_spark.sources.avicodec import encode_avi
+
+    import numpy as np
+
+    wav = encode_wav(np.zeros(64, dtype=np.int16))
+    avi = encode_avi([10, 12])
+    media = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, content binary"
+    )
+    vmedia = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, content binary"
+    )
+    for df in (mm.audio_stats(media), mm.video_frame_index(vmedia)):
+        plan = _executed(df)
+        assert "Exchange" not in plan, plan[:600]
+
+
 def test_q127_edge_generation_bounded(spark, sf_dir):
     """q127's cohort graph is built by a rank + broadcast-offset
     EQUI-join (per-node fan-out <= K), never the group-quadratic
