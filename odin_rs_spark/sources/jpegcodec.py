@@ -496,6 +496,18 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (fw + mcu_w - 1) // mcu_w
     mcus_y = (fh + mcu_h - 1) // mcu_h
+    # SOF0 dimensions are raw 2-byte fields: bound the plane allocation
+    # against the entropy data actually present BEFORE allocating
+    # (65535x65535x3 would demand ~100 GB) — every MCU costs at least
+    # 4 bits per block (DC category + EOB), the grib2-ng fuzzer-class
+    # policy
+    n_blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    min_bits = mcus_x * mcus_y * n_blocks_per_mcu * 4
+    if min_bits > 8 * max(len(buf) - scan_start, 0):
+        raise ValueError(
+            f"frame declares {mcus_x * mcus_y} MCUs but the scan holds "
+            f"only {len(buf) - scan_start} bytes"
+        )
     # each component's plane at ITS OWN resolution
     planes = [
         np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps

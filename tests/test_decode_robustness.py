@@ -145,3 +145,68 @@ def test_bad_on_error_value_rejected(spark):
     )
     with pytest.raises(ValueError, match="on_error"):
         grib2_grid_cells(files, on_error="ignore")
+
+
+# ---------------------------------------------------------------------------
+# round-6 codecs: WAV, AVI, JPEG — same mutation/truncation contract
+# ---------------------------------------------------------------------------
+
+from odin_rs_spark.sources.audiocodec import decode_wav, encode_wav
+from odin_rs_spark.sources.avicodec import encode_avi, parse_avi_index
+from odin_rs_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+
+WAV = encode_wav(np.arange(-50, 50, dtype=np.int16), rate=8000)
+AVI = encode_avi([20, 15, 30], width=32, height=24)
+_jb, _jx = np.mgrid[0:3, 0:4]
+JPEG = encode_jpeg(
+    np.repeat(
+        np.repeat((2 * ((_jx * 7 + _jb * 11) % 100) + 12), 8, axis=0), 8, axis=1
+    ).astype(np.uint8)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(WAV) - 1), st.integers(1, 255))
+def test_wav_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(WAV)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_wav, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(AVI) - 1), st.integers(1, 255))
+def test_avi_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(AVI)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_avi_index, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(JPEG) - 1), st.integers(1, 255))
+def test_jpeg_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(JPEG)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_jpeg, bytes(buf))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, len(JPEG) - 1))
+def test_jpeg_truncation_raises_valueerror_only(cut):
+    _assert_valueerror_or_ok(decode_jpeg, JPEG[:cut])
+
+
+def test_jpeg_huge_dims_rejected_before_allocation():
+    """SOF0 width/height are raw 2-byte fields: a tiny file claiming
+    65535x65535 must raise on the MCU-vs-scan-bytes bound, not attempt
+    a ~34 GB plane allocation (the grib2-ng fuzzer class)."""
+    import resource
+    import struct as _s
+
+    buf = bytearray(JPEG)
+    sof = bytes(buf).find(b"\xff\xc0")
+    _s.pack_into(">HH", buf, sof + 5, 65535, 65535)
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="MCUs but the scan"):
+        decode_jpeg(bytes(buf))
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert after - before < 1_000_000  # KiB: no multi-GB spike
