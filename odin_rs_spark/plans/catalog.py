@@ -6866,6 +6866,60 @@ FROM cls GROUP BY lang, pred
 """
 
 
+# --------------------------------------------------------------------------
+# q147 — REAL GeoTIFF DEM scan (sources/geotiff — pure-Python classic
+# TIFF IFD walk + GeoTIFF ModelPixelScale/ModelTiepoint georeferencing
+# + GDAL_NODATA; the FILE format the reference's DEM pipeline reads
+# through GDAL FFI, odin_dem/src/lib.rs:137-258, odin_gdal
+# :578-624): a checked-in float32 DEM with planted nodata cells
+# decodes into georeferenced height cells with the elevation predicate
+# in-kernel. Height formula (oracle replays it, excluding nodata):
+# h(i,j) = ((i*13 + j*7) % 500) * 0.25 on 40x25 at 0.01 deg from
+# (37N, 120W) north-up; nodata where (i+j)%9==5.
+# --------------------------------------------------------------------------
+
+def q147_geotiff_dem_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.geotiff import geotiff_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "dem_sierra.tif",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = geotiff_grid_cells(files, value_min=60.0)
+    # group on the integer pixel row (not floor(lat*100): DuckDB
+    # evaluates 0.01-literal arithmetic in DECIMAL, so a lat exactly on
+    # a floor boundary lands differently than IEEE doubles)
+    return cells.groupBy(F.col("y").alias("row_j")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_height"),
+        F.round(F.min("lat"), 6).alias("lat"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+    )
+
+
+Q147_SQL = """
+WITH g AS (SELECT xs.range AS i, ys.range AS j
+           FROM range(40) xs, range(25) ys
+           WHERE (xs.range + ys.range) % 9 != 5),
+c AS (SELECT j, ((i * 13 + j * 7) % 500) * 0.25 AS h,
+             37.0 - j::DOUBLE * 0.01 AS lat, -120.0 + i::DOUBLE * 0.01 AS lon
+      FROM g)
+SELECT j::INT AS row_j, count(*)::BIGINT AS n_cells,
+       round(sum(h), 6) AS sum_height,
+       round(min(lat), 6) AS lat,
+       round(min(lon), 6) AS min_lon,
+       round(max(lon), 6) AS max_lon
+FROM c WHERE h >= 60.0 GROUP BY j
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6914,6 +6968,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
         QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
         QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
+        QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

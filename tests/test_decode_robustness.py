@@ -210,3 +210,28 @@ def test_jpeg_huge_dims_rejected_before_allocation():
         decode_jpeg(bytes(buf))
     after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert after - before < 1_000_000  # KiB: no multi-GB spike
+
+
+from odin_rs_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+import tempfile as _tf
+
+_gt = _tf.mktemp(suffix=".tif")
+write_geotiff(
+    _gt, np.arange(24, dtype=np.float64).reshape(4, 6), 1, 2, -0.5, 0.5, dtype="f4"
+)
+TIFF = open(_gt, "rb").read()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(TIFF) - 1), st.integers(1, 255))
+def test_geotiff_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(TIFF)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_geotiff, bytes(buf))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, len(TIFF) - 1))
+def test_geotiff_truncation_raises_valueerror_only(cut):
+    _assert_valueerror_or_ok(parse_geotiff, TIFF[:cut])

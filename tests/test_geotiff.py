@@ -1,0 +1,125 @@
+"""GeoTIFF reader/writer (sources/geotiff.py): hand-derived IFD bytes,
+per-dtype roundtrips, georeferencing math, nodata, corruption contract,
+byte-order handling, and the Spark DEM scan."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from odin_rs_spark.sources.geotiff import (
+    geotiff_grid_cells,
+    parse_geotiff,
+    write_geotiff,
+)
+
+
+def test_hand_built_minimal_tiff():
+    """A 2x2 8-bit TIFF assembled field-by-field from the spec — no
+    writer involved: header, one IFD with inline values, strip data,
+    GeoTIFF scale/tiepoint doubles."""
+    # layout: header(8) | IFD | doubles | strip
+    entries = []
+
+    def e(tag, typ, cnt, val4):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + val4)
+
+    n = 11
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    scale_off = after_ifd
+    tie_off = scale_off + 3 * 8
+    strip_off = tie_off + 6 * 8
+    e(256, 4, 1, struct.pack("<I", 2))  # width
+    e(257, 4, 1, struct.pack("<I", 2))  # length
+    e(258, 3, 1, struct.pack("<HH", 8, 0))
+    e(259, 3, 1, struct.pack("<HH", 1, 0))
+    e(262, 3, 1, struct.pack("<HH", 1, 0))
+    e(273, 4, 1, struct.pack("<I", strip_off))
+    e(277, 3, 1, struct.pack("<HH", 1, 0))
+    e(278, 4, 1, struct.pack("<I", 2))
+    e(279, 4, 1, struct.pack("<I", 4))
+    e(33550, 12, 3, struct.pack("<I", scale_off))
+    e(33922, 12, 6, struct.pack("<I", tie_off))
+    buf = b"II*\x00" + struct.pack("<I", ifd_off)
+    buf += struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    buf += struct.pack("<3d", 0.5, 0.25, 0.0)  # pixel scale sx, sy
+    buf += struct.pack("<6d", 0, 0, 0, 10.0, 50.0, 0)  # tiepoint
+    buf += bytes([7, 8, 9, 10])  # strip
+    g = parse_geotiff(buf)
+    assert g["ni"] == 2 and g["nj"] == 2
+    assert np.array_equal(g["values"], [[7, 8], [9, 10]])
+    assert (g["lon0"], g["lat0"], g["dlon"], g["dlat"]) == (10.0, 50.0, 0.5, -0.25)
+
+
+def test_roundtrips_per_dtype_and_multistrip_read():
+    import tempfile
+
+    v = np.arange(30, dtype=np.float64).reshape(5, 6)
+    for dt in ("u1", "u2", "i2", "f4"):
+        p = tempfile.mktemp(suffix=".tif")
+        write_geotiff(p, v if dt != "i2" else v - 10, 1, 2, -0.5, 0.5, dtype=dt)
+        g = parse_geotiff(open(p, "rb").read())
+        want = v if dt != "i2" else v - 10
+        assert np.array_equal(g["values"], want), dt
+
+
+def test_nodata_and_nonzero_tiepoint():
+    import tempfile
+
+    v = np.array([[1.0, np.nan], [3.0, 4.0]])
+    p = tempfile.mktemp(suffix=".tif")
+    write_geotiff(p, v, lat0=5.0, lon0=6.0, dlat=-1.0, dlon=1.0,
+                  dtype="f4", nodata=-1.0)
+    g = parse_geotiff(open(p, "rb").read())
+    assert np.isnan(g["values"][0, 1]) and g["nodata"] == -1.0
+    assert g["values"][1, 1] == 4.0
+    # NaN without nodata must refuse, not silently corrupt
+    with pytest.raises(ValueError, match="nodata"):
+        write_geotiff(p, v, 0, 0, -1, 1, dtype="f4")
+
+
+def test_corrupt_and_unsupported_raise():
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".tif")
+    write_geotiff(p, np.ones((3, 3)), 0, 0, -1, 1, dtype="u1")
+    good = open(p, "rb").read()
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_geotiff(b"XX*\x00" + good[4:])
+    with pytest.raises(ValueError, match="BigTIFF"):
+        parse_geotiff(b"II+\x00" + good[4:])
+    # compression flag
+    bad = bytearray(good)
+    # find the 259 entry and set its value to 5 (LZW)
+    for off in range(10, len(bad) - 12, 12):
+        if struct.unpack("<H", bad[off : off + 2])[0] == 259:
+            struct.pack_into("<H", bad, off + 8, 5)
+            break
+    with pytest.raises(ValueError, match="compression 5"):
+        parse_geotiff(bytes(bad))
+    # strip bytes inconsistent with the declared raster (fuzzer class:
+    # checked BEFORE allocation)
+    bad2 = bytearray(good)
+    for off in range(10, len(bad2) - 12, 12):
+        if struct.unpack("<H", bad2[off : off + 2])[0] == 256:
+            struct.pack_into("<I", bad2, off + 8, 2_000_000)
+            break
+    with pytest.raises(ValueError, match="inconsistent|past the file"):
+        parse_geotiff(bytes(bad2))
+
+
+def test_spark_dem_scan_nodata_and_predicate(spark, tmp_path):
+    p = str(tmp_path / "dem.tif")
+    v = np.array([[10.0, np.nan, 30.0], [40.0, 50.0, 60.0]])
+    write_geotiff(p, v, lat0=2.0, lon0=100.0, dlat=-1.0, dlon=1.0,
+                  dtype="f4", nodata=-9999.0)
+    files = spark.read.format("binaryFile").load(p)
+    rows = geotiff_grid_cells(files, value_min=30.0).collect()
+    got = {(r.x, r.y): (r.value, r.lon, r.lat) for r in rows}
+    # nodata cell and the 10.0 cell are gone; georeferencing checks out
+    assert set(got) == {(2, 0), (0, 1), (1, 1), (2, 1)}
+    assert got[(2, 0)] == (30.0, 102.0, 2.0)
+    assert got[(1, 1)] == (50.0, 101.0, 1.0)
