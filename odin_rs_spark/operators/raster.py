@@ -716,3 +716,69 @@ def contour_polylines(
     return segc.groupBy("level", "component").applyInPandas(
         walk, CONTOUR_POLYLINE_SCHEMA
     )
+
+
+def dem_slope_cells(
+    cells: DataFrame, cell_size: float = 1.0, round_to: int = 6
+) -> DataFrame:
+    """Horn's-method slope gradients over a DEM cell table — the
+    standard gdaldem slope computation (the reference shells DEM
+    raster math out to GDAL, odin_gdal/src/lib.rs:578-624; this is the
+    DataFrame-native form): for every interior cell with a COMPLETE
+    3x3 neighborhood,
+
+      gx = ((z_ne + 2·z_e + z_se) − (z_nw + 2·z_w + z_sw)) / (8·s)
+      gy = ((z_sw + 2·z_s + z_se) − (z_nw + 2·z_n + z_ne)) / (8·s)
+      slope_pct = 100·sqrt(gx² + gy²)
+
+    Cells bordering nodata holes or the raster edge produce no row
+    (count < 9 — GDAL's default edge/nodata policy).
+
+    Scale shape (the q127 offset trick inverted): each cell SCATTERS
+    its 8-weighted contributions to its neighbors through one
+    broadcast 9-row offset join, then ONE groupBy((x, y)) sums them —
+    a single shuffle regardless of raster size, no 2-D self-joins, no
+    per-cell Python. Dyadic heights keep gx/gy sums exact, so an
+    external oracle replays the whole stage (sqrt is one correctly-
+    rounded op)."""
+    spark = cells.sparkSession
+    # (dx, dy, horn weight for gx, for gy, both ROW-relative: +y = south)
+    offs = spark.createDataFrame(
+        [
+            (-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1),
+            (-1, 0, -2, 0), (0, 0, 0, 0), (1, 0, 2, 0),
+            (-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1),
+        ],
+        "dx int, dy int, wx int, wy int",
+    )
+    contrib = cells.crossJoin(F.broadcast(offs)).select(
+        (F.col("x") - F.col("dx")).alias("cx"),
+        (F.col("y") - F.col("dy")).alias("cy"),
+        (F.col("value") * F.col("wx")).alias("gxc"),
+        (F.col("value") * F.col("wy")).alias("gyc"),
+    )
+    agg = contrib.groupBy("cx", "cy").agg(
+        F.sum("gxc").alias("gx_sum"),
+        F.sum("gyc").alias("gy_sum"),
+        F.count(F.lit(1)).alias("n_nb"),
+    )
+    s8 = 8.0 * cell_size
+    # n_nb == 9 implies the center itself is a data cell (it contributes
+    # its own zero-weight row), so no join back is needed
+    return (
+        agg.filter(F.col("n_nb") == 9)
+        .select(
+            F.col("cx").alias("x"),
+            F.col("cy").alias("y"),
+            F.round(F.col("gx_sum") / s8, round_to).alias("gx"),
+            F.round(F.col("gy_sum") / s8, round_to).alias("gy"),
+            F.round(
+                100.0
+                * F.sqrt(
+                    (F.col("gx_sum") / s8) * (F.col("gx_sum") / s8)
+                    + (F.col("gy_sum") / s8) * (F.col("gy_sum") / s8)
+                ),
+                round_to,
+            ).alias("slope_pct"),
+        )
+    )

@@ -6920,6 +6920,66 @@ FROM c WHERE h >= 60.0 GROUP BY j
 """
 
 
+# --------------------------------------------------------------------------
+# q148 — Horn slope over the GeoTIFF DEM (gdaldem-slope semantics on
+# the q147 fixture: one broadcast 9-row offset scatter + one groupBy —
+# a single shuffle at any raster size): interior cells with complete
+# 3x3 neighborhoods emit exact dyadic gradients; cells bordering the
+# planted nodata holes or the edge emit nothing. The oracle replays
+# the same contribution sums from the height formula.
+# --------------------------------------------------------------------------
+
+def q148_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.operators.raster import dem_slope_cells
+    from odin_rs_spark.sources.geotiff import geotiff_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "dem_sierra.tif",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = geotiff_grid_cells(files)
+    slope = dem_slope_cells(cells, cell_size=1.0)
+    return slope.groupBy((F.col("slope_pct") / 1000).cast("int").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("gx"), 6).alias("sum_gx"),
+        F.round(F.sum("gy"), 6).alias("sum_gy"),
+        F.round(F.max("slope_pct"), 6).alias("max_slope"),
+    )
+
+
+Q148_SQL = """
+WITH g AS (
+  SELECT xs.range AS i, ys.range AS j,
+         ((xs.range * 13 + ys.range * 7) % 500) * 0.25 AS h
+  FROM range(40) xs, range(25) ys
+  WHERE (xs.range + ys.range) % 9 != 5),
+contrib AS (
+  SELECT g.i - o.dx AS cx, g.j - o.dy AS cy,
+         g.h * o.wx AS gxc, g.h * o.wy AS gyc
+  FROM g, (VALUES (-1,-1,-1,-1),(0,-1,0,-2),(1,-1,1,-1),
+                  (-1,0,-2,0),(0,0,0,0),(1,0,2,0),
+                  (-1,1,-1,1),(0,1,0,2),(1,1,1,1)) o(dx, dy, wx, wy)),
+agg AS (
+  SELECT cx, cy, sum(gxc) AS gxs, sum(gyc) AS gys, count(*) AS n
+  FROM contrib GROUP BY cx, cy),
+sl AS (
+  SELECT cx, cy, round(gxs / 8.0, 6) AS gx, round(gys / 8.0, 6) AS gy,
+         round(100.0 * sqrt((gxs / 8.0) * (gxs / 8.0)
+                            + (gys / 8.0) * (gys / 8.0)), 6) AS slope_pct
+  FROM agg WHERE n = 9)
+SELECT floor(slope_pct / 1000)::INT AS band, count(*)::BIGINT AS n_cells,
+       round(sum(gx), 6) AS sum_gx, round(sum(gy), 6) AS sum_gy,
+       round(max(slope_pct), 6) AS max_slope
+FROM sl GROUP BY band
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -6969,6 +7029,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
         QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
         QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
+        QuerySpec("q148_dem_slope", q148_dem_slope, Q148_SQL, "R4 R8 dem-slope horn"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

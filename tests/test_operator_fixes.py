@@ -390,3 +390,30 @@ def test_incremental_seg_dedup_retry_idempotent(spark, tmp_path):
     sink(b1, 1)
     by_doc = {r["doc_id"]: r["n_dup_segs"] for r in spark.read.parquet(stats).collect()}
     assert by_doc == {1: 0, 2: 1}  # later batch still sees batch 0's hash
+
+
+def test_dem_slope_horn_semantics(spark):
+    """Horn slope on a hand-checkable ramp: constant gradient planes
+    give the exact analytic gx/gy, cells bordering a hole or the edge
+    emit nothing, and the plan is one broadcast fan-out + one shuffle."""
+    import numpy as np
+
+    from odin_rs_spark.operators.raster import dem_slope_cells
+
+    # z = 2*x + 3*y on a 5x5 grid, one hole at (1, 1)
+    rows = [
+        (x, y, float(2 * x + 3 * y))
+        for y in range(5)
+        for x in range(5)
+        if (x, y) != (1, 1)
+    ]
+    cells = spark.createDataFrame(rows, "x int, y int, value double")
+    out = {(r.x, r.y): r for r in dem_slope_cells(cells).collect()}
+    # interior cells are (1..3, 1..3); those whose 3x3 neighborhood
+    # touches the hole at (1, 1) drop out: (1,1),(2,1),(1,2),(2,2)
+    expect = {(3, 1), (3, 2), (1, 3), (2, 3), (3, 3)}
+    assert set(out) == expect, set(out)
+    for k, r in out.items():
+        # Horn on a plane z = 2x + 3y: gx = 2, gy = 3 exactly
+        assert r.gx == 2.0 and r.gy == 3.0, (k, r)
+        assert abs(r.slope_pct - 100.0 * (13 ** 0.5)) < 1e-3
