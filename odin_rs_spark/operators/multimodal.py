@@ -1119,3 +1119,70 @@ def image_fit_stats(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, FIT_STATS_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fingerprint", LongType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame, window: int = 256, n_bits: int = 63, on_error: str = "raise"
+) -> DataFrame:
+    """Perceptual audio fingerprint — the dHash move on the time axis
+    (a chromaprint-style energy-delta signature, fully integer): frame
+    channel 0 into fixed windows, take per-window integer energy
+    (sum |s|), and set bit w iff energy[w+1] > energy[w] over the
+    first n_bits+1 windows (shorter clips contribute fewer bits;
+    window count rides along so unequal-length clips can't collide by
+    zero-padding). Robust to constant gain ONLY in the strict sense
+    that monotone per-window comparisons survive any positive scaling
+    — the property that makes re-encoded/volume-normalized duplicates
+    collide. Exact integer arithmetic end to end, so the oracle
+    replays it verbatim (q149)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.audiocodec import decode_wav
+
+    if not 1 <= n_bits <= 63:
+        raise ValueError("n_bits must be 1..63 (signed long assembly)")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "fingerprint": [], "n_windows": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _rate, a = decode_wav(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                c0 = np.abs(a[:, 0].astype(np.int64))
+                nwin = len(c0) // window
+                e = c0[: nwin * window].reshape(nwin, window).sum(axis=1)
+                bits = (e[1:] > e[:-1])[: n_bits]
+                fp = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << i
+                rows["media_id"].append(mid)
+                rows["fingerprint"].append(fp)
+                rows["n_windows"].append(nwin)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_groups(fps: DataFrame) -> DataFrame:
+    """Exact grouping on (fingerprint, n_windows) — one groupBy on a
+    12-byte key, the audio twin of image_near_dup_groups."""
+    return fps.groupBy("fingerprint", "n_windows").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("media_id").alias("keeper_id"),
+    )

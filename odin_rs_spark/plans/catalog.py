@@ -6980,6 +6980,56 @@ FROM sl GROUP BY band
 """
 
 
+# --------------------------------------------------------------------------
+# q149 — audio near-dup grouping via the energy-delta fingerprint (the
+# dHash move on the time axis, chromaprint-style): 75 formula WAVs (3
+# per seed) decode → per-window integer energies → delta-bit signature
+# → one groupBy on the 12-byte (fingerprint, n_windows) key. The
+# oracle replays energies, comparisons and the bit assembly from the
+# sample formula — integer-exact end to end. Seeds with identical
+# delta patterns merge, as the grouping semantics dictate in both
+# engines.
+# --------------------------------------------------------------------------
+
+def q149_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_groups,
+    )
+
+    media = _formula_wav_media(spark, 75)
+    fps = audio_fingerprint(media, window=256)
+    return audio_near_dup_groups(fps)
+
+
+Q149_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 25) AS seed FROM range(75) r),
+pp AS (
+  SELECT media_id, seed % 7 + 3 AS f, (seed * 11) % 100 AS ph FROM par),
+smp AS (
+  SELECT media_id, i, i // 256 AS w,
+         CASE WHEN (i // 256) % 4 = 3 THEN 0
+              ELSE ((i * f + ph) % 4001) - 2000 END AS s
+  FROM pp, range(2048) ii(i)),
+en AS (
+  SELECT media_id, w, sum(abs(s))::BIGINT AS e
+  FROM smp GROUP BY media_id, w),
+bits AS (
+  SELECT media_id, w,
+         CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY w) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM en),
+fp AS (
+  SELECT media_id,
+         sum(CASE WHEN bit = 1 THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS fingerprint
+  FROM bits WHERE w < 7 GROUP BY media_id)
+SELECT fingerprint, 8 AS n_windows, count(*)::BIGINT AS n_clips,
+       min(media_id) AS keeper_id
+FROM fp GROUP BY fingerprint
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -7029,6 +7079,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
         QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
         QuerySpec("q148_dem_slope", q148_dem_slope, Q148_SQL, "R4 R8 dem-slope horn"),
+        QuerySpec("q149_audio_dedup", q149_audio_dedup, Q149_SQL, "multimodal audio-fingerprint dedup"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

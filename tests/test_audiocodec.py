@@ -108,3 +108,38 @@ def test_audio_silence_windows_planted(spark):
     assert rows[0].is_silent == 0 and rows[0].mean_abs == 500.0
     assert rows[1].is_silent == 1 and rows[1].mean_abs == 0.0
     assert rows[2].is_silent == 0 and rows[2].mean_abs == 2000.0
+
+
+def test_audio_fingerprint_gain_invariance_and_grouping(spark):
+    """The energy-delta signature must survive positive gain scaling
+    (volume-normalized duplicates collide) and must differ once the
+    energy ORDER changes; unequal window counts never collide."""
+    from odin_rs_spark.operators import multimodal as mm
+
+    base = np.concatenate(
+        [np.full(256, 100), np.full(256, 300), np.full(256, 200)]
+    ).astype(np.int16)
+    louder = (base * 2).astype(np.int16)  # exact integer gain
+    reordered = np.concatenate(
+        [np.full(256, 300), np.full(256, 100), np.full(256, 200)]
+    ).astype(np.int16)
+    longer = np.concatenate([base, np.full(256, 50)]).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base))),
+            (2, bytearray(encode_wav(louder))),
+            (3, bytearray(encode_wav(reordered))),
+            (4, bytearray(encode_wav(longer))),
+        ],
+        "media_id long, content binary",
+    )
+    fps = {r.media_id: (r.fingerprint, r.n_windows)
+           for r in mm.audio_fingerprint(media, window=256).collect()}
+    assert fps[1] == fps[2]          # gain-invariant duplicate
+    assert fps[1][0] != fps[3][0]    # different energy order
+    assert fps[1][1] != fps[4][1]    # length rides the key
+    groups = mm.audio_near_dup_groups(
+        mm.audio_fingerprint(media, window=256)
+    ).collect()
+    dup = [g for g in groups if g.n_clips == 2]
+    assert len(dup) == 1 and dup[0].keeper_id == 1
