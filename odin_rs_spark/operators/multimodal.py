@@ -1186,3 +1186,64 @@ def audio_near_dup_groups(fps: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.min("media_id").alias("keeper_id"),
     )
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def audio_resample_linear(
+    media: DataFrame, dst_rate: int, on_error: str = "raise"
+) -> DataFrame:
+    """Rate-normalize clips by exact-rational linear interpolation —
+    the resample a speech-corpus pipeline runs before feature
+    extraction (16 kHz -> model rate): dst sample j sits at source
+    position j·src/dst; out[j] = floor(s[k] + (s[k+1]−s[k])·frac +
+    0.5) with frac = (j·src mod dst)/dst, so every arithmetic step is
+    a fixed-order double expression an external oracle reproduces
+    bit-for-bit. Output rows carry re-encoded WAV bytes (channel 0) —
+    the operator composes with every other audio op. Output length is
+    the largest j with k+1 in range (no zero-padding tail)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.audiocodec import decode_wav, encode_wav
+
+    if dst_rate < 1:
+        raise ValueError("dst_rate must be positive")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "rate": [], "content": [], "n_samples": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    src_rate, a = decode_wav(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                s = a[:, 0].astype(np.float64)
+                n = len(s)
+                if n < 2:
+                    continue
+                # largest j with floor(j*src/dst) + 1 <= n-1
+                n_out = ((n - 2) * dst_rate) // src_rate + 1
+                j = np.arange(n_out, dtype=np.int64)
+                k = (j * src_rate) // dst_rate
+                frac = ((j * src_rate) % dst_rate) / float(dst_rate)
+                v = s[k] + (s[k + 1] - s[k]) * frac
+                out = np.floor(v + 0.5).astype(np.int16)
+                rows["media_id"].append(mid)
+                rows["rate"].append(dst_rate)
+                rows["content"].append(encode_wav(out, rate=dst_rate))
+                rows["n_samples"].append(int(n_out))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, RESAMPLE_SCHEMA)

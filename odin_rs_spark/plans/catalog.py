@@ -7030,6 +7030,72 @@ FROM fp GROUP BY fingerprint
 """
 
 
+# --------------------------------------------------------------------------
+# q150 — audio rate normalization END-TO-END: decode the 16 kHz
+# formula WAVs, exact-rational linear resample to 6 kHz, RE-ENCODE as
+# WAV, decode again through the standard stats operator (a real
+# operator composition across the byte boundary). frac lands in
+# {0, 1/3, 2/3} and the interpolation expression is evaluated in one
+# fixed order, so the oracle replays every resampled sample, the
+# floor(+0.5) rounding, and the downstream stats with zero tolerance.
+# --------------------------------------------------------------------------
+
+def q150_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import (
+        audio_resample_linear,
+        audio_stats,
+    )
+
+    media = _formula_wav_media(spark, 25)
+    res = audio_resample_linear(media, dst_rate=6000)
+    out = audio_stats(res.select("media_id", "content"))
+    return out.select(
+        "media_id",
+        "rate",
+        "n_samples",
+        "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
+Q150_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 25) AS seed FROM range(25) r),
+pp AS (
+  SELECT media_id, seed % 7 + 3 AS f, (seed * 11) % 100 AS ph FROM par),
+rs AS (
+  SELECT media_id, j.range AS j,
+         (j.range * 16000) // 6000 AS k,
+         ((j.range * 16000) % 6000) / 6000.0 AS frac
+  FROM pp, range(768) j),
+sv AS (
+  SELECT p.media_id, r.j, r.k, r.frac,
+         (CASE WHEN (r.k // 256) % 4 = 3 THEN 0
+               ELSE ((r.k * p.f + p.ph) % 4001) - 2000 END)::DOUBLE AS s0,
+         (CASE WHEN ((r.k + 1) // 256) % 4 = 3 THEN 0
+               ELSE (((r.k + 1) * p.f + p.ph) % 4001) - 2000 END)::DOUBLE AS s1
+  FROM rs r JOIN pp p ON p.media_id = r.media_id),
+o AS (
+  SELECT media_id, j,
+         floor(s0 + (s1 - s0) * frac + 0.5)::BIGINT AS s
+  FROM sv),
+nz AS (
+  SELECT media_id, j, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY j) AS prev
+  FROM o WHERE s != 0)
+SELECT m.media_id, 6000 AS rate, 768::BIGINT AS n_samples,
+       m.peak::INT AS peak, round(m.sum_abs / 768.0, 6) AS mean_abs,
+       coalesce(z.zc, 0)::BIGINT AS zero_crossings
+FROM (SELECT media_id, max(abs(s)) AS peak, sum(abs(s))::DOUBLE AS sum_abs
+      FROM o GROUP BY media_id) m
+LEFT JOIN (SELECT media_id, count(*)::BIGINT AS zc FROM nz
+           WHERE prev IS NOT NULL AND sign(s) != sign(prev)
+           GROUP BY media_id) z
+ON m.media_id = z.media_id
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -7080,6 +7146,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
         QuerySpec("q148_dem_slope", q148_dem_slope, Q148_SQL, "R4 R8 dem-slope horn"),
         QuerySpec("q149_audio_dedup", q149_audio_dedup, Q149_SQL, "multimodal audio-fingerprint dedup"),
+        QuerySpec("q150_audio_resample", q150_audio_resample, Q150_SQL, "multimodal audio-resample rate-normalize"),
         QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
         QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),

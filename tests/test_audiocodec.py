@@ -143,3 +143,27 @@ def test_audio_fingerprint_gain_invariance_and_grouping(spark):
     ).collect()
     dup = [g for g in groups if g.n_clips == 2]
     assert len(dup) == 1 and dup[0].keeper_id == 1
+
+
+def test_audio_resample_linear_semantics(spark):
+    """Identity at the same rate, pure decimation at 2:1, exact linear
+    midpoints at 1:2 upsampling — the rational-position contract."""
+    from odin_rs_spark.operators import multimodal as mm
+
+    s = np.array([0, 100, 50, -50, 200, 0, 10, 30], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, rate=8000)))], "media_id long, content binary"
+    )
+
+    def resampled(dst):
+        r = mm.audio_resample_linear(media, dst_rate=dst).collect()[0]
+        rate, a = decode_wav(bytes(r.content))
+        return rate, a[:, 0].tolist()
+
+    rate, same = resampled(8000)
+    assert rate == 8000 and same == s[:-1].tolist()  # k+1 bound drops the tail sample
+    _, half = resampled(4000)
+    assert half == s[::2][: len(half)].tolist()  # decimation hits source samples
+    _, dbl = resampled(16000)
+    # even j hit source samples, odd j are exact midpoints (floor(x+.5))
+    assert dbl[0] == 0 and dbl[1] == 50 and dbl[2] == 100 and dbl[3] == 75
