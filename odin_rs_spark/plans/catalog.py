@@ -7101,7 +7101,8 @@ ON m.media_id = z.media_id
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-20:  the r6 NEW queries — q138 grib2 missing-mgmt decode,
+#   slots 1-22:  the r6 NEW queries — q149 audio-fingerprint dedup,
+#                q150 audio rate-normalize, q138 grib2 missing-mgmt decode,
 #                q139 BPE encode, q140 Brenner focus, q141 fractal dim
 #                (the one deliberate rows-only entry: DEFLATE is not
 #                SQL-expressible), q142 k-center diversity selection,
@@ -7113,7 +7114,7 @@ ON m.media_id = z.media_id
 #                SSIM, q132 grayworld smoke diff, q130 ONNX file load,
 #                q129 GRIB2 complex decode (defined in r5 but never
 #                registered, so never driver-graded).
-#   slots 21-30: the round-5/6 changed code: q103/q108/q117
+#   slots 23-32: the round-5/6 changed code: q103/q108/q117
 #                (executor-side sink migration in r5, zero-batch read
 #                fallback in r6), q127 (bounded fixture-graph
 #                generation, r6), q81/q24/q25/q26/q82 (data-scaled
@@ -7121,11 +7122,12 @@ ON m.media_id = z.media_id
 #                multi-message iteration, in-packing missing values
 #                and the ng bound-check in r6). q64/q76 also changed
 #                and sit in-cap inside the stale block below.
-#   slots 31-50: the stalest r2-green-only queries (q51/q52/q54/q57/
-#                q58, q60-q64, q66-q68, q70-q77) — their last driver
-#                row is FOUR rounds old; the rest of that block (q79/
-#                q80, q83-q90) plus the r3-green tail rotate just past
-#                the cap and stay covered by the local oracle replica.
+#   slots 33-50: the stalest r2-green-only queries (q51/q52/q54/q57/
+#                q58, q60-q64, q66-q68, q70-q74) — their last driver
+#                row is FOUR rounds old; the rest of that block (q75-
+#                q77, q79/q80, q83-q90) plus the r3-green tail rotate
+#                just past the cap and stay covered by the local
+#                oracle replica.
 # Past slot 50: the rest of the r3-green block (q05-q19, q91-q116
 # minus the rotated ones), then the entire r5-green set (q118-q128,
 # q96/q115/q105/q109, q20-q50, q01/q10/q11/q16/q18/q28/q43/q44/q48)
