@@ -846,27 +846,41 @@ def connected_components(
     """
     w = Window.partitionBy("u")
 
+    # iteration shuffle width, scoped to the edge volume via EXPLICIT
+    # repartition on the shuffle keys (ADVICE r6: mutating the session
+    # spark.sql.shuffle.partitions leaked the scoped width into any
+    # concurrent query on the same session). A hash repartition on the
+    # window/groupBy key satisfies the downstream ClusteredDistribution
+    # at ANY partition count, so the window and the distinct's final
+    # aggregate both run at `scoped` width with no extra exchange.
+    scoped = 1  # overwritten after the edge count below, before any use
+
     def _large_star(e: DataFrame) -> DataFrame:
         # bidirect, then for every node u connect strictly-larger
         # neighbors to m = min(neighborhood ∪ {u})
-        b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        b = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition(scoped, "u")
         m = F.least(F.min("v").over(w), F.col("u"))
         return (
             b.withColumn("__m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .repartition(scoped, "u", "v")
             .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
         # input oriented u > v (large-star output guarantees it);
         # connect u and all its smaller neighbors to the minimum
-        b = e.withColumn("__m", F.min("v").over(w))
+        b = e.repartition(scoped, "u").withColumn("__m", F.min("v").over(w))
         links = b.filter(F.col("v") != F.col("__m")).select(
             F.col("v").alias("u"), F.col("__m").alias("v")
         )
         self_links = b.select(F.col("u"), F.col("__m").alias("v"))
-        return links.union(self_links).distinct()
+        return (
+            links.union(self_links).repartition(scoped, "u", "v").distinct()
+        )
 
     def _fingerprint(e: DataFrame) -> tuple[int, int]:
         # bit_xor: order-independent and immune to ANSI long overflow
@@ -890,22 +904,16 @@ def connected_components(
     # each half-round is a window shuffle over the edge list, whose size
     # is fixed here — the session default is sized for corpus scans, and
     # 32 state-sized partitions x O(log^2 n) rounds is pure fixed-task
-    # latency. Valid to scope because every round materializes via the
-    # eager localCheckpoint inside this block.
+    # latency.
     spark = e.sparkSession
     scoped = scaled_parallelism(spark, n_e, rows_per_task=50_000, floor=8)
-    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
-    try:
-        prev = None
-        for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            fp = _fingerprint(e)
-            if fp == prev:
-                break
-            prev = fp
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
     # converged edge set is a star forest: every non-root points at its
     # component minimum; roots map to themselves
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -1209,7 +1209,11 @@ def audio_resample_linear(
     a fixed-order double expression an external oracle reproduces
     bit-for-bit. Output rows carry re-encoded WAV bytes (channel 0) —
     the operator composes with every other audio op. Output length is
-    the largest j with k+1 in range (no zero-padding tail)."""
+    every j whose source position lands within [0, n-1] — a dst
+    sample landing EXACTLY on the last source sample (frac == 0, e.g.
+    the identity resample) needs no s[k+1] and is kept, so
+    n_out = floor((n-1)·dst/src) + 1 and src==dst round-trips all n
+    samples (ADVICE r6: the old (n-2)-based bound dropped it)."""
     import numpy as np
 
     from odin_rs_spark.sources.audiocodec import decode_wav, encode_wav
@@ -1233,12 +1237,16 @@ def audio_resample_linear(
                 n = len(s)
                 if n < 2:
                     continue
-                # largest j with floor(j*src/dst) + 1 <= n-1
-                n_out = ((n - 2) * dst_rate) // src_rate + 1
+                # largest j with j*src <= (n-1)*dst; for that j either
+                # k+1 <= n-1 or frac == 0 (k == n-1 forces
+                # j*src == (n-1)*dst), so the k+1 clamp below is only
+                # ever read where its weight is exactly zero
+                n_out = ((n - 1) * dst_rate) // src_rate + 1
                 j = np.arange(n_out, dtype=np.int64)
                 k = (j * src_rate) // dst_rate
                 frac = ((j * src_rate) % dst_rate) / float(dst_rate)
-                v = s[k] + (s[k + 1] - s[k]) * frac
+                kp1 = np.minimum(k + 1, n - 1)
+                v = s[k] + (s[kp1] - s[k]) * frac
                 out = np.floor(v + 0.5).astype(np.int16)
                 rows["media_id"].append(mid)
                 rows["rate"].append(dst_rate)

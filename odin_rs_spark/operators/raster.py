@@ -719,7 +719,10 @@ def contour_polylines(
 
 
 def dem_slope_cells(
-    cells: DataFrame, cell_size: float = 1.0, round_to: int = 6
+    cells: DataFrame,
+    cell_size: float = 1.0,
+    round_to: int = 6,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Horn's-method slope gradients over a DEM cell table — the
     standard gdaldem slope computation (the reference shells DEM
@@ -740,8 +743,18 @@ def dem_slope_cells(
     a single shuffle regardless of raster size, no 2-D self-joins, no
     per-cell Python. Dyadic heights keep gx/gy sums exact, so an
     external oracle replays the whole stage (sqrt is one correctly-
-    rounded op)."""
+    rounded op).
+
+    Multi-raster inputs: contributions are grouped per RASTER, not
+    just per (x, y) — `key_cols` names the raster-identity columns and
+    defaults to whichever of ("path", "msg") the input carries (what
+    geotiff_grid_cells / grib2_grid_cells emit), so cells from several
+    files/messages never sum across rasters that share pixel
+    coordinates (ADVICE r6). The keys ride through the scatter and the
+    groupBy and come back on every output row."""
     spark = cells.sparkSession
+    if key_cols is None:
+        key_cols = [c for c in ("path", "msg") if c in cells.columns]
     # (dx, dy, horn weight for gx, for gy, both ROW-relative: +y = south)
     offs = spark.createDataFrame(
         [
@@ -752,12 +765,13 @@ def dem_slope_cells(
         "dx int, dy int, wx int, wy int",
     )
     contrib = cells.crossJoin(F.broadcast(offs)).select(
+        *[F.col(c) for c in key_cols],
         (F.col("x") - F.col("dx")).alias("cx"),
         (F.col("y") - F.col("dy")).alias("cy"),
         (F.col("value") * F.col("wx")).alias("gxc"),
         (F.col("value") * F.col("wy")).alias("gyc"),
     )
-    agg = contrib.groupBy("cx", "cy").agg(
+    agg = contrib.groupBy(*key_cols, "cx", "cy").agg(
         F.sum("gxc").alias("gx_sum"),
         F.sum("gyc").alias("gy_sum"),
         F.count(F.lit(1)).alias("n_nb"),
@@ -768,6 +782,7 @@ def dem_slope_cells(
     return (
         agg.filter(F.col("n_nb") == 9)
         .select(
+            *[F.col(c) for c in key_cols],
             F.col("cx").alias("x"),
             F.col("cy").alias("y"),
             F.round(F.col("gx_sum") / s8, round_to).alias("gx"),

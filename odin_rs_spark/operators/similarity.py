@@ -1290,16 +1290,20 @@ def greedy_kcenter_select(
     the center's vector rides the plan as a broadcast 1-row cross
     join) + one orderBy(...).limit(1) argmax; localCheckpoint per
     round keeps the lineage flat, and the only driver traffic is k
-    single rows. Embeddings never shuffle."""
+    single rows. Embeddings never shuffle. Already-picked rows are
+    excluded via a boolean __sel column folded into each round's
+    checkpointed pass (ADVICE r6: a growing isin([...]) list put
+    O(k²) literals in the plan), and the returned id column keeps the
+    input's type (string ids work)."""
     spark = emb.sparkSession
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"sel_rank int, {id_col} {id_type}, dist double"
     cur = emb.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     seed = cur.orderBy("__id").limit(1).collect()  # bounded: 1 row
     if not seed:
-        return spark.createDataFrame(
-            [], f"sel_rank int, {id_col} long, dist double"
-        )
+        return spark.createDataFrame([], out_schema)
     picked = [(0, seed[0]["__id"], 0.0)]
     center = spark.createDataFrame(
         [(seed[0]["__id"], seed[0]["__v"])], cur.schema
@@ -1308,11 +1312,12 @@ def greedy_kcenter_select(
         cur.crossJoin(F.broadcast(center))
         .withColumn("__mind", sq_l2(F.col("__v"), F.col("__cv")))
         .drop("__cid", "__cv")
+        .withColumn("__sel", F.col("__id") == F.lit(seed[0]["__id"]))
         .localCheckpoint(eager=True)
     )
     for rank in range(1, k):
         top = (
-            cur.filter(~F.col("__id").isin([p[1] for p in picked]))
+            cur.filter(~F.col("__sel"))
             .orderBy(F.col("__mind").desc(), "__id")
             .limit(1)
             .collect()  # bounded: 1 row per round
@@ -1334,8 +1339,7 @@ def greedy_kcenter_select(
                 F.least(F.col("__mind"), sq_l2(F.col("__v"), F.col("__cv"))),
             )
             .drop("__cid", "__cv")
+            .withColumn("__sel", F.col("__sel") | (F.col("__id") == F.lit(cid)))
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
-        picked, f"sel_rank int, {id_col} long, dist double"
-    )
+    return spark.createDataFrame(picked, out_schema)

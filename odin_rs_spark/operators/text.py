@@ -931,50 +931,55 @@ def bpe_train_merges(
     )
     cur = vocab.select("freq", seg.alias("seg"))
     n_words = cur.count()  # also materializes the corpus-sized explode
+    # scope the per-round pair-count shuffle to the VOCABULARY volume
+    # via explicit repartition on the group keys (ADVICE r6: mutating
+    # the session shuffle.partitions leaked into concurrent queries).
+    # The hash repartition satisfies the groupBy's required clustering
+    # at `par` width, trading the map-side combine for a scoped
+    # exchange — at vocabulary scale the exploded pair list is ~tokens
+    # per word x vocab rows, and at cluster scale par == session width
+    # so nothing changes.
     par = scaled_parallelism(spark, n_words)
-    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(par))
-    try:
-        cur = cur.localCheckpoint(eager=True)
-        merges: list[tuple[int, str, str, int]] = []
-        for rank in range(num_merges):
-            toks = F.split(
-                F.expr("substring(seg, 2, length(seg) - 2)"), "··"
-            )
-            pairs = F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(
-                    toks,
-                    2,
-                    F.greatest(F.size(toks) - 1, F.lit(0)),
-                ),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-            top = (
-                cur.select("freq", F.explode(pairs).alias("p"))
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "a", "b")
-                .limit(1)
-                .collect()  # bounded: exactly one row per round
-            )
-            if not top or top[0]["cnt"] < min_pair_count:
-                break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((rank, a, b, cnt))
-            cur = cur.withColumn(
-                "seg",
-                F.replace(
-                    F.col("seg"),
-                    F.lit(f"·{a}··{b}·"),
-                    F.lit(f"·{a}{b}·"),
-                ),
-            ).localCheckpoint(eager=True)
-        return spark.createDataFrame(
-            merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    cur = cur.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        toks = F.split(
+            F.expr("substring(seg, 2, length(seg) - 2)"), "··"
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(
+                toks,
+                2,
+                F.greatest(F.size(toks) - 1, F.lit(0)),
+            ),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        top = (
+            cur.select("freq", F.explode(pairs).alias("p"))
+            .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .repartition(par, "a", "b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        cur = cur.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f"·{a}··{b}·"),
+                F.lit(f"·{a}{b}·"),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
 
 
 def bpe_segment_words(
@@ -988,7 +993,11 @@ def bpe_segment_words(
     mechanics as training — each merge is one literal JVM replace, so
     encoding a vocabulary is K narrow column ops with no Python in the
     path; a checkpoint every 16 merges keeps the plan shallow for
-    production-sized merge tables."""
+    production-sized merge tables. Words containing the separator char
+    '·' are EXCLUDED, mirroring the training-side guard (ADVICE r6:
+    they would corrupt the '·tok··tok·' encoding and yield a silently
+    wrong n_tokens)."""
+    words = words.filter(~F.col(word_col).contains("·"))
     seg = F.concat(
         F.lit("·"),
         F.array_join(

@@ -161,9 +161,13 @@ def test_audio_resample_linear_semantics(spark):
         return rate, a[:, 0].tolist()
 
     rate, same = resampled(8000)
-    assert rate == 8000 and same == s[:-1].tolist()  # k+1 bound drops the tail sample
+    # identity round-trips ALL n samples (ADVICE r6: the old
+    # (n-2)-based bound dropped the last one)
+    assert rate == 8000 and same == s.tolist()
     _, half = resampled(4000)
     assert half == s[::2][: len(half)].tolist()  # decimation hits source samples
     _, dbl = resampled(16000)
-    # even j hit source samples, odd j are exact midpoints (floor(x+.5))
+    # even j hit source samples, odd j are exact midpoints (floor(x+.5));
+    # the last dst sample lands exactly ON the last source sample
     assert dbl[0] == 0 and dbl[1] == 50 and dbl[2] == 100 and dbl[3] == 75
+    assert len(dbl) == 15 and dbl[-1] == s[-1]

@@ -417,3 +417,126 @@ def test_dem_slope_horn_semantics(spark):
         # Horn on a plane z = 2x + 3y: gx = 2, gy = 3 exactly
         assert r.gx == 2.0 and r.gy == 3.0, (k, r)
         assert abs(r.slope_pct - 100.0 * (13 ** 0.5)) < 1e-3
+
+
+def test_dem_slope_multi_raster_keyed(spark):
+    """ADVICE r6 (medium): cells from TWO rasters sharing pixel coords
+    must not sum across rasters — the raster key (path/msg) rides
+    through the scatter and the groupBy, and each raster's slopes
+    equal its single-raster result."""
+    from odin_rs_spark.operators.raster import dem_slope_cells
+
+    def plane(a, b):
+        return [
+            (x, y, float(a * x + b * y)) for y in range(5) for x in range(5)
+        ]
+
+    one = spark.createDataFrame(plane(2, 3), "x int, y int, value double")
+    two = spark.createDataFrame(plane(5, 1), "x int, y int, value double")
+    both = one.withColumn("path", F.lit("a.tif")).unionByName(
+        two.withColumn("path", F.lit("b.tif"))
+    )
+    out = dem_slope_cells(both).collect()
+    assert {r.path for r in out} == {"a.tif", "b.tif"}
+    by_key = {(r.path, r.x, r.y): r for r in out}
+    # 3x3-complete interior of a full 5x5 grid: x,y in 1..3, per raster
+    assert len(by_key) == 18
+    for (p, x, y), r in by_key.items():
+        gx, gy = (2.0, 3.0) if p == "a.tif" else (5.0, 1.0)
+        assert (r.gx, r.gy) == (gx, gy), (p, x, y, r)
+    # explicit key_cols + keyless input both still work
+    keyless = dem_slope_cells(one)
+    assert "path" not in keyless.columns and keyless.count() == 9
+
+
+def test_audio_resample_exact_last_sample_upsample(spark):
+    """ADVICE r6: a dst sample landing exactly on the LAST source
+    sample (frac == 0, k == n-1) is kept, not dropped."""
+    import numpy as np
+
+    from odin_rs_spark.operators import multimodal as mm
+    from odin_rs_spark.sources.audiocodec import decode_wav, encode_wav
+
+    s = np.array([10, -20, 30, 40], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, rate=4000)))],
+        "media_id long, content binary",
+    )
+    r = mm.audio_resample_linear(media, dst_rate=8000).collect()[0]
+    _, a = decode_wav(bytes(r.content))
+    out = a[:, 0].tolist()
+    # n_out = floor((n-1)*dst/src) + 1 = 7; j=6 sits exactly on s[3]
+    assert r.n_samples == 7 and len(out) == 7
+    assert out == [10, -5, -20, 5, 30, 35, 40]
+
+
+def test_bpe_segment_words_separator_guard(spark):
+    """ADVICE r6: words containing the separator char '·' are excluded
+    (mirroring the training-side guard) instead of silently yielding a
+    corrupted token count."""
+    from odin_rs_spark.operators.text import bpe_segment_words
+
+    words = spark.createDataFrame(
+        [("lower",), ("a·b",), ("low",)], "w string"
+    )
+    out = {r.w: r.n_tokens for r in
+           bpe_segment_words(words, [("l", "o"), ("lo", "w")]).collect()}
+    assert out == {"lower": 3, "low": 1}  # 'a·b' excluded
+
+
+def test_kcenter_string_ids_and_flagged_selection(spark):
+    """ADVICE r6: greedy_kcenter_select works with STRING ids (result
+    schema derives from the input, no hardcoded long), and selection
+    state is a flag column, not a growing isin list."""
+    from odin_rs_spark.operators.similarity import greedy_kcenter_select
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [0.0, 0.0]),
+            ("b", [10.0, 0.0]),
+            ("c", [0.1, 0.0]),
+            ("d", [5.0, 5.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    sel = greedy_kcenter_select(emb, k=3).collect()
+    assert [r.vec_id for r in sel] == ["a", "b", "d"]
+    assert sel[0].dist == 0.0 and sel[1].dist == 100.0 and sel[2].dist == 50.0
+    assert dict(greedy_kcenter_select(emb, k=3).dtypes)["vec_id"] == "string"
+
+
+def test_iterative_ops_do_not_mutate_session_conf(spark, monkeypatch):
+    """ADVICE r6: connected_components and bpe_train_merges scope their
+    iteration parallelism via explicit repartition — the session-global
+    spark.sql.shuffle.partitions is never touched (a concurrent query
+    on the same session would silently inherit it)."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from odin_rs_spark.operators.dedup import connected_components
+    from odin_rs_spark.operators.text import bpe_train_merges
+
+    real_set = RuntimeConfig.set
+
+    def guarded(self, key, value):
+        assert key != "spark.sql.shuffle.partitions", (
+            "operator mutated session-global shuffle.partitions"
+        )
+        return real_set(self, key, value)
+
+    monkeypatch.setattr(RuntimeConfig, "set", guarded)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, driver_threshold=None).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low lowest low")], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, num_merges=2).collect()
+    assert [(m.lhs, m.rhs) for m in merges] == [("l", "o"), ("lo", "w")]
