@@ -7097,7 +7097,13 @@ ON m.media_id = z.media_id
 
 
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
-# evaluates exactly the first 50 queries() entries per round. Round-6
+# evaluates exactly the first 50 queries() entries per round. Round-7
+# interim note: the post-r6-snapshot fix commit changed
+# connected_components / bpe_train+segment / audio_resample_linear /
+# greedy_kcenter_select / dem_slope_cells; every query touching those
+# (q148 q139 q142 q150 q135 q81 q24 q25 q26 q82 q64) was already
+# in-cap except q76_semantic_dedup, now rotated in after q82. Full
+# round-7 allocation is rewritten at round close. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
@@ -7168,6 +7174,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
         QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
+        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
         QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
         QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
         QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
@@ -7187,7 +7194,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
         QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
         QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
-        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
         QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
         QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
         QuerySpec("q80_shard_layout", q80_shard_layout, Q80_SQL, "corpus-shard"),
