@@ -1255,3 +1255,177 @@ def audio_resample_linear(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, RESAMPLE_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("keyframe", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_luma", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def video_decode_frames(
+    media: DataFrame,
+    every_n: int = 1,
+    keyframes_only: bool = False,
+    max_frames: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL video frame decode — the step `video_frame_index` (q143)
+    stages for: walk the AVI idx1 index (sources/avicodec), byte-slice
+    each selected MJPG frame payload, decode it with the pure-Python
+    baseline JPEG codec (sources/jpegcodec) and emit per-frame pixel
+    stats. Composes the two verified codecs into the operator a video
+    training pipeline actually runs (sample frames -> decode ->
+    featurize); parity target is the reference's media ingest seam
+    (odin_image/src/lib.rs:149-246 does the same decode-then-measure
+    on stills).
+
+    Scale shape: one mapInPandas pass; frame SELECTION (every_n /
+    keyframes_only / max_frames) happens on the index before any
+    decode, so skipped frames cost a byte-slice of zero work; video
+    bytes never shuffle, rows-out = selected frames. `sum_luma` is an
+    exact integer (uint8 pixels), so downstream aggregates are
+    SQL-replayable with zero tolerance; RGB frames reduce by the
+    integer-exact mean over the 3 channels only when divisible, else
+    the double mean (gray MJPG fixtures keep the exact path)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.avicodec import parse_avi_index
+    from odin_rs_spark.sources.jpegcodec import decode_jpeg
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_no": [], "keyframe": [], "width": [],
+                "height": [], "n_px": [], "sum_luma": [], "mean_luma": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    g = parse_avi_index(buf)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                taken = 0
+                for fno, off, size, kf in g["frames"]:
+                    if fno % every_n or (keyframes_only and not kf):
+                        continue
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    try:
+                        img = decode_jpeg(buf[off + 8 : off + 8 + size])
+                    except ValueError:
+                        if on_error == "skip":
+                            continue
+                        raise
+                    a = np.asarray(img, dtype=np.uint8)
+                    h, w = a.shape[:2]
+                    n_px = h * w
+                    s = int(a.astype(np.int64).sum())
+                    if a.ndim == 3:
+                        # per-pixel luma = channel mean; exact only
+                        # when the channel sum divides by 3
+                        mean = s / 3.0 / n_px
+                        s = s // 3 if s % 3 == 0 else s
+                    else:
+                        mean = s / n_px
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["keyframe"].append(int(kf))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_px"].append(n_px)
+                    rows["sum_luma"].append(s)
+                    rows["mean_luma"].append(mean)
+                    taken += 1
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
+FRAME_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("fp", StringType()),
+    ]
+)
+
+
+def video_frame_fingerprints(
+    media: DataFrame, nx: int = 4, ny: int = 3, on_error: str = "raise"
+) -> DataFrame:
+    """Per-frame content fingerprint for VIDEO DEDUP — the multimodal
+    twin of the text near-dup family: decode every MJPG frame
+    (avicodec index walk + jpegcodec), split the luma plane into an
+    ny-by-nx tile grid, and fingerprint the frame as
+    md5("s0,s1,...") over the row-major integer tile sums. Identical
+    decoded frames (re-encoded or re-containered copies of the same
+    pixels) collide exactly; the tile-sum string is replayable in
+    plain SQL (md5 + concat of bigints), so a planted-duplicate
+    oracle verifies the whole decode path with zero tolerance.
+    Scale shape: one mapInPandas pass, fingerprints (not pixels)
+    shuffle into the dedup groupBy; rows-out = frames-in."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from odin_rs_spark.sources.avicodec import parse_avi_index
+    from odin_rs_spark.sources.jpegcodec import decode_jpeg
+
+    if nx < 1 or ny < 1:
+        raise ValueError("nx/ny must be >= 1")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "fp": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    g = parse_avi_index(buf)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for fno, off, size, kf in g["frames"]:
+                    try:
+                        img = decode_jpeg(buf[off + 8 : off + 8 + size])
+                    except ValueError:
+                        if on_error == "skip":
+                            continue
+                        raise
+                    a = np.asarray(img, dtype=np.int64)
+                    if a.ndim == 3:
+                        a = a.sum(axis=2)  # integer channel sum: exact
+                    h, w = a.shape
+                    sums = []
+                    for ty in range(ny):
+                        y0, y1 = ty * h // ny, (ty + 1) * h // ny
+                        for tx in range(nx):
+                            x0, x1 = tx * w // nx, (tx + 1) * w // nx
+                            sums.append(int(a[y0:y1, x0:x1].sum()))
+                    key = ",".join(str(s) for s in sums)
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["fp"].append(_hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, FRAME_FP_SCHEMA)

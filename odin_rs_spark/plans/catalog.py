@@ -7096,6 +7096,146 @@ ON m.media_id = z.media_id
 """
 
 
+# --------------------------------------------------------------------------
+# q151 — REAL MJPEG video frame decode (the step q143's index and
+# q111's sampling plumbing stage for): DC-exact gray JPEG frames
+# (q144's exactness trick — constant even-value 8x8 blocks round-trip
+# the lossy codec exactly) inside real AVI containers, frame-sampled
+# every_n=2 BEFORE decode, decoded by sources/jpegcodec, per-frame
+# integer luma sums replayed by the oracle from the block formula
+# with zero tolerance. Frame f of video v (seed = v % 12):
+# v(bx,by) = 2*((seed*5 + f*17 + bx*7 + by*11) % 100) + 14 on a 4x3
+# block grid (32x24 px); nf = 6 + seed % 3; keyframe every 3.
+# --------------------------------------------------------------------------
+
+def _formula_mjpeg_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.avicodec import encode_avi
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 12
+            nf = 6 + seed % 3
+            frames = []
+            for f in range(nf):
+                byy, bxx = np.mgrid[0:3, 0:4]
+                vals = 2 * ((seed * 5 + f * 17 + bxx * 7 + byy * 11) % 100) + 14
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                frames.append(encode_jpeg(img))
+            out.append(
+                encode_avi(
+                    payloads=frames, width=32, height=24, fps=12,
+                    keyframe_every=3,
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q151_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import video_decode_frames
+
+    media = _formula_mjpeg_media(spark, 24)
+    out = video_decode_frames(media, every_n=2)
+    return out.select(
+        "media_id",
+        "frame_no",
+        "keyframe",
+        "n_px",
+        "sum_luma",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q151_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 12) AS seed FROM range(24) r),
+fr AS (
+  SELECT media_id, seed, f.range AS frame_no
+  FROM par, range(8) f
+  WHERE f.range < 6 + seed % 3 AND f.range % 2 = 0),
+bl AS (
+  SELECT media_id, frame_no,
+         sum(2 * ((seed * 5 + frame_no * 17 + bx.range * 7
+                   + by.range * 11) % 100) + 14)::BIGINT AS bsum
+  FROM fr, range(4) bx, range(3) by
+  GROUP BY media_id, frame_no)
+SELECT media_id, frame_no::INT AS frame_no,
+       CASE WHEN frame_no % 3 = 0 THEN 1 ELSE 0 END AS keyframe,
+       768::BIGINT AS n_px, (bsum * 64)::BIGINT AS sum_luma,
+       round((bsum * 64)::DOUBLE / 768, 6) AS mean_luma
+FROM bl
+"""
+
+
+# --------------------------------------------------------------------------
+# q152 — video frame DEDUP across clips (the multimodal twin of the
+# text near-dup family, and what a video training pipeline runs after
+# q151's decode: find re-containered copies of the same pixels):
+# per-frame tile-sum md5 fingerprints over the DECODED luma plane
+# collide exactly for identical frames. 24 clips over 12 seeds plant
+# every frame in exactly two clips; the oracle replays the
+# fingerprint itself (md5 of the row-major integer tile-sum string),
+# so a hash match proves container walk + JPEG decode + tiling
+# byte-identical end to end.
+# --------------------------------------------------------------------------
+
+def q152_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import video_frame_fingerprints
+
+    media = _formula_mjpeg_media(spark, 24)
+    fps = video_frame_fingerprints(media, nx=4, ny=3)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.min("media_id").alias("media_lo"),
+            F.max("media_id").alias("media_hi"),
+            F.min("frame_no").alias("frame_no"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
+Q152_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 12) AS seed FROM range(24) r),
+fr AS (
+  SELECT media_id, seed, f.range AS f
+  FROM par, range(8) f WHERE f.range < 6 + seed % 3),
+fp AS (
+  SELECT media_id, f,
+         md5(string_agg(
+           ((2 * ((seed * 5 + f * 17 + bx.range * 7
+                   + by.range * 11) % 100) + 14) * 64)::VARCHAR,
+           ',' ORDER BY by.range, bx.range)) AS fp
+  FROM fr, range(4) bx, range(3) by
+  GROUP BY media_id, f, seed)
+SELECT fp, count(*)::BIGINT AS n_copies,
+       count(DISTINCT media_id)::BIGINT AS n_media,
+       min(media_id) AS media_lo, max(media_id) AS media_hi,
+       min(f)::INT AS frame_no
+FROM fp GROUP BY fp HAVING count(DISTINCT media_id) >= 2
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # interim note: the post-r6-snapshot fix commit changed
@@ -7142,6 +7282,8 @@ ON m.media_id = z.media_id
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
+        QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),

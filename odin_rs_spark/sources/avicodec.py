@@ -23,16 +23,24 @@ AVIIF_KEYFRAME = 0x10
 
 
 def encode_avi(
-    frame_sizes: list[int],
+    frame_sizes: list[int] | None = None,
     width: int = 320,
     height: int = 240,
     fps: int = 25,
     keyframe_every: int = 5,
+    payloads: list[bytes] | None = None,
 ) -> bytes:
     """Minimal single-video-stream AVI with fake (deterministic) frame
     payloads of the given sizes — the fixture twin of
     `parse_avi_index`. Frame i's payload is bytes (i*7+j) % 256; every
-    `keyframe_every`-th frame is flagged AVIIF_KEYFRAME in idx1."""
+    `keyframe_every`-th frame is flagged AVIIF_KEYFRAME in idx1.
+    Passing `payloads` instead embeds REAL frame bytes (e.g. baseline
+    JPEGs from sources/jpegcodec → a true MJPG clip that
+    `video_decode_frames` can decode end to end)."""
+    if (frame_sizes is None) == (payloads is None):
+        raise ValueError("pass exactly one of frame_sizes / payloads")
+    if frame_sizes is None:
+        frame_sizes = [len(p) for p in payloads]
     n = len(frame_sizes)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -75,7 +83,11 @@ def encode_avi(
 
     frames = []
     for i, sz in enumerate(frame_sizes):
-        payload = bytes((i * 7 + j) % 256 for j in range(sz))
+        payload = (
+            payloads[i]
+            if payloads is not None
+            else bytes((i * 7 + j) % 256 for j in range(sz))
+        )
         frames.append(chunk(b"00dc", payload))
     movi_body = b"".join(frames)
     movi = lst(b"movi", movi_body)

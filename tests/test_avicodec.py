@@ -73,3 +73,91 @@ def test_video_frame_index_spark(spark):
     )
     kept = mm.video_frame_index(bad, on_error="skip").collect()
     assert {r.media_id for r in kept} == {4}
+
+
+def _mjpg_clip(seed: int, nf: int = 4, w: int = 32, h: int = 24) -> bytes:
+    """Real MJPG AVI: nf DC-exact gray JPEG frames (constant even-value
+    8x8 blocks, for which the lossy codec round-trips exactly)."""
+    import numpy as np
+
+    from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+    frames = []
+    for f in range(nf):
+        byy, bxx = np.mgrid[0 : h // 8, 0 : w // 8]
+        vals = 2 * ((seed * 5 + f * 17 + bxx * 7 + byy * 11) % 100) + 14
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        frames.append(encode_jpeg(img))
+    return encode_avi(
+        payloads=frames, width=w, height=h, fps=12, keyframe_every=2
+    )
+
+
+def test_encode_avi_payloads_roundtrip():
+    frames = [b"abc", b"defgh"]
+    buf = encode_avi(payloads=frames, width=8, height=8)
+    g = parse_avi_index(buf)
+    got = [buf[off + 8 : off + 8 + size] for _, off, size, _ in g["frames"]]
+    assert got == frames
+    with pytest.raises(ValueError, match="exactly one"):
+        encode_avi([3], payloads=[b"x"])
+    with pytest.raises(ValueError, match="exactly one"):
+        encode_avi()
+
+
+def test_video_decode_frames(spark):
+    import numpy as np
+
+    from odin_rs_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(0, bytearray(_mjpg_clip(0))), (1, bytearray(_mjpg_clip(7, nf=3)))],
+        "media_id long, content binary",
+    )
+    rows = mm.video_decode_frames(media).collect()
+    assert len(rows) == 7
+    for r in rows:
+        seed = [0, 7][r.media_id]
+        byy, bxx = np.mgrid[0:3, 0:4]
+        vals = 2 * ((seed * 5 + r.frame_no * 17 + bxx * 7 + byy * 11) % 100) + 14
+        assert r.n_px == 32 * 24
+        assert r.sum_luma == int(vals.sum()) * 64
+        assert r.mean_luma == pytest.approx(vals.mean(), abs=0)
+        assert (r.width, r.height) == (32, 24)
+
+    # frame selection happens before decode: every_n + keyframes_only
+    sel = mm.video_decode_frames(media, every_n=2).collect()
+    assert sorted((r.media_id, r.frame_no) for r in sel) == [
+        (0, 0), (0, 2), (1, 0), (1, 2)]
+    kf = mm.video_decode_frames(media, keyframes_only=True, max_frames=1).collect()
+    assert sorted((r.media_id, r.frame_no) for r in kf) == [(0, 0), (1, 0)]
+
+
+def test_video_frame_fingerprints_dedup(spark):
+    from odin_rs_spark.operators import multimodal as mm
+
+    # media 0 and 2 share seed -> all frames collide; media 1 differs
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(_mjpg_clip(3))),
+            (1, bytearray(_mjpg_clip(4))),
+            (2, bytearray(_mjpg_clip(3))),
+        ],
+        "media_id long, content binary",
+    )
+    fps = mm.video_frame_fingerprints(media).collect()
+    by_frame = {}
+    for r in fps:
+        by_frame.setdefault((r.media_id, r.frame_no), r.fp)
+    for f in range(4):
+        assert by_frame[(0, f)] == by_frame[(2, f)]
+        assert by_frame[(0, f)] != by_frame[(1, f)]
+    # fingerprint is the md5 of the row-major integer tile-sum string
+    import hashlib
+
+    import numpy as np
+
+    byy, bxx = np.mgrid[0:3, 0:4]
+    vals = 2 * ((3 * 5 + 0 * 17 + bxx * 7 + byy * 11) % 100) + 14
+    key = ",".join(str(int(v) * 64) for v in vals.ravel())
+    assert by_frame[(0, 0)] == hashlib.md5(key.encode()).hexdigest()

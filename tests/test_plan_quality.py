@@ -560,3 +560,28 @@ def test_q127_edge_generation_bounded(spark, sf_dir):
     # on (event_type, hb, rk_b)
     assert "rk_b" in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+
+
+def test_video_decode_single_scan_one_dedup_shuffle(spark):
+    """q151/q152 shape: frame decode is ONE mapInPandas over the media
+    scan (no exchange before pixels exist — video bytes never
+    shuffle); the dedup groupBy shuffles only (fp, counters), with a
+    map-side partial aggregate."""
+    from odin_rs_spark.operators import multimodal as mm
+    from tests.test_avicodec import _mjpg_clip
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_mjpg_clip(0, nf=2)))], "media_id long, content binary"
+    )
+    plan = _executed(mm.video_decode_frames(media, every_n=2))
+    assert "Exchange" not in plan, plan[:600]
+
+    dedup = (
+        mm.video_frame_fingerprints(media)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _executed(dedup)
+    assert plan.count("Exchange") == 1, plan[:900]
+    # partial agg below the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan[:900]
