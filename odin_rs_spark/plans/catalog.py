@@ -7236,6 +7236,170 @@ FROM fp GROUP BY fp HAVING count(DISTINCT media_id) >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# q153 — WARC web-archive scan (sources/warc — ISO 28500, the Common
+# Crawl ingest format every large-scale LLM text pipeline starts
+# from): three committed .warc.gz fixtures (one gzip member per
+# record, the CC segment layout) holding warcinfo/request/response
+# records whose HTTP bodies derive from a page formula
+# (tests/test_warc.py::test_fixture_files_match_formula is the
+# provenance pin). The oracle regenerates every response row — file,
+# record number, URL, status, mime, byte length and the full body
+# text — from the formula and never touches the files: equality holds
+# IFF gzip member walk, record framing, header parse and HTTP split
+# are all byte-correct. Page g = fileno*12 + p: url
+# site{g%7}.example.com/page/{g}; status 404 iff g%5=0; mime
+# text/plain iff g%3=0; body = "w{(g*7+j)%13} " for j < 5 + g%7.
+# --------------------------------------------------------------------------
+
+def q153_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.warc import warc_records
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "cc_*.warc.gz",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    recs = warc_records(files)
+    return recs.filter(F.col("warc_type") == "response").select(
+        "file",
+        "rec_no",
+        "target_uri",
+        "http_status",
+        "mime",
+        "body_len",
+        "body_text",
+    )
+
+
+Q153_SQL = """
+WITH pg AS (
+  SELECT fn.range AS fileno, p.range AS p, fn.range * 12 + p.range AS g
+  FROM range(3) fn, range(12) p),
+body AS (
+  SELECT fileno, p, g,
+         string_agg('w' || ((g * 7 + j.range) % 13)::VARCHAR || ' ', ''
+                    ORDER BY j.range) AS body_text
+  FROM pg, range(12) j WHERE j.range < 5 + g % 7
+  GROUP BY fileno, p, g)
+SELECT 'cc_0' || fileno::VARCHAR || '.warc.gz' AS file,
+       (2 + 2 * p)::INT AS rec_no,
+       'https://site' || (g % 7)::VARCHAR || '.example.com/page/'
+         || g::VARCHAR AS target_uri,
+       CASE WHEN g % 5 = 0 THEN 404 ELSE 200 END AS http_status,
+       CASE WHEN g % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+       length(body_text)::BIGINT AS body_len,
+       body_text
+FROM body
+"""
+
+
+# --------------------------------------------------------------------------
+# q154 — URL canonicalization + registered-domain rollup
+# (functions/web — the URL-hygiene pass every web corpus runs before
+# URL-level dedup and per-domain quotas): 120 deliberately MESSY
+# formula URLs (scheme/host case, www prefix, default vs explicit
+# ports, unsorted + tracking query params, fragments) canonicalize
+# JVM-side (zero UDFs), then roll up per (registered domain, host).
+# The oracle does NOT replay the implementation: it derives the
+# expected canonical string analytically from the mess parameters, so
+# agreement proves the canonicalizer NORMALIZES (not merely that two
+# engines ran the same code). Mess(i): scheme HTTP/https/HTTPS by
+# i%3; host WWW.Site{i%10}.{Example.CO.UK | Example.COM | Sample.ORG
+# by i%4}; port default (dropped) when i%5=0, :8080 when i%5=1; empty
+# path when i%6=0; query utm+unsorted when i%2=0, all-tracking when
+# i%8=1, else ?z=9; #sec2 fragment when i%7=0.
+# --------------------------------------------------------------------------
+
+def q154_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import (
+        host_of,
+        registered_domain,
+        url_canonicalize,
+    )
+
+    i = F.col("id")
+    scheme_m = (
+        F.when(i % 3 == 0, "HTTP").when(i % 3 == 1, "https").otherwise("HTTPS")
+    )
+    suffix_m = (
+        F.when(i % 4 == 0, ".Example.CO.UK")
+        .when(i % 4 == 2, ".Sample.ORG")
+        .otherwise(".Example.COM")
+    )
+    port_m = (
+        F.when(
+            i % 5 == 0, F.when(i % 3 == 0, ":80").otherwise(":443")
+        )
+        .when(i % 5 == 1, ":8080")
+        .otherwise("")
+    )
+    path_m = F.when(i % 6 == 0, "").otherwise(
+        F.concat(F.lit("/p/"), (i % 6).cast("string"))
+    )
+    q_m = (
+        F.when(i % 2 == 0, "?utm_source=x&b=2&a=1")
+        .when(i % 8 == 1, "?utm_campaign=c")
+        .otherwise("?z=9")
+    )
+    frag_m = F.when(i % 7 == 0, "#sec2").otherwise("")
+    urls = spark.range(120).select(
+        F.concat(
+            scheme_m,
+            F.lit("://WWW.Site"),
+            (i % 10).cast("string"),
+            suffix_m,
+            port_m,
+            path_m,
+            q_m,
+            frag_m,
+        ).alias("url")
+    )
+    c = urls.select(
+        url_canonicalize(F.col("url")).alias("canon"),
+        host_of(F.col("url")).alias("host"),
+    ).withColumn("dom", registered_domain(F.col("host")))
+    return c.groupBy("dom", "host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canon").alias("n_canon"),
+        F.min("canon").alias("min_canon"),
+        F.max("canon").alias("max_canon"),
+    )
+
+
+Q154_SQL = """
+WITH u AS (
+  SELECT r.range AS i,
+    CASE WHEN r.range % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    'site' || (r.range % 10)::VARCHAR ||
+      CASE WHEN r.range % 4 = 0 THEN '.example.co.uk'
+           WHEN r.range % 4 = 2 THEN '.sample.org'
+           ELSE '.example.com' END AS host,
+    CASE WHEN r.range % 5 = 1 THEN ':8080' ELSE '' END AS port,
+    CASE WHEN r.range % 6 = 0 THEN '/'
+         ELSE '/p/' || (r.range % 6)::VARCHAR END AS path,
+    CASE WHEN r.range % 2 = 0 THEN '?a=1&b=2'
+         WHEN r.range % 8 = 1 THEN ''
+         ELSE '?z=9' END AS q,
+    CASE WHEN r.range % 4 = 0 THEN 'example.co.uk'
+         WHEN r.range % 4 = 2 THEN 'sample.org'
+         ELSE 'example.com' END AS dom
+  FROM range(120) r),
+c AS (
+  SELECT dom, host, scheme || '://' || host || port || path || q AS canon
+  FROM u)
+SELECT dom, host, count(*)::BIGINT AS n_urls,
+       count(DISTINCT canon)::BIGINT AS n_canon,
+       min(canon) AS min_canon, max(canon) AS max_canon
+FROM c GROUP BY dom, host
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # interim note: the post-r6-snapshot fix commit changed
@@ -7284,6 +7448,8 @@ CATALOG: dict[str, QuerySpec] = {
     for s in [
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),
+        QuerySpec("q153_warc_scan", q153_warc_scan, Q153_SQL, "S-warc common-crawl scan"),
+        QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),

@@ -1,0 +1,223 @@
+"""Pure-stdlib WARC/1.0 reader (ISO 28500 — the Common Crawl /
+web-archive record format, and THE ingest format of large-scale LLM
+text pipelines: C4, CCNet, RefinedWeb and friends all start from
+response records in .warc.gz segments). The reference ingests live
+feeds (SURVEY §2.1); a 100 TB text corpus ingests archived crawls —
+this module is that scan, built like the repo's other wire codecs
+(netcdf3/grib2/geotiff): spec-driven, fixture-twinned, decode in a
+single mapInPandas pass over a `binaryFile` scan.
+
+Format walked (ISO 28500 §4): a WARC file is a sequence of records,
+each `WARC/1.0 CRLF header-lines CRLF CRLF block CRLF CRLF`; the
+block length comes from the mandatory Content-Length header. A
+.warc.gz stores ONE GZIP MEMBER PER RECORD (the Common Crawl layout)
+so segments split at member boundaries — the property that makes the
+format S3-range-seekable at crawl scale. Response records carry a
+full HTTP/1.1 message as their block; `split_http_response` peels
+status, headers and body.
+
+Scale shape (`warc_records`): binaryFile scan → mapInPandas decode →
+plain rows; archive bytes never shuffle, rows-out = records-in. At
+100 TB the unit of parallelism is the .warc.gz file (Common Crawl
+ships ~1 GB segments), which is exactly Spark's binaryFile split
+unit; decode is zlib-bound C speed.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+CRLF = b"\r\n"
+
+
+def gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no name — byte-stable
+    fixtures) holding `data`."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    body = co.compress(data) + co.flush()
+    # zero the MTIME field (bytes 4-8) for determinism
+    return body[:4] + b"\x00\x00\x00\x00" + body[8:]
+
+
+def gunzip_members(buf: bytes) -> bytes:
+    """Concatenated gzip members → concatenated payloads (the
+    .warc.gz layout: one member per record)."""
+    out = []
+    rest = buf
+    while rest:
+        d = zlib.decompressobj(47)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture twin of `parse_warc`: records are dicts with
+    `warc_type`, `block` (bytes), and optional `target_uri`, `date`,
+    `record_id`, `content_type`. One gzip member per record when
+    `gzip_members` (the Common Crawl layout), else plain WARC."""
+    out = []
+    for i, r in enumerate(records):
+        block = r["block"]
+        hdrs = [b"WARC/1.0"]
+        hdrs.append(b"WARC-Type: " + r["warc_type"].encode())
+        rid = r.get("record_id", f"<urn:uuid:fixture-{i:08d}>")
+        hdrs.append(b"WARC-Record-ID: " + rid.encode())
+        hdrs.append(
+            b"WARC-Date: " + r.get("date", "2026-08-15T00:00:00Z").encode()
+        )
+        if r.get("target_uri"):
+            hdrs.append(b"WARC-Target-URI: " + r["target_uri"].encode())
+        if r.get("content_type"):
+            hdrs.append(b"Content-Type: " + r["content_type"].encode())
+        hdrs.append(b"Content-Length: " + str(len(block)).encode())
+        rec = CRLF.join(hdrs) + CRLF + CRLF + block + CRLF + CRLF
+        out.append(gzip_member(rec) if gzip_members else rec)
+    return b"".join(out)
+
+
+def parse_warc(buf: bytes) -> list[dict]:
+    """WARC bytes (plain or .warc.gz) → list of
+    {"rec_no", "headers" (dict, case-insensitive keys lowered),
+    "block" (bytes)}. Raises ValueError on malformed structure."""
+    try:
+        return _parse_warc(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib.error, UnicodeDecodeError…
+        raise ValueError(f"corrupt WARC file: {exc}") from exc
+
+
+def _parse_warc(buf: bytes) -> list[dict]:
+    if buf[:2] == b"\x1f\x8b":
+        buf = gunzip_members(buf)
+    recs = []
+    pos = 0
+    n = len(buf)
+    rec_no = 0
+    while pos < n:
+        # skip inter-record CRLFs
+        while buf[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(f"record {rec_no}: missing WARC/ version line")
+        hdr_end = buf.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(f"record {rec_no}: unterminated header block")
+        lines = buf[pos:hdr_end].split(CRLF)
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"record {rec_no}: malformed header line {line[:60]!r}"
+                )
+            headers[k.strip().decode().lower()] = v.strip().decode()
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise ValueError(f"record {rec_no}: missing Content-Length")
+        block_start = hdr_end + 4
+        if block_start + clen > n:
+            raise ValueError(f"record {rec_no}: block runs past the file")
+        recs.append(
+            {
+                "rec_no": rec_no,
+                "headers": headers,
+                "block": buf[block_start : block_start + clen],
+            }
+        )
+        pos = block_start + clen
+        rec_no += 1
+    return recs
+
+
+def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """HTTP/1.1 response message → (status, headers lowered, body)."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0:
+        raise ValueError("HTTP message without header terminator")
+    head = block[:sep].split(CRLF)
+    parts = head[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"malformed HTTP status line {head[0][:60]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in head[1:]:
+        k, s, v = line.partition(b":")
+        if s:
+            headers[k.strip().decode().lower()] = v.strip().decode()
+    return status, headers, block[sep + 4 :]
+
+
+WARC_SCHEMA = (
+    "file string, rec_no int, warc_type string, target_uri string, "
+    "warc_date string, http_status int, mime string, body_len long, "
+    "body_text string"
+)
+
+
+def warc_records(files_df, on_error: str = "raise"):
+    """`spark.read.format("binaryFile")` rows → one row per WARC
+    record. Response records are HTTP-split (status, mime, body);
+    non-HTTP records carry NULL http fields and the raw block as
+    body. Body text decodes as UTF-8 with replacement — the lossless
+    byte length rides in `body_len`."""
+    import os
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {
+                "file": [], "rec_no": [], "warc_type": [], "target_uri": [],
+                "warc_date": [], "http_status": [], "mime": [],
+                "body_len": [], "body_text": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                base = os.path.basename(path)
+                for r in recs:
+                    h = r["headers"]
+                    wtype = h.get("warc-type")
+                    status = mime = None
+                    body = r["block"]
+                    if wtype == "response" and h.get("content-type", "").startswith(
+                        "application/http"
+                    ):
+                        try:
+                            status, hh, body = split_http_response(r["block"])
+                            mime = hh.get("content-type")
+                        except ValueError:
+                            if on_error == "skip":
+                                continue
+                            raise
+                    rows["file"].append(base)
+                    rows["rec_no"].append(r["rec_no"])
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(h.get("warc-target-uri"))
+                    rows["warc_date"].append(h.get("warc-date"))
+                    rows["http_status"].append(status)
+                    rows["mime"].append(mime)
+                    rows["body_len"].append(len(body))
+                    rows["body_text"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(rows)
+
+    # package must reach workers even when no table read shipped it
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, WARC_SCHEMA)

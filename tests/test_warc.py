@@ -1,0 +1,133 @@
+"""WARC/1.0 reader (sources/warc) — ISO 28500 record walk, gzip
+member layout, HTTP response split, and the Spark scan operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from odin_rs_spark.sources.warc import (
+    encode_warc,
+    gunzip_members,
+    gzip_member,
+    parse_warc,
+    split_http_response,
+    warc_records,
+)
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "odin_rs_spark",
+    "sources",
+    "fixtures",
+)
+
+
+def _body_text(g: int) -> str:
+    return "".join(f"w{(g * 7 + j) % 13} " for j in range(5 + g % 7))
+
+
+def test_roundtrip_plain_and_gz():
+    recs = [
+        {"warc_type": "warcinfo", "block": b"software: x\r\n"},
+        {
+            "warc_type": "response",
+            "target_uri": "https://a.example/1",
+            "content_type": "application/http; msgtype=response",
+            "block": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhi",
+        },
+    ]
+    for gz in (False, True):
+        buf = encode_warc(recs, gzip_members=gz)
+        back = parse_warc(buf)
+        assert [r["headers"]["warc-type"] for r in back] == [
+            "warcinfo",
+            "response",
+        ]
+        assert back[1]["headers"]["warc-target-uri"] == "https://a.example/1"
+        status, hh, body = split_http_response(back[1]["block"])
+        assert (status, hh["content-type"], body) == (200, "text/html", b"hi")
+
+
+def test_gzip_members_deterministic_and_concatenated():
+    a, b = gzip_member(b"alpha"), gzip_member(b"beta")
+    assert gzip_member(b"alpha") == a  # byte-stable fixture twin
+    assert gunzip_members(a + b) == b"alphabeta"
+    with pytest.raises(ValueError, match="truncated gzip"):
+        gunzip_members(a[:-3])
+
+
+def test_parse_errors_named():
+    with pytest.raises(ValueError, match="missing WARC/"):
+        parse_warc(b"NOPE/1.0\r\n\r\n")
+    rec = encode_warc(
+        [{"warc_type": "x", "block": b"12345"}], gzip_members=False
+    )
+    with pytest.raises(ValueError, match="runs past"):
+        parse_warc(rec[:-9])  # truncate inside the block
+    hdr_only = b"WARC/1.0\r\nWARC-Type: x\r\n\r\n12345\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(hdr_only)
+    with pytest.raises(ValueError, match="malformed HTTP status"):
+        split_http_response(b"zzz\r\n\r\nbody")
+
+
+def test_fixture_files_match_formula():
+    """The committed cc_*.warc.gz fixtures ARE the formula — this is
+    their provenance check (and what the q153 oracle replays)."""
+    for fn in range(3):
+        path = os.path.join(FIXTURE_DIR, f"cc_{fn:02d}.warc.gz")
+        recs = parse_warc(open(path, "rb").read())
+        assert len(recs) == 25
+        assert recs[0]["headers"]["warc-type"] == "warcinfo"
+        for p in range(12):
+            g = fn * 12 + p
+            req, resp = recs[1 + 2 * p], recs[2 + 2 * p]
+            assert req["headers"]["warc-type"] == "request"
+            assert resp["headers"]["warc-type"] == "response"
+            url = f"https://site{g % 7}.example.com/page/{g}"
+            assert resp["headers"]["warc-target-uri"] == url
+            status, hh, body = split_http_response(resp["block"])
+            assert status == (404 if g % 5 == 0 else 200)
+            assert hh["content-type"] == (
+                "text/plain" if g % 3 == 0 else "text/html"
+            )
+            assert body.decode() == _body_text(g)
+
+
+def test_warc_records_spark(spark, tmp_path):
+    recs = [
+        {"warc_type": "warcinfo", "block": b"software: x\r\n"},
+        {
+            "warc_type": "response",
+            "target_uri": "https://a.example/p",
+            "content_type": "application/http; msgtype=response",
+            "block": b"HTTP/1.1 301 Moved\r\nContent-Type: text/html\r\n\r\ngone",
+        },
+    ]
+    good = tmp_path / "a.warc.gz"
+    good.write_bytes(encode_warc(recs))
+    bad = tmp_path / "b.warc.gz"
+    bad.write_bytes(b"\x1f\x8bnot really gzip")
+
+    files = spark.read.format("binaryFile").load(str(good))
+    rows = {r.rec_no: r for r in warc_records(files).collect()}
+    assert rows[0].warc_type == "warcinfo" and rows[0].http_status is None
+    r = rows[1]
+    assert (r.warc_type, r.http_status, r.mime, r.body_text, r.body_len) == (
+        "response",
+        301,
+        "text/html",
+        "gone",
+        4,
+    )
+    assert r.file == "a.warc.gz" and r.target_uri == "https://a.example/p"
+
+    both = spark.read.format("binaryFile").load(
+        [str(good), str(bad)]
+    )
+    kept = warc_records(both, on_error="skip").collect()
+    assert {r.file for r in kept} == {"a.warc.gz"}
+    with pytest.raises(Exception):
+        warc_records(both).collect()

@@ -1,0 +1,89 @@
+"""URL parse / canonicalize / registered-domain (functions/web) —
+known-answer cases; the q154 oracle independently recomputes the
+expected canonical strings from the fixture formula."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odin_rs_spark.functions.web import (
+    host_of,
+    registered_domain,
+    url_canonicalize,
+    url_parse,
+)
+
+
+def _one(spark, fn, s):
+    return spark.range(1).select(fn(F.lit(s)).alias("v")).first().v
+
+
+def test_url_parse_fields(spark):
+    v = _one(spark, url_parse, "HTTPS://Www.Ex.COM:8443/a/b?x=1&y=2#frag")
+    assert (v.scheme, v.host, v.port, v.path, v.query, v.fragment) == (
+        "https", "www.ex.com", 8443, "/a/b", "x=1&y=2", "frag"
+    )
+    v = _one(spark, url_parse, "http://ex.com")
+    assert (v.scheme, v.host, v.port, v.path, v.query, v.fragment) == (
+        "http", "ex.com", None, None, None, None
+    )
+    v = _one(spark, url_parse, "not a url")
+    assert v.scheme is None and v.host is None
+
+
+def test_canonicalize_cases(spark):
+    cases = {
+        # scheme/host case, default port, fragment
+        "HTTP://WWW.Ex.COM:80/a#sec": "http://ex.com/a",
+        "https://ex.com:443/": "https://ex.com/",
+        # non-default port kept; empty path -> /
+        "https://ex.com:8080": "https://ex.com:8080/",
+        # tracking params dropped, rest sorted; empty params dropped
+        "https://ex.com/p?utm_source=x&b=2&a=1": "https://ex.com/p?a=1&b=2",
+        "https://ex.com/p?gclid=1&fbclid=2&ref=h": "https://ex.com/p",
+        "https://ex.com/p?b=2&&a=1": "https://ex.com/p?a=1&b=2",
+        # already canonical is a fixed point
+        "https://ex.com/p?a=1&b=2": "https://ex.com/p?a=1&b=2",
+        "nonsense": None,
+    }
+    for url, want in cases.items():
+        got = _one(spark, url_canonicalize, url)
+        assert got == want, (url, got, want)
+    # canonical key collapses all equivalent fetches of one page
+    variants = [
+        "https://WWW.ex.com/p?b=2&a=1",
+        "HTTPS://ex.com:443/p?a=1&b=2&utm_campaign=c#top",
+        "https://ex.com/p?a=1&b=2",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "url string")
+    n = df.select(url_canonicalize(F.col("url")).alias("c")).distinct().count()
+    assert n == 1
+
+
+def test_registered_domain(spark):
+    cases = {
+        "sub.a.example.com": "example.com",
+        "example.com": "example.com",
+        "www.site.example.co.uk": "example.co.uk",
+        "a.b.github.io": "b.github.io",
+        "localhost": "localhost",
+    }
+    for host, want in cases.items():
+        got = _one(spark, registered_domain, host)
+        assert got == want, (host, got, want)
+    assert _one(spark, host_of, "HTTPS://WWW.Ex.Org/x") == "ex.org"
+
+
+def test_canonicalize_is_codegen_only(spark):
+    """100 TB path: the whole URL pipeline is JVM expressions — no
+    BatchEvalPython / ArrowEvalPython nodes in the plan."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".ex.com/p?b=2&a=1")).alias("u")
+    )
+    out = df.select(
+        url_canonicalize(F.col("u")).alias("c"),
+        registered_domain(host_of(F.col("u"))).alias("d"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:600]
+    assert out.count() == 10
