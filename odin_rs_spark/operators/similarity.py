@@ -1343,3 +1343,95 @@ def greedy_kcenter_select(
             .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(picked, out_schema)
+
+
+def semdedup_select(
+    corpus: DataFrame,
+    centroid_ids,
+    tau: float = 0.96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    deduplication at web scale): cluster the embedding corpus, then
+    restrict the quadratic near-duplicate search to WITHIN each
+    cluster — the paper's own scalability argument, and the exact
+    reason this survives 100 TB where an all-pairs cosine join cannot.
+
+    Clustering here is the repo's deterministic fixed-seed max-cosine
+    assignment (`_fixed_centroids` + `_assign_nearest_cosine`, shared
+    with ivf_fixed_topk, so the whole pipeline replays in SQL); rank
+    within a cluster = cosine-to-own-centroid DESC on the 6dp-rounded
+    value with id tie-break (rounding keeps cross-engine double
+    ordering stable — the q81 pattern). A point is `dropped` iff some
+    HIGHER-ranked point in its cluster has cosine > tau with it —
+    deterministic, join-expressible, and keeps exactly one
+    representative per duplicate set when duplicates are mutual.
+
+    Returns (id, cell, rank, ccos, dropped). Scale shape: centroids
+    broadcast (2 joins), embeddings shuffle once on the cluster key
+    for the window + once for the within-cluster pair join; pair
+    volume is sum of squared CLUSTER sizes, not corpus².
+    """
+    cent = _fixed_centroids(corpus, centroid_ids, id_col, vec_col)
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    assigned = _assign_nearest_cosine(base, cent, id_col)
+    cent2 = cent.select(
+        F.col("__cell").alias("__cell2"), F.col("__centroid").alias("__cv2")
+    )
+    ranked = (
+        assigned.join(F.broadcast(cent2), F.col("__cell") == F.col("__cell2"))
+        .withColumn(
+            "__ccos",
+            safe_cosine(
+                dot(F.col("__cvec"), F.col("__cv2")),
+                F.col("__cn") * l2_norm(F.col("__cv2")),
+            ),
+        )
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("__cell").orderBy(
+                    F.round(F.col("__ccos"), 6).desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .select(id_col, "__cell", "__rank", "__ccos", "__cvec", "__cn")
+    )
+    hi = ranked.select(
+        F.col("__cell").alias("__hc"),
+        F.col("__rank").alias("__hr"),
+        F.col("__cvec").alias("__hv"),
+        F.col("__cn").alias("__hn"),
+    )
+    dropped = (
+        ranked.join(
+            hi,
+            (F.col("__cell") == F.col("__hc")) & (F.col("__hr") < F.col("__rank")),
+        )
+        .filter(
+            safe_cosine(
+                dot(F.col("__cvec"), F.col("__hv")),
+                F.col("__cn") * F.col("__hn"),
+            )
+            > tau
+        )
+        .select(F.col(id_col).alias("__did"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped, F.col(id_col) == F.col("__did"), "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("__rank").alias("rank"),
+            F.col("__ccos").alias("ccos"),
+            F.when(F.col("__did").isNotNull(), 1).otherwise(0).alias("dropped"),
+        )
+    )

@@ -1015,3 +1015,94 @@ def bpe_segment_words(
             cur = cur.localCheckpoint(eager=True)
     toks = F.split(F.expr("substring(__seg, 2, length(__seg) - 2)"), "··")
     return cur.withColumn("n_tokens", F.size(toks)).drop("__seg")
+
+
+# Unicode script ranges for script_stats. Literal BMP char-class ranges
+# so the identical pattern runs in Java regex (Spark) and RE2 (DuckDB
+# oracle). Letters only — digits counted separately.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿",
+    "arabic": "؀-ۿ",
+}
+
+
+def script_stats(
+    df: DataFrame, text_col: str = "text", mix_min: int = 5
+) -> DataFrame:
+    """Unicode-SCRIPT histogram per document — the script-mixing
+    signal multilingual corpus pipelines use for spam/homoglyph
+    filtering and for routing docs to per-script tokenizers (the
+    cheap precursor to lang_id: script is decided by code-point
+    ranges alone). Adds per-script letter counts, a digit count, the
+    dominant script (deterministic tie order latin > cyrillic > cjk >
+    arabic), and `mixed` = 1 when both Latin and non-Latin letters
+    appear at least `mix_min` times (the homoglyph-spam shape).
+    Pure regexp-length arithmetic: zero UDFs, zero shuffles, counts
+    are integer-exact and SQL-replayable."""
+    t = F.col(text_col)
+    c = {
+        name: F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    dominant = (
+        F.when(
+            c["latin"] >= F.greatest(c["cyrillic"], c["cjk"], c["arabic"]),
+            "latin",
+        )
+        .when(c["cyrillic"] >= F.greatest(c["cjk"], c["arabic"]), "cyrillic")
+        .when(c["cjk"] >= c["arabic"], "cjk")
+        .otherwise("arabic")
+    )
+    non_latin = c["cyrillic"] + c["cjk"] + c["arabic"]
+    mixed = F.when(
+        F.least(c["latin"], non_latin) >= mix_min, 1
+    ).otherwise(0)
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars"),
+        c["latin"].alias("n_latin"),
+        c["cyrillic"].alias("n_cyrillic"),
+        c["cjk"].alias("n_cjk"),
+        c["arabic"].alias("n_arabic"),
+        n_digit.alias("n_digit"),
+        dominant.alias("dominant_script"),
+        mixed.alias("mixed_script"),
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits per character) of each document's
+    character distribution — the compression-ratio quality proxy
+    (boilerplate, keyword-stuffing and generator spam sit LOW;
+    encrypted/binary junk sits HIGH; C4/Gopher-family pipelines gate
+    on exactly this shape). H = (ln n − Σ k_c·ln k_c / n) / ln 2 over
+    per-char counts k_c.
+
+    Scale shape: a pure higher-order-function pipeline — split to a
+    char array, array_distinct (bounded by the alphabet), per-char
+    counts via filter/size — entirely inside the row, ZERO shuffles
+    and zero Python; O(len·distinct) per doc in codegen. The naive
+    alternative (explode one row per character) shuffles |corpus|
+    rows×chars — never do that at 100 TB. Characters are UTF-16
+    units (Java split semantics): identical to code points on BMP
+    text; astral-plane corpora should pre-filter surrogates."""
+    cs = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    n = F.size(cs)
+    u = F.array_distinct(cs)
+    counts = F.transform(
+        u, lambda ch: F.size(F.filter(cs, lambda x: x == ch))
+    )
+    snn = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + k.cast("double") * F.log(k.cast("double")),
+    )
+    h = (F.log(n.cast("double")) - snn / n.cast("double")) / F.log(F.lit(2.0))
+    return df.select(
+        "*",
+        n.alias("n_chars_ent"),
+        F.when(n > 0, h).otherwise(F.lit(None)).alias("entropy_bits"),
+    )

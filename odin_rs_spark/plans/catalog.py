@@ -7400,6 +7400,191 @@ FROM c GROUP BY dom, host
 """
 
 
+# --------------------------------------------------------------------------
+# q157 — SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540 — the curation pass LAION/web-scale image-text
+# corpora run AFTER exact dedup): cluster embeddings on fixed seed
+# centroids (the ivf_fixed machinery), rank within each cluster by
+# 6dp-rounded cosine-to-centroid, drop every point with a
+# higher-ranked in-cluster near-duplicate (cos > 0.96). Planted 1.5×
+# scaled copies (cos≈1 with their originals) must be the dropped
+# ones. The oracle replays the ENTIRE pipeline in SQL — assignment
+# argmax, window rank, within-cluster pair join, drop rule — per the
+# q59/q85 precedent.
+# --------------------------------------------------------------------------
+
+_Q157_CENTS = [3, 17, 29, 41, 59]
+
+
+def q157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    seeded = emb.unionByName(copy)
+    out = sim_ops.semdedup_select(seeded, _Q157_CENTS, tau=0.96)
+    return out.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dropped").alias("n_dropped"),
+        F.sum(F.when(F.col("dropped") == 0, F.col("vec_id"))).alias(
+            "sum_kept_ids"
+        ),
+        F.round(F.min("ccos"), 6).alias("min_ccos"),
+        F.round(F.max("ccos"), 6).alias("max_ccos"),
+    )
+
+
+_Q157_CENT_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * c.cv[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE))))"
+)
+
+Q157_SQL = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 50 = 0),
+cents AS (
+  SELECT list_position({_Q157_CENTS}, vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q157_CENTS)}),
+assigned AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT e.vec_id, c.cell, {_Q157_CENT_COS.format(a='e')} AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q157_CENT_COS.format(a='e')} DESC,
+                                       c.cell ASC) AS rn
+    FROM seeded e, cents c) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cell, ccos,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY round(ccos, 6) DESC, vec_id ASC) AS rank
+  FROM assigned),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS did
+  FROM ranked a
+  JOIN ranked b ON a.cell = b.cell AND a.rank < b.rank
+  JOIN seeded ea ON ea.vec_id = a.vec_id
+  JOIN seeded eb ON eb.vec_id = b.vec_id
+  WHERE {_COS.format(a='ea', b='eb')} > 0.96)
+SELECT cell, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN did IS NULL THEN vec_id END)::BIGINT AS sum_kept_ids,
+       round(min(ccos), 6) AS min_ccos,
+       round(max(ccos), 6) AS max_ccos
+FROM ranked LEFT JOIN dropped ON vec_id = did
+GROUP BY cell
+"""
+
+
+# --------------------------------------------------------------------------
+# q155 — Unicode-script mixing audit (operators/text.script_stats —
+# the homoglyph-spam / tokenizer-routing signal of multilingual
+# corpus pipelines): documents get formula-planted Cyrillic / CJK /
+# Arabic injections (kind = doc_id % 4), then per-script regexp
+# letter counts, the deterministic dominant-script rule and the
+# mixed-script flag roll up per (kind, mixed). Counts are integer
+# regexp-length arithmetic — the oracle recounts the same augmented
+# text in RE2 with zero tolerance. Note kind=2 injects 4 CJK chars
+# when doc_id%2=0 — below the mix_min=5 threshold — so the flag's
+# boundary sits INSIDE the data.
+# --------------------------------------------------------------------------
+
+def q155_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import script_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    inject = (
+        F.when(i % 4 == 1, F.expr("repeat('Привет ', CAST(doc_id % 3 + 1 AS INT))"))
+        .when(i % 4 == 2, F.expr("repeat('中文语料 ', CAST(doc_id % 2 + 1 AS INT))"))
+        .when(i % 4 == 3, F.lit("مرحبا مرحبا "))
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(
+        "doc_id",
+        (i % 4).alias("kind"),
+        F.concat(F.col("text"), F.lit(" "), inject).alias("text"),
+    )
+    st = script_stats(aug)
+    return st.groupBy("kind", "mixed_script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_latin").alias("sum_latin"),
+        F.sum("n_cyrillic").alias("sum_cyr"),
+        F.sum("n_cjk").alias("sum_cjk"),
+        F.sum("n_arabic").alias("sum_arab"),
+        F.sum("n_digit").alias("sum_digit"),
+    )
+
+
+Q155_SQL = """
+WITH aug AS (
+  SELECT doc_id, doc_id % 4 AS kind,
+         text || ' ' || CASE doc_id % 4
+            WHEN 1 THEN repeat('Привет ', (doc_id % 3 + 1)::INT)
+            WHEN 2 THEN repeat('中文语料 ', (doc_id % 2 + 1)::INT)
+            WHEN 3 THEN 'مرحبا مرحبا '
+            ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT kind,
+    length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::BIGINT AS lat,
+    length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::BIGINT AS cyr,
+    length(regexp_replace(t, '[^一-鿿]', '', 'g'))::BIGINT AS cjk,
+    length(regexp_replace(t, '[^؀-ۿ]', '', 'g'))::BIGINT AS ara,
+    length(regexp_replace(t, '[^0-9]', '', 'g'))::BIGINT AS dig
+  FROM aug)
+SELECT kind, CASE WHEN least(lat, cyr + cjk + ara) >= 5 THEN 1 ELSE 0 END
+         AS mixed_script,
+       count(*)::BIGINT AS n_docs,
+       sum(lat)::BIGINT AS sum_latin, sum(cyr)::BIGINT AS sum_cyr,
+       sum(cjk)::BIGINT AS sum_cjk, sum(ara)::BIGINT AS sum_arab,
+       sum(dig)::BIGINT AS sum_digit
+FROM c GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q156 — character-entropy quality signal (operators/text.char_entropy
+# — the compression-ratio proxy C4/Gopher-family pipelines gate on):
+# per-document Shannon entropy in bits/char, computed as a pure
+# higher-order-function pipeline (split → array_distinct → per-char
+# filter/size counts → aggregate) with ZERO shuffles and zero Python
+# — the plan a 100 TB corpus needs, vs the explode-per-character
+# anti-pattern. The oracle recounts characters by exploding
+# substring positions in DuckDB and replays
+# H = (ln n − Σ k·ln k / n) / ln 2 at 6dp.
+# --------------------------------------------------------------------------
+
+def q156_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = char_entropy(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars_ent").alias("n_chars"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
+Q156_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cnt AS (
+  SELECT doc_id, count(*)::DOUBLE AS k FROM ch GROUP BY doc_id, c),
+s AS (
+  SELECT doc_id, sum(k * ln(k)) AS snn FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, d.lang, length(d.text)::INT AS n_chars,
+       round((ln(length(d.text)::DOUBLE) - s.snn / length(d.text)::DOUBLE)
+             / ln(2), 6) AS entropy_bits
+FROM documents d JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # interim note: the post-r6-snapshot fix commit changed
@@ -7450,6 +7635,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),
         QuerySpec("q153_warc_scan", q153_warc_scan, Q153_SQL, "S-warc common-crawl scan"),
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
+        QuerySpec("q157_semdedup", q157_semdedup, Q157_SQL, "dedup-semantic semdedup-clustered"),
+        QuerySpec("q155_script_mix", q155_script_mix, Q155_SQL, "text script-mixing audit"),
+        QuerySpec("q156_char_entropy", q156_char_entropy, Q156_SQL, "text entropy-quality"),
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from odin_rs_spark.functions import datetimes, polygon, vectors
@@ -112,3 +114,49 @@ def test_schedule_compaction_and_next_event():
     assert schedule.next_event(now, sched, slack_sec=30) == dt.datetime(
         2024, 1, 1, 10, 47, 30
     )
+
+
+def test_script_stats_counts_and_flags(spark):
+    from odin_rs_spark.operators.text import script_stats
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "Привет мир"),
+        (3, "hello Привет world мирок"),  # 10 latin + 10 cyrillic
+        (4, "中文语料库测试"),
+        (5, "مرحبا بالعالم"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_stats(df).collect()}
+    assert (out[1].n_latin, out[1].n_digit, out[1].dominant_script) == (
+        10, 3, "latin")
+    assert out[1].mixed_script == 0
+    assert (out[2].n_cyrillic, out[2].dominant_script) == (9, "cyrillic")
+    assert out[3].mixed_script == 1 and out[3].n_latin == 10
+    assert out[4].dominant_script == "cjk" and out[4].n_cjk == 7
+    assert out[5].dominant_script == "arabic" and out[5].n_arabic > 0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from odin_rs_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),        # one symbol -> 0 bits
+        (2, "abab"),        # two equiprobable -> 1 bit
+        (3, "abcd"),        # four equiprobable -> 2 bits
+        (4, "aab"),         # 2/3,1/3
+        (5, ""),            # empty -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy_bits == 0.0
+    assert out[2].entropy_bits == pytest.approx(1.0)
+    assert out[3].entropy_bits == pytest.approx(2.0)
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out[4].entropy_bits == pytest.approx(want)
+    assert out[5].entropy_bits is None and out[5].n_chars_ent == 0
+    # zero-shuffle, zero-Python plan
+    plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan[:500]

@@ -362,3 +362,41 @@ def test_budget_select_matches_python(spark, rows, budget, num_ranges):
         ).collect()
     }
     assert got == want
+
+
+def test_semdedup_keeps_one_representative(spark):
+    """SemDeDup semantics: within a cluster, every point with a
+    higher-ranked near-duplicate is dropped; mutually-duplicate sets
+    keep exactly their top-ranked member; cross-cluster duplicates
+    are NOT examined (the paper's deliberate approximation)."""
+    from odin_rs_spark.operators.similarity import semdedup_select
+
+    rows = [
+        # cluster around +x: 0 is the centroid seed; 10/11 exact scaled
+        # copies of 0 (cos=1); 12 nearby but below tau
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [2.0, 0.0, 0.0, 0.0]),
+        (11, [0.5, 0.0, 0.0, 0.0]),
+        (12, [1.0, 0.5, 0.0, 0.0]),
+        # cluster around +y: 1 is the seed; 20 its scaled copy
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (20, [0.0, 3.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.9, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup_select(emb, [0, 1], tau=0.95).collect()
+    }
+    assert len(out) == 7
+    # ccos=1 ties broken by id: 0 outranks 10/11, which are dropped
+    assert out[0].dropped == 0 and out[0].rank == 1
+    assert out[10].dropped == 1 and out[11].dropped == 1
+    assert out[12].dropped == 0  # cos(0,12)≈0.894 < tau
+    assert out[1].dropped == 0 and out[20].dropped == 1
+    assert out[21].dropped == 0
+    # cells are the seed positions
+    assert out[12].cell == 0 and out[21].cell == 1
