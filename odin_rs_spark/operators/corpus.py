@@ -484,3 +484,38 @@ def select_until_budget(
         .filter(F.col("__offset") + F.col("__cum") <= F.lit(int(budget)))
         .drop("__pid", "__cum", "__offset")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES / exponential-clocks): row i draws u_i from the
+    portable hash and gets clock e_i = −ln(u_i)/w_i; the k smallest
+    clocks are a weighted sample without replacement — P(i first) =
+    w_i/Σw, exactly. This is THE primitive for "sample k documents
+    proportional to quality/length" in a training-mix recipe, and the
+    deterministic-hash draw makes the sample stable across reruns,
+    backfills and engines (same property as hash_sample, same reason).
+
+    Scale shape: one projection + one distributed TakeOrdered(k) —
+    the corpus never shuffles; rows with weight <= 0 are excluded
+    (their inclusion probability is 0). u = (h + 0.5)/2^60 keeps u
+    strictly inside (0,1) (the dsir_select convention), so ln is
+    finite and the clock is SQL-replayable."""
+    w = F.col(weight_col).cast("double")
+    u = (_salted_hash(F.col(key), salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    clock = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__e", clock)
+        .orderBy("__e")
+        .limit(k)
+        .withColumnRenamed("__e", "clock")
+    )

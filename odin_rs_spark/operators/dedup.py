@@ -1369,3 +1369,147 @@ def containment_postings_audit(
         .filter(F.col("est_candidates") >= min_cost)
         .select(F.col("__g").alias("shingle_hash"), "n_prefix", "n_full", "est_candidates")
     )
+
+
+def source_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-LEVEL MinHash: ONE num_perm-slot signature per SOURCE —
+    the element-wise minimum over every distinct shingle hash the
+    source contains. Because min is associative, this sketch MERGES:
+    sig(A ∪ B) = elementwise_min(sig(A), sig(B)), so per-shard /
+    per-day signatures fold into corpus signatures without re-reading
+    text — the property that makes whole-corpus comparison free at
+    100 TB (per-source state is num_perm longs, independent of corpus
+    size). Uses the portable md5 hash (not xxhash64) so the oracle
+    re-derives identical signatures in SQL.
+
+    Returns (source, pos, v). Scale shape: shingle explode → distinct
+    (one shuffle, the dedup q24 family's cost) → num_perm-way
+    posexplode → map-side-combinable min agg: only (source, pos, v)
+    triples shuffle into an output of sources × num_perm rows."""
+    from odin_rs_spark.functions.text import norm_text
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.split(norm_text(F.col(text_col)), " ").alias("__w"),
+    )
+    sh = words.select(
+        "source", F.explode(shingles_from_words(F.col("__w"))).alias("__s")
+    )
+    hashes = sh.select(
+        "source", portable_hash60(F.col("__s")).alias("__h")
+    ).distinct()
+    h32 = F.col("__h").bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+    coeffs = _perm_coeffs(num_perm, seed=seed)
+    perms = F.array(
+        *[
+            F.pmod(
+                h32 * F.lit(a).cast("long") + F.lit(b).cast("long"),
+                F.lit(_MERSENNE31).cast("long"),
+            )
+            for a, b in coeffs
+        ]
+    )
+    return (
+        hashes.select("source", F.posexplode(perms).alias("pos", "__v"))
+        .groupBy("source", "pos")
+        .agg(F.min("__v").alias("v"))
+    )
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    num_perm: int = 64,
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Pairwise corpus similarity between SOURCES: the MinHash
+    agreement estimate (matching signature slots / num_perm) next to
+    the exact shingle-set Jaccard — the audit a data-recipe owner
+    runs to spot near-identical crawl snapshots or a source that is
+    secretly a subset of another, and the place where the estimate's
+    error is visible against truth. At full scale only the sketch
+    side survives (the exact side exists because sf-scale truth is
+    cheap and pins the estimator); sketches are sources × num_perm
+    rows, so the pair join is trivially broadcastable."""
+    from odin_rs_spark.functions.text import norm_text
+
+    sig = source_signatures(df, num_perm, source_col, text_col, seed)
+    a = sig.select(
+        F.col("source").alias("source_a"), "pos", F.col("v").alias("va")
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"), "pos", F.col("v").alias("vb")
+    )
+    est = (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0)).alias(
+                "agree"
+            )
+        )
+        .withColumn("jaccard_est", F.col("agree") / F.lit(float(num_perm)))
+    )
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.split(norm_text(F.col(text_col)), " ").alias("__w"),
+    )
+    hs = (
+        words.select(
+            "source", F.explode(shingles_from_words(F.col("__w"))).alias("__s")
+        )
+        .select("source", portable_hash60(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    sizes = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hs.alias("x")
+        .join(hs.alias("y"), "__h")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # full pair matrix (disjoint pairs included): sources are few, so
+    # the pair base is a broadcast cross join of two size tables
+    base = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    exact = (
+        base.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "jaccard_exact",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return exact.join(est, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        "jaccard_exact",
+        F.coalesce(F.col("agree"), F.lit(0)).alias("agree"),
+        F.coalesce(F.col("jaccard_est"), F.lit(0.0)).alias("jaccard_est"),
+    )

@@ -1429,3 +1429,54 @@ def video_frame_fingerprints(
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, FRAME_FP_SCHEMA)
+
+
+DEMUX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def video_demux_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Demux the PCM16 audio track out of AVI clips
+    (sources/avicodec.parse_avi_audio: 'auds' strh/WAVEFORMATEX walk +
+    '##wb' chunk gather in idx1 order) and re-encode it as WAV bytes —
+    so the ENTIRE existing audio pipeline (audio_stats,
+    audio_silence_windows, audio_fingerprint dedup, audio_resample)
+    composes onto video soundtracks unchanged. This is the A/V
+    counterpart of video_decode_frames: a speech/captioning corpus
+    pipeline's first step on crawled video. One mapInPandas pass;
+    clips without an audio track (or non-PCM16 tracks) raise, or drop
+    under on_error='skip'; container bytes never shuffle."""
+    from odin_rs_spark.sources.audiocodec import encode_wav
+    from odin_rs_spark.sources.avicodec import parse_avi_audio
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "rate": [], "channels": [],
+                "n_samples": [], "content": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, ch, a = parse_avi_audio(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows["media_id"].append(mid)
+                rows["rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(a.shape[0])
+                rows["content"].append(encode_wav(a, rate=rate))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(fn, DEMUX_SCHEMA)

@@ -7585,6 +7585,221 @@ FROM documents d JOIN s ON d.doc_id = s.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q158 — A/V demux: pull the PCM16 soundtrack out of AVI clips
+# (sources/avicodec.parse_avi_audio — 'auds' WAVEFORMATEX walk +
+# '##wb' chunk gather in idx1 order) and run the EXISTING audio-stats
+# pipeline on the demuxed WAV unchanged — the first step a
+# speech/captioning corpus runs on crawled video, and the composition
+# proof that the audio operators are container-agnostic. Soundtrack
+# formula (seed = mid % 20): n = 256 + 32·seed samples of
+# s(t) = ((t·(seed%5+2) + 13·seed) % 1601) − 800 at rate
+# 8000 + 4000·(seed%2), muxed in 3 interleaved chunks; the oracle
+# replays rate, channel count, sample count, peak, mean_abs and
+# zero-crossings from the formula — agreement proves chunk gather
+# order, WAVEFORMATEX parse and WAV re-encode byte-exact.
+# --------------------------------------------------------------------------
+
+def _formula_av_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.avicodec import encode_avi
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 20
+            t = np.arange(256 + 32 * seed, dtype=np.int64)
+            s = ((t * (seed % 5 + 2) + 13 * seed) % 1601) - 800
+            out.append(
+                encode_avi(
+                    [20, 24],
+                    width=16,
+                    height=16,
+                    audio=s.astype(np.int16),
+                    audio_rate=8000 + 4000 * (seed % 2),
+                    audio_chunks=3,
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q158_video_demux_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import audio_stats, video_demux_audio
+
+    media = _formula_av_media(spark, 20)
+    wavs = video_demux_audio(media)
+    out = audio_stats(wavs)
+    return out.select(
+        "media_id",
+        "rate",
+        "channels",
+        "n_samples",
+        "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
+Q158_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 20) AS seed FROM range(20) r),
+pp AS (
+  SELECT media_id, seed % 5 + 2 AS f, 13 * seed AS ph,
+         256 + 32 * seed AS ns, 8000 + 4000 * (seed % 2) AS rate
+  FROM par),
+smp AS (
+  SELECT media_id, ns, rate, i, ((i * f + ph) % 1601) - 800 AS s
+  FROM pp, range(864) ii(i) WHERE i < ns),
+nz AS (
+  SELECT media_id, i, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM smp WHERE s != 0)
+SELECT m.media_id, m.rate::INT AS rate, 1 AS channels,
+       m.ns::BIGINT AS n_samples, m.peak::INT AS peak,
+       round(m.sum_abs / m.ns, 6) AS mean_abs,
+       coalesce(z.zc, 0)::BIGINT AS zero_crossings
+FROM (SELECT media_id, any_value(ns) AS ns, any_value(rate) AS rate,
+             max(abs(s)) AS peak, sum(abs(s))::DOUBLE AS sum_abs
+      FROM smp GROUP BY media_id) m
+LEFT JOIN (SELECT media_id, count(*)::BIGINT AS zc FROM nz
+           WHERE prev IS NOT NULL AND sign(s) != sign(prev)
+           GROUP BY media_id) z
+ON m.media_id = z.media_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q159 — corpus-level MinHash Jaccard matrix between SOURCES
+# (dedup.source_signatures / source_jaccard_matrix): one mergeable
+# 32-slot signature per source (elementwise min over the source's
+# distinct portable shingle hashes — sig(A∪B) = min(sig(A), sig(B)),
+# pinned by test), pairwise agreement as the Jaccard estimate NEXT TO
+# the exact shingle-set Jaccard, full 20×19/2 pair matrix. This is
+# the whole-corpus audit that spots near-identical crawl snapshots at
+# 100 TB for sources × 32 longs of state. The oracle replays shingle
+# hashing, the (a·h32+b) mod M31 permutations (coefficients injected
+# as literals), the per-source min fold, agreement counts AND the
+# exact set Jaccard — zero tolerance.
+# --------------------------------------------------------------------------
+
+_Q159_PERM = 32
+
+
+def q159_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_ops.source_jaccard_matrix(docs, num_perm=_Q159_PERM)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.round("jaccard_exact", 6).alias("jaccard_exact"),
+        "agree",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
+def _q159_sql() -> str:
+    from odin_rs_spark.operators.dedup import _perm_coeffs
+
+    coeffs = _perm_coeffs(_Q159_PERM)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return (
+        r"""
+WITH d AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT source,
+         unnest(list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+                               for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+  FROM d),
+hs AS (SELECT DISTINCT source, """
+        + _H60.format(x="s")
+        + f""" AS h FROM sh),
+perms AS (
+  SELECT p.range AS pos, {a_list}[p.range + 1] AS a,
+         {b_list}[p.range + 1] AS b
+  FROM range({_Q159_PERM}) p),
+sig AS (
+  SELECT source, pos, min(((h % 4294967296) * a + b) % 2147483647) AS v
+  FROM hs, perms GROUP BY source, pos),
+est AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM sig x JOIN sig y ON x.pos = y.pos AND x.source < y.source
+  GROUP BY 1, 2),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         count(*)::BIGINT AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2)
+SELECT b.source_a, b.source_b, b.n_a, b.n_b,
+       coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+       round(coalesce(i.n_inter, 0)
+             / (b.n_a + b.n_b - coalesce(i.n_inter, 0))::DOUBLE, 6)
+         AS jaccard_exact,
+       coalesce(e.agree, 0)::BIGINT AS agree,
+       round(coalesce(e.agree, 0) / {float(_Q159_PERM)}, 6) AS jaccard_est
+FROM (SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa, sizes sb WHERE sa.source < sb.source) b
+LEFT JOIN inter i ON b.source_a = i.source_a AND b.source_b = i.source_b
+LEFT JOIN est e ON b.source_a = e.source_a AND b.source_b = e.source_b
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — weighted sampling without replacement (Efraimidis–Spirakis
+# A-ES, corpus.weighted_sample — "take k docs ∝ length/quality" for a
+# training-mix recipe): exponential clock e = −ln(u)/w from the
+# portable-hash draw, k smallest win. One projection + one
+# distributed TakeOrdered — the corpus never shuffles. The oracle
+# replays the clock formula and the top-k cut verbatim (ln cross-
+# engine per the q97 DSIR precedent).
+# --------------------------------------------------------------------------
+
+def q160_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, k=40, weight_col="n_chars")
+    return out.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.round("clock", 6).alias("clock"),
+    )
+
+
+Q160_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars,
+         (CAST(concat('0x', substr(md5(doc_id::VARCHAR || 'wsample'), 1, 15))
+               AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, lang, source, n_chars,
+       round(-ln(u) / n_chars::DOUBLE, 6) AS clock
+FROM w ORDER BY -ln(u) / n_chars::DOUBLE LIMIT 40
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # interim note: the post-r6-snapshot fix commit changed
@@ -7638,6 +7853,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q157_semdedup", q157_semdedup, Q157_SQL, "dedup-semantic semdedup-clustered"),
         QuerySpec("q155_script_mix", q155_script_mix, Q155_SQL, "text script-mixing audit"),
         QuerySpec("q156_char_entropy", q156_char_entropy, Q156_SQL, "text entropy-quality"),
+        QuerySpec("q158_video_demux_audio", q158_video_demux_audio, Q158_SQL, "multimodal av-demux audio-stats"),
+        QuerySpec("q159_source_jaccard", q159_source_jaccard, _q159_sql(), "dedup corpus-minhash source-matrix"),
+        QuerySpec("q160_weighted_sample", q160_weighted_sample, Q160_SQL, "corpus weighted-sample aes"),
         QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
         QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
         QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),

@@ -161,3 +161,33 @@ def test_video_frame_fingerprints_dedup(spark):
     vals = 2 * ((3 * 5 + 0 * 17 + bxx * 7 + byy * 11) % 100) + 14
     key = ",".join(str(int(v) * 64) for v in vals.ravel())
     assert by_frame[(0, 0)] == hashlib.md5(key.encode()).hexdigest()
+
+
+def test_video_demux_audio_composes_with_audio_stats(spark):
+    import numpy as np
+
+    from odin_rs_spark.operators import multimodal as mm
+
+    s0 = ((np.arange(200) * 31) % 997 - 498).astype(np.int16)
+    s1 = ((np.arange(120) * 17) % 601 - 300).astype(np.int16)
+    with_audio0 = encode_avi([10, 12], audio=s0, audio_rate=8000, audio_chunks=3)
+    with_audio1 = encode_avi([8], audio=s1, audio_rate=16000, audio_chunks=2)
+    silent = encode_avi([6, 6])
+    media = spark.createDataFrame(
+        [(0, bytearray(with_audio0)), (1, bytearray(with_audio1)),
+         (2, bytearray(silent))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception):
+        mm.video_demux_audio(media).collect()
+    wavs = mm.video_demux_audio(media, on_error="skip")
+    got = {r.media_id: r for r in wavs.collect()}
+    assert set(got) == {0, 1}
+    assert (got[0].rate, got[0].channels, got[0].n_samples) == (8000, 1, 200)
+    assert (got[1].rate, got[1].n_samples) == (16000, 120)
+
+    # the demuxed WAV flows through the existing audio pipeline
+    stats = {r.media_id: r for r in mm.audio_stats(wavs).collect()}
+    for mid, src in ((0, s0), (1, s1)):
+        assert stats[mid].peak == int(np.abs(src).max())
+        assert stats[mid].n_samples == len(src)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -781,3 +782,69 @@ def test_greedy_kcenter_k_exceeds_n(spark):
     )
     sel = greedy_kcenter_select(emb, k=5).collect()
     assert [r.vec_id for r in sel] == [1, 2]  # stops when exhausted
+
+
+def test_source_minhash_signature_merges(spark):
+    """Corpus-level MinHash (dedup.source_signatures): sig(A∪B) must
+    equal the elementwise min of sig(A) and sig(B) — the mergeability
+    that makes per-shard sketches foldable without re-reading text."""
+    from odin_rs_spark.operators import dedup as dd
+
+    docs = [(i, "a", f"alpha w{i} beta w{i+1} gamma w{i+2} delta") for i in range(8)]
+    docs += [(i + 100, "b", f"alpha w{i*3} beta w{i*3+1} gamma w{i*3+2} delta") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    both = df.withColumn("source", F.lit("ab"))
+    sep = {(r.source, r.pos): r.v for r in dd.source_signatures(df, 16).collect()}
+    uni = {r.pos: r.v for r in dd.source_signatures(both, 16).collect()}
+    for pos in range(16):
+        assert uni[pos] == min(sep[("a", pos)], sep[("b", pos)])
+
+
+def test_source_jaccard_matrix_exact_and_estimate(spark):
+    from odin_rs_spark.operators import dedup as dd
+
+    # source b = source a's text verbatim (same shingle set), source c
+    # disjoint -> exact jaccard 1.0 / 0.0, and the estimate must agree
+    # at the extremes (identical sets -> identical signatures)
+    rows = [
+        (1, "a", "one two three four five six seven eight"),
+        (2, "b", "one two three four five six seven eight"),
+        (3, "c", "nine ten eleven twelve thirteen fourteen fifteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r for r in dd.source_jaccard_matrix(df, 32).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab, ac = out[("a", "b")], out[("a", "c")]
+    assert ab.jaccard_exact == 1.0 and ab.jaccard_est == 1.0 and ab.agree == 32
+    assert ac.jaccard_exact == 0.0 and ac.n_inter == 0
+
+
+def test_weighted_sample_aes_semantics(spark):
+    """A-ES: deterministic, without replacement, and weight-monotone —
+    scaling every weight by a constant changes nothing, while a row
+    with overwhelming weight is (essentially) always selected."""
+    import hashlib
+    import math
+
+    from odin_rs_spark.operators.corpus import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 10, "w").collect()
+    assert len(got) == 10 and len({r.doc_id for r in got}) == 10
+    # replay the clock formula row by row (the oracle's view)
+    def clock(i, w):
+        h = int(hashlib.md5(f"{i}wsample".encode()).hexdigest()[:15], 16)
+        return -math.log((h + 0.5) / 2**60) / w
+    want = sorted(rows, key=lambda r: clock(*r))[:10]
+    assert {r.doc_id for r in got} == {i for i, _ in want}
+    for r in got:
+        assert r.clock == pytest.approx(clock(r.doc_id, r.w), rel=1e-12)
+    # scale invariance of the selected SET (clocks all scale by 1/c)
+    df2 = df.withColumn("w", F.col("w") * 1000.0)
+    got2 = {r.doc_id for r in weighted_sample(df2, 10, "w").collect()}
+    assert got2 == {r.doc_id for r in got}
+    # zero/negative weights are never selected
+    df3 = df.withColumn("w", F.when(F.col("doc_id") < 55, -1.0).otherwise(F.col("w")))
+    got3 = {r.doc_id for r in weighted_sample(df3, 5, "w").collect()}
+    assert got3 == {55, 56, 57, 58, 59}

@@ -585,3 +585,52 @@ def test_video_decode_single_scan_one_dedup_shuffle(spark):
     assert plan.count("Exchange") == 1, plan[:900]
     # partial agg below the exchange
     assert plan.index("HashAggregate") < plan.index("Exchange"), plan[:900]
+
+
+def test_warc_and_demux_single_scan_no_shuffle(spark, tmp_path):
+    """WARC record scan and A/V demux are one mapInPandas over the
+    binaryFile/media scan — archive and container bytes never
+    shuffle."""
+    import numpy as np
+
+    from odin_rs_spark.operators import multimodal as mm
+    from odin_rs_spark.sources.avicodec import encode_avi
+    from odin_rs_spark.sources.warc import encode_warc, warc_records
+
+    f = tmp_path / "t.warc.gz"
+    f.write_bytes(encode_warc([{"warc_type": "warcinfo", "block": b"x: y\r\n"}]))
+    files = spark.read.format("binaryFile").load(str(f))
+    assert "Exchange" not in _executed(warc_records(files)), "warc shuffled"
+
+    avi = encode_avi([8], audio=np.zeros(32, dtype=np.int16))
+    media = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, content binary"
+    )
+    assert "Exchange" not in _executed(mm.video_demux_audio(media))
+
+
+def test_source_signatures_two_shuffles_partial_agg(spark, sf_dir):
+    """Corpus-level minhash: shingle-distinct + the (source, pos) min
+    fold are the only exchanges, and the min agg combines map-side —
+    only (source, pos, v) triples shuffle, never shingle text."""
+    from odin_rs_spark.operators.dedup import source_signatures
+    from odin_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _executed(source_signatures(docs, num_perm=8))
+    assert plan.count("Exchange") == 2, plan[:1200]
+    assert plan.count("HashAggregate") >= 2, plan[:1200]
+
+
+def test_semdedup_centroids_broadcast_no_cartesian(spark):
+    """SemDeDup: both centroid joins broadcast; the only non-broadcast
+    join is the within-cluster pair join on the cluster key."""
+    from odin_rs_spark.operators.similarity import semdedup_select
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _executed(semdedup_select(emb, [0, 1], tau=0.9))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "Broadcast" in plan, plan[:1200]
