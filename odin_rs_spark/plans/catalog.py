@@ -7800,113 +7800,128 @@ FROM w ORDER BY -ln(u) / n_chars::DOUBLE LIMIT 40
 """
 
 
+# --------------------------------------------------------------------------
+# q161 — GIF decode (sources/gifcodec — the LAST ubiquitous crawl
+# image format the engine lacked: LZW index streams, palettes, 4-pass
+# interlace): formula gradient images v(x,y) = (m + x·a + y·b) % 256,
+# odd media ids INTERLACED (so the Adam7-style row shuffle sits on the
+# verified path), decoded through the SAME image_tile_stats pipeline
+# as PNG (q128) and JPEG (q144). GIF decode is lossless, so per-tile
+# integer luma means replay from the pixel formula with zero
+# tolerance; the gray identity palette makes luma(RGB) = v exactly
+# ((v + 2v + v) // 4 = v).
+# --------------------------------------------------------------------------
+
+def _formula_gif_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.gifcodec import encode_gif
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 35
+            a, b, m = seed % 5, seed % 7 + 1, (seed * 29) % 256
+            ys, xs = np.mgrid[0:24, 0:32]
+            vals = ((m + xs * a + ys * b) % 256).astype(np.uint8)
+            out.append(encode_gif(vals, interlace=bool(int(mid) % 2)))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q161_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    media = _formula_gif_media(spark, 70)
+    tiles = image_tile_stats(media, nx=4, ny=3)
+    return tiles.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "n_px",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q161_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 35) AS seed FROM range(70) r),
+pp AS (
+  SELECT media_id, seed % 5 AS a, seed % 7 + 1 AS b, (seed * 29) % 256 AS m
+  FROM par),
+px AS (
+  SELECT media_id, x.range // 8 AS tile_x, y.range // 8 AS tile_y,
+         (m + x.range * a + y.range * b) % 256 AS v
+  FROM pp, range(32) x, range(24) y)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*)::BIGINT AS n_px, round(sum(v)::DOUBLE / count(*), 6) AS mean_luma
+FROM px GROUP BY media_id, tile_x, tile_y
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
-# interim note: the post-r6-snapshot fix commit changed
-# connected_components / bpe_train+segment / audio_resample_linear /
-# greedy_kcenter_select / dem_slope_cells; every query touching those
-# (q148 q139 q142 q150 q135 q81 q24 q25 q26 q82 q64) was already
-# in-cap except q76_semantic_dedup, now rotated in after q82. Full
-# round-7 allocation is rewritten at round close. Round-6
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-22:  the r6 NEW queries — q149 audio-fingerprint dedup,
-#                q150 audio rate-normalize, q138 grib2 missing-mgmt decode,
-#                q139 BPE encode, q140 Brenner focus, q141 fractal dim
-#                (the one deliberate rows-only entry: DEFLATE is not
-#                SQL-expressible), q142 k-center diversity selection,
-#                q143 AVI frame index, q144 baseline JPEG decode,
-#                q145 fit-policy pad, q146 MLP quality filter, q147
-#                GeoTIFF DEM scan, q148 Horn slope, q136/q137 real WAV
-#                audio stats + silence, q135 BPE merge training, q134
-#                histogram equalization, q133 DEM tile store, q131
-#                SSIM, q132 grayworld smoke diff, q130 ONNX file load,
-#                q129 GRIB2 complex decode (defined in r5 but never
-#                registered, so never driver-graded).
-#   slots 23-32: the round-5/6 changed code: q103/q108/q117
-#                (executor-side sink migration in r5, zero-batch read
-#                fallback in r6), q127 (bounded fixture-graph
-#                generation, r6), q81/q24/q25/q26/q82 (data-scaled
-#                dedup parallelism, r6), q126 (grib2 decoder gained
-#                multi-message iteration, in-packing missing values
-#                and the ng bound-check in r6). q64/q76 also changed
-#                and sit in-cap inside the stale block below.
-#   slots 33-50: the stalest r2-green-only queries (q51/q52/q54/q57/
-#                q58, q60-q64, q66-q68, q70-q74) — their last driver
-#                row is FOUR rounds old; the rest of that block (q75-
-#                q77, q79/q80, q83-q90) plus the r3-green tail rotate
-#                just past the cap and stay covered by the local
-#                oracle replica.
-# Past slot 50: the rest of the r3-green block (q05-q19, q91-q116
-# minus the rotated ones), then the entire r5-green set (q118-q128,
-# q96/q115/q105/q109, q20-q50, q01/q10/q11/q16/q18/q28/q43/q44/q48)
-# at the back — freshest driver rows last; every registered query is
-# locally re-verified every round by tests/test_catalog_oracle.py.
+#   slots 1-11:  the r7 NEW queries — q161 GIF decode (LZW +
+#                interlace), q151 MJPEG frame decode, q152 video frame
+#                dedup, q153 WARC scan, q154 URL canonicalize, q155
+#                script-mixing audit, q156 char entropy, q157
+#                SemDeDup, q158 A/V demux, q159 corpus MinHash matrix,
+#                q160 weighted sampling.
+#   slots 12-23: queries whose code changed AFTER the r6 snapshot
+#                (the five-defect fix commit): connected_components →
+#                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
+#                bpe_segment_words → q135/q139; audio_resample_linear
+#                → q150; greedy_kcenter_select → q142;
+#                dem_slope_cells → q148.
+#   slots 24-50: the stalest driver rows — the r2-green-only block
+#                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
+#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q08; q09 falls
+#                just past the cap).
+# Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
+# q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
+# (q10-q19, q91-q128, q20-q50) at the back — freshest driver rows
+# last; every registered query is locally re-verified every round by
+# tests/test_catalog_oracle.py.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),
         QuerySpec("q153_warc_scan", q153_warc_scan, Q153_SQL, "S-warc common-crawl scan"),
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
-        QuerySpec("q157_semdedup", q157_semdedup, Q157_SQL, "dedup-semantic semdedup-clustered"),
         QuerySpec("q155_script_mix", q155_script_mix, Q155_SQL, "text script-mixing audit"),
         QuerySpec("q156_char_entropy", q156_char_entropy, Q156_SQL, "text entropy-quality"),
+        QuerySpec("q157_semdedup", q157_semdedup, Q157_SQL, "dedup-semantic semdedup-clustered"),
         QuerySpec("q158_video_demux_audio", q158_video_demux_audio, Q158_SQL, "multimodal av-demux audio-stats"),
         QuerySpec("q159_source_jaccard", q159_source_jaccard, _q159_sql(), "dedup corpus-minhash source-matrix"),
         QuerySpec("q160_weighted_sample", q160_weighted_sample, Q160_SQL, "corpus weighted-sample aes"),
-        QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
-        QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
-        QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),
-        QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
-        QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
-        QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
-        QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
-        QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
-        QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
-        QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
+        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
         QuerySpec("q148_dem_slope", q148_dem_slope, Q148_SQL, "R4 R8 dem-slope horn"),
-        QuerySpec("q149_audio_dedup", q149_audio_dedup, Q149_SQL, "multimodal audio-fingerprint dedup"),
+        QuerySpec("q139_bpe_encode", q139_bpe_encode, _q139_sql(), "text-bpe-encode tokenizer-apply"),
+        QuerySpec("q142_kcenter_select", q142_kcenter_select, _q142_sql(), "similarity-diversity kcenter-coreset"),
         QuerySpec("q150_audio_resample", q150_audio_resample, Q150_SQL, "multimodal audio-resample rate-normalize"),
-        QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
-        QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
         QuerySpec("q135_bpe_train", q135_bpe_train, _q135_sql(), "text-bpe-train tokenizer-learning"),
-        QuerySpec("q134_hist_equalize", q134_hist_equalize, Q134_SQL, "R9 histogram-equalize"),
-        QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),
-        QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),
-        QuerySpec("q132_smoke_diff", q132_smoke_diff, Q132_SQL, "R9 grayworld smoke-detect"),
-        QuerySpec("q130_onnx_file_classify", q130_onnx_file_classify, Q130_SQL, "UDF onnx-file-load classify"),
-        QuerySpec("q129_grib2_complex_decode", q129_grib2_complex_decode, Q129_SQL, "S11 grib2-complex-decode"),
-        QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
-        QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
-        QuerySpec("q117_stream_sessions", q117_stream_sessions, Q117_SQL, "T6 streaming session_window"),
-        QuerySpec("q127_graph_pagerank", q127_graph_pagerank, _q127_sql(), "graph-pagerank iterative"),
         QuerySpec("q81_cluster_keepers", q81_cluster_keepers, Q81_SQL, "dedup-canonical"),
-        QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
         QuerySpec("q24_near_dup_pairs", q24_near_dup_pairs, Q24_SQL, "dedup-minhash-lsh"),
         QuerySpec("q25_near_dup_dedup", q25_near_dup_dedup, Q25_SQL, "dedup-minhash-lsh"),
         QuerySpec("q26_simhash_pairs", q26_simhash_pairs, Q26_SQL, "dedup-simhash"),
         QuerySpec("q82_incremental_near_dup", q82_incremental_near_dup, Q82_SQL, "dedup-incremental"),
-        QuerySpec("q76_semantic_dedup", q76_semantic_dedup, Q76_SQL, "dedup-semantic"),
-        QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
-        QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
-        QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
-        QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
-        QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
-        QuerySpec("q60_source_mix", q60_source_mix, Q60_SQL, "corpus-mix"),
-        QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
-        QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
-        QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
         QuerySpec("q64_near_dup_clusters", q64_near_dup_clusters, Q64_SQL, "dedup-cc"),
-        QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
-        QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
-        QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
-        QuerySpec("q70_pivot_dow", q70_pivot_dow, Q70_SQL, "pivot"),
-        QuerySpec("q71_unpivot_measures", q71_unpivot_measures, Q71_SQL, "unpivot"),
-        QuerySpec("q72_grouping_sets", q72_grouping_sets, Q72_SQL, "grouping-sets"),
-        QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
-        QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
         QuerySpec("q75_pii_stats", q75_pii_stats, Q75_SQL, "text-pii"),
         QuerySpec("q77_chunking", q77_chunking, Q77_SQL, "corpus-chunk"),
         QuerySpec("q79_temperature_mix", q79_temperature_mix, Q79_SQL, "corpus-temperature"),
@@ -7935,6 +7950,45 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q07_region_revenue", q07_region_revenue, Q07_SQL, "J5 J6"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q138_grib2_missing_decode", q138_grib2_missing_decode, Q138_SQL, "S11 grib2-missing-mgmt decode"),
+        QuerySpec("q140_image_focus", q140_image_focus, Q140_SQL, "R9 brenner-focus"),
+        QuerySpec("q141_fractal_dim", q141_fractal_dim, None, "R9 fractal-dim rows-only"),
+        QuerySpec("q143_video_frame_index", q143_video_frame_index, Q143_SQL, "multimodal video-container frame-index"),
+        QuerySpec("q144_jpeg_decode", q144_jpeg_decode, Q144_SQL, "R9 jpeg-decode"),
+        QuerySpec("q145_image_fit_pad", q145_image_fit_pad, Q145_SQL, "multimodal onnx-fit-policy pad"),
+        QuerySpec("q146_quality_mlp_filter", q146_quality_mlp_filter, Q146_SQL, "corpus model-quality-filter mlp"),
+        QuerySpec("q147_geotiff_dem_scan", q147_geotiff_dem_scan, Q147_SQL, "S2 R7 geotiff-dem-scan"),
+        QuerySpec("q149_audio_dedup", q149_audio_dedup, Q149_SQL, "multimodal audio-fingerprint dedup"),
+        QuerySpec("q136_audio_stats", q136_audio_stats, Q136_SQL, "multimodal audio-decode stats"),
+        QuerySpec("q137_audio_silence", q137_audio_silence, Q137_SQL, "multimodal audio-silence segmentation"),
+        QuerySpec("q134_hist_equalize", q134_hist_equalize, Q134_SQL, "R9 histogram-equalize"),
+        QuerySpec("q133_dem_tile_heights", q133_dem_tile_heights, Q133_SQL, "R7 J1 dem-tile-store partition-pruning"),
+        QuerySpec("q131_image_structure_ssim", q131_image_structure_ssim, Q131_SQL, "R9 ssim structure-compare"),
+        QuerySpec("q132_smoke_diff", q132_smoke_diff, Q132_SQL, "R9 grayworld smoke-detect"),
+        QuerySpec("q130_onnx_file_classify", q130_onnx_file_classify, Q130_SQL, "UDF onnx-file-load classify"),
+        QuerySpec("q129_grib2_complex_decode", q129_grib2_complex_decode, Q129_SQL, "S11 grib2-complex-decode"),
+        QuerySpec("q103_stream_ttl_latest", q103_stream_ttl_latest, Q103_SQL, "T3 stateful applyInPandasWithState"),
+        QuerySpec("q108_stream_distinct", q108_stream_distinct, Q108_SQL, "T3 streaming dropDuplicates"),
+        QuerySpec("q117_stream_sessions", q117_stream_sessions, Q117_SQL, "T6 streaming session_window"),
+        QuerySpec("q127_graph_pagerank", q127_graph_pagerank, _q127_sql(), "graph-pagerank iterative"),
+        QuerySpec("q126_grib2_decode", q126_grib2_decode, Q126_SQL, "S11 grib2-decode"),
+        QuerySpec("q51_loess", q51_loess, Q51_SQL, "W7"),
+        QuerySpec("q52_histogram_compare", q52_histogram_compare, Q52_SQL, "A8"),
+        QuerySpec("q54_evidence_join", q54_evidence_join, Q54_SQL, "J4"),
+        QuerySpec("q57_quality_score", q57_quality_score, Q57_SQL, "text-quality"),
+        QuerySpec("q58_revenue_rollup", q58_revenue_rollup, Q58_SQL, "rollup J5 J6"),
+        QuerySpec("q60_source_mix", q60_source_mix, Q60_SQL, "corpus-mix"),
+        QuerySpec("q61_contamination", q61_contamination, Q61_SQL, "corpus-contamination"),
+        QuerySpec("q62_pack_sequences", q62_pack_sequences, Q62_SQL, "corpus-pack"),
+        QuerySpec("q63_hash_sample", q63_hash_sample, Q63_SQL, "corpus-sample"),
+        QuerySpec("q66_group_percentiles", q66_group_percentiles, Q66_SQL, "percentiles"),
+        QuerySpec("q67_tfidf_top_terms", q67_tfidf_top_terms, Q67_SQL, "tf-idf"),
+        QuerySpec("q68_pq_adc_topk", q68_pq_adc_topk, Q68_SQL, "similarity-pq"),
+        QuerySpec("q70_pivot_dow", q70_pivot_dow, Q70_SQL, "pivot"),
+        QuerySpec("q71_unpivot_measures", q71_unpivot_measures, Q71_SQL, "unpivot"),
+        QuerySpec("q72_grouping_sets", q72_grouping_sets, Q72_SQL, "grouping-sets"),
+        QuerySpec("q73_sgp4_vectors", q73_sgp4_vectors, Q73_SQL, "orbital-sgp4"),
+        QuerySpec("q74_repetition_filter", q74_repetition_filter, Q74_SQL, "text-repetition"),
         QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
         QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
         QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),

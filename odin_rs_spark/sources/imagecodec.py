@@ -266,8 +266,12 @@ def decode_image(buf: bytes) -> np.ndarray:
         from odin_rs_spark.sources.jpegcodec import decode_jpeg
 
         return decode_jpeg(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from odin_rs_spark.sources.gifcodec import decode_gif
+
+        return decode_gif(buf)
     raise ValueError(
-        "unrecognized image format (PNG, binary PNM and baseline JPEG supported)"
+        "unrecognized image format (PNG, binary PNM, baseline JPEG and GIF supported)"
     )
 
 

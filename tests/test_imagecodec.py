@@ -107,8 +107,12 @@ def test_unsupported_rejected():
     # rejects this truncated stream as corrupt rather than unrecognized
     with pytest.raises(ValueError, match="missing SOF0|corrupt|missing EOI"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
-    with pytest.raises(ValueError, match="unrecognized image format"):
+    # GIF magic now DISPATCHES to the GIF decoder (r7), which rejects
+    # this truncated stream as corrupt rather than unrecognized
+    with pytest.raises(ValueError, match="corrupt GIF|unexpected block"):
         decode_image(b"GIF89a not supported")
+    with pytest.raises(ValueError, match="unrecognized image format"):
+        decode_image(b"BM bmp-is-not-supported")
 
 
 def test_pnm_comment_and_roundtrip():
