@@ -1106,3 +1106,74 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         n.alias("n_chars_ent"),
         F.when(n > 0, h).otherwise(F.lit(None)).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the step a web corpus runs between the WARC
+# scan and every text-quality operator: C4/CCNet/RefinedWeb all start
+# from HTML response bodies). Pure regexp column expressions — the
+# same patterns run in Java regex (Spark) and RE2 (DuckDB oracle);
+# inline (?is) flags keep them dialect-portable.
+# ---------------------------------------------------------------------------
+
+# two separate block patterns (not one with a </\1> backreference):
+# RE2 — the oracle's engine — has no backreferences, and each pattern
+# closing with its own literal tag preserves the can't-cross-close
+# property anyway
+_HTML_DROP_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_HTML_DROP_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_HTML_TAG = r"(?is)<[^>]*>"
+_HTML_LINK_INNER = r"(?is)<a[^>]*>(.*?)</a>"
+
+# entity decode order matters: &amp; LAST, or it re-creates entities
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _strip_tags(c: Column) -> Column:
+    out = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _drop_blocks(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(c, _HTML_DROP_SCRIPT, " "), _HTML_DROP_STYLE, " "
+    )
+
+
+def html_to_text(c: Column | str) -> Column:
+    """Visible text of an HTML document: script then style blocks
+    dropped (non-greedy, each closed by its own literal tag), every
+    remaining tag replaced by a space, the six ubiquitous character
+    entities decoded (&amp; last, so it cannot resurrect others),
+    whitespace collapsed. Numeric entities and CDATA are out of scope
+    (documented seam — a full entity table is a longer replace chain,
+    same shape)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _strip_tags(_drop_blocks(col))
+
+
+def link_density(c: Column | str) -> Column:
+    """Fraction of the visible text that sits inside <a> anchors — the
+    boilerplate/navigation signal readability-style extractors gate
+    blocks on (nav bars and link farms ≈ 1, prose ≈ 0). NULL when the
+    document has no visible text."""
+    col = F.col(c) if isinstance(c, str) else c
+    body = _drop_blocks(col)
+    full = _strip_tags(body)
+    anchors = _strip_tags(
+        F.array_join(
+            F.regexp_extract_all(body, F.lit(_HTML_LINK_INNER), 1), " "
+        )
+    )
+    return F.when(
+        F.length(full) > 0, F.length(anchors) / F.length(full).cast("double")
+    )

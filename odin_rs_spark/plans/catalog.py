@@ -7870,27 +7870,206 @@ FROM px GROUP BY media_id, tile_x, tile_y
 """
 
 
+# --------------------------------------------------------------------------
+# q162 — HTML → text extraction + link-density quality
+# (operators/text.html_to_text / link_density — the step between the
+# WARC scan (q153) and every text-quality operator; C4/CCNet/
+# RefinedWeb all start from HTML response bodies): formula HTML is
+# wrapped around each document (title/h1 with entities, style+script
+# decoys whose content must NOT leak into the text, every third doc
+# gets two nav anchors), extracted JVM-side with pure regexp column
+# expressions, and the oracle RE-RUNS the identical spec in RE2 —
+# script/style drop, tag strip, the six-entity decode chain (&amp;
+# last), whitespace collapse, anchor-text density. text_md5 pins the
+# exact extracted string.
+# --------------------------------------------------------------------------
+
+_Q162_PRE = (
+    '<html><head><title>Doc ', '</title><style>body{margin:0}</style>'
+    '<script>var q = "<p>not text</p>";</script></head><body><h1>Doc&nbsp;',
+    '</h1><p>', '</p>',
+    '<a href="/nav">home navigation</a><a href="/more">more links here</a>',
+    '<p>tail &amp; fin</p></body></html>',
+)
+
+
+def q162_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import html_to_text, link_density
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    p = _Q162_PRE
+    html = F.concat(
+        F.lit(p[0]), i.cast("string"), F.lit(p[1]), i.cast("string"),
+        F.lit(p[2]), F.col("text"), F.lit(p[3]),
+        F.when(i % 3 == 0, p[4]).otherwise(F.lit("")),
+        F.lit(p[5]),
+    )
+    h = docs.select("doc_id", html.alias("html"))
+    return h.select(
+        "doc_id",
+        F.md5(html_to_text("html").cast("binary")).alias("text_md5"),
+        F.length(html_to_text("html")).alias("n_chars"),
+        F.round(link_density("html"), 6).alias("link_density"),
+    )
+
+
+_Q162_STRIP = r"""trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace({x}, '(?is)<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&amp;', '&'),
+    '\s+', ' ', 'g'))"""
+
+Q162_SQL = (
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id::VARCHAR
+         || '</title><style>body{margin:0}</style><script>var q = "<p>not text</p>";</script></head><body><h1>Doc&nbsp;'
+         || doc_id::VARCHAR || '</h1><p>' || text || '</p>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="/nav">home navigation</a><a href="/more">more links here</a>'
+                 ELSE '' END
+         || '<p>tail &amp; fin</p></body></html>' AS html
+  FROM documents),
+body AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(html,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
+  FROM h),
+strip AS (
+  SELECT doc_id, """
+    + _Q162_STRIP.format(x="b")
+    + """ AS t, """
+    + _Q162_STRIP.format(
+        # array_to_string([]) is NULL in DuckDB — coalesce to ''
+        x="coalesce(array_to_string(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    )
+    + """ AS at
+  FROM body)
+SELECT doc_id, md5(t) AS text_md5, length(t)::INT AS n_chars,
+       CASE WHEN length(t) > 0
+            THEN round(length(at) / length(t)::DOUBLE, 6) END AS link_density
+FROM strip
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# q163 — sitemap XML scan (crawl-frontier planning: sitemaps are how a
+# crawler discovers the URL universe BEFORE any fetch): formula
+# <urlset> documents parsed JVM-side with Spark 4's native from_xml
+# (no Python in the parse), exploded to one row per <url>, composed
+# with functions/web registered_domain — the same URL machinery as
+# q154. Hosts live under .co.uk so the two-level-suffix rule is on
+# the verified path. The oracle regenerates url counts, host
+# cardinality, priorities and lastmod bounds from the formula.
+# --------------------------------------------------------------------------
+
+def q163_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import host_of, registered_domain
+
+    s = F.col("id")
+    k = F.col("k")
+    pr = (
+        F.when(k % 4 == 0, "0.0")
+        .when(k % 4 == 1, "0.25")
+        .when(k % 4 == 2, "0.5")
+        .otherwise("0.75")
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://sub"),
+        (k % 3).cast("string"),
+        F.lit(".site"),
+        s.cast("string"),
+        F.lit(".co.uk/p/"),
+        k.cast("string"),
+        F.lit("</loc><lastmod>2026-08-0"),
+        (1 + k % 9).cast("string"),
+        F.lit("</lastmod><priority>"),
+        pr,
+        F.lit("</priority></url>"),
+    )
+    xml = (
+        spark.range(12)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), 4 + s % 4)).alias("k"),
+        )
+        .select("id", entry.alias("e"))
+        .groupBy("id")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = xml.select(
+        F.col("id").alias("site"),
+        F.explode(
+            F.from_xml(
+                F.col("xml"),
+                "url ARRAY<STRUCT<loc STRING, lastmod STRING, priority DOUBLE>>",
+            )["url"]
+        ).alias("u"),
+    )
+    rows = parsed.select(
+        "site",
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.priority").alias("priority"),
+    ).withColumn("domain", registered_domain(host_of(F.col("loc"))))
+    return rows.groupBy("site", "domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(host_of(F.col("loc"))).alias("n_hosts"),
+        F.round(F.max("priority"), 6).alias("max_priority"),
+        F.min("lastmod").alias("min_lastmod"),
+        F.max("lastmod").alias("max_lastmod"),
+    )
+
+
+Q163_SQL = """
+WITH u AS (
+  SELECT s.range AS site, k.range AS k
+  FROM range(12) s, range(9) k WHERE k.range <= 4 + s.range % 4)
+SELECT site, 'site' || site::VARCHAR || '.co.uk' AS domain,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT k % 3)::BIGINT AS n_hosts,
+       round(max(CASE k % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 0.25
+                            WHEN 2 THEN 0.5 ELSE 0.75 END)::DOUBLE, 6)
+         AS max_priority,
+       min('2026-08-0' || (1 + k % 9)::VARCHAR) AS min_lastmod,
+       max('2026-08-0' || (1 + k % 9)::VARCHAR) AS max_lastmod
+FROM u GROUP BY site
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-11:  the r7 NEW queries — q161 GIF decode (LZW +
-#                interlace), q151 MJPEG frame decode, q152 video frame
-#                dedup, q153 WARC scan, q154 URL canonicalize, q155
-#                script-mixing audit, q156 char entropy, q157
-#                SemDeDup, q158 A/V demux, q159 corpus MinHash matrix,
-#                q160 weighted sampling.
-#   slots 12-23: queries whose code changed AFTER the r6 snapshot
+#   slots 1-13:  the r7 NEW queries — q163 sitemap XML scan
+#                (from_xml), q162 HTML→text + link density, q161 GIF
+#                decode (LZW + interlace), q151 MJPEG frame decode,
+#                q152 video frame dedup, q153 WARC scan, q154 URL
+#                canonicalize, q155 script-mixing audit, q156 char
+#                entropy, q157 SemDeDup, q158 A/V demux, q159 corpus
+#                MinHash matrix, q160 weighted sampling.
+#   slots 14-25: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 24-50: the stalest driver rows — the r2-green-only block
+#   slots 26-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q08; q09 falls
-#                just past the cap).
+#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q06; q07-q09
+#                fall just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
 # (q10-q19, q91-q128, q20-q50) at the back — freshest driver rows
@@ -7899,6 +8078,8 @@ FROM px GROUP BY media_id, tile_x, tile_y
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
+        QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

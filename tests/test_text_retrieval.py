@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from odin_rs_spark.operators.dedup import bloom_build, bloom_probe
@@ -473,3 +474,39 @@ def test_bpe_segment_words_applies_in_order(spark):
     rev = {r.w: r.n_tokens for r in
            bpe_segment_words(words, [("lo", "w"), ("l", "o")]).collect()}
     assert rev == {"low": 2, "lot": 2}  # (lo,w) fires on nothing first
+
+
+def test_html_to_text_extraction(spark):
+    from odin_rs_spark.operators.text import html_to_text, link_density
+
+    html = (
+        "<html><head><title>T</title><style>p {color: red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Head&nbsp;line</h1><p>one &amp; two &lt;three&gt;</p>"
+        "<a href='/x'>a link</a> tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = df.select(
+        html_to_text("html").alias("t"), link_density("html").alias("ld")
+    ).first()
+    assert row.t == "T Head line one & two <three> a link tail"
+    # anchors: "a link" (6 chars) over the 41-char visible text
+    assert row.ld == pytest.approx(len("a link") / len(row.t))
+
+    # script/style can't cross-close; empty doc -> NULL density
+    tricky = "<style>s</style><script>a</script><a href=x>only</a>"
+    r2 = spark.createDataFrame([(1, tricky)], "i long, h string").select(
+        html_to_text("h").alias("t"), link_density("h").alias("ld")
+    ).first()
+    assert r2.t == "only" and r2.ld == 1.0
+    r3 = spark.createDataFrame([(1, "<p></p>")], "i long, h string").select(
+        link_density("h").alias("ld")
+    ).first()
+    assert r3.ld is None
+
+    # zero Python in the plan
+    plan = (
+        df.select(html_to_text("html"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
