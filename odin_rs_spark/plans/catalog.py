@@ -7413,7 +7413,12 @@ FROM c GROUP BY dom, host
 # q59/q85 precedent.
 # --------------------------------------------------------------------------
 
-_Q157_CENTS = [3, 17, 29, 41, 59]
+# 16 cells, not 5: SemDeDup's cost is Σ|cluster|² — the 10× probe
+# showed 4.3 s → 10.4 s (sf0.01 → sf0.1) at k=5, the quadratic
+# showing through. Raising k is the paper's own scaling knob (cluster
+# count grows with corpus so max-cluster stays bounded); 16 cells cut
+# the sf0.1 pair volume ~3×. Ids all < 500 so every SF has them.
+_Q157_CENTS = [3, 17, 29, 41, 59, 71, 83, 97, 109, 127, 139, 151, 163, 179, 191, 199]
 
 
 def q157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
