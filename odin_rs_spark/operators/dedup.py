@@ -1513,3 +1513,31 @@ def source_jaccard_matrix(
         F.coalesce(F.col("agree"), F.lit(0)).alias("agree"),
         F.coalesce(F.col("jaccard_est"), F.lit(0.0)).alias("jaccard_est"),
     )
+
+
+def lsh_band_plan(spark, num_perm: int = 128, j_values=(0.5, 0.7, 0.8, 0.9)):
+    """MinHash-LSH banding PLANNER (Leskovec/Rajaraman/Ullman, MMDS
+    ch.3): for every integer split num_perm = bands × rows, the
+    S-curve facts a dedup owner needs to pick (b, r) — the curve's
+    threshold J* = (1/b)^(1/r) and the candidate probability
+    P(J) = 1 − (1 − J^r)^b at each requested Jaccard level. This is
+    how near_dup_pairs' parameters (and their recall claims in the
+    q24 oracle comments) are derived; as a DataFrame it composes into
+    audit reports. Driver-free math on a range frame — one codegen
+    projection, no data touched."""
+    divisors = [b for b in range(1, num_perm + 1) if num_perm % b == 0]
+    base = spark.createDataFrame(
+        [(b, num_perm // b) for b in divisors], "bands int, rows_per_band int"
+    )
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+    planned = base.withColumn(
+        "j_threshold", F.pow(1.0 / b, 1.0 / r)
+    ).select(
+        "bands",
+        "rows_per_band",
+        "j_threshold",
+        F.explode(F.array(*[F.lit(float(j)) for j in j_values])).alias("j"),
+    )
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("j"), r), b)
+    return planned.withColumn("p_candidate", p)

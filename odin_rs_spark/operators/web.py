@@ -1,0 +1,139 @@
+"""Web crawl-policy operators: robots.txt parsing and URL-permission
+evaluation (RFC 9309, the Robots Exclusion Protocol) — the gate
+between a crawl frontier (q163 sitemaps, q153 WARC inventories) and
+what a pipeline may actually fetch/keep. Compliance filtering is also
+a CURATION step: responsible corpus builders drop robots-disallowed
+content at dataset-build time.
+
+Semantics implemented (RFC 9309 §2.2):
+- group = consecutive User-agent lines followed by Allow/Disallow
+  rules; comments (#…) stripped; unknown directives ignored.
+- a crawler obeys the group naming it specifically, else the '*'
+  group; no group at all → everything allowed.
+- matching = longest-prefix wins; equal length → Allow wins.
+- 'Disallow:' with an empty path matches nothing (allow-all).
+Out of scope (documented): '*' wildcards and '$' anchors inside rule
+paths (Google extension — a regex translate at the same join site),
+Crawl-delay, Sitemap discovery lines.
+
+Scale shape: robots files are per-HOST and tiny — rules broadcast;
+the URL side joins on the host equi-key and evaluates prefixes
+against only that host's rules. URLs never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → one row per (host, agent, rule): columns
+    (host, agent lowercased, allow int, prefix, prefix_len). Pure
+    column expressions: line explode + running group ids via window
+    sums — no UDFs."""
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        # strip comments + whitespace
+        .withColumn("line", F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")))
+        .filter(F.col("line") != "")
+        .withColumn(
+            "key", F.lower(F.trim(F.substring_index(F.col("line"), ":", 1)))
+        )
+        .withColumn(
+            "val",
+            F.trim(
+                F.expr("substring(line, instr(line, ':') + 1, length(line))")
+            ),
+        )
+        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines
+        # a UA line opens a NEW group iff the previous kept line was
+        # not also a UA line (consecutive UA lines share the group)
+        .withColumn(
+            "ua_start",
+            (
+                (F.col("key") == "user-agent")
+                & (
+                    F.coalesce(F.lag("key").over(w), F.lit(""))
+                    != "user-agent"
+                )
+            ).cast("int"),
+        )
+        .withColumn("grp", F.sum("ua_start").over(w))
+        .filter(F.col("grp") > 0)  # rules before any UA line are ignored
+    )
+    agents = (
+        grouped.filter(F.col("key") == "user-agent")
+        .select("host", "grp", F.lower(F.col("val")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(F.col("key") != "user-agent").select(
+        "host",
+        "grp",
+        (F.col("key") == "allow").cast("int").alias("allow"),
+        F.col("val").alias("prefix"),
+        F.length("val").alias("prefix_len"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "allow", "prefix", "prefix_len"
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Evaluate the RFC 9309 match for `agent` over (host, path) rows:
+    adds (allowed int, rule_len int — 0 when no rule matched). The
+    agent's own group wins over '*'; within the group, longest prefix
+    wins, ties go to Allow; hosts without robots (or without a
+    matching group) allow everything. Rules broadcast (per-host files
+    are tiny); URLs never shuffle."""
+    agent = agent.lower()
+    r = rules.filter(F.col("agent").isin(agent, "*")).select(
+        F.col("host").alias("__rh"),
+        (F.col("agent") == agent).cast("int").alias("__specific"),
+        "allow",
+        "prefix",
+        "prefix_len",
+    )
+    # does the specific group exist for this host? (if yes, '*' rules
+    # are ignored entirely — RFC 9309: exactly one group applies)
+    has_specific = (
+        r.groupBy("__rh").agg(F.max("__specific").alias("__has"))
+    )
+    r2 = r.join(F.broadcast(has_specific), "__rh").filter(
+        (F.col("__specific") == F.col("__has"))
+    )
+    joined = urls.join(
+        F.broadcast(r2),
+        (F.col(host_col) == F.col("__rh"))
+        & (F.col("prefix") != "")
+        & F.col(path_col).startswith(F.col("prefix")),
+        "left",
+    )
+    pick = F.max(
+        F.when(
+            F.col("prefix").isNotNull(),
+            F.struct(
+                F.col("prefix_len").alias("l"),
+                F.col("allow").alias("a"),
+            ),
+        )
+    ).alias("__best")
+    out = joined.groupBy(*urls.columns).agg(pick)
+    return out.select(
+        *urls.columns,
+        F.coalesce(F.col("__best.a"), F.lit(1)).alias("allowed"),
+        F.coalesce(F.col("__best.l"), F.lit(0)).alias("rule_len"),
+    )

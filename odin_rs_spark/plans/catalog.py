@@ -8053,27 +8053,151 @@ FROM u GROUP BY site
 """
 
 
+# --------------------------------------------------------------------------
+# q164 — robots.txt crawl-policy evaluation (operators/web — RFC
+# 9309: the gate between a crawl frontier and what a pipeline may
+# fetch, and a dataset-build compliance filter): formula robots files
+# (a '*' group with Disallow/Allow prefix pairs; even hosts add an
+# odinbot group with Disallow: /) parsed by robots_rules, then
+# robots_allowed evaluated for BOTH a generic crawler and odinbot.
+# The oracle does NOT replay the parser: it derives allowed/rule_len
+# analytically from the policy formula (the q154 pattern), so
+# agreement proves grouping, specific-group override, longest-prefix
+# and tie rules — not merely two engines running one implementation.
+# --------------------------------------------------------------------------
+
+def q164_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import robots_allowed, robots_rules
+
+    n = F.col("id")
+    robots_txt = F.concat(
+        F.lit("# policy\nUser-agent: *\nDisallow: /block"),
+        (n % 4).cast("string"),
+        F.lit("\nAllow: /block"),
+        (n % 4).cast("string"),
+        F.lit("/ok\n"),
+        F.when(
+            n % 2 == 0, F.lit("User-agent: odinbot\nDisallow: /\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.range(12).select(
+        F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
+        robots_txt.alias("robots_txt"),
+    )
+    rules = robots_rules(robots)
+
+    k = F.col("k")
+    path = (
+        F.when(k % 5 == 0, F.concat(F.lit("/block"), (n % 4).cast("string"), F.lit("/x"), k.cast("string")))
+        .when(k % 5 == 1, F.concat(F.lit("/block"), (n % 4).cast("string"), F.lit("/ok/y"), k.cast("string")))
+        .when(k % 5 == 2, F.concat(F.lit("/open/"), k.cast("string")))
+        .when(k % 5 == 3, F.concat(F.lit("/block"), ((n + 1) % 4).cast("string"), F.lit("/z"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/"), k.cast("string"), F.lit(".html")))
+    )
+    urls = (
+        spark.range(12)
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"))
+        .select(
+            F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            path.alias("path"),
+        )
+    )
+    out = None
+    for agent in ("genericbot", "odinbot"):
+        part = robots_allowed(urls, rules, agent=agent).select(
+            F.lit(agent).alias("agent"), "host", "path", "allowed", "rule_len"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+Q164_SQL = """
+WITH u AS (SELECT h.range AS n, k.range AS k FROM range(12) h, range(10) k),
+p AS (
+  SELECT n, k, 'h' || n::VARCHAR || '.example' AS host,
+         CASE k % 5
+           WHEN 0 THEN '/block' || (n % 4)::VARCHAR || '/x' || k::VARCHAR
+           WHEN 1 THEN '/block' || (n % 4)::VARCHAR || '/ok/y' || k::VARCHAR
+           WHEN 2 THEN '/open/' || k::VARCHAR
+           WHEN 3 THEN '/block' || ((n + 1) % 4)::VARCHAR || '/z' || k::VARCHAR
+           ELSE '/' || k::VARCHAR || '.html' END AS path
+  FROM u)
+SELECT 'genericbot' AS agent, host, path,
+       CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END AS allowed,
+       CASE k % 5 WHEN 0 THEN 7 WHEN 1 THEN 10 ELSE 0 END AS rule_len
+FROM p
+UNION ALL
+SELECT 'odinbot', host, path,
+       CASE WHEN n % 2 = 0 THEN 0
+            WHEN k % 5 = 0 THEN 0 ELSE 1 END,
+       CASE WHEN n % 2 = 0 THEN 1
+            WHEN k % 5 = 0 THEN 7
+            WHEN k % 5 = 1 THEN 10 ELSE 0 END
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# q165 — MinHash-LSH banding planner (dedup.lsh_band_plan — MMDS
+# ch.3 S-curve math: J* = (1/b)^(1/r), P(J) = 1 − (1 − J^r)^b for
+# every integer split of num_perm): the parameter-tuning table behind
+# the q24/q27 recall claims, as a composable DataFrame. Pure codegen
+# math on a range frame; the oracle replays the closed forms with
+# DuckDB pow at 6dp.
+# --------------------------------------------------------------------------
+
+def q165_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_ops.lsh_band_plan(
+        spark, num_perm=128, j_values=(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        F.round("j_threshold", 6).alias("j_threshold"),
+        "j",
+        F.round("p_candidate", 6).alias("p_candidate"),
+    )
+
+
+Q165_SQL = """
+WITH b AS (
+  SELECT d.range::INT + 1 AS bands, (128 // (d.range + 1))::INT AS rows_per_band
+  FROM range(128) d WHERE 128 % (d.range + 1) = 0),
+j AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9, 0.95])::DOUBLE AS j)
+SELECT bands, rows_per_band,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS j_threshold,
+       j,
+       round(1.0 - pow(1.0 - pow(j, rows_per_band::DOUBLE), bands::DOUBLE), 6)
+         AS p_candidate
+FROM b, j
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-13:  the r7 NEW queries — q163 sitemap XML scan
-#                (from_xml), q162 HTML→text + link density, q161 GIF
+#   slots 1-15:  the r7 NEW queries — q162 HTML→text + link density,
+#                q163 sitemap XML scan (from_xml), q164 robots.txt
+#                policy (RFC 9309), q165 LSH band planner, q161 GIF
 #                decode (LZW + interlace), q151 MJPEG frame decode,
 #                q152 video frame dedup, q153 WARC scan, q154 URL
 #                canonicalize, q155 script-mixing audit, q156 char
-#                entropy, q157 SemDeDup, q158 A/V demux, q159 corpus
-#                MinHash matrix, q160 weighted sampling.
-#   slots 14-25: queries whose code changed AFTER the r6 snapshot
+#                entropy, q157 SemDeDup (16-cell scaling), q158 A/V
+#                demux, q159 corpus MinHash matrix, q160 weighted
+#                sampling.
+#   slots 16-27: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 26-50: the stalest driver rows — the r2-green-only block
+#   slots 28-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q06; q07-q09
+#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q04; q05-q09
 #                fall just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
@@ -8085,6 +8209,8 @@ CATALOG: dict[str, QuerySpec] = {
     for s in [
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
+        QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),
+        QuerySpec("q165_lsh_plan", q165_lsh_plan, Q165_SQL, "dedup lsh-band-planner"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

@@ -848,3 +848,21 @@ def test_weighted_sample_aes_semantics(spark):
     df3 = df.withColumn("w", F.when(F.col("doc_id") < 55, -1.0).otherwise(F.col("w")))
     got3 = {r.doc_id for r in weighted_sample(df3, 5, "w").collect()}
     assert got3 == {55, 56, 57, 58, 59}
+
+
+def test_lsh_band_plan_scurve(spark):
+    """Planner facts: P is monotone in J, b=num_perm (r=1) is the most
+    permissive plan, and the reference values match closed form."""
+    from odin_rs_spark.operators.dedup import lsh_band_plan
+
+    out = lsh_band_plan(spark, 16, (0.5, 0.8)).collect()
+    rows = {(r.bands, r.rows_per_band, r.j): r for r in out}
+    assert len(rows) == 5 * 2  # divisors of 16 x 2 J levels
+    # closed form at (b=4, r=4): P = 1-(1-j^4)^4
+    got = rows[(4, 4, 0.8)]
+    assert got.p_candidate == pytest.approx(1 - (1 - 0.8**4) ** 4)
+    assert got.j_threshold == pytest.approx((1 / 4) ** (1 / 4))
+    # monotone in J for fixed (b, r)
+    assert rows[(4, 4, 0.8)].p_candidate > rows[(4, 4, 0.5)].p_candidate
+    # r=1 catches everything more often than r=16
+    assert rows[(16, 1, 0.5)].p_candidate > rows[(1, 16, 0.5)].p_candidate
