@@ -8175,29 +8175,110 @@ FROM b, j
 """
 
 
+# --------------------------------------------------------------------------
+# q166 — crawl-snapshot diff (the monthly-recrawl dedup pattern:
+# Common-Crawl-style pipelines keep only what CHANGED between
+# snapshots): two corpus snapshots keyed by canonical URL — the new
+# one drops every 11th page, rewrites every 7th (of the survivors),
+# and adds fresh pages — full-outer-joined on the URL key with
+# content-hash compare, each page classified
+# added/removed/modified/unchanged. Scale shape: one shuffle per
+# side on the join key, hashes (not texts) compared; at 100 TB this
+# is THE pattern that turns a recrawl into an O(delta) ingest. The
+# oracle derives the classification analytically from the snapshot
+# formula.
+# --------------------------------------------------------------------------
+
+def q166_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/p/"), i.cast("string")
+    )
+    old = docs.select(
+        url.alias("url"), F.md5(F.col("text").cast("binary")).alias("h_old")
+    )
+    new = (
+        docs.filter(i % 11 != 0)
+        .select(
+            url.alias("url"),
+            F.md5(
+                F.when(
+                    i % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")).cast("binary")
+            ).alias("h_new"),
+        )
+        .unionByName(
+            docs.filter(i % 13 == 0).select(
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example/new/"), i.cast("string"),
+                ).alias("url"),
+                F.md5(F.concat(F.col("text"), F.lit(" fresh")).cast("binary")).alias(
+                    "h_new"
+                ),
+            )
+        )
+    )
+    diff = old.join(new, "url", "full_outer").withColumn(
+        "status",
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") == F.col("h_new"), "unchanged")
+        .otherwise("modified"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+        F.min("url").alias("min_url"),
+        F.max("url").alias("max_url"),
+    )
+
+
+Q166_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, source,
+         'https://' || source || '.example/p/' || doc_id::VARCHAR AS url
+  FROM documents),
+cls AS (
+  SELECT url,
+         CASE WHEN i % 11 = 0 THEN 'removed'
+              WHEN i % 7 = 0 THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM d
+  UNION ALL
+  SELECT 'https://' || source || '.example/new/' || i::VARCHAR, 'added'
+  FROM d WHERE i % 13 = 0)
+SELECT status, count(*)::BIGINT AS n_pages,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       min(url) AS min_url, max(url) AS max_url
+FROM cls GROUP BY status
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-15:  the r7 NEW queries — q162 HTML→text + link density,
+#   slots 1-16:  the r7 NEW queries — q162 HTML→text + link density,
 #                q163 sitemap XML scan (from_xml), q164 robots.txt
-#                policy (RFC 9309), q165 LSH band planner, q161 GIF
-#                decode (LZW + interlace), q151 MJPEG frame decode,
-#                q152 video frame dedup, q153 WARC scan, q154 URL
-#                canonicalize, q155 script-mixing audit, q156 char
-#                entropy, q157 SemDeDup (16-cell scaling), q158 A/V
-#                demux, q159 corpus MinHash matrix, q160 weighted
-#                sampling.
-#   slots 16-27: queries whose code changed AFTER the r6 snapshot
+#                policy (RFC 9309), q165 LSH band planner, q166
+#                crawl-snapshot diff, q161 GIF decode (LZW +
+#                interlace), q151 MJPEG frame decode, q152 video
+#                frame dedup, q153 WARC scan, q154 URL canonicalize,
+#                q155 script-mixing audit, q156 char entropy, q157
+#                SemDeDup (16-cell scaling), q158 A/V demux, q159
+#                corpus MinHash matrix, q160 weighted sampling.
+#   slots 17-28: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 28-50: the stalest driver rows — the r2-green-only block
+#   slots 29-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q04; q05-q09
+#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q03; q04-q09
 #                fall just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
@@ -8211,6 +8292,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),
         QuerySpec("q165_lsh_plan", q165_lsh_plan, Q165_SQL, "dedup lsh-band-planner"),
+        QuerySpec("q166_snapshot_diff", q166_snapshot_diff, Q166_SQL, "corpus crawl-snapshot-diff"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

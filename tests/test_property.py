@@ -50,13 +50,17 @@ def test_sessionize_matches_python_reference(spark, events):
             tiebreak=["event_id"],
         ).collect()
     }
-    # reference: sort per user by (ts, event_id); new session when the
-    # gap from the previous event exceeds 300 s
+    # reference: sort per user by (ts, event_id); new session at
+    # gap >= 300 s — the operator follows Spark session_window's
+    # END-EXCLUSIVE [t, t+gap) rule (two events exactly one gap apart
+    # do NOT merge; q117's streaming oracle and q65's batch oracle pin
+    # the same), which hypothesis finally probed with an exact-boundary
+    # draw in round 7
     want = {}
     by_user: dict = {}
     for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
         prev = by_user.get(r.user_id)
-        if prev is None or (r.ts - prev[0]).total_seconds() > 300:
+        if prev is None or (r.ts - prev[0]).total_seconds() >= 300:
             seq = (prev[1] + 1) if prev else 1
         else:
             seq = prev[1]
