@@ -1177,3 +1177,48 @@ def link_density(c: Column | str) -> Column:
     return F.when(
         F.length(full) > 0, F.length(anchors) / F.length(full).cast("double")
     )
+
+
+# closing tags that end a content block (the readability-style
+# segmentation unit)
+_HTML_BLOCK_SPLIT = r"(?is)</(?:p|div|li|h[1-6]|tr|article|section)>"
+
+
+def extract_main_text(
+    c: Column | str, min_chars: int = 25, max_link_share: int = 3
+) -> Column:
+    """Readability/trafilatura-style MAIN-TEXT extraction — the
+    block-level upgrade of `html_to_text`: split the document on
+    closing block tags, strip each block to visible text, and keep
+    only prose blocks — at least `min_chars` visible characters AND
+    anchor text strictly less than 1/`max_link_share` of the block
+    (the integer comparison `anchor_len * max_link_share < text_len`
+    keeps the rule exact — no float division, so the oracle replays
+    it verbatim). Nav bars, link farms and stub rows drop; kept
+    blocks rejoin in document order.
+
+    Returns struct(main_text, n_blocks, n_kept). Pure higher-order
+    column expressions — zero Python, zero shuffle."""
+    col = F.col(c) if isinstance(c, str) else c
+    blocks = F.split(_drop_blocks(col), _HTML_BLOCK_SPLIT)
+    t = F.transform(blocks, _strip_tags)
+    a = F.transform(
+        blocks,
+        lambda b: _strip_tags(
+            F.array_join(
+                F.regexp_extract_all(b, F.lit(_HTML_LINK_INNER), 1), " "
+            )
+        ),
+    )
+    keep = F.zip_with(
+        t,
+        a,
+        lambda tt, aa: (F.length(tt) >= min_chars)
+        & (F.length(aa) * max_link_share < F.length(tt)),
+    )
+    kept_texts = F.filter(t, lambda tt, i: F.element_at(keep, i + 1))
+    return F.struct(
+        F.array_join(kept_texts, " ").alias("main_text"),
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept_texts).alias("n_kept"),
+    )

@@ -8256,30 +8256,123 @@ FROM cls GROUP BY status
 """
 
 
+# --------------------------------------------------------------------------
+# q167 — block-level MAIN-TEXT extraction (operators/text.
+# extract_main_text — the readability/trafilatura step q162's
+# doc-level strip approximates): split on closing block tags, keep
+# only prose blocks (≥25 visible chars AND anchor text < 1/3 of the
+# block — an INTEGER comparison, no float boundary), rejoin in
+# document order. The formula wraps each document in a nav div
+# (link-heavy → dropped), the doc text (kept), a stub li (short →
+# dropped) and, for even ids, a closing prose paragraph (kept). The
+# oracle replays blocks via unnest + generate_subscripts and the
+# identical strip/keep rules; main_md5 pins the exact extracted
+# string.
+# --------------------------------------------------------------------------
+
+def q167_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import extract_main_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'),
+        F.col("text"),
+        F.lit("</p><li>stub "),
+        (i % 10).cast("string"),
+        F.lit("</li>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("<p>closing prose paragraph number "),
+                i.cast("string"),
+                F.lit(" with enough characters</p>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    m = docs.select("doc_id", extract_main_text(html).alias("m"))
+    return m.select(
+        "doc_id",
+        F.md5(F.col("m.main_text").cast("binary")).alias("main_md5"),
+        F.length("m.main_text").alias("main_len"),
+        F.col("m.n_blocks").alias("n_blocks"),
+        F.col("m.n_kept").alias("n_kept"),
+    )
+
+
+Q167_SQL = (
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'
+         || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
+                      || ' with enough characters</p>'
+                 ELSE '' END AS html
+  FROM documents),
+body AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(html,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
+  FROM h),
+bl AS (
+  SELECT doc_id,
+         unnest(string_split_regex(b,
+           '(?is)</(?:p|div|li|h[1-6]|tr|article|section)>')) AS blk,
+         generate_subscripts(string_split_regex(b,
+           '(?is)</(?:p|div|li|h[1-6]|tr|article|section)>'), 1) AS ord
+  FROM body),
+st AS (
+  SELECT doc_id, ord, """
+    + _Q162_STRIP.format(x="blk")
+    + """ AS t, """
+    + _Q162_STRIP.format(
+        x="coalesce(array_to_string(regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    )
+    + """ AS at
+  FROM bl)
+SELECT doc_id,
+       md5(coalesce(string_agg(t, ' ' ORDER BY ord)
+             FILTER (WHERE length(t) >= 25 AND length(at) * 3 < length(t)),
+           '')) AS main_md5,
+       length(coalesce(string_agg(t, ' ' ORDER BY ord)
+             FILTER (WHERE length(t) >= 25 AND length(at) * 3 < length(t)),
+           ''))::INT AS main_len,
+       count(*)::INT AS n_blocks,
+       count(*) FILTER (WHERE length(t) >= 25 AND length(at) * 3 < length(t))
+         ::INT AS n_kept
+FROM st GROUP BY doc_id
+"""
+)
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-16:  the r7 NEW queries — q162 HTML→text + link density,
+#   slots 1-17:  the r7 NEW queries — q162 HTML→text + link density,
 #                q163 sitemap XML scan (from_xml), q164 robots.txt
 #                policy (RFC 9309), q165 LSH band planner, q166
-#                crawl-snapshot diff, q161 GIF decode (LZW +
-#                interlace), q151 MJPEG frame decode, q152 video
-#                frame dedup, q153 WARC scan, q154 URL canonicalize,
-#                q155 script-mixing audit, q156 char entropy, q157
-#                SemDeDup (16-cell scaling), q158 A/V demux, q159
-#                corpus MinHash matrix, q160 weighted sampling.
-#   slots 17-28: queries whose code changed AFTER the r6 snapshot
+#                crawl-snapshot diff, q167 block-level main-text
+#                extraction, q161 GIF decode (LZW + interlace), q151
+#                MJPEG frame decode, q152 video frame dedup, q153
+#                WARC scan, q154 URL canonicalize, q155 script-mixing
+#                audit, q156 char entropy, q157 SemDeDup (16-cell
+#                scaling), q158 A/V demux, q159 corpus MinHash matrix,
+#                q160 weighted sampling.
+#   slots 18-29: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 29-50: the stalest driver rows — the r2-green-only block
+#   slots 30-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59/q69/q78, q02-q03; q04-q09
-#                fall just past the cap).
+#                (q47/q55/q65/q53/q56/q59/q69/q78, q02; q03-q09 fall
+#                just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
 # (q10-q19, q91-q128, q20-q50) at the back — freshest driver rows
@@ -8293,6 +8386,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),
         QuerySpec("q165_lsh_plan", q165_lsh_plan, Q165_SQL, "dedup lsh-band-planner"),
         QuerySpec("q166_snapshot_diff", q166_snapshot_diff, Q166_SQL, "corpus crawl-snapshot-diff"),
+        QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

@@ -510,3 +510,44 @@ def test_html_to_text_extraction(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_extract_main_text_blocks(spark):
+    from odin_rs_spark.operators.text import extract_main_text
+
+    html = (
+        "<html><body>"
+        "<div>nav <a href='/'>home</a> <a href='/a'>about us</a></div>"   # link-heavy -> drop
+        "<p>This is the first real paragraph of prose, long enough.</p>"  # keep
+        "<li>stub</li>"                                                   # short -> drop
+        "<p>Second prose paragraph with a single <a href='/r'>ref</a> inside it.</p>"  # keep
+        "<script>var x = 'this block never counts as a block of text';</script>"
+        "</body></html>"
+    )
+    row = (
+        spark.createDataFrame([(1, html)], "i long, h string")
+        .select(extract_main_text("h").alias("m"))
+        .first()
+        .m
+    )
+    assert row.main_text == (
+        "This is the first real paragraph of prose, long enough. "
+        "Second prose paragraph with a single ref inside it."
+    )
+    assert row.n_kept == 2 and row.n_blocks >= 4
+    # all-boilerplate document -> empty main text, zero kept
+    nav = "<div><a href='/'>one</a> <a href='/b'>two</a> x</div>"
+    r2 = (
+        spark.createDataFrame([(1, nav)], "i long, h string")
+        .select(extract_main_text("h").alias("m"))
+        .first()
+        .m
+    )
+    assert r2.main_text == "" and r2.n_kept == 0
+    # zero Python in the plan
+    df = spark.createDataFrame([(1, html)], "i long, h string")
+    plan = (
+        df.select(extract_main_text("h"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
