@@ -1222,3 +1222,59 @@ def extract_main_text(
         F.size(blocks).alias("n_blocks"),
         F.size(kept_texts).alias("n_kept"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-rule table (Rae et al. 2021, arXiv:
+    2112.11446 Appendix A — the rule set MassiveText filtered on, and
+    the de-facto baseline every later corpus pipeline cites): word
+    count in [50, 100000], mean word length in [3, 10], symbol-to-
+    word ratio ('#' and '...') ≤ 0.1, ≥ 80% of words containing an
+    alphabetic character, and at least 2 distinct Gopher stop words.
+
+    Every flag is an INTEGER cross-multiplication (3·n_words ≤
+    total_len, 10·n_sym ≤ n_words, 5·n_alpha ≥ 4·n_words …), so
+    there is no float boundary anywhere — the oracle replays the
+    rules with zero tolerance. Adds the raw counts and one int flag
+    per rule plus `gopher_pass`. Zero shuffles, zero Python."""
+    t = norm_text(F.col(text_col))
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    n_sym = (n_hash + n_ell).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    f_count = ((n_words >= 50) & (n_words <= 100000)).cast("int")
+    f_wordlen = (
+        (3 * n_words <= total_len) & (total_len <= 10 * n_words)
+    ).cast("int")
+    f_symbol = (10 * n_sym <= n_words).cast("int")
+    f_alpha = (5 * n_alpha >= 4 * n_words).cast("int")
+    f_stop = (n_stop >= 2).cast("int")
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        total_len.alias("words_len"),
+        n_sym.alias("n_sym"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        f_count.alias("f_wordcount"),
+        f_wordlen.alias("f_wordlen"),
+        f_symbol.alias("f_symbol"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        (f_count * f_wordlen * f_symbol * f_alpha * f_stop).alias(
+            "gopher_pass"
+        ),
+    )

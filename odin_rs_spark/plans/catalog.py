@@ -8348,30 +8348,219 @@ FROM st GROUP BY doc_id
 )
 
 
+# --------------------------------------------------------------------------
+# q168 — the Gopher quality-rule table (Rae et al. 2021 Appendix A,
+# operators/text.gopher_quality_flags — the de-facto baseline rule
+# set for LLM corpus filtering): per-document word-count / mean-word-
+# length / symbol-ratio / alpha-word / stop-word rules, every flag an
+# integer cross-multiplication with NO float boundary anywhere. The
+# oracle replays tokenization, counts and all five rules with zero
+# tolerance.
+# --------------------------------------------------------------------------
+
+def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_flags(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "words_len",
+        "n_sym",
+        "n_alpha_words",
+        "n_stop_hits",
+        "f_wordcount",
+        "f_wordlen",
+        "f_symbol",
+        "f_alpha",
+        "f_stop",
+        "gopher_pass",
+    )
+
+
+Q168_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(ws)::INT AS n_words,
+         list_sum(list_transform(ws, x -> length(x)))::INT AS words_len,
+         ((length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::INT
+           AS n_alpha_words,
+         len(list_intersect(ws, ['the','be','to','of','and','that','have','with']))::INT
+           AS n_stop_hits
+  FROM w)
+SELECT doc_id, n_words, words_len, n_sym, n_alpha_words, n_stop_hits,
+       CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS f_wordcount,
+       CASE WHEN 3 * n_words <= words_len AND words_len <= 10 * n_words
+            THEN 1 ELSE 0 END AS f_wordlen,
+       CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS f_symbol,
+       CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS f_alpha,
+       CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS f_stop,
+       CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND 3 * n_words <= words_len AND words_len <= 10 * n_words
+              AND 10 * n_sym <= n_words
+              AND 5 * n_alpha_words >= 4 * n_words
+              AND n_stop_hits >= 2
+            THEN 1 ELSE 0 END AS gopher_pass
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q169 — crawl-to-corpus FLAGSHIP composition (the FineWeb/RefinedWeb
+# pipeline shape, chained from this round's verified pieces): formula
+# HTML (q167's wrap) → block-level main-text extraction → the Gopher
+# rule table evaluated ON THE EXTRACTED TEXT → per-(n_kept,
+# gopher_pass) corpus stats. One operator's output feeds the next
+# with no materialization; the oracle chains the q167 block replay
+# into the q168 rule replay — if any stage drifts, the chain breaks.
+# --------------------------------------------------------------------------
+
+def q169_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import (
+        extract_main_text,
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'),
+        F.col("text"),
+        F.lit("</p><li>stub "),
+        (i % 10).cast("string"),
+        F.lit("</li>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("<p>closing prose paragraph number "),
+                i.cast("string"),
+                F.lit(" with enough characters</p>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    extracted = docs.select(
+        "doc_id", extract_main_text(html).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.n_kept").alias("n_kept"),
+        F.col("m.main_text").alias("text"),
+    )
+    gated = gopher_quality_flags(extracted)
+    return gated.groupBy("n_kept", "gopher_pass").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_stop_hits").alias("sum_stops"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+Q169_SQL = (
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'
+         || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
+                      || ' with enough characters</p>'
+                 ELSE '' END AS html
+  FROM documents),
+body AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(html,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
+  FROM h),
+bl AS (
+  SELECT doc_id,
+         unnest(string_split_regex(b,
+           '(?is)</(?:p|div|li|h[1-6]|tr|article|section)>')) AS blk,
+         generate_subscripts(string_split_regex(b,
+           '(?is)</(?:p|div|li|h[1-6]|tr|article|section)>'), 1) AS ord
+  FROM body),
+st AS (
+  SELECT doc_id, ord, """
+    + _Q162_STRIP.format(x="blk")
+    + """ AS t, """
+    + _Q162_STRIP.format(
+        x="coalesce(array_to_string(regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    )
+    + r""" AS at
+  FROM bl),
+main AS (
+  SELECT doc_id,
+         coalesce(string_agg(t, ' ' ORDER BY ord)
+           FILTER (WHERE length(t) >= 25 AND length(at) * 3 < length(t)),
+           '') AS mt,
+         count(*) FILTER (WHERE length(t) >= 25 AND length(at) * 3 < length(t))
+           ::INT AS n_kept
+  FROM st GROUP BY doc_id),
+w AS (
+  SELECT doc_id, n_kept,
+         string_split(trim(regexp_replace(lower(mt), '\s+', ' ', 'g')), ' ') AS ws,
+         trim(regexp_replace(lower(mt), '\s+', ' ', 'g')) AS t
+  FROM main),
+c AS (
+  SELECT doc_id, n_kept,
+         len(ws)::INT AS n_words,
+         list_sum(list_transform(ws, x -> length(x)))::INT AS words_len,
+         ((length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::INT AS n_alpha,
+         len(list_intersect(ws, ['the','be','to','of','and','that','have','with']))::INT
+           AS n_stop
+  FROM w)
+SELECT n_kept,
+       CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND 3 * n_words <= words_len AND words_len <= 10 * n_words
+              AND 10 * n_sym <= n_words
+              AND 5 * n_alpha >= 4 * n_words
+              AND n_stop >= 2
+            THEN 1 ELSE 0 END AS gopher_pass,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS sum_words,
+       sum(n_stop)::BIGINT AS sum_stops,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM c GROUP BY 1, 2
+"""
+)
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-17:  the r7 NEW queries — q162 HTML→text + link density,
+#   slots 1-19:  the r7 NEW queries — q162 HTML→text + link density,
 #                q163 sitemap XML scan (from_xml), q164 robots.txt
 #                policy (RFC 9309), q165 LSH band planner, q166
 #                crawl-snapshot diff, q167 block-level main-text
-#                extraction, q161 GIF decode (LZW + interlace), q151
-#                MJPEG frame decode, q152 video frame dedup, q153
-#                WARC scan, q154 URL canonicalize, q155 script-mixing
-#                audit, q156 char entropy, q157 SemDeDup (16-cell
-#                scaling), q158 A/V demux, q159 corpus MinHash matrix,
-#                q160 weighted sampling.
-#   slots 18-29: queries whose code changed AFTER the r6 snapshot
+#                extraction, q168 Gopher quality-rule table, q169
+#                crawl-to-corpus flagship composition, q161 GIF
+#                decode (LZW + interlace), q151 MJPEG frame decode,
+#                q152 video frame dedup, q153 WARC scan, q154 URL
+#                canonicalize, q155 script-mixing audit, q156 char
+#                entropy, q157 SemDeDup (16-cell scaling), q158 A/V
+#                demux, q159 corpus MinHash matrix, q160 weighted
+#                sampling.
+#   slots 20-31: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 30-50: the stalest driver rows — the r2-green-only block
+#   slots 32-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59/q69/q78, q02; q03-q09 fall
+#                (q47/q55/q65/q53/q56/q59/q69; q78 and q02-q09 fall
 #                just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
@@ -8387,6 +8576,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q165_lsh_plan", q165_lsh_plan, Q165_SQL, "dedup lsh-band-planner"),
         QuerySpec("q166_snapshot_diff", q166_snapshot_diff, Q166_SQL, "corpus crawl-snapshot-diff"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
+        QuerySpec("q168_gopher_rules", q168_gopher_rules, Q168_SQL, "text gopher-quality rules"),
+        QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

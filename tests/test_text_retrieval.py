@@ -551,3 +551,27 @@ def test_extract_main_text_blocks(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_gopher_quality_flags(spark):
+    from odin_rs_spark.operators.text import gopher_quality_flags
+
+    prose = ("the quick brown fox jumps over the lazy dog and runs away "
+             "with all of them that have been here today ") * 3  # 60 words
+    rows = [
+        (1, prose),                                  # passes everything
+        (2, "short text"),                           # fails word count
+        (3, " ".join(["####"] * 60)),                # symbols, no alpha, no stops
+        (4, prose + " " + "#" * 1 + " ..." * 20),    # symbol ratio pushed over
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].gopher_pass == 1 and out[1].n_stop_hits >= 2
+    assert out[2].f_wordcount == 0 and out[2].gopher_pass == 0
+    assert out[3].f_alpha == 0 and out[3].f_stop == 0 and out[3].f_symbol == 0
+    r4 = out[4]
+    assert r4.f_wordcount == 1 and r4.f_symbol == 0  # 21 syms vs 81 words
+    assert r4.n_sym == 21
+    # zero Python, zero shuffle
+    plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
