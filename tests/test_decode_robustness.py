@@ -235,3 +235,84 @@ def test_geotiff_mutation_raises_valueerror_only(pos, flip):
 @given(st.integers(1, len(TIFF) - 1))
 def test_geotiff_truncation_raises_valueerror_only(cut):
     _assert_valueerror_or_ok(parse_geotiff, TIFF[:cut])
+
+
+# ---- round-7 codecs: GIF and WARC under the same contract ----
+
+def _gif_buf():
+    from odin_rs_spark.sources.gifcodec import encode_gif
+
+    g = ((np.arange(20)[:, None] * 7 + np.arange(24)[None, :] * 11) % 256).astype(
+        np.uint8
+    )
+    return encode_gif(g, interlace=True)
+
+
+GIFB = _gif_buf()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(GIFB) - 1), st.integers(1, 255))
+def test_gif_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.gifcodec import gif_frames
+
+    buf = bytearray(GIFB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(gif_frames, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(GIFB)))
+def test_gif_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.gifcodec import gif_frames
+
+    _assert_valueerror_or_ok(gif_frames, GIFB[:cut])
+
+
+def _warc_buf():
+    from odin_rs_spark.sources.warc import encode_warc
+
+    recs = [
+        {"warc_type": "warcinfo", "block": b"software: x\r\n"},
+        {
+            "warc_type": "response",
+            "target_uri": "https://a.example/p",
+            "content_type": "application/http; msgtype=response",
+            "block": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody",
+        },
+    ]
+    return encode_warc(recs, gzip_members=True)
+
+
+WARCB = _warc_buf()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(WARCB) - 1), st.integers(1, 255))
+def test_warc_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.warc import parse_warc
+
+    buf = bytearray(WARCB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_warc, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(WARCB)))
+def test_warc_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.warc import parse_warc
+
+    _assert_valueerror_or_ok(parse_warc, WARCB[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 400), st.integers(1, 255))
+def test_avi_audio_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.avicodec import encode_avi, parse_avi_audio
+
+    base = encode_avi(
+        [10, 12], audio=np.arange(64, dtype=np.int16), audio_chunks=2
+    )
+    buf = bytearray(base)
+    buf[pos % len(base)] ^= flip
+    _assert_valueerror_or_ok(parse_avi_audio, bytes(buf))
