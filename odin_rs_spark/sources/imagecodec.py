@@ -1,5 +1,5 @@
-"""Pure-Python image codec: PNG (8-bit gray/RGB/GA/RGBA, non-interlaced)
-and binary PNM (P5/P6) — the R9 decode path made real (SURVEY §2.10 R9,
+"""Pure-Python image codec: PNG (8/16-bit gray/RGB/GA/RGBA,
+sequential AND Adam7-interlaced) and binary PNM (P5/P6) — the R9 decode path made real (SURVEY §2.10 R9,
 §2.12; parity: odin_image/src/lib.rs:149-246 load/stats/resize).
 
 The container has no PIL/cv2, but PNG is zlib (stdlib) + a fully public
@@ -17,9 +17,9 @@ Decoder compliance notes:
   and unit-tested against hand-built scanlines;
 - chunk CRCs verified (zlib.crc32);
 - bit depths 8 and 16 (16-bit big-endian — the reference's luma16
-  DEM/radiance path), color types 0/2/4/6, interlace 0 — the subset our
-  writer emits and the overwhelming majority of real-world PNGs;
-  anything else raises with a precise reason.
+  DEM/radiance path), color types 0/2/4/6, interlace 0 AND 1 (Adam7,
+  r7 — seven independently-filtered pass streams scattered on the
+  spec grid); anything else raises with a precise reason.
 
 Spark-side ops live in operators/multimodal.py (`image_pixel_stats`,
 `image_dhash`): binary column → mapInPandas decode → stats/perceptual
@@ -48,33 +48,21 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
-    """PNG from a (H,W) gray or (H,W,C) C∈{2,3,4} array. uint8 input
-    writes depth 8; uint16 input writes depth 16 (big-endian per spec
-    — the reference's luma16 DEM/radiance path, odin_image
-    to_luma16/create_luma16_image). `filter_mode="cycle"` applies
-    scanline filters 0..4 round-robin — spec-valid output that forces
-    a decoder through every unfilter path; "none" writes filter 0
-    only. Filters operate on BYTES with bpp = channels x bytes-per-
-    sample, exactly as the spec defines for 16-bit."""
-    a = np.asarray(arr)
-    depth = 16 if a.dtype == np.uint16 else 8
-    a = a.astype(np.uint16 if depth == 16 else np.uint8)
-    if a.ndim == 2:
-        h, w, ch, color = a.shape[0], a.shape[1], 1, 0
-        a = a[:, :, None]
-    else:
-        h, w, ch = a.shape
-        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-    bpp = ch * (depth // 8)  # filter step in BYTES
-    if depth == 16:
-        byte_rows = a.astype(">u2").reshape(h, -1).view(np.uint8)
-    else:
-        byte_rows = a.reshape(h, -1)
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_rows(byte_rows, bpp: int, filter_mode: str) -> bytearray:
+    """Spec scanline filtering over a (rows, stride) byte matrix —
+    shared by the sequential and each Adam7 pass stream (prev resets
+    per pass, as the spec requires)."""
     raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
+    n, stride = byte_rows.shape
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n):
         line = byte_rows[y].reshape(-1)
         ft = (y % 5) if filter_mode == "cycle" else 0
         if ft == 0:
@@ -97,6 +85,49 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
         raw.append(ft)
         raw.extend(out.tobytes())
         prev = line
+    return raw
+
+
+def encode_png(
+    arr: np.ndarray, filter_mode: str = "cycle", interlace: bool = False
+) -> bytes:
+    """PNG from a (H,W) gray or (H,W,C) C∈{2,3,4} array. uint8 input
+    writes depth 8; uint16 input writes depth 16 (big-endian per spec
+    — the reference's luma16 DEM/radiance path, odin_image
+    to_luma16/create_luma16_image). `filter_mode="cycle"` applies
+    scanline filters 0..4 round-robin — spec-valid output that forces
+    a decoder through every unfilter path; "none" writes filter 0
+    only. Filters operate on BYTES with bpp = channels x bytes-per-
+    sample, exactly as the spec defines for 16-bit. `interlace=True`
+    writes Adam7: seven pass streams, each independently filtered —
+    the fixture twin of the decoder's interlace path."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
+    if a.ndim == 2:
+        h, w, ch, color = a.shape[0], a.shape[1], 1, 0
+        a = a[:, :, None]
+    else:
+        h, w, ch = a.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    bpp = ch * (depth // 8)  # filter step in BYTES
+
+    def rows_of(sub):
+        hh = sub.shape[0]
+        if depth == 16:
+            return sub.astype(">u2").reshape(hh, -1).view(np.uint8)
+        return sub.reshape(hh, -1)
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _filter_rows(rows_of(sub), bpp, filter_mode)
+    else:
+        raw = _filter_rows(rows_of(a), bpp, filter_mode)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -115,7 +146,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (H,W) for gray, (H,W,C) otherwise.
-    Verifies chunk CRCs; supports depth 8, color 0/2/4/6, interlace 0.
+    Verifies chunk CRCs; depth 8/16, color 0/2/4/6, interlace 0/1.
 
     Error contract: every malformed input raises ValueError (zlib /
     struct / index errors are wrapped) — one catchable type per corrupt
@@ -151,26 +182,59 @@ def _decode_png(buf: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
-            "only 8/16-bit non-interlaced supported"
+            "only 8/16-bit, interlace 0/1 supported"
         )
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
     ch = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch * (depth // 8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
     bpp = ch * (depth // 8)  # filter step in BYTES (spec: per byte)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
+
+    def to_px(mat, hh, ww):
+        if depth == 16:
+            return mat.reshape(-1).view(">u2").astype(np.uint16).reshape(hh, ww, ch)
+        return mat.reshape(hh, ww, ch)
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        img = to_px(_unfilter_rows(raw, 0, h, stride, bpp)[0], h, w)
+    else:  # Adam7: seven independently-filtered pass streams
+        img = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            hp = (h - y0 + dy - 1) // dy
+            wp = (w - x0 + dx - 1) // dx
+            if hp <= 0 or wp <= 0:
+                continue
+            stride = wp * bpp
+            mat, off = _unfilter_rows(raw, off, hp, stride, bpp)
+            img[y0::dy, x0::dx] = to_px(mat, hp, wp)
+        if off != len(raw):
+            raise ValueError("PNG IDAT size mismatch (interlaced)")
+    return img[:, :, 0] if ch == 1 else img
+
+
+def _unfilter_rows(raw: bytes, off: int, n: int, stride: int, bpp: int):
+    """Undo spec scanline filters for `n` rows of `stride` bytes
+    starting at `off` (prev row = zeros — the start-of-image / start-
+    of-Adam7-pass rule). Returns ((n, stride) byte matrix, new off)."""
+    if off + n * (stride + 1) > len(raw):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((n, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n):
+        ft = raw[off]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=off + 1
         ).copy()
+        off += stride + 1
         if ft == 0:
             cur = line
         elif ft == 1:  # Sub — sequential in pixel steps
@@ -198,13 +262,7 @@ def _decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur
         prev = cur
-    if depth == 16:
-        img = (
-            out.reshape(-1).view(">u2").astype(np.uint16).reshape(h, w, ch)
-        )
-    else:
-        img = out.reshape(h, w, ch)
-    return img[:, :, 0] if ch == 1 else img
+    return out, off
 
 
 def encode_pnm(arr: np.ndarray) -> bytes:

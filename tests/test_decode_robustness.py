@@ -316,3 +316,16 @@ def test_avi_audio_mutation_raises_valueerror_only(pos, flip):
     buf = bytearray(base)
     buf[pos % len(base)] ^= flip
     _assert_valueerror_or_ok(parse_avi_audio, bytes(buf))
+
+
+IPNG = encode_png(
+    np.arange(16 * 24, dtype=np.uint8).reshape(16, 24), interlace=True
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(IPNG) - 1), st.integers(1, 255))
+def test_interlaced_png_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(IPNG)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_image, bytes(buf))

@@ -248,3 +248,56 @@ def test_png_16bit_roundtrip_all_filters():
     (ln,) = struct.unpack(">I", buf[idat - 4 : idat])
     assert zlib.decompress(buf[idat + 4 : idat + 4 + ln]) == b"\x00\x12\x34"
     assert decode_png(buf)[0, 0] == 0x1234
+
+
+def test_adam7_interlaced_roundtrip_all_shapes():
+    """Adam7 (interlace 1): seven independently-filtered pass streams;
+    roundtrip across shapes that exercise empty passes (tiny images),
+    odd dimensions, every filter, all color types, and 16-bit."""
+    for shape in [(24, 32), (7, 5), (1, 1), (2, 3), (9, 16, 3), (16, 9, 4), (8, 8, 2)]:
+        a = (np.arange(np.prod(shape)).reshape(shape) * 37 % 256).astype(np.uint8)
+        for fm in ("none", "cycle"):
+            buf = encode_png(a, filter_mode=fm, interlace=True)
+            assert np.array_equal(decode_png(buf), a), (shape, fm)
+    b = (np.arange(13 * 11).reshape(13, 11) * 997 % 65536).astype(np.uint16)
+    assert np.array_equal(decode_png(encode_png(b, interlace=True)), b)
+    # truncated interlaced stream is a named error
+    buf = encode_png(np.zeros((16, 16), np.uint8), interlace=True)
+    import struct as _struct
+    import zlib as _zlib
+    # corrupt: re-wrap a short IDAT (drop last pass bytes) with valid CRC
+    raw = _zlib.decompress(buf[8 + 8 + 25 : -24] if False else _idat_of(buf))
+    short = _zlib.compress(raw[:-40])
+    with pytest.raises(ValueError, match="size mismatch|corrupt"):
+        decode_png(_rebuild_png(buf, short))
+
+
+def _idat_of(buf):
+    import struct as _struct
+
+    pos = 8
+    while pos < len(buf):
+        (ln,) = _struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            return buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raise AssertionError("no IDAT")
+
+
+def _rebuild_png(buf, new_idat):
+    import struct as _struct
+    import zlib as _zlib
+
+    pos = 8
+    out = bytearray(buf[:8])
+    while pos < len(buf):
+        (ln,) = _struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if typ == b"IDAT":
+            data = new_idat
+        out += _struct.pack(">I", len(data)) + typ + data
+        out += _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        pos += 12 + ln
+    return bytes(out)
