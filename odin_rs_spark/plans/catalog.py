@@ -8606,12 +8606,86 @@ FROM px GROUP BY media_id, tile_x, tile_y
 """
 
 
+# --------------------------------------------------------------------------
+# q171 — BMP decode (sources/imagecodec.decode_bmp — the last trivial
+# crawl image format: BITMAPINFOHEADER, bottom-up rows, 4-byte row
+# padding, 8-bit gray palette / 24-bit BGR): formula gradients at a
+# deliberately NON-multiple-of-4 width (25 px → 3 pad bytes per row,
+# the classic BMP decoding bug site), through the same
+# image_tile_stats pipeline as PNG/JPEG/GIF. Lossless ⇒ per-tile
+# integer means replay from the pixel formula with zero tolerance.
+# --------------------------------------------------------------------------
+
+def _formula_bmp_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_bmp
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 25
+            a, b, m = seed % 7, seed % 4 + 1, (seed * 53) % 256
+            ys, xs = np.mgrid[0:18, 0:25]
+            vals = ((m + xs * a + ys * b) % 256).astype(np.uint8)
+            out.append(encode_bmp(vals))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q171_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    media = _formula_bmp_media(spark, 50)
+    tiles = image_tile_stats(media, nx=5, ny=3)
+    return tiles.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "n_px",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q171_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 25) AS seed FROM range(50) r),
+pp AS (
+  SELECT media_id, seed % 7 AS a, seed % 4 + 1 AS b, (seed * 53) % 256 AS m
+  FROM par),
+px AS (
+  SELECT media_id, x.range AS x, y.range AS y,
+         (m + x.range * a + y.range * b) % 256 AS v
+  FROM pp, range(25) x, range(18) y),
+t AS (
+  SELECT media_id,
+         CASE WHEN x < 5 THEN 0 WHEN x < 10 THEN 1 WHEN x < 15 THEN 2
+              WHEN x < 20 THEN 3 ELSE 4 END AS tile_x,
+         y // 6 AS tile_y, v
+  FROM px)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*)::BIGINT AS n_px, round(sum(v)::DOUBLE / count(*), 6) AS mean_luma
+FROM t GROUP BY media_id, tile_x, tile_y
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-20:  the r7 NEW queries — q162 HTML→text + link density,
+#   slots 1-21:  the r7 NEW queries — q162 HTML→text + link density,
 #                q163 sitemap XML scan (from_xml), q164 robots.txt
 #                policy (RFC 9309), q165 LSH band planner, q166
 #                crawl-snapshot diff, q167 block-level main-text
@@ -8622,16 +8696,17 @@ FROM px GROUP BY media_id, tile_x, tile_y
 #                canonicalize, q155 script-mixing audit, q156 char
 #                entropy, q157 SemDeDup (16-cell scaling), q158 A/V
 #                demux, q159 corpus MinHash matrix, q160 weighted
-#                sampling, q170 Adam7-interlaced PNG decode.
-#   slots 21-32: queries whose code changed AFTER the r6 snapshot
+#                sampling, q170 Adam7-interlaced PNG decode, q171
+#                BMP decode.
+#   slots 22-33: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 33-50: the stalest driver rows — the r2-green-only block
+#   slots 34-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53/q56/q59; q69/q78 and q02-q09 fall
+#                (q47/q55/q65/q53/q56; q59/q69/q78 and q02-q09 fall
 #                just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
@@ -8650,6 +8725,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q168_gopher_rules", q168_gopher_rules, Q168_SQL, "text gopher-quality rules"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
         QuerySpec("q170_interlaced_png", q170_interlaced_png, Q170_SQL, "R9 png-adam7-interlace decode"),
+        QuerySpec("q171_bmp_decode", q171_bmp_decode, Q171_SQL, "R9 bmp-decode row-padding"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

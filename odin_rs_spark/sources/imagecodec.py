@@ -328,8 +328,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from odin_rs_spark.sources.gifcodec import decode_gif
 
         return decode_gif(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
     raise ValueError(
-        "unrecognized image format (PNG, binary PNM, baseline JPEG and GIF supported)"
+        "unrecognized image format (PNG, PNM, baseline JPEG, GIF and BMP supported)"
     )
 
 
@@ -411,3 +413,99 @@ def resize_catmullrom(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     x = axis_resize(x, out_w, 1)
     hi = 65535 if img.dtype == np.uint16 else 255
     return np.clip(np.floor(x + 0.5), 0, hi).astype(img.dtype)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """BMP (BITMAPINFOHEADER, compression 0) from (H,W) gray — written
+    as 8-bit palette with the identity gray palette — or (H,W,3) RGB
+    — written as 24-bit BGR. Bottom-up rows, 4-byte row padding, per
+    the spec; the fixture twin of `decode_bmp`."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        bpp = 8
+        palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        rows = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        bpp = 24
+        palette = b""
+        rows = a[:, :, ::-1].reshape(h, -1)  # RGB → BGR
+    else:
+        raise ValueError("BMP writer supports (H,W) gray or (H,W,3) RGB")
+    stride = (w * (bpp // 8) + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = rows[y].tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    offset = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+            256 if bpp == 8 else 0, 0,
+        )
+    )
+    return header + palette + body
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed BMP → (H,W) gray (8-bit gray palette) or (H,W,3)
+    RGB. Supports BITMAPINFOHEADER(+), bpp 8 (palette) and 24,
+    compression 0, bottom-up and top-down rows. ValueError-only
+    error contract like the other codecs."""
+    try:
+        return _decode_bmp(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError…
+        raise ValueError(f"corrupt BMP: {exc}") from exc
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (offset,) = struct.unpack("<I", buf[10:14])
+    (hsize,) = struct.unpack("<I", buf[14:18])
+    if hsize < 40:
+        raise ValueError(f"unsupported BMP header size {hsize}")
+    w, h, planes, bpp, comp = struct.unpack("<iiHHI", buf[18:34])
+    if comp != 0 or bpp not in (8, 24) or planes != 1:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp} compression={comp}); "
+            "only uncompressed 8/24-bit supported"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (w * (bpp // 8) + 3) & ~3
+    if offset + stride * h > len(buf):
+        raise ValueError("BMP pixel data runs past the file")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return np.ascontiguousarray(px)
+    # 8-bit palette: entries are BGRA quads between the header and data
+    pal_n = (offset - 14 - hsize) // 4
+    if pal_n <= 0:
+        raise ValueError("8-bit BMP without a palette")
+    pal = np.frombuffer(
+        buf, dtype=np.uint8, count=pal_n * 4, offset=14 + hsize
+    ).reshape(pal_n, 4)
+    idx = rows[:, :w]
+    if int(idx.max(initial=0)) >= pal_n:
+        raise ValueError("BMP palette index out of range")
+    bgr = pal[idx][:, :, :3]
+    rgb = bgr[:, :, ::-1]
+    if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+        rgb[:, :, 1] == rgb[:, :, 2]
+    ).all():
+        return np.ascontiguousarray(rgb[:, :, 0])  # gray palette → (H,W)
+    return np.ascontiguousarray(rgb)

@@ -329,3 +329,22 @@ def test_interlaced_png_mutation_raises_valueerror_only(pos, flip):
     buf = bytearray(IPNG)
     buf[pos] ^= flip
     _assert_valueerror_or_ok(decode_image, bytes(buf))
+
+
+def _bmp_buf():
+    from odin_rs_spark.sources.imagecodec import encode_bmp
+
+    return encode_bmp(np.arange(12 * 10, dtype=np.uint8).reshape(12, 10))
+
+
+BMPB = _bmp_buf()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(BMPB) - 1), st.integers(1, 255))
+def test_bmp_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.imagecodec import decode_bmp
+
+    buf = bytearray(BMPB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_bmp, bytes(buf))

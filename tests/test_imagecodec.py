@@ -301,3 +301,29 @@ def _rebuild_png(buf, new_idat):
         out += _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
         pos += 12 + ln
     return bytes(out)
+
+
+def test_bmp_roundtrip_and_dispatch():
+    from odin_rs_spark.sources.imagecodec import decode_bmp, encode_bmp
+
+    g = ((np.arange(13)[:, None] * 7 + np.arange(17)[None, :] * 11) % 256).astype(
+        np.uint8
+    )
+    assert np.array_equal(decode_bmp(encode_bmp(g)), g)
+    c = np.zeros((5, 6, 3), np.uint8)
+    c[..., 0] = 10
+    c[2, 3] = [1, 2, 3]
+    assert np.array_equal(decode_bmp(encode_bmp(c)), c)
+    for wv in (1, 2, 3, 5):  # row padding boundaries
+        a = (np.arange(4 * wv).reshape(4, wv) % 256).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+    # magic dispatch through decode_image
+    assert np.array_equal(decode_image(encode_bmp(g)), g)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX")
+    with pytest.raises(ValueError, match="runs past"):
+        decode_bmp(encode_bmp(g)[:-20])
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(encode_bmp(g))
+        bad[28] = 4  # 4-bit
+        decode_bmp(bytes(bad))
