@@ -37,10 +37,59 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _mulaw_expand_table() -> np.ndarray:
+    """G.711 §4.1 mu-law decoder table (256 → int16): u = ~code;
+    magnitude = ((mantissa·8 + 0x84) << exponent) − 0x84 — the exact
+    integer formula, so every expanded sample is SQL-replayable with
+    bit arithmetic (the q172 oracle recomputes it)."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant * 8 + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+MULAW_TABLE = _mulaw_expand_table()
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 → mu-law bytes (G.711 encoder twin — fixture generation):
+    clamp to ±8158-ish per spec (±32635 input, bias 0x84), find the
+    exponent segment, pack sign/exponent/mantissa, complement."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = (x < 0).astype(np.int64)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = (sign << 7) | (exp << 4) | mant
+    return (~code & 0xFF).astype(np.uint8)
+
+
+def encode_wav_mulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n,) or (n, ch) int16 → mu-law (format tag 7) WAV bytes — the
+    fixture twin of decode_wav's mu-law path."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = mulaw_compress(a.reshape(-1)).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, ch, rate, rate * ch, ch, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes → (sample_rate, int16 array (n_samples, channels)).
-    8-bit unsigned clips map to (v - 128) * 256 so full-scale 8-bit and
-    16-bit audio lands on one int16 scale. Raises ValueError on any
+    8-bit unsigned PCM maps to (v - 128) * 256 so full-scale 8-bit and
+    16-bit audio lands on one int16 scale; G.711 mu-law (format tag 7)
+    expands through the exact spec table. Raises ValueError on any
     malformed structure."""
     try:
         return _decode_wav(buf)
@@ -75,11 +124,19 @@ def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != 1:
-        raise ValueError(f"WAV format tag {audio_fmt} unsupported (PCM only)")
+    if audio_fmt not in (1, 7):
+        raise ValueError(
+            f"WAV format tag {audio_fmt} unsupported (PCM=1 / mu-law=7 only)"
+        )
     if ch < 1:
         raise ValueError("zero channels")
-    if bits == 16:
+    if audio_fmt == 7:  # G.711 mu-law: 8-bit companded telephony speech
+        if bits != 8:
+            raise ValueError(f"mu-law requires 8-bit samples, got {bits}")
+        n = len(data) // ch
+        raw = np.frombuffer(data[: n * ch], dtype=np.uint8).reshape(n, ch)
+        a = MULAW_TABLE[raw]
+    elif bits == 16:
         n = len(data) // (2 * ch)
         a = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch)
         a = a.astype(np.int16)

@@ -171,3 +171,54 @@ def test_audio_resample_linear_semantics(spark):
     # the last dst sample lands exactly ON the last source sample
     assert dbl[0] == 0 and dbl[1] == 50 and dbl[2] == 100 and dbl[3] == 75
     assert len(dbl) == 15 and dbl[-1] == s[-1]
+
+
+def test_mulaw_table_matches_g711_reference():
+    """G.711 mu-law expand: canonical g711.c values (code 0x00 →
+    −32124, 0x80 → +32124, 0x7F/0xFF → 0) and exhaustive equality
+    against the reference ulaw2linear formula."""
+    from odin_rs_spark.sources.audiocodec import MULAW_TABLE, mulaw_compress
+
+    def ref(u):
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    for code in range(256):
+        assert MULAW_TABLE[code] == ref(code), code
+    # compress∘expand is identity on codec fixed points
+    codes = np.arange(256, dtype=np.uint8)
+    expanded = MULAW_TABLE[codes]
+    assert np.array_equal(MULAW_TABLE[mulaw_compress(expanded)], expanded)
+
+
+def test_mulaw_wav_roundtrip_and_pipeline(spark):
+    from odin_rs_spark.operators import multimodal as mm
+    from odin_rs_spark.sources.audiocodec import (
+        MULAW_TABLE,
+        decode_wav,
+        encode_wav_mulaw,
+    )
+
+    s = MULAW_TABLE[(np.arange(400) * 29) % 256].astype(np.int16)
+    buf = encode_wav_mulaw(s, rate=8000)
+    rate, a = decode_wav(buf)
+    assert rate == 8000 and np.array_equal(a[:, 0], s)
+    # the existing audio operators accept mu-law clips unchanged
+    media = spark.createDataFrame(
+        [(1, bytearray(buf))], "media_id long, content binary"
+    )
+    st = mm.audio_stats(media).first()
+    assert st.n_samples == 400 and st.peak == int(np.abs(s).max())
+    # stereo + error contract
+    st2 = np.stack([s[:100], -s[:100]], axis=1)
+    r2, a2 = decode_wav(encode_wav_mulaw(st2, rate=16000))
+    assert (r2, a2.shape) == (16000, (100, 2)) and np.array_equal(a2, st2)
+    import struct as _struct
+
+    bad = bytearray(encode_wav_mulaw(s))
+    # force bits=16 in the fmt chunk of a mu-law file
+    bad[34:36] = _struct.pack("<H", 16)
+    with pytest.raises(ValueError, match="mu-law requires 8-bit"):
+        decode_wav(bytes(bad))

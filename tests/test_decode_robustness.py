@@ -348,3 +348,24 @@ def test_bmp_mutation_raises_valueerror_only(pos, flip):
     buf = bytearray(BMPB)
     buf[pos] ^= flip
     _assert_valueerror_or_ok(decode_bmp, bytes(buf))
+
+
+def _mulaw_wav():
+    from odin_rs_spark.sources.audiocodec import MULAW_TABLE, encode_wav_mulaw
+
+    return encode_wav_mulaw(
+        MULAW_TABLE[(np.arange(200) * 13) % 256], rate=8000
+    )
+
+
+MUWAV = _mulaw_wav()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(MUWAV) - 1), st.integers(1, 255))
+def test_mulaw_wav_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.audiocodec import decode_wav
+
+    buf = bytearray(MUWAV)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(decode_wav, bytes(buf))
