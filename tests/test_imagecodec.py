@@ -111,8 +111,11 @@ def test_unsupported_rejected():
     # this truncated stream as corrupt rather than unrecognized
     with pytest.raises(ValueError, match="corrupt GIF|unexpected block"):
         decode_image(b"GIF89a not supported")
+    # BMP magic now DISPATCHES to the BMP decoder (r7)
+    with pytest.raises(ValueError, match="corrupt BMP|unsupported BMP"):
+        decode_image(b"BM bmp-ish-garbage....................")
     with pytest.raises(ValueError, match="unrecognized image format"):
-        decode_image(b"BM bmp-is-not-supported")
+        decode_image(b"II*\x00 tiff-is-not-an-image-here")
 
 
 def test_pnm_comment_and_roundtrip():
