@@ -8776,12 +8776,108 @@ ON m.media_id = z.media_id
 """
 
 
+# --------------------------------------------------------------------------
+# q173 — G.711 A-LAW WAV decode (format tag 6, the European telephony
+# twin of q172's mu-law): data bytes ARE the formula codes (A-law's
+# 256 table values are distinct, so the codec is exactly invertible
+# and encode_wav_alaw writes the codes back verbatim), decoded through
+# the unchanged audio_stats pipeline. The oracle re-derives every
+# sample from the alaw2linear formula — a = code XOR 85; seg/mantissa
+# arithmetic; sign bit marks POSITIVE — in SQL integer math.
+# Codes: (t·(seed%5+2) + 7·seed) % 256 over n = 280 + 24·seed.
+# --------------------------------------------------------------------------
+
+def _formula_alaw_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.audiocodec import (
+            ALAW_TABLE,
+            encode_wav_alaw,
+        )
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 20
+            t = np.arange(280 + 24 * seed, dtype=np.int64)
+            codes = (t * (seed % 5 + 2) + 7 * seed) % 256
+            out.append(
+                encode_wav_alaw(ALAW_TABLE[codes].astype(np.int16), rate=8000)
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q173_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import audio_stats
+
+    media = _formula_alaw_media(spark, 20)
+    out = audio_stats(media)
+    return out.select(
+        "media_id",
+        "rate",
+        "channels",
+        "n_samples",
+        "peak",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
+Q173_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 20) AS seed FROM range(20) r),
+pp AS (
+  SELECT media_id, seed % 5 + 2 AS f, 7 * seed AS ph,
+         280 + 24 * seed AS ns FROM par),
+smp AS (
+  SELECT media_id, ns, i,
+         xor((i * f + ph) % 256, 85) AS a
+  FROM pp, range(736) ii(i) WHERE i < ns),
+ex AS (
+  SELECT media_id, ns, i,
+         CASE WHEN a % 256 >= 128 THEN 1 ELSE -1 END *
+         CASE (a // 16) % 8
+           WHEN 0 THEN (a % 16) * 16 + 8
+           WHEN 1 THEN (a % 16) * 16 + 264
+           ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+         END AS s
+  FROM smp),
+nz AS (
+  SELECT media_id, i, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM ex WHERE s != 0)
+SELECT m.media_id, 8000 AS rate, 1 AS channels,
+       m.ns::BIGINT AS n_samples, m.peak::INT AS peak,
+       round(m.sum_abs / m.ns, 6) AS mean_abs,
+       coalesce(z.zc, 0)::BIGINT AS zero_crossings
+FROM (SELECT media_id, any_value(ns) AS ns, max(abs(s)) AS peak,
+             sum(abs(s))::DOUBLE AS sum_abs
+      FROM ex GROUP BY media_id) m
+LEFT JOIN (SELECT media_id, count(*)::BIGINT AS zc FROM nz
+           WHERE prev IS NOT NULL AND sign(s) != sign(prev)
+           GROUP BY media_id) z
+ON m.media_id = z.media_id
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-22:  the r7 NEW queries — q162 HTML→text + link density,
+#   slots 1-23:  the r7 NEW queries — q162 HTML→text + link density,
 #                q163 sitemap XML scan (from_xml), q164 robots.txt
 #                policy (RFC 9309), q165 LSH band planner, q166
 #                crawl-snapshot diff, q167 block-level main-text
@@ -8793,16 +8889,16 @@ ON m.media_id = z.media_id
 #                entropy, q157 SemDeDup (16-cell scaling), q158 A/V
 #                demux, q159 corpus MinHash matrix, q160 weighted
 #                sampling, q170 Adam7-interlaced PNG decode, q171
-#                BMP decode, q172 G.711 mu-law decode.
-#   slots 23-34: queries whose code changed AFTER the r6 snapshot
+#                BMP decode, q172/q173 G.711 mu-law + A-law decode.
+#   slots 24-35: queries whose code changed AFTER the r6 snapshot
 #                (the five-defect fix commit): connected_components →
 #                q76/q81/q24/q25/q26/q82/q64; bpe_train_merges/
 #                bpe_segment_words → q135/q139; audio_resample_linear
 #                → q150; greedy_kcenter_select → q142;
 #                dem_slope_cells → q148.
-#   slots 35-50: the stalest driver rows — the r2-green-only block
+#   slots 36-50: the stalest driver rows — the r2-green-only block
 #                (q75/q77/q79/q80/q83-q90), then the oldest r3-green
-#                (q47/q55/q65/q53; q56/q59/q69/q78 and q02-q09 fall
+#                (q47/q55/q65; q53/q56/q59/q69/q78 and q02-q09 fall
 #                just past the cap).
 # Past slot 50: the r6-graded block (q129-q150 families, q103/q108/
 # q117/q126/q127, q51-q74 leftovers), then the r3/r5-green middle
@@ -8823,6 +8919,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q170_interlaced_png", q170_interlaced_png, Q170_SQL, "R9 png-adam7-interlace decode"),
         QuerySpec("q171_bmp_decode", q171_bmp_decode, Q171_SQL, "R9 bmp-decode row-padding"),
         QuerySpec("q172_mulaw_decode", q172_mulaw_decode, Q172_SQL, "multimodal g711-mulaw decode"),
+        QuerySpec("q173_alaw_decode", q173_alaw_decode, Q173_SQL, "multimodal g711-alaw decode"),
         QuerySpec("q161_gif_decode", q161_gif_decode, Q161_SQL, "R9 gif-decode lzw-interlace"),
         QuerySpec("q151_video_decode", q151_video_decode, Q151_SQL, "multimodal mjpeg-frame-decode"),
         QuerySpec("q152_video_frame_dedup", q152_video_frame_dedup, Q152_SQL, "multimodal video-frame-dedup"),

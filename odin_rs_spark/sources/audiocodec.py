@@ -54,6 +54,60 @@ def _mulaw_expand_table() -> np.ndarray:
 MULAW_TABLE = _mulaw_expand_table()
 
 
+def _alaw_expand_table() -> np.ndarray:
+    """G.711 A-law decoder table (256 -> int16, canonical alaw2linear):
+    a = code XOR 0x55; seg = (a >> 4) & 7; t = (a & 0xF) << 4;
+    magnitude = t+8 (seg 0), t+0x108 (seg 1), (t+0x108) << (seg-1)
+    otherwise; the sign bit (a & 0x80) marks POSITIVE in A-law. All
+    integer arithmetic, SQL-replayable (the q173 oracle recomputes
+    it)."""
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where((a & 0x80) != 0, mag, -mag).astype(np.int16)
+
+
+ALAW_TABLE = _alaw_expand_table()
+
+# A-law magnitudes are all nonzero, so the 256 table values are
+# distinct and the codec is exactly invertible on its own outputs
+_ALAW_INVERSE = {int(v): c for c, v in enumerate(ALAW_TABLE)}
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """Exact inverse of ALAW_TABLE on codec outputs (fixture twin —
+    fixtures synthesize from table values; anything else raises)."""
+    out = np.empty(len(samples), dtype=np.uint8)
+    for i, v in enumerate(np.asarray(samples, dtype=np.int64)):
+        try:
+            out[i] = _ALAW_INVERSE[int(v)]
+        except KeyError:
+            raise ValueError(f"{v} is not an A-law codec output value")
+    return out
+
+
+def encode_wav_alaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n,) or (n, ch) int16 A-law table values -> A-law (format tag
+    6) WAV bytes — the fixture twin of decode_wav's A-law path."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = alaw_compress(a.reshape(-1)).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, ch, rate, rate * ch, ch, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def mulaw_compress(samples: np.ndarray) -> np.ndarray:
     """int16 → mu-law bytes (G.711 encoder twin — fixture generation):
     clamp to ±8158-ish per spec (±32635 input, bias 0x84), find the
@@ -124,18 +178,18 @@ def _decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt not in (1, 7):
+    if audio_fmt not in (1, 6, 7):
         raise ValueError(
-            f"WAV format tag {audio_fmt} unsupported (PCM=1 / mu-law=7 only)"
+            f"WAV format tag {audio_fmt} unsupported (PCM=1 / A-law=6 / mu-law=7)"
         )
     if ch < 1:
         raise ValueError("zero channels")
-    if audio_fmt == 7:  # G.711 mu-law: 8-bit companded telephony speech
+    if audio_fmt in (6, 7):  # G.711: 8-bit companded telephony speech
         if bits != 8:
-            raise ValueError(f"mu-law requires 8-bit samples, got {bits}")
+            raise ValueError(f"G.711 requires 8-bit samples, got {bits}")
         n = len(data) // ch
         raw = np.frombuffer(data[: n * ch], dtype=np.uint8).reshape(n, ch)
-        a = MULAW_TABLE[raw]
+        a = (ALAW_TABLE if audio_fmt == 6 else MULAW_TABLE)[raw]
     elif bits == 16:
         n = len(data) // (2 * ch)
         a = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch)

@@ -222,3 +222,38 @@ def test_mulaw_wav_roundtrip_and_pipeline(spark):
     bad[34:36] = _struct.pack("<H", 16)
     with pytest.raises(ValueError, match="mu-law requires 8-bit"):
         decode_wav(bytes(bad))
+
+
+def test_alaw_table_matches_g711_reference(spark):
+    from odin_rs_spark.operators import multimodal as mm
+    from odin_rs_spark.sources.audiocodec import (
+        ALAW_TABLE,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    def ref(code):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 7
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    for c in range(256):
+        assert ALAW_TABLE[c] == ref(c), c
+    # all 256 values distinct -> the codec is exactly invertible
+    assert len({int(v) for v in ALAW_TABLE}) == 256
+
+    s = ALAW_TABLE[(np.arange(350) * 23) % 256].astype(np.int16)
+    rate, a = decode_wav(encode_wav_alaw(s, rate=8000))
+    assert rate == 8000 and np.array_equal(a[:, 0], s)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_alaw(s)))], "media_id long, content binary"
+    )
+    st = mm.audio_stats(media).first()
+    assert st.n_samples == 350 and st.peak == int(np.abs(s).max())
