@@ -220,7 +220,7 @@ def test_mulaw_wav_roundtrip_and_pipeline(spark):
     bad = bytearray(encode_wav_mulaw(s))
     # force bits=16 in the fmt chunk of a mu-law file
     bad[34:36] = _struct.pack("<H", 16)
-    with pytest.raises(ValueError, match="mu-law requires 8-bit"):
+    with pytest.raises(ValueError, match="G.711 requires 8-bit"):
         decode_wav(bytes(bad))
 
 
