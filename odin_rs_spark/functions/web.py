@@ -10,9 +10,11 @@ URL-level dedup, and per-domain quality/quota policies (corpus.
 source_quota, corpus.source_mix) get a stable grouping key.
 
 Scope: absolute http(s) URLs (the crawl case). Dot-segment
-resolution and IDN/punycode are out of scope — crawlers emit
-resolved absolute URLs (and the WARC fixture's Target-URIs are
-already resolved); both are documented seams, not silent wrongness.
+resolution (RFC 3986 §5.2.4) and percent-encoding normalization
+(§6.2.2.1-2: decode unreserved octets, uppercase the rest) are
+IN scope since r8 — both pure column math. IDN/punycode stays out
+(a host that needs it canonicalizes byte-stable but not
+IDN-equivalent; documented seam, not silent wrongness).
 """
 
 from __future__ import annotations
@@ -20,10 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+# userinfo ("user:pass@") is consumed by a non-capturing group so the
+# host capture never stops at the ':' of a password (ADVICE r7: the
+# old pattern parsed host='user' for userinfo URLs)
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#:@]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 
-# query parameters that do not change page identity (click-tracking)
-TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref", "utm")
+# query parameters that do not change page identity (click-tracking).
+# Deliberately NOT 'ref' (ADVICE r7: content-bearing on common crawl
+# targets — GitHub '?ref=branch' selects different page content);
+# recipe owners tune the list per corpus via the `tracking` parameter
+# of url_canonicalize.
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "utm")
 
 # two-level public suffixes the registered-domain rule must not split
 # (a pragmatic embedded subset of the public-suffix list; swap in the
@@ -55,28 +64,98 @@ def url_parse(url: Column) -> Column:
     )
 
 
-def _clean_query(query: Column) -> Column:
+def _clean_query(
+    query: Column, tracking: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Sorted, tracking-stripped query string ('' when nothing is
-    left): split on '&', drop empty params and tracking keys, sort
-    for order-independence, rejoin."""
-    params = F.filter(
-        F.split(F.coalesce(query, F.lit("")), "&"),
-        lambda p: (p != "")
-        & ~F.startswith(F.substring_index(p, "=", 1), F.lit("utm_"))
-        & ~F.substring_index(p, "=", 1).isin(
-            [t for t in TRACKING_PARAMS if t != "utm"]
-        ),
-    )
+    left): split on '&', drop empty params and tracking keys ('utm'
+    in the list means the utm_* prefix family), sort for
+    order-independence, rejoin."""
+    exact = [t for t in tracking if t != "utm"]
+    drop_utm = "utm" in tracking
+
+    def keep(p: Column) -> Column:
+        k = F.substring_index(p, "=", 1)
+        cond = (p != "") & ~k.isin(exact)
+        if drop_utm:
+            cond = cond & ~F.startswith(k, F.lit("utm_"))
+        return cond
+
+    params = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), keep)
     return F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
     ).otherwise(F.lit(""))
 
 
-def url_canonicalize(url: Column) -> Column:
+# RFC 3986 §2.3 unreserved characters: percent-triplets encoding
+# these decode to the bare character; every other triplet normalizes
+# to uppercase hex (§6.2.2.1). ALPHA / DIGIT / '-' '.' '_' '~'.
+def _is_unreserved(cp: Column) -> Column:
+    return (
+        cp.between(48, 57)   # 0-9
+        | cp.between(65, 90)  # A-Z
+        | cp.between(97, 122)  # a-z
+        | cp.isin(45, 46, 95, 126)  # - . _ ~
+    )
+
+
+def pct_normalize(c: Column) -> Column:
+    """Percent-encoding normalization (RFC 3986 §6.2.2): every %xx
+    triplet encoding an UNRESERVED character decodes to that
+    character; all other triplets uppercase their hex digits
+    (%7e → ~, %3a → %3A). Pure column math: extract the distinct
+    triplets, map each to its replacement, fold replace() over them —
+    zero UDFs, cost proportional to the (tiny) distinct-triplet set
+    per value."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(c, F.lit("%[0-9A-Fa-f]{2}"), 0)
+    )
+
+    def rep(t: Column) -> Column:
+        cp = F.conv(F.substring(t, 2, 2), 16, 10).cast("int")
+        return F.when(_is_unreserved(cp), F.char(cp)).otherwise(F.upper(t))
+
+    return F.aggregate(toks, c, lambda acc, t: F.replace(acc, t, rep(t)))
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments on an absolute path, as a
+    single fold: '.' segments drop, '..' pops, a trailing '.' or '..'
+    leaves the trailing slash ('/a/.' → '/a/', '/a/..' → '/').
+    NULL-safe (NULL in → NULL out); non-absolute strings pass
+    through unchanged (crawl paths are always absolute)."""
+    # a trailing '/.' or '/..' acts like '/./' / '/../' (RFC: the
+    # output buffer keeps the slash) — append the slash up front so
+    # every dot segment is non-final and the fold stays one pass
+    p = F.when(path.rlike(r"/\.\.?$"), F.concat(path, F.lit("/"))).otherwise(
+        path
+    )
+    segs = F.split(F.substring(p, 2, F.lit(2147483647)), "/")
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.when(
+        path.startswith("/"), F.concat(F.lit("/"), F.array_join(stack, "/"))
+    ).otherwise(path)
+
+
+def url_canonicalize(
+    url: Column, tracking: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """One canonical string per page identity: lowercase scheme/host,
     strip a leading 'www.', drop default ports (http:80, https:443),
-    empty path → '/', tracking params out, remaining params sorted,
-    fragment dropped. Non-URL strings canonicalize to NULL."""
+    empty path → '/', percent-encoding normalized then dot-segments
+    resolved in the path (RFC 3986 §6.2.2 order: decode unreserved
+    octets before removing dot segments), tracking params out
+    (tunable via `tracking`), remaining params sorted, fragment
+    dropped. Non-URL strings canonicalize to NULL."""
     u = url_parse(url)
     scheme = u["scheme"]
     host = F.regexp_replace(u["host"], r"^www\.", "")
@@ -90,10 +169,17 @@ def url_canonicalize(url: Column) -> Column:
     ).otherwise(F.lit(""))
     path = F.when(
         F.coalesce(u["path"], F.lit("")) == "", F.lit("/")
-    ).otherwise(u["path"])
+    ).otherwise(remove_dot_segments(pct_normalize(u["path"])))
     return F.when(
         scheme.isNotNull() & host.isNotNull(),
-        F.concat(scheme, F.lit("://"), host, port, path, _clean_query(u["query"])),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port,
+            path,
+            _clean_query(u["query"], tracking),
+        ),
     )
 
 

@@ -821,7 +821,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
-    driver_threshold: int | None = 1_000_000,
+    driver_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -842,7 +842,12 @@ def connected_components(
     costs ~4 fixed-latency jobs per round. When the (deduplicated) edge
     count is ≤ driver_threshold the closure runs as union-find on the
     driver instead — the same economics as a broadcast-join threshold.
-    Pass driver_threshold=None to force the distributed path.
+    The default (100k edges ≈ a few MB of Row objects plus the
+    union-find dict — comfortably inside any driver heap; VERDICT r7
+    asked the old 1M default be cut an order of magnitude) bounds the
+    one collect this module allows itself; raise it only with driver
+    memory to match (~60-100 B/edge collected). Pass
+    driver_threshold=None to force the distributed path.
     """
     w = Window.partitionBy("u")
 

@@ -1265,7 +1265,8 @@ VIDEO_FRAME_STATS_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_px", LongType()),
-        StructField("sum_luma", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sum_channels", LongType()),
         StructField("mean_luma", DoubleType()),
     ]
 )
@@ -1291,11 +1292,13 @@ def video_decode_frames(
     Scale shape: one mapInPandas pass; frame SELECTION (every_n /
     keyframes_only / max_frames) happens on the index before any
     decode, so skipped frames cost a byte-slice of zero work; video
-    bytes never shuffle, rows-out = selected frames. `sum_luma` is an
-    exact integer (uint8 pixels), so downstream aggregates are
-    SQL-replayable with zero tolerance; RGB frames reduce by the
-    integer-exact mean over the 3 channels only when divisible, else
-    the double mean (gray MJPG fixtures keep the exact path)."""
+    bytes never shuffle, rows-out = selected frames. `sum_channels` is
+    the RAW integer sum over every pixel of every channel — one unit
+    for all rows (ADVICE r7: a conditional /3 gave the column
+    row-dependent units on RGB frames, silently mixing scales in any
+    downstream SUM) — with `n_channels` alongside so aggregates can
+    normalize exactly; `mean_luma` (= sum_channels / n_channels / n_px)
+    is the only derived value."""
     import numpy as np
 
     from odin_rs_spark.sources.avicodec import parse_avi_index
@@ -1310,7 +1313,8 @@ def video_decode_frames(
         for pdf in batches:
             rows = {
                 "media_id": [], "frame_no": [], "keyframe": [], "width": [],
-                "height": [], "n_px": [], "sum_luma": [], "mean_luma": [],
+                "height": [], "n_px": [], "n_channels": [],
+                "sum_channels": [], "mean_luma": [],
             }
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 buf = bytes(content)
@@ -1335,22 +1339,17 @@ def video_decode_frames(
                     a = np.asarray(img, dtype=np.uint8)
                     h, w = a.shape[:2]
                     n_px = h * w
+                    nch = a.shape[2] if a.ndim == 3 else 1
                     s = int(a.astype(np.int64).sum())
-                    if a.ndim == 3:
-                        # per-pixel luma = channel mean; exact only
-                        # when the channel sum divides by 3
-                        mean = s / 3.0 / n_px
-                        s = s // 3 if s % 3 == 0 else s
-                    else:
-                        mean = s / n_px
                     rows["media_id"].append(mid)
                     rows["frame_no"].append(fno)
                     rows["keyframe"].append(int(kf))
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["n_px"].append(n_px)
-                    rows["sum_luma"].append(s)
-                    rows["mean_luma"].append(mean)
+                    rows["n_channels"].append(nch)
+                    rows["sum_channels"].append(s)
+                    rows["mean_luma"].append(s / nch / n_px)
                     taken += 1
             yield pd.DataFrame(rows)
 

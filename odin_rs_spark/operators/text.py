@@ -1125,21 +1125,96 @@ _HTML_DROP_STYLE = r"(?is)<style[^>]*>.*?</style>"
 _HTML_TAG = r"(?is)<[^>]*>"
 _HTML_LINK_INNER = r"(?is)<a[^>]*>(.*?)</a>"
 
-# entity decode order matters: &amp; LAST, or it re-creates entities
+# entity decode order matters: numeric entities decode after the named
+# table and &amp; LAST, or it re-creates entities (single-pass
+# semantics: '&amp;#39;' stays the literal text '&#39;')
 _HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),
+    ("&apos;", "'"),
+    ("&rsquo;", "’"),
+    ("&lsquo;", "‘"),
+    ("&rdquo;", "”"),
+    ("&ldquo;", "“"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
 )
+
+# &#8217; decimal and &#x2019; hex forms (HTML5 §13.5 numeric character
+# reference); 7/6 digit caps keep the codepoint parse inside int range
+_NUM_ENTITY_RE = "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+
+def _utf8_char(cp: Column) -> Column:
+    """Unicode codepoint (int column) → its one-character string, by
+    constructing the UTF-8 byte sequence in column math (Spark's
+    char() is mod-256 ASCII, useless past Latin-1): branch on the
+    standard 1/2/3/4-byte ranges, hex-format each byte, unhex+decode."""
+
+    def hx(b: Column) -> Column:
+        return F.lpad(F.hex(b.cast("bigint")), 2, "0")
+
+    def cont(b: Column) -> Column:  # 10xxxxxx continuation byte
+        return hx(b.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80)))
+
+    one = hx(cp)
+    two = F.concat(
+        hx(F.shiftright(cp, 6).bitwiseOR(F.lit(0xC0))), cont(cp)
+    )
+    three = F.concat(
+        hx(F.shiftright(cp, 12).bitwiseOR(F.lit(0xE0))),
+        cont(F.shiftright(cp, 6)),
+        cont(cp),
+    )
+    four = F.concat(
+        hx(F.shiftright(cp, 18).bitwiseOR(F.lit(0xF0))),
+        cont(F.shiftright(cp, 12)),
+        cont(F.shiftright(cp, 6)),
+        cont(cp),
+    )
+    hexs = (
+        F.when(cp < 0x80, one)
+        .when(cp < 0x800, two)
+        .when(cp < 0x10000, three)
+        .otherwise(four)
+    )
+    return F.decode(F.unhex(hexs), "UTF-8")
+
+
+def decode_numeric_entities(c: Column) -> Column:
+    """Decode HTML numeric character references (&#8217; / &#x2019;)
+    as pure column math: extract the distinct references, map each to
+    its UTF-8 character, fold replace() over them. Out-of-range
+    codepoints (0, surrogates, > U+10FFFF) keep their literal token —
+    malformed crawl HTML must not abort the pipeline. Zero UDFs; cost
+    proportional to the distinct-reference set per document."""
+    toks = F.array_distinct(F.regexp_extract_all(c, F.lit(_NUM_ENTITY_RE), 0))
+
+    def rep(t: Column) -> Column:
+        is_hex = F.lower(F.substring(t, 3, 1)) == "x"
+        cp = (
+            F.when(
+                is_hex,
+                F.conv(F.substring(t, 4, F.length(t) - 4), 16, 10),
+            )
+            .otherwise(F.substring(t, 3, F.length(t) - 3))
+            .cast("int")
+        )
+        valid = cp.between(1, 0x10FFFF) & ~cp.between(0xD800, 0xDFFF)
+        return F.when(valid, _utf8_char(cp)).otherwise(t)
+
+    return F.aggregate(toks, c, lambda acc, t: F.replace(acc, t, rep(t)))
 
 
 def _strip_tags(c: Column) -> Column:
     out = F.regexp_replace(c, _HTML_TAG, " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = decode_numeric_entities(out)
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
@@ -1152,11 +1227,11 @@ def _drop_blocks(c: Column) -> Column:
 def html_to_text(c: Column | str) -> Column:
     """Visible text of an HTML document: script then style blocks
     dropped (non-greedy, each closed by its own literal tag), every
-    remaining tag replaced by a space, the six ubiquitous character
-    entities decoded (&amp; last, so it cannot resurrect others),
-    whitespace collapsed. Numeric entities and CDATA are out of scope
-    (documented seam — a full entity table is a longer replace chain,
-    same shape)."""
+    remaining tag replaced by a space, the common named character
+    entities decoded, numeric references (&#8217; / &#x2019;) decoded
+    via `decode_numeric_entities` (&amp; last, so it cannot resurrect
+    others — single-pass semantics), whitespace collapsed. CDATA
+    stays out of scope (documented seam)."""
     col = F.col(c) if isinstance(c, str) else c
     return _strip_tags(_drop_blocks(col))
 

@@ -10,11 +10,15 @@ Semantics implemented (RFC 9309 §2.2):
   rules; comments (#…) stripped; unknown directives ignored.
 - a crawler obeys the group naming it specifically, else the '*'
   group; no group at all → everything allowed.
-- matching = longest-prefix wins; equal length → Allow wins.
+- matching = longest rule wins (most octets, §2.2.2); equal length →
+  Allow wins.
 - 'Disallow:' with an empty path matches nothing (allow-all).
-Out of scope (documented): '*' wildcards and '$' anchors inside rule
-paths (Google extension — a regex translate at the same join site),
-Crawl-delay, Sitemap discovery lines.
+- '*' matches any character sequence and a trailing '$' anchors the
+  rule at the end of the path (§2.2.3 special characters): rules
+  translate to anchored regexes at the join site — metacharacters
+  escaped, '*' → '.*', trailing '$' kept as the anchor; a '$'
+  anywhere else is literal.
+Out of scope (documented): Crawl-delay, Sitemap discovery lines.
 
 Scale shape: robots files are per-HOST and tiny — rules broadcast;
 the URL side joins on the host equi-key and evaluates prefixes
@@ -86,6 +90,25 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "rob
     )
 
 
+# Java-regex metacharacters a robots rule path could contain, escaped
+# before '*' becomes '.*' (backslash FIRST so later escapes survive)
+_RE_META = ("\\", ".", "[", "]", "{", "}", "(", ")", "+", "?", "^", "$", "|")
+
+
+def _rule_regex(prefix):
+    """RFC 9309 §2.2.3 rule path → anchored Java regex: escape
+    metacharacters, '*' → '.*', then un-escape a rule-final '$' back
+    into the end anchor. A plain rule compiles to '^literal' —
+    exactly the old startswith semantics."""
+    pat = prefix
+    for ch in _RE_META:
+        pat = F.replace(pat, F.lit(ch), F.lit("\\" + ch))
+    pat = F.replace(pat, F.lit("*"), F.lit(".*"))
+    # replacement-side '$' is a group reference in Java — escape it
+    pat = F.regexp_replace(pat, r"\\\$$", "\\$")
+    return F.concat(F.lit("^"), pat)
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,
@@ -95,10 +118,14 @@ def robots_allowed(
 ) -> DataFrame:
     """Evaluate the RFC 9309 match for `agent` over (host, path) rows:
     adds (allowed int, rule_len int — 0 when no rule matched). The
-    agent's own group wins over '*'; within the group, longest prefix
-    wins, ties go to Allow; hosts without robots (or without a
-    matching group) allow everything. Rules broadcast (per-host files
-    are tiny); URLs never shuffle."""
+    agent's own group wins over '*'; within the group, the longest
+    rule wins (most octets), ties go to Allow; '*'/'$' wildcard rules
+    match via their regex translation; hosts without robots (or
+    without a matching group) allow everything. Rules broadcast
+    (per-host files are tiny); URLs never shuffle. Row multiplicity
+    is preserved — duplicate frontier rows (refetches are normal) ride
+    an injected unique id through the join/groupBy (ADVICE r7: the
+    old groupBy over the value columns collapsed them)."""
     agent = agent.lower()
     r = rules.filter(F.col("agent").isin(agent, "*")).select(
         F.col("host").alias("__rh"),
@@ -106,6 +133,7 @@ def robots_allowed(
         "allow",
         "prefix",
         "prefix_len",
+        _rule_regex(F.col("prefix")).alias("__pat"),
     )
     # does the specific group exist for this host? (if yes, '*' rules
     # are ignored entirely — RFC 9309: exactly one group applies)
@@ -115,11 +143,12 @@ def robots_allowed(
     r2 = r.join(F.broadcast(has_specific), "__rh").filter(
         (F.col("__specific") == F.col("__has"))
     )
-    joined = urls.join(
+    keyed = urls.withColumn("__rid", F.monotonically_increasing_id())
+    joined = keyed.join(
         F.broadcast(r2),
         (F.col(host_col) == F.col("__rh"))
         & (F.col("prefix") != "")
-        & F.col(path_col).startswith(F.col("prefix")),
+        & F.rlike(F.col(path_col), F.col("__pat")),
         "left",
     )
     pick = F.max(
@@ -131,7 +160,9 @@ def robots_allowed(
             ),
         )
     ).alias("__best")
-    out = joined.groupBy(*urls.columns).agg(pick)
+    out = joined.groupBy("__rid").agg(
+        *[F.first(c).alias(c) for c in urls.columns], pick
+    )
     return out.select(
         *urls.columns,
         F.coalesce(F.col("__best.a"), F.lit(1)).alias("allowed"),

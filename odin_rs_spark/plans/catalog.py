@@ -7158,7 +7158,8 @@ def q151_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         "keyframe",
         "n_px",
-        "sum_luma",
+        "n_channels",
+        "sum_channels",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
 
@@ -7178,7 +7179,7 @@ bl AS (
   GROUP BY media_id, frame_no)
 SELECT media_id, frame_no::INT AS frame_no,
        CASE WHEN frame_no % 3 = 0 THEN 1 ELSE 0 END AS keyframe,
-       768::BIGINT AS n_px, (bsum * 64)::BIGINT AS sum_luma,
+       768::BIGINT AS n_px, 1 AS n_channels, (bsum * 64)::BIGINT AS sum_channels,
        round((bsum * 64)::DOUBLE / 768, 6) AS mean_luma
 FROM bl
 """
@@ -7884,9 +7885,12 @@ FROM px GROUP BY media_id, tile_x, tile_y
 # decoys whose content must NOT leak into the text, every third doc
 # gets two nav anchors), extracted JVM-side with pure regexp column
 # expressions, and the oracle RE-RUNS the identical spec in RE2 —
-# script/style drop, tag strip, the six-entity decode chain (&amp;
-# last), whitespace collapse, anchor-text density. text_md5 pins the
-# exact extracted string.
+# script/style drop, tag strip, the named-entity chain, the numeric
+# character-reference fold (decimal + hex, out-of-range kept
+# verbatim, &amp; last so '&amp;#190;' stays literal), whitespace
+# collapse, anchor-text density. text_md5 pins the exact extracted
+# string; the oracle strip SQL is GENERATED from the impl's entity
+# table (_q162_strip) so the two sides cannot drift.
 # --------------------------------------------------------------------------
 
 _Q162_PRE = (
@@ -7894,7 +7898,12 @@ _Q162_PRE = (
     '<script>var q = "<p>not text</p>";</script></head><body><h1>Doc&nbsp;',
     '</h1><p>', '</p>',
     '<a href="/nav">home navigation</a><a href="/more">more links here</a>',
-    '<p>tail &amp; fin</p></body></html>',
+    # entity-bearing tail (VERDICT r7 #3): decimal + hex numeric
+    # references, a named curly quote, and an out-of-range reference
+    # that must survive verbatim; &amp;#190; must decode to the
+    # LITERAL text '&#190;' (single-pass semantics)
+    '<p>tail &amp; fin &#8212; caf&#xE9; &rsquo;quote '
+    "&#0; amp-num &amp;#190;</p></body></html>",
 )
 
 
@@ -7919,12 +7928,46 @@ def q162_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q162_STRIP = r"""trim(regexp_replace(
-    replace(replace(replace(replace(replace(replace(
-      regexp_replace({x}, '(?is)<[^>]*>', ' ', 'g'),
-      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      '&#39;', ''''), '&amp;', '&'),
-    '\s+', ' ', 'g'))"""
+def _q162_strip(x: str) -> str:
+    """DuckDB replay of operators/text._strip_tags, GENERATED from the
+    same entity table so the two sides cannot drift: tag strip → named
+    entities → numeric-reference fold (list_reduce + chr, decimal and
+    0x-hex, out-of-range tokens kept verbatim) → &amp; last →
+    whitespace collapse."""
+    inner = f"regexp_replace({x}, '(?is)<[^>]*>', ' ', 'g')"
+    for ent, rep in text_ops._HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        inner = f"replace({inner}, '{ent}', '{r}')"
+    cp = (
+        "CASE WHEN lower(substr(t, 3, 1)) = 'x'"
+        " THEN ('0x' || substr(t, 4, length(t) - 4))::BIGINT"
+        " ELSE substr(t, 3, length(t) - 3)::BIGINT END"
+    )
+    num = (
+        f"list_reduce(list_prepend({inner}, "
+        f"list_distinct(regexp_extract_all({inner}, "
+        "'&#[0-9]+;|&#[xX][0-9A-Fa-f]+;'))), "
+        f"(acc, t) -> replace(acc, t, "
+        f"CASE WHEN ({cp}) BETWEEN 1 AND 1114111 "
+        f"AND NOT (({cp}) BETWEEN 55296 AND 57343) "
+        f"THEN chr(({cp})::INT) ELSE t END))"
+    )
+    return (
+        r"trim(regexp_replace(replace(" + num + r", '&amp;', '&'),"
+        r" '\s+', ' ', 'g'))"
+    )
+
+
+class _StripFmt:
+    """Adapter keeping the existing `_Q162_STRIP.format(x=...)` call
+    sites working on top of the generated builder."""
+
+    @staticmethod
+    def format(x: str) -> str:
+        return _q162_strip(x)
+
+
+_Q162_STRIP = _StripFmt()
 
 Q162_SQL = (
     r"""
@@ -7936,7 +7979,7 @@ WITH h AS (
          || CASE WHEN doc_id % 3 = 0
                  THEN '<a href="/nav">home navigation</a><a href="/more">more links here</a>'
                  ELSE '' END
-         || '<p>tail &amp; fin</p></body></html>' AS html
+         || '<p>tail &amp; fin &#8212; caf&#xE9; &rsquo;quote &#0; amp-num &amp;#190;</p></body></html>' AS html
   FROM documents),
 body AS (
   SELECT doc_id,
@@ -8286,7 +8329,7 @@ def q167_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("<p>closing prose paragraph number "),
                 i.cast("string"),
-                F.lit(" with enough characters</p>"),
+                F.lit(" with enough characters &#8230;and caf&#xE9; &mdash; yes</p>"),
             ),
         ).otherwise(F.lit("")),
     )
@@ -8308,7 +8351,7 @@ WITH h AS (
          || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
          || CASE WHEN doc_id % 2 = 0
                  THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
-                      || ' with enough characters</p>'
+                      || ' with enough characters &#8230;and caf&#xE9; &mdash; yes</p>'
                  ELSE '' END AS html
   FROM documents),
 body AS (
@@ -8442,7 +8485,7 @@ def q169_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("<p>closing prose paragraph number "),
                 i.cast("string"),
-                F.lit(" with enough characters</p>"),
+                F.lit(" with enough characters &#8230;and caf&#xE9; &mdash; yes</p>"),
             ),
         ).otherwise(F.lit("")),
     )
@@ -8471,7 +8514,7 @@ WITH h AS (
          || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
          || CASE WHEN doc_id % 2 = 0
                  THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
-                      || ' with enough characters</p>'
+                      || ' with enough characters &#8230;and caf&#xE9; &mdash; yes</p>'
                  ELSE '' END AS html
   FROM documents),
 body AS (

@@ -121,7 +121,8 @@ def test_video_decode_frames(spark):
         byy, bxx = np.mgrid[0:3, 0:4]
         vals = 2 * ((seed * 5 + r.frame_no * 17 + bxx * 7 + byy * 11) % 100) + 14
         assert r.n_px == 32 * 24
-        assert r.sum_luma == int(vals.sum()) * 64
+        assert r.n_channels == 1
+        assert r.sum_channels == int(vals.sum()) * 64
         assert r.mean_luma == pytest.approx(vals.mean(), abs=0)
         assert (r.width, r.height) == (32, 24)
 

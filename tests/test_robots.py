@@ -92,6 +92,59 @@ def test_robots_allowed_semantics(spark):
     assert (t.allowed, t.rule_len) == (1, 2)
 
 
+def test_robots_duplicate_frontier_rows_preserved(spark):
+    """ADVICE r7: refetches are normal in a frontier — N identical
+    (host, path) rows must come back as N rows, not one."""
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [("a.example", "/private/x")] * 3 + [("c.example", "/ok")] * 2,
+        "host string, path string",
+    )
+    rows = robots_allowed(urls, rules, agent="MyCrawler").collect()
+    assert len(rows) == 5
+    got = sorted((r.host, r.path, r.allowed) for r in rows)
+    assert got == [("a.example", "/private/x", 0)] * 3 + [("c.example", "/ok", 1)] * 2
+
+
+def test_robots_wildcards_and_anchors(spark):
+    """RFC 9309 §2.2.3 special characters: '*' spans any sequence,
+    trailing '$' anchors at end-of-path, mid-rule '$' is literal,
+    regex metacharacters in rule paths stay literal."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp*/x\n"
+        "Disallow: /lit.eral\n"
+        "Allow: /tmp42/x/ok\n"
+    )
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("w.example", txt)], "host string, robots_txt string"
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("w.example", "/docs/a.pdf"),      # *.pdf$ -> disallow
+            ("w.example", "/docs/a.pdf?x"),    # not at end -> no match
+            ("w.example", "/tmp42/xfile"),     # /tmp*/x -> disallow
+            ("w.example", "/tmp42/x/ok/y"),    # longer Allow wins
+            ("w.example", "/litAeral"),        # '.' must stay literal
+            ("w.example", "/lit.eral/f"),      # literal match -> disallow
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r.host, r.path): (r.allowed, r.rule_len)
+        for r in robots_allowed(urls, rules, agent="any").collect()
+    }
+    assert got[("w.example", "/docs/a.pdf")] == (0, len("/*.pdf$"))
+    assert got[("w.example", "/docs/a.pdf?x")] == (1, 0)
+    assert got[("w.example", "/tmp42/xfile")] == (0, len("/tmp*/x"))
+    assert got[("w.example", "/tmp42/x/ok/y")] == (1, len("/tmp42/x/ok"))
+    assert got[("w.example", "/litAeral")] == (1, 0)
+    assert got[("w.example", "/lit.eral/f")] == (0, len("/lit.eral"))
+
+
 def test_robots_rules_broadcast_urls_never_shuffle(spark):
     rules = _rules(spark)
     urls = spark.range(100).select(

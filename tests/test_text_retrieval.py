@@ -512,6 +512,49 @@ def test_html_to_text_extraction(spark):
     assert "Python" not in plan
 
 
+def test_html_numeric_entities(spark):
+    """HTML5 numeric character references (VERDICT r7 #3): decimal,
+    hex, named additions, astral 4-byte UTF-8, single-pass &amp;
+    semantics, out-of-range tokens kept verbatim."""
+    from odin_rs_spark.operators.text import (
+        decode_numeric_entities,
+        html_to_text,
+    )
+
+    cases = {
+        # the ubiquitous curly quote, both spellings
+        "it&#8217;s &#x2019; fine": "it’s ’ fine",
+        # 2-byte (é) and named additions
+        "caf&#xE9; &mdash; &hellip; &ldquo;q&rdquo;": "café — … “q”",
+        # astral plane: 4-byte UTF-8
+        "hi &#128512;": "hi 😀",
+        # single-pass: &amp;#39; is the LITERAL text '&#39;'
+        "a &amp;#39; b": "a &#39; b",
+        # out-of-range / surrogate / NUL stay verbatim
+        "x &#0; &#xD800; &#1114112; y": "x &#0; &#xD800; &#1114112; y",
+        # not entities at all
+        "a &# ; &#x; b": "a &# ; &#x; b",
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "h string"
+    ).select("h", html_to_text("h").alias("t"))
+    for r in df.collect():
+        assert r.t == cases[r.h], (r.h, r.t)
+
+    # decode_numeric_entities alone leaves &amp; untouched
+    one = spark.range(1).select(
+        decode_numeric_entities(F.lit("&amp; &#65;")).alias("v")
+    ).first()
+    assert one.v == "&amp; A"
+
+    # still zero Python in the plan
+    plan = (
+        df.select(html_to_text("h"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
 def test_extract_main_text_blocks(spark):
     from odin_rs_spark.operators.text import extract_main_text
 
