@@ -8,6 +8,10 @@ import os
 import pytest
 
 from odin_rs_spark.sources.warc import (
+    chunk_encode,
+    dechunk,
+    decode_http_body,
+    encode_http_response,
     encode_warc,
     gunzip_members,
     gzip_member,
@@ -96,6 +100,89 @@ def test_fixture_files_match_formula():
             assert body.decode() == _body_text(g)
 
 
+def test_chunked_and_content_coding_roundtrip():
+    """HTTP wire decodings (RFC 9112 §7.1 chunked, RFC 9110 §8.4
+    gzip/deflate): every encoder/decoder pair round-trips, in every
+    combination, including 1-byte chunks."""
+    body = b"the quick brown fox &#8217; jumps over 13 lazy dogs" * 7
+    for cs in (1, 3, 16, 1000):
+        assert dechunk(chunk_encode(body, cs)) == body
+    # chunk extensions are ignored; trailers are ignored
+    ext = b"5;name=v\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n"
+    assert dechunk(ext) == b"hello"
+    for chunked in (False, True):
+        for ce in (None, "gzip", "deflate"):
+            msg = encode_http_response(
+                body, status=206, mime="text/x", chunked=chunked,
+                content_encoding=ce, chunk_size=5,
+            )
+            st, hh, raw = split_http_response(msg)
+            dec, applied = decode_http_body(hh, raw)
+            assert (st, hh["content-type"], dec) == (206, "text/x", body)
+            want = (["chunked"] if chunked else []) + ([ce] if ce else [])
+            assert applied == want
+    # raw-deflate servers (no zlib wrapper) are tolerated
+    import zlib
+
+    raw_deflate = zlib.compressobj(wbits=-15)
+    blob = raw_deflate.compress(body) + raw_deflate.flush()
+    dec, applied = decode_http_body({"content-encoding": "deflate"}, blob)
+    assert dec == body and applied == ["deflate"]
+
+
+def test_http_decode_errors_named():
+    with pytest.raises(ValueError, match="bad chunk size"):
+        dechunk(b"zz\r\nhello\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="missing chunk-size"):
+        dechunk(b"5")
+    with pytest.raises(ValueError, match="runs past"):
+        dechunk(b"ff\r\nshort\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="not CRLF-terminated"):
+        dechunk(b"5\r\nhelloXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        decode_http_body({"content-encoding": "br"}, b"x")
+    with pytest.raises(ValueError, match="gzip body"):
+        decode_http_body({"content-encoding": "gzip"}, b"not gzip")
+
+
+def _cc2_prose(g: int) -> str:
+    nw = 40 + 15 * (g % 3)
+    return " ".join(
+        "the" if j % 5 == 0 else ("and" if j % 5 == 3 else f"w{(g * 3 + j) % 11}x")
+        for j in range(nw)
+    )
+
+
+def _cc2_html(g: int) -> str:
+    return '<div><a href="/">home</a> nav links</div><p>' + _cc2_prose(g) + "</p>"
+
+
+def test_cc2_fixture_files_match_formula():
+    """The committed cc2_*.warc.gz fixtures (chunked/gzipped HTTP
+    bodies — the real Common Crawl wire shape) ARE the formula; the
+    q174 oracle replays it. Encoding mix by g%4: identity / gzip /
+    chunked / chunked+gzip."""
+    for fn in range(2):
+        path = os.path.join(FIXTURE_DIR, f"cc2_{fn:02d}.warc.gz")
+        recs = parse_warc(open(path, "rb").read())
+        assert len(recs) == 21
+        for p in range(10):
+            g = fn * 10 + p
+            resp = recs[2 + 2 * p]
+            assert resp["headers"]["warc-type"] == "response"
+            url = f"https://crawl{g % 5}.example.net/doc/{g}"
+            assert resp["headers"]["warc-target-uri"] == url
+            st, hh, raw = split_http_response(resp["block"])
+            assert st == (404 if g % 7 == 0 else 200)
+            dec, applied = decode_http_body(hh, raw)
+            assert dec.decode() == _cc2_html(g)
+            want = {0: [], 1: ["gzip"], 2: ["chunked"], 3: ["chunked", "gzip"]}
+            assert applied == want[g % 4]
+            # the stored body really is encoded on the wire
+            if applied:
+                assert raw != dec
+
+
 def test_warc_records_spark(spark, tmp_path):
     recs = [
         {"warc_type": "warcinfo", "block": b"software: x\r\n"},
@@ -104,6 +191,15 @@ def test_warc_records_spark(spark, tmp_path):
             "target_uri": "https://a.example/p",
             "content_type": "application/http; msgtype=response",
             "block": b"HTTP/1.1 301 Moved\r\nContent-Type: text/html\r\n\r\ngone",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://a.example/z",
+            "content_type": "application/http; msgtype=response",
+            "block": encode_http_response(
+                b"wire-decoded!", chunked=True, content_encoding="gzip",
+                chunk_size=4,
+            ),
         },
     ]
     good = tmp_path / "a.warc.gz"
@@ -123,6 +219,13 @@ def test_warc_records_spark(spark, tmp_path):
         4,
     )
     assert r.file == "a.warc.gz" and r.target_uri == "https://a.example/p"
+    assert r.http_encoding is None
+    z = rows[2]
+    assert (z.body_text, z.http_encoding, z.body_len) == (
+        "wire-decoded!",
+        "chunked+gzip",
+        13,
+    )
 
     both = spark.read.format("binaryFile").load(
         [str(good), str(bad)]
