@@ -296,9 +296,10 @@ def image_pixel_stats(
     no shuffle before the stats exist. Every number is integer-exact
     arithmetic (mean as sum/count in double, dHash fully integer), so an
     external oracle that knows the pixel generator replays it verbatim
-    (q124). PNG/PNM and baseline JPEG decode (sources/jpegcodec —
-    progressive/subsampled JPEG raises and remains the
-    `_decode_backend` swap point). `on_error="skip"` drops
+    (q124). PNG/PNM and JPEG decode — baseline and progressive SOF2,
+    4:2:0 included (sources/jpegcodec; arithmetic-coded JPEG raises
+    and remains the `_decode_backend` swap point). `on_error="skip"`
+    drops
     undecodable items (pair with `image_decode_errors`).
     """
     import numpy as np

@@ -9110,6 +9110,84 @@ FROM c GROUP BY 1, 2
 )
 
 
+# --------------------------------------------------------------------------
+# q176 — PROGRESSIVE JPEG decode (VERDICT r7 #2: SOF2 is the majority
+# encoding for large web JPEGs — the last member of the crawl image
+# matrix after GIF/BMP/PNG): the q144 DC-exact discipline through the
+# progressive path. 60 media, 32x32, per-block value formula
+# v = 2*((seed*3 + bx*7 + by*11) % 100) + 12 (seed = mid % 30, even →
+# round-exact); EVEN media are grayscale SOF2 (5-scan script: DC
+# first/refine + split AC bands + AC refinement), ODD media are
+# r=g=b color SOF2 at 4:2:0 (9-scan script) — constant chroma decodes
+# to exactly 128 so luma stays v bit-for-bit. The oracle replays the
+# block formula; equality holds IFF spectral-selection accumulation,
+# successive-approximation bit assembly, EOB-run handling and the
+# 4:2:0 upsample are all exact. The general (non-DC-only) progressive
+# path is pinned by test_progressive_equals_baseline_decode: the SOF2
+# entropy coding is a lossless repackaging of the SOF0 coefficients.
+# --------------------------------------------------------------------------
+
+def _formula_progressive_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg_progressive
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 30
+            byy, bxx = np.mgrid[0:4, 0:4]
+            vals = 2 * ((seed * 3 + bxx * 7 + byy * 11) % 100) + 12
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                np.uint8
+            )
+            if int(mid) % 2:
+                rgb = np.stack([img, img, img], axis=-1)
+                out.append(encode_jpeg_progressive(rgb, subsampling="420"))
+            else:
+                out.append(encode_jpeg_progressive(img))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q176_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    media = _formula_progressive_media(spark, 60)
+    tiles = image_tile_stats(media, nx=4, ny=4)
+    return tiles.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "n_px",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q176_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 30) AS seed FROM range(60) r),
+blocks AS (
+  SELECT media_id, bx.range AS tile_x, by.range AS tile_y,
+         2 * ((seed * 3 + bx.range * 7 + by.range * 11) % 100) + 12 AS v
+  FROM par, range(4) bx, range(4) by)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       64::BIGINT AS n_px, round(v::DOUBLE, 6) AS mean_luma
+FROM blocks
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -9148,6 +9226,7 @@ CATALOG: dict[str, QuerySpec] = {
     for s in [
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
+        QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),

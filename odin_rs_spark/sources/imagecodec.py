@@ -5,10 +5,10 @@ sequential AND Adam7-interlaced) and binary PNM (P5/P6) — the R9 decode path m
 The container has no PIL/cv2, but PNG is zlib (stdlib) + a fully public
 chunk/filter spec, and PNM is a trivial header + raw bytes — so like the
 NetCDF-3 reader (sources/netcdf3.py) this turns an "env-blocked decode
-kernel" into an executable byte path. Baseline JPEG decodes too
-(sources/jpegcodec — pure-Python T.81 sequential DCT, dispatched here
-by SOI magic); progressive/subsampled JPEG and video frames stay
-behind the documented backend seam
+kernel" into an executable byte path. JPEG decodes too
+(sources/jpegcodec — pure-Python T.81, baseline AND progressive SOF2
+with 4:2:0 subsampling, dispatched here by SOI magic); video frames
+stay behind the documented backend seam
 (operators/multimodal._decode_backend), where a real deployment
 genuinely swaps in PIL/ffmpeg.
 

@@ -1,15 +1,19 @@
-"""Pure-stdlib/numpy BASELINE JPEG codec (ITU-T T.81 sequential DCT,
-Huffman, 8-bit) — the last image-format seam (imagecodec handles
-PNG/PNM): marker walk, DQT/DHT/SOF0/SOS parse, Huffman-decoded DCT
-coefficients, dequantize → IDCT → level shift, YCbCr→RGB for 3-component
-scans. The encode twin writes grayscale or 4:4:4 color with the spec's
-Annex-K quantization and Huffman tables.
+"""Pure-stdlib/numpy JPEG codec (ITU-T T.81: baseline sequential DCT
+SOF0 and progressive DCT SOF2, Huffman, 8-bit) — the last image-format
+seam (imagecodec handles PNG/PNM): marker walk, DQT/DHT/SOF/SOS parse,
+Huffman-decoded DCT coefficients accumulated per scan, dequantize →
+IDCT → level shift, YCbCr→RGB for 3-component frames. The encode twins
+write grayscale or color with the spec's Annex-K quantization and
+Huffman tables — `encode_jpeg` baseline, `encode_jpeg_progressive`
+a real spectral-selection + successive-approximation scan script.
 
-Scope (errors name anything else): baseline SOF0, 8-bit, 1 or 3
-components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:4:0 and the
-camera-standard 4:2:0 — chroma upsampled by pixel replication),
-restart intervals (DRI/RSTn with DC-predictor reset and bit
-realignment), no progressive/arithmetic coding.
+Scope (errors name anything else): SOF0 baseline and SOF2 progressive
+(T.81 Annex G: DC first/refine, single-component AC band scans with
+EOB-run semantics, first and correction-bit refinement passes), 8-bit,
+1 or 3 components, sampling factors up to 2x2 (4:4:4, 4:2:2, 4:4:0 and
+the camera-standard 4:2:0 — chroma upsampled by pixel replication),
+restart intervals (DRI/RSTn with DC-predictor/EOB-run reset and bit
+realignment), no arithmetic coding, no lossless/hierarchical modes.
 
 Exactness contract for oracles (the dyadic-MLP trick applied to a
 LOSSY codec): an image built of CONSTANT 8x8 blocks with even pixel
@@ -260,6 +264,33 @@ def _extend(bits: int, cat: int) -> int:
 # -- encoder ---------------------------------------------------------------
 
 
+def _split_planes(a: np.ndarray, subsampling: str):
+    """uint8 image → (planes float64, quant tables, sub420 flag):
+    grayscale passthrough or RGB→YCbCr with optional 2x2 chroma
+    box-mean subsampling. Shared by the baseline and progressive
+    encoders."""
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} unsupported")
+    sub420 = subsampling == "420" and not gray
+    mcu = 16 if sub420 else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encoder requires multiple-of-{mcu} dimensions")
+    if gray:
+        return [a.astype(np.float64)], [QUANT_LUMA], False
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if sub420:
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return [y, cb, cr], [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA], sub420
+
+
 def encode_jpeg(
     img: np.ndarray,
     subsampling: str = "444",
@@ -274,28 +305,8 @@ def encode_jpeg(
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} unsupported")
-    sub420 = subsampling == "420" and not gray
+    planes, quants, sub420 = _split_planes(a, subsampling)
     mcu = 16 if sub420 else 8
-    if h % mcu or w % mcu:
-        raise ValueError(f"encoder requires multiple-of-{mcu} dimensions")
-
-    if gray:
-        planes = [a.astype(np.float64)]
-        quants = [QUANT_LUMA]
-    else:
-        r = a[:, :, 0].astype(np.float64)
-        g = a[:, :, 1].astype(np.float64)
-        b = a[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub420:
-            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-        planes = [y, cb, cr]
-        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
 
     dc_tabs = [_build_huffman(DC_LUMA_SPEC)] + (
         [] if gray else [_build_huffman(DC_CHROMA_SPEC)] * 2
@@ -400,12 +411,201 @@ def encode_jpeg(
     return out
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray, subsampling: str = "444"
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → PROGRESSIVE (SOF2) JFIF
+    bytes — the majority encoding for large web JPEGs and the r7
+    verdict's #2 realism gap. The scan script exercises every
+    progressive decode path: interleaved DC first (Al=1) + DC
+    refinement (Al=0), per-component AC spectral-selection first
+    passes (luma split 1-5 / 6-63) at Al=1, then AC refinement
+    passes (correction bits, EOB-run tails) at Al=0.
+
+    The entropy coding is a lossless repackaging of the SAME
+    quantized coefficients the baseline encoder emits, so
+    decode(encode_jpeg_progressive(x)) == decode(encode_jpeg(x))
+    bit-for-bit — the roundtrip tests pin that equivalence, and the
+    DC-only block-constant fixture discipline (module docstring)
+    carries over unchanged."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    planes, quants, sub420 = _split_planes(a, subsampling)
+    n = len(planes)
+    hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * n
+
+    # quantized zigzag coefficients per component, vectorized FDCT
+    zzs = []
+    for ci, plane in enumerate(planes):
+        ph, pw = plane.shape
+        nby, nbx = ph // 8, pw // 8
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coefs = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+        q = np.round(coefs / quants[ci]).astype(np.int64)
+        zzs.append(q.reshape(nby, nbx, 64)[..., ZIGZAG])
+
+    dc_tabs = [_build_huffman(DC_LUMA_SPEC)] + (
+        [] if gray else [_build_huffman(DC_CHROMA_SPEC)] * 2
+    )
+    ac_tabs = [_build_huffman(AC_LUMA_SPEC)] + (
+        [] if gray else [_build_huffman(AC_CHROMA_SPEC)] * 2
+    )
+
+    mcu = 16 if sub420 else 8
+    mcus_y, mcus_x = h // mcu, w // mcu
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * n
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n):
+                    cv, ch = hv[ci][1], hv[ci][0]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            v = int(zzs[ci][my * cv + byy, mx * ch + bxx, 0])
+                            if ah == 0:
+                                t = v >> al  # arithmetic: floor-shift
+                                diff = t - pred[ci]
+                                pred[ci] = t
+                                cat, bits = _magnitude(diff)
+                                code, ln = dc_tabs[ci][cat]
+                                bw.write(code, ln)
+                                if cat:
+                                    bw.write(bits, cat)
+                            else:  # refinement: one raw bit per block
+                                bw.write((v >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        tab = ac_tabs[ci]
+        zz = zzs[ci]
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[by, bx, k])
+                    tv = abs(v) >> al
+                    if tv == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = tab[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        r -= 16
+                    cat, bits = _magnitude(tv if v > 0 else -tv)
+                    code, ln = tab[(r << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(bits, cat)
+                    r = 0
+                if r:  # per-block EOB0 (no run accumulation: valid,
+                    code, ln = tab[0x00]  # just less compact)
+                    bw.write(code, ln)
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        tab = ac_tabs[ci]
+        zz = zzs[ci]
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                r = 0
+                pend: list[int] = []  # correction bits awaiting a symbol
+                for k in range(ss, se + 1):
+                    v = int(zz[by, bx, k])
+                    tv = abs(v) >> al
+                    if tv == 0:
+                        r += 1
+                        continue
+                    if tv > 1:  # significant before this pass
+                        pend.append(tv & 1)
+                        continue
+                    # newly significant (exactly ±1 at this precision)
+                    while r > 15:
+                        code, ln = tab[0xF0]
+                        bw.write(code, ln)
+                        for b in pend:
+                            bw.write(b, 1)
+                        pend = []
+                        r -= 16
+                    code, ln = tab[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)  # sign
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                    r = 0
+                if r or pend:
+                    code, ln = tab[0x00]  # EOB0; its tail carries the
+                    bw.write(code, ln)  # remaining correction bits
+                    for b in pend:
+                        bw.write(b, 1)
+        return bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(-1)[ZIGZAG].astype(np.uint8))
+    )
+    if not gray:
+        out += seg(
+            0xDB,
+            bytes([1]) + bytes(QUANT_CHROMA.reshape(-1)[ZIGZAG].astype(np.uint8)),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n)
+    for ci in range(n):
+        hvb = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, hvb, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        counts, values = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(values))
+
+    out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+
+    all_comps = list(range(n))
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+    if gray:
+        out += sos([0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
+        out += sos([0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
+        out += sos([0], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+    else:
+        out += sos([0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
+        out += sos([1], 1, 63, 0, 1) + ac_first_scan(1, 1, 63, 1)
+        out += sos([2], 1, 63, 0, 1) + ac_first_scan(2, 1, 63, 1)
+        out += sos([0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
+        out += sos([0], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+        out += sos([1], 1, 63, 1, 0) + ac_refine_scan(1, 1, 63, 0)
+        out += sos([2], 1, 63, 1, 0) + ac_refine_scan(2, 1, 63, 0)
+    return out + b"\xff\xd9"
+
+
 # -- decoder ---------------------------------------------------------------
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (H, W) gray or (H, W, 3) RGB.
-    Raises ValueError for anything outside the supported scope."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes → uint8
+    (H, W) gray or (H, W, 3) RGB. Raises ValueError for anything
+    outside the supported scope."""
     try:
         return _decode_jpeg(buf)
     except ValueError:
@@ -414,23 +614,78 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG file: {exc}") from exc
 
 
+def _find_scan_end(buf: bytes, start: int) -> int:
+    """First byte after the entropy-coded segment starting at `start`:
+    0xFF followed by anything other than stuffing (0x00) or a restart
+    marker ends the scan."""
+    pos = start
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (
+            0xD0 <= buf[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
 def _decode_jpeg(buf: bytes) -> np.ndarray:
+    """Multi-scan architecture (T.81 §E/G): every scan — the single
+    interleaved scan of a baseline file, or the DC/AC spectral-
+    selection + successive-approximation scans of a progressive one —
+    accumulates quantized coefficients into per-component block
+    arrays; dequantize + IDCT + colorspace run once at the end."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (no SOI)")
     pos = 2
     quants: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
-    comps = []
-    scan_comps = None
-    scan_start = None
+    progressive = False
+    comps: list[dict] = []
     restart_interval = 0
-    while pos + 4 <= len(buf):
+    coef: list[np.ndarray] | None = None
+    mcus_x = mcus_y = 0
+    scans = 0
+
+    def alloc(first_scan_start: int) -> None:
+        nonlocal coef, mcus_x, mcus_y
+        fh, fw, nc = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+        # SOF dimensions are raw 2-byte fields: bound the allocation
+        # against the entropy data actually present BEFORE allocating
+        # (65535x65535x3 would demand ~100 GB) — even the cheapest
+        # scan (a DC refinement) costs 1 bit per block, the grib2-ng
+        # fuzzer-class policy
+        n_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps)
+        if n_blocks > 8 * max(len(buf) - first_scan_start, 0):
+            raise ValueError(
+                f"frame declares {n_blocks} blocks but only "
+                f"{len(buf) - first_scan_start} entropy bytes follow"
+            )
+        # per-component coefficient store in zigzag order, at the
+        # MCU-padded block grid
+        coef = [
+            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+            for c in comps
+        ]
+        for ci, c in enumerate(comps):
+            # non-interleaved scans cover only ceil(comp_dim/8) blocks
+            c["nbx"] = (-(-fw * c["h"] // hmax) + 7) // 8
+            c["nby"] = (-(-fh * c["v"] // vmax) + 7) // 8
+
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
         body = buf[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -454,7 +709,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 values = list(body[p + 17 : p + 17 + nvals])
                 huff[(cls, tid)] = _decode_table((counts, values))
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
@@ -468,110 +724,70 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                     )
                 comps.append({"id": cid, "tq": tq, "h": hf, "v": vf})
             frame = (fh, fw, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"SOF{marker - 0xC0} unsupported (baseline only)")
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"SOF{marker - 0xC0} unsupported (baseline/progressive only)"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep walking
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_comps = []
             for si in range(ns):
                 cs, tabs = body[1 + si * 2], body[2 + si * 2]
                 scan_comps.append((cs, tabs >> 4, tabs & 0xF))
+            ss, se, ahl = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ahl >> 4, ahl & 0xF
             scan_start = pos + 2 + ln
-            break
+            scan_end = _find_scan_end(buf, scan_start)
+            if coef is None:
+                alloc(scan_start)
+            _decode_one_scan(
+                buf[scan_start:scan_end],
+                comps,
+                coef,
+                huff,
+                scan_comps,
+                progressive,
+                ss,
+                se,
+                ah,
+                al,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+            )
+            scans += 1
+            pos = scan_end
+            continue
         pos += 2 + ln
-    if frame is None or scan_start is None:
-        raise ValueError("missing SOF0 or SOS")
+
+    if frame is None or scans == 0:
+        raise ValueError("missing SOF or SOS")
     fh, fw, nc = frame
-
-    # entropy-coded data runs until the EOI marker
-    end = buf.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("missing EOI")
-    br = _BitReader(buf[scan_start:end])
-
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (fw + mcu_w - 1) // mcu_w
-    mcus_y = (fh + mcu_h - 1) // mcu_h
-    # SOF0 dimensions are raw 2-byte fields: bound the plane allocation
-    # against the entropy data actually present BEFORE allocating
-    # (65535x65535x3 would demand ~100 GB) — every MCU costs at least
-    # 4 bits per block (DC category + EOB), the grib2-ng fuzzer-class
-    # policy
-    n_blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
-    min_bits = mcus_x * mcus_y * n_blocks_per_mcu * 4
-    if min_bits > 8 * max(len(buf) - scan_start, 0):
-        raise ValueError(
-            f"frame declares {mcus_x * mcus_y} MCUs but the scan holds "
-            f"only {len(buf) - scan_start} bytes"
-        )
-    # each component's plane at ITS OWN resolution
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
-    ]
-    pred = [0] * nc
 
-    def decode_block(ci: int) -> np.ndarray:
-        _, dc_t, ac_t = scan_comps[ci]
-        q = quants[comps[ci]["tq"]]
-        dct = huff.get((0, dc_t))
-        act = huff.get((1, ac_t))
-        if dct is None or act is None:
-            raise ValueError("scan references undefined Huffman table")
-        zz = np.zeros(64, dtype=np.int64)
-        cat = br.read_symbol(dct)
-        diff = _extend(br.read_bits(cat), cat) if cat else 0
-        pred[ci] += diff
-        zz[0] = pred[ci]
-        k = 1
-        while k < 64:
-            rs = br.read_symbol(act)
-            run, cat = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = _extend(br.read_bits(cat), cat)
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
-        return _idct(coef.reshape(8, 8)) + 128.0
-
-    mcu_no = 0
-    rst_m = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-                br.expect_restart(rst_m)
-                rst_m = (rst_m + 1) % 8
-                pred = [0] * nc
-            for ci, c in enumerate(comps):
-                for byy in range(c["v"]):
-                    for bxx in range(c["h"]):
-                        block = decode_block(ci)
-                        y0 = (my * c["v"] + byy) * 8
-                        x0 = (mx * c["h"] + bxx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_no += 1
-
-    # upsample subsampled components to frame resolution by pixel
-    # replication, then crop
-    full = []
+    # dequantize + IDCT every block, vectorized per component
+    planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        if c["tq"] not in quants:
+            raise ValueError("component references undefined quant table")
+        qz = quants[c["tq"]].reshape(-1)[ZIGZAG].astype(np.int64)
+        zz = coef[ci] * qz  # (nby, nbx, 64) in zigzag order
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., ZIGZAG] = zz
+        nby, nbx = zz.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if c["h"] < hmax:
-            p = np.repeat(p, hmax // c["h"], axis=1)
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
         if c["v"] < vmax:
-            p = np.repeat(p, vmax // c["v"], axis=0)
-        full.append(p[:fh, :fw])
-    planes = full
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[:fh, :fw])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if nc != 3:
@@ -583,3 +799,220 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+def _decode_one_scan(
+    data: bytes,
+    comps: list[dict],
+    coef: list[np.ndarray],
+    huff: dict,
+    scan_comps: list[tuple[int, int, int]],
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """One entropy-coded segment into the coefficient store. Baseline:
+    the single interleaved DC+AC scan (§E.2.3). Progressive (§G.2):
+    DC scans (Ss=Se=0; interleaved or single-component) first/refine
+    by Ah, and single-component AC band scans with EOB-run semantics,
+    first (Ah=0) or refinement (correction bits) passes."""
+    br = _BitReader(data)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    idxs = []
+    for cs, dc_t, ac_t in scan_comps:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        idxs.append((by_id[cs], dc_t, ac_t))
+
+    rst = {"n": 0, "m": 0}
+
+    def unit_boundary(pred: list[int], eob: list[int]) -> None:
+        # restart interval bookkeeping, shared by all scan kinds
+        if restart_interval and rst["n"] and rst["n"] % restart_interval == 0:
+            br.expect_restart(rst["m"])
+            rst["m"] = (rst["m"] + 1) % 8
+            for i in range(len(pred)):
+                pred[i] = 0
+            eob[0] = 0
+        rst["n"] += 1
+
+    if not progressive:
+        if len(idxs) != len(comps):
+            raise ValueError("baseline scans must interleave all components")
+        pred = [0] * len(comps)
+        eob0 = [0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit_boundary(pred, eob0)
+                for si, (ci, dc_t, ac_t) in enumerate(idxs):
+                    c = comps[ci]
+                    dct, act = huff.get((0, dc_t)), huff.get((1, ac_t))
+                    if dct is None or act is None:
+                        raise ValueError(
+                            "scan references undefined Huffman table"
+                        )
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            zz = coef[ci][my * c["v"] + byy, mx * c["h"] + bxx]
+                            cat = br.read_symbol(dct)
+                            diff = _extend(br.read_bits(cat), cat) if cat else 0
+                            pred[si] += diff
+                            zz[0] = pred[si]
+                            k = 1
+                            while k < 64:
+                                rs = br.read_symbol(act)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.read_bits(rs & 0xF), rs & 0xF)
+                                k += 1
+        return
+
+    if ss == 0:  # progressive DC scan
+        if se != 0:
+            raise ValueError("invalid progressive scan (Ss=0 requires Se=0)")
+        pred = [0] * len(idxs)
+        eob0 = [0]
+        dcts = []
+        for ci, dc_t, _ in idxs:
+            t = huff.get((0, dc_t))
+            if ah == 0 and t is None:
+                raise ValueError("scan references undefined Huffman table")
+            dcts.append(t)
+
+        def dc_block(si: int, zz: np.ndarray) -> None:
+            if ah == 0:  # first pass
+                cat = br.read_symbol(dcts[si])
+                diff = _extend(br.read_bits(cat), cat) if cat else 0
+                pred[si] += diff
+                zz[0] = pred[si] << al
+            else:  # refinement: one raw bit
+                if br.read_bit():
+                    zz[0] |= 1 << al
+
+        if len(idxs) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit_boundary(pred, eob0)
+                    for si, (ci, _, _) in enumerate(idxs):
+                        c = comps[ci]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                dc_block(
+                                    si,
+                                    coef[ci][
+                                        my * c["v"] + byy, mx * c["h"] + bxx
+                                    ],
+                                )
+        else:  # non-interleaved: the component's own block raster
+            ci = idxs[0][0]
+            c = comps[ci]
+            for by in range(c["nby"]):
+                for bx in range(c["nbx"]):
+                    unit_boundary(pred, eob0)
+                    dc_block(0, coef[ci][by, bx])
+        return
+
+    # progressive AC scan: single component, band ss..se
+    if len(idxs) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    ci, _, ac_t = idxs[0]
+    act = huff.get((1, ac_t))
+    if act is None:
+        raise ValueError("scan references undefined Huffman table")
+    c = comps[ci]
+    eobrun = [0]
+    pred0 = [0]
+
+    def ac_first(zz: np.ndarray) -> None:
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += br.read_bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine_nonzero(zz: np.ndarray, k: int) -> None:
+        if br.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def ac_refine(zz: np.ndarray) -> None:
+        # T.81 G.2 / the correction-bit pass: newly-significant
+        # coefficients arrive as ±1<<Al; every already-nonzero
+        # coefficient crossed on the way carries one correction bit
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = br.read_symbol(act)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun[0] = 1 << r
+                        if r:
+                            eobrun[0] += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement scan with s != 1")
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = newval
+                k += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun[0] -= 1
+
+    block_fn = ac_refine if ah else ac_first
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if restart_interval and rst["n"] and rst["n"] % restart_interval == 0:
+                br.expect_restart(rst["m"])
+                rst["m"] = (rst["m"] + 1) % 8
+                eobrun[0] = 0
+                pred0[0] = 0
+            rst["n"] += 1
+            block_fn(coef[ci][by, bx])

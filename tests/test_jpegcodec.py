@@ -13,6 +13,7 @@ from odin_rs_spark.sources.jpegcodec import (
     _build_huffman,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -66,16 +67,67 @@ def test_huffman_table_matches_t81_examples():
     assert t[11] == (0b111111110, 9)
 
 
+def test_progressive_equals_baseline_decode():
+    """Progressive entropy coding is a LOSSLESS repackaging of the
+    same quantized coefficients: decode(progressive(x)) must equal
+    decode(baseline(x)) bit-for-bit on ANY input — random content
+    exercises newly-significant insertion, correction bits, ZRL runs
+    and EOB tails in the refinement passes."""
+    rng = np.random.default_rng(7)
+    for shape, sub in [
+        ((24, 32), "444"),
+        ((8, 8), "444"),
+        ((24, 32, 3), "444"),
+        ((32, 48, 3), "420"),
+        ((16, 16, 3), "420"),
+    ]:
+        for _ in range(3):
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+            assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_dc_only_roundtrip_exact():
+    """The q144 exactness contract carries to the progressive path:
+    constant even-valued blocks survive SOF2 encode→decode exactly."""
+    for seed in range(5):
+        img = _block_constant(seed=seed)
+        buf = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in buf  # really SOF2
+        assert buf.count(b"\xff\xda") == 5  # gray scan script
+        assert np.array_equal(decode_jpeg(buf), img), seed
+
+
+def test_progressive_color_scan_script():
+    img = _block_constant(bx=4, by=4, seed=2)  # 32x32: 4:2:0 needs %16
+    rgb = np.stack([img, img, img], axis=-1)
+    buf = encode_jpeg_progressive(rgb, subsampling="420")
+    assert buf.count(b"\xff\xda") == 9  # 2 DC + 4 AC first + 3 refine
+    assert np.array_equal(decode_jpeg(buf), rgb)
+
+
+def test_progressive_truncated_scan_raises():
+    buf = encode_jpeg_progressive(_block_constant())
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) * 2 // 3])
+
+
 def test_unsupported_and_corrupt_raise():
     img = _block_constant()
     good = encode_jpeg(img)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00" + good)
-    # progressive SOF2 rejected by name
+    # lossless SOF3 rejected by name
     bad = bytearray(good)
     sof = bytes(bad).find(b"\xff\xc0")
+    bad[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(bad))
+    # a baseline scan header under an SOF2 frame is an invalid
+    # progressive scan (Ss=0 requires Se=0), not a crash
     bad[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         decode_jpeg(bytes(bad))
     # truncated scan
     with pytest.raises(ValueError):
