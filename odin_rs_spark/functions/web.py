@@ -189,10 +189,13 @@ def host_of(url: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """Registrable domain (eTLD+1) under the embedded suffix subset:
-    the last 2 labels, or the last 3 when the last 2 form a two-level
-    public suffix (site.example.co.uk → example.co.uk). Hosts with
-    fewer labels pass through unchanged."""
+    """Registrable domain (eTLD+1) under the embedded suffix subset —
+    the zero-join CLOSED-FORM fallback: the last 2 labels, or the
+    last 3 when the last 2 form a two-level public suffix
+    (site.example.co.uk → example.co.uk). Hosts with fewer labels
+    pass through unchanged. For the full Public Suffix List semantics
+    (wildcard and exception rules, arbitrary-depth suffixes) use
+    `registered_domain_psl` with a PSL dim table (`load_psl`)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -204,3 +207,122 @@ def registered_domain(host: Column) -> Column:
     return F.when(n <= 2, host).otherwise(
         F.array_join(F.slice(labels, n - take + 1, take), ".")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Public Suffix List semantics (VERDICT r7 #5): the PSL as a
+# broadcast dim table instead of the embedded two-level subset. Rules
+# follow publicsuffix.org's algorithm: among matching rules an
+# exception ('!') wins outright, else the longest (most labels) rule;
+# a '*.' rule matches exactly one extra label; no match falls back to
+# the implicit '*' default (the bare TLD is the public suffix). The
+# registrable domain is the public suffix plus one label.
+# ---------------------------------------------------------------------------
+
+PSL_FIXTURE = "public_suffix_trimmed.dat"
+
+
+def load_psl(spark, path: str | None = None):
+    """Parse a Public Suffix List file (the list's own format) into a
+    rules dim table (key, ps_labels, is_exc, is_wild): `key` is the
+    literal label-suffix the rule joins on (wildcards join on the
+    MATCHED SUFFIX'S PARENT, so their key drops the '*.'), and
+    `ps_labels` is the public-suffix label count the rule grants.
+    Driver-side parse of a dim file — the PSL is ~14k tiny lines, the
+    same economics as any broadcast dimension."""
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "fixtures",
+            PSL_FIXTURE,
+        )
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            is_exc = line.startswith("!")
+            is_wild = line.startswith("*.")
+            key = line.lstrip("!")
+            if is_wild:
+                key = key[2:]
+            n_key = key.count(".") + 1
+            if is_exc:
+                ps = n_key - 1  # the exception itself is registrable
+            elif is_wild:
+                ps = n_key + 1  # one extra label joins the suffix
+            else:
+                ps = n_key
+            rows.append((key, ps, int(is_exc), int(is_wild)))
+    return spark.createDataFrame(
+        rows, "key string, ps_labels int, is_exc int, is_wild int"
+    )
+
+
+def registered_domain_psl(
+    df, psl, host_col: str = "host", out_col: str = "domain"
+):
+    """Add the PSL-correct registrable domain (eTLD+1) to `df`.
+
+    Scale shape: run this on the DISTINCT-host dim of a corpus (hosts
+    number ~10^7 where pages number ~10^11), then broadcast the result
+    back onto the pages. Each host explodes into its ≤L label-suffixes
+    (L is tiny), both rule kinds resolve via BROADCAST equi-joins
+    (plain/exception rules on the suffix itself, wildcards on the
+    suffix's parent), and one groupBy on an injected row id picks the
+    winning rule — struct-max ordering puts exceptions above longest-
+    match, exactly the publicsuffix.org precedence. Hosts that ARE a
+    public suffix (or bare TLDs) pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+    labels = F.split(F.col(host_col), r"\.")
+    L = F.size(labels)
+    # suffix of i labels + that suffix's parent (i-1 labels), i=1..L
+    cand = keyed.select(
+        "__rid",
+        F.col(host_col).alias("__h"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), L),
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice(labels, L - i + 1, i), "."
+                    ).alias("sfx"),
+                    F.when(
+                        i >= 2,
+                        F.array_join(F.slice(labels, L - i + 2, i - 1), "."),
+                    ).alias("parent"),
+                ),
+            )
+        ).alias("c"),
+    )
+    plain = cand.join(
+        F.broadcast(psl.filter(F.col("is_wild") == 0)),
+        cand["c.sfx"] == psl["key"],
+    )
+    wild = cand.join(
+        F.broadcast(psl.filter(F.col("is_wild") == 1)),
+        cand["c.parent"] == psl["key"],
+    )
+    best = (
+        plain.unionByName(wild)
+        .groupBy("__rid")
+        .agg(
+            F.max(
+                F.struct(F.col("is_exc"), F.col("ps_labels"))
+            ).alias("__best")
+        )
+        .select("__rid", F.col("__best.ps_labels").alias("__ps"))
+    )
+    out = keyed.join(best, "__rid", "left")
+    labels2 = F.split(F.col(host_col), r"\.")
+    n = F.size(labels2)
+    ps = F.coalesce(F.col("__ps"), F.lit(1))  # implicit '*' default
+    dom = F.when(
+        n > ps, F.array_join(F.slice(labels2, n - ps, ps + 1), ".")
+    ).otherwise(F.col(host_col))
+    return out.select(*df.columns, dom.alias(out_col))

@@ -9188,6 +9188,205 @@ FROM blocks
 """
 
 
+# --------------------------------------------------------------------------
+# q177 — robots.txt WILDCARD rules + duplicate frontier rows (the two
+# r7 robots_allowed gaps closed together: RFC 9309 §2.2.3 '*' /
+# end-anchor '$' matching, and row-multiplicity preservation — a
+# frontier refetches URLs, so N identical rows must come back as N
+# rows, which the old groupBy-on-value-columns collapsed). Formula:
+# every host's '*' group is [Disallow: /*.zip$, Disallow: /t{m}*/x,
+# Allow: /t{m}{n}/x/ok] (m = n%3); URL k%6 ∈ {0,5} both produce the
+# SAME path /a{k-6*(k//6)}... i.e. k%6=5 duplicates k%6=0's path
+# exactly. The oracle derives every verdict analytically: .zip$
+# anchors (a .zipx tail escapes), '*' spans the middle, the longer
+# Allow overrides, and the duplicate rows appear twice.
+# --------------------------------------------------------------------------
+
+def q177_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import robots_allowed, robots_rules
+
+    n = F.col("id")
+    m = (n % 3).cast("string")
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /*.zip$\nDisallow: /t"),
+        m,
+        F.lit("*/x\nAllow: /t"),
+        m,
+        n.cast("string"),
+        F.lit("/x/ok\n"),
+    )
+    robots = spark.range(10).select(
+        F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
+        robots_txt.alias("robots_txt"),
+    )
+    rules = robots_rules(robots)
+
+    k = F.col("k")
+    path = (
+        F.when(k % 6 == 0, F.concat(F.lit("/a"), k.cast("string"), F.lit(".zip")))
+        .when(k % 6 == 1, F.concat(F.lit("/a"), k.cast("string"), F.lit(".zipx")))
+        .when(k % 6 == 2, F.concat(F.lit("/t"), m, n.cast("string"), F.lit("/xfile")))
+        .when(k % 6 == 3, F.concat(F.lit("/t"), m, n.cast("string"), F.lit("/x/ok/deeper")))
+        .when(k % 6 == 4, F.concat(F.lit("/open/"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/a"), (k - 5).cast("string"), F.lit(".zip")))
+    )
+    urls = (
+        spark.range(10)
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+        .select(
+            F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
+            path.alias("path"),
+        )
+    )
+    return robots_allowed(urls, rules, agent="genericbot").select(
+        "host", "path", "allowed", "rule_len"
+    )
+
+
+Q177_SQL = """
+WITH u AS (SELECT h.range AS n, k.range AS k FROM range(10) h, range(12) k),
+p AS (
+  SELECT n, k, 'h' || n::VARCHAR || '.example' AS host,
+         CASE k % 6
+           WHEN 0 THEN '/a' || k::VARCHAR || '.zip'
+           WHEN 1 THEN '/a' || k::VARCHAR || '.zipx'
+           WHEN 2 THEN '/t' || (n % 3)::VARCHAR || n::VARCHAR || '/xfile'
+           WHEN 3 THEN '/t' || (n % 3)::VARCHAR || n::VARCHAR || '/x/ok/deeper'
+           WHEN 4 THEN '/open/' || k::VARCHAR
+           ELSE '/a' || (k - 5)::VARCHAR || '.zip' END AS path
+  FROM u)
+SELECT host, path,
+       CASE WHEN k % 6 IN (0, 2, 5) THEN 0 ELSE 1 END AS allowed,
+       CASE WHEN k % 6 IN (0, 5) THEN 7
+            WHEN k % 6 = 2 THEN 6
+            WHEN k % 6 = 3 THEN 9 ELSE 0 END AS rule_len
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# q178 — registrable domain against the REAL Public Suffix List
+# (VERDICT r7 #5: the embedded two-level subset swapped for a
+# broadcast PSL dim table — functions/web.load_psl parses the list's
+# own format from the committed trimmed-but-real snapshot): formula
+# hosts exercise every rule shape — two-level suffixes (co.uk), a
+# PRIVATE-section suffix (github.io), plain .com at depth, the
+# '*.ck' single-label wildcard, the '!www.ck' exception, and an
+# unlisted TLD falling back to the implicit '*' default. The oracle
+# derives each host's domain analytically from the formula (the q154
+# pattern), so agreement proves the PSL precedence rules — exception
+# over wildcard over longest-match over default — not merely that two
+# engines ran one implementation.
+# --------------------------------------------------------------------------
+
+def q178_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import load_psl, registered_domain_psl
+
+    i = F.col("id")
+    host = (
+        F.when(i % 6 == 0, F.concat(F.lit("s"), i.cast("string"), F.lit(".site"), (i % 5).cast("string"), F.lit(".co.uk")))
+        .when(i % 6 == 1, F.concat(F.lit("a.b"), (i % 4).cast("string"), F.lit(".github.io")))
+        .when(i % 6 == 2, F.concat(F.lit("deep.sub.host"), (i % 7).cast("string"), F.lit(".com")))
+        .when(i % 6 == 3, F.concat(F.lit("x"), (i % 3).cast("string"), F.lit(".gov.ck")))
+        .when(i % 6 == 4, F.concat(F.lit("sub"), (i % 2).cast("string"), F.lit(".www.ck")))
+        .otherwise(F.concat(F.lit("n"), (i % 4).cast("string"), F.lit(".example.zz")))
+    )
+    hosts = spark.range(120).select(host.alias("host"))
+    out = registered_domain_psl(hosts, load_psl(spark))
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.countDistinct("host").alias("n_distinct"),
+        F.min("host").alias("min_host"),
+        F.max("host").alias("max_host"),
+    )
+
+
+Q178_SQL = """
+WITH h AS (
+  SELECT r.range AS i,
+    CASE r.range % 6
+      WHEN 0 THEN 's' || r.range::VARCHAR || '.site' || (r.range % 5)::VARCHAR || '.co.uk'
+      WHEN 1 THEN 'a.b' || (r.range % 4)::VARCHAR || '.github.io'
+      WHEN 2 THEN 'deep.sub.host' || (r.range % 7)::VARCHAR || '.com'
+      WHEN 3 THEN 'x' || (r.range % 3)::VARCHAR || '.gov.ck'
+      WHEN 4 THEN 'sub' || (r.range % 2)::VARCHAR || '.www.ck'
+      ELSE 'n' || (r.range % 4)::VARCHAR || '.example.zz' END AS host,
+    CASE r.range % 6
+      WHEN 0 THEN 'site' || (r.range % 5)::VARCHAR || '.co.uk'
+      WHEN 1 THEN 'b' || (r.range % 4)::VARCHAR || '.github.io'
+      WHEN 2 THEN 'host' || (r.range % 7)::VARCHAR || '.com'
+      WHEN 3 THEN 'x' || (r.range % 3)::VARCHAR || '.gov.ck'
+      WHEN 4 THEN 'www.ck'
+      ELSE 'example.zz' END AS domain
+  FROM range(120) r)
+SELECT domain, count(*)::BIGINT AS n_hosts,
+       count(DISTINCT host)::BIGINT AS n_distinct,
+       min(host) AS min_host, max(host) AS max_host
+FROM h GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
+# q179 — URL canonicalization, RFC 3986 edition (VERDICT r7 #7 + the
+# two ADVICE r7 URL items): the q154 mess generator extended with the
+# three real-frontier hazards — dot segments (/a/./b/../c), percent
+# encoding (unreserved %7E/%41 decode, reserved %3a uppercases, %2E
+# decodes BEFORE dot removal so /%2e%2e/ pops), and userinfo
+# (user:pw@ must not truncate the host) — plus the 'ref' param now
+# KEPT (content-bearing). The oracle never runs the canonicalizer: it
+# derives every canonical string analytically from the mess formula.
+# --------------------------------------------------------------------------
+
+def q179_url_rfc3986(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import host_of, url_canonicalize
+
+    i = F.col("id")
+    scheme = F.when(i % 3 == 0, "http://").otherwise("https://")
+    userinfo = F.when(
+        i % 5 == 0, F.concat(F.lit("u"), i.cast("string"), F.lit(":pw@"))
+    ).otherwise(F.lit(""))
+    host = F.concat(
+        F.lit("WWW.Host"), (i % 8).cast("string"), F.lit(".Example.COM")
+    )
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/a/./p0/../q"), (i % 7).cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/%7Ea"), (i % 3).cast("string"), F.lit("/%2e%2e/b")))
+        .when(i % 4 == 2, F.concat(F.lit("/c/%41%3a"), (i % 5).cast("string")))
+        .otherwise(F.concat(F.lit("/d"), (i % 6).cast("string"), F.lit("/.")))
+    )
+    query = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("?ref=br"), (i % 3).cast("string"), F.lit("&utm_source=x&b=2")),
+    ).otherwise(F.lit("?z=1"))
+    frag = F.when(i % 7 == 0, "#top").otherwise(F.lit(""))
+    urls = spark.range(140).select(
+        "id",
+        F.concat(scheme, userinfo, host, path, query, frag).alias("url"),
+    )
+    return urls.select(
+        "id",
+        url_canonicalize(F.col("url")).alias("canon"),
+        host_of(F.col("url")).alias("host"),
+    )
+
+
+Q179_SQL = """
+SELECT r.range AS id,
+       CASE WHEN r.range % 3 = 0 THEN 'http://' ELSE 'https://' END
+       || 'host' || (r.range % 8)::VARCHAR || '.example.com'
+       || CASE r.range % 4
+            WHEN 0 THEN '/a/q' || (r.range % 7)::VARCHAR
+            WHEN 1 THEN '/b'
+            WHEN 2 THEN '/c/A%3A' || (r.range % 5)::VARCHAR
+            ELSE '/d' || (r.range % 6)::VARCHAR || '/' END
+       || CASE WHEN r.range % 2 = 0
+               THEN '?b=2&ref=br' || (r.range % 3)::VARCHAR
+               ELSE '?z=1' END AS canon,
+       'host' || (r.range % 8)::VARCHAR || '.example.com' AS host
+FROM range(140) r
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-7
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -9227,6 +9426,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
         QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
+        QuerySpec("q177_robots_wildcards", q177_robots_wildcards, Q177_SQL, "web robots-wildcards row-multiplicity"),
+        QuerySpec("q178_psl_domains", q178_psl_domains, Q178_SQL, "web public-suffix-list etld1"),
+        QuerySpec("q179_url_rfc3986", q179_url_rfc3986, Q179_SQL, "web url-rfc3986 dot-segments percent-encoding"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),

@@ -87,6 +87,46 @@ def test_registered_domain(spark):
     assert _one(spark, host_of, "HTTPS://WWW.Ex.Org/x") == "ex.org"
 
 
+def test_registered_domain_psl(spark):
+    """Full PSL semantics against the committed trimmed-but-real
+    snapshot: exception > wildcard > longest-match > implicit '*'
+    default; private-section suffixes; pass-through for hosts that
+    ARE a public suffix."""
+    from odin_rs_spark.functions.web import load_psl, registered_domain_psl
+
+    psl = load_psl(spark)
+    cases = {
+        "s1.site2.co.uk": "site2.co.uk",        # two-level suffix
+        "a.b.github.io": "b.github.io",         # private-section suffix
+        "deep.sub.host3.com": "host3.com",      # longest match .com
+        "x.gov.ck": "x.gov.ck",                 # *.ck wildcard
+        "sub.www.ck": "www.ck",                 # !www.ck exception
+        "www.ck": "www.ck",                     # exception, exact host
+        "ck": "ck",                             # bare TLD passes through
+        "n.example.zz": "example.zz",           # unlisted TLD: default '*'
+        "example.zz": "example.zz",
+        "zz": "zz",
+        "pupil.act.edu.au": "pupil.act.edu.au", # 3-label suffix
+        "foo.blogspot.com": "foo.blogspot.com", # private suffix exact+1
+        "a.b.c.d.ne.jp": "d.ne.jp",
+        "just.de": "just.de",
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r.host: r.domain for r in registered_domain_psl(hosts, psl).collect()}
+    assert out == cases
+
+    # duplicate hosts keep multiplicity (row-id discipline)
+    dup = spark.createDataFrame([("a.co.uk",)] * 3, "host string")
+    assert registered_domain_psl(dup, psl).count() == 3
+
+    # rules broadcast: no shuffle of the host side beyond the row-id agg
+    plan = (
+        registered_domain_psl(hosts, psl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_canonicalize_is_codegen_only(spark):
     """100 TB path: the whole URL pipeline is JVM expressions — no
     BatchEvalPython / ArrowEvalPython nodes in the plan."""
