@@ -1,0 +1,92 @@
+"""PDF text extraction (sources/pdfcodec): object graph walk, Flate
+streams, literal/hex string forms, escape handling, page order, and
+the Spark per-page scan operator."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from odin_rs_spark.sources.pdfcodec import (
+    _extract_text,
+    encode_pdf,
+    parse_pdf_text,
+    pdf_pages,
+)
+
+PAGES = [
+    ["hello world (with parens)", "second line \\ backslash", "third"],
+    ["page two single line"],
+    [],
+]
+
+
+def test_roundtrip_flate_and_identity():
+    for compress in (True, False):
+        buf = encode_pdf(PAGES, compress=compress)
+        assert parse_pdf_text(buf) == ["\n".join(p) for p in PAGES]
+
+
+def test_both_string_forms_on_path():
+    """The fixture twin emits even lines as literal strings (Tj) and
+    odd lines as hex strings (TJ arrays) — assert both forms really
+    appear in the identity-encoded bytes."""
+    buf = encode_pdf([["lit-one", "hex-two"]], compress=False)
+    assert b"(lit-one) Tj" in buf
+    assert b"<" + b"hex-two".hex().encode() + b"> 120] TJ" in buf
+    assert parse_pdf_text(buf) == ["lit-one\nhex-two"]
+
+
+def test_literal_string_escapes():
+    assert _extract_text(rb"BT (\101\102\103 \( \) \\ x) Tj ET") == r"ABC ( ) \ x"
+    # line continuation backslash-newline vanishes
+    assert _extract_text(b"BT (ab\\\ncd) Tj ET") == "abcd"
+    # TJ kerning numbers are not text
+    assert _extract_text(b"BT [(a) -120 (b) 40 (c)] TJ ET") == "abc"
+    # Td starts a new line; ' shows on the next line
+    assert _extract_text(b"BT (a) Tj 0 -14 Td (b) Tj ET") == "a\nb"
+    assert _extract_text(b"BT (a) Tj (b) ' ET") == "a\nb"
+
+
+def test_page_order_and_empty_page():
+    buf = encode_pdf([["p0"], [], ["p2"]])
+    assert parse_pdf_text(buf) == ["p0", "", "p2"]
+
+
+def test_errors_named():
+    with pytest.raises(ValueError, match="no %PDF header"):
+        parse_pdf_text(b"GIF89a nope")
+    with pytest.raises(ValueError, match="missing object"):
+        parse_pdf_text(encode_pdf(PAGES)[:200])
+    # corrupt flate payload inside an otherwise-valid wrapper: zero
+    # the bytes after the LAST 'stream' keyword (the page content)
+    good = bytearray(encode_pdf([["x"]], compress=True))
+    sp = bytes(good).find(b"\nstream\n") + 8
+    good[sp : sp + 8] = b"\x00" * 8
+    with pytest.raises(ValueError, match="Flate"):
+        parse_pdf_text(bytes(good))
+    # unsupported filter named
+    nofl = encode_pdf([["x"]], compress=False).replace(
+        b"<< /Length", b"<< /Filter /LZWDecode /Length"
+    )
+    with pytest.raises(ValueError, match="LZWDecode unsupported"):
+        parse_pdf_text(nofl)
+
+
+def test_pdf_pages_spark(spark, tmp_path):
+    a = tmp_path / "a.pdf"
+    a.write_bytes(encode_pdf([["first page text"], ["second"]]))
+    bad = tmp_path / "b.pdf"
+    bad.write_bytes(b"%PDF-1.4 but truncated garbage")
+    files = spark.read.format("binaryFile").load(str(a))
+    rows = sorted(pdf_pages(files).collect(), key=lambda r: r.page_no)
+    assert [(r.page_no, r.n_pages, r.text, r.n_chars) for r in rows] == [
+        (0, 2, "first page text", 15),
+        (1, 2, "second", 6),
+    ]
+    both = spark.read.format("binaryFile").load([str(a), str(bad)])
+    kept = pdf_pages(both, on_error="skip").collect()
+    assert {r.file for r in kept} == {"a.pdf"}
+    with pytest.raises(Exception):
+        pdf_pages(both).collect()
