@@ -97,6 +97,25 @@ def main() -> None:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+    # persist the FULL per-query timings as a committed artifact
+    # (VERDICT r7 #6: the driver's tail capture truncates the line
+    # above to ~2.3 KB — 65 of 173 queries — which is where every
+    # bench-noise argument starts). Round number inferred from the
+    # BENCH_r{N}.json files the driver has committed so far.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"bench_full_r{rnd:02d}.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: the stdout line stands
+        print(f"bench: could not write bench_full: {exc}", file=sys.stderr)
     # The driver only records the FINAL ~2 KB of stdout; at 117+ queries the
     # full line above overflows that window and BENCH_r{N}.json gets
     # "parsed": null. Emit a compact summary as the very last line so the
