@@ -269,60 +269,75 @@ def registered_domain_psl(
 
     Scale shape: run this on the DISTINCT-host dim of a corpus (hosts
     number ~10^7 where pages number ~10^11), then broadcast the result
-    back onto the pages. Each host explodes into its ≤L label-suffixes
-    (L is tiny), both rule kinds resolve via BROADCAST equi-joins
-    (plain/exception rules on the suffix itself, wildcards on the
-    suffix's parent), and one groupBy on an injected row id picks the
-    winning rule — struct-max ordering puts exceptions above longest-
-    match, exactly the publicsuffix.org precedence. Hosts that ARE a
-    public suffix (or bare TLDs) pass through unchanged."""
+    back onto the pages. Each host explodes into ≤2L match candidates
+    (suffix of i labels for plain/exception rules; that suffix's
+    parent for single-label wildcards — L is tiny), ONE broadcast
+    left equi-join on (key, kind) resolves both rule kinds, and one
+    groupBy on an injected row id picks the winner — struct-max
+    ordering puts exceptions above longest-match, exactly the
+    publicsuffix.org precedence. Hosts that ARE a public suffix (or
+    bare TLDs) pass through unchanged.
+
+    Plan-shape note: the row-id frame feeds exactly ONE lineage
+    (explode → join → groupBy, no join-back) — referencing a
+    monotonically_increasing_id frame from two plan branches is
+    evaluation-order-dependent when the input sits downstream of a
+    shuffle (the q183 bug class), so this operator, like
+    robots_allowed, carries its payload columns THROUGH the groupBy
+    instead of re-joining them."""
     from pyspark.sql import functions as F
 
     keyed = df.withColumn("__rid", F.monotonically_increasing_id())
     labels = F.split(F.col(host_col), r"\.")
     L = F.size(labels)
-    # suffix of i labels + that suffix's parent (i-1 labels), i=1..L
+    # per suffix level i: (sfx, kind=0) targets plain/exception rules
+    # and (parent, kind=1) targets wildcard rules — one equi-key space
     cand = keyed.select(
+        *df.columns,
         "__rid",
-        F.col(host_col).alias("__h"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), L),
-                lambda i: F.struct(
-                    F.array_join(
-                        F.slice(labels, L - i + 1, i), "."
-                    ).alias("sfx"),
-                    F.when(
-                        i >= 2,
-                        F.array_join(F.slice(labels, L - i + 2, i - 1), "."),
-                    ).alias("parent"),
-                ),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), L),
+                    lambda i: F.array(
+                        F.struct(
+                            F.array_join(
+                                F.slice(labels, L - i + 1, i), "."
+                            ).alias("mkey"),
+                            F.lit(0).alias("kind"),
+                        ),
+                        F.struct(
+                            F.when(
+                                i >= 2,
+                                F.array_join(
+                                    F.slice(labels, L - i + 2, i - 1), "."
+                                ),
+                            ).alias("mkey"),
+                            F.lit(1).alias("kind"),
+                        ),
+                    ),
+                )
             )
         ).alias("c"),
     )
-    plain = cand.join(
-        F.broadcast(psl.filter(F.col("is_wild") == 0)),
-        cand["c.sfx"] == psl["key"],
+    matched = cand.join(
+        F.broadcast(psl),
+        (cand["c.mkey"] == psl["key"]) & (cand["c.kind"] == psl["is_wild"]),
+        "left",
     )
-    wild = cand.join(
-        F.broadcast(psl.filter(F.col("is_wild") == 1)),
-        cand["c.parent"] == psl["key"],
+    agg = matched.groupBy("__rid").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        F.max(
+            F.when(
+                F.col("ps_labels").isNotNull(),
+                F.struct(F.col("is_exc"), F.col("ps_labels")),
+            )
+        ).alias("__best"),
     )
-    best = (
-        plain.unionByName(wild)
-        .groupBy("__rid")
-        .agg(
-            F.max(
-                F.struct(F.col("is_exc"), F.col("ps_labels"))
-            ).alias("__best")
-        )
-        .select("__rid", F.col("__best.ps_labels").alias("__ps"))
-    )
-    out = keyed.join(best, "__rid", "left")
     labels2 = F.split(F.col(host_col), r"\.")
     n = F.size(labels2)
-    ps = F.coalesce(F.col("__ps"), F.lit(1))  # implicit '*' default
+    ps = F.coalesce(F.col("__best.ps_labels"), F.lit(1))  # implicit '*'
     dom = F.when(
         n > ps, F.array_join(F.slice(labels2, n - ps, ps + 1), ".")
     ).otherwise(F.col(host_col))
-    return out.select(*df.columns, dom.alias(out_col))
+    return agg.select(*df.columns, dom.alias(out_col))

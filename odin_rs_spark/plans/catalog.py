@@ -9662,12 +9662,120 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# q183 — WAT metadata-record scan → LINK GRAPH (the third member of
+# the Common Crawl sidecar trio after q153/q174 WARC and q182 WET:
+# WAT files carry `metadata` records whose block is a JSON envelope
+# with the page's outlinks — the input of every web-graph /
+# PageRank-seeded quality pipeline): the unchanged warc_records walk,
+# JVM `from_json` on the envelope (zero Python in the parse),
+# explode outlinks, PSL registrable domains on BOTH endpoints, and
+# the (src_domain, dst_domain) edge rollup. Page g = fno*9 + p:
+# target host h{g%4}.site{g%3}.co.uk, links j < 3 + g%3 to
+# h{j}.site{(g+2*j+1)%5}.co.uk. The oracle derives the whole edge
+# list analytically.
+# --------------------------------------------------------------------------
+
+def q183_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.functions.web import (
+        host_of,
+        load_psl,
+        registered_domain_psl,
+    )
+    from odin_rs_spark.sources.warc import warc_records
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import json as _json
+
+        from odin_rs_spark.sources.warc import encode_warc
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: wat-fixture\r\n"}
+            ]
+            for p in range(9):
+                g = fno * 9 + p
+                uri = f"https://h{g % 4}.site{g % 3}.co.uk/p/{g}"
+                links = [
+                    {
+                        "url": f"https://h{j}.site{(g + 2 * j + 1) % 5}"
+                        f".co.uk/l/{g}/{j}"
+                    }
+                    for j in range(3 + g % 3)
+                ]
+                env = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                        "Payload-Metadata": {"Links": links},
+                    }
+                }
+                recs.append(
+                    {
+                        "warc_type": "metadata",
+                        "target_uri": uri,
+                        "content_type": "application/json",
+                        "block": _json.dumps(env).encode(),
+                    }
+                )
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    files = spark.range(2).select(
+        F.concat(F.lit("wat_"), F.col("id").cast("string"), F.lit(".warc.gz")).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+    recs = warc_records(files).filter(F.col("warc_type") == "metadata")
+    schema = (
+        "Envelope STRUCT<`WARC-Header-Metadata` STRUCT<`WARC-Target-URI` STRING>, "
+        "`Payload-Metadata` STRUCT<Links ARRAY<STRUCT<url STRING>>>>"
+    )
+    parsed = recs.select(F.from_json(F.col("body_text"), schema).alias("j"))
+    edges = parsed.select(
+        F.col("j.Envelope.WARC-Header-Metadata.WARC-Target-URI").alias("src"),
+        F.explode(F.col("j.Envelope.Payload-Metadata.Links")["url"]).alias("dst"),
+    ).select(host_of(F.col("src")).alias("host"), host_of(F.col("dst")).alias("dst_host"))
+    psl = load_psl(spark)
+    s = registered_domain_psl(edges, psl, host_col="host", out_col="src_domain")
+    d = registered_domain_psl(
+        s, psl, host_col="dst_host", out_col="dst_domain"
+    )
+    return d.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("dst_host").alias("n_dst_hosts"),
+    )
+
+
+Q183_SQL = """
+WITH pg AS (
+  SELECT f.range * 9 + p.range AS g FROM range(2) f, range(9) p),
+e AS (
+  SELECT g, j.range AS j,
+         'site' || (g % 3)::VARCHAR || '.co.uk' AS src_domain,
+         'site' || ((g + 2 * j.range + 1) % 5)::VARCHAR || '.co.uk' AS dst_domain,
+         'h' || j.range::VARCHAR || '.site'
+           || ((g + 2 * j.range + 1) % 5)::VARCHAR || '.co.uk' AS dst_host
+  FROM pg, range(5) j WHERE j.range < 3 + g % 3)
+SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links,
+       count(DISTINCT dst_host)::BIGINT AS n_dst_hosts
+FROM e GROUP BY src_domain, dst_domain
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-9:   the r8 NEW queries — q174 WARC wire decode (chunked
+#   slots 1-10:  the r8 NEW queries — q174 WARC wire decode (chunked
 #                transfer + gzip/deflate content coding), q175 crawl
 #                flagship on the wire-decoded path, q176 progressive
 #                JPEG (SOF2), q177 robots wildcards + row
@@ -9676,8 +9784,8 @@ FROM b
 #                percent normalization, userinfo), q180 PDF text
 #                extraction, q181 crawl-frontier flagship (sitemap →
 #                canonicalize → PSL → wildcard robots), q182 WET
-#                conversion-record scan.
-#   slots 10-28: queries whose CODE changed this round —
+#                conversion-record scan, q183 WAT link graph.
+#   slots 11-29: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -9688,10 +9796,10 @@ FROM b
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 29-50: the stalest driver rows — the r3-green block that
+#   slots 30-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q18;
-#                q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10-q17;
+#                q18/q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -9711,6 +9819,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
         QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
         QuerySpec("q182_wet_scan", q182_wet_scan, Q182_SQL, "S-warc wet-conversion-records"),
+        QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

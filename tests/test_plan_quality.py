@@ -609,6 +609,32 @@ def test_warc_and_demux_single_scan_no_shuffle(spark, tmp_path):
     assert "Exchange" not in _executed(mm.video_demux_audio(media))
 
 
+def test_pdf_pages_single_scan_no_shuffle(spark, tmp_path):
+    """q180 shape: PDF page extraction is one mapInPandas over the
+    binaryFile scan — document bytes never shuffle."""
+    from odin_rs_spark.sources.pdfcodec import encode_pdf, pdf_pages
+
+    f = tmp_path / "t.pdf"
+    f.write_bytes(encode_pdf([["one page"]]))
+    files = spark.read.format("binaryFile").load(str(f))
+    assert "Exchange" not in _executed(pdf_pages(files)), "pdf shuffled"
+
+
+def test_psl_single_broadcast_join_one_rid_shuffle(spark):
+    """q178 shape: the PSL resolves in exactly ONE broadcast hash
+    join (both rule kinds share the (key, kind) equi-key space); the
+    only exchange is the row-id groupBy — and the row-id frame feeds
+    exactly one lineage (the q183 two-branch hazard class)."""
+    from odin_rs_spark.functions.web import load_psl, registered_domain_psl
+
+    hosts = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.co.uk")).alias("host")
+    )
+    plan = _executed(registered_domain_psl(hosts, load_psl(spark)))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:900]
+    assert "SortMergeJoin" not in plan
+
+
 def test_source_signatures_two_shuffles_partial_agg(spark, sf_dir):
     """Corpus-level minhash: shingle-distinct + the (source, pos) min
     fold are the only exchanges, and the min agg combines map-side —
