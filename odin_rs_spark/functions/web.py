@@ -341,3 +341,58 @@ def registered_domain_psl(
         n > ps, F.array_join(F.slice(labels2, n - ps, ps + 1), ".")
     ).otherwise(F.col(host_col))
     return agg.select(*df.columns, dom.alias(out_col))
+
+
+def url_resolve(base: Column, ref: Column) -> Column:
+    """RFC 3986 §5.2 relative-reference resolution as pure column
+    math — the crawler primitive that turns an HTML outlink into a
+    frontier URL (real pages link relatively far more often than
+    absolutely). Handles the five reference shapes:
+
+    - absolute ('https://x/…')       → the reference itself
+    - network-path ('//host/p')      → base scheme + reference
+    - absolute-path ('/p')           → base authority + path
+    - relative path ('p', '../p')    → merged with the base path's
+      directory, then remove_dot_segments
+    - query/fragment-only ('?q','#f')→ base path (+ new query);
+      fragments never survive (crawl identity ignores them)
+
+    Scope matches url_parse (http(s), no IDN); a NULL/unparseable
+    base yields NULL."""
+    b = url_parse(base)
+    scheme = b["scheme"]
+    authority = F.concat(
+        scheme,
+        F.lit("://"),
+        b["host"],
+        F.when(
+            b["port"].isNotNull(),
+            F.concat(F.lit(":"), b["port"].cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    bpath = F.when(
+        F.coalesce(b["path"], F.lit("")) == "", F.lit("/")
+    ).otherwise(b["path"])
+    # reference parts (path / ?query — fragment dropped)
+    rpath = F.regexp_extract(ref, r"^([^?#]*)", 1)
+    rq = F.regexp_extract(ref, r"\?([^#]*)", 1)
+    rquery = F.when(rq != "", F.concat(F.lit("?"), rq)).otherwise(F.lit(""))
+    # base path's directory (everything up to the last '/')
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    merged = remove_dot_segments(F.concat(bdir, rpath))
+    abs_path = remove_dot_segments(rpath)
+    resolved = (
+        F.when(ref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(authority, abs_path, rquery))
+        .when(
+            ref.startswith("?"),
+            F.concat(authority, bpath, rquery),
+        )
+        .when(
+            (ref == "") | ref.startswith("#"),
+            F.concat(authority, bpath),
+        )
+        .otherwise(F.concat(authority, merged, rquery))
+    )
+    return F.when(scheme.isNotNull() & b["host"].isNotNull(), resolved)

@@ -9770,6 +9770,88 @@ FROM e GROUP BY src_domain, dst_domain
 """
 
 
+# --------------------------------------------------------------------------
+# q184 — relative-URL outlink resolution (functions/web.url_resolve,
+# RFC 3986 §5.2 — real pages link relatively far more often than
+# absolutely, so a frontier builder that can't resolve '../x',
+# '/abs', '//cdn/x' and 'sibling.html' against the page URI loses
+# most of the link graph): formula (page, ref) pairs cycle all five
+# reference shapes, resolve JVM-side (pure column math — the
+# remove_dot_segments fold is on-path for the '../' case), then roll
+# up per PSL registrable domain of the RESOLVED target. The oracle
+# derives every resolved URL analytically.
+# --------------------------------------------------------------------------
+
+def q184_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import (
+        host_of,
+        load_psl,
+        registered_domain_psl,
+        url_resolve,
+    )
+
+    g = F.col("id")
+    j = F.col("j")
+    uri = F.concat(
+        F.lit("https://h"), (g % 4).cast("string"),
+        F.lit(".site"), (g % 3).cast("string"),
+        F.lit(".co.uk/a/b"), g.cast("string"), F.lit("/page.html"),
+    )
+    ref = (
+        F.when(j % 5 == 0, F.concat(F.lit("img/"), g.cast("string"), F.lit(".png")))
+        .when(j % 5 == 1, F.concat(F.lit("../up"), j.cast("string"), F.lit(".html")))
+        .when(j % 5 == 2, F.concat(F.lit("/root/"), g.cast("string"), F.lit("/"), j.cast("string")))
+        .when(j % 5 == 3, F.concat(F.lit("//cdn"), (j % 2).cast("string"), F.lit(".example.net/x.js")))
+        .otherwise(F.concat(F.lit("https://abs"), (g % 2).cast("string"), F.lit(".sample.org/p")))
+    )
+    edges = (
+        spark.range(18)
+        .select("id", F.explode(F.sequence(F.lit(0), 3 + (g % 2))).alias("j"))
+        .select(url_resolve(uri, ref).alias("resolved"))
+        .select("resolved", host_of(F.col("resolved")).alias("host"))
+    )
+    out = registered_domain_psl(edges, load_psl(spark))
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("resolved").alias("n_urls"),
+        F.min("resolved").alias("min_url"),
+        F.max("resolved").alias("max_url"),
+    )
+
+
+Q184_SQL = """
+WITH e AS (
+  SELECT g.range AS g, j.range AS j
+  FROM range(18) g, range(5) j WHERE j.range <= 3 + g.range % 2),
+r AS (
+  SELECT g, j,
+    CASE j % 5
+      WHEN 0 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
+                  || '.co.uk/a/b' || g::VARCHAR || '/img/' || g::VARCHAR || '.png'
+      WHEN 1 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
+                  || '.co.uk/a/up' || j::VARCHAR || '.html'
+      WHEN 2 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
+                  || '.co.uk/root/' || g::VARCHAR || '/' || j::VARCHAR
+      WHEN 3 THEN 'https://cdn' || (j % 2)::VARCHAR || '.example.net/x.js'
+      ELSE 'https://abs' || (g % 2)::VARCHAR || '.sample.org/p' END AS resolved,
+    CASE j % 5
+      WHEN 3 THEN 'cdn' || (j % 2)::VARCHAR || '.example.net'
+      WHEN 4 THEN 'abs' || (g % 2)::VARCHAR || '.sample.org'
+      ELSE 'h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR || '.co.uk' END AS host,
+    CASE j % 5
+      WHEN 3 THEN 'example.net'
+      WHEN 4 THEN 'sample.org'
+      ELSE 'site' || (g % 3)::VARCHAR || '.co.uk' END AS domain
+  FROM e)
+SELECT domain, count(*)::BIGINT AS n_links,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT resolved)::BIGINT AS n_urls,
+       min(resolved) AS min_url, max(resolved) AS max_url
+FROM r GROUP BY domain
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -9784,8 +9866,9 @@ FROM e GROUP BY src_domain, dst_domain
 #                percent normalization, userinfo), q180 PDF text
 #                extraction, q181 crawl-frontier flagship (sitemap →
 #                canonicalize → PSL → wildcard robots), q182 WET
-#                conversion-record scan, q183 WAT link graph.
-#   slots 11-29: queries whose CODE changed this round —
+#                conversion-record scan, q183 WAT link graph, q184
+#                relative-URL outlink resolution (slots 1-11).
+#   slots 12-30: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -9796,10 +9879,10 @@ FROM e GROUP BY src_domain, dst_domain
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 30-50: the stalest driver rows — the r3-green block that
+#   slots 31-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q17;
-#                q18/q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10-q16;
+#                q17/q18/q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -9820,6 +9903,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
         QuerySpec("q182_wet_scan", q182_wet_scan, Q182_SQL, "S-warc wet-conversion-records"),
         QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
+        QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

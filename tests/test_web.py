@@ -87,6 +87,42 @@ def test_registered_domain(spark):
     assert _one(spark, host_of, "HTTPS://WWW.Ex.Org/x") == "ex.org"
 
 
+def test_url_resolve_reference_shapes(spark):
+    """RFC 3986 §5.2 resolution: all five reference shapes against a
+    base with path, query and fragment."""
+    from odin_rs_spark.functions.web import url_resolve
+
+    base = "https://ex.com/a/b/page.html?x=1#top"
+    cases = {
+        "https://other.net/q": "https://other.net/q",
+        "//cdn.net/img.png": "https://cdn.net/img.png",
+        "/root/doc": "https://ex.com/root/doc",
+        "/r/../z": "https://ex.com/z",
+        "sibling.html": "https://ex.com/a/b/sibling.html",
+        "../up.html": "https://ex.com/a/up.html",
+        "../../further?y=2": "https://ex.com/further?y=2",
+        "./here": "https://ex.com/a/b/here",
+        "?only=q": "https://ex.com/a/b/page.html?only=q",
+        "#frag": "https://ex.com/a/b/page.html",
+        "": "https://ex.com/a/b/page.html",
+    }
+    df = spark.createDataFrame(
+        [(base, r) for r in cases], "b string, r string"
+    ).select("r", url_resolve(F.col("b"), F.col("r")).alias("v"))
+    for row in df.collect():
+        assert row.v == cases[row.r], (row.r, row.v)
+    # non-URL base resolves to NULL
+    bad = spark.range(1).select(
+        url_resolve(F.lit("not a url"), F.lit("x")).alias("v")
+    ).first()
+    assert bad.v is None
+    # port survives authority reconstruction
+    p = spark.range(1).select(
+        url_resolve(F.lit("https://ex.com:8443/a/p"), F.lit("q.html")).alias("v")
+    ).first()
+    assert p.v == "https://ex.com:8443/a/q.html"
+
+
 def test_registered_domain_psl(spark):
     """Full PSL semantics against the committed trimmed-but-real
     snapshot: exception > wildcard > longest-match > implicit '*'
