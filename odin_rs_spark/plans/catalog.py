@@ -9852,6 +9852,122 @@ FROM r GROUP BY domain
 """
 
 
+# --------------------------------------------------------------------------
+# q185 — charset-aware HTTP body decoding (the web reality the
+# UTF-8-with-replacement default silently mangles: a large share of
+# crawled pages are windows-1252/iso-8859-1, declared in the
+# Content-Type header or an HTML <meta> prescan, and some pages LIE):
+# formula pages cycle four declaration modes — header
+# charset=windows-1252, meta-prescan iso-8859-1 (WHATWG-aliased to
+# cp1252), undeclared UTF-8, and a header that claims UTF-8 over
+# invalid bytes (→ replacement fallback). The oracle builds every
+# expected decoded string with chr() and derives the BYTE length per
+# encoding analytically; `charset` pins which codec actually ran.
+# --------------------------------------------------------------------------
+
+def q185_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.sources.warc import warc_records
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import (
+            encode_http_response,
+            encode_warc,
+        )
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: cs-fixture\r\n"}
+            ]
+            for p in range(8):
+                g = fno * 8 + p
+                m = g % 4
+                if m == 0:
+                    body = f"w{g} caf\xe9 €{g}".encode("cp1252")
+                    mime = "text/html; charset=windows-1252"
+                elif m == 1:
+                    body = (
+                        f'<meta charset="iso-8859-1"> caf\xe9 {g}'
+                    ).encode("latin-1")
+                    mime = "text/html"
+                elif m == 2:
+                    body = f"plain utf8 caf\xe9 {g}".encode("utf-8")
+                    mime = "text/html"
+                else:
+                    body = b"bad \xe9 byte " + str(g).encode()
+                    mime = "text/html; charset=utf-8"
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://cs{g % 3}.example.org/p/{g}",
+                        "content_type": "application/http; msgtype=response",
+                        "block": encode_http_response(body, mime=mime),
+                    }
+                )
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    files = spark.range(2).select(
+        F.concat(F.lit("cs_"), F.col("id").cast("string"), F.lit(".warc.gz")).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+    recs = warc_records(files).filter(F.col("warc_type") == "response")
+    return recs.select(
+        "file",
+        "rec_no",
+        "target_uri",
+        "mime",
+        "charset",
+        "body_len",
+        F.length("body_text").alias("n_chars"),
+        F.col("body_text").alias("text"),
+    )
+
+
+Q185_SQL = """
+WITH pg AS (
+  SELECT f.range AS fno, p.range AS p, f.range * 8 + p.range AS g
+  FROM range(2) f, range(8) p),
+m AS (
+  SELECT fno, p, g, g % 4 AS md,
+         CASE g % 4
+           WHEN 0 THEN 'w' || g::VARCHAR || ' caf' || chr(233) || ' '
+                       || chr(8364) || g::VARCHAR
+           WHEN 1 THEN '<meta charset="iso-8859-1"> caf' || chr(233)
+                       || ' ' || g::VARCHAR
+           WHEN 2 THEN 'plain utf8 caf' || chr(233) || ' ' || g::VARCHAR
+           ELSE 'bad ' || chr(65533) || ' byte ' || g::VARCHAR END AS text,
+         CASE g % 4
+           WHEN 0 THEN 'text/html; charset=windows-1252'
+           WHEN 1 THEN 'text/html'
+           WHEN 2 THEN 'text/html'
+           ELSE 'text/html; charset=utf-8' END AS mime,
+         CASE g % 4 WHEN 2 THEN 'utf-8' WHEN 3 THEN 'utf-8'
+                    ELSE 'cp1252' END AS charset
+  FROM pg)
+SELECT 'cs_' || fno::VARCHAR || '.warc.gz' AS file,
+       (1 + p)::INT AS rec_no,
+       'https://cs' || (g % 3)::VARCHAR || '.example.org/p/' || g::VARCHAR
+         AS target_uri,
+       mime, charset,
+       -- byte length under the ORIGINAL encoding: cp1252/latin-1 store
+       -- the non-ASCII chars in 1 byte, utf-8 needs 2 (and the mode-3
+       -- replacement char stands for ONE invalid input byte)
+       (length(text) + CASE md WHEN 2 THEN 1 ELSE 0 END)::BIGINT AS body_len,
+       length(text)::INT AS n_chars,
+       text
+FROM m
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -9867,8 +9983,10 @@ FROM r GROUP BY domain
 #                extraction, q181 crawl-frontier flagship (sitemap →
 #                canonicalize → PSL → wildcard robots), q182 WET
 #                conversion-record scan, q183 WAT link graph, q184
-#                relative-URL outlink resolution (slots 1-11).
-#   slots 12-30: queries whose CODE changed this round —
+#                relative-URL outlink resolution, q185 charset-aware
+#                body decode (WHATWG cp1252 aliasing, meta prescan,
+#                liar fallback) — slots 1-12.
+#   slots 13-31: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -9879,10 +9997,10 @@ FROM r GROUP BY domain
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 31-50: the stalest driver rows — the r3-green block that
+#   slots 32-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q16;
-#                q17/q18/q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10-q15;
+#                q16-q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -9904,6 +10022,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q182_wet_scan", q182_wet_scan, Q182_SQL, "S-warc wet-conversion-records"),
         QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
         QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
+        QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

@@ -25,6 +25,8 @@ unit; decode is zlib-bound C speed.
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 
 CRLF = b"\r\n"
@@ -264,10 +266,58 @@ def encode_http_response(
     return CRLF.join(hdrs) + CRLF + CRLF + body
 
 
+_CHARSET_RE = re.compile(r"charset\s*=\s*\"?'?([A-Za-z0-9_.:-]+)")
+_META_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def resolve_charset(content_type: str | None, body: bytes) -> str:
+    """The charset a browser-grade pipeline would decode `body` with:
+    the Content-Type header's charset parameter wins; else an HTML
+    <meta charset=…> / http-equiv declaration in the first 1024 bytes
+    (the WHATWG prescan window); else UTF-8. Names normalize through
+    Python's codec registry; HTML5 aliases latin-1 to windows-1252
+    (the web reality — cp1252's 0x80-0x9F range is used by real
+    pages that declare iso-8859-1)."""
+    name = None
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            name = m.group(1)
+    if name is None:
+        m = _META_RE.search(body[:1024])
+        if m:
+            name = m.group(1).decode("ascii", "replace")
+    if name is None:
+        return "utf-8"
+    name = name.strip().lower()
+    if name in ("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"):
+        return "cp1252"  # the WHATWG alias table
+    try:
+        # canonical registry name, so 'windows-1252' and 'cp1252'
+        # report identically downstream
+        return codecs.lookup(name).name
+    except LookupError:
+        return "utf-8"
+
+
+def decode_body_text(content_type: str | None, body: bytes) -> tuple[str, str]:
+    """(text, charset used): decode with `resolve_charset`'s pick,
+    falling back to UTF-8-with-replacement if the declared charset
+    rejects the bytes (crawl pages lie about their encoding)."""
+    cs = resolve_charset(content_type, body)
+    try:
+        return body.decode(cs), cs
+    except (UnicodeDecodeError, LookupError):
+        return body.decode("utf-8", "replace"), "utf-8"
+
+
 WARC_SCHEMA = (
     "file string, rec_no int, warc_type string, target_uri string, "
     "warc_date string, http_status int, mime string, "
-    "http_encoding string, body_len long, body_text string"
+    "http_encoding string, charset string, body_len long, "
+    "body_text string"
 )
 
 
@@ -277,9 +327,12 @@ def warc_records(files_df, on_error: str = "raise"):
     their bodies WIRE-DECODED (chunked transfer framing, then
     gzip/deflate content coding — `decode_http_body`; the encodings
     applied ride in `http_encoding`, e.g. 'chunked+gzip', NULL when
-    identity); non-HTTP records carry NULL http fields and the raw
-    block as body. Body text decodes as UTF-8 with replacement — the
-    lossless decoded byte length rides in `body_len`."""
+    identity), then CHARSET-decoded (Content-Type parameter → HTML
+    meta prescan → UTF-8; iso-8859-1 aliases to cp1252 per WHATWG —
+    the charset used rides in `charset`); non-HTTP records carry
+    NULL http fields and the raw block UTF-8-replacement-decoded.
+    The lossless decoded BYTE length rides in `body_len` (body_text
+    character count can differ for non-ASCII pages)."""
     import os
 
     import pandas as pd
@@ -292,7 +345,8 @@ def warc_records(files_df, on_error: str = "raise"):
             rows = {
                 "file": [], "rec_no": [], "warc_type": [], "target_uri": [],
                 "warc_date": [], "http_status": [], "mime": [],
-                "http_encoding": [], "body_len": [], "body_text": [],
+                "http_encoding": [], "charset": [], "body_len": [],
+                "body_text": [],
             }
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
@@ -305,8 +359,9 @@ def warc_records(files_df, on_error: str = "raise"):
                 for r in recs:
                     h = r["headers"]
                     wtype = h.get("warc-type")
-                    status = mime = enc = None
+                    status = mime = enc = cs = None
                     body = r["block"]
+                    text = None
                     if wtype == "response" and h.get("content-type", "").startswith(
                         "application/http"
                     ):
@@ -315,10 +370,13 @@ def warc_records(files_df, on_error: str = "raise"):
                             mime = hh.get("content-type")
                             body, applied = decode_http_body(hh, body)
                             enc = "+".join(applied) if applied else None
+                            text, cs = decode_body_text(mime, body)
                         except ValueError:
                             if on_error == "skip":
                                 continue
                             raise
+                    if text is None:
+                        text = body.decode("utf-8", "replace")
                     rows["file"].append(base)
                     rows["rec_no"].append(r["rec_no"])
                     rows["warc_type"].append(wtype)
@@ -327,8 +385,9 @@ def warc_records(files_df, on_error: str = "raise"):
                     rows["http_status"].append(status)
                     rows["mime"].append(mime)
                     rows["http_encoding"].append(enc)
+                    rows["charset"].append(cs)
                     rows["body_len"].append(len(body))
-                    rows["body_text"].append(body.decode("utf-8", "replace"))
+                    rows["body_text"].append(text)
             yield pd.DataFrame(rows)
 
     # package must reach workers even when no table read shipped it

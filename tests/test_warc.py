@@ -145,6 +145,37 @@ def test_http_decode_errors_named():
         decode_http_body({"content-encoding": "gzip"}, b"not gzip")
 
 
+def test_charset_resolution():
+    """WHATWG-grade charset pick: header param > meta prescan >
+    UTF-8; iso-8859-1 aliases to cp1252; liars fall back to
+    replacement decoding; names normalize to the codec registry."""
+    from odin_rs_spark.sources.warc import decode_body_text, resolve_charset
+
+    assert resolve_charset("text/html; charset=windows-1252", b"") == "cp1252"
+    assert resolve_charset("text/html; charset=ISO-8859-1", b"") == "cp1252"
+    assert resolve_charset('text/html; charset="utf-8"', b"") == "utf-8"
+    assert resolve_charset(None, b'<meta charset="cp1252">x') == "cp1252"
+    assert (
+        resolve_charset(
+            None,
+            b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">',
+        )
+        == "cp1252"
+    )
+    # meta outside the 1024-byte prescan window is ignored
+    far = b" " * 1100 + b'<meta charset="cp1252">'
+    assert resolve_charset(None, far) == "utf-8"
+    # header beats meta; unknown charsets fall back to utf-8
+    assert resolve_charset("a; charset=utf-8", b'<meta charset="cp1252">') == "utf-8"
+    assert resolve_charset("a; charset=klingon-9", b"") == "utf-8"
+
+    t, cs = decode_body_text("x; charset=windows-1252", b"caf\xe9 \x80")
+    assert (t, cs) == ("café €", "cp1252")
+    # declared utf-8 over invalid bytes -> replacement fallback
+    t, cs = decode_body_text("x; charset=utf-8", b"bad \xe9!")
+    assert (t, cs) == ("bad �!", "utf-8")
+
+
 def _cc2_prose(g: int) -> str:
     nw = 40 + 15 * (g % 3)
     return " ".join(
