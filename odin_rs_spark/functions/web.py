@@ -396,3 +396,27 @@ def url_resolve(base: Column, ref: Column) -> Column:
         .otherwise(F.concat(authority, merged, rquery))
     )
     return F.when(scheme.isNotNull() & b["host"].isNotNull(), resolved)
+
+
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key — the Wayback /
+    Common Crawl CDX index key: reversed host labels comma-joined,
+    ')' then the lowercased path (+ '?query'), 'www.' and ports
+    dropped ('https://WWW.Ex.COM/A/b?X=1' → 'com,ex)/a/b?x=1').
+    Reversing the host puts every page of a registrable domain in one
+    contiguous index range — the property that makes domain scans of
+    a petabyte CDX index a range read instead of a full scan. Compose
+    with url_canonicalize first for parameter-sorted keys. NULL for
+    non-URLs."""
+    u = url_parse(url)
+    host = F.regexp_replace(u["host"], r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.when(F.coalesce(u["path"], F.lit("")) == "", F.lit("/")).otherwise(
+            u["path"]
+        )
+    )
+    q = F.when(
+        u["query"].isNotNull(), F.concat(F.lit("?"), F.lower(u["query"]))
+    ).otherwise(F.lit(""))
+    return F.when(host.isNotNull(), F.concat(rev, F.lit(")"), path, q))

@@ -31,12 +31,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
-    """(host, robots_txt) → one row per (host, agent, rule): columns
-    (host, agent lowercased, allow int, prefix, prefix_len). Pure
-    column expressions: line explode + running group ids via window
-    sums — no UDFs."""
-    lines = (
+def _robots_lines(
+    robots: DataFrame, host_col: str, text_col: str, keys: tuple[str, ...]
+) -> DataFrame:
+    """(host, robots_txt) → one row per kept directive line with
+    (host, pos, key lowered, val trimmed): comment/whitespace strip +
+    line explode, filtered to `keys`. Pure column expressions."""
+    return (
         robots.select(
             F.col(host_col).alias("host"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
@@ -53,14 +54,18 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "rob
                 F.expr("substring(line, instr(line, ':') + 1, length(line))")
             ),
         )
-        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+        .filter(F.col("key").isin(*keys))
     )
+
+
+def _grouped_lines(lines: DataFrame) -> DataFrame:
+    """Assign RFC 9309 group ids: a User-agent line opens a NEW group
+    iff the previous kept line was not also a User-agent line
+    (consecutive UA lines share the group); lines before any UA line
+    drop."""
     w = Window.partitionBy("host").orderBy("pos")
-    grouped = (
-        lines
-        # a UA line opens a NEW group iff the previous kept line was
-        # not also a UA line (consecutive UA lines share the group)
-        .withColumn(
+    return (
+        lines.withColumn(
             "ua_start",
             (
                 (F.col("key") == "user-agent")
@@ -71,12 +76,27 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "rob
             ).cast("int"),
         )
         .withColumn("grp", F.sum("ua_start").over(w))
-        .filter(F.col("grp") > 0)  # rules before any UA line are ignored
+        .filter(F.col("grp") > 0)
     )
-    agents = (
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    return (
         grouped.filter(F.col("key") == "user-agent")
         .select("host", "grp", F.lower(F.col("val")).alias("agent"))
         .distinct()
+    )
+
+
+def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → one row per (host, agent, rule): columns
+    (host, agent lowercased, allow int, prefix, prefix_len). Pure
+    column expressions: line explode + running group ids via window
+    sums — no UDFs."""
+    grouped = _grouped_lines(
+        _robots_lines(
+            robots, host_col, text_col, ("user-agent", "allow", "disallow")
+        )
     )
     rules = grouped.filter(F.col("key") != "user-agent").select(
         "host",
@@ -85,9 +105,50 @@ def robots_rules(robots: DataFrame, host_col: str = "host", text_col: str = "rob
         F.col("val").alias("prefix"),
         F.length("val").alias("prefix_len"),
     )
-    return agents.join(rules, ["host", "grp"]).select(
+    return _group_agents(grouped).join(rules, ["host", "grp"]).select(
         "host", "agent", "allow", "prefix", "prefix_len"
     )
+
+
+def robots_directives(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """The NON-rule robots.txt directives a crawl scheduler consumes:
+    (host, agent, directive, value) rows for
+
+    - 'sitemap' — RFC 9309 §2.3 allows it ANYWHERE in the file and it
+      binds to no group: agent is NULL;
+    - 'crawl-delay' — the de-facto politeness extension; binds to its
+      group's agents exactly like Allow/Disallow.
+
+    Sitemap values feed frontier DISCOVERY (q163's scan); crawl-delay
+    feeds per-host fetch budgets. Pure column expressions."""
+    lines = _robots_lines(
+        robots, host_col, text_col, ("user-agent", "sitemap", "crawl-delay")
+    )
+    sitemaps = lines.filter(F.col("key") == "sitemap").select(
+        "host",
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("sitemap").alias("directive"),
+        F.col("val").alias("value"),
+    )
+    grouped = _grouped_lines(lines)
+    delays = (
+        _group_agents(grouped)
+        .join(
+            grouped.filter(F.col("key") == "crawl-delay").select(
+                "host", "grp", "val"
+            ),
+            ["host", "grp"],
+        )
+        .select(
+            "host",
+            "agent",
+            F.lit("crawl-delay").alias("directive"),
+            F.col("val").alias("value"),
+        )
+    )
+    return sitemaps.unionByName(delays)
 
 
 # Java-regex metacharacters a robots rule path could contain, escaped

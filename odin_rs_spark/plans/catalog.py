@@ -9968,6 +9968,141 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# q186 — robots.txt scheduler directives (operators/web.
+# robots_directives — the NON-rule lines q164/q177 ignore): Sitemap
+# is group-INDEPENDENT (RFC 9309 §2.3: anywhere in the file, binds to
+# no agent — the fixture puts it BEFORE any group to prove it), and
+# Crawl-delay binds to its group like Allow/Disallow (the de-facto
+# politeness extension every crawl scheduler consumes). Formula:
+# every host leads with a Sitemap line, the '*' group carries
+# Crawl-delay 1 + n%5, even hosts add an odinbot group with
+# Crawl-delay 10 + n. The oracle derives all rows analytically.
+# --------------------------------------------------------------------------
+
+def q186_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import robots_directives
+
+    n = F.col("id")
+    txt = F.concat(
+        F.lit("Sitemap: https://h"),
+        n.cast("string"),
+        F.lit(".example/sm"),
+        n.cast("string"),
+        F.lit(".xml\n# politeness\nUser-agent: *\nDisallow: /tmp\nCrawl-delay: "),
+        (1 + n % 5).cast("string"),
+        F.lit("\n"),
+        F.when(
+            n % 2 == 0,
+            F.concat(
+                F.lit("User-agent: odinbot\nCrawl-delay: "),
+                (10 + n).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.range(12).select(
+        F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return robots_directives(robots)
+
+
+Q186_SQL = """
+WITH h AS (SELECT r.range AS n FROM range(12) r)
+SELECT 'h' || n::VARCHAR || '.example' AS host,
+       NULL::VARCHAR AS agent, 'sitemap' AS directive,
+       'https://h' || n::VARCHAR || '.example/sm' || n::VARCHAR || '.xml'
+         AS value
+FROM h
+UNION ALL
+SELECT 'h' || n::VARCHAR || '.example', '*', 'crawl-delay',
+       (1 + n % 5)::VARCHAR
+FROM h
+UNION ALL
+SELECT 'h' || n::VARCHAR || '.example', 'odinbot', 'crawl-delay',
+       (10 + n)::VARCHAR
+FROM h WHERE n % 2 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# q187 — CDX(J) capture-index scan + SURT keys (the Common Crawl /
+# Wayback URL index: 'urlkey timestamp {json}' lines, keyed by the
+# Sort-friendly URI Reordering Transform so a domain's pages are one
+# contiguous index range): formula capture lines parse as pure
+# column math (regexp split + JVM from_json), roll up to the
+# LATEST-capture view per urlkey (the standard CDX dedup workload:
+# max_by timestamp, distinct digest count), and `surt_key` is
+# cross-checked by RECOMPUTING each line's key from the JSON's raw
+# url — surt_ok must be 1 everywhere. 200 captures over 40 pages.
+# --------------------------------------------------------------------------
+
+def q187_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import surt_key
+
+    i = F.col("id")
+    v = i % 40
+    urlkey = F.concat(
+        F.lit("com,example,site"), (v % 7).cast("string"),
+        F.lit(")/p/"), v.cast("string"),
+    )
+    ts = (F.lit(20260801000000) + i).cast("string")
+    url = F.concat(
+        F.lit("https://site"), (v % 7).cast("string"),
+        F.lit(".example.com/p/"), v.cast("string"),
+    )
+    js = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "digest": "d'), (i % 8).cast("string"),
+        F.lit('", "status": '), (F.lit(200) + (i % 3) * 100).cast("string"),
+        F.lit("}"),
+    )
+    lines = spark.range(200).select(
+        F.concat(urlkey, F.lit(" "), ts, F.lit(" "), js).alias("line")
+    )
+    parts = lines.select(
+        F.regexp_extract("line", r"^(\S+) (\S+) (.*)$", 1).alias("urlkey"),
+        F.regexp_extract("line", r"^(\S+) (\S+) (.*)$", 2).alias("ts"),
+        F.from_json(
+            F.regexp_extract("line", r"^(\S+) (\S+) (.*)$", 3),
+            "url string, digest string, status int",
+        ).alias("j"),
+    ).select(
+        "urlkey", "ts", F.col("j.url").alias("url"),
+        F.col("j.digest").alias("digest"), F.col("j.status").alias("status"),
+    )
+    return parts.groupBy("urlkey").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("digest").alias("n_digests"),
+        F.max("ts").alias("latest_ts"),
+        F.max_by("status", "ts").alias("latest_status"),
+        F.min(
+            (surt_key(F.col("url")) == F.col("urlkey")).cast("int")
+        ).alias("surt_ok"),
+    )
+
+
+Q187_SQL = """
+WITH c AS (
+  SELECT r.range AS i, r.range % 40 AS v FROM range(200) r),
+cap AS (
+  SELECT i, v,
+         'com,example,site' || (v % 7)::VARCHAR || ')/p/' || v::VARCHAR
+           AS urlkey,
+         (20260801000000 + i)::VARCHAR AS ts,
+         'd' || (i % 8)::VARCHAR AS digest,
+         200 + (i % 3) * 100 AS status
+  FROM c)
+SELECT urlkey, count(*)::BIGINT AS n_captures,
+       count(DISTINCT digest)::BIGINT AS n_digests,
+       max(ts) AS latest_ts,
+       max_by(status, ts) AS latest_status,
+       1 AS surt_ok
+FROM cap GROUP BY urlkey
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -9985,8 +10120,10 @@ FROM m
 #                conversion-record scan, q183 WAT link graph, q184
 #                relative-URL outlink resolution, q185 charset-aware
 #                body decode (WHATWG cp1252 aliasing, meta prescan,
-#                liar fallback) — slots 1-12.
-#   slots 13-31: queries whose CODE changed this round —
+#                liar fallback), q186 robots scheduler directives
+#                (Sitemap group-independence, Crawl-delay binding),
+#                q187 CDX capture index + SURT keys — slots 1-14.
+#   slots 15-33: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -9997,10 +10134,10 @@ FROM m
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 32-50: the stalest driver rows — the r3-green block that
+#   slots 34-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q15;
-#                q16-q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10-q13;
+#                q14-q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10023,6 +10160,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
         QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
         QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
+        QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
+        QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

@@ -145,6 +145,35 @@ def test_robots_wildcards_and_anchors(spark):
     assert got[("w.example", "/lit.eral/f")] == (0, len("/lit.eral"))
 
 
+def test_robots_directives(spark):
+    """Sitemap binds to NO group (legal anywhere, even before the
+    first User-agent line); Crawl-delay binds to its group's agents
+    like Allow/Disallow; rules-only files yield nothing."""
+    from odin_rs_spark.operators.web import robots_directives
+
+    txt = (
+        "Sitemap: https://a.example/sm1.xml\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n"
+        "Sitemap: https://a.example/sm2.xml\n"
+        "User-agent: fastbot\nUser-agent: slowbot\nCrawl-delay: 9\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt), ("b.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    rows = {
+        (r.host, r.agent, r.directive, r.value)
+        for r in robots_directives(df).collect()
+    }
+    assert rows == {
+        ("a.example", None, "sitemap", "https://a.example/sm1.xml"),
+        ("a.example", None, "sitemap", "https://a.example/sm2.xml"),
+        ("a.example", "*", "crawl-delay", "2"),
+        ("a.example", "fastbot", "crawl-delay", "9"),
+        ("a.example", "slowbot", "crawl-delay", "9"),
+    }
+
+
 def test_robots_rules_broadcast_urls_never_shuffle(spark):
     rules = _rules(spark)
     urls = spark.range(100).select(

@@ -123,6 +123,22 @@ def test_url_resolve_reference_shapes(spark):
     assert p.v == "https://ex.com:8443/a/q.html"
 
 
+def test_surt_key(spark):
+    from odin_rs_spark.functions.web import surt_key
+
+    cases = {
+        "https://WWW.Ex.COM/A/b?X=1": "com,ex)/a/b?x=1",
+        "http://sub.site.co.uk:8080/p": "uk,co,site,sub)/p",
+        "https://ex.com": "com,ex)/",
+        "nope": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string").select(
+        "u", surt_key(F.col("u")).alias("k")
+    )
+    for r in df.collect():
+        assert r.k == cases[r.u], (r.u, r.k)
+
+
 def test_registered_domain_psl(spark):
     """Full PSL semantics against the committed trimmed-but-real
     snapshot: exception > wildcard > longest-match > implicit '*'
