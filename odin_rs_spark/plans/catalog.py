@@ -10103,6 +10103,81 @@ FROM cap GROUP BY urlkey
 """
 
 
+# --------------------------------------------------------------------------
+# q188 — PDF object streams (ISO 32000 §7.5.7 /ObjStm — the
+# compressed-object layout every modern PDF writer emits, and q180's
+# one documented realism seam): the q180 text formula re-encoded with
+# use_objstm=True, so the catalog/page-tree/page dicts live inside a
+# Flate-compressed object stream the parser must expand via the
+# N/First pair table before the structure walk can even find the
+# page tree. Same analytic oracle discipline as q180; odd docs also
+# keep identity content streams so both stream paths stay on-path.
+# --------------------------------------------------------------------------
+
+def q188_pdf_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.sources.pdfcodec import pdf_pages
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            pages = []
+            for p in range(1 + mid % 3):
+                lines = []
+                for j in range(1 + (mid + p) % 3):
+                    words = [
+                        f"sw{(mid * 11 + p * 5 + j * 3 + w) % 17}"
+                        for w in range(5 + (mid + p + j) % 4)
+                    ]
+                    lines.append(" ".join(words))
+                pages.append(lines)
+            out.append(
+                encode_pdf(pages, compress=mid % 2 == 0, use_objstm=True)
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(40).select(
+        F.concat(
+            F.lit("os"), F.lpad(F.col("id").cast("string"), 2, "0"), F.lit(".pdf")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+    return pdf_pages(media).select(
+        "file", "page_no", "n_pages", "text", "n_chars"
+    )
+
+
+Q188_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(40) r),
+pg AS (SELECT mid, p.range AS p FROM d, range(3) p WHERE p.range < 1 + mid % 3),
+ln AS (SELECT mid, p, j.range AS j FROM pg, range(3) j
+       WHERE j.range < 1 + (mid + p) % 3),
+wd AS (
+  SELECT mid, p, j,
+         string_agg('sw' || ((mid * 11 + p * 5 + j * 3 + w.range) % 17)::VARCHAR,
+                    ' ' ORDER BY w.range) AS line
+  FROM ln, range(9) w WHERE w.range < 5 + (mid + p + j) % 4
+  GROUP BY mid, p, j),
+pt AS (
+  SELECT mid, p, string_agg(line, chr(10) ORDER BY j) AS text
+  FROM wd GROUP BY mid, p)
+SELECT 'os' || lpad(mid::VARCHAR, 2, '0') || '.pdf' AS file,
+       p::INT AS page_no,
+       (1 + mid % 3)::INT AS n_pages,
+       text, length(text)::INT AS n_chars
+FROM pt
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10122,8 +10197,9 @@ FROM cap GROUP BY urlkey
 #                body decode (WHATWG cp1252 aliasing, meta prescan,
 #                liar fallback), q186 robots scheduler directives
 #                (Sitemap group-independence, Crawl-delay binding),
-#                q187 CDX capture index + SURT keys — slots 1-14.
-#   slots 15-33: queries whose CODE changed this round —
+#                q187 CDX capture index + SURT keys, q188 PDF object
+#                streams (/ObjStm modern layout) — slots 1-15.
+#   slots 16-34: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -10134,10 +10210,10 @@ FROM cap GROUP BY urlkey
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 34-50: the stalest driver rows — the r3-green block that
+#   slots 35-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q13;
-#                q14-q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10-q12;
+#                q13-q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10162,6 +10238,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
         QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
         QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
+        QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

@@ -13,13 +13,15 @@ content streams, both literal and hex string forms) whose text the
 extraction must round-trip byte-exactly.
 
 Scope (errors name anything else): classic cross-reference tables or
-a scannable object graph (the parser indexes `N 0 obj` directly, so
-xref-stream/linearized files still parse when their objects are
-uncompressed), FlateDecode or identity content streams, literal/hex
-strings. Out of scope, documented: object streams (/ObjStm),
-encryption, CID/Type0 composite-font byte mapping (text shows as the
-raw bytes decode), DCT-in-PDF images (q176's decoder exists — wiring
-it is a seam, not a text concern).
+a scannable object graph (the parser indexes `N 0 obj` directly and
+never consumes xref, so xref-stream/linearized files parse too),
+object streams (/ObjStm — the compressed-object containers every
+modern PDF writer emits; their members are parsed out of the decoded
+stream via the N/First pair header), FlateDecode or identity content
+streams, literal/hex strings. Out of scope, documented: encryption,
+CID/Type0 composite-font byte mapping (text shows as the raw bytes
+decode), DCT-in-PDF images (q176's decoder exists — wiring it is a
+seam, not a text concern).
 
 Scale shape (`pdf_pages`): binaryFile scan → mapInPandas decode →
 one row per page; document bytes never shuffle; zlib does the heavy
@@ -184,25 +186,67 @@ class _Tok:
 def _index_objects(buf: bytes) -> dict[int, int]:
     """Object number → byte offset of its body (after 'N G obj').
     Directly indexing the markers keeps xref-stream and linearized
-    files parseable as long as objects are not inside /ObjStm."""
+    files parseable without consuming any xref. First occurrence wins:
+    compressed stream bytes can coincidentally contain an 'N 0 obj'
+    pattern, and the real declaration of an object precedes any
+    stream that could echo its number."""
     out = {}
     for m in _OBJ_RE.finditer(buf):
-        out[int(m.group(1))] = m.end()
+        out.setdefault(int(m.group(1)), m.end())
     if not out:
         raise ValueError("PDF: no indirect objects found")
     return out
 
 
-def _get_obj(buf: bytes, index: dict[int, int], num: int):
-    if num not in index:
-        raise ValueError(f"PDF: missing object {num}")
-    t = _Tok(buf, index[num])
-    return t, t.value()
+def _expand_objstms(buf: bytes, index: dict[int, int]) -> dict[int, object]:
+    """Parse every /Type /ObjStm object stream (ISO 32000 §7.5.7) into
+    {member object number: parsed value}: the decoded stream opens
+    with /N (num, offset) integer pairs, member bodies start at
+    /First + offset. Streams cannot nest inside ObjStm, so members
+    are plain values."""
+    out: dict[int, object] = {}
+    for num, pos in index.items():
+        t = _Tok(buf, pos)
+        try:
+            d = t.value()
+        except ValueError:
+            continue  # non-dict or exotic object: not an ObjStm
+        if not (isinstance(d, dict) and d.get("/Type") == "/ObjStm"):
+            continue
+        data = _stream_bytes(buf, t, d, index)
+        n = d.get("/N")
+        first = d.get("/First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("PDF: ObjStm without integer /N and /First")
+        head = _Tok(data, 0)
+        pairs = []
+        for _ in range(n):
+            onum = head.value()
+            ooff = head.value()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise ValueError("PDF: malformed ObjStm pair table")
+            pairs.append((onum, ooff))
+        for onum, ooff in pairs:
+            out[onum] = _Tok(data, first + ooff).value()
+    return out
 
 
-def _resolve(buf, index, v):
+def _get_obj(buf: bytes, index: dict[int, int], num: int, extra=None):
+    """Object by number → (tokenizer-or-None, value): direct objects
+    return their tokenizer (positioned for _stream_bytes); ObjStm
+    members come preparsed with no tokenizer (streams cannot live
+    inside an ObjStm)."""
+    if num in index:
+        t = _Tok(buf, index[num])
+        return t, t.value()
+    if extra is not None and num in extra:
+        return None, extra[num]
+    raise ValueError(f"PDF: missing object {num}")
+
+
+def _resolve(buf, index, v, extra=None):
     while isinstance(v, tuple) and v and v[0] == "ref":
-        _, v = _get_obj(buf, index, v[1])
+        _, v = _get_obj(buf, index, v[1], extra)
     return v
 
 
@@ -307,6 +351,7 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
     if not buf.startswith(b"%PDF-"):
         raise ValueError("not a PDF file (no %PDF header)")
     index = _index_objects(buf)
+    extra = _expand_objstms(buf, index)
 
     # trailer → /Root; fall back to scanning for the /Catalog object
     root = None
@@ -318,23 +363,23 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
         except ValueError:
             root = None
     if root is None:
-        for num in index:
-            _, v = _get_obj(buf, index, num)
+        for num in list(index) + list(extra):
+            _, v = _get_obj(buf, index, num, extra)
             if isinstance(v, dict) and v.get("/Type") == "/Catalog":
                 root = ("ref", num)
                 break
     if root is None:
         raise ValueError("PDF: no document catalog")
-    cat = _resolve(buf, index, root)
+    cat = _resolve(buf, index, root, extra)
 
     pages: list[str] = []
 
     def walk(node_ref) -> None:
-        node = _resolve(buf, index, node_ref)
+        node = _resolve(buf, index, node_ref, extra)
         if not isinstance(node, dict):
             raise ValueError("PDF: page-tree node is not a dictionary")
         if node.get("/Type") == "/Pages" or "/Kids" in node:
-            for kid in _resolve(buf, index, node.get("/Kids", [])):
+            for kid in _resolve(buf, index, node.get("/Kids", []), extra):
                 walk(kid)
             return
         # a /Page leaf: contents may be one stream or an array
@@ -347,9 +392,9 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
         for r in refs:
             if not (isinstance(r, tuple) and r[0] == "ref"):
                 raise ValueError("PDF: /Contents entry is not a reference")
-            tok, d = _get_obj(buf, index, r[1])
-            if not isinstance(d, dict):
-                raise ValueError("PDF: content object is not a stream")
+            tok, d = _get_obj(buf, index, r[1], extra)
+            if tok is None or not isinstance(d, dict):
+                raise ValueError("PDF: content object is not a direct stream")
             parts.append(_stream_bytes(buf, tok, d, index))
         pages.append(_extract_text(b"\n".join(parts)))
 
@@ -360,13 +405,24 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
 # -- fixture twin -------------------------------------------------------------
 
 
-def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def encode_pdf(
+    pages: list[list[str]], compress: bool = True, use_objstm: bool = False
+) -> bytes:
     """Fixture twin of `parse_pdf_text`: a minimal but structurally
-    REAL PDF 1.4 — header, catalog, page tree, one content stream per
+    REAL PDF — header, catalog, page tree, one content stream per
     page (FlateDecode when `compress`), xref table, trailer. Each page
     is a list of text lines; EVEN lines emit as literal strings via
     Tj (parens/backslashes escaped), ODD lines as hex strings via a
-    TJ array — both string forms stay on the tested path."""
+    TJ array — both string forms stay on the tested path.
+
+    `use_objstm=True` packs the catalog, page tree, font and page
+    dictionaries into ONE Flate-compressed /ObjStm (the modern-writer
+    layout, PDF 1.5+); content streams stay direct (streams cannot
+    live inside an ObjStm). The classic xref then lists the member
+    objects as free entries — a real 1.5 file would use an xref
+    STREAM for its type-2 entries, but this parser never consumes
+    xref (documented), so the fixture keeps the human-readable
+    table."""
     objs: list[bytes] = []
 
     def content(lines: list[str]) -> bytes:
@@ -383,46 +439,94 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         ops.append(b"ET")
         return b"\n".join(ops)
 
-    n_pages = len(pages)
-    # object layout: 1 catalog, 2 pages node, 3 font,
-    # then per page i: (4+2i) page dict, (5+2i) content stream
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
-    )
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    for i, lines in enumerate(pages):
-        objs.append(
-            (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 3 0 R >> >> "
-                f"/Contents {5 + 2 * i} 0 R >>"
-            ).encode()
-        )
-        data = content(lines)
+    def stream_obj(data: bytes, extra_dict: bytes = b"") -> bytes:
         if compress:
             data = zlib.compress(data, 9)
             filt = b"/Filter /FlateDecode "
         else:
             filt = b""
-        objs.append(
-            b"<< " + filt + f"/Length {len(data)} >>".encode()
+        return (
+            b"<< " + extra_dict + filt + f"/Length {len(data)} >>".encode()
             + b"\nstream\n" + data + b"\nendstream"
         )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+    n_pages = len(pages)
+    if not use_objstm:
+        # object layout: 1 catalog, 2 pages node, 3 font,
+        # then per page i: (4+2i) page dict, (5+2i) content stream
+        kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+        objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+        objs.append(
+            f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+        )
+        objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        for i, lines in enumerate(pages):
+            objs.append(
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"/Contents {5 + 2 * i} 0 R >>"
+                ).encode()
+            )
+            objs.append(stream_obj(content(lines)))
+        numbered = list(enumerate(objs, start=1))
+    else:
+        # members 1..3+n in ONE ObjStm; content streams (4+n..3+2n)
+        # and the ObjStm itself (4+2n) stay direct
+        kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+        members: list[tuple[int, bytes]] = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()),
+            (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        ]
+        for i in range(n_pages):
+            members.append(
+                (
+                    4 + i,
+                    (
+                        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                        f"/Resources << /Font << /F1 3 0 R >> >> "
+                        f"/Contents {4 + n_pages + i} 0 R >>"
+                    ).encode(),
+                )
+            )
+        bodies = b""
+        pair_hdr = []
+        for num, body in members:
+            pair_hdr.append(f"{num} {len(bodies)}")
+            bodies += body + b"\n"
+        header = (" ".join(pair_hdr)).encode() + b"\n"
+        stm = header + bodies
+        numbered = []
+        for i, lines in enumerate(pages):
+            numbered.append((4 + n_pages + i, stream_obj(content(lines))))
+        numbered.append(
+            (
+                4 + n_pages * 2,
+                stream_obj(
+                    stm,
+                    f"/Type /ObjStm /N {len(members)} "
+                    f"/First {len(header)} ".encode(),
+                ),
+            )
+        )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if use_objstm else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    size = max(num for num, _ in numbered) + 1
+    offsets = {0: None}
+    for num, body in numbered:
+        offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_pos = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += f"xref\n0 {size}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    for num in range(1, size):
+        if num in offsets and offsets[num] is not None:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:  # ObjStm member (type-2 in a real xref stream) or gap
+            out += b"0000000000 00000 f \n"
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)

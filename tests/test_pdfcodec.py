@@ -49,6 +49,23 @@ def test_literal_string_escapes():
     assert _extract_text(b"BT (a) Tj (b) ' ET") == "a\nb"
 
 
+def test_objstm_layout_roundtrip():
+    """The modern-writer layout (PDF 1.5 /ObjStm): catalog, page tree
+    and page dicts packed in ONE compressed object stream; content
+    streams stay direct. All four (objstm × compress) combinations
+    round-trip identically."""
+    for objstm in (False, True):
+        for compress in (True, False):
+            buf = encode_pdf(PAGES, compress=compress, use_objstm=objstm)
+            assert parse_pdf_text(buf) == ["\n".join(p) for p in PAGES]
+            assert (b"/ObjStm" in buf) == objstm
+    # a malformed ObjStm pair table raises by name
+    buf = bytearray(encode_pdf([["x"]], compress=False, use_objstm=True))
+    i = bytes(buf).find(b"/First")
+    with pytest.raises(ValueError, match="ObjStm"):
+        parse_pdf_text(bytes(buf[:i]) + b"/Zzz " + bytes(buf[i + 6:]))
+
+
 def test_page_order_and_empty_page():
     buf = encode_pdf([["p0"], [], ["p2"]])
     assert parse_pdf_text(buf) == ["p0", "", "p2"]
