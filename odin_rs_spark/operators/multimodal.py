@@ -1480,3 +1480,54 @@ def video_demux_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(fn, DEMUX_SCHEMA)
+
+
+EXIF_STATS_SCHEMA = (
+    "media_id long, make string, model string, orientation int, "
+    "dt string, lat double, lon double, gps_present int, "
+    "gps_after_strip int"
+)
+
+
+def exif_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Image-side PII audit (sources/exif): per JPEG, the EXIF camera
+    identity, orientation and GPS position — plus proof the scrub
+    works (`gps_after_strip` re-parses the strip_app_segments output
+    and must be 0 everywhere). A corpus build runs the audit to find
+    location-bearing media, the strip before distribution. One
+    mapInPandas pass; media bytes never shuffle."""
+    from odin_rs_spark.sources.exif import parse_exif, strip_app_segments
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "make": [], "model": [], "orientation": [],
+                "dt": [], "lat": [], "lon": [], "gps_present": [],
+                "gps_after_strip": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    e = parse_exif(buf)
+                    e2 = parse_exif(strip_app_segments(buf))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows["media_id"].append(mid)
+                rows["make"].append(e["make"])
+                rows["model"].append(e["model"])
+                rows["orientation"].append(e["orientation"])
+                rows["dt"].append(e["datetime"])
+                rows["lat"].append(e["lat"])
+                rows["lon"].append(e["lon"])
+                rows["gps_present"].append(int(e["lat"] is not None))
+                rows["gps_after_strip"].append(int(e2["lat"] is not None))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, EXIF_STATS_SCHEMA
+    )

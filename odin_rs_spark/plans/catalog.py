@@ -10178,6 +10178,96 @@ FROM pt
 """
 
 
+# --------------------------------------------------------------------------
+# q189 — EXIF PII audit + scrub (sources/exif + multimodal.exif_stats
+# — the image-side privacy pass of a multimodal corpus build: camera
+# identity, orientation and GPS POSITION ride inside phone photos):
+# formula JPEGs carry real APP1/Exif segments in BOTH byte orders
+# (little-endian for even media, big-endian for odd), GPS on every
+# third medium as the standard d/m/s×100 rationals; `gps_after_strip`
+# re-parses the strip_app_segments output and must be 0 everywhere.
+# The oracle derives every field analytically, replaying the DMS→
+# decimal conversion in the SAME IEEE operation order
+# (d + m/60 + (s100/100)/3600).
+# --------------------------------------------------------------------------
+
+def q189_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.operators.multimodal import exif_stats
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.exif import encode_exif_app1, insert_app1
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            img = np.full((16, 16), 100 + 2 * (mid % 60), np.uint8)
+            base = encode_jpeg(img)
+            gps = None
+            if mid % 3 == 0:
+                lat = (mid % 80) + (mid % 55) / 60 + ((mid * 37) % 6000) / 100 / 3600
+                lon = (mid % 170) + ((mid * 3) % 58) / 60 + ((mid * 53) % 6000) / 100 / 3600
+                if mid % 2 == 0:
+                    lon = -lon
+                gps = (lat, lon)
+            app1 = encode_exif_app1(
+                make=f"Cam{mid % 5}",
+                model=f"M{mid % 4}",
+                orientation=1 + mid % 8,
+                datetime=f"2026:08:{1 + mid % 28:02d} 10:00:00",
+                gps=gps,
+                byte_order="<" if mid % 2 == 0 else ">",
+            )
+            out.append(insert_app1(base, app1))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(60).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+    out = exif_stats(media)
+    return out.select(
+        "media_id",
+        "make",
+        "model",
+        "orientation",
+        "dt",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "gps_present",
+        "gps_after_strip",
+    )
+
+
+Q189_SQL = """
+WITH m AS (SELECT r.range AS mid FROM range(60) r)
+SELECT mid AS media_id,
+       'Cam' || (mid % 5)::VARCHAR AS make,
+       'M' || (mid % 4)::VARCHAR AS model,
+       (1 + mid % 8)::INT AS orientation,
+       '2026:08:' || lpad((1 + mid % 28)::VARCHAR, 2, '0')
+         || ' 10:00:00' AS dt,
+       CASE WHEN mid % 3 = 0 THEN round(
+         (mid % 80)::DOUBLE + (mid % 55)::DOUBLE / 60
+           + (((mid * 37) % 6000)::DOUBLE / 100) / 3600, 6) END AS lat,
+       CASE WHEN mid % 3 = 0 THEN round(
+         CASE WHEN mid % 2 = 0 THEN -1 ELSE 1 END *
+         ((mid % 170)::DOUBLE + ((mid * 3) % 58)::DOUBLE / 60
+           + (((mid * 53) % 6000)::DOUBLE / 100) / 3600), 6) END AS lon,
+       CASE WHEN mid % 3 = 0 THEN 1 ELSE 0 END AS gps_present,
+       0 AS gps_after_strip
+FROM m
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10198,8 +10288,9 @@ FROM pt
 #                liar fallback), q186 robots scheduler directives
 #                (Sitemap group-independence, Crawl-delay binding),
 #                q187 CDX capture index + SURT keys, q188 PDF object
-#                streams (/ObjStm modern layout) — slots 1-15.
-#   slots 16-34: queries whose CODE changed this round —
+#                streams (/ObjStm modern layout), q189 EXIF PII audit
+#                + GPS scrub — slots 1-16.
+#   slots 17-35: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -10210,10 +10301,10 @@ FROM pt
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 35-50: the stalest driver rows — the r3-green block that
+#   slots 36-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10-q12;
-#                q13-q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list greens (q10/q11;
+#                q12-q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10239,6 +10330,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
         QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
         QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
+        QuerySpec("q189_exif_audit", q189_exif_audit, Q189_SQL, "multimodal exif-pii gps-scrub"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

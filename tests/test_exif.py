@@ -1,0 +1,82 @@
+"""EXIF APP1 parse/encode/scrub (sources/exif) — both TIFF byte
+orders, GPS DMS round-trip, strip leaves pixels untouched."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from odin_rs_spark.sources.exif import (
+    encode_exif_app1,
+    insert_app1,
+    parse_exif,
+    strip_app_segments,
+)
+from odin_rs_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+
+BASE = encode_jpeg(np.full((16, 16), 100, np.uint8))
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_roundtrip_both_byte_orders(bo):
+    app1 = encode_exif_app1(
+        make="CamX", model="M3", orientation=6,
+        datetime="2026:08:15 12:00:00",
+        gps=(37.50125, -122.25625), byte_order=bo,
+    )
+    j = insert_app1(BASE, app1)
+    e = parse_exif(j)
+    assert (e["make"], e["model"], e["orientation"]) == ("CamX", "M3", 6)
+    assert e["datetime"] == "2026:08:15 12:00:00"
+    # 37.50125 = 37 deg 30 min 4.50 sec -> exact through the d/m/s*100
+    # rationals
+    assert e["lat"] == pytest.approx(37.50125, abs=2e-6)
+    assert e["lon"] == pytest.approx(-122.25625, abs=2e-6)
+
+
+def test_gps_minute_boundary():
+    """Exact-minute values (s=0) must not lose a minute to float
+    truncation (the int((v-d)*60) ulp hazard)."""
+    for lat in (10 + 1 / 60, 45 + 59 / 60, 0 + 1 / 60):
+        app1 = encode_exif_app1(gps=(lat, 0.0))
+        e = parse_exif(insert_app1(BASE, app1))
+        assert e["lat"] == pytest.approx(lat, abs=2e-6), lat
+
+
+def test_strip_scrubs_and_preserves_pixels():
+    app1 = encode_exif_app1(make="X", gps=(1.5, 2.5))
+    j = insert_app1(BASE, app1)
+    s = strip_app_segments(j)
+    e = parse_exif(s)
+    assert all(v is None for v in e.values())
+    assert np.array_equal(decode_jpeg(s), decode_jpeg(BASE))
+    # idempotent; no-exif input passes through semantically
+    assert parse_exif(strip_app_segments(s)) == e
+
+
+def test_absence_and_errors():
+    e = parse_exif(BASE)
+    assert all(v is None for v in e.values())
+    with pytest.raises(ValueError, match="no SOI"):
+        parse_exif(b"nope")
+    # corrupt TIFF mark inside an APP1/Exif payload raises by name
+    app1 = bytearray(encode_exif_app1(make="X"))
+    app1[10:12] = b"ZZ"
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_exif(insert_app1(BASE, bytes(app1)))
+
+
+def test_exif_stats_spark(spark):
+    from odin_rs_spark.operators.multimodal import exif_stats
+
+    j1 = insert_app1(BASE, encode_exif_app1(make="A", gps=(3.25, -4.5)))
+    j2 = insert_app1(BASE, encode_exif_app1(make="B", orientation=8))
+    media = spark.createDataFrame(
+        [(1, bytearray(j1)), (2, bytearray(j2)), (3, bytearray(BASE))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in exif_stats(media).collect()}
+    assert rows[1].make == "A" and rows[1].gps_present == 1
+    assert rows[1].gps_after_strip == 0
+    assert rows[2].orientation == 8 and rows[2].gps_present == 0
+    assert rows[3].make is None and rows[3].gps_present == 0
