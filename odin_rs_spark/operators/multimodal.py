@@ -1531,3 +1531,66 @@ def exif_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         fn, EXIF_STATS_SCHEMA
     )
+
+
+ORIENTED_TILE_SCHEMA = (
+    "media_id long, orientation int, out_w int, out_h int, "
+    "tile_x int, tile_y int, n_px long, sum_v long"
+)
+
+
+def image_oriented_stats(
+    media: DataFrame, nx: int = 2, ny: int = 2, on_error: str = "raise"
+) -> DataFrame:
+    """Orientation-NORMALIZED tile stats: decode each image, apply its
+    EXIF orientation (sources/exif.apply_orientation — phone photos
+    store pixels rotated with only tag 0x0112 carrying the truth),
+    then emit integer-exact per-tile sums over the DISPLAY-order
+    plane. The multimodal twin of q36's raster warp: geometry fixed
+    before any aggregate. One mapInPandas pass; bytes never
+    shuffle."""
+    import numpy as np
+
+    from odin_rs_spark.sources.exif import apply_orientation, parse_exif
+    from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "orientation": [], "out_w": [], "out_h": [],
+                "tile_x": [], "tile_y": [], "n_px": [], "sum_v": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    o = parse_exif(buf)["orientation"] if buf[:2] == b"\xff\xd8" else None
+                    g = luma(decode_image(buf))
+                    g = apply_orientation(g, o)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                h, w = g.shape
+                for ty in range(ny):
+                    y0, y1 = ty * h // ny, (ty + 1) * h // ny
+                    for tx in range(nx):
+                        x0, x1 = tx * w // nx, (tx + 1) * w // nx
+                        t = g[y0:y1, x0:x1]
+                        if t.size == 0:
+                            continue
+                        rows["media_id"].append(mid)
+                        rows["orientation"].append(o if o is not None else 1)
+                        rows["out_w"].append(w)
+                        rows["out_h"].append(h)
+                        rows["tile_x"].append(tx)
+                        rows["tile_y"].append(ty)
+                        rows["n_px"].append(t.size)
+                        rows["sum_v"].append(int(t.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, ORIENTED_TILE_SCHEMA
+    )

@@ -10268,6 +10268,86 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# q190 — orientation-NORMALIZED image stats (exif.apply_orientation +
+# multimodal.image_oriented_stats — phone photos store pixels rotated
+# with only EXIF tag 0x0112 carrying the truth, so a vision corpus
+# normalizes geometry before any training statistic): DC-exact block
+# formula JPEGs (asymmetric v = 2*((3bx + 7by + mid) % 100) + 14 on a
+# 4x4 block grid) each tagged orientation 1 + mid%8; quadrant sums
+# over the DISPLAY-order plane. The oracle maps each output quadrant
+# back to its source quadrant per orientation (flips/rotations
+# permute pixels WITHIN a 16x16 quadrant, so integer quadrant sums
+# transfer exactly) and replays the block formula; the full 8-way
+# pixel-level mapping is pinned against numpy ground truth in
+# tests/test_exif.py.
+# --------------------------------------------------------------------------
+
+def q190_oriented_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.operators.multimodal import image_oriented_stats
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.exif import encode_exif_app1, insert_app1
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            byy, bxx = np.mgrid[0:4, 0:4]
+            vals = 2 * ((3 * bxx + 7 * byy + mid) % 100) + 14
+            img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+            j = insert_app1(
+                encode_jpeg(img),
+                encode_exif_app1(
+                    orientation=1 + mid % 8,
+                    byte_order="<" if mid % 2 == 0 else ">",
+                ),
+            )
+            out.append(j)
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(64).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+    return image_oriented_stats(media, nx=2, ny=2)
+
+
+Q190_SQL = """
+WITH m AS (SELECT r.range AS mid, 1 + r.range % 8 AS o FROM range(64) r),
+q AS (SELECT mid, o, qx.range AS tx, qy.range AS ty
+      FROM m, range(2) qx, range(2) qy),
+src AS (
+  SELECT mid, o, tx, ty,
+    CASE o WHEN 1 THEN tx WHEN 2 THEN 1 - tx WHEN 3 THEN 1 - tx
+           WHEN 4 THEN tx WHEN 5 THEN ty WHEN 6 THEN ty
+           WHEN 7 THEN 1 - ty ELSE 1 - ty END AS sqx,
+    CASE o WHEN 1 THEN ty WHEN 2 THEN ty WHEN 3 THEN 1 - ty
+           WHEN 4 THEN 1 - ty WHEN 5 THEN tx WHEN 6 THEN 1 - tx
+           WHEN 7 THEN 1 - tx ELSE tx END AS sqy
+  FROM q),
+s AS (
+  SELECT mid, o, tx, ty,
+         64 * sum(2 * ((3 * (2 * sqx + bx.range)
+                        + 7 * (2 * sqy + by.range) + mid) % 100) + 14)
+           AS sum_v
+  FROM src, range(2) bx, range(2) by
+  GROUP BY mid, o, tx, ty)
+SELECT mid AS media_id, o::INT AS orientation, 32 AS out_w, 32 AS out_h,
+       tx::INT AS tile_x, ty::INT AS tile_y,
+       256::BIGINT AS n_px, sum_v::BIGINT AS sum_v
+FROM s
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10289,8 +10369,9 @@ FROM m
 #                (Sitemap group-independence, Crawl-delay binding),
 #                q187 CDX capture index + SURT keys, q188 PDF object
 #                streams (/ObjStm modern layout), q189 EXIF PII audit
-#                + GPS scrub — slots 1-16.
-#   slots 17-35: queries whose CODE changed this round —
+#                + GPS scrub, q190 orientation-normalized image stats
+#                — slots 1-17.
+#   slots 18-36: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -10301,10 +10382,10 @@ FROM m
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 36-50: the stalest driver rows — the r3-green block that
+#   slots 37-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list greens (q10/q11;
-#                q12-q19/q01 fall just past the cap this round).
+#                q02-q09), then the oldest mid-list green q10
+#                (q11-q19/q01 fall just past the cap this round).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10331,6 +10412,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
         QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q189_exif_audit", q189_exif_audit, Q189_SQL, "multimodal exif-pii gps-scrub"),
+        QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

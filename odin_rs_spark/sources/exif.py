@@ -265,3 +265,29 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
             pos = end
         break
     return jpeg[:pos] + app1 + jpeg[pos:]
+
+
+def apply_orientation(a, orientation: int | None):
+    """Apply the EXIF orientation (tag 0x0112, values 1-8) to a numpy
+    image so pixels are in DISPLAY order — the normalize step a
+    vision corpus runs before training (phone photos are routinely
+    stored rotated with only the tag carrying the true orientation).
+    1=identity, 2=flip-H, 3=rot180, 4=flip-V, 5=transpose,
+    6=rot90 CW, 7=transverse, 8=rot270 CW; None/absent = identity."""
+    if orientation in (None, 1):
+        return a
+    if orientation == 2:
+        return a[:, ::-1]
+    if orientation == 3:
+        return a[::-1, ::-1]
+    if orientation == 4:
+        return a[::-1, :]
+    if orientation == 5:
+        return a.swapaxes(0, 1)
+    if orientation == 6:
+        return a.swapaxes(0, 1)[:, ::-1]
+    if orientation == 7:
+        return a.swapaxes(0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return a.swapaxes(0, 1)[::-1, :]
+    raise ValueError(f"EXIF: orientation {orientation} out of range 1-8")

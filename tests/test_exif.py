@@ -66,6 +66,61 @@ def test_absence_and_errors():
         parse_exif(insert_app1(BASE, bytes(app1)))
 
 
+def test_apply_orientation_all_eight():
+    """Pixel-level ground truth for every orientation value: round-trip
+    through a JPEG-free array and check against the canonical numpy
+    transforms (this is what pins the q190 oracle's quadrant map)."""
+    from odin_rs_spark.sources.exif import apply_orientation
+
+    a = np.arange(24).reshape(4, 6)
+    want = {
+        1: a,
+        2: np.fliplr(a),
+        3: np.rot90(a, 2),
+        4: np.flipud(a),
+        5: a.T,
+        6: np.rot90(a, -1),
+        7: np.rot90(np.fliplr(a), -1),
+        8: np.rot90(a, 1),
+    }
+    for o, w in want.items():
+        got = apply_orientation(a, o)
+        assert np.array_equal(got, w), o
+    assert apply_orientation(a, None) is a
+    with pytest.raises(ValueError, match="out of range"):
+        apply_orientation(a, 9)
+
+
+def test_image_oriented_stats_matches_numpy(spark):
+    """Operator quadrant sums == numpy-transformed ground truth for a
+    rotated (o=6) and a transposed (o=5) DC-exact JPEG."""
+    from odin_rs_spark.operators.multimodal import image_oriented_stats
+    from odin_rs_spark.sources.exif import apply_orientation
+
+    byy, bxx = np.mgrid[0:4, 0:4]
+    vals = 2 * ((3 * bxx + 7 * byy + 5) % 100) + 14
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rows = []
+    for mid, o in ((1, 6), (2, 5)):
+        j = insert_app1(
+            encode_jpeg(img), encode_exif_app1(orientation=o)
+        )
+        rows.append((mid, bytearray(j), o))
+    media = spark.createDataFrame(
+        [(m, c) for m, c, _ in rows], "media_id long, content binary"
+    )
+    got = {
+        (r.media_id, r.tile_x, r.tile_y): r.sum_v
+        for r in image_oriented_stats(media).collect()
+    }
+    for mid, _, o in rows:
+        t = apply_orientation(img.astype(np.int64), o)
+        for ty in range(2):
+            for tx in range(2):
+                want = int(t[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16].sum())
+                assert got[(mid, tx, ty)] == want, (mid, o, tx, ty)
+
+
 def test_exif_stats_spark(spark):
     from odin_rs_spark.operators.multimodal import exif_stats
 
