@@ -1299,6 +1299,46 @@ def extract_main_text(
     )
 
 
+# table extraction patterns — per-tag closers (RE2 has no backrefs)
+_HTML_TABLE = r"(?is)<table[^>]*>.*?</table>"
+_HTML_TR = r"(?is)<tr[^>]*>.*?</tr>"
+_HTML_CELL = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def extract_tables(c: Column | str) -> Column:
+    """Separate HTML TABLES from prose — the structure-aware split a
+    text corpus needs because table cells are not sentences: left in,
+    they pollute tokenization, dedup shingles and quality scores;
+    dropped blindly, structured data a model could use is lost.
+    Returns struct(n_tables, n_rows, n_cells, cells_text — every cell
+    stripped and pipe-joined in document order — and prose_text, the
+    visible text with all tables REMOVED). Pure higher-order column
+    expressions, zero Python, zero shuffle; the same per-tag
+    non-greedy patterns as the q162 family (RE2-safe)."""
+    col = F.col(c) if isinstance(c, str) else c
+    body = _drop_blocks(col)
+    tables = F.regexp_extract_all(body, F.lit(_HTML_TABLE), 0)
+    n_rows = F.aggregate(
+        tables,
+        F.lit(0),
+        lambda acc, t: acc + F.size(F.regexp_extract_all(t, F.lit(_HTML_TR), 0)),
+    )
+    cells = F.flatten(
+        F.transform(
+            tables, lambda t: F.regexp_extract_all(t, F.lit(_HTML_CELL), 1)
+        )
+    )
+    cells_text = F.array_join(F.transform(cells, _strip_tags), "|")
+    prose = _strip_tags(F.regexp_replace(body, _HTML_TABLE, " "))
+    return F.struct(
+        F.size(tables).alias("n_tables"),
+        n_rows.alias("n_rows"),
+        F.size(cells).alias("n_cells"),
+        cells_text.alias("cells_text"),
+        prose.alias("prose_text"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -10348,6 +10348,144 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q191 — DOCX text extraction (ECMA-376 OOXML, sources/officedoc —
+# the office-document corpus modality next to q180's PDF: a ZIP
+# package whose word/document.xml carries <w:p> paragraphs with
+# <w:t> runs): formula packages (1-4 paragraphs, each split across
+# TWO runs by the fixture twin so run concatenation is always
+# on-path; every third paragraph carries '&' and '<' so XML entity
+# decode is on-path; even docs DEFLATE, odd STORED) extract through
+# the real ZIP walk. The oracle regenerates every paragraph
+# analytically.
+# --------------------------------------------------------------------------
+
+def q191_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.sources.officedoc import docx_paragraphs
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.officedoc import encode_docx
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            paras = []
+            for p in range(1 + mid % 4):
+                words = [
+                    f"dw{(mid * 13 + p * 7 + w) % 23}"
+                    for w in range(5 + (mid + p) % 5)
+                ]
+                t = " ".join(words)
+                if (mid + p) % 3 == 0:
+                    t += " & <x>"
+                paras.append(t)
+            out.append(encode_docx(paras, compress=mid % 2 == 0))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    media = spark.range(40).select(
+        F.concat(
+            F.lit("dx"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".docx"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+    return docx_paragraphs(media).select(
+        "file", "para_no", "n_paras", "text", "n_chars"
+    )
+
+
+Q191_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(40) r),
+pg AS (SELECT mid, p.range AS p FROM d, range(4) p WHERE p.range < 1 + mid % 4),
+wd AS (
+  SELECT mid, p,
+         string_agg('dw' || ((mid * 13 + p * 7 + w.range) % 23)::VARCHAR,
+                    ' ' ORDER BY w.range)
+           || CASE WHEN (mid + p) % 3 = 0 THEN ' & <x>' ELSE '' END AS text
+  FROM pg, range(10) w WHERE w.range < 5 + (mid + p) % 5
+  GROUP BY mid, p)
+SELECT 'dx' || lpad(mid::VARCHAR, 2, '0') || '.docx' AS file,
+       p::INT AS para_no,
+       (1 + mid % 4)::INT AS n_paras,
+       text, length(text)::INT AS n_chars
+FROM wd
+"""
+
+
+# --------------------------------------------------------------------------
+# q192 — HTML table/prose separation (operators/text.extract_tables —
+# table cells are not sentences: a corpus that leaves them in
+# pollutes tokenization, dedup shingles and quality scores; one that
+# drops them blindly loses structured data): formula documents wrap
+# each text in a prose <p> plus one 2-row table (a cell with an
+# &amp; entity keeps the decode on-path) and, for odd ids, a second
+# single-header table. The oracle derives table counts, the
+# pipe-joined cell text and the table-free prose analytically.
+# --------------------------------------------------------------------------
+
+def q192_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import extract_tables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><table><tr><td>c"),
+        (i % 5).cast("string"),
+        F.lit("</td><td>v&amp;"),
+        (i % 7).cast("string"),
+        F.lit("</td></tr><tr><td>x"),
+        (i % 3).cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(
+            i % 2 == 1,
+            F.concat(
+                F.lit("<table><tr><th>h"),
+                (i % 4).cast("string"),
+                F.lit("</th></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", extract_tables(html).alias("t"))
+    return t.select(
+        "doc_id",
+        F.col("t.n_tables").alias("n_tables"),
+        F.col("t.n_rows").alias("n_rows"),
+        F.col("t.n_cells").alias("n_cells"),
+        F.md5(F.col("t.cells_text").cast("binary")).alias("cells_md5"),
+        F.md5(F.col("t.prose_text").cast("binary")).alias("prose_md5"),
+        F.length("t.prose_text").alias("prose_len"),
+    )
+
+
+Q192_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS prose,
+         'c' || (doc_id % 5)::VARCHAR || '|v&' || (doc_id % 7)::VARCHAR
+           || '|x' || (doc_id % 3)::VARCHAR
+           || CASE WHEN doc_id % 2 = 1
+                   THEN '|h' || (doc_id % 4)::VARCHAR ELSE '' END AS cells
+  FROM documents)
+SELECT doc_id,
+       (1 + doc_id % 2)::INT AS n_tables,
+       (2 + doc_id % 2)::INT AS n_rows,
+       (3 + doc_id % 2)::INT AS n_cells,
+       md5(cells) AS cells_md5,
+       md5(prose) AS prose_md5,
+       length(prose)::INT AS prose_len
+FROM d
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10369,9 +10507,10 @@ FROM s
 #                (Sitemap group-independence, Crawl-delay binding),
 #                q187 CDX capture index + SURT keys, q188 PDF object
 #                streams (/ObjStm modern layout), q189 EXIF PII audit
-#                + GPS scrub, q190 orientation-normalized image stats
-#                — slots 1-17.
-#   slots 18-36: queries whose CODE changed this round —
+#                + GPS scrub, q190 orientation-normalized image
+#                stats, q191 DOCX/OOXML text extraction, q192 HTML
+#                table/prose separation — slots 1-19.
+#   slots 20-38: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -10382,10 +10521,10 @@ FROM s
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 37-50: the stalest driver rows — the r3-green block that
-#                fell just past the r7 cap (q53/q56/q59/q69/q78,
-#                q02-q09), then the oldest mid-list green q10
-#                (q11-q19/q01 fall just past the cap this round).
+#   slots 39-50: the stalest driver rows — the r3-green block that
+#                fell just past the r7 cap: q53/q56/q59/q69/q78 and
+#                q02-q08 (q09-q19/q01 fall just past the cap this
+#                round — the cap is two-thirds r8-new/changed code).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10413,6 +10552,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q189_exif_audit", q189_exif_audit, Q189_SQL, "multimodal exif-pii gps-scrub"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
+        QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
+        QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

@@ -555,6 +555,37 @@ def test_html_numeric_entities(spark):
     assert "Python" not in plan
 
 
+def test_extract_tables(spark):
+    from odin_rs_spark.operators.text import extract_tables
+
+    html = (
+        "<p>Real prose sentence here.</p>"
+        "<table class='x'><tr><td>a &amp; b</td><th>h1</th></tr>"
+        "<tr><td>c2</td></tr></table>"
+        "mid prose"
+        "<table><tr><td><b>bold</b> cell</td></tr></table>"
+        "<script>var t = '<table><tr><td>never</td></tr></table>';</script>"
+    )
+    r = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(extract_tables("h").alias("t"))
+        .select("t.*")
+        .first()
+    )
+    assert (r.n_tables, r.n_rows, r.n_cells) == (2, 3, 4)
+    assert r.cells_text == "a & b|h1|c2|bold cell"
+    assert r.prose_text == "Real prose sentence here. mid prose"
+
+    # no tables: zero counts, full prose; zero Python in the plan
+    df = spark.createDataFrame([("<p>just text</p>",)], "h string").select(
+        extract_tables("h").alias("t")
+    )
+    r2 = df.select("t.*").first()
+    assert (r2.n_tables, r2.n_cells, r2.prose_text) == (0, 0, "just text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_extract_main_text_blocks(spark):
     from odin_rs_spark.operators.text import extract_main_text
 
