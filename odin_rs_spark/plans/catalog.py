@@ -9590,12 +9590,11 @@ FROM c GROUP BY domain
 # 'tok{(g*5+j)%13}' for j < 10 + g%6, space-joined.
 # --------------------------------------------------------------------------
 
-def q182_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q182_media(spark: SparkSession):
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
     from odin_rs_spark.deploy import ensure_shipped
-    from odin_rs_spark.sources.warc import warc_records
 
     ensure_shipped(spark)
 
@@ -9625,11 +9624,16 @@ def q182_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     mk = F.pandas_udf(_mk, BinaryType())
-    files = spark.range(3).select(
+    return spark.range(3).select(
         F.concat(F.lit("wet_"), F.col("id").cast("string"), F.lit(".warc.gz")).alias("path"),
         mk(F.col("id")).alias("content"),
     )
-    recs = warc_records(files)
+
+
+def q182_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import warc_records
+
+    recs = warc_records(_q182_media(spark))
     conv = recs.filter(F.col("warc_type") == "conversion")
     return conv.select(
         "file",
@@ -10360,12 +10364,11 @@ FROM s
 # analytically.
 # --------------------------------------------------------------------------
 
-def q191_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q191_media(spark: SparkSession):
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
     from odin_rs_spark.deploy import ensure_shipped
-    from odin_rs_spark.sources.officedoc import docx_paragraphs
 
     ensure_shipped(spark)
 
@@ -10389,14 +10392,19 @@ def q191_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     mk = F.pandas_udf(_mk, BinaryType())
-    media = spark.range(40).select(
+    return spark.range(40).select(
         F.concat(
             F.lit("dx"), F.lpad(F.col("id").cast("string"), 2, "0"),
             F.lit(".docx"),
         ).alias("path"),
         mk(F.col("id")).alias("content"),
     )
-    return docx_paragraphs(media).select(
+
+
+def q191_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import docx_paragraphs
+
+    return docx_paragraphs(_q191_media(spark)).select(
         "file", "para_no", "n_paras", "text", "n_chars"
     )
 
@@ -10486,6 +10494,96 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q193 — MIXED-MODALITY corpus flagship (the round-8 arc in one
+# query: a training corpus is not one container format — it unions
+# whatever extraction paths exist): q180's PDF pages + q191's DOCX
+# paragraphs + q182's WET conversion records normalize to one
+# (modality, text) stream and roll up token statistics per modality.
+# Each branch reuses its verified extraction operator UNCHANGED; the
+# oracle unions the three analytic formulas and replays the shared
+# aggregate — drift in ANY extractor breaks its modality's row.
+# --------------------------------------------------------------------------
+
+def q193_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import docx_paragraphs
+    from odin_rs_spark.sources.pdfcodec import pdf_pages
+    from odin_rs_spark.sources.warc import warc_records
+
+    pdfs = pdf_pages(_formula_pdf_media(spark, 40)).select(
+        F.lit("pdf").alias("modality"), F.col("text")
+    )
+    docx = docx_paragraphs(_q191_media(spark)).select(
+        F.lit("docx").alias("modality"), F.col("text")
+    )
+    wet = (
+        warc_records(_q182_media(spark))
+        .filter(F.col("warc_type") == "conversion")
+        .select(F.lit("wet").alias("modality"), F.col("body_text").alias("text"))
+    )
+    corpus = pdfs.unionByName(docx).unionByName(wet)
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    return (
+        corpus.select("modality", F.size(words).alias("n_words"),
+                      F.length("text").alias("n_chars"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+        )
+    )
+
+
+Q193_SQL = """
+WITH pdf_d AS (SELECT r.range AS mid FROM range(40) r),
+pdf_pg AS (SELECT mid, p.range AS p FROM pdf_d, range(3) p
+           WHERE p.range < 1 + mid % 3),
+pdf_ln AS (SELECT mid, p, j.range AS j FROM pdf_pg, range(3) j
+           WHERE j.range < 1 + (mid + p) % 3),
+pdf_wd AS (
+  SELECT mid, p, j, count(*)::INT AS nw,
+         sum(length('pw' || ((mid * 7 + p * 3 + j * 5 + w.range) % 19)::VARCHAR))::INT
+           + count(*)::INT - 1 AS nc
+  FROM pdf_ln, range(10) w WHERE w.range < 6 + (mid + p + j) % 4
+  GROUP BY mid, p, j),
+pdf_u AS (
+  SELECT 'pdf' AS modality, sum(nw)::INT AS n_words,
+         (sum(nc) + count(*) - 1)::INT AS n_chars
+  FROM pdf_wd GROUP BY mid, p),
+dx_d AS (SELECT r.range AS mid FROM range(40) r),
+dx_pg AS (SELECT mid, p.range AS p FROM dx_d, range(4) p
+          WHERE p.range < 1 + mid % 4),
+dx_u AS (
+  SELECT 'docx' AS modality,
+         (count(*) + CASE WHEN (mid + p) % 3 = 0 THEN 2 ELSE 0 END)::INT
+           AS n_words,
+         (sum(length('dw' || ((mid * 13 + p * 7 + w.range) % 23)::VARCHAR))
+          + count(*) - 1
+          + CASE WHEN (mid + p) % 3 = 0 THEN length(' & <x>') ELSE 0 END)::INT
+           AS n_chars
+  FROM dx_pg, range(10) w WHERE w.range < 5 + (mid + p) % 5
+  GROUP BY mid, p),
+wet_g AS (
+  SELECT f.range * 8 + p.range AS g FROM range(3) f, range(8) p),
+wet_u AS (
+  SELECT 'wet' AS modality, count(*)::INT AS n_words,
+         (sum(length('tok' || ((g * 5 + j.range) % 13)::VARCHAR))
+          + count(*) - 1)::INT AS n_chars
+  FROM wet_g, range(16) j WHERE j.range < 10 + g % 6
+  GROUP BY g),
+u AS (SELECT * FROM pdf_u UNION ALL SELECT * FROM dx_u
+      UNION ALL SELECT * FROM wet_u)
+SELECT modality, count(*)::BIGINT AS n_units,
+       sum(n_words)::BIGINT AS sum_words,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_words) AS min_words, max(n_words) AS max_words
+FROM u GROUP BY modality
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10509,8 +10607,9 @@ FROM d
 #                streams (/ObjStm modern layout), q189 EXIF PII audit
 #                + GPS scrub, q190 orientation-normalized image
 #                stats, q191 DOCX/OOXML text extraction, q192 HTML
-#                table/prose separation — slots 1-19.
-#   slots 20-38: queries whose CODE changed this round —
+#                table/prose separation, q193 mixed-modality corpus
+#                flagship (PDF ∪ DOCX ∪ WET) — slots 1-20.
+#   slots 21-39: queries whose CODE changed this round —
 #                html_to_text/extract_main_text numeric-entity decode
 #                → q162/q167/q169 (+ entity-bearing fixture
 #                extensions); warc_records wire decode → q153;
@@ -10521,10 +10620,10 @@ FROM d
 #                q151/q152/q144/q124/q128/q143 and the image-matrix
 #                neighbors q161/q170/q171; connected_components
 #                driver_threshold 1M → 100k → q64/q81.
-#   slots 39-50: the stalest driver rows — the r3-green block that
+#   slots 40-50: the stalest driver rows — the r3-green block that
 #                fell just past the r7 cap: q53/q56/q59/q69/q78 and
-#                q02-q08 (q09-q19/q01 fall just past the cap this
-#                round — the cap is two-thirds r8-new/changed code).
+#                q02-q07 (q08-q19/q01 fall just past the cap this
+#                round — the cap is four-fifths r8-new/changed code).
 # Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
 # q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
 # q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
@@ -10554,6 +10653,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
         QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
+        QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
