@@ -52,6 +52,11 @@ def _walk_ifd(tiff: bytes, bo: str, off: int) -> dict[int, object]:
         if typ not in _TYPE_SIZE:
             continue  # unknown type: skip, do not fail the record
         size = _TYPE_SIZE[typ] * cnt
+        # size bound BEFORE any allocation: cnt is a raw 4-byte field,
+        # and struct format strings scale with it (a corrupt
+        # cnt=2^32 would try to build a multi-GB "H"*cnt string)
+        if size > len(tiff):
+            raise ValueError("EXIF: entry value larger than the segment")
         if size <= 4:
             data = tiff[p + 8 : p + 8 + size]
         else:
@@ -93,7 +98,17 @@ def parse_exif(jpeg: bytes) -> dict:
     """JPEG bytes → {make, model, orientation, datetime, lat, lon}
     (missing fields None; lat/lon signed decimal degrees from the GPS
     rationals and N/S/E/W refs). Returns all-None when no APP1/Exif
-    segment exists — absence is data, not an error."""
+    segment exists — absence is data, not an error. ValueError-only
+    error contract for corrupt segments."""
+    try:
+        return _parse_exif(jpeg)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError…
+        raise ValueError(f"corrupt EXIF segment: {exc}") from exc
+
+
+def _parse_exif(jpeg: bytes) -> dict:
     out = {
         "make": None, "model": None, "orientation": None,
         "datetime": None, "lat": None, "lon": None,
@@ -125,7 +140,13 @@ def parse_exif(jpeg: bytes) -> dict:
         gps = _walk_ifd(tiff, bo, gps_off)
 
         def dms(rats, ref, neg) -> float | None:
-            if not rats or len(rats) != 3:
+            # structural guard: a corrupt IFD can deliver SHORT/LONG
+            # values where RATIONALs belong (type field is data too)
+            if (
+                not isinstance(rats, tuple)
+                or len(rats) != 3
+                or not all(isinstance(r, tuple) and len(r) == 2 for r in rats)
+            ):
                 return None
             (d, dd), (m, md), (s, sd) = rats
             if 0 in (dd, md, sd):

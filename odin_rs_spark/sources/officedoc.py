@@ -38,7 +38,18 @@ _XML_ENTITIES = (
 
 
 def parse_docx_text(buf: bytes) -> list[str]:
-    """DOCX bytes → list of paragraph texts, in document order."""
+    """DOCX bytes → list of paragraph texts, in document order.
+    ValueError-only error contract (zipfile raises BadZipFile,
+    zlib.error or EOFError on corrupt members — all wrapped)."""
+    try:
+        return _parse_docx_text(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # BadZipFile, zlib.error, EOFError…
+        raise ValueError(f"corrupt DOCX file: {exc}") from exc
+
+
+def _parse_docx_text(buf: bytes) -> list[str]:
     try:
         zf = zipfile.ZipFile(io.BytesIO(buf))
     except zipfile.BadZipFile as exc:

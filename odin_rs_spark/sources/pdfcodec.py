@@ -252,9 +252,12 @@ def _resolve(buf, index, v, extra=None):
 
 def _stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
     """Stream payload after a stream object's dict, filters applied."""
-    # tok.p sits right after the dict; skip whitespace to 'stream'
+    # tok.p sits right after the dict; skip whitespace to 'stream'.
+    # Bound the scan: at EOF buf[p:p+1] is b'', and `b'' in _WS` is
+    # TRUE (empty substring) — unbounded, this loop spins forever on
+    # truncated files (fuzzer-caught).
     p = tok.p
-    while buf[p : p + 1] in _WS:
+    while p < len(buf) and buf[p] in _WS:
         p += 1
     if buf[p : p + 6] != b"stream":
         raise ValueError("PDF: stream keyword missing after dict")

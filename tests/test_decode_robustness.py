@@ -369,3 +369,139 @@ def test_mulaw_wav_mutation_raises_valueerror_only(pos, flip):
     buf = bytearray(MUWAV)
     buf[pos] ^= flip
     _assert_valueerror_or_ok(decode_wav, bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# round-8 codecs: PDF (plain + /ObjStm), DOCX, EXIF, WARC HTTP wire
+# decodings — same ValueError-only mutation/truncation contract
+# ---------------------------------------------------------------------------
+
+def _pdf_bufs():
+    from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+    pages = [["alpha beta gamma", "second line"], ["page two"]]
+    return (
+        encode_pdf(pages, compress=True),
+        encode_pdf(pages, compress=True, use_objstm=True),
+    )
+
+
+PDFB, PDFOS = _pdf_bufs()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PDFB) - 1), st.integers(1, 255))
+def test_pdf_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    buf = bytearray(PDFB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_pdf_text, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PDFOS) - 1), st.integers(1, 255))
+def test_pdf_objstm_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    buf = bytearray(PDFOS)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_pdf_text, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, len(PDFB)))
+def test_pdf_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    _assert_valueerror_or_ok(parse_pdf_text, PDFB[:cut])
+
+
+def _docx_buf():
+    from odin_rs_spark.sources.officedoc import encode_docx
+
+    return encode_docx(["hello & <x>", "second paragraph"])
+
+
+DOCXB = _docx_buf()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(DOCXB) - 1), st.integers(1, 255))
+def test_docx_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.officedoc import parse_docx_text
+
+    buf = bytearray(DOCXB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_docx_text, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, len(DOCXB)))
+def test_docx_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.officedoc import parse_docx_text
+
+    _assert_valueerror_or_ok(parse_docx_text, DOCXB[:cut])
+
+
+def _exif_jpeg():
+    from odin_rs_spark.sources.exif import encode_exif_app1, insert_app1
+
+    return insert_app1(
+        JPEG,
+        encode_exif_app1(
+            make="CamX", orientation=6, gps=(12.5, -33.25), byte_order=">"
+        ),
+    )
+
+
+EXIFJ = _exif_jpeg()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(EXIFJ) - 1), st.integers(1, 255))
+def test_exif_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.exif import parse_exif, strip_app_segments
+
+    buf = bytearray(EXIFJ)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_exif, bytes(buf))
+    _assert_valueerror_or_ok(strip_app_segments, bytes(buf))
+
+
+def _http_block():
+    from odin_rs_spark.sources.warc import encode_http_response
+
+    return encode_http_response(
+        b"hello wire body " * 8, chunked=True, content_encoding="gzip",
+        chunk_size=7,
+    )
+
+
+HTTPB = _http_block()
+
+
+def _decode_http(buf: bytes):
+    from odin_rs_spark.sources.warc import decode_http_body, split_http_response
+
+    status, hh, body = split_http_response(buf)
+    decode_http_body(hh, body)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(HTTPB) - 1), st.integers(1, 255))
+def test_http_wire_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(HTTPB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(_decode_http, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_round8_arbitrary_bytes_raise_valueerror_only(junk):
+    from odin_rs_spark.sources.exif import parse_exif
+    from odin_rs_spark.sources.officedoc import parse_docx_text
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    for fn in (parse_pdf_text, parse_docx_text, parse_exif, _decode_http):
+        _assert_valueerror_or_ok(fn, junk)
