@@ -192,7 +192,6 @@ def encode_exif_app1(
         raise ValueError("byte_order must be '<' or '>'")
 
     entries: list[tuple[int, int, int, bytes]] = []  # tag, typ, cnt, payload
-    extra = bytearray()
 
     def add_ascii(tag: int, s: str) -> None:
         b = s.encode("ascii") + b"\x00"
@@ -200,9 +199,6 @@ def encode_exif_app1(
 
     def add_short(tag: int, v: int) -> None:
         entries.append((tag, 3, 1, struct.pack(bo + "H", v)))
-
-    def add_long(tag: int, v: int) -> None:
-        entries.append((tag, 4, 1, struct.pack(bo + "I", v)))
 
     if make is not None:
         add_ascii(TAG_MAKE, make)

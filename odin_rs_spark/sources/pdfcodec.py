@@ -205,7 +205,7 @@ def _expand_objstms(buf: bytes, index: dict[int, int]) -> dict[int, object]:
     /First + offset. Streams cannot nest inside ObjStm, so members
     are plain values."""
     out: dict[int, object] = {}
-    for num, pos in index.items():
+    for pos in index.values():
         t = _Tok(buf, pos)
         try:
             d = t.value()
