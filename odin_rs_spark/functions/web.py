@@ -81,7 +81,12 @@ def _clean_query(
             cond = cond & ~F.startswith(k, F.lit("utm_"))
         return cond
 
-    params = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), keep)
+    # §6.2.2 percent-encoding normalization applies to the query too
+    # (ADVICE r8: '?q=%7Ex' and '?q=~x' are one page identity); '%26'
+    # is reserved so an encoded '&' cannot split into a ghost param
+    params = F.filter(
+        F.split(pct_normalize(F.coalesce(query, F.lit(""))), "&"), keep
+    )
     return F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
     ).otherwise(F.lit(""))
@@ -354,8 +359,11 @@ def url_resolve(base: Column, ref: Column) -> Column:
     - absolute-path ('/p')           → base authority + path
     - relative path ('p', '../p')    → merged with the base path's
       directory, then remove_dot_segments
-    - query/fragment-only ('?q','#f')→ base path (+ new query);
-      fragments never survive (crawl identity ignores them)
+    - query/fragment-only ('?q','#f')→ base path; '?q' replaces the
+      query, while '' / '#f' KEEP the base query (§5.3: T.query =
+      Base.query when the reference supplies none — '#frag' on
+      'page.html?x=1' is still page.html?x=1). Fragments never
+      survive (crawl identity ignores them)
 
     Scope matches url_parse (http(s), no IDN); a NULL/unparseable
     base yields NULL."""
@@ -373,6 +381,9 @@ def url_resolve(base: Column, ref: Column) -> Column:
     bpath = F.when(
         F.coalesce(b["path"], F.lit("")) == "", F.lit("/")
     ).otherwise(b["path"])
+    bquery = F.when(
+        b["query"].isNotNull(), F.concat(F.lit("?"), b["query"])
+    ).otherwise(F.lit(""))
     # reference parts (path / ?query — fragment dropped)
     rpath = F.regexp_extract(ref, r"^([^?#]*)", 1)
     rq = F.regexp_extract(ref, r"\?([^#]*)", 1)
@@ -391,7 +402,7 @@ def url_resolve(base: Column, ref: Column) -> Column:
         )
         .when(
             (ref == "") | ref.startswith("#"),
-            F.concat(authority, bpath),
+            F.concat(authority, bpath, bquery),
         )
         .otherwise(F.concat(authority, merged, rquery))
     )

@@ -1120,6 +1120,7 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
 # RE2 — the oracle's engine — has no backreferences, and each pattern
 # closing with its own literal tag preserves the can't-cross-close
 # property anyway
+_HTML_DROP_COMMENT = r"(?s)<!--.*?-->"
 _HTML_DROP_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
 _HTML_DROP_STYLE = r"(?is)<style[^>]*>.*?</style>"
 _HTML_TAG = r"(?is)<[^>]*>"
@@ -1219,8 +1220,13 @@ def _strip_tags(c: Column) -> Column:
 
 
 def _drop_blocks(c: Column) -> Column:
+    # comments FIRST (round-8 verdict #3): real crawl HTML is full of
+    # commented-out markup and IE conditional comments, and the generic
+    # tag regex would otherwise terminate at the first '>' INSIDE the
+    # comment, leaking ghost text plus a literal '-->' artifact
+    out = F.regexp_replace(c, _HTML_DROP_COMMENT, " ")
     return F.regexp_replace(
-        F.regexp_replace(c, _HTML_DROP_SCRIPT, " "), _HTML_DROP_STYLE, " "
+        F.regexp_replace(out, _HTML_DROP_SCRIPT, " "), _HTML_DROP_STYLE, " "
     )
 
 

@@ -7896,7 +7896,11 @@ FROM px GROUP BY media_id, tile_x, tile_y
 _Q162_PRE = (
     '<html><head><title>Doc ', '</title><style>body{margin:0}</style>'
     '<script>var q = "<p>not text</p>";</script></head><body><h1>Doc&nbsp;',
-    '</h1><p>', '</p>',
+    # comment-bearing markup (VERDICT r8 #2): commented-out nav plus an
+    # IE conditional comment — neither may leak into the visible text,
+    # and the '-->' tail must not survive as an artifact
+    '</h1><!-- <p>old nav block</p> -->'
+    '<!--[if lt IE 9]><p>please upgrade</p><![endif]--><p>', '</p>',
     '<a href="/nav">home navigation</a><a href="/more">more links here</a>',
     # entity-bearing tail (VERDICT r7 #3): decimal + hex numeric
     # references, a named curly quote, and an out-of-range reference
@@ -7975,7 +7979,7 @@ WITH h AS (
   SELECT doc_id,
          '<html><head><title>Doc ' || doc_id::VARCHAR
          || '</title><style>body{margin:0}</style><script>var q = "<p>not text</p>";</script></head><body><h1>Doc&nbsp;'
-         || doc_id::VARCHAR || '</h1><p>' || text || '</p>'
+         || doc_id::VARCHAR || '</h1><!-- <p>old nav block</p> --><!--[if lt IE 9]><p>please upgrade</p><![endif]--><p>' || text || '</p>'
          || CASE WHEN doc_id % 3 = 0
                  THEN '<a href="/nav">home navigation</a><a href="/more">more links here</a>'
                  ELSE '' END
@@ -7983,7 +7987,8 @@ WITH h AS (
   FROM documents),
 body AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(html,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', ' ', 'g'),
            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
            '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
   FROM h),
@@ -8319,7 +8324,7 @@ def q167_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id")
     html = F.concat(
-        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'),
+        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'),
         F.col("text"),
         F.lit("</p><li>stub "),
         (i % 10).cast("string"),
@@ -8347,7 +8352,7 @@ Q167_SQL = (
     r"""
 WITH h AS (
   SELECT doc_id,
-         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'
+         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'
          || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
          || CASE WHEN doc_id % 2 = 0
                  THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
@@ -8356,7 +8361,8 @@ WITH h AS (
   FROM documents),
 body AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(html,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', ' ', 'g'),
            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
            '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
   FROM h),
@@ -8475,7 +8481,7 @@ def q169_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id")
     html = F.concat(
-        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'),
+        F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'),
         F.col("text"),
         F.lit("</p><li>stub "),
         (i % 10).cast("string"),
@@ -8510,7 +8516,7 @@ Q169_SQL = (
     r"""
 WITH h AS (
   SELECT doc_id,
-         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><p>'
+         '<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'
          || text || '</p><li>stub ' || (doc_id % 10)::VARCHAR || '</li>'
          || CASE WHEN doc_id % 2 = 0
                  THEN '<p>closing prose paragraph number ' || doc_id::VARCHAR
@@ -8519,7 +8525,8 @@ WITH h AS (
   FROM documents),
 body AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(html,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', ' ', 'g'),
            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
            '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS b
   FROM h),
@@ -8930,8 +8937,10 @@ ON m.media_id = z.media_id
 # dechunking (RFC 9112 §7.1) and content decoding (RFC 9110 §8.4)
 # are byte-correct on top of the r7-verified record walk. Page g:
 # url crawl{g%5}.example.net/doc/{g}; status 404 iff g%7=0; body =
-# '<div><a href="/">home</a> nav links</div><p>' + prose + '</p>',
-# prose word j (j < 40 + 15*(g%3)) = 'the' if j%5=0, 'and' if j%5=3,
+# '<div><a href="/">home</a> nav links</div>' + an HTML comment
+# carrying a '</p>' ('<!-- <p>retired promo</p> -->', the r9
+# comment-strip pin) + '<p>' + prose + '</p>', prose word j
+# (j < 40 + 15*(g%3)) = 'the' if j%5=0, 'and' if j%5=3,
 # else 'w{(g*3+j)%11}x'.
 # --------------------------------------------------------------------------
 
@@ -8978,8 +8987,8 @@ pr AS (
   GROUP BY fileno, p, g),
 bdy AS (
   SELECT fileno, p, g,
-         '<div><a href="/">home</a> nav links</div><p>' || prose || '</p>'
-           AS body_text
+         '<div><a href="/">home</a> nav links</div><!-- <p>retired promo</p> --><p>'
+           || prose || '</p>' AS body_text
   FROM pr)
 """
 
@@ -9048,7 +9057,8 @@ Q175_SQL = (
     + _CC2_BODY_SQL
     + """,
 ok AS (
-  SELECT g, body_text,
+  SELECT g,
+         regexp_replace(body_text, '(?s)<!--.*?-->', ' ', 'g') AS body_text,
          'https://crawl' || (g % 5)::VARCHAR || '.example.net/doc/'
            || g::VARCHAR AS target_uri,
          CASE g % 4 WHEN 1 THEN 'gzip' WHEN 2 THEN 'chunked'
@@ -9357,7 +9367,11 @@ def q179_url_rfc3986(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = F.when(
         i % 2 == 0,
         F.concat(F.lit("?ref=br"), (i % 3).cast("string"), F.lit("&utm_source=x&b=2")),
-    ).otherwise(F.lit("?z=1"))
+    ).otherwise(
+        # ADVICE r9 pin: %7e in a QUERY value must decode to '~' and
+        # %3a must uppercase to %3A (§6.2.2 applies beyond the path)
+        F.concat(F.lit("?z=%7ev"), (i % 3).cast("string"), F.lit("%3a1"))
+    )
     frag = F.when(i % 7 == 0, "#top").otherwise(F.lit(""))
     urls = spark.range(140).select(
         "id",
@@ -9381,7 +9395,7 @@ SELECT r.range AS id,
             ELSE '/d' || (r.range % 6)::VARCHAR || '/' END
        || CASE WHEN r.range % 2 = 0
                THEN '?b=2&ref=br' || (r.range % 3)::VARCHAR
-               ELSE '?z=1' END AS canon,
+               ELSE '?z=~v' || (r.range % 3)::VARCHAR || '%3A1' END AS canon,
        'host' || (r.range % 8)::VARCHAR || '.example.com' AS host
 FROM range(140) r
 """
@@ -9799,18 +9813,23 @@ def q184_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     uri = F.concat(
         F.lit("https://h"), (g % 4).cast("string"),
         F.lit(".site"), (g % 3).cast("string"),
-        F.lit(".co.uk/a/b"), g.cast("string"), F.lit("/page.html"),
+        F.lit(".co.uk/a/b"), g.cast("string"), F.lit("/page.html?v="),
+        (g % 7).cast("string"),
     )
     ref = (
-        F.when(j % 5 == 0, F.concat(F.lit("img/"), g.cast("string"), F.lit(".png")))
-        .when(j % 5 == 1, F.concat(F.lit("../up"), j.cast("string"), F.lit(".html")))
-        .when(j % 5 == 2, F.concat(F.lit("/root/"), g.cast("string"), F.lit("/"), j.cast("string")))
-        .when(j % 5 == 3, F.concat(F.lit("//cdn"), (j % 2).cast("string"), F.lit(".example.net/x.js")))
-        .otherwise(F.concat(F.lit("https://abs"), (g % 2).cast("string"), F.lit(".sample.org/p")))
+        F.when(j % 6 == 0, F.concat(F.lit("img/"), g.cast("string"), F.lit(".png")))
+        .when(j % 6 == 1, F.concat(F.lit("../up"), j.cast("string"), F.lit(".html")))
+        .when(j % 6 == 2, F.concat(F.lit("/root/"), g.cast("string"), F.lit("/"), j.cast("string")))
+        .when(j % 6 == 3, F.concat(F.lit("//cdn"), (j % 2).cast("string"), F.lit(".example.net/x.js")))
+        .when(j % 6 == 4, F.concat(F.lit("https://abs"), (g % 2).cast("string"), F.lit(".sample.org/p")))
+        # fragment-only ref on a base WITH a query — §5.3 says the
+        # base query survives (ADVICE r9 pin: '#frag' on '?v=1' is
+        # the same page identity '?v=1', not a query-less sibling)
+        .otherwise(F.concat(F.lit("#sec"), j.cast("string")))
     )
     edges = (
         spark.range(18)
-        .select("id", F.explode(F.sequence(F.lit(0), 3 + (g % 2))).alias("j"))
+        .select("id", F.explode(F.sequence(F.lit(0), 4 + (g % 2))).alias("j"))
         .select(url_resolve(uri, ref).alias("resolved"))
         .select("resolved", host_of(F.col("resolved")).alias("host"))
     )
@@ -9827,10 +9846,10 @@ def q184_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q184_SQL = """
 WITH e AS (
   SELECT g.range AS g, j.range AS j
-  FROM range(18) g, range(5) j WHERE j.range <= 3 + g.range % 2),
+  FROM range(18) g, range(6) j WHERE j.range <= 4 + g.range % 2),
 r AS (
   SELECT g, j,
-    CASE j % 5
+    CASE j % 6
       WHEN 0 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
                   || '.co.uk/a/b' || g::VARCHAR || '/img/' || g::VARCHAR || '.png'
       WHEN 1 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
@@ -9838,12 +9857,15 @@ r AS (
       WHEN 2 THEN 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
                   || '.co.uk/root/' || g::VARCHAR || '/' || j::VARCHAR
       WHEN 3 THEN 'https://cdn' || (j % 2)::VARCHAR || '.example.net/x.js'
-      ELSE 'https://abs' || (g % 2)::VARCHAR || '.sample.org/p' END AS resolved,
-    CASE j % 5
+      WHEN 4 THEN 'https://abs' || (g % 2)::VARCHAR || '.sample.org/p'
+      ELSE 'https://h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR
+           || '.co.uk/a/b' || g::VARCHAR || '/page.html?v=' || (g % 7)::VARCHAR
+      END AS resolved,
+    CASE j % 6
       WHEN 3 THEN 'cdn' || (j % 2)::VARCHAR || '.example.net'
       WHEN 4 THEN 'abs' || (g % 2)::VARCHAR || '.sample.org'
       ELSE 'h' || (g % 4)::VARCHAR || '.site' || (g % 3)::VARCHAR || '.co.uk' END AS host,
-    CASE j % 5
+    CASE j % 6
       WHEN 3 THEN 'example.net'
       WHEN 4 THEN 'sample.org'
       ELSE 'site' || (g % 3)::VARCHAR || '.co.uk' END AS domain
@@ -10265,7 +10287,7 @@ SELECT mid AS media_id,
        CASE WHEN mid % 3 = 0 THEN round(
          CASE WHEN mid % 2 = 0 THEN -1 ELSE 1 END *
          ((mid % 170)::DOUBLE + ((mid * 3) % 58)::DOUBLE / 60
-           + (((mid * 53) % 6000)::DOUBLE / 100) / 3600), 6) END AS lon,
+           + (((mid * 53) % 6000)::DOUBLE / 100) / 3600), 6) + 0.0 END AS lon,
        CASE WHEN mid % 3 = 0 THEN 1 ELSE 0 END AS gps_present,
        0 AS gps_after_strip
 FROM m
@@ -10444,13 +10466,17 @@ def q192_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id")
     html = F.concat(
-        F.lit("<p>"),
+        # an IE-conditional ghost TABLE and a commented-out ghost ROW
+        # (VERDICT r8 #2) — if comments are not stripped first, both
+        # leak into n_tables/n_rows/n_cells and break the oracle
+        F.lit("<!--[if IE]><table><tr><td>ie ghost</td></tr></table>"
+              "<![endif]--><p>"),
         F.col("text"),
         F.lit("</p><table><tr><td>c"),
         (i % 5).cast("string"),
         F.lit("</td><td>v&amp;"),
         (i % 7).cast("string"),
-        F.lit("</td></tr><tr><td>x"),
+        F.lit("</td></tr><!-- <tr><td>ghost row</td></tr> --><tr><td>x"),
         (i % 3).cast("string"),
         F.lit("</td></tr></table>"),
         F.when(
@@ -10584,6 +10610,282 @@ FROM u GROUP BY modality
 """
 
 
+# --------------------------------------------------------------------------
+# q194 — PDF SIMPLE-FONT decoding (VERDICT r8 #3 — the largest gap
+# between "parses fixtures" and "parses the web's PDFs": real
+# documents map glyph codes through the font's /Encoding
+# /Differences and /ToUnicode CMaps, so any subset-font or non-ASCII
+# text extracts as mojibake through a raw latin-1 decode): formula
+# PDFs cycle four font modes by mid%4 — (0) no encoding info =
+# latin-1 fast path, (1) /WinAnsiEncoding (é=0xE9, €=0x80 on the
+# wire), (2) an /Encoding dict with /Differences remapping /eacute
+# and /emdash onto the 'A'/'B' code slots (bytes say AB, the font
+# says é—; latin-1 decode would be WRONG), (3) a /ToUnicode CMap with
+# one bfrange (0xC1-0xC3 → αβγ, last-code-unit increment) and one
+# bfchar (0xD0 → ☃). The oracle regenerates every page's exact
+# unicode text from the formula; drift in any layer (base table,
+# Differences/AGL, CMap parse, Tf font tracking) breaks its mode's
+# rows. Scale shape: same per-page mapInPandas walk as q180 — the
+# font maps are built once per document inside the kernel, bytes
+# never shuffle.
+# --------------------------------------------------------------------------
+
+_Q194_FONT_SPECS = [
+    None,
+    {"base": "/WinAnsiEncoding"},
+    {
+        "base": "/WinAnsiEncoding",
+        "differences": {65: "/eacute", 66: "/emdash"},
+    },
+    {"tounicode_chars": {0xD0: "☃"}, "tounicode_range": (0xC1, 0xC3, "α")},
+]
+_Q194_SUFFIX = ["", " café €", " é—", " αβγ☃"]
+
+
+def _q194_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            mode = mid % 4
+            pages = []
+            for p in range(1 + mid % 2):
+                lines = []
+                for j in range(1 + (mid + p) % 2):
+                    words = [
+                        f"fw{(mid * 5 + p * 3 + j * 2 + w) % 17}"
+                        for w in range(4 + (mid + j) % 3)
+                    ]
+                    lines.append(" ".join(words) + _Q194_SUFFIX[mode])
+                pages.append(lines)
+            out.append(
+                encode_pdf(
+                    pages,
+                    compress=mid % 2 == 0,
+                    font_spec=_Q194_FONT_SPECS[mode],
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(40).select(
+        F.concat(
+            F.lit("fd"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".pdf"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q194_pdf_fonts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.pdfcodec import pdf_pages
+
+    return pdf_pages(_q194_media(spark)).select(
+        "file", "page_no", "n_pages", "text", "n_chars"
+    )
+
+
+Q194_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(40) r),
+pg AS (SELECT mid, p.range AS p FROM d, range(2) p WHERE p.range < 1 + mid % 2),
+ln AS (SELECT mid, p, j.range AS j FROM pg, range(2) j
+       WHERE j.range < 1 + (mid + p) % 2),
+wd AS (
+  SELECT mid, p, j,
+         string_agg('fw' || ((mid * 5 + p * 3 + j * 2 + w.range) % 17)::VARCHAR,
+                    ' ' ORDER BY w.range)
+           || CASE mid % 4 WHEN 0 THEN '' WHEN 1 THEN ' café €'
+                           WHEN 2 THEN ' é—' ELSE ' αβγ☃' END AS line
+  FROM ln, range(6) w WHERE w.range < 4 + (mid + j) % 3
+  GROUP BY mid, p, j),
+pt AS (SELECT mid, p, string_agg(line, chr(10) ORDER BY j) AS text
+       FROM wd GROUP BY mid, p)
+SELECT 'fd' || lpad(mid::VARCHAR, 2, '0') || '.pdf' AS file,
+       p::INT AS page_no, (1 + mid % 2)::INT AS n_pages,
+       text, length(text)::INT AS n_chars
+FROM pt
+"""
+
+
+# --------------------------------------------------------------------------
+# q195 — XLSX spreadsheet extraction (VERDICT r8 #4: spreadsheets are
+# the second OOXML member a real corpus has; sharedStrings is the
+# layout the format exists for — repeated strings store ONCE and
+# cells reference by index): formula workbooks (1-2 sheets, 2-4 rows
+# × 3 cols; cell kind cycles shared string / numeric / inline string
+# / boolean by (mid+s+r+c)%4, with (…)%11==0 cells LEFT EMPTY so gap
+# handling is on-path; the shared-string pool deduplicates across
+# repeats by construction). The oracle regenerates every cell — the
+# resolved string values, raw numeric literals, and '1'/'0' booleans
+# — analytically. Scale shape: same binaryFile → mapInPandas walk as
+# pdf_pages; one row per cell, workbook bytes never shuffle.
+# --------------------------------------------------------------------------
+
+def _q195_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.officedoc import encode_xlsx
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            sheets = []
+            for s in range(1 + mid % 2):
+                rows = []
+                for r in range(2 + (mid + s) % 3):
+                    cells = []
+                    for c in range(3):
+                        if (mid + s + r + c) % 11 == 0:
+                            cells.append(None)
+                            continue
+                        m = (mid + s + r + c) % 4
+                        if m == 0:
+                            cells.append(f"sv{(mid * 3 + s + r * 2 + c) % 7}")
+                        elif m == 1:
+                            cells.append((mid * 5 + r * 3 + c) % 100)
+                        elif m == 2:
+                            cells.append(f"in&{(c + r) % 5}".encode())
+                        else:
+                            cells.append((mid + r + c) % 2 == 0)
+                    rows.append(cells)
+                sheets.append((f"Sh{s}", rows))
+            out.append(encode_xlsx(sheets, compress=mid % 2 == 0))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(30).select(
+        F.concat(
+            F.lit("wb"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".xlsx"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q195_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import xlsx_cells
+
+    return xlsx_cells(_q195_media(spark)).select(
+        "file", "sheet_no", "sheet",
+        F.col("row").alias("cell_row"), F.col("col").alias("cell_col"),
+        "celltype", "value",
+    )
+
+
+Q195_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(30) r),
+sh AS (SELECT mid, s.range AS s FROM d, range(2) s WHERE s.range < 1 + mid % 2),
+rw AS (SELECT mid, s, rr.range AS r FROM sh, range(4) rr
+       WHERE rr.range < 2 + (mid + s) % 3),
+cl AS (SELECT mid, s, r, c.range AS c, (mid + s + r + c.range) % 4 AS m
+       FROM rw, range(3) c WHERE (mid + s + r + c.range) % 11 != 0)
+SELECT 'wb' || lpad(mid::VARCHAR, 2, '0') || '.xlsx' AS file,
+       s::INT AS sheet_no, 'Sh' || s::VARCHAR AS sheet,
+       (r + 1)::INT AS cell_row, (c + 1)::INT AS cell_col,
+       CASE m WHEN 0 THEN 's' WHEN 1 THEN 'n'
+              WHEN 2 THEN 'inlineStr' ELSE 'b' END AS celltype,
+       CASE m WHEN 0 THEN 'sv' || ((mid * 3 + s + r * 2 + c) % 7)::VARCHAR
+              WHEN 1 THEN ((mid * 5 + r * 3 + c) % 100)::VARCHAR
+              WHEN 2 THEN 'in&' || ((c + r) % 5)::VARCHAR
+              ELSE CASE WHEN (mid + r + c) % 2 = 0 THEN '1' ELSE '0' END
+              END AS value
+FROM cl
+"""
+
+
+# --------------------------------------------------------------------------
+# q196 — PPTX presentation extraction (the third OOXML member:
+# per-slide <a:p> paragraphs of <a:t> runs — same stdlib-zipfile
+# container walk as DOCX/XLSX, slide parts in numeric order): formula
+# decks (1-3 slides, 1-2 paragraphs each, word formula + an
+# entity-bearing tail every third paragraph). The oracle regenerates
+# each slide's newline-joined text analytically.
+# --------------------------------------------------------------------------
+
+def _q196_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.officedoc import encode_pptx
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            slides = []
+            for sl in range(1 + mid % 3):
+                paras = []
+                for k in range(1 + (mid + sl) % 2):
+                    words = [
+                        f"pv{(mid * 7 + sl * 3 + k * 2 + w) % 11}"
+                        for w in range(3 + (mid + k) % 2)
+                    ]
+                    t = " ".join(words)
+                    if (mid + sl + k) % 3 == 0:
+                        t += " & <t>"
+                    paras.append(t)
+                slides.append(paras)
+            out.append(encode_pptx(slides, compress=mid % 2 == 0))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(30).select(
+        F.concat(
+            F.lit("pz"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".pptx"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q196_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import pptx_slides
+
+    return pptx_slides(_q196_media(spark)).select(
+        "file", "slide_no", "n_slides", "text", "n_chars"
+    )
+
+
+Q196_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(30) r),
+sl AS (SELECT mid, s.range AS sl FROM d, range(3) s WHERE s.range < 1 + mid % 3),
+pa AS (SELECT mid, sl, k.range AS k FROM sl, range(2) k
+       WHERE k.range < 1 + (mid + sl) % 2),
+wd AS (
+  SELECT mid, sl, k,
+         string_agg('pv' || ((mid * 7 + sl * 3 + k * 2 + w.range) % 11)::VARCHAR,
+                    ' ' ORDER BY w.range)
+           || CASE WHEN (mid + sl + k) % 3 = 0 THEN ' & <t>' ELSE '' END AS para
+  FROM pa, range(4) w WHERE w.range < 3 + (mid + k) % 2
+  GROUP BY mid, sl, k),
+st AS (SELECT mid, sl, string_agg(para, chr(10) ORDER BY k) AS text
+       FROM wd GROUP BY mid, sl)
+SELECT 'pz' || lpad(mid::VARCHAR, 2, '0') || '.pptx' AS file,
+       sl::INT AS slide_no, (1 + mid % 3)::INT AS n_slides,
+       text, length(text)::INT AS n_chars
+FROM st
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10654,6 +10956,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
         QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
         QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
+        QuerySpec("q194_pdf_fonts", q194_pdf_fonts, Q194_SQL, "S-pdf simple-font encoding tounicode"),
+        QuerySpec("q195_xlsx_cells", q195_xlsx_cells, Q195_SQL, "S-xlsx spreadsheet shared-strings"),
+        QuerySpec("q196_pptx_text", q196_pptx_text, Q196_SQL, "S-pptx presentation slide-text"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

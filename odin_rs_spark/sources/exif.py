@@ -131,10 +131,22 @@ def _parse_exif(jpeg: bytes) -> dict:
         raise ValueError("EXIF: bad TIFF magic")
     (ifd0_off,) = struct.unpack(bo + "I", tiff[4:8])
     ifd0 = _walk_ifd(tiff, bo, ifd0_off)
-    out["make"] = ifd0.get(TAG_MAKE)
-    out["model"] = ifd0.get(TAG_MODEL)
-    out["orientation"] = ifd0.get(TAG_ORIENTATION)
-    out["datetime"] = ifd0.get(TAG_DATETIME)
+
+    def scalar(v, want):
+        # a corrupt entry with count>1 (or a RATIONAL where a SHORT
+        # belongs) delivers a tuple where a scalar belongs — the type
+        # field is data too (ADVICE r8): take the first element, then
+        # gate on the expected Python type so the int/str-typed schema
+        # columns downstream (exif_stats mapInPandas) never see a
+        # tuple that Arrow cannot convert
+        if isinstance(v, tuple):
+            v = v[0] if v else None
+        return v if isinstance(v, want) else None
+
+    out["make"] = scalar(ifd0.get(TAG_MAKE), str)
+    out["model"] = scalar(ifd0.get(TAG_MODEL), str)
+    out["orientation"] = scalar(ifd0.get(TAG_ORIENTATION), int)
+    out["datetime"] = scalar(ifd0.get(TAG_DATETIME), str)
     gps_off = ifd0.get(TAG_GPS_IFD)
     if isinstance(gps_off, int):
         gps = _walk_ifd(tiff, bo, gps_off)

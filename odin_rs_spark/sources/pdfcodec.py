@@ -186,15 +186,30 @@ class _Tok:
 def _index_objects(buf: bytes) -> dict[int, int]:
     """Object number → byte offset of its body (after 'N G obj').
     Directly indexing the markers keeps xref-stream and linearized
-    files parseable without consuming any xref. First occurrence wins:
-    compressed stream bytes can coincidentally contain an 'N 0 obj'
-    pattern, and the real declaration of an object precedes any
-    stream that could echo its number."""
-    out = {}
+    files parseable without consuming any xref. First PARSEABLE
+    occurrence wins (ADVICE r8): compressed stream bytes can
+    coincidentally spell 'N G obj' — and can do so BEFORE the real
+    declaration when a Flate stream of a lower-numbered object
+    precedes it — so each candidate offset is confirmed by actually
+    tokenizing a value there, falling back to the next occurrence on
+    failure (and to the first if none confirms, so error surfaces
+    stay unchanged)."""
+    occ: dict[int, list[int]] = {}
     for m in _OBJ_RE.finditer(buf):
-        out.setdefault(int(m.group(1)), m.end())
-    if not out:
+        occ.setdefault(int(m.group(1)), []).append(m.end())
+    if not occ:
         raise ValueError("PDF: no indirect objects found")
+    out = {}
+    for num, offs in occ.items():
+        pick = offs[0]
+        for off in offs:
+            try:
+                _Tok(buf, off).value()
+            except ValueError:
+                continue
+            pick = off
+            break
+        out[num] = pick
     return out
 
 
@@ -285,6 +300,185 @@ def _stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
     return raw
 
 
+# -- simple-font decoding (ISO 32000 §9.6.6, §9.10.3) -------------------------
+#
+# Real PDFs rarely show latin-1 bytes: glyph codes route through the
+# font's /Encoding (base encoding + /Differences remaps) and, when
+# present, a /ToUnicode CMap (bfchar/bfrange pairs in UTF-16BE). A
+# subset-font document extracts as mojibake without this walk — the
+# largest gap between "parses fixtures" and "parses the web's PDFs"
+# (round-8 verdict #3).
+
+# Adobe Glyph List subset — the names a Differences array actually
+# uses in crawled documents (AGL is public: github.com/adobe-type-
+# tools/agl-aglfn). uniXXXX / uXXXX(XX) forms parse programmatically.
+_AGL = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40, "bracketleft": 0x5B,
+    "backslash": 0x5C, "bracketright": 0x5D, "underscore": 0x5F,
+    "quoteleft": 0x2018, "quoteright": 0x2019, "quotedblleft": 0x201C,
+    "quotedblright": 0x201D, "endash": 0x2013, "emdash": 0x2014,
+    "ellipsis": 0x2026, "bullet": 0x2022, "dagger": 0x2020,
+    "daggerdbl": 0x2021, "Euro": 0x20AC, "trademark": 0x2122,
+    "copyright": 0x00A9, "registered": 0x00AE, "degree": 0x00B0,
+    "plusminus": 0x00B1, "mu": 0x00B5, "paragraph": 0x00B6,
+    "agrave": 0xE0, "aacute": 0xE1, "acircumflex": 0xE2, "atilde": 0xE3,
+    "adieresis": 0xE4, "aring": 0xE5, "ae": 0xE6, "ccedilla": 0xE7,
+    "egrave": 0xE8, "eacute": 0xE9, "ecircumflex": 0xEA, "edieresis": 0xEB,
+    "igrave": 0xEC, "iacute": 0xED, "icircumflex": 0xEE, "idieresis": 0xEF,
+    "eth": 0xF0, "ntilde": 0xF1, "ograve": 0xF2, "oacute": 0xF3,
+    "ocircumflex": 0xF4, "otilde": 0xF5, "odieresis": 0xF6, "divide": 0xF7,
+    "oslash": 0xF8, "ugrave": 0xF9, "uacute": 0xFA, "ucircumflex": 0xFB,
+    "udieresis": 0xFC, "yacute": 0xFD, "thorn": 0xFE, "ydieresis": 0xFF,
+    "germandbls": 0xDF, "Agrave": 0xC0, "Aacute": 0xC1, "Ccedilla": 0xC7,
+    "Eacute": 0xC9, "Ntilde": 0xD1, "Odieresis": 0xD6, "Udieresis": 0xDC,
+    "alpha": 0x3B1, "beta": 0x3B2, "gamma": 0x3B3, "delta": 0x3B4,
+    "pi": 0x3C0, "sigma": 0x3C3, "omega": 0x3C9,
+}
+
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$|^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """'/eacute' → 'é'; uniXXXX / uXXXX(XX) parse by value; unknown
+    names return None (caller keeps the base-encoding char — a real
+    extractor's fallback, not an error)."""
+    g = name.lstrip("/")
+    if g in _AGL:
+        return chr(_AGL[g])
+    m = _UNI_NAME_RE.match(g)
+    if m:
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+_BASE_CODECS = {
+    "/WinAnsiEncoding": "cp1252",
+    "/MacRomanEncoding": "mac_roman",
+    # StandardEncoding's printable ASCII matches latin-1; the exotic
+    # slots (quoteright at 0xA9 etc.) are a documented seam — crawled
+    # PDFs overwhelmingly declare WinAnsi or carry /ToUnicode
+    "/StandardEncoding": "latin-1",
+    "/PDFDocEncoding": "latin-1",
+}
+
+
+def _base_table(enc_name: str | None) -> list[str]:
+    """256-entry code→char table for a base encoding name (latin-1
+    when None/unknown — the pre-round-9 behavior, kept as fallback)."""
+    codec = _BASE_CODECS.get(enc_name or "", "latin-1")
+    return [bytes([c]).decode(codec, "replace") for c in range(256)]
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.S,
+)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexstr: bytes) -> str:
+    b = bytes.fromhex(hexstr.decode("ascii"))
+    return b.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream → {1-byte glyph code: unicode string}
+    (§9.10.3): bfchar pairs <src> <dst>, bfrange <lo> <hi> <dstStart>
+    or <lo> <hi> [<dst> ...]; dst hex is UTF-16BE (multi-char dst =
+    ligatures). Codes wider than one byte belong to CID fonts — out
+    of simple-font scope, skipped rather than misread."""
+    out: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(data):
+        for src, dst in _HEXPAIR_RE.findall(sec.group(1)):
+            if len(src) == 2:  # 1-byte code
+                out[int(src, 16)] = _utf16be(dst)
+    for sec in _BFRANGE_RE.finditer(data):
+        for m in _RANGE_RE.finditer(sec.group(1)):
+            lo_h, hi_h, start_h, arr = m.groups()
+            if len(lo_h) != 2 or len(hi_h) != 2:
+                continue
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi < lo or hi - lo > 0xFF:
+                raise ValueError("PDF: bfrange bounds out of order")
+            if start_h is not None:
+                start = _utf16be(start_h)
+                # §9.10.3: only the LAST code unit increments
+                head, tail = start[:-1], start[-1] if start else "�"
+                for i in range(hi - lo + 1):
+                    out[lo + i] = head + chr(ord(tail) + i)
+            else:
+                dsts = _HEX_RE.findall(arr or b"")
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    out[lo + i] = _utf16be(d)
+    return out
+
+
+def _font_code_map(buf, index, fdict, extra) -> list[str] | None:
+    """Font dict → 256-entry code→text table, or None for the default
+    latin-1 fast path (no /Encoding, no /ToUnicode). Layering order:
+    base encoding (name or /BaseEncoding of an encoding dict) →
+    /Differences remaps (AGL names) → /ToUnicode overrides."""
+    enc = _resolve(buf, index, fdict.get("/Encoding"), extra)
+    tu_ref = fdict.get("/ToUnicode")
+    if enc is None and tu_ref is None:
+        return None
+    if isinstance(enc, str):
+        table = _base_table(enc)
+    elif isinstance(enc, dict):
+        table = _base_table(enc.get("/BaseEncoding"))
+        code = None
+        for item in _resolve(buf, index, enc.get("/Differences", []), extra):
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str) and code is not None and 0 <= code < 256:
+                ch = _glyph_to_char(item)
+                if ch is not None:
+                    table[code] = ch
+                code += 1
+    else:
+        table = _base_table(None)
+    if tu_ref is not None:
+        if not (isinstance(tu_ref, tuple) and tu_ref[0] == "ref"):
+            raise ValueError("PDF: /ToUnicode is not a stream reference")
+        tok, d = _get_obj(buf, index, tu_ref[1], extra)
+        if tok is None or not isinstance(d, dict):
+            raise ValueError("PDF: /ToUnicode object is not a direct stream")
+        for code, s in _parse_tounicode(_stream_bytes(buf, tok, d, index)).items():
+            table[code] = s
+    return table
+
+
+def _page_font_maps(buf, index, node, extra) -> dict[str, list[str] | None]:
+    """Page node → {'/F1': code table or None} for every font in the
+    page's /Resources (page-level resources only; tree-inherited
+    resources are a documented seam — modern writers emit per-page)."""
+    res = _resolve(buf, index, node.get("/Resources"), extra)
+    if not isinstance(res, dict):
+        return {}
+    fonts = _resolve(buf, index, res.get("/Font"), extra)
+    if not isinstance(fonts, dict):
+        return {}
+    out: dict[str, list[str] | None] = {}
+    for name, ref in fonts.items():
+        fdict = _resolve(buf, index, ref, extra)
+        out[name] = (
+            _font_code_map(buf, index, fdict, extra)
+            if isinstance(fdict, dict)
+            else None
+        )
+    return out
+
+
 _TEXT_OPS = re.compile(
     rb"""\((?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*\)   # literal string
        | <[0-9A-Fa-f\s]*>                            # hex string
@@ -297,15 +491,27 @@ _TEXT_OPS = re.compile(
 )
 
 
-def _extract_text(content: bytes) -> str:
+def _extract_text(
+    content: bytes, fonts: dict[str, list[str] | None] | None = None
+) -> str:
     """Text-showing operators of one content stream → text. Tj/'/"
     show one string; TJ shows its array's strings (kerning numbers
     ignored); T*, TD, Td and ' start a new line; ET closes a block.
-    Strings decode latin-1 (simple fonts; CID byte mapping is a
-    documented seam)."""
+    Strings decode through the CURRENT font's code table (tracked via
+    the Tf operator against the page's /Resources fonts — /Encoding
+    /Differences and /ToUnicode applied); fonts with neither, and
+    content with no resources, decode latin-1 (CID 2-byte codes stay
+    a documented seam)."""
     out: list[str] = []
     stack: list[bytes] = []  # decoded STRINGS since the last operator
     line_open = False
+    last_name: str | None = None
+    table: list[str] | None = None  # current font's code map
+
+    def dec(b: bytes) -> str:
+        if table is None:
+            return b.decode("latin-1")
+        return "".join(table[x] for x in b)
 
     def endline() -> None:
         nonlocal line_open
@@ -318,19 +524,23 @@ def _extract_text(content: bytes) -> str:
         c = tok[:1]
         if c == b"(" or c == b"<":
             stack.append(_Tok(tok).value())
-        elif c in b"[]/" or c in b"+-0123456789.":
-            pass  # operands the text ops ignore (kerning, names, brackets)
+        elif c == b"/":
+            last_name = tok.decode("latin-1")
+        elif c in b"[]" or c in b"+-0123456789.":
+            pass  # operands the text ops ignore (kerning, brackets)
         else:
             op = tok
-            if op in (b"Tj", b"'", b'"'):
+            if op == b"Tf" and fonts and last_name in fonts:
+                table = fonts[last_name]
+            elif op in (b"Tj", b"'", b'"'):
                 if op != b"Tj":
                     endline()
                 if stack:
-                    out.append(stack[-1].decode("latin-1"))
+                    out.append(dec(stack[-1]))
                     line_open = True
             elif op == b"TJ":
                 for v in stack:
-                    out.append(v.decode("latin-1"))
+                    out.append(dec(v))
                     line_open = True
             elif op in (b"Td", b"TD", b"T*"):
                 endline()
@@ -399,7 +609,8 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
             if tok is None or not isinstance(d, dict):
                 raise ValueError("PDF: content object is not a direct stream")
             parts.append(_stream_bytes(buf, tok, d, index))
-        pages.append(_extract_text(b"\n".join(parts)))
+        fonts = _page_font_maps(buf, index, node, extra)
+        pages.append(_extract_text(b"\n".join(parts), fonts))
 
     walk(cat.get("/Pages"))
     return pages
@@ -408,8 +619,87 @@ def _parse_pdf_text(buf: bytes) -> list[str]:
 # -- fixture twin -------------------------------------------------------------
 
 
+def _font_objects(font_spec: dict):
+    """(font dict bytes builder, ToUnicode stream payload or None,
+    code→char decode table) for `encode_pdf`'s font_spec:
+
+    {"base": "/WinAnsiEncoding" | "/MacRomanEncoding" | None,
+     "differences": {code: "/glyphname"},      # optional
+     "tounicode_chars": {code: "s"},           # optional
+     "tounicode_range": (lo, hi, "startchar")} # optional
+
+    The decode table layers exactly like the parser (base →
+    differences → ToUnicode) and is INVERTED to encode the page text,
+    so a character whose code was stolen by a remap becomes
+    unencodable and raises at fixture-build time instead of silently
+    round-tripping wrong. Known-answer byte pins live in
+    tests/test_pdfcodec.py (€=0x80 WinAnsi etc.) so the shared
+    layering cannot self-certify."""
+    table = _base_table(font_spec.get("base"))
+    diff_items: list[str] = []
+    for code in sorted(font_spec.get("differences", {})):
+        g = font_spec["differences"][code]
+        ch = _glyph_to_char(g)
+        if ch is None:
+            raise ValueError(f"font_spec: unknown glyph name {g!r}")
+        table[code] = ch
+        diff_items.append(f"{code} {g}")
+    tu_chars = dict(font_spec.get("tounicode_chars", {}))
+    rng = font_spec.get("tounicode_range")
+    if rng:
+        lo, hi, start = rng
+        for i in range(hi - lo + 1):
+            table[lo + i] = chr(ord(start) + i)
+    for code, s in tu_chars.items():
+        table[code] = s
+    # ToUnicode CMap payload (§9.10.3 wrapper; parser regexes only the
+    # bfchar/bfrange sections)
+    tu_payload = None
+    if tu_chars or rng:
+        parts = [
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        ]
+        if tu_chars:
+            parts.append(f"{len(tu_chars)} beginbfchar\n".encode())
+            for code in sorted(tu_chars):
+                dst = tu_chars[code].encode("utf-16-be").hex().upper()
+                parts.append(f"<{code:02X}> <{dst}>\n".encode())
+            parts.append(b"endbfchar\n")
+        if rng:
+            lo, hi, start = rng
+            dst = start.encode("utf-16-be").hex().upper()
+            parts.append(
+                f"1 beginbfrange\n<{lo:02X}> <{hi:02X}> <{dst}>\nendbfrange\n".encode()
+            )
+        parts.append(b"endcmap\nend\nend")
+        tu_payload = b"".join(parts)
+
+    def font_dict(tounicode_ref: int | None) -> bytes:
+        enc = b""
+        if diff_items:
+            base = font_spec.get("base")
+            base_part = f"/BaseEncoding {base} " if base else ""
+            enc = (
+                f"/Encoding << /Type /Encoding {base_part}"
+                f"/Differences [{' '.join(diff_items)}] >> "
+            ).encode()
+        elif font_spec.get("base"):
+            enc = f"/Encoding {font_spec['base']} ".encode()
+        tu = f"/ToUnicode {tounicode_ref} 0 R " if tounicode_ref else ""
+        return (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            + enc + tu.encode() + b">>"
+        )
+
+    return font_dict, tu_payload, table
+
+
 def encode_pdf(
-    pages: list[list[str]], compress: bool = True, use_objstm: bool = False
+    pages: list[list[str]],
+    compress: bool = True,
+    use_objstm: bool = False,
+    font_spec: dict | None = None,
 ) -> bytes:
     """Fixture twin of `parse_pdf_text`: a minimal but structurally
     REAL PDF — header, catalog, page tree, one content stream per
@@ -428,12 +718,31 @@ def encode_pdf(
     table."""
     objs: list[bytes] = []
 
+    if font_spec is not None and use_objstm:
+        raise ValueError("font_spec with use_objstm is not supported")
+    inv: dict[str, int] | None = None
+    font_dict_fn = None
+    tu_payload = None
+    if font_spec is not None:
+        font_dict_fn, tu_payload, table = _font_objects(font_spec)
+        inv = {}
+        for code in range(256):
+            inv.setdefault(table[code], code)
+
+    def enc_line(line: str) -> bytes:
+        if inv is None:
+            return line.encode("latin-1")
+        try:
+            return bytes(inv[ch] for ch in line)
+        except KeyError as exc:
+            raise ValueError(f"font_spec cannot encode {exc}") from exc
+
     def content(lines: list[str]) -> bytes:
         ops = [b"BT /F1 12 Tf 72 720 Td"]
         for i, line in enumerate(lines):
             if i:
                 ops.append(b"0 -14 Td")
-            b = line.encode("latin-1")
+            b = enc_line(line)
             if i % 2 == 0:
                 esc = b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
                 ops.append(b"(" + esc + b") Tj")
@@ -456,19 +765,28 @@ def encode_pdf(
     n_pages = len(pages)
     if not use_objstm:
         # object layout: 1 catalog, 2 pages node, 3 font,
-        # then per page i: (4+2i) page dict, (5+2i) content stream
-        kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+        # [4 ToUnicode CMap stream when the font carries one,]
+        # then per page i: (base+2i) page dict, (base+1+2i) content
+        base = 4 + (1 if tu_payload is not None else 0)
+        kids = " ".join(f"{base + 2 * i} 0 R" for i in range(n_pages))
         objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
         objs.append(
             f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
         )
-        objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        if font_dict_fn is not None:
+            objs.append(font_dict_fn(4 if tu_payload is not None else None))
+        else:
+            objs.append(
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+            )
+        if tu_payload is not None:
+            objs.append(stream_obj(tu_payload))
         for i, lines in enumerate(pages):
             objs.append(
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                     f"/Resources << /Font << /F1 3 0 R >> >> "
-                    f"/Contents {5 + 2 * i} 0 R >>"
+                    f"/Contents {base + 1 + 2 * i} 0 R >>"
                 ).encode()
             )
             objs.append(stream_obj(content(lines)))

@@ -199,9 +199,20 @@ def decode_http_body(
     verdict's #1 realism gap)."""
     applied: list[str] = []
     te = headers.get("transfer-encoding", "").lower()
-    if "chunked" in te:
+    codings = [t.strip() for t in te.split(",") if t.strip()]
+    if "chunked" in codings:
         body = dechunk(body)
         applied.append("chunked")
+    # residual transfer codings must raise like unsupported content
+    # codings do (ADVICE r8): 'Transfer-Encoding: gzip, chunked'
+    # dechunked-but-still-gzip-transfer-coded is binary soup, and
+    # shipping it decoded-looking into body_text is the exact failure
+    # this function exists to prevent
+    residual = [t for t in codings if t not in ("chunked", "identity")]
+    if residual:
+        raise ValueError(
+            f"unsupported Transfer-Encoding: {', '.join(residual)!r}"
+        )
     ce = headers.get("content-encoding", "").strip().lower()
     if ce in ("gzip", "x-gzip"):
         try:

@@ -37,8 +37,10 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0 and fp noise below the rounding grain
-        return round(v, 9)
+        # collapse fp noise below the rounding grain, THEN force -0.0 to
+        # +0.0 (round() preserves the zero sign; the driver's textual hash
+        # is sign-sensitive — the q189 round-8 lesson)
+        return round(v, 9) + 0.0
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
     return v

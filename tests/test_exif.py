@@ -135,3 +135,29 @@ def test_exif_stats_spark(spark):
     assert rows[1].gps_after_strip == 0
     assert rows[2].orientation == 8 and rows[2].gps_present == 0
     assert rows[3].make is None and rows[3].gps_present == 0
+
+
+def test_scalar_tag_coercion_on_corrupt_counts():
+    """ADVICE r8: a corrupt orientation entry with count>1 must coerce
+    to its first value (and non-int/str shapes to None) instead of
+    escaping as a tuple into the int-typed 'orientation' schema column
+    — an Arrow conversion crash inside mapInPandas even with
+    on_error='skip'."""
+    import struct
+
+    app1 = bytearray(encode_exif_app1(orientation=3))
+    # tiff starts at app1[10]; single IFD0 entry at tiff offset 10:
+    # tag(2) typ(2) cnt(4) payload(4)
+    tiff = 10
+    tag, typ, cnt = struct.unpack("<HHI", app1[tiff + 10 : tiff + 18])
+    assert (tag, typ, cnt) == (0x0112, 3, 1)
+    app1[tiff + 14 : tiff + 18] = struct.pack("<I", 2)  # count 1 -> 2
+    app1[tiff + 18 : tiff + 22] = struct.pack("<HH", 3, 0)  # two SHORTs
+    e = parse_exif(insert_app1(BASE, bytes(app1)))
+    assert e["orientation"] == 3  # first value, still an int
+    # a RATIONAL-typed orientation (payload is an offset) coerces to
+    # None — never a tuple
+    app1 = bytearray(encode_exif_app1(orientation=3))
+    app1[tiff + 12 : tiff + 14] = struct.pack("<H", 5)  # SHORT -> RATIONAL
+    e = parse_exif(insert_app1(BASE, bytes(app1)))
+    assert e["orientation"] is None

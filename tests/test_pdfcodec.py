@@ -107,3 +107,100 @@ def test_pdf_pages_spark(spark, tmp_path):
     assert {r.file for r in kept} == {"a.pdf"}
     with pytest.raises(Exception):
         pdf_pages(both).collect()
+
+
+def test_index_prefers_parseable_declaration():
+    """ADVICE r8: stream bytes coincidentally spelling 'N G obj'
+    BEFORE the real declaration must not shadow it — candidate offsets
+    are confirmed by tokenizing, falling back to the next occurrence."""
+    from odin_rs_spark.sources.pdfcodec import _index_objects, _Tok
+
+    buf = (
+        b"1 0 obj << /Length 18 >> stream\n"
+        b"2 0 obj >> nope\n"  # unparseable echo inside stream data
+        b"endstream endobj\n"
+        b"2 0 obj (real) endobj\n"
+    )
+    idx = _index_objects(buf)
+    assert _Tok(buf, idx[2]).value() == b"real"
+
+
+def test_simple_font_winansi_byte_pins():
+    """Known-answer pins so the shared encode/decode layering cannot
+    self-certify: € is 0x80 and é is 0xE9 in WinAnsiEncoding (cp1252),
+    é is 0x8E in MacRomanEncoding — asserted on the WIRE bytes."""
+    from odin_rs_spark.sources.pdfcodec import encode_pdf, parse_pdf_text
+
+    pdf = encode_pdf(
+        [["café €"]], compress=False, font_spec={"base": "/WinAnsiEncoding"}
+    )
+    assert b"(caf\xe9 \x80) Tj" in pdf
+    assert parse_pdf_text(pdf) == ["café €"]
+    mac = encode_pdf(
+        [["café"]], compress=False, font_spec={"base": "/MacRomanEncoding"}
+    )
+    assert b"(caf\x8e) Tj" in mac
+    assert parse_pdf_text(mac) == ["café"]
+
+
+def test_simple_font_differences_remap():
+    """/Differences steals the 'A'/'B' code slots for /eacute and
+    /emdash: the wire says AB, the font says é— (a latin-1 decode
+    would be WRONG); the stolen characters become unencodable."""
+    from odin_rs_spark.sources.pdfcodec import encode_pdf, parse_pdf_text
+
+    spec = {
+        "base": "/WinAnsiEncoding",
+        "differences": {65: "/eacute", 66: "/emdash"},
+    }
+    pdf = encode_pdf([["xé—y"]], compress=False, font_spec=spec)
+    assert b"(xABy) Tj" in pdf  # the adversarial wire bytes
+    assert parse_pdf_text(pdf) == ["xé—y"]
+    with pytest.raises(ValueError, match="cannot encode"):
+        encode_pdf([["A"]], font_spec=spec)
+    with pytest.raises(ValueError, match="unknown glyph"):
+        encode_pdf([["x"]], font_spec={"differences": {65: "/notaglyph"}})
+
+
+def test_tounicode_bfchar_bfrange_and_ligatures():
+    """/ToUnicode CMap: bfrange increments only the LAST UTF-16 code
+    unit (§9.10.3); bfchar may map one code to a multi-char string
+    (ligatures) — handcrafted CMap, decode-only."""
+    from odin_rs_spark.sources.pdfcodec import (
+        _parse_tounicode,
+        encode_pdf,
+        parse_pdf_text,
+    )
+
+    pdf = encode_pdf(
+        [["a αβγ ☃"]],
+        compress=False,
+        font_spec={
+            "tounicode_chars": {0xD0: "☃"},
+            "tounicode_range": (0xC1, 0xC3, "α"),
+        },
+    )
+    assert b"(a \xc1\xc2\xc3 \xd0) Tj" in pdf
+    assert parse_pdf_text(pdf) == ["a αβγ ☃"]
+    # ligature bfchar + array-form bfrange
+    cmap = (
+        b"1 beginbfchar <66> <00660069> endbfchar\n"
+        b"1 beginbfrange <70> <71> [<0050> <0051>] endbfrange\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[0x66] == "fi" and m[0x70] == "P" and m[0x71] == "Q"
+    with pytest.raises(ValueError, match="bfrange"):
+        _parse_tounicode(b"1 beginbfrange <72> <70> <0050> endbfrange")
+
+
+def test_font_tracking_via_tf():
+    """Two fonts on one page: strings route through the CURRENT font
+    set by Tf, not a per-page constant."""
+    from odin_rs_spark.sources.pdfcodec import _extract_text
+
+    fonts = {
+        "/F1": None,  # latin-1
+        "/F2": [chr(0x2600 + c) for c in range(256)],  # toy remap
+    }
+    content = b"BT /F1 12 Tf (ab) Tj /F2 12 Tf (\x01\x02) Tj ET"
+    assert _extract_text(content, fonts) == "ab" + chr(0x2601) + chr(0x2602)

@@ -185,7 +185,12 @@ def _cc2_prose(g: int) -> str:
 
 
 def _cc2_html(g: int) -> str:
-    return '<div><a href="/">home</a> nav links</div><p>' + _cc2_prose(g) + "</p>"
+    # the commented-out block carries a '</p>' — it must vanish BEFORE
+    # block splitting, or extract_main_text sees a ghost block boundary
+    return (
+        '<div><a href="/">home</a> nav links</div>'
+        "<!-- <p>retired promo</p> --><p>" + _cc2_prose(g) + "</p>"
+    )
 
 
 def test_cc2_fixture_files_match_formula():
@@ -265,3 +270,19 @@ def test_warc_records_spark(spark, tmp_path):
     assert {r.file for r in kept} == {"a.warc.gz"}
     with pytest.raises(Exception):
         warc_records(both).collect()
+
+
+def test_residual_transfer_codings_raise():
+    """ADVICE r8: 'Transfer-Encoding: gzip, chunked' must raise after
+    dechunking (the gzip TRANSFER coding is still applied — shipping
+    it as decoded text is the failure decode_http_body exists to
+    prevent); 'chunked, identity' stays fine."""
+    from odin_rs_spark.sources.warc import chunk_encode, decode_http_body
+
+    framed = chunk_encode(b"hello world")
+    with pytest.raises(ValueError, match="unsupported Transfer-Encoding.*gzip"):
+        decode_http_body({"transfer-encoding": "gzip, chunked"}, framed)
+    dec, applied = decode_http_body(
+        {"transfer-encoding": "chunked, identity"}, framed
+    )
+    assert dec == b"hello world" and applied == ["chunked"]

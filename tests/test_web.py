@@ -103,8 +103,10 @@ def test_url_resolve_reference_shapes(spark):
         "../../further?y=2": "https://ex.com/further?y=2",
         "./here": "https://ex.com/a/b/here",
         "?only=q": "https://ex.com/a/b/page.html?only=q",
-        "#frag": "https://ex.com/a/b/page.html",
-        "": "https://ex.com/a/b/page.html",
+        # §5.3: empty / fragment-only references KEEP the base query —
+        # '#frag' on 'page.html?x=1' is the same page identity
+        "#frag": "https://ex.com/a/b/page.html?x=1",
+        "": "https://ex.com/a/b/page.html?x=1",
     }
     df = spark.createDataFrame(
         [(base, r) for r in cases], "b string, r string"
@@ -192,3 +194,22 @@ def test_canonicalize_is_codegen_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan[:600]
     assert out.count() == 10
+
+
+def test_pct_normalize_applies_to_query(spark):
+    """ADVICE r8: §6.2.2 percent normalization covers the query too —
+    '?q=%7Ex' and '?q=~x' are one page identity, and reserved triplets
+    in query values uppercase their hex digits."""
+    from odin_rs_spark.functions.web import url_canonicalize
+
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/p?q=%7ex",),
+            ("https://ex.com/p?q=~x",),
+            ("https://ex.com/p?a=%3ab&q=1",),
+        ],
+        "u string",
+    ).select(url_canonicalize(F.col("u")).alias("c"))
+    got = [r.c for r in df.collect()]
+    assert got[0] == got[1] == "https://ex.com/p?q=~x"
+    assert got[2] == "https://ex.com/p?a=%3Ab&q=1"
