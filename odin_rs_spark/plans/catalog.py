@@ -10886,6 +10886,239 @@ FROM st
 """
 
 
+# --------------------------------------------------------------------------
+# q197 — WARC revisit-record resolution (VERDICT r8 #5: Common Crawl
+# emits a `revisit` record — not a second copy — when a re-fetched
+# page's payload digest matches an earlier capture; resolving them
+# against originals IS the container-native URL-level dedup the
+# pipeline otherwise re-derives by content hash): formula fixtures
+# put every third record as a revisit whose digest cycle includes
+# (a) digests with MULTIPLE originals — first capture must win,
+# deterministically min (file, rec_no) — (b) a CROSS-FILE resolution
+# (the distributed-join point), and (c) one digest with NO original
+# (resolved=false must survive for loss audits). The oracle derives
+# every resolution analytically. Scale shape: originals collapse to
+# one row per digest (map-side min_by), equi-join on the digest —
+# a content hash, so the shuffle key is skew-free by construction.
+# --------------------------------------------------------------------------
+
+def _q197_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import encode_warc
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: rv-fixture\r\n"}
+            ]
+            for p in range(12):
+                g = fno * 12 + p
+                if g % 3 == 2:
+                    d = (g * 7) % 6
+                    recs.append(
+                        {
+                            "warc_type": "revisit",
+                            "target_uri": f"https://crawl{g % 5}.example.net/dup/{g}",
+                            "payload_digest": f"sha1:B{d}",
+                            "refers_to": f"<urn:uuid:orig-{d:04d}>",
+                            "profile": "http://netpreserve.org/warc/1.0/"
+                            "revisit/identical-payload-digest",
+                            "block": b"",
+                        }
+                    )
+                else:
+                    d = g % 5
+                    body = " ".join(f"ob{d * 3 + j}" for j in range(4 + d))
+                    msg = (
+                        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n{body}"
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"https://crawl{g % 5}.example.net/doc/{g}",
+                            "payload_digest": f"sha1:B{d}",
+                            "content_type": "application/http; msgtype=response",
+                            "block": msg,
+                        }
+                    )
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(
+            F.lit("cc3_0"), F.col("id").cast("string"), F.lit(".warc.gz")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q197_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import resolve_revisits, warc_records
+
+    return resolve_revisits(warc_records(_q197_media(spark)))
+
+
+Q197_SQL = """
+WITH g AS (
+  SELECT fn.range AS fn, p.range AS p, fn.range * 12 + p.range AS g
+  FROM range(2) fn, range(12) p),
+orig AS (SELECT g, g % 5 AS d FROM g WHERE g % 3 != 2),
+ob AS (SELECT d, min(g) AS og FROM orig GROUP BY d),
+bt AS (
+  SELECT dd.d,
+         string_agg('ob' || (dd.d * 3 + j.range)::VARCHAR, ' '
+                    ORDER BY j.range) AS btext
+  FROM (SELECT DISTINCT d FROM orig) dd, range(9) j
+  WHERE j.range < 4 + dd.d GROUP BY dd.d),
+rev AS (SELECT g, fn, p, (g * 7) % 6 AS d FROM g WHERE g % 3 = 2)
+SELECT 'cc3_0' || rev.fn::VARCHAR || '.warc.gz' AS file,
+       (1 + rev.p)::INT AS rec_no,
+       'https://crawl' || (rev.g % 5)::VARCHAR || '.example.net/dup/'
+         || rev.g::VARCHAR AS target_uri,
+       '2026-08-15T00:00:00Z' AS warc_date,
+       'sha1:B' || rev.d::VARCHAR AS payload_digest,
+       '<urn:uuid:orig-' || lpad(rev.d::VARCHAR, 4, '0') || '>' AS refers_to,
+       ob.og IS NOT NULL AS resolved,
+       CASE WHEN ob.og IS NOT NULL
+            THEN 'cc3_0' || (ob.og // 12)::VARCHAR || '.warc.gz' END AS orig_file,
+       CASE WHEN ob.og IS NOT NULL THEN (1 + ob.og % 12)::INT END AS orig_rec_no,
+       CASE WHEN ob.og IS NOT NULL
+            THEN 'https://crawl' || (ob.og % 5)::VARCHAR
+                 || '.example.net/doc/' || ob.og::VARCHAR END AS orig_uri,
+       CASE WHEN ob.og IS NOT NULL THEN length(bt.btext)::BIGINT END
+         AS orig_body_len,
+       CASE WHEN ob.og IS NOT NULL THEN bt.btext END AS orig_body_text
+FROM rev LEFT JOIN ob ON rev.d = ob.d LEFT JOIN bt ON rev.d = bt.d
+"""
+
+
+# --------------------------------------------------------------------------
+# q198 — HTTP-coding decode-LOSS audit (VERDICT r8 #6: brotli and
+# zstd are real crawl codings the Python stdlib cannot decode — they
+# must be NAMED rejections a pipeline can count, not silent drops or
+# binary soup): warc_records gains on_error='tag' — a failed decode
+# keeps the record with a NULL body and the error string in
+# `decode_error` — and the audit rolls up records by (decoded?,
+# coding), extracting the coding from the named error for the
+# rejected rows. Fixture responses cycle identity / gzip / br / zstd
+# / chunked+deflate; the oracle derives every bucket analytically.
+# At 100 TB this is the loss-accounting query every corpus run ships
+# alongside its output.
+# --------------------------------------------------------------------------
+
+def _q198_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import (
+            encode_http_response,
+            encode_warc,
+        )
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: au-fixture\r\n"}
+            ]
+            for p in range(10):
+                g = fno * 10 + p
+                body = " ".join(f"ab{(g * 3 + j) % 9}" for j in range(5 + g % 4))
+                mode = g % 5
+                if mode in (2, 3):
+                    ce = "br" if mode == 2 else "zstd"
+                    raw = b"\x1b\x9c\xfa" + body.encode()  # opaque bytes
+                    msg = (
+                        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        f"Content-Encoding: {ce}\r\n"
+                        f"Content-Length: {len(raw)}\r\n\r\n"
+                    ).encode() + raw
+                else:
+                    msg = encode_http_response(
+                        body.encode(),
+                        chunked=mode == 4,
+                        content_encoding={0: None, 1: "gzip", 4: "deflate"}[mode],
+                        chunk_size=6 + g % 3,
+                    )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://au{g % 4}.example.org/p/{g}",
+                        "content_type": "application/http; msgtype=response",
+                        "block": msg,
+                    }
+                )
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(
+            F.lit("au_"), F.col("id").cast("string"), F.lit(".warc.gz")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q198_coding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import warc_records
+
+    recs = warc_records(_q198_media(spark), on_error="tag")
+    resp = recs.filter(F.col("warc_type") == "response")
+    coding = F.when(
+        F.col("decode_error").isNull(),
+        F.coalesce(F.col("http_encoding"), F.lit("identity")),
+    ).otherwise(F.regexp_extract("decode_error", r"'([a-z]+)'", 1))
+    return resp.groupBy(
+        F.col("decode_error").isNull().alias("decoded"),
+        coding.alias("coding"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("body_len").alias("sum_body_len"),
+        F.min("target_uri").alias("min_uri"),
+        F.max("target_uri").alias("max_uri"),
+    )
+
+
+Q198_SQL = """
+WITH g AS (
+  SELECT fn.range * 10 + p.range AS g FROM range(2) fn, range(10) p),
+b AS (
+  SELECT g, g % 5 AS mode,
+         'https://au' || (g % 4)::VARCHAR || '.example.org/p/' || g::VARCHAR
+           AS uri,
+         (SELECT sum(length('ab' || ((g * 3 + j.range) % 9)::VARCHAR))
+          FROM range(9) j WHERE j.range < 5 + g % 4)
+           + (4 + g % 4) AS blen
+  FROM g),
+c AS (
+  SELECT g, uri, blen, mode IN (0, 1, 4) AS decoded,
+         CASE mode WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+                   WHEN 2 THEN 'br' WHEN 3 THEN 'zstd'
+                   ELSE 'chunked+deflate' END AS coding
+  FROM b)
+SELECT decoded, coding, count(*)::BIGINT AS n_records,
+       CASE WHEN decoded THEN sum(blen)::BIGINT END AS sum_body_len,
+       min(uri) AS min_uri, max(uri) AS max_uri
+FROM c GROUP BY decoded, coding
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -10959,6 +11192,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q194_pdf_fonts", q194_pdf_fonts, Q194_SQL, "S-pdf simple-font encoding tounicode"),
         QuerySpec("q195_xlsx_cells", q195_xlsx_cells, Q195_SQL, "S-xlsx spreadsheet shared-strings"),
         QuerySpec("q196_pptx_text", q196_pptx_text, Q196_SQL, "S-pptx presentation slide-text"),
+        QuerySpec("q197_revisit_resolve", q197_revisit_resolve, Q197_SQL, "S-warc revisit-record digest-dedup"),
+        QuerySpec("q198_coding_audit", q198_coding_audit, Q198_SQL, "S-warc brotli-zstd decode-loss audit"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

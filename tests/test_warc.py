@@ -286,3 +286,79 @@ def test_residual_transfer_codings_raise():
         {"transfer-encoding": "chunked, identity"}, framed
     )
     assert dec == b"hello world" and applied == ["chunked"]
+
+
+def test_zstd_and_brotli_named_rejections():
+    """VERDICT r8 #6: brotli bodies and .warc.zst archives raise
+    SPECIFIC errors naming the coding (the grib2 JPEG2000 pattern) so
+    audits can count them."""
+    with pytest.raises(ValueError, match="'br'.*brotli.*stdlib"):
+        decode_http_body({"content-encoding": "br"}, b"x")
+    with pytest.raises(ValueError, match="'zstd'.*zstandard.*stdlib"):
+        decode_http_body({"content-encoding": "zstd"}, b"x")
+    with pytest.raises(ValueError, match="warc.zst.*zstandard"):
+        parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)
+
+
+def test_warc_tag_mode_and_revisit_resolution(spark, tmp_path):
+    """on_error='tag' keeps undecodable records as auditable rows
+    (named error, NO body shipped) and corrupt FILES as one row;
+    resolve_revisits equi-joins revisits to the FIRST original per
+    digest and leaves unmatched ones resolved=false."""
+    from odin_rs_spark.sources.warc import resolve_revisits, warc_records
+
+    def resp(uri, digest, body=b"ok body", ce=None):
+        if ce:
+            blk = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Encoding: {ce}\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+        else:
+            blk = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+        return {
+            "warc_type": "response", "target_uri": uri,
+            "payload_digest": digest,
+            "content_type": "application/http; msgtype=response",
+            "block": blk,
+        }
+
+    recs = [
+        resp("https://a.ex/1", "sha1:X", b"first capture"),
+        resp("https://a.ex/2", "sha1:X", b"first capture"),  # later dup
+        resp("https://a.ex/3", "sha1:Y", b"other", ce="br"),  # tagged
+        {
+            "warc_type": "revisit", "target_uri": "https://a.ex/1b",
+            "payload_digest": "sha1:X", "refers_to": "<urn:uuid:x>",
+            "profile": "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+            "block": b"",
+        },
+        {
+            "warc_type": "revisit", "target_uri": "https://a.ex/zz",
+            "payload_digest": "sha1:NOPE", "block": b"",
+        },
+    ]
+    good = tmp_path / "rv.warc.gz"
+    good.write_bytes(encode_warc(recs))
+    bad = tmp_path / "zz.warc.gz"
+    bad.write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 16)
+    df = warc_records(
+        spark.read.format("binaryFile").load(str(tmp_path)), on_error="tag"
+    )
+    rows = {(r.file, r.rec_no): r for r in df.collect()}
+    tagged = rows[("rv.warc.gz", 2)]
+    assert "brotli" in tagged.decode_error and tagged.body_text is None
+    assert tagged.body_len is None and tagged.http_status == 200
+    filerow = rows[("zz.warc.gz", -1)]
+    assert "zstandard" in filerow.decode_error and filerow.warc_type is None
+    ok = rows[("rv.warc.gz", 0)]
+    assert ok.decode_error is None and ok.payload_digest == "sha1:X"
+
+    res = {r.target_uri: r for r in resolve_revisits(df).collect()}
+    hit = res["https://a.ex/1b"]
+    assert hit.resolved and hit.orig_uri == "https://a.ex/1"  # FIRST capture
+    assert hit.orig_body_text == "first capture"
+    miss = res["https://a.ex/zz"]
+    assert not miss.resolved and miss.orig_uri is None
