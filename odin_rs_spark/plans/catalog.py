@@ -11119,6 +11119,129 @@ FROM c GROUP BY decoded, coding
 """
 
 
+# --------------------------------------------------------------------------
+# q199 — TRAINED char-trigram language ID (VERDICT r8 stretch: the
+# model-based upgrade of the q28 marker heuristic — Cavnar-Trenkle /
+# fastText-style char n-grams, trained OFFLINE by
+# tools/train_langid.py and shipped as a committed fixture, the q130
+# .onnx pattern): formula documents cycle six languages with word
+# salads drawn from per-language lists; scoring is one higher-order
+# trigram explode → broadcast join against the ~2k-row model dim →
+# exact integer sums → deterministic argmax (score DESC, lang DESC).
+# The oracle replays the ENTIRE scoring pipeline in SQL — trigram
+# extraction, the model join via read_csv on the same fixture, the
+# same window argmax — so any drift in normalization, trigram
+# windowing or score summation breaks every row.
+# --------------------------------------------------------------------------
+
+_Q199_WORDS = {
+    "de": ["schnelle", "morgen", "kinder", "schule", "lehrer", "übung",
+           "wissenschaft", "geschichte", "wasser", "fluss", "felder",
+           "sonne"],
+    "en": ["quick", "morning", "children", "school", "teachers",
+           "practice", "science", "history", "water", "river", "fields",
+           "the"],
+    "es": ["rápido", "mañana", "niños", "escuela", "maestros",
+           "práctica", "ciencia", "historia", "agua", "río", "campos",
+           "colinas"],
+    "fr": ["rapide", "matin", "enfants", "école", "professeurs",
+           "pratique", "science", "histoire", "rivière", "navires",
+           "champs", "soleil"],
+    "it": ["veloce", "mattina", "bambini", "scuola", "insegnanti",
+           "pratica", "scienza", "storia", "acqua", "fiume", "campi",
+           "navi"],
+    "pt": ["rápida", "manhãs", "crianças", "escola", "professores",
+           "prática", "ciência", "história", "água", "navios", "campos",
+           "distantes"],
+}
+_Q199_LANGS = sorted(_Q199_WORDS)
+
+
+def q199_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.langid import (
+        langid_trigram,
+        load_langid_model,
+    )
+
+    i = F.col("doc_id")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws])
+        for lang, ws in _Q199_WORDS.items()
+    }
+    words_arr = lang_arrays[_Q199_LANGS[0]]
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        words_arr = F.when(i % 6 == k, lang_arrays[lang]).otherwise(words_arr)
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), 9 + (i % 5).cast("int")),
+            lambda j: F.element_at(words_arr, ((i * 3 + j) % 12 + 1).cast("int")),
+        ),
+        " ",
+    )
+    true_lang = F.lit(_Q199_LANGS[0])
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        true_lang = F.when(i % 6 == k, F.lit(lang)).otherwise(true_lang)
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), text.alias("text"),
+        true_lang.alias("true_lang"),
+    )
+    out = langid_trigram(docs, load_langid_model(spark), keys=["doc_id"])
+    return docs.select("doc_id", "true_lang").join(out, "doc_id").select(
+        "doc_id", "true_lang", "pred_lang", "best_score", "n_hits"
+    )
+
+
+def _q199_sql() -> str:
+    from odin_rs_spark.functions.langid import LANGID_FIXTURE
+
+    def word_case(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN {k} THEN '{w}'"
+            for k, w in enumerate(_Q199_WORDS[lang])
+        )
+        return f"CASE (doc_id * 3 + j) % 12 {arms} END"
+
+    lang_arms = " ".join(
+        f"WHEN {k} THEN {word_case(lang)}"
+        for k, lang in enumerate(_Q199_LANGS)
+    )
+    true_arms = " ".join(
+        f"WHEN {k} THEN '{lang}'" for k, lang in enumerate(_Q199_LANGS)
+    )
+    return f"""
+WITH d AS (SELECT r.range AS doc_id FROM range(60) r),
+wj AS (SELECT doc_id, j.range AS j FROM d, range(15) j
+       WHERE j.range < 10 + doc_id % 5),
+tx AS (
+  SELECT doc_id,
+         string_agg(CASE doc_id % 6 {lang_arms} END, ' ' ORDER BY j) AS text
+  FROM wj GROUP BY doc_id),
+nt AS (SELECT doc_id, ' ' || text || ' ' AS t FROM tx),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))) AS ngram
+  FROM nt),
+m AS (SELECT * FROM read_csv('{LANGID_FIXTURE}', header = true)),
+sc AS (
+  SELECT tg.doc_id, m.lang, sum(m.score)::BIGINT AS score,
+         count(*)::BIGINT AS n_hits
+  FROM tg JOIN m ON tg.ngram = m.ngram
+  GROUP BY tg.doc_id, m.lang),
+best AS (
+  SELECT doc_id, lang AS pred_lang, score AS best_score, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM sc)
+SELECT d.doc_id, CASE d.doc_id % 6 {true_arms} END AS true_lang,
+       pred_lang, best_score, n_hits
+FROM d JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
+"""
+
+
+Q199_SQL = _q199_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -11194,6 +11317,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q196_pptx_text", q196_pptx_text, Q196_SQL, "S-pptx presentation slide-text"),
         QuerySpec("q197_revisit_resolve", q197_revisit_resolve, Q197_SQL, "S-warc revisit-record digest-dedup"),
         QuerySpec("q198_coding_audit", q198_coding_audit, Q198_SQL, "S-warc brotli-zstd decode-loss audit"),
+        QuerySpec("q199_langid_trained", q199_langid_trained, Q199_SQL, "text trained-trigram language-id"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
