@@ -519,3 +519,50 @@ def weighted_sample(
         .limit(k)
         .withColumnRenamed("__e", "clock")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-domain DOWN-SAMPLING to a target mixture —
+    the static-reweighting step (CCNet per-source rates / DoReMi-style
+    domain weights applied at materialization): each domain carries a
+    keep-rate in milli-units (`rate_milli` 0..1000 in the `weights`
+    dim) and a document survives iff
+
+        bucket = parse_hex(md5(key ‖ domain)[:8]) % 1000 < rate_milli
+
+    The md5-derived bucket makes the sample REPRODUCIBLE (same corpus
+    + same weights → the same documents, on any cluster size — no RNG
+    state, no partition sensitivity) and STABLE under weight changes
+    (raising a rate only ADDS documents; it never swaps the kept set,
+    because the bucket is a pure function of the row). Adds `bucket`
+    and keeps surviving rows.
+
+    Scale shape: weights is a per-domain dim (broadcast hash join);
+    the filter is pure column math — zero shuffle beyond the
+    broadcast, zero Python. Reference parity: corpus-pipeline surface
+    beyond the reference (odin-rs has no sampling notion)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit("|"),
+                        F.col(domain_col),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+    )
+    out = df.join(F.broadcast(weights), domain_col)
+    return out.withColumn("bucket", bucket).filter(
+        F.col("bucket") < F.col("rate_milli")
+    )

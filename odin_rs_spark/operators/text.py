@@ -1399,3 +1399,43 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             "gopher_pass"
         ),
     )
+
+
+# -- markdown ------------------------------------------------------------------
+
+_MD_FENCE = r"(?s)```.*?```"
+_MD_HEADING_MARK = r"(?m)^#{1,6}[ \t]+"
+_MD_IMAGE = r"!\[([^\]]*)\]\(([^)]*)\)"
+_MD_LINK = r"\[([^\]]*)\]\(([^)]*)\)"
+
+
+def markdown_extract(c: Column | str) -> Column:
+    """Markdown → training text (README/docs/forum corpora ship
+    markdown, not HTML — the same structure-aware split as
+    `extract_tables`): fenced code blocks DROPPED (code is not prose
+    and pollutes shingles), heading markers stripped (the heading TEXT
+    stays — it is prose), images and links collapsed to their alt/
+    anchor text (URLs out, anchors in — the C4 convention), emphasis
+    markers (*, `) removed, whitespace collapsed.
+
+    Returns struct(n_headings, n_fences, n_links, prose_text). Pure
+    column expressions, zero Python, zero shuffle; every pattern is
+    RE2-safe (non-greedy, no backreferences) so the oracle replays
+    the chain verbatim."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_headings = F.size(F.regexp_extract_all(col, F.lit(_MD_HEADING_MARK), 0))
+    n_fences = F.size(F.regexp_extract_all(col, F.lit(_MD_FENCE), 0))
+    n_links = F.size(F.regexp_extract_all(col, F.lit(_MD_LINK), 0))
+    s = F.regexp_replace(col, _MD_FENCE, " ")
+    s = F.regexp_replace(s, _MD_HEADING_MARK, "")
+    s = F.regexp_replace(s, _MD_IMAGE, "$1")
+    s = F.regexp_replace(s, _MD_LINK, "$1")
+    s = F.replace(s, F.lit("*"), F.lit(""))
+    s = F.replace(s, F.lit("`"), F.lit(""))
+    prose = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.struct(
+        n_headings.alias("n_headings"),
+        n_fences.alias("n_fences"),
+        n_links.alias("n_links"),
+        prose.alias("prose_text"),
+    )

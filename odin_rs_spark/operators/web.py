@@ -229,3 +229,63 @@ def robots_allowed(
         F.coalesce(F.col("__best.a"), F.lit(1)).alias("allowed"),
         F.coalesce(F.col("__best.l"), F.lit(0)).alias("rule_len"),
     )
+
+
+def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """RSS 2.0 / Atom feed scan — the crawl-discovery surface next to
+    sitemaps (q163): feeds announce NEW urls with timestamps, so a
+    recrawl frontier polls them instead of re-walking whole sites.
+    Detects the dialect from the root element, parses with the JVM
+    `from_xml` (entities decode there — zero Python), and explodes one
+    row per entry: (input cols…, kind, feed_title, title, link,
+    published). RSS items carry <link> as TEXT; Atom entries carry it
+    as the href ATTRIBUTE of <link/> — both normalized to `link`.
+
+    Scale shape: pure column expressions over whatever scan delivered
+    the XML (bytes never shuffle; one row in → n entries out)."""
+    col = F.col(xml_col)
+    rss = F.from_xml(
+        col,
+        "channel STRUCT<title STRING, "
+        "item ARRAY<STRUCT<title STRING, link STRING, pubDate STRING>>>",
+    )
+    atom = F.from_xml(
+        col,
+        "title STRING, entry ARRAY<STRUCT<title STRING, "
+        "link STRUCT<_href STRING>, updated STRING>>",
+    )
+    is_rss = col.contains("<rss")
+    kind = F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom"))
+    feed_title = F.when(is_rss, rss["channel"]["title"]).otherwise(
+        atom["title"]
+    )
+    entries = F.when(
+        is_rss,
+        F.transform(
+            rss["channel"]["item"],
+            lambda it: F.struct(
+                it["title"].alias("title"),
+                it["link"].alias("link"),
+                it["pubDate"].alias("published"),
+            ),
+        ),
+    ).otherwise(
+        F.transform(
+            atom["entry"],
+            lambda e: F.struct(
+                e["title"].alias("title"),
+                e["link"]["_href"].alias("link"),
+                e["updated"].alias("published"),
+            ),
+        )
+    )
+    out = df.select(
+        *df.columns, kind.alias("kind"), feed_title.alias("feed_title"),
+        F.explode(entries).alias("__e"),
+    )
+    return out.select(
+        *df.columns, "kind", "feed_title",
+        F.col("__e.title").alias("title"),
+        F.col("__e.link").alias("link"),
+        F.col("__e.published").alias("published"),
+    ).drop(xml_col)

@@ -11242,6 +11242,591 @@ FROM d JOIN best ON d.doc_id = best.doc_id AND best.rn = 1
 Q199_SQL = _q199_sql()
 
 
+# --------------------------------------------------------------------------
+# q200 — PDF provenance scan (ISO 32000 §14.3.3 document-information
+# dictionary: /Title /Author /CreationDate — the metadata a corpus
+# pipeline keys licensing audits, dedup, and recency filters on,
+# SCANNED WITHOUT DECODING ANY CONTENT STREAM — the cheap pass before
+# deciding what to extract): formula PDFs alternate latin-1 literal
+# and UTF-16BE-BOM hex Info strings (mid%3==0 titles carry '→', the
+# non-latin-1 forcing char), PDF date strings follow the D:YYYYMMDD
+# form, and every third doc has NO Info dict (absence is data). The
+# oracle regenerates all fields plus the year parsed from the date.
+# --------------------------------------------------------------------------
+
+def _q200_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            pages = [[f"mw{(mid + p) % 9}"] for p in range(1 + mid % 3)]
+            info = None
+            if mid % 3 != 1:
+                arrow = " →" if mid % 3 == 0 else ""
+                info = {
+                    "title": f"Report {mid % 11}{arrow}",
+                    "author": f"Author ({mid % 7})",
+                    "creation_date": (
+                        f"D:{2020 + mid % 7}{1 + mid % 12:02d}"
+                        f"{1 + mid % 28:02d}090000Z"
+                    ),
+                }
+            out.append(encode_pdf(pages, compress=mid % 2 == 0, info=info))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(40).select(
+        F.concat(
+            F.lit("md"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".pdf"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q200_pdf_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.pdfcodec import pdf_info
+
+    out = pdf_info(_q200_media(spark))
+    return out.select(
+        "file", "title", "author", "creation_date",
+        F.substring("creation_date", 3, 4).cast("int").alias("year"),
+        "n_pages",
+    )
+
+
+Q200_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(40) r)
+SELECT 'md' || lpad(mid::VARCHAR, 2, '0') || '.pdf' AS file,
+       CASE WHEN mid % 3 != 1 THEN
+         'Report ' || (mid % 11)::VARCHAR
+           || CASE WHEN mid % 3 = 0 THEN ' →' ELSE '' END END AS title,
+       CASE WHEN mid % 3 != 1 THEN
+         'Author (' || (mid % 7)::VARCHAR || ')' END AS author,
+       CASE WHEN mid % 3 != 1 THEN
+         'D:' || (2020 + mid % 7)::VARCHAR
+           || lpad((1 + mid % 12)::VARCHAR, 2, '0')
+           || lpad((1 + mid % 28)::VARCHAR, 2, '0') || '090000Z' END
+         AS creation_date,
+       CASE WHEN mid % 3 != 1 THEN (2020 + mid % 7)::INT END AS year,
+       (1 + mid % 3)::INT AS n_pages
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# q201 — benchmark CONTAMINATION audit (the GPT-3/Pile n-gram
+# collision check: training documents sharing word n-grams with an
+# evaluation set leak test answers into training — every serious
+# pretraining run ships this audit): a benchmark dim is carved from
+# the corpus itself (docs with doc_id%37==0 contribute their words
+# 3-10 as one benchmark item — scale-proportional, so the fixture
+# grows with sf), both sides explode into word 5-grams, and an
+# equi-join on the gram string finds collisions; per-doc rollup
+# counts join rows, distinct grams and distinct benchmark sources.
+# The oracle replays the whole pipeline in SQL over the same
+# documents view. Scale shape: the benchmark dim is tiny → broadcast
+# hash join against the exploded corpus grams (at 100 TB you'd hash
+# grams to longs with xxhash64 to shrink the shuffle payload — the
+# string join here keeps the oracle byte-exact; swap is one line).
+# --------------------------------------------------------------------------
+
+def q201_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+
+    def grams(ws, n):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+
+    bench = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(
+            F.col("doc_id").alias("bench_src"),
+            F.explode(grams(F.slice(words, 3, 8), 5)).alias("gram"),
+        )
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(grams(words, 5)).alias("gram")
+    )
+    hits = corpus.join(F.broadcast(bench), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("gram").alias("n_grams"),
+        F.countDistinct("bench_src").alias("n_srcs"),
+        (F.max(F.col("doc_id") == F.col("bench_src"))).alias("is_source"),
+    )
+
+
+Q201_SQL = r"""
+WITH nd AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS ws
+  FROM documents),
+bench AS (
+  SELECT doc_id AS bench_src,
+         unnest(list_transform(
+           generate_series(1, greatest(len(list_slice(ws, 3, 10)) - 4, 0)),
+           i -> array_to_string(list_slice(list_slice(ws, 3, 10), i, i + 4),
+                                ' '))) AS gram
+  FROM nd WHERE doc_id % 37 = 0),
+corpus AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+           i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gram
+  FROM nd)
+SELECT c.doc_id, count(*)::BIGINT AS n_hits,
+       count(DISTINCT c.gram)::BIGINT AS n_grams,
+       count(DISTINCT b.bench_src)::BIGINT AS n_srcs,
+       max(c.doc_id = b.bench_src) AS is_source
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q202 — MARKDOWN extraction (README/docs/forum corpora ship markdown,
+# not HTML — the q192 structure-aware split for the other markup the
+# web writes): formula markdown wraps each document — ATX heading(s),
+# a fenced code block whose DECOY content must not leak into prose, a
+# link whose URL must drop but whose anchor must stay, an image for
+# every third doc, emphasis markers — then extracts with pure RE2-safe
+# column expressions. The oracle replays the identical transform
+# chain (DuckDB \\1 group refs vs Java $1 — same patterns).
+# --------------------------------------------------------------------------
+
+def q202_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import markdown_extract
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    md = F.concat(
+        F.lit("# Doc "), i.cast("string"), F.lit("\n"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("## Sec "), (i % 3).cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("intro *bold* text\n```\ncode "), i.cast("string"),
+        F.lit(" decoy\n```\n"),
+        F.col("text"),
+        F.lit("\nsee [anchor "), (i % 5).cast("string"),
+        F.lit("](https://ex.org/"), i.cast("string"), F.lit(") end"),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("\n![img "), (i % 4).cast("string"),
+                F.lit("](https://img.ex/"), i.cast("string"), F.lit(".png)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    m = docs.select("doc_id", markdown_extract(md).alias("m"))
+    return m.select(
+        "doc_id",
+        F.col("m.n_headings").alias("n_headings"),
+        F.col("m.n_fences").alias("n_fences"),
+        F.col("m.n_links").alias("n_links"),
+        F.md5(F.col("m.prose_text").cast("binary")).alias("prose_md5"),
+        F.length("m.prose_text").alias("prose_len"),
+    )
+
+
+Q202_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '# Doc ' || doc_id::VARCHAR || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '## Sec ' || (doc_id % 3)::VARCHAR || chr(10)
+                 ELSE '' END
+         || 'intro *bold* text' || chr(10) || '```' || chr(10) || 'code '
+         || doc_id::VARCHAR || ' decoy' || chr(10) || '```' || chr(10)
+         || text
+         || chr(10) || 'see [anchor ' || (doc_id % 5)::VARCHAR
+         || '](https://ex.org/' || doc_id::VARCHAR || ') end'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '![img ' || (doc_id % 4)::VARCHAR
+                      || '](https://img.ex/' || doc_id::VARCHAR || '.png)'
+                 ELSE '' END AS md
+  FROM documents),
+x AS (
+  SELECT doc_id, md,
+         regexp_replace(md, '(?s)```.*?```', ' ', 'g') AS s1
+  FROM h),
+y AS (
+  SELECT doc_id, md,
+         replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(s1,
+             '(?m)^#{1,6}[ \t]+', '', 'g'),
+             '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+             '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+           '*', ''), '`', '') AS s2
+  FROM x)
+SELECT doc_id,
+       len(regexp_extract_all(md, '(?m)^#{1,6}[ \t]+'))::INT AS n_headings,
+       len(regexp_extract_all(md, '(?s)```.*?```'))::INT AS n_fences,
+       len(regexp_extract_all(md, '\[([^\]]*)\]\(([^)]*)\)'))::INT AS n_links,
+       md5(trim(regexp_replace(s2, '\s+', ' ', 'g'))) AS prose_md5,
+       length(trim(regexp_replace(s2, '\s+', ' ', 'g')))::INT AS prose_len
+FROM y
+"""
+
+
+# --------------------------------------------------------------------------
+# q203 — RSS/Atom feed scan (operators/web.feed_entries — the
+# crawl-discovery surface next to sitemaps: feeds announce NEW urls
+# with timestamps, so a recrawl frontier polls them instead of
+# re-walking sites): formula feeds alternate RSS 2.0 (link as element
+# TEXT) and Atom (link as href ATTRIBUTE), entries carry entity-
+# bearing titles (&amp; must decode in the JVM XML parser), and the
+# rollup counts entries per (feed, kind) with min/max link. The
+# oracle regenerates everything analytically.
+# --------------------------------------------------------------------------
+
+def q203_feed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import feed_entries
+
+    i = F.col("id")
+    k = F.col("k")
+    title = F.concat(F.lit("Post &amp; "), k.cast("string"))
+    link = F.concat(
+        F.lit("https://f"), (i % 4).cast("string"), F.lit(".example.org/"),
+        i.cast("string"), F.lit("/"), k.cast("string"),
+    )
+    date = F.concat(F.lit("2026-08-"), F.lpad((1 + k % 28).cast("string"), 2, "0"))
+    rss_item = F.concat(
+        F.lit("<item><title>"), title, F.lit("</title><link>"), link,
+        F.lit("</link><pubDate>"), date, F.lit("</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>"), title, F.lit('</title><link href="'), link,
+        F.lit('"/><updated>'), date, F.lit("</updated></entry>"),
+    )
+    entry = F.when(i % 2 == 0, rss_item).otherwise(atom_entry)
+    xml = (
+        spark.range(20)
+        .select("id", F.explode(F.sequence(F.lit(0), 1 + (i % 3))).alias("k"))
+        .select("id", entry.alias("e"))
+        .groupBy("id")
+        .agg(F.array_join(F.array_sort(F.collect_list("e")), "").alias("body"))
+        .select(
+            "id",
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(
+                    F.lit('<rss version="2.0"><channel><title>Feed &amp; '),
+                    F.col("id").cast("string"),
+                    F.lit("</title>"), F.col("body"),
+                    F.lit("</channel></rss>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                          "<title>Feed &amp; "),
+                    F.col("id").cast("string"),
+                    F.lit("</title>"), F.col("body"), F.lit("</feed>"),
+                )
+            )
+            .alias("xml"),
+        )
+    )
+    rows = feed_entries(xml, "xml")
+    return rows.groupBy("id", "kind", "feed_title").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("link").alias("n_links"),
+        F.min("link").alias("min_link"),
+        F.max("published").alias("max_published"),
+        F.min("title").alias("min_title"),
+    )
+
+
+Q203_SQL = """
+WITH f AS (SELECT r.range AS id FROM range(20) r),
+e AS (SELECT id, k.range AS k FROM f, range(4) k WHERE k.range <= 1 + id % 3),
+x AS (
+  SELECT id, k,
+         'Post & ' || k::VARCHAR AS title,
+         'https://f' || (id % 4)::VARCHAR || '.example.org/'
+           || id::VARCHAR || '/' || k::VARCHAR AS link,
+         '2026-08-' || lpad((1 + k % 28)::VARCHAR, 2, '0') AS pub
+  FROM e)
+SELECT id, CASE WHEN id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'Feed & ' || id::VARCHAR AS feed_title,
+       count(*)::BIGINT AS n_entries,
+       count(DISTINCT link)::BIGINT AS n_links,
+       min(link) AS min_link,
+       max(pub) AS max_published,
+       min(title) AS min_title
+FROM x GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# q204 — domain-mixture sampler (operators/corpus.mixture_sample —
+# the static-reweighting materialization step: CCNet per-source rates
+# / DoReMi-style domain weights; a 100 TB pretraining corpus is never
+# shipped at its raw source mix): per-source keep-rates derive from
+# the source index, documents survive iff their md5 bucket falls
+# under the rate — REPRODUCIBLE (no RNG state, partition-invariant)
+# and MONOTONE under weight raises (the kept set only grows). The
+# rollup reports kept counts per source; the oracle replays the hash
+# bucketing byte-for-byte (hex-parsed md5 prefix mod 1000).
+# --------------------------------------------------------------------------
+
+def q204_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.corpus import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rate_milli",
+            (
+                100
+                + (F.substring("source", 4, 10).cast("int") * 137) % 900
+            ).cast("int"),
+        )
+    )
+    kept = mixture_sample(docs, weights, "source", "doc_id")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rolled = kept.groupBy("source", "rate_milli").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_kept"),
+        F.max("doc_id").alias("max_kept"),
+    )
+    return totals.join(rolled, "source", "left").select(
+        "source",
+        F.coalesce("rate_milli", F.lit(0)).alias("rate_milli"),
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "min_kept", "max_kept",
+    )
+
+
+Q204_SQL = """
+WITH w AS (
+  SELECT source,
+         (100 + (substr(source, 4, 10)::INT * 137) % 900)::INT AS rate_milli
+  FROM (SELECT DISTINCT source FROM documents)),
+k AS (
+  SELECT d.doc_id, d.source, w.rate_milli,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '|' || d.source), 1, 8))
+           ::BIGINT % 1000 AS bucket
+  FROM documents d JOIN w USING (source))
+SELECT source,
+       CASE WHEN count(*) FILTER (bucket < rate_milli) > 0
+            THEN any_value(rate_milli) ELSE 0 END AS rate_milli,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (bucket < rate_milli)::BIGINT AS n_kept,
+       min(doc_id) FILTER (bucket < rate_milli) AS min_kept,
+       max(doc_id) FILTER (bucket < rate_milli) AS max_kept
+FROM k GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q205 — JSON-LD structured-data extraction (schema.org metadata in
+# <script type="application/ld+json"> blocks — the machine-readable
+# provenance real pages carry: headline, datePublished, author; a
+# corpus pipeline mines it for dates and attribution without HTML
+# heuristics): formula pages embed one NewsArticle block (headline
+# with an escaped quote — the JSON-parse pin) plus, for odd ids, a
+# BreadcrumbList decoy that must be FILTERED by @type; extraction is
+# regexp block-capture + JVM from_json, zero Python. The script-drop
+# in html_to_text and this extractor are complementary reads of the
+# same bytes. Oracle: analytic.
+# --------------------------------------------------------------------------
+
+def q205_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    art = F.concat(
+        F.lit('{"@type":"NewsArticle","headline":"Story \\"'),
+        (i % 9).cast("string"),
+        F.lit('\\" no. '), i.cast("string"),
+        F.lit('","datePublished":"2026-08-'),
+        F.lpad((1 + i % 28).cast("string"), 2, "0"),
+        F.lit('","author":{"name":"A'), (i % 7).cast("string"),
+        F.lit('"}}'),
+    )
+    crumb = F.lit('{"@type":"BreadcrumbList","itemListElement":[]}')
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        art,
+        F.lit("</script>"),
+        F.when(
+            i % 2 == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">'), crumb,
+                F.lit("</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    blocks = F.regexp_extract_all(
+        html,
+        F.lit(r'(?is)<script type="application/ld\+json">(.*?)</script>'),
+        1,
+    )
+    schema = (
+        "`@type` STRING, headline STRING, datePublished STRING, "
+        "author STRUCT<name STRING>"
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.size(blocks).alias("n_blocks"),
+        F.explode(blocks).alias("j"),
+    ).select("doc_id", "n_blocks", F.from_json("j", schema).alias("d"))
+    arts = parsed.filter(F.col("d.`@type`") == "NewsArticle")
+    return arts.select(
+        "doc_id", "n_blocks",
+        F.col("d.headline").alias("headline"),
+        F.col("d.datePublished").alias("date_published"),
+        F.col("d.author.name").alias("author_name"),
+    )
+
+
+Q205_SQL = """
+SELECT doc_id,
+       (1 + doc_id % 2)::INT AS n_blocks,
+       'Story "' || (doc_id % 9)::VARCHAR || '" no. ' || doc_id::VARCHAR
+         AS headline,
+       '2026-08-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+         AS date_published,
+       'A' || (doc_id % 7)::VARCHAR AS author_name
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q206 — FIVE-modality corpus flagship (q193 extended with the round-9
+# extractors: PDF pages ∪ DOCX paragraphs ∪ WET records ∪ XLSX sheets
+# serialized to text ∪ PPTX slides — a real training corpus unions
+# every extraction path it has): spreadsheet sheets linearize by
+# joining their STRING cells in (row, col) order (numbers/booleans
+# are not prose — the structure-aware choice q192 makes for HTML
+# tables); every branch reuses its verified operator UNCHANGED, and
+# the oracle unions five analytic formulas — drift in ANY extractor
+# breaks its modality's row.
+# --------------------------------------------------------------------------
+
+def q206_mixed_corpus5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import (
+        docx_paragraphs,
+        pptx_slides,
+        xlsx_cells,
+    )
+    from odin_rs_spark.sources.pdfcodec import pdf_pages
+    from odin_rs_spark.sources.warc import warc_records
+
+    pdfs = pdf_pages(_formula_pdf_media(spark, 40)).select(
+        F.lit("pdf").alias("modality"), F.col("text")
+    )
+    docx = docx_paragraphs(_q191_media(spark)).select(
+        F.lit("docx").alias("modality"), F.col("text")
+    )
+    wet = (
+        warc_records(_q182_media(spark))
+        .filter(F.col("warc_type") == "conversion")
+        .select(F.lit("wet").alias("modality"), F.col("body_text").alias("text"))
+    )
+    xl = (
+        xlsx_cells(_q195_media(spark))
+        .filter(F.col("celltype").isin("s", "inlineStr"))
+        .groupBy("file", "sheet_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("row", "col", "value"))
+                    ),
+                    lambda x: x["value"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.lit("xlsx").alias("modality"), "text")
+    )
+    pptx = pptx_slides(_q196_media(spark)).select(
+        F.lit("pptx").alias("modality"), F.col("text")
+    )
+    corpus = (
+        pdfs.unionByName(docx).unionByName(wet).unionByName(xl)
+        .unionByName(pptx)
+    )
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    return (
+        corpus.select("modality", F.size(words).alias("n_words"),
+                      F.length("text").alias("n_chars"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+        )
+    )
+
+
+# the q193 CTE block (pdf/docx/wet formulas) is REUSED verbatim —
+# string surgery instead of a copy, so the two oracles cannot drift
+Q206_SQL = Q193_SQL[: Q193_SQL.index("u AS (SELECT")] + """xl_d AS (SELECT r.range AS mid FROM range(30) r),
+xl_sh AS (SELECT mid, s.range AS s FROM xl_d, range(2) s
+          WHERE s.range < 1 + mid % 2),
+xl_cl AS (
+  SELECT mid, s, rr.range AS r, c.range AS c,
+         (mid + s + rr.range + c.range) % 4 AS m
+  FROM xl_sh, range(4) rr, range(3) c
+  WHERE rr.range < 2 + (mid + s) % 3
+    AND (mid + s + rr.range + c.range) % 11 != 0),
+xl_u AS (
+  SELECT 'xlsx' AS modality, count(*)::INT AS n_words,
+         (sum(CASE m WHEN 0 THEN 3 ELSE 4 END) + count(*) - 1)::INT AS n_chars
+  FROM xl_cl WHERE m IN (0, 2) GROUP BY mid, s),
+pp_d AS (SELECT r.range AS mid FROM range(30) r),
+pp_sl AS (SELECT mid, s.range AS sl FROM pp_d, range(3) s
+          WHERE s.range < 1 + mid % 3),
+pp_pa AS (SELECT mid, sl, k.range AS k FROM pp_sl, range(2) k
+          WHERE k.range < 1 + (mid + sl) % 2),
+pp_wd AS (
+  SELECT mid, sl, k,
+         string_agg('pv' || ((mid * 7 + sl * 3 + k * 2 + w.range) % 11)::VARCHAR,
+                    ' ' ORDER BY w.range)
+           || CASE WHEN (mid + sl + k) % 3 = 0 THEN ' & <t>' ELSE '' END AS para,
+         (count(*) + CASE WHEN (mid + sl + k) % 3 = 0 THEN 2 ELSE 0 END)::INT AS nw
+  FROM pp_pa, range(4) w WHERE w.range < 3 + (mid + k) % 2
+  GROUP BY mid, sl, k),
+pp_u AS (
+  SELECT 'pptx' AS modality, sum(nw)::INT AS n_words,
+         (sum(length(para)) + count(*) - 1)::INT AS n_chars
+  FROM pp_wd GROUP BY mid, sl),
+u AS (SELECT * FROM pdf_u UNION ALL SELECT * FROM dx_u
+      UNION ALL SELECT * FROM wet_u UNION ALL SELECT * FROM xl_u
+      UNION ALL SELECT * FROM pp_u)
+SELECT modality, count(*)::BIGINT AS n_units,
+       sum(n_words)::BIGINT AS sum_words,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_words) AS min_words, max(n_words) AS max_words
+FROM u GROUP BY modality
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-8
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -11318,6 +11903,13 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q197_revisit_resolve", q197_revisit_resolve, Q197_SQL, "S-warc revisit-record digest-dedup"),
         QuerySpec("q198_coding_audit", q198_coding_audit, Q198_SQL, "S-warc brotli-zstd decode-loss audit"),
         QuerySpec("q199_langid_trained", q199_langid_trained, Q199_SQL, "text trained-trigram language-id"),
+        QuerySpec("q200_pdf_provenance", q200_pdf_provenance, Q200_SQL, "S-pdf info-dict provenance scan"),
+        QuerySpec("q201_contamination", q201_contamination, Q201_SQL, "corpus benchmark-contamination ngram-audit"),
+        QuerySpec("q202_markdown_extract", q202_markdown_extract, Q202_SQL, "text markdown structure-extraction"),
+        QuerySpec("q203_feed_scan", q203_feed_scan, Q203_SQL, "web rss-atom feed-discovery"),
+        QuerySpec("q204_mixture_sample", q204_mixture_sample, Q204_SQL, "corpus domain-mixture deterministic-sampling"),
+        QuerySpec("q205_jsonld_extract", q205_jsonld_extract, Q205_SQL, "web json-ld schema-org metadata"),
+        QuerySpec("q206_mixed_corpus5", q206_mixed_corpus5, Q206_SQL, "flagship five-modality corpus union"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),

@@ -550,6 +550,83 @@ def _extract_text(
     return "".join(out).rstrip("\n")
 
 
+def _pdf_text_string(b: bytes) -> str:
+    """PDF text string (§7.9.2.2): UTF-16BE when it opens with the
+    BE BOM, PDFDocEncoding (≈ latin-1 printable subset) otherwise."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+def parse_pdf_info(buf: bytes) -> dict:
+    """PDF bytes → document-information dictionary fields (§14.3.3:
+    /Title /Author /Subject /Producer /CreationDate — the provenance
+    a corpus pipeline keys dedup and licensing audits on) plus
+    `n_pages` counted from the page tree WITHOUT decoding any content
+    stream. Missing /Info or missing fields are None — absence is
+    data. ValueError-only error contract."""
+    try:
+        return _parse_pdf_info(buf)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"corrupt PDF file: {exc}") from exc
+
+
+def _parse_pdf_info(buf: bytes) -> dict:
+    if not buf.startswith(b"%PDF-"):
+        raise ValueError("not a PDF file (no %PDF header)")
+    index = _index_objects(buf)
+    extra = _expand_objstms(buf, index)
+    out = {
+        "title": None, "author": None, "subject": None,
+        "producer": None, "creation_date": None, "n_pages": 0,
+    }
+    trailer = None
+    tpos = buf.rfind(b"trailer")
+    if tpos >= 0:
+        try:
+            trailer = _Tok(buf, tpos + 7).value()
+        except ValueError:
+            trailer = None
+    if isinstance(trailer, dict) and trailer.get("/Info") is not None:
+        info = _resolve(buf, index, trailer["/Info"], extra)
+        if isinstance(info, dict):
+            for key, name in (
+                ("title", "/Title"), ("author", "/Author"),
+                ("subject", "/Subject"), ("producer", "/Producer"),
+                ("creation_date", "/CreationDate"),
+            ):
+                v = info.get(name)
+                if isinstance(v, bytes):
+                    out[key] = _pdf_text_string(v)
+    # page count: walk the tree, never touch /Contents
+    root = trailer.get("/Root") if isinstance(trailer, dict) else None
+    if root is None:
+        for num in list(index) + list(extra):
+            _, v = _get_obj(buf, index, num, extra)
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                root = ("ref", num)
+                break
+    if root is not None:
+        cat = _resolve(buf, index, root, extra)
+
+        def count(node_ref) -> int:
+            node = _resolve(buf, index, node_ref, extra)
+            if not isinstance(node, dict):
+                return 0
+            if node.get("/Type") == "/Pages" or "/Kids" in node:
+                return sum(
+                    count(k)
+                    for k in _resolve(buf, index, node.get("/Kids", []), extra)
+                )
+            return 1
+
+        if isinstance(cat, dict):
+            out["n_pages"] = count(cat.get("/Pages"))
+    return out
+
+
 def parse_pdf_text(buf: bytes) -> list[str]:
     """PDF bytes → per-page extracted text, in page-tree order."""
     try:
@@ -700,6 +777,7 @@ def encode_pdf(
     compress: bool = True,
     use_objstm: bool = False,
     font_spec: dict | None = None,
+    info: dict | None = None,
 ) -> bytes:
     """Fixture twin of `parse_pdf_text`: a minimal but structurally
     REAL PDF — header, catalog, page tree, one content stream per
@@ -832,6 +910,34 @@ def encode_pdf(
             )
         )
 
+    info_num = None
+    if info is not None:
+        # document-information dictionary (§14.3.3): literal strings
+        # when latin-1 suffices, UTF-16BE-with-BOM hex strings beyond
+        def pdf_str(s: str) -> bytes:
+            try:
+                b = s.encode("latin-1")
+                esc = (
+                    b.replace(b"\\", b"\\\\")
+                    .replace(b"(", b"\\(")
+                    .replace(b")", b"\\)")
+                )
+                return b"(" + esc + b")"
+            except UnicodeEncodeError:
+                be = b"\xfe\xff" + s.encode("utf-16-be")
+                return b"<" + be.hex().upper().encode() + b">"
+
+        info_num = max(num for num, _ in numbered) + 1
+        fields = b""
+        for name, key in (
+            ("/Title", "title"), ("/Author", "author"),
+            ("/Subject", "subject"), ("/Producer", "producer"),
+            ("/CreationDate", "creation_date"),
+        ):
+            if info.get(key) is not None:
+                fields += name.encode() + b" " + pdf_str(info[key]) + b" "
+        numbered.append((info_num, b"<< " + fields + b">>"))
+
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if use_objstm else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     size = max(num for num, _ in numbered) + 1
     offsets = {0: None}
@@ -847,7 +953,9 @@ def encode_pdf(
         else:  # ObjStm member (type-2 in a real xref stream) or gap
             out += b"0000000000 00000 f \n"
     out += (
-        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R"
+        + (f" /Info {info_num} 0 R" if info_num is not None else "")
+        + " >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -898,3 +1006,47 @@ def pdf_pages(files_df, on_error: str = "raise"):
 
     ensure_shipped(files_df.sparkSession)
     return files_df.select("path", "content").mapInPandas(fn, PDF_PAGES_SCHEMA)
+
+
+PDF_INFO_SCHEMA = (
+    "file string, title string, author string, subject string, "
+    "producer string, creation_date string, n_pages int"
+)
+
+
+def pdf_info(files_df, on_error: str = "raise"):
+    """`binaryFile` rows → one row per PDF with its document-
+    information fields (§14.3.3) and the page COUNT — no content
+    stream is decoded, so this is the cheap provenance scan a corpus
+    pipeline runs before deciding what to extract."""
+    import os
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {
+                "file": [], "title": [], "author": [], "subject": [],
+                "producer": [], "creation_date": [], "n_pages": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    i = parse_pdf_info(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows["file"].append(os.path.basename(path))
+                for k in ("title", "author", "subject", "producer",
+                          "creation_date"):
+                    rows[k].append(i[k])
+                rows["n_pages"].append(i["n_pages"])
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, PDF_INFO_SCHEMA)
