@@ -11828,75 +11828,44 @@ FROM u GROUP BY modality
 
 
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
-# evaluates exactly the first 50 queries() entries per round. Round-8
+# evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
-#   slots 1-10:  the r8 NEW queries — q174 WARC wire decode (chunked
-#                transfer + gzip/deflate content coding), q175 crawl
-#                flagship on the wire-decoded path, q176 progressive
-#                JPEG (SOF2), q177 robots wildcards + row
-#                multiplicity, q178 PSL registrable domain, q179
-#                RFC 3986 URL canonicalization (dot segments,
-#                percent normalization, userinfo), q180 PDF text
-#                extraction, q181 crawl-frontier flagship (sitemap →
-#                canonicalize → PSL → wildcard robots), q182 WET
-#                conversion-record scan, q183 WAT link graph, q184
-#                relative-URL outlink resolution, q185 charset-aware
-#                body decode (WHATWG cp1252 aliasing, meta prescan,
-#                liar fallback), q186 robots scheduler directives
-#                (Sitemap group-independence, Crawl-delay binding),
-#                q187 CDX capture index + SURT keys, q188 PDF object
-#                streams (/ObjStm modern layout), q189 EXIF PII audit
-#                + GPS scrub, q190 orientation-normalized image
-#                stats, q191 DOCX/OOXML text extraction, q192 HTML
-#                table/prose separation, q193 mixed-modality corpus
-#                flagship (PDF ∪ DOCX ∪ WET) — slots 1-20.
-#   slots 21-39: queries whose CODE changed this round —
-#                html_to_text/extract_main_text numeric-entity decode
-#                → q162/q167/q169 (+ entity-bearing fixture
-#                extensions); warc_records wire decode → q153;
-#                functions/web userinfo + tracking-param + RFC 3986
-#                path rules → q154/q163/q166; robots_allowed row-id +
-#                wildcard matching → q164; the multi-scan jpegcodec
-#                decoder restructure + sum_channels unit fix →
-#                q151/q152/q144/q124/q128/q143 and the image-matrix
-#                neighbors q161/q170/q171; connected_components
-#                driver_threshold 1M → 100k → q64/q81.
-#   slots 40-50: the stalest driver rows — the r3-green block that
-#                fell just past the r7 cap: q53/q56/q59/q69/q78 and
-#                q02-q07 (q08-q19/q01 fall just past the cap this
-#                round — the cap is four-fifths r8-new/changed code).
-# Past slot 50: the r7-graded web/AV family (q155-q160, q165, q168,
-# q172/q173), the r7 changed-code block (q24-q26/q76/q82/q135/q139/
-# q142/q148/q150), the r7-regraded stale block (q75-q90, q47/q55/
-# q65), the r6-graded families (q129-q150 leftovers, q103/q108/q117/
-# q126/q127), and the r5/r3 middle (q51-q74, q91-q128, q20-q50) —
-# freshest driver rows last; every registered query is locally
-# re-verified every round by tests/test_catalog_oracle.py.
+#   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
+#                zero, fixed this round) rotated to the CAP FRONT per
+#                the r8 verdict.
+#   slots 2-14:  the r9 NEW queries — q194 PDF simple-font decoding
+#                (/Encoding /Differences + /ToUnicode CMaps), q195
+#                XLSX cells (shared strings), q196 PPTX slides, q197
+#                WARC revisit resolution (digest dedup), q198
+#                brotli/zstd decode-loss audit, q199 trained
+#                char-trigram language ID, q200 PDF Info provenance,
+#                q201 benchmark-contamination audit, q202 markdown
+#                extraction, q203 RSS/Atom feeds, q204 domain-mixture
+#                sampler, q205 JSON-LD metadata, q206 five-modality
+#                corpus flagship.
+#   slots 15-33: queries whose CODE/fixtures changed this round —
+#                q190 (exif scalar coercion); q162/q167/q169/q192
+#                (HTML comment strip + comment-bearing fixtures);
+#                q174/q175 (cc2 fixtures regenerated with a
+#                comment-bearing body; residual transfer codings);
+#                q153/q182/q183/q187/q193 (warc_records schema grew
+#                record_id/payload_digest/refers_to/decode_error);
+#                q179/q184/q154/q181 (pct_normalize over queries,
+#                url_resolve base-query preservation + new fixture
+#                shapes); q180/q188/q191 (pdfcodec parseable-offset
+#                indexing + font plumbing; officedoc module growth).
+#   slots 34-50: the stalest driver rows — q01 and q08-q19 (the r8
+#                comment's named just-past-the-cap block) and
+#                q20-q23.
+# Past slot 50: everything graded r7/r8 (freshest last); every
+# registered query is locally re-verified every round by
+# tests/test_catalog_oracle.py.
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
-        QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
-        QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
-        QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
-        QuerySpec("q177_robots_wildcards", q177_robots_wildcards, Q177_SQL, "web robots-wildcards row-multiplicity"),
-        QuerySpec("q178_psl_domains", q178_psl_domains, Q178_SQL, "web public-suffix-list etld1"),
-        QuerySpec("q179_url_rfc3986", q179_url_rfc3986, Q179_SQL, "web url-rfc3986 dot-segments percent-encoding"),
-        QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
-        QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
-        QuerySpec("q182_wet_scan", q182_wet_scan, Q182_SQL, "S-warc wet-conversion-records"),
-        QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
-        QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
-        QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
-        QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
-        QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
-        QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q189_exif_audit", q189_exif_audit, Q189_SQL, "multimodal exif-pii gps-scrub"),
-        QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
-        QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
-        QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
-        QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
         QuerySpec("q194_pdf_fonts", q194_pdf_fonts, Q194_SQL, "S-pdf simple-font encoding tounicode"),
         QuerySpec("q195_xlsx_cells", q195_xlsx_cells, Q195_SQL, "S-xlsx spreadsheet shared-strings"),
         QuerySpec("q196_pptx_text", q196_pptx_text, Q196_SQL, "S-pptx presentation slide-text"),
@@ -11910,11 +11879,47 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q204_mixture_sample", q204_mixture_sample, Q204_SQL, "corpus domain-mixture deterministic-sampling"),
         QuerySpec("q205_jsonld_extract", q205_jsonld_extract, Q205_SQL, "web json-ld schema-org metadata"),
         QuerySpec("q206_mixed_corpus5", q206_mixed_corpus5, Q206_SQL, "flagship five-modality corpus union"),
+        QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
         QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
+        QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
+        QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
+        QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
         QuerySpec("q153_warc_scan", q153_warc_scan, Q153_SQL, "S-warc common-crawl scan"),
+        QuerySpec("q182_wet_scan", q182_wet_scan, Q182_SQL, "S-warc wet-conversion-records"),
+        QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
+        QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
+        QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
+        QuerySpec("q179_url_rfc3986", q179_url_rfc3986, Q179_SQL, "web url-rfc3986 dot-segments percent-encoding"),
+        QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
+        QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
+        QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
+        QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
+        QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
+        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
+        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
+        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
+        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
+        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
+        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
+        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
+        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
+        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
+        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
+        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
+        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
+        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
+        QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
+        QuerySpec("q177_robots_wildcards", q177_robots_wildcards, Q177_SQL, "web robots-wildcards row-multiplicity"),
+        QuerySpec("q178_psl_domains", q178_psl_domains, Q178_SQL, "web public-suffix-list etld1"),
+        QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
+        QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),
         QuerySpec("q166_snapshot_diff", q166_snapshot_diff, Q166_SQL, "corpus crawl-snapshot-diff"),
@@ -11940,19 +11945,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q05_topk_per_order", q05_topk_per_order, Q05_SQL, "W2 O4"),
         QuerySpec("q06_latest_event_per_user", q06_latest_event_per_user, Q06_SQL, "A6"),
         QuerySpec("q07_region_revenue", q07_region_revenue, Q07_SQL, "J5 J6"),
-        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
-        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
-        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
-        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
-        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
-        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
-        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
-        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
-        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
-        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
-        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
-        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
-        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q165_lsh_plan", q165_lsh_plan, Q165_SQL, "dedup lsh-band-planner"),
         QuerySpec("q168_gopher_rules", q168_gopher_rules, Q168_SQL, "text gopher-quality rules"),
         QuerySpec("q172_mulaw_decode", q172_mulaw_decode, Q172_SQL, "multimodal g711-mulaw decode"),
@@ -12056,10 +12048,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q115_stream_hll_merge", q115_stream_hll_merge, Q115_SQL, "sketch-hll streaming merge"),
         QuerySpec("q105_int8_quantize", q105_int8_quantize, Q105_SQL, "embedding-quantize"),
         QuerySpec("q109_int8_adc_topk", q109_int8_adc_topk, Q109_SQL, "similarity-sq8"),
-        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
-        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
-        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
-        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
         QuerySpec("q27_ann_lsh", q27_ann_lsh, Q27_SQL, "similarity-ann"),
         QuerySpec("q29_json_extract", q29_json_extract, Q29_SQL, "F7 S12"),
         QuerySpec("q30_grid_band_math", q30_grid_band_math, Q30_SQL, "R4 S4 K5"),
