@@ -505,3 +505,101 @@ def test_round8_arbitrary_bytes_raise_valueerror_only(junk):
 
     for fn in (parse_pdf_text, parse_docx_text, parse_exif, _decode_http):
         _assert_valueerror_or_ok(fn, junk)
+
+
+# -- round-9 parsers: PDF with fonts, XLSX, PPTX -------------------------------
+
+
+def _pdf_font_buf():
+    from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+    return encode_pdf(
+        [["xé—y", "café €"]],
+        compress=True,
+        font_spec={
+            "base": "/WinAnsiEncoding",
+            "differences": {65: "/eacute", 66: "/emdash"},
+            "tounicode_chars": {0xD0: "☃"},
+            "tounicode_range": (0xC1, 0xC3, "α"),
+        },
+        info={"title": "T →", "creation_date": "D:20260815090000Z"},
+    )
+
+
+PDFF = _pdf_font_buf()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, len(PDFF) - 1), st.integers(1, 255))
+def test_pdf_font_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_info, parse_pdf_text
+
+    buf = bytearray(PDFF)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_pdf_text, bytes(buf))
+    _assert_valueerror_or_ok(parse_pdf_info, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PDFF)))
+def test_pdf_font_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_info, parse_pdf_text
+
+    _assert_valueerror_or_ok(parse_pdf_text, PDFF[:cut])
+    _assert_valueerror_or_ok(parse_pdf_info, PDFF[:cut])
+
+
+def _xlsx_buf():
+    from odin_rs_spark.sources.officedoc import encode_xlsx
+
+    return encode_xlsx(
+        [("S&1", [["a", 1, b"i&x"], [True, None, "a"]]), ("S2", [[2.5]])]
+    )
+
+
+XLSXB = _xlsx_buf()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, len(XLSXB) - 1), st.integers(1, 255))
+def test_xlsx_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.officedoc import parse_xlsx_cells
+
+    buf = bytearray(XLSXB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_xlsx_cells, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(XLSXB)))
+def test_xlsx_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.officedoc import parse_xlsx_cells
+
+    _assert_valueerror_or_ok(parse_xlsx_cells, XLSXB[:cut])
+
+
+def _pptx_buf():
+    from odin_rs_spark.sources.officedoc import encode_pptx
+
+    return encode_pptx([["t &1", "b"], ["s2"]])
+
+
+PPTXB = _pptx_buf()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, len(PPTXB) - 1), st.integers(1, 255))
+def test_pptx_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.officedoc import parse_pptx_text
+
+    buf = bytearray(PPTXB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_pptx_text, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PPTXB)))
+def test_pptx_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.officedoc import parse_pptx_text
+
+    _assert_valueerror_or_ok(parse_pptx_text, PPTXB[:cut])

@@ -1,0 +1,49 @@
+"""Partition-invariance sweep (r8 discipline): the round-9 queries
+must produce identical normalized results at different parallelism
+configs — catches fp-agg-order, collect-order, and the mono_id
+two-branch hazard."""
+import subprocess, sys, json
+
+QUERIES = ["q189_exif_audit"] + [
+    "q194_pdf_fonts", "q195_xlsx_cells", "q196_pptx_text",
+    "q197_revisit_resolve", "q198_coding_audit", "q199_langid_trained",
+    "q200_pdf_provenance", "q201_contamination", "q202_markdown_extract",
+    "q203_feed_scan", "q204_mixture_sample", "q205_jsonld_extract",
+    "q206_mixed_corpus5",
+]
+
+SNIPPET = """
+import sys, hashlib
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+from pyspark.sql import SparkSession
+from oracle import _normalized_rows
+spark = (SparkSession.builder.master("local[{cores}]")
+         .config("spark.sql.shuffle.partitions", "{parts}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+qs = E.queries()
+out = {{}}
+for name in {queries!r}:
+    df = qs[name](spark, "/root/testdata/sf0.01")
+    rows = _normalized_rows(df.columns, [tuple(r) for r in df.collect()])
+    out[name] = hashlib.md5(repr(rows).encode()).hexdigest()
+import json; print("HASHES " + json.dumps(out))
+"""
+
+results = {}
+for cores, parts in ((2, 3), (8, 8), (16, 64)):
+    r = subprocess.run(
+        [sys.executable, "-c", SNIPPET.format(cores=cores, parts=parts, queries=QUERIES)],
+        capture_output=True, text=True, timeout=900,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("HASHES ")]
+    assert line, r.stdout[-2000:] + r.stderr[-2000:]
+    results[(cores, parts)] = json.loads(line[0][7:])
+
+base = results[(8, 8)]
+bad = []
+for cfg, h in results.items():
+    for q in QUERIES:
+        if h[q] != base[q]:
+            bad.append((cfg, q))
+print("MISMATCHES:", bad if bad else "none — invariant at all 3 configs")
