@@ -1439,3 +1439,27 @@ def markdown_extract(c: Column | str) -> Column:
         n_links.alias("n_links"),
         prose.alias("prose_text"),
     )
+
+
+def nfc_normalize_text(c: Column | str) -> Column:
+    """Unicode NFC normalization (UAX #15) — the canonical-form step a
+    multilingual corpus runs before tokenization and dedup: 'café'
+    spelled e+COMBINING ACUTE and precomposed é are the SAME text but
+    different byte strings, so un-normalized corpora under-deduplicate
+    and split tokenizer statistics. Spark has no built-in normalizer,
+    so this is the sanctioned slow path: one Arrow-batched pandas UDF
+    (unicodedata is C-speed); everything around it stays column math.
+    The DuckDB oracle replays with nfc_normalize()."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    col = F.col(c) if isinstance(c, str) else c
+    return _nfc(col)

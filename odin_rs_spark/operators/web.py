@@ -289,3 +289,28 @@ def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         F.col("__e.link").alias("link"),
         F.col("__e.published").alias("published"),
     ).drop(xml_col)
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host FETCH SCHEDULING honoring Crawl-delay (the operator
+    that turns q186's parsed directive into a crawl plan): within each
+    host, urls take slots in deterministic (url) order and slot i
+    fetches at i·delay_ms — the earliest schedule a polite crawler can
+    run. Adds `slot` and `fetch_ms`; a host's makespan is
+    (n_urls−1)·delay_ms, which is exactly the quantity a frontier
+    balancer partitions hosts by.
+
+    Scale shape: `delays` is a per-host dim (broadcast); the window is
+    partitioned BY HOST — the natural key, so state per partition is
+    one host's url list and skew equals the biggest single host (the
+    same bound any per-host crawler has)."""
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    out = urls.join(F.broadcast(delays), host_col)
+    return out.withColumn("slot", F.row_number().over(w) - 1).withColumn(
+        "fetch_ms", F.col("slot") * F.col("delay_ms")
+    )

@@ -11827,6 +11827,262 @@ FROM u GROUP BY modality
 """
 
 
+# --------------------------------------------------------------------------
+# q207 — crawl POLITENESS scheduling (operators/web.politeness_schedule
+# — q186 parses Crawl-delay; this turns it into a fetch plan: within a
+# host, slot i fetches at i·delay_ms, the earliest schedule a polite
+# crawler can run; host makespan = (n−1)·delay is what a frontier
+# balancer partitions on): formula frontier of 120 urls over 7 hosts
+# with per-host delays. The oracle replays the slot assignment with
+# the same deterministic (url) window order.
+# --------------------------------------------------------------------------
+
+def q207_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import politeness_schedule
+
+    g = F.col("id")
+    urls = spark.range(120).select(
+        F.concat(F.lit("h"), (g % 7).cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://h"), (g % 7).cast("string"),
+            F.lit(".example.org/p/"), F.lpad(g.cast("string"), 3, "0"),
+        ).alias("url"),
+    )
+    h = F.col("id")
+    delays = spark.range(7).select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        (500 * (1 + (h % 4))).cast("int").alias("delay_ms"),
+    )
+    sched = politeness_schedule(urls, delays)
+    return sched.groupBy("host", "delay_ms").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("fetch_ms").alias("makespan_ms"),
+        F.min("url").alias("first_url"),
+        F.max_by("url", "slot").alias("last_url"),
+    )
+
+
+Q207_SQL = """
+WITH u AS (
+  SELECT 'h' || (r.range % 7)::VARCHAR || '.example.org' AS host,
+         'https://h' || (r.range % 7)::VARCHAR || '.example.org/p/'
+           || lpad(r.range::VARCHAR, 3, '0') AS url,
+         (500 * (1 + (r.range % 7) % 4))::INT AS delay_ms
+  FROM range(120) r),
+s AS (
+  SELECT host, url, delay_ms,
+         row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS slot
+  FROM u)
+SELECT host, delay_ms, count(*)::BIGINT AS n_urls,
+       (max(slot) * delay_ms)::BIGINT AS makespan_ms,
+       min(url) AS first_url,
+       max_by(url, slot) AS last_url
+FROM s GROUP BY host, delay_ms
+"""
+
+
+# --------------------------------------------------------------------------
+# q208 — ANCHOR-TEXT aggregation (the classic web-graph training
+# signal: the text OTHER pages use to link to a target describes the
+# target better than the target does — used from early web search
+# through modern retrieval corpora): formula pages carry three link
+# shapes (relative, absolute-path, absolute — url_resolve on-path for
+# the first two), anchors extract as parallel regexp groups zipped
+# positionally, and the rollup aggregates per RESOLVED target: anchor
+# count, distinct sources, and the sorted pipe-joined anchor texts.
+# The oracle derives every resolution and aggregation analytically.
+# --------------------------------------------------------------------------
+
+def q208_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import url_resolve
+
+    g = F.col("id")
+    j = F.col("j")
+    page = F.concat(
+        F.lit("https://s"), (g % 4).cast("string"), F.lit(".example.org/a/p"),
+        g.cast("string"), F.lit(".html"),
+    )
+    href = (
+        F.when(j == 0, F.concat(F.lit("n"), ((g + j) % 9).cast("string"), F.lit(".html")))
+        .when(j == 1, F.concat(F.lit("/x/"), (j + g % 3).cast("string")))
+        .otherwise(
+            F.concat(F.lit("https://t"), (j % 2).cast("string"), F.lit(".example.net/z"))
+        )
+    )
+    anchor = F.concat(
+        F.lit("anchor "), ((g + j) % 6).cast("string"), F.lit(" text")
+    )
+    links = (
+        spark.range(40)
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+        .select(
+            page.alias("page"),
+            url_resolve(page, href).alias("target"),
+            anchor.alias("anchor"),
+        )
+    )
+    return links.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("page").alias("n_src_pages"),
+        F.array_join(
+            F.array_sort(F.collect_set("anchor")), "|"
+        ).alias("anchors"),
+    )
+
+
+Q208_SQL = """
+WITH l AS (
+  SELECT g.range AS g, j.range AS j FROM range(40) g, range(3) j),
+r AS (
+  SELECT 'https://s' || (g % 4)::VARCHAR || '.example.org/a/p'
+           || g::VARCHAR || '.html' AS page,
+         CASE j
+           WHEN 0 THEN 'https://s' || (g % 4)::VARCHAR
+                       || '.example.org/a/n' || ((g + j) % 9)::VARCHAR
+                       || '.html'
+           WHEN 1 THEN 'https://s' || (g % 4)::VARCHAR
+                       || '.example.org/x/' || (j + g % 3)::VARCHAR
+           ELSE 'https://t' || (j % 2)::VARCHAR || '.example.net/z' END
+           AS target,
+         'anchor ' || ((g + j) % 6)::VARCHAR || ' text' AS anchor
+  FROM l)
+SELECT target, count(*)::BIGINT AS n_anchors,
+       count(DISTINCT page)::BIGINT AS n_src_pages,
+       array_to_string(list_sort(list_distinct(list(anchor))), '|')
+         AS anchors
+FROM r GROUP BY target
+"""
+
+
+# --------------------------------------------------------------------------
+# q209 — Unicode NFC normalization audit (UAX #15 — the canonical-form
+# step a multilingual corpus runs before tokenization and dedup:
+# e+COMBINING ACUTE and precomposed \u00e9 are the same text but
+# different byte strings, so un-normalized corpora under-deduplicate
+# and split tokenizer statistics): even docs gain DECOMPOSED suffixes
+# (combining acute + combining ring), odd docs a plain-ASCII tail; the
+# audit reports per-doc before/after lengths and the changed flag.
+# Spark side is one Arrow-batched pandas UDF (unicodedata); the
+# oracle replays with DuckDB's nfc_normalize().
+# --------------------------------------------------------------------------
+
+def q209_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import nfc_normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit(" café Å ring"),
+                (i % 5).cast("string"),
+            ),
+        ).otherwise(F.lit(" plain tail")),
+    )
+    out = docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id",
+        F.length("raw").alias("n_before"),
+        F.length(nfc_normalize_text("raw")).alias("n_after"),
+    )
+    return out.select(
+        "doc_id", "n_before", "n_after",
+        (F.col("n_before") != F.col("n_after")).alias("changed"),
+    )
+
+
+Q209_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN ' cafe' || chr(769) || ' A' || chr(778)
+                           || ' ring' || (doc_id % 5)::VARCHAR
+                      ELSE ' plain tail' END AS raw
+  FROM documents)
+SELECT doc_id, length(raw)::INT AS n_before,
+       length(nfc_normalize(raw))::INT AS n_after,
+       length(raw) != length(nfc_normalize(raw)) AS changed
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# q210 — Excel SERIAL-DATE decoding (THE spreadsheet gotcha: XLSX
+# stores dates as day counts from the 1900 epoch — a corpus that
+# reads them as numbers ships '45123' instead of '2023-07-16'; the
+# 1899-12-30 epoch absorbs Excel's phantom 1900-02-29 for serials
+# ≥ 61, the only range modern files contain — documented seam below
+# that): formula workbooks put serials in column 2 next to a label
+# column; the pipeline scans cells, filters the date column and
+# converts serial → ISO date + year IN COLUMN MATH (date_add). The
+# oracle replays with DuckDB date arithmetic on the same epoch.
+# --------------------------------------------------------------------------
+
+def _q210_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.officedoc import encode_xlsx
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            rows = []
+            for r in range(2 + mid % 3):
+                serial = 44000 + (mid * 131 + r * 17) % 3000
+                rows.append([f"ev{(mid + r) % 9}", serial])
+            out.append(encode_xlsx([("Log", rows)], compress=mid % 2 == 0))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(30).select(
+        F.concat(
+            F.lit("dt"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".xlsx"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q210_excel_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.officedoc import xlsx_cells
+
+    cells = xlsx_cells(_q210_media(spark))
+    dates = cells.filter((F.col("col") == 2) & (F.col("celltype") == "n"))
+    serial = F.col("value").cast("int")
+    iso = F.date_add(F.to_date(F.lit("1899-12-30")), serial)
+    return dates.select(
+        "file",
+        F.col("row").alias("cell_row"),
+        serial.alias("serial"),
+        iso.cast("string").alias("iso_date"),
+        F.year(iso).alias("year"),
+    )
+
+
+Q210_SQL = """
+WITH d AS (SELECT r.range AS mid FROM range(30) r),
+rw AS (SELECT mid, rr.range AS r FROM d, range(5) rr
+       WHERE rr.range < 2 + mid % 3),
+s AS (SELECT mid, r,
+             (44000 + (mid * 131 + r * 17) % 3000)::INT AS serial
+      FROM rw)
+SELECT 'dt' || lpad(mid::VARCHAR, 2, '0') || '.xlsx' AS file,
+       (r + 1)::INT AS cell_row, serial,
+       (DATE '1899-12-30' + serial)::VARCHAR AS iso_date,
+       year(DATE '1899-12-30' + serial)::INT AS year
+FROM s
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -11835,7 +12091,7 @@ FROM u GROUP BY modality
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
-#   slots 2-14:  the r9 NEW queries — q194 PDF simple-font decoding
+#   slots 2-18:  the r9 NEW queries — q194 PDF simple-font decoding
 #                (/Encoding /Differences + /ToUnicode CMaps), q195
 #                XLSX cells (shared strings), q196 PPTX slides, q197
 #                WARC revisit resolution (digest dedup), q198
@@ -11844,8 +12100,10 @@ FROM u GROUP BY modality
 #                q201 benchmark-contamination audit, q202 markdown
 #                extraction, q203 RSS/Atom feeds, q204 domain-mixture
 #                sampler, q205 JSON-LD metadata, q206 five-modality
-#                corpus flagship.
-#   slots 15-33: queries whose CODE/fixtures changed this round —
+#                corpus flagship, q207 politeness scheduling, q208
+#                anchor-text aggregation, q209 Unicode NFC audit,
+#                q210 Excel serial dates.
+#   slots 19-37: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
 #                q174/q175 (cc2 fixtures regenerated with a
@@ -11856,9 +12114,9 @@ FROM u GROUP BY modality
 #                url_resolve base-query preservation + new fixture
 #                shapes); q180/q188/q191 (pdfcodec parseable-offset
 #                indexing + font plumbing; officedoc module growth).
-#   slots 34-50: the stalest driver rows — q01 and q08-q19 (the r8
-#                comment's named just-past-the-cap block) and
-#                q20-q23.
+#   slots 38-50: the stalest driver rows — q01 and q08-q19 (the r8
+#                comment's named just-past-the-cap block); q20-q23
+#                fall just past the cap this round.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
 # tests/test_catalog_oracle.py.
@@ -11879,6 +12137,10 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q204_mixture_sample", q204_mixture_sample, Q204_SQL, "corpus domain-mixture deterministic-sampling"),
         QuerySpec("q205_jsonld_extract", q205_jsonld_extract, Q205_SQL, "web json-ld schema-org metadata"),
         QuerySpec("q206_mixed_corpus5", q206_mixed_corpus5, Q206_SQL, "flagship five-modality corpus union"),
+        QuerySpec("q207_politeness_schedule", q207_politeness_schedule, Q207_SQL, "web crawl-delay fetch-scheduling"),
+        QuerySpec("q208_anchor_text", q208_anchor_text, Q208_SQL, "web anchor-text aggregation"),
+        QuerySpec("q209_nfc_audit", q209_nfc_audit, Q209_SQL, "text unicode-nfc normalization audit"),
+        QuerySpec("q210_excel_dates", q210_excel_dates, Q210_SQL, "S-xlsx excel-serial date decoding"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
