@@ -12083,6 +12083,96 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q211 — CID/Type0 PDF text (Identity-H + wide /ToUnicode — the
+# layout MODERN writers emit for subset-TrueType and any CJK/Cyrillic
+# text: 2-byte glyph codes that mean NOTHING without the CMap; q194
+# covered simple fonts, this closes the composite half): formula docs
+# build multilingual word salads from a shared vocab, the fixture
+# encoder derives each document's CID map from its own sorted distinct
+# characters (codes are arbitrary glyph ids — exactly the subset-font
+# reality), and extraction must route every 2-byte code through the
+# wide CMap. The oracle regenerates each page's text from the same
+# vocab formula — any code-width or CMap drift breaks every row.
+# --------------------------------------------------------------------------
+
+_Q211_WORDS = [
+    "данные", "модель", "обучение", "δεδομένα", "γλώσσα",
+    "模型", "数据", "语言", "токен",
+]
+
+
+def _q211_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            pages = []
+            for p in range(1 + mid % 2):
+                words = [
+                    _Q211_WORDS[(mid * 3 + p * 5 + j) % 9]
+                    for j in range(4 + (mid + p) % 4)
+                ]
+                pages.append([" ".join(words)])
+            chars = sorted({ch for pg in pages for ln in pg for ch in ln})
+            # arbitrary glyph ids, offset so codes never equal ordinals
+            cid = {17 + k * 3: ch for k, ch in enumerate(chars)}
+            out.append(
+                encode_pdf(pages, compress=mid % 2 == 0,
+                           font_spec={"cid": cid})
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(40).select(
+        F.concat(
+            F.lit("cj"), F.lpad(F.col("id").cast("string"), 2, "0"),
+            F.lit(".pdf"),
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q211_pdf_cid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.pdfcodec import pdf_pages
+
+    return pdf_pages(_q211_media(spark)).select(
+        "file", "page_no", "n_pages", "text", "n_chars"
+    )
+
+
+def _q211_sql() -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN '{w}'" for k, w in enumerate(_Q211_WORDS)
+    )
+    return f"""
+WITH d AS (SELECT r.range AS mid FROM range(40) r),
+pg AS (SELECT mid, p.range AS p FROM d, range(2) p WHERE p.range < 1 + mid % 2),
+wd AS (
+  SELECT mid, p,
+         string_agg(CASE (mid * 3 + p * 5 + j.range) % 9 {arms} END,
+                    ' ' ORDER BY j.range) AS text
+  FROM pg, range(8) j WHERE j.range < 4 + (mid + p) % 4
+  GROUP BY mid, p)
+SELECT 'cj' || lpad(mid::VARCHAR, 2, '0') || '.pdf' AS file,
+       p::INT AS page_no, (1 + mid % 2)::INT AS n_pages,
+       text, length(text)::INT AS n_chars
+FROM wd
+"""
+
+
+Q211_SQL = _q211_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -12091,7 +12181,7 @@ FROM s
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
-#   slots 2-18:  the r9 NEW queries — q194 PDF simple-font decoding
+#   slots 2-19:  the r9 NEW queries — q194 PDF simple-font decoding
 #                (/Encoding /Differences + /ToUnicode CMaps), q195
 #                XLSX cells (shared strings), q196 PPTX slides, q197
 #                WARC revisit resolution (digest dedup), q198
@@ -12102,8 +12192,9 @@ FROM s
 #                sampler, q205 JSON-LD metadata, q206 five-modality
 #                corpus flagship, q207 politeness scheduling, q208
 #                anchor-text aggregation, q209 Unicode NFC audit,
-#                q210 Excel serial dates.
-#   slots 19-37: queries whose CODE/fixtures changed this round —
+#                q210 Excel serial dates, q211 CID/Type0 PDF text
+#                (Identity-H + wide ToUnicode).
+#   slots 20-38: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
 #                q174/q175 (cc2 fixtures regenerated with a
@@ -12114,8 +12205,8 @@ FROM s
 #                url_resolve base-query preservation + new fixture
 #                shapes); q180/q188/q191 (pdfcodec parseable-offset
 #                indexing + font plumbing; officedoc module growth).
-#   slots 38-50: the stalest driver rows — q01 and q08-q19 (the r8
-#                comment's named just-past-the-cap block); q20-q23
+#   slots 39-50: the stalest driver rows — q01 and q08-q18 (the r8
+#                comment's named just-past-the-cap block); q19-q23
 #                fall just past the cap this round.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
@@ -12141,6 +12232,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q208_anchor_text", q208_anchor_text, Q208_SQL, "web anchor-text aggregation"),
         QuerySpec("q209_nfc_audit", q209_nfc_audit, Q209_SQL, "text unicode-nfc normalization audit"),
         QuerySpec("q210_excel_dates", q210_excel_dates, Q210_SQL, "S-xlsx excel-serial date decoding"),
+        QuerySpec("q211_pdf_cid_text", q211_pdf_cid_text, Q211_SQL, "S-pdf cid-type0 identity-h tounicode"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),

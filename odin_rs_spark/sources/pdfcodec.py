@@ -391,24 +391,26 @@ def _utf16be(hexstr: bytes) -> str:
     return b.decode("utf-16-be", "replace")
 
 
-def _parse_tounicode(data: bytes) -> dict[int, str]:
-    """/ToUnicode CMap stream → {1-byte glyph code: unicode string}
+def _parse_tounicode(data: bytes, width: int = 1) -> dict[int, str]:
+    """/ToUnicode CMap stream → {glyph code: unicode string}
     (§9.10.3): bfchar pairs <src> <dst>, bfrange <lo> <hi> <dstStart>
     or <lo> <hi> [<dst> ...]; dst hex is UTF-16BE (multi-char dst =
-    ligatures). Codes wider than one byte belong to CID fonts — out
-    of simple-font scope, skipped rather than misread."""
+    ligatures). `width` selects the code width: 1 byte for simple
+    fonts, 2 bytes for CID/Type0 (Identity-H) — entries of the other
+    width are skipped rather than misread."""
+    hexlen = 2 * width
     out: dict[int, str] = {}
     for sec in _BFCHAR_RE.finditer(data):
         for src, dst in _HEXPAIR_RE.findall(sec.group(1)):
-            if len(src) == 2:  # 1-byte code
+            if len(src) == hexlen:
                 out[int(src, 16)] = _utf16be(dst)
     for sec in _BFRANGE_RE.finditer(data):
         for m in _RANGE_RE.finditer(sec.group(1)):
             lo_h, hi_h, start_h, arr = m.groups()
-            if len(lo_h) != 2 or len(hi_h) != 2:
+            if len(lo_h) != hexlen or len(hi_h) != hexlen:
                 continue
             lo, hi = int(lo_h, 16), int(hi_h, 16)
-            if hi < lo or hi - lo > 0xFF:
+            if hi < lo or hi - lo > 0xFFFF:
                 raise ValueError("PDF: bfrange bounds out of order")
             if start_h is not None:
                 start = _utf16be(start_h)
@@ -423,11 +425,30 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
-def _font_code_map(buf, index, fdict, extra) -> list[str] | None:
-    """Font dict → 256-entry code→text table, or None for the default
-    latin-1 fast path (no /Encoding, no /ToUnicode). Layering order:
-    base encoding (name or /BaseEncoding of an encoding dict) →
-    /Differences remaps (AGL names) → /ToUnicode overrides."""
+def _tounicode_map(buf, index, tu_ref, extra, width: int) -> dict[int, str]:
+    if not (isinstance(tu_ref, tuple) and tu_ref[0] == "ref"):
+        raise ValueError("PDF: /ToUnicode is not a stream reference")
+    tok, d = _get_obj(buf, index, tu_ref[1], extra)
+    if tok is None or not isinstance(d, dict):
+        raise ValueError("PDF: /ToUnicode object is not a direct stream")
+    return _parse_tounicode(_stream_bytes(buf, tok, d, index), width)
+
+
+def _font_code_map(buf, index, fdict, extra):
+    """Font dict → decode spec: None for the latin-1 fast path (no
+    /Encoding, no /ToUnicode), ('simple', 256-entry code→text table)
+    for simple fonts (base encoding name or /BaseEncoding+/Differences
+    dict, /ToUnicode overrides), or ('cid', {2-byte code: text}) for
+    /Subtype /Type0 composite fonts — the Identity-H layout modern PDF
+    writers emit for subset TrueType/CJK, where glyph codes mean
+    nothing without the /ToUnicode CMap."""
+    if fdict.get("/Subtype") == "/Type0":
+        tu_ref = fdict.get("/ToUnicode")
+        if tu_ref is None:
+            # Identity-H with no ToUnicode: codes are raw glyph ids —
+            # unmappable by design; decode as replacement chars
+            return ("cid", {})
+        return ("cid", _tounicode_map(buf, index, tu_ref, extra, 2))
     enc = _resolve(buf, index, fdict.get("/Encoding"), extra)
     tu_ref = fdict.get("/ToUnicode")
     if enc is None and tu_ref is None:
@@ -448,14 +469,10 @@ def _font_code_map(buf, index, fdict, extra) -> list[str] | None:
     else:
         table = _base_table(None)
     if tu_ref is not None:
-        if not (isinstance(tu_ref, tuple) and tu_ref[0] == "ref"):
-            raise ValueError("PDF: /ToUnicode is not a stream reference")
-        tok, d = _get_obj(buf, index, tu_ref[1], extra)
-        if tok is None or not isinstance(d, dict):
-            raise ValueError("PDF: /ToUnicode object is not a direct stream")
-        for code, s in _parse_tounicode(_stream_bytes(buf, tok, d, index)).items():
-            table[code] = s
-    return table
+        for code, s in _tounicode_map(buf, index, tu_ref, extra, 1).items():
+            if 0 <= code < 256:
+                table[code] = s
+    return ("simple", table)
 
 
 def _page_font_maps(buf, index, node, extra) -> dict[str, list[str] | None]:
@@ -506,12 +523,23 @@ def _extract_text(
     stack: list[bytes] = []  # decoded STRINGS since the last operator
     line_open = False
     last_name: str | None = None
-    table: list[str] | None = None  # current font's code map
+    table = None  # current font's decode spec (see _font_code_map)
 
     def dec(b: bytes) -> str:
         if table is None:
             return b.decode("latin-1")
-        return "".join(table[x] for x in b)
+        mode, m = table
+        if mode == "simple":
+            return "".join(m[x] for x in b)
+        # cid: big-endian 2-byte code units (Identity-H); unmapped
+        # codes and an odd trailing byte decode as replacement chars
+        parts = [
+            m.get((b[i] << 8) | b[i + 1], "�")
+            for i in range(0, len(b) - 1, 2)
+        ]
+        if len(b) % 2:
+            parts.append("�")
+        return "".join(parts)
 
     def endline() -> None:
         nonlocal line_open
@@ -705,6 +733,12 @@ def _font_objects(font_spec: dict):
      "tounicode_chars": {code: "s"},           # optional
      "tounicode_range": (lo, hi, "startchar")} # optional
 
+    CID/Type0 mode (`{"cid": {code: "s"}, "cid_range": (lo, hi,
+    "start")}`): a /Subtype /Type0 /Encoding /Identity-H font whose
+    2-byte glyph codes map through a wide /ToUnicode CMap — the
+    subset-TrueType/CJK layout modern writers emit. Returns width=2
+    and the cid map as the decode table.
+
     The decode table layers exactly like the parser (base →
     differences → ToUnicode) and is INVERTED to encode the page text,
     so a character whose code was stolen by a remap becomes
@@ -712,6 +746,43 @@ def _font_objects(font_spec: dict):
     round-tripping wrong. Known-answer byte pins live in
     tests/test_pdfcodec.py (€=0x80 WinAnsi etc.) so the shared
     layering cannot self-certify."""
+    if "cid" in font_spec or "cid_range" in font_spec:
+        cmap: dict[int, str] = dict(font_spec.get("cid", {}))
+        rng = font_spec.get("cid_range")
+        if rng:
+            lo, hi, start = rng
+            for i in range(hi - lo + 1):
+                cmap[lo + i] = chr(ord(start) + i)
+        parts = [
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        ]
+        chars = {c: s for c, s in font_spec.get("cid", {}).items()}
+        if chars:
+            parts.append(f"{len(chars)} beginbfchar\n".encode())
+            for code in sorted(chars):
+                dst = chars[code].encode("utf-16-be").hex().upper()
+                parts.append(f"<{code:04X}> <{dst}>\n".encode())
+            parts.append(b"endbfchar\n")
+        if rng:
+            lo, hi, start = rng
+            dst = start.encode("utf-16-be").hex().upper()
+            parts.append(
+                f"1 beginbfrange\n<{lo:04X}> <{hi:04X}> <{dst}>\n"
+                f"endbfrange\n".encode()
+            )
+        parts.append(b"endcmap\nend\nend")
+        tu_payload = b"".join(parts)
+
+        def font_dict(tounicode_ref: int | None) -> bytes:
+            tu = f"/ToUnicode {tounicode_ref} 0 R " if tounicode_ref else ""
+            return (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Embedded "
+                b"/Encoding /Identity-H " + tu.encode() + b">>"
+            )
+
+        return font_dict, tu_payload, cmap, 2
+
     table = _base_table(font_spec.get("base"))
     diff_items: list[str] = []
     for code in sorted(font_spec.get("differences", {})):
@@ -769,7 +840,7 @@ def _font_objects(font_spec: dict):
             + enc + tu.encode() + b">>"
         )
 
-    return font_dict, tu_payload, table
+    return font_dict, tu_payload, table, 1
 
 
 def encode_pdf(
@@ -802,16 +873,22 @@ def encode_pdf(
     font_dict_fn = None
     tu_payload = None
     if font_spec is not None:
-        font_dict_fn, tu_payload, table = _font_objects(font_spec)
+        font_dict_fn, tu_payload, table, width = _font_objects(font_spec)
         inv = {}
-        for code in range(256):
-            inv.setdefault(table[code], code)
+        if width == 1:
+            for code in range(256):
+                inv.setdefault(table[code], code)
+        else:
+            for code, ch in table.items():
+                inv.setdefault(ch, code)
 
     def enc_line(line: str) -> bytes:
         if inv is None:
             return line.encode("latin-1")
         try:
-            return bytes(inv[ch] for ch in line)
+            if width == 1:
+                return bytes(inv[ch] for ch in line)
+            return b"".join(inv[ch].to_bytes(2, "big") for ch in line)
         except KeyError as exc:
             raise ValueError(f"font_spec cannot encode {exc}") from exc
 

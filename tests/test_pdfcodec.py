@@ -200,7 +200,35 @@ def test_font_tracking_via_tf():
 
     fonts = {
         "/F1": None,  # latin-1
-        "/F2": [chr(0x2600 + c) for c in range(256)],  # toy remap
+        "/F2": ("simple", [chr(0x2600 + c) for c in range(256)]),  # toy remap
     }
     content = b"BT /F1 12 Tf (ab) Tj /F2 12 Tf (\x01\x02) Tj ET"
     assert _extract_text(content, fonts) == "ab" + chr(0x2601) + chr(0x2602)
+
+
+def test_cid_type0_identity_h():
+    """CID/Type0 Identity-H — the subset-TrueType/CJK layout modern
+    writers emit: 2-byte glyph codes are meaningless without the wide
+    /ToUnicode CMap. Wire pin: 'да' is <00020003> on the wire; an
+    unmapped code and an odd trailing byte decode as replacement
+    chars, never crash."""
+    from odin_rs_spark.sources.pdfcodec import (
+        _extract_text,
+        encode_pdf,
+        parse_pdf_text,
+    )
+
+    spec = {
+        "cid": {1: " ", 2: "д", 3: "а", 4: "н", 5: "ы", 6: "е"},
+        "cid_range": (0x20, 0x22, "α"),
+    }
+    pdf = encode_pdf([["данные", "αβγ"]], compress=False, font_spec=spec)
+    assert parse_pdf_text(pdf) == ["данные\nαβγ"]
+    assert b"(\x00\x02\x00\x03\x00\x04\x00\x04\x00\x05\x00\x06) Tj" in pdf
+    # unmapped code + odd trailing byte -> U+FFFD
+    fonts = {"/F1": ("cid", {2: "д"})}
+    got = _extract_text(b"BT /F1 1 Tf (\x00\x02\x00\x99\x01) Tj ET", fonts)
+    assert got == "д��"
+    # Type0 with NO ToUnicode: everything is replacement, not a crash
+    fonts = {"/F1": ("cid", {})}
+    assert _extract_text(b"BT /F1 1 Tf (\x00\x02) Tj ET", fonts) == "�"
