@@ -50,6 +50,34 @@ def load_langid_model(spark: SparkSession) -> DataFrame:
     )
 
 
+def langid_scores(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-(row, language) integer score frame — the shared front of
+    `langid_trigram` (argmax) and `langid_route` (confidence-margin
+    routing): normalize, trigram-explode, broadcast-join the model,
+    integer-sum per (keys…, lang)."""
+    keys = keys or ["doc_id"]
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+        F.lit(" "),
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(0))),
+        lambda i: norm.substr(i, F.lit(3)),
+    )
+    exploded = df.select(*keys, F.explode(tri).alias("ngram"))
+    return (
+        exploded.join(F.broadcast(model), "ngram")
+        .groupBy(*keys, "lang")
+        .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def langid_trigram(
     df: DataFrame,
     model: DataFrame,
@@ -62,21 +90,7 @@ def langid_trigram(
     the LAST language in lexicographic order (row_number over
     (score DESC, lang DESC) — replayed identically in SQL)."""
     keys = keys or ["doc_id"]
-    norm = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
-        F.lit(" "),
-    )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(0))),
-        lambda i: norm.substr(i, F.lit(3)),
-    )
-    exploded = df.select(*keys, F.explode(tri).alias("ngram"))
-    scores = (
-        exploded.join(F.broadcast(model), "ngram")
-        .groupBy(*keys, "lang")
-        .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("n_hits"))
-    )
+    scores = langid_scores(df, model, text_col, keys)
     w = Window.partitionBy(*keys).orderBy(
         F.col("score").desc(), F.col("lang").desc()
     )
@@ -100,4 +114,55 @@ def langid_trigram(
             "best_score",
             "n_hits",
         )
+    )
+
+
+def langid_route(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    keys: list[str] | None = None,
+    min_margin: int = 0,
+) -> DataFrame:
+    """Confidence-gated language routing (the fastText-style
+    threshold a real corpus splitter runs: a doc only enters a
+    language bucket when the top score CLEARS the runner-up by
+    `min_margin` — near-ties between close languages like es/pt are
+    exactly where blind argmax mis-routes): adds `margin` =
+    best − second (second = 0 when only one language matched) and
+    `routed_lang` = pred when margin ≥ min_margin else 'und'.
+    Same scale shape as `langid_trigram`; the top-2 is one window
+    over the 6-rows-per-doc score frame."""
+    keys = keys or ["doc_id"]
+    scores = langid_scores(df, model, text_col, keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("score").desc(), F.col("lang").desc()
+    )
+    ranked = scores.withColumn("__rn", F.row_number().over(w))
+    top = ranked.filter(F.col("__rn") == 1).select(
+        *keys,
+        F.col("lang").alias("pred_lang"),
+        F.col("score").alias("best_score"),
+    )
+    second = ranked.filter(F.col("__rn") == 2).select(
+        *keys, F.col("score").alias("second_score")
+    )
+    out = (
+        df.select(*keys)
+        .join(top, keys, "left")
+        .join(second, keys, "left")
+        .select(
+            *keys,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            "best_score",
+            (
+                F.col("best_score") - F.coalesce("second_score", F.lit(0))
+            ).alias("margin"),
+        )
+    )
+    return out.withColumn(
+        "routed_lang",
+        F.when(
+            F.col("margin") >= min_margin, F.col("pred_lang")
+        ).otherwise(F.lit("und")),
     )

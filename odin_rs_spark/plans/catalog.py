@@ -12173,6 +12173,135 @@ FROM wd
 Q211_SQL = _q211_sql()
 
 
+# --------------------------------------------------------------------------
+# q212 — confidence-gated language ROUTING (functions/langid.
+# langid_route — the fastText-style threshold a corpus splitter runs:
+# a doc enters a language bucket only when the top score clears the
+# runner-up by a margin; near-ties between CLOSE languages are
+# exactly where blind argmax mis-routes): the q199 pure-language docs
+# plus 20 MIXED docs alternating Spanish and Portuguese words — the
+# classic confusable pair. The oracle replays scoring, the top-2
+# window and the margin gate in SQL over the same model fixture.
+# --------------------------------------------------------------------------
+
+# measured separation on the fixture: mixed es/pt margins land in
+# [234, 659], pure-language margins start at 1452 — the 1000 gate
+# routes every pure doc and sends every mixed doc to 'und'
+_Q212_MARGIN = 1000
+
+
+def q212_langid_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.langid import langid_route, load_langid_model
+
+    i = F.col("doc_id")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws])
+        for lang, ws in _Q199_WORDS.items()
+    }
+    words_arr = lang_arrays[_Q199_LANGS[0]]
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        words_arr = F.when(i % 6 == k, lang_arrays[lang]).otherwise(words_arr)
+    pure_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), 9 + (i % 5).cast("int")),
+            lambda j: F.element_at(words_arr, ((i * 3 + j) % 12 + 1).cast("int")),
+        ),
+        " ",
+    )
+    pure = spark.range(60).select(
+        F.col("id").alias("doc_id"), pure_text.alias("text"),
+        F.lit("pure").alias("kind"),
+    )
+    mixed_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.when(
+                j % 2 == 0,
+                F.element_at(
+                    lang_arrays["es"], ((i * 3 + j) % 12 + 1).cast("int")
+                ),
+            ).otherwise(
+                F.element_at(
+                    lang_arrays["pt"], ((i * 3 + j) % 12 + 1).cast("int")
+                )
+            ),
+        ),
+        " ",
+    )
+    mixed = (
+        spark.range(60, 80)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", mixed_text.alias("text"), F.lit("mixed").alias("kind"))
+    )
+    docs = pure.unionByName(mixed)
+    out = langid_route(
+        docs, load_langid_model(spark), keys=["doc_id"],
+        min_margin=_Q212_MARGIN,
+    )
+    return docs.select("doc_id", "kind").join(out, "doc_id").select(
+        "doc_id", "kind", "pred_lang", "best_score", "margin", "routed_lang"
+    )
+
+
+def _q212_sql() -> str:
+    from odin_rs_spark.functions.langid import LANGID_FIXTURE
+
+    def word_case(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN {k} THEN '{w}'" for k, w in enumerate(_Q199_WORDS[lang])
+        )
+        return f"CASE (doc_id * 3 + j) % 12 {arms} END"
+
+    lang_arms = " ".join(
+        f"WHEN {k} THEN {word_case(lang)}"
+        for k, lang in enumerate(_Q199_LANGS)
+    )
+    return f"""
+WITH d AS (SELECT r.range AS doc_id FROM range(80) r),
+wj AS (SELECT doc_id, j.range AS j FROM d, range(15) j
+       WHERE j.range < CASE WHEN doc_id < 60 THEN 10 + doc_id % 5
+                            ELSE 12 END),
+tx AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN doc_id < 60 THEN CASE doc_id % 6 {lang_arms} END
+                WHEN j % 2 = 0 THEN {word_case('es')}
+                ELSE {word_case('pt')} END,
+           ' ' ORDER BY j) AS text
+  FROM wj GROUP BY doc_id),
+nt AS (SELECT doc_id, ' ' || text || ' ' AS t FROM tx),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))) AS ngram
+  FROM nt),
+m AS (SELECT * FROM read_csv('{LANGID_FIXTURE}', header = true)),
+sc AS (
+  SELECT tg.doc_id, m.lang, sum(m.score)::BIGINT AS score
+  FROM tg JOIN m ON tg.ngram = m.ngram GROUP BY tg.doc_id, m.lang),
+rk AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM sc),
+top AS (SELECT doc_id, lang AS pred_lang, score AS best_score
+        FROM rk WHERE rn = 1),
+sec AS (SELECT doc_id, score AS second_score FROM rk WHERE rn = 2)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id < 60 THEN 'pure' ELSE 'mixed' END AS kind,
+       top.pred_lang, top.best_score,
+       top.best_score - coalesce(sec.second_score, 0) AS margin,
+       CASE WHEN top.best_score - coalesce(sec.second_score, 0)
+                 >= {_Q212_MARGIN}
+            THEN top.pred_lang ELSE 'und' END AS routed_lang
+FROM d JOIN top ON d.doc_id = top.doc_id
+LEFT JOIN sec ON d.doc_id = sec.doc_id
+"""
+
+
+Q212_SQL = _q212_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -12181,7 +12310,7 @@ Q211_SQL = _q211_sql()
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
-#   slots 2-19:  the r9 NEW queries — q194 PDF simple-font decoding
+#   slots 2-20:  the r9 NEW queries — q194 PDF simple-font decoding
 #                (/Encoding /Differences + /ToUnicode CMaps), q195
 #                XLSX cells (shared strings), q196 PPTX slides, q197
 #                WARC revisit resolution (digest dedup), q198
@@ -12193,8 +12322,9 @@ Q211_SQL = _q211_sql()
 #                corpus flagship, q207 politeness scheduling, q208
 #                anchor-text aggregation, q209 Unicode NFC audit,
 #                q210 Excel serial dates, q211 CID/Type0 PDF text
-#                (Identity-H + wide ToUnicode).
-#   slots 20-38: queries whose CODE/fixtures changed this round —
+#                (Identity-H + wide ToUnicode), q212 confidence-gated
+#                language routing.
+#   slots 21-39: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
 #                q174/q175 (cc2 fixtures regenerated with a
@@ -12205,8 +12335,8 @@ Q211_SQL = _q211_sql()
 #                url_resolve base-query preservation + new fixture
 #                shapes); q180/q188/q191 (pdfcodec parseable-offset
 #                indexing + font plumbing; officedoc module growth).
-#   slots 39-50: the stalest driver rows — q01 and q08-q18 (the r8
-#                comment's named just-past-the-cap block); q19-q23
+#   slots 40-50: the stalest driver rows — q01 and q08-q17 (the r8
+#                comment's named just-past-the-cap block); q18-q23
 #                fall just past the cap this round.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
@@ -12233,6 +12363,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q209_nfc_audit", q209_nfc_audit, Q209_SQL, "text unicode-nfc normalization audit"),
         QuerySpec("q210_excel_dates", q210_excel_dates, Q210_SQL, "S-xlsx excel-serial date decoding"),
         QuerySpec("q211_pdf_cid_text", q211_pdf_cid_text, Q211_SQL, "S-pdf cid-type0 identity-h tounicode"),
+        QuerySpec("q212_langid_route", q212_langid_route, Q212_SQL, "text langid confidence-margin routing"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),

@@ -18,10 +18,15 @@ never consumes xref, so xref-stream/linearized files parse too),
 object streams (/ObjStm — the compressed-object containers every
 modern PDF writer emits; their members are parsed out of the decoded
 stream via the N/First pair header), FlateDecode or identity content
-streams, literal/hex strings. Out of scope, documented: encryption,
-CID/Type0 composite-font byte mapping (text shows as the raw bytes
-decode), DCT-in-PDF images (q176's decoder exists — wiring it is a
-seam, not a text concern).
+streams, literal/hex strings, SIMPLE-FONT decoding (round 9:
+/Encoding names, /Differences via an AGL subset, /ToUnicode CMaps),
+CID/Type0 Identity-H composite fonts through their wide /ToUnicode
+(round 9 — 2-byte glyph codes; a Type0 with no CMap decodes as
+replacement characters, the honest answer for raw subset glyph ids),
+and the document-information dictionary (§14.3.3). Out of scope,
+documented: encryption, non-Identity CID encodings (predefined CMaps
+like UniJIS would need the CMap resource files), DCT-in-PDF images
+(q176's decoder exists — wiring it is a seam, not a text concern).
 
 Scale shape (`pdf_pages`): binaryFile scan → mapInPandas decode →
 one row per page; document bytes never shuffle; zlib does the heavy

@@ -603,3 +603,38 @@ def test_pptx_truncation_raises_valueerror_only(cut):
     from odin_rs_spark.sources.officedoc import parse_pptx_text
 
     _assert_valueerror_or_ok(parse_pptx_text, PPTXB[:cut])
+
+
+def _pdf_cid_buf():
+    from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+    return encode_pdf(
+        [["данные 模型"]],
+        compress=True,
+        font_spec={
+            "cid": {1: " ", 2: "д", 3: "а", 4: "н", 5: "ы", 6: "е",
+                    7: "模", 8: "型"},
+            "cid_range": (0x20, 0x21, "α"),
+        },
+    )
+
+
+PDFCID = _pdf_cid_buf()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, len(PDFCID) - 1), st.integers(1, 255))
+def test_pdf_cid_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    buf = bytearray(PDFCID)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_pdf_text, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(PDFCID)))
+def test_pdf_cid_truncation_raises_valueerror_only(cut):
+    from odin_rs_spark.sources.pdfcodec import parse_pdf_text
+
+    _assert_valueerror_or_ok(parse_pdf_text, PDFCID[:cut])

@@ -660,3 +660,37 @@ def test_semdedup_centroids_broadcast_no_cartesian(spark):
     plan = _executed(semdedup_select(emb, [0, 1], tau=0.9))
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "Broadcast" in plan, plan[:1200]
+
+
+def test_r9_extractors_zero_python_in_plan(spark, sf_dir):
+    """markdown_extract, feed_entries and the JSON-LD extraction are
+    pure column expressions — no Python evaluator anywhere in their
+    plans (the whole-stage-codegen property that decides 100 TB
+    throughput for text transforms)."""
+    from odin_rs_spark.plans.catalog import (
+        q202_markdown_extract,
+        q203_feed_scan,
+        q205_jsonld_extract,
+    )
+
+    for q in (q202_markdown_extract, q203_feed_scan, q205_jsonld_extract):
+        plan = _executed(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_r9_dims_broadcast_no_smj(spark, sf_dir):
+    """The round-9 dim joins (mixture weights, contamination benchmark,
+    politeness delays, langid model) are broadcast hash joins — zero
+    SortMergeJoin, zero NestedLoop."""
+    from odin_rs_spark.plans.catalog import (
+        q199_langid_trained,
+        q201_contamination,
+        q204_mixture_sample,
+        q207_politeness_schedule,
+    )
+
+    for q in (q199_langid_trained, q201_contamination, q204_mixture_sample,
+              q207_politeness_schedule):
+        plan = _executed(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, q
