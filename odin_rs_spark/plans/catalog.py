@@ -12302,6 +12302,119 @@ LEFT JOIN sec ON d.doc_id = sec.doc_id
 Q212_SQL = _q212_sql()
 
 
+# --------------------------------------------------------------------------
+# q213 — HTTP redirect-CHAIN resolution (sources/warc.
+# resolve_redirects — Common Crawl keeps 3xx responses as ordinary
+# records, so 'this URL is actually that page' is derivable offline;
+# a dedup/canonical-URL pipeline that ignores redirects splits one
+# page identity across every alias): the fixture exercises every
+# terminal state — 2-hop chains onto captured finals (RELATIVE
+# Location on the first hop, url_resolve on-path), a chain onto a
+# never-captured target (dangling), a 2-cycle (loop), a chain feeding
+# the cycle (truncated 'redirect'), and a 7-redirect chain that only
+# resolves for starts deep enough inside it (max_hops=5). The oracle
+# enumerates every chain analytically.
+# --------------------------------------------------------------------------
+
+def _q213_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import encode_warc
+
+        def resp(uri, status, location=None, body=b""):
+            hdrs = "HTTP/1.1 %d X\r\nContent-Type: text/html\r\n" % status
+            if location is not None:
+                hdrs += f"Location: {location}\r\n"
+            hdrs += f"Content-Length: {len(body)}\r\n\r\n"
+            return {
+                "warc_type": "response",
+                "target_uri": uri,
+                "content_type": "application/http; msgtype=response",
+                "block": hdrs.encode() + body,
+            }
+
+        H = "https://rd.example.org"
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: rd-fixture\r\n"}
+            ]
+            if fno == 0:
+                for k in range(4):
+                    recs.append(
+                        resp(f"{H}/final/{k}", 200, body=f"page {k}".encode())
+                    )
+                for c in range(6):
+                    recs.append(resp(f"{H}/hop/{c}/a", 302, location="b"))
+                    loc = (
+                        f"/final/{c}" if c < 4
+                        else ("/gone" if c == 4 else "/loop/x")
+                    )
+                    recs.append(resp(f"{H}/hop/{c}/b", 301, location=loc))
+            else:
+                recs.append(resp(f"{H}/loop/x", 302, location="/loop/y"))
+                recs.append(resp(f"{H}/loop/y", 302, location="/loop/x"))
+                for i in range(7):
+                    recs.append(
+                        resp(f"{H}/long/{i}", 302, location=f"/long/{i + 1}")
+                    )
+                recs.append(resp(f"{H}/long/7", 200, body=b"end"))
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(
+            F.lit("rd_"), F.col("id").cast("string"), F.lit(".warc.gz")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q213_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import resolve_redirects, warc_records
+
+    return resolve_redirects(warc_records(_q213_media(spark)), max_hops=5)
+
+
+Q213_SQL = """
+WITH base AS (SELECT 'https://rd.example.org' AS h)
+SELECT h || '/hop/' || c.range::VARCHAR || '/a' AS start_uri,
+       h || '/final/' || c.range::VARCHAR AS final_uri,
+       2 AS n_hops, 'resolved' AS status
+FROM base, range(4) c
+UNION ALL
+SELECT h || '/hop/' || c.range::VARCHAR || '/b',
+       h || '/final/' || c.range::VARCHAR, 1, 'resolved'
+FROM base, range(4) c
+UNION ALL
+SELECT h || '/hop/4/a', h || '/gone', 2, 'dangling' FROM base
+UNION ALL
+SELECT h || '/hop/4/b', h || '/gone', 1, 'dangling' FROM base
+UNION ALL
+SELECT h || '/hop/5/a', h || '/loop/y', 5, 'redirect' FROM base
+UNION ALL
+SELECT h || '/hop/5/b', h || '/loop/x', 5, 'redirect' FROM base
+UNION ALL
+SELECT h || '/loop/x', h || '/loop/y', 5, 'loop' FROM base
+UNION ALL
+SELECT h || '/loop/y', h || '/loop/x', 5, 'loop' FROM base
+UNION ALL
+SELECT h || '/long/' || i.range::VARCHAR,
+       h || '/long/' || least(i.range + 5, 7)::VARCHAR,
+       least(5, 7 - i.range)::INT,
+       CASE WHEN i.range <= 1 THEN 'redirect' ELSE 'resolved' END
+FROM base, range(7) i
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -12310,7 +12423,7 @@ Q212_SQL = _q212_sql()
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
-#   slots 2-20:  the r9 NEW queries — q194 PDF simple-font decoding
+#   slots 2-21:  the r9 NEW queries — q194 PDF simple-font decoding
 #                (/Encoding /Differences + /ToUnicode CMaps), q195
 #                XLSX cells (shared strings), q196 PPTX slides, q197
 #                WARC revisit resolution (digest dedup), q198
@@ -12323,8 +12436,9 @@ Q212_SQL = _q212_sql()
 #                anchor-text aggregation, q209 Unicode NFC audit,
 #                q210 Excel serial dates, q211 CID/Type0 PDF text
 #                (Identity-H + wide ToUnicode), q212 confidence-gated
-#                language routing.
-#   slots 21-39: queries whose CODE/fixtures changed this round —
+#                language routing, q213 HTTP redirect-chain
+#                resolution.
+#   slots 22-40: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
 #                q174/q175 (cc2 fixtures regenerated with a
@@ -12335,8 +12449,8 @@ Q212_SQL = _q212_sql()
 #                url_resolve base-query preservation + new fixture
 #                shapes); q180/q188/q191 (pdfcodec parseable-offset
 #                indexing + font plumbing; officedoc module growth).
-#   slots 40-50: the stalest driver rows — q01 and q08-q17 (the r8
-#                comment's named just-past-the-cap block); q18-q23
+#   slots 41-50: the stalest driver rows — q01 and q08-q16 (the r8
+#                comment's named just-past-the-cap block); q17-q23
 #                fall just past the cap this round.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
@@ -12364,6 +12478,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q210_excel_dates", q210_excel_dates, Q210_SQL, "S-xlsx excel-serial date decoding"),
         QuerySpec("q211_pdf_cid_text", q211_pdf_cid_text, Q211_SQL, "S-pdf cid-type0 identity-h tounicode"),
         QuerySpec("q212_langid_route", q212_langid_route, Q212_SQL, "text langid confidence-margin routing"),
+        QuerySpec("q213_redirect_chains", q213_redirect_chains, Q213_SQL, "S-warc http-redirect chain-resolution"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),

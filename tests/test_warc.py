@@ -362,3 +362,45 @@ def test_warc_tag_mode_and_revisit_resolution(spark, tmp_path):
     assert hit.orig_body_text == "first capture"
     miss = res["https://a.ex/zz"]
     assert not miss.resolved and miss.orig_uri is None
+
+
+def test_resolve_redirects_edge_semantics(spark, tmp_path):
+    """Redirect chains: relative Location resolves against the
+    redirecting URI; duplicate captures of one source keep ONE edge
+    (min dst); a chain onto an uncaptured URL is 'dangling'; a
+    self-redirect is a 'loop'."""
+    from odin_rs_spark.sources.warc import resolve_redirects, warc_records
+
+    def resp(uri, status, location=None, body=b""):
+        hdrs = f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+        if location:
+            hdrs += f"Location: {location}\r\n"
+        hdrs += f"Content-Length: {len(body)}\r\n\r\n"
+        return {
+            "warc_type": "response", "target_uri": uri,
+            "content_type": "application/http; msgtype=response",
+            "block": hdrs.encode() + body,
+        }
+
+    recs = [
+        resp("https://a.ex/old", 301, "new"),        # relative
+        resp("https://a.ex/old", 302, "zzz"),        # later dup capture
+        resp("https://a.ex/new", 200, body=b"ok"),
+        resp("https://a.ex/self", 302, "/self"),     # 1-cycle
+        resp("https://a.ex/drop", 301, "/nowhere"),
+    ]
+    p = tmp_path / "r.warc.gz"
+    p.write_bytes(encode_warc(recs))
+    df = warc_records(spark.read.format("binaryFile").load(str(p)))
+    got = {r.start_uri: r for r in resolve_redirects(df).collect()}
+    old = got["https://a.ex/old"]
+    assert (old.final_uri, old.n_hops, old.status) == (
+        "https://a.ex/new", 1, "resolved"  # min dst: 'new' < 'zzz'
+    )
+    assert got["https://a.ex/self"].status == "loop"
+    drop = got["https://a.ex/drop"]
+    assert (drop.final_uri, drop.status) == ("https://a.ex/nowhere", "dangling")
+    # the location column itself is surfaced
+    locs = {r.target_uri: r.location for r in df.collect()}
+    assert locs["https://a.ex/self"] == "/self"
+    assert locs["https://a.ex/new"] is None
