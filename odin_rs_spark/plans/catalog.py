@@ -12415,6 +12415,126 @@ FROM base, range(7) i
 """
 
 
+# --------------------------------------------------------------------------
+# q214 — sitemap INDEX expansion (sitemaps.org: a large site's
+# robots.txt points at a sitemapindex whose <sitemap> entries point
+# at child urlsets — q163 parses one urlset; real discovery is this
+# TWO-LEVEL walk, and the 50k-url-per-file cap means every big site
+# uses it): formula sites publish an index of 2-4 child sitemaps;
+# children live in a (url → xml body) fetch table the index JOINS
+# (the crawler's fetch step as a join — at scale a shuffle join on
+# the child URL, here broadcast); child urlsets parse with the same
+# from_xml schema as q163. Rollup per site: child count, url count,
+# lastmod span. Oracle: analytic.
+# --------------------------------------------------------------------------
+
+def q214_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.col("id")
+    c = F.col("c")
+    k = F.col("k")
+    child_url = F.concat(
+        F.lit("https://site"), s.cast("string"),
+        F.lit(".example.org/sm/"), c.cast("string"), F.lit(".xml"),
+    )
+    # the index document per site
+    entry = F.concat(
+        F.lit("<sitemap><loc>"), child_url,
+        F.lit("</loc><lastmod>2026-0"), (1 + c % 9).cast("string"),
+        F.lit("-01</lastmod></sitemap>"),
+    )
+    idx = (
+        spark.range(10)
+        .select("id", F.explode(F.sequence(F.lit(0), 1 + (s % 3))).alias("c"))
+        .select("id", entry.alias("e"))
+        .groupBy("id")
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+    )
+    # the child-sitemap fetch table (url -> urlset body)
+    uentry = F.concat(
+        F.lit("<url><loc>https://site"), s.cast("string"),
+        F.lit(".example.org/p/"), c.cast("string"), F.lit("/"),
+        k.cast("string"), F.lit("</loc><lastmod>2026-08-"),
+        F.lpad((1 + (c * 5 + k) % 28).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    children = (
+        spark.range(10)
+        .select("id", F.explode(F.sequence(F.lit(0), 1 + (s % 3))).alias("c"))
+        .select(
+            "id", "c",
+            F.explode(F.sequence(F.lit(0), 2 + (s + F.col("c")) % 3)).alias("k"),
+        )
+        .select("id", "c", uentry.alias("u"))
+        .groupBy("id", "c")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("u")), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("https://site"), F.col("id").cast("string"),
+                F.lit(".example.org/sm/"), F.col("c").cast("string"),
+                F.lit(".xml"),
+            ).alias("child_url"),
+            "body",
+        )
+    )
+    entries = idx.select(
+        F.col("id").alias("site"),
+        F.explode(
+            F.from_xml(
+                F.col("xml"),
+                "sitemap ARRAY<STRUCT<loc STRING, lastmod STRING>>",
+            )["sitemap"]
+        ).alias("sm"),
+    ).select("site", F.col("sm.loc").alias("child_url"))
+    fetched = entries.join(F.broadcast(children), "child_url")
+    urls = fetched.select(
+        "site", "child_url",
+        F.explode(
+            F.from_xml(
+                F.col("body"),
+                "url ARRAY<STRUCT<loc STRING, lastmod STRING>>",
+            )["url"]
+        ).alias("u"),
+    )
+    return urls.groupBy("site").agg(
+        F.countDistinct("child_url").alias("n_sitemaps"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("u.loc").alias("n_distinct_urls"),
+        F.min("u.lastmod").alias("min_lastmod"),
+        F.max("u.lastmod").alias("max_lastmod"),
+    )
+
+
+Q214_SQL = """
+WITH st AS (SELECT r.range AS site FROM range(10) r),
+ch AS (SELECT site, c.range AS c FROM st, range(4) c
+       WHERE c.range <= 1 + site % 3),
+u AS (SELECT site, c, k.range AS k FROM ch, range(6) k
+      WHERE k.range <= 2 + (site + c) % 3),
+x AS (SELECT site, c, k,
+             '2026-08-' || lpad((1 + (c * 5 + k) % 28)::VARCHAR, 2, '0')
+               AS lastmod
+      FROM u)
+SELECT site, count(DISTINCT c)::BIGINT AS n_sitemaps,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT site::VARCHAR || '/' || c::VARCHAR || '/'
+             || k::VARCHAR)::BIGINT AS n_distinct_urls,
+       min(lastmod) AS min_lastmod, max(lastmod) AS max_lastmod
+FROM x GROUP BY site
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -12423,7 +12543,7 @@ FROM base, range(7) i
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
-#   slots 2-21:  the r9 NEW queries — q194 PDF simple-font decoding
+#   slots 2-22:  the r9 NEW queries — q194 PDF simple-font decoding
 #                (/Encoding /Differences + /ToUnicode CMaps), q195
 #                XLSX cells (shared strings), q196 PPTX slides, q197
 #                WARC revisit resolution (digest dedup), q198
@@ -12437,8 +12557,8 @@ FROM base, range(7) i
 #                q210 Excel serial dates, q211 CID/Type0 PDF text
 #                (Identity-H + wide ToUnicode), q212 confidence-gated
 #                language routing, q213 HTTP redirect-chain
-#                resolution.
-#   slots 22-40: queries whose CODE/fixtures changed this round —
+#                resolution, q214 sitemap-index two-level discovery.
+#   slots 23-41: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
 #                q174/q175 (cc2 fixtures regenerated with a
@@ -12449,8 +12569,8 @@ FROM base, range(7) i
 #                url_resolve base-query preservation + new fixture
 #                shapes); q180/q188/q191 (pdfcodec parseable-offset
 #                indexing + font plumbing; officedoc module growth).
-#   slots 41-50: the stalest driver rows — q01 and q08-q16 (the r8
-#                comment's named just-past-the-cap block); q17-q23
+#   slots 42-50: the stalest driver rows — q01 and q08-q15 (the r8
+#                comment's named just-past-the-cap block); q16-q23
 #                fall just past the cap this round.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
@@ -12479,6 +12599,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q211_pdf_cid_text", q211_pdf_cid_text, Q211_SQL, "S-pdf cid-type0 identity-h tounicode"),
         QuerySpec("q212_langid_route", q212_langid_route, Q212_SQL, "text langid confidence-margin routing"),
         QuerySpec("q213_redirect_chains", q213_redirect_chains, Q213_SQL, "S-warc http-redirect chain-resolution"),
+        QuerySpec("q214_sitemap_index", q214_sitemap_index, Q214_SQL, "web sitemapindex two-level discovery"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
