@@ -526,6 +526,7 @@ def mixture_sample(
     weights: DataFrame,
     domain_col: str = "source",
     key_col: str = "doc_id",
+    default_rate_milli: int | None = None,
 ) -> DataFrame:
     """Deterministic per-domain DOWN-SAMPLING to a target mixture —
     the static-reweighting step (CCNet per-source rates / DoReMi-style
@@ -541,6 +542,12 @@ def mixture_sample(
     (raising a rate only ADDS documents; it never swaps the kept set,
     because the bucket is a pure function of the row). Adds `bucket`
     and keeps surviving rows.
+
+    Domains ABSENT from the weights dim are handled EXPLICITLY
+    (r9 self-review — silence here mis-sizes a corpus): with
+    `default_rate_milli=None` (the default) they are dropped, which
+    is the "weights DEFINE the corpus" reading; pass an integer to
+    keep unknown domains at that rate instead.
 
     Scale shape: weights is a per-domain dim (broadcast hash join);
     the filter is pure column math — zero shuffle beyond the
@@ -562,7 +569,13 @@ def mixture_sample(
         ).cast("long")
         % 1000
     )
-    out = df.join(F.broadcast(weights), domain_col)
+    if default_rate_milli is None:
+        out = df.join(F.broadcast(weights), domain_col)
+    else:
+        out = df.join(F.broadcast(weights), domain_col, "left").withColumn(
+            "rate_milli",
+            F.coalesce(F.col("rate_milli"), F.lit(int(default_rate_milli))),
+        )
     return out.withColumn("bucket", bucket).filter(
         F.col("bucket") < F.col("rate_milli")
     )

@@ -254,7 +254,12 @@ def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         "title STRING, entry ARRAY<STRUCT<title STRING, "
         "link STRUCT<_href STRING>, updated STRING>>",
     )
-    is_rss = col.contains("<rss")
+    # dialect by ROOT element, not substring — '<rss' inside an Atom
+    # entry's text must not misroute the whole feed (r9 self-review)
+    root = F.regexp_extract(
+        col, r"(?s)^\s*(?:<\?xml[^>]*>)?\s*(?:<!--.*?-->\s*)*<([A-Za-z]+)", 1
+    )
+    is_rss = root == "rss"
     kind = F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom"))
     feed_title = F.when(is_rss, rss["channel"]["title"]).otherwise(
         atom["title"]
@@ -305,12 +310,19 @@ def politeness_schedule(
     (n_urls−1)·delay_ms, which is exactly the quantity a frontier
     balancer partitions hosts by.
 
+    Hosts ABSENT from the `delays` dim schedule with delay 0 (RFC 9309
+    has no default politeness — a missing Crawl-delay means none; an
+    inner join here would silently DROP those hosts' urls from the
+    plan, the worst possible failure for a frontier).
+
     Scale shape: `delays` is a per-host dim (broadcast); the window is
     partitioned BY HOST — the natural key, so state per partition is
     one host's url list and skew equals the biggest single host (the
     same bound any per-host crawler has)."""
     w = Window.partitionBy(host_col).orderBy(url_col)
-    out = urls.join(F.broadcast(delays), host_col)
-    return out.withColumn("slot", F.row_number().over(w) - 1).withColumn(
+    out = urls.join(F.broadcast(delays), host_col, "left")
+    return out.withColumn(
+        "delay_ms", F.coalesce(F.col("delay_ms"), F.lit(0))
+    ).withColumn("slot", F.row_number().over(w) - 1).withColumn(
         "fetch_ms", F.col("slot") * F.col("delay_ms")
     )

@@ -151,11 +151,13 @@ _SHEET_RE = re.compile(
 _REL_RE = re.compile(rb"<Relationship [^>]*?Id=\"([^\"]*)\"[^>]*?Target=\"([^\"]*)\"[^>]*/>")
 _SI_RE = re.compile(rb"<si>(.*?)</si>", re.S)
 _XT_RE = re.compile(rb"<t(?: [^>]*)?>(.*?)</t>", re.S)
-_CELL_RE = re.compile(
-    rb"<c r=\"([A-Z]+)(\d+)\"(?: [^>]*?t=\"([a-zA-Z]+)\")?[^>]*?"
-    rb"(?:/>|>(.*?)</c>)",
-    re.S,
-)
+# attribute ORDER is not fixed in SpreadsheetML (writers emit
+# r/s/t in any order) — match the element, then pull attributes
+# independently (round-9 self-review; the r-first pattern silently
+# dropped <c s="1" r="A1" t="s"> cells)
+_CELL_RE = re.compile(rb"<c ([^>]*?)(?:/>|>(.*?)</c>)", re.S)
+_R_ATTR = re.compile(rb"r=\"([A-Z]+)(\d+)\"")
+_T_ATTR = re.compile(rb"t=\"([a-zA-Z]+)\"")
 _V_RE = re.compile(rb"<v>(.*?)</v>", re.S)
 
 
@@ -218,16 +220,25 @@ def _parse_xlsx_cells(buf: bytes) -> list[dict]:
         tgt = rel_map.get(rid)
         if tgt is None:
             raise ValueError(f"XLSX: sheet r:id {rid!r} has no relationship")
-        part = tgt.decode("ascii")
+        # OPC targets are workbook-relative ('worksheets/sheet1.xml')
+        # or package-absolute ('/xl/worksheets/sheet1.xml') — normalize
+        # the leading '/' BEFORE testing the prefix, or absolute
+        # targets double to 'xl/xl/…' (round-9 self-review)
+        part = tgt.decode("ascii").lstrip("/")
         if not part.startswith("xl/"):
-            part = "xl/" + part.lstrip("/")
+            part = "xl/" + part
         try:
             xml = zf.read(part)
         except KeyError:
             raise ValueError(f"XLSX: missing worksheet part {part}")
         sheet = _xml_text(name)
-        for colref, rowref, typ, body in _CELL_RE.findall(xml):
-            typ = (typ or b"n").decode("ascii")
+        for attrs, body in _CELL_RE.findall(xml):
+            rm = _R_ATTR.search(attrs)
+            if rm is None:
+                continue  # positionless cells: documented seam
+            colref, rowref = rm.group(1), rm.group(2)
+            tm = _T_ATTR.search(attrs)
+            typ = (tm.group(1) if tm else b"n").decode("ascii")
             if typ == "inlineStr":
                 val = "".join(_xml_text(t) for t in _XT_RE.findall(body))
             else:

@@ -551,6 +551,10 @@ def resolve_redirects(recs, max_hops: int = 5):
             F.col("target_uri").alias("src"),
             url_resolve(F.col("target_uri"), F.col("location")).alias("dst"),
         )
+        # an unparseable Location resolves to NULL — drop the edge
+        # rather than let NULL shadow a sibling capture's real dst
+        # under min() (r9 self-review)
+        .filter(F.col("dst").isNotNull())
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))  # first capture, deterministically
     )
