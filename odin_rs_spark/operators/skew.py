@@ -150,3 +150,36 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    out_col: str = "node",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    1998) — the stable work partitioner a crawl fleet runs on: each key
+    (a host, a shard, a queue) scores every node by a portable hash of
+    (key, node) and is owned by the highest score. Unlike `hash(key) %
+    n`, removing one node reassigns ONLY the keys that node owned
+    (1/n of them) — every other key's argmax is untouched — so a
+    fetcher dying mid-crawl does not reshuffle the whole frontier's
+    politeness state.
+
+    Weight = md5(key || '|' || node): equal-length lowercase hex
+    compares identically as a string in every engine, so the argmax is
+    portable and the oracle replays it verbatim. Zero shuffle, zero
+    UDF: one array_max over a transformed literal node array per row —
+    O(n_nodes) comparisons, the same cost the real router pays."""
+    arr = F.array(*[F.lit(n) for n in nodes])
+    best = F.array_max(
+        F.transform(
+            arr,
+            lambda n: F.struct(
+                F.md5(F.concat(F.col(key_col), F.lit("|"), n)).alias("w"),
+                n.alias("node"),
+            ),
+        )
+    )
+    return df.withColumn(out_col, best["node"])

@@ -1463,3 +1463,53 @@ def nfc_normalize_text(c: Column | str) -> Column:
 
     col = F.col(c) if isinstance(c, str) else c
     return _nfc(col)
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the line-granularity filter the original T5 corpus ran,
+    still the first pass of most English web-corpus builds). Line
+    rules: retain only lines that END in a terminal punctuation mark
+    ('.', '!', '?' or '"'), carry at least five words, and do not
+    contain the word 'javascript' (case-insensitive — browser-off
+    boilerplate). Page rules: drop any page containing 'lorem ipsum'
+    (template filler) or a '{' (leaked code), and any page whose
+    RETAINED text has fewer than three sentences (terminal-mark
+    count over the kept lines).
+
+    Adds n_lines / n_kept_lines / n_sentences, one int flag per page
+    rule, `c4_pass`, and `clean_text` (the kept lines re-joined in
+    document order). Pure higher-order column expressions — zero
+    Python, zero shuffle; every pattern is RE2-safe so the oracle
+    can replay the rules verbatim."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line):
+        t = F.trim(line)
+        n_words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        return (
+            t.rlike('[.!?"]$')
+            & (n_words >= 5)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(
+        F.transform(kept, lambda line: F.trim(line)), "\n"
+    )
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit("[.!?]"), 0))
+    low = F.lower(F.col(text_col))
+    f_lorem = (~low.contains("lorem ipsum")).cast("int")
+    f_brace = (~low.contains("{")).cast("int")
+    f_sent = (n_sentences >= 3).cast("int")
+    return df.select(
+        "*",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        f_lorem.alias("f_lorem"),
+        f_brace.alias("f_brace"),
+        f_sent.alias("f_sentences"),
+        (f_lorem * f_brace * f_sent).alias("c4_pass"),
+        clean.alias("clean_text"),
+    )

@@ -326,3 +326,69 @@ def politeness_schedule(
     ).withColumn("slot", F.row_number().over(w) - 1).withColumn(
         "fetch_ms", F.col("slot") * F.col("delay_ms")
     )
+
+
+def canonical_url(html, page_url):
+    """The page's DECLARED canonical identity — `<link rel="canonical"
+    href=…>` (RFC 6596), resolved against the page URL when relative.
+    The dedup signal a crawl pipeline gets for FREE: alias pages
+    (tracking-parameter variants, mobile mirrors, paginated views)
+    declare which URL they are a copy of, no content hashing needed —
+    canonical clustering belongs BEFORE MinHash in a dedup ladder
+    because it is exact and costs one regexp per page.
+
+    Pure column math (two RE2-safe regexps + url_resolve), zero UDF:
+    attribute order is free in HTML so the tag is located by its
+    rel=canonical attribute first and href is extracted from the
+    matched tag text; quoting may be double, single or absent. Pages
+    with no canonical link are their OWN canonical (fall back to the
+    page URL) — the identity a crawler assumes.
+    """
+    from odin_rs_spark.functions.web import url_resolve
+
+    html = F.col(html) if isinstance(html, str) else html
+    page_url = F.col(page_url) if isinstance(page_url, str) else page_url
+    tag = F.regexp_extract(
+        html, "(?i)<link[^>]*rel\\s*=\\s*[\"']?canonical[^>]*>", 0
+    )
+    href = F.regexp_extract(
+        tag, "(?i)href\\s*=\\s*[\"']?([^\"'\\s>]+)", 1
+    )
+    return F.when(href == "", page_url).otherwise(url_resolve(page_url, href))
+
+
+def robots_meta_flags(html, x_robots_tag=None):
+    """Page-level indexing directives — the `<meta name="robots">` tag
+    and the `X-Robots-Tag` response header (the Robots Exclusion
+    Protocol's page-granularity half: robots.txt gates FETCHING, these
+    gate KEEPING — a responsible corpus drops noindex pages at build
+    time just like disallowed paths). Directives come from either
+    channel and the union is most-restrictive: `noindex`/`nofollow`
+    from the meta tag OR the header both bind, and `none` means both
+    (the documented REP token table).
+
+    Returns a struct column `(noindex boolean, nofollow boolean)`.
+    Pure column math, zero UDF: the tag is located by its name=robots
+    attribute (attribute order free, quoting double/single/absent),
+    content extracted from the matched tag text; tokens match on
+    comma/space boundaries so `noindexing` never false-positives.
+    """
+    html = F.col(html) if isinstance(html, str) else html
+    if x_robots_tag is None:
+        header = F.lit("")
+    elif isinstance(x_robots_tag, str):
+        header = F.coalesce(F.col(x_robots_tag), F.lit(""))
+    else:
+        header = F.coalesce(x_robots_tag, F.lit(""))
+    tag = F.regexp_extract(
+        html, "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>", 0
+    )
+    quoted = F.regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)", 1)
+    bare = F.regexp_extract(tag, "(?i)content\\s*=\\s*([^\\s\"'>]+)", 1)
+    content = F.when(quoted != "", quoted).otherwise(bare)
+    merged = F.lower(F.concat_ws(",", content, header))
+    def _has(token):
+        return merged.rlike("(^|[ ,])(" + token + "|none)([ ,]|$)")
+    return F.struct(
+        _has("noindex").alias("noindex"), _has("nofollow").alias("nofollow")
+    )

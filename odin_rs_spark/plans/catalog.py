@@ -12535,6 +12535,791 @@ FROM x GROUP BY site
 """
 
 
+# --------------------------------------------------------------------------
+# q215 — MIME sniffing audit (sources/warc.sniff_mime — WHATWG MIME
+# Sniffing §6/§7 subset: crawl servers MISLABEL payloads constantly —
+# images under text/html, HTML error pages under image/*, tarballs
+# under text/plain — and a corpus pipeline that trusts Content-Type
+# routes bytes into the wrong extractor; sniffing the magic bytes at
+# scan time, where the decoded payload bytes already are, costs
+# nothing and rides out of warc_records as the `sniffed_mime`
+# column). Fixture: 48 responses cycling 8 payload kinds whose
+# DECLARED Content-Type lies by one slot whenever i % 3 == 0 (the
+# HTML declaration also carries a charset param so essence-stripping
+# is on-path). Rollup: (declared essence, sniffed) counts + agreement
+# flag. Oracle: analytic from the cycle formula.
+# --------------------------------------------------------------------------
+
+_Q215_KINDS = (
+    "text/html", "image/png", "image/jpeg", "image/gif",
+    "application/pdf", "text/plain", "application/zip",
+    "application/octet-stream",
+)
+
+
+def _q215_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import encode_warc
+
+        payload = (
+            lambda i: b"<!DOCTYPE html><p>page %d</p>" % i,
+            lambda i: b"\x89PNG\r\n\x1a\n" + b"png %d" % i,
+            lambda i: b"\xff\xd8\xff\xe0" + b"jfif %d" % i,
+            lambda i: b"GIF89a" + b"gif %d" % i,
+            lambda i: b"%%PDF-1.4 %d obj" % i,
+            lambda i: b"plain text page %d" % i,
+            lambda i: b"PK\x03\x04" + b"zip %d" % i,
+            lambda i: b"\x00\x01\x02\x03" + b"bin %d" % i,
+        )
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: mime-fixture\r\n"}
+            ]
+            for j in range(24):
+                i = fno * 24 + j
+                k = i % 8
+                d = (k + (1 if i % 3 == 0 else 0)) % 8
+                declared = _Q215_KINDS[d] + (
+                    "; charset=utf-8" if d == 0 else ""
+                )
+                body = payload[k](i)
+                hdrs = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: %s\r\n"
+                    "Content-Length: %d\r\n\r\n" % (declared, len(body))
+                )
+                recs.append({
+                    "warc_type": "response",
+                    "target_uri": f"https://mime.example.org/p/{i}",
+                    "content_type": "application/http; msgtype=response",
+                    "block": hdrs.encode() + body,
+                })
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(
+            F.lit("mime_"), F.col("id").cast("string"), F.lit(".warc.gz")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q215_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import warc_records
+
+    recs = warc_records(_q215_media(spark)).filter(
+        F.col("warc_type") == "response"
+    )
+    essence = F.lower(F.trim(F.regexp_extract(F.col("mime"), r"^[^;]*", 0)))
+    return (
+        recs.select(essence.alias("declared_mime"), "sniffed_mime")
+        .groupBy("declared_mime", "sniffed_mime")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .withColumn(
+            "match", F.col("declared_mime") == F.col("sniffed_mime")
+        )
+    )
+
+
+Q215_SQL = """
+WITH i AS (SELECT range AS i FROM range(48)),
+n AS (SELECT ['text/html','image/png','image/jpeg','image/gif',
+              'application/pdf','text/plain','application/zip',
+              'application/octet-stream'] AS names),
+x AS (SELECT i % 8 AS k,
+             (i % 8 + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) % 8 AS d
+      FROM i)
+SELECT names[d + 1] AS declared_mime, names[k + 1] AS sniffed_mime,
+       count(*)::BIGINT AS n_records, (d = k) AS match
+FROM x, n GROUP BY 1, 2, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# q216 — rel=canonical clustering (operators/web.canonical_url —
+# RFC 6596: alias pages DECLARE which URL they duplicate, so
+# canonical clustering is the exact, regexp-cheap dedup rung BEFORE
+# any content hashing; Common Crawl pipelines use it as the URL-level
+# collapse next to redirects (q213) and revisits (q197)): formula
+# pages in groups of four — a self-canonical target (rel-then-href,
+# absolute), a relative-href alias (href-BEFORE-rel, unquoted rel
+# value), a single-quoted absolute alias, and a page with NO link
+# (its own canonical). Rollup per canonical target: alias count,
+# self-declarations, distinct sites. Oracle: analytic from the group
+# formula.
+# --------------------------------------------------------------------------
+
+def q216_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import canonical_url
+
+    i = F.col("id")
+    grp = (i / 4).cast("long")
+    site = F.concat(
+        F.lit("https://site"), (grp % 5).cast("string"), F.lit(".example.org")
+    )
+    page = F.concat(site, F.lit("/page/"), i.cast("string"))
+    target_abs = F.concat(site, F.lit("/page/"), (grp * 4).cast("string"))
+    target_rel = F.concat(F.lit("/page/"), (grp * 4).cast("string"))
+    v = i % 4
+    link = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="canonical" href="'), target_abs, F.lit('">')
+        ))
+        .when(v == 1, F.concat(
+            F.lit('<link href="'), target_rel, F.lit('" rel=canonical>')
+        ))
+        .when(v == 2, F.concat(
+            F.lit("<link rel='canonical' href='"), target_abs, F.lit("'>")
+        ))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>p</title>"), link,
+        F.lit("</head><body>page "), i.cast("string"),
+        F.lit("</body></html>"),
+    )
+    pages = spark.range(60).select(
+        page.alias("page"), html.alias("html")
+    )
+    out = pages.select(
+        "page", canonical_url("html", "page").alias("canonical")
+    )
+    return out.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum((F.col("page") == F.col("canonical")).cast("bigint")).alias(
+            "n_self"
+        ),
+    )
+
+
+Q216_SQL = """
+WITH g AS (SELECT range AS g FROM range(15)),
+tgt AS (SELECT 'https://site' || (g % 5)::VARCHAR || '.example.org/page/'
+               || (g * 4)::VARCHAR AS canonical, g FROM g)
+SELECT canonical, 3::BIGINT AS n_pages, 1::BIGINT AS n_self FROM tgt
+UNION ALL
+SELECT 'https://site' || (g % 5)::VARCHAR || '.example.org/page/'
+       || (g * 4 + 3)::VARCHAR, 1::BIGINT, 1::BIGINT
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q217 — robots-meta / X-Robots-Tag indexing gate (operators/web.
+# robots_meta_flags — the page-granularity half of the Robots
+# Exclusion Protocol: robots.txt (q164/q177) gates FETCHING, the meta
+# tag and response header gate KEEPING; a compliance-correct corpus
+# drops noindex pages at build time). Fixture cycles five shapes:
+# no directives, quoted meta noindex, content-BEFORE-name meta
+# nofollow, header-only noindex, and unquoted meta + header combining
+# across channels; a 'noindexing' token guards the boundary match.
+# Rollup: verdict counts by (noindex, nofollow). Oracle: analytic.
+# --------------------------------------------------------------------------
+
+def q217_noindex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import robots_meta_flags
+
+    i = F.col("id")
+    v = i % 5
+    meta = (
+        F.when(v == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(v == 2, F.lit("<meta content='nofollow' name=robots>"))
+        .when(v == 4, F.lit("<meta name=ROBOTS content=noindex>"))
+        .otherwise(F.lit('<meta name="keywords" content="noindexing,x">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>p"),
+        i.cast("string"), F.lit("</body></html>"),
+    )
+    header = (
+        F.when(v == 3, F.lit("noindex"))
+        .when(v == 4, F.lit("nofollow"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = spark.range(80).select(
+        html.alias("html"), header.alias("x_robots_tag")
+    )
+    flags = pages.select(
+        robots_meta_flags("html", "x_robots_tag").alias("f")
+    )
+    return flags.groupBy(
+        F.col("f.noindex").alias("noindex"),
+        F.col("f.nofollow").alias("nofollow"),
+    ).agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+Q217_SQL = """
+WITH i AS (SELECT range % 5 AS v FROM range(80)),
+f AS (SELECT v IN (1, 3, 4) AS noindex, v IN (2, 4) AS nofollow FROM i)
+SELECT noindex, nofollow, count(*)::BIGINT AS n_pages
+FROM f GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q218 — C4 cleaning rules (operators/text.c4_line_filter — Raffel
+# et al. 2020 §2.2, the original T5 web-corpus filter and the first
+# pass of most English corpus builds since: terminal-punctuation
+# lines only, ≥5 words per line, 'javascript' lines out, 'lorem
+# ipsum'/'{' pages out, <3-sentence pages out). Fixture: formula
+# docs whose lines cycle six shapes (kept sentence / too-short /
+# no-terminal / javascript boilerplate / kept exclamation / kept
+# question), with 'lorem ipsum' and code-brace poison lines appended
+# on modular schedules so every page rule fires. Rollup by the page
+# flags. Oracle: analytic from the cycle (each kept line carries
+# exactly one terminal mark, so n_sentences == n_kept).
+# --------------------------------------------------------------------------
+
+_Q218_LINES = (
+    "This is a fine sentence with enough words.",
+    "too short.",
+    "This line has no terminal punctuation at all",
+    "Enable javascript to view this page properly.",
+    "Another proper sentence appears right here today!",
+    "Is this a useful question for the corpus?",
+)
+
+
+def q218_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import c4_line_filter
+
+    d = F.col("id")
+    line = F.element_at(
+        F.array(*[F.lit(s) for s in _Q218_LINES]),
+        ((d + F.col("j")) % 6).cast("int") + 1,
+    )
+    body = (
+        spark.range(120)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), 2 + (d % 5))).alias("j"),
+        )
+        .groupBy("id")
+        .agg(F.array_join(F.collect_list(line), "\n").alias("t"))
+    )
+    text = F.concat(
+        F.col("t"),
+        F.when(
+            d % 10 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nvar x = { a: 1 };")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = body.select(d.alias("doc_id"), text.alias("text"))
+    flagged = c4_line_filter(docs)
+    return flagged.groupBy("f_lorem", "f_brace", "f_sentences").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_kept_lines").cast("bigint").alias("n_kept"),
+        F.sum("c4_pass").cast("bigint").alias("n_pass"),
+    )
+
+
+Q218_SQL = """
+WITH d AS (SELECT range AS d FROM range(120)),
+j AS (SELECT d, j.range AS j FROM d, range(7) j WHERE j.range <= 2 + d % 5),
+k AS (SELECT d, sum(CASE WHEN (d + j) % 6 IN (0, 4, 5) THEN 1 ELSE 0 END)
+             AS kept_base, count(*) AS base_lines
+      FROM j GROUP BY d),
+x AS (SELECT d, base_lines + CASE WHEN d % 10 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN d % 13 = 0 THEN 1 ELSE 0 END AS n_lines,
+             kept_base + CASE WHEN d % 10 = 0 THEN 1 ELSE 0 END AS n_kept,
+             CASE WHEN d % 10 = 0 THEN 0 ELSE 1 END AS f_lorem,
+             CASE WHEN d % 13 = 0 THEN 0 ELSE 1 END AS f_brace
+      FROM k),
+f AS (SELECT *, CASE WHEN n_kept >= 3 THEN 1 ELSE 0 END AS f_sentences
+      FROM x)
+SELECT f_lorem::INT AS f_lorem, f_brace::INT AS f_brace,
+       f_sentences::INT AS f_sentences, count(*)::BIGINT AS n_docs,
+       sum(n_lines)::BIGINT AS n_lines, sum(n_kept)::BIGINT AS n_kept,
+       sum(f_lorem * f_brace * f_sentences)::BIGINT AS n_pass
+FROM f GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q219 — rendezvous-hash fetch sharding (operators/skew.
+# rendezvous_assign — highest-random-weight hashing, Thaler &
+# Ravishankar 1998: the stable host→fetcher partitioner; `hash % n`
+# reshuffles EVERYTHING when a fetcher dies, HRW reassigns only the
+# dead node's keys). The query assigns 400 hosts to a 5-node fleet,
+# re-assigns after removing fetcher-4, and emits the TRANSITION
+# MATRIX — the HRW guarantee is that every off-diagonal cell has
+# node5 = 'fetcher-4', and the oracle (replaying the md5 argmax
+# verbatim) would catch any drift in the weight function or the
+# tie-order. Zero shuffle per key; O(n_nodes) comparisons per row.
+# --------------------------------------------------------------------------
+
+_Q219_NODES = ["fetcher-0", "fetcher-1", "fetcher-2", "fetcher-3", "fetcher-4"]
+
+
+def q219_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.skew import rendezvous_assign
+
+    hosts = spark.range(400).select(
+        F.concat(
+            F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")
+        ).alias("host")
+    )
+    a5 = rendezvous_assign(hosts, "host", _Q219_NODES, out_col="node5")
+    a4 = rendezvous_assign(a5, "host", _Q219_NODES[:4], out_col="node4")
+    return a4.groupBy("node5", "node4").agg(
+        F.count(F.lit(1)).alias("n_hosts")
+    )
+
+
+Q219_SQL = """
+WITH h AS (SELECT 'h' || range::VARCHAR || '.example.org' AS host
+           FROM range(400)),
+n AS (SELECT unnest(['fetcher-0','fetcher-1','fetcher-2','fetcher-3',
+                     'fetcher-4']) AS node),
+w AS (SELECT host, node, md5(host || '|' || node) AS w FROM h, n),
+a5 AS (SELECT host, max_by(node, w) AS node5 FROM w GROUP BY host),
+a4 AS (SELECT host, max_by(node, w) AS node4 FROM w
+       WHERE node <> 'fetcher-4' GROUP BY host)
+SELECT node5, node4, count(*)::BIGINT AS n_hosts
+FROM a5 JOIN a4 USING (host) GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q220 — html lang-attribute audit (the declared language vs the
+# TRAINED detector: the web's `<html lang=…>` is wrong or missing on
+# a large fraction of pages, so corpus routers cross-check it against
+# a content model and keep the attribute only as a PRIOR; this query
+# is that cross-check as a transition matrix). Fixture: q199's pure
+# per-language word formula wrapped in HTML whose lang attribute
+# cycles absent / correct / correct-with-region-subtag-and-odd-casing
+# / WRONG (rotated one language over). Attribute extraction, primary-
+# subtag split and the p-body text extraction all run as RE2-safe
+# column regexps on-path; prediction is the q199 trained trigram
+# model. Oracle: declared analytically from the cycle, prediction by
+# replaying the full scoring (read_csv of the same committed model).
+# --------------------------------------------------------------------------
+
+def q220_lang_attr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.langid import (
+        langid_trigram,
+        load_langid_model,
+    )
+
+    i = F.col("doc_id")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws])
+        for lang, ws in _Q199_WORDS.items()
+    }
+    words_arr = lang_arrays[_Q199_LANGS[0]]
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        words_arr = F.when(i % 6 == k, lang_arrays[lang]).otherwise(words_arr)
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), 9 + (i % 5).cast("int")),
+            lambda j: F.element_at(words_arr, ((i * 3 + j) % 12 + 1).cast("int")),
+        ),
+        " ",
+    )
+    langs = F.array(*[F.lit(l) for l in _Q199_LANGS])
+    correct = F.element_at(langs, (i % 6 + 1).cast("int"))
+    wrong = F.element_at(langs, ((i % 6 + 1) % 6 + 1).cast("int"))
+    v = i % 4
+    attr = (
+        F.when(v == 1, F.concat(F.lit(' lang="'), correct, F.lit('"')))
+        .when(v == 2, F.concat(F.lit(" LANG='"), correct, F.lit("-XX'")))
+        .when(v == 3, F.concat(F.lit(' lang="'), wrong, F.lit('"')))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html"), attr, F.lit("><body><p>"), text,
+        F.lit("</p></body></html>"),
+    )
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), html.alias("html")
+    )
+    raw = F.lower(
+        F.regexp_extract(
+            F.col("html"),
+            "(?i)<html[^>]*[ \\t]lang[ \\t]*=[ \\t]*[\"']?([A-Za-z-]+)",
+            1,
+        )
+    )
+    extracted = docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), "<p>(.*)</p>", 1).alias("text"),
+        F.when(raw == "", F.lit("none"))
+        .otherwise(F.split(raw, "-")[0])
+        .alias("declared_lang"),
+    )
+    pred = langid_trigram(
+        extracted, load_langid_model(spark), keys=["doc_id"]
+    )
+    joined = extracted.join(pred, "doc_id")
+    return joined.groupBy("declared_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("declared_lang") == F.col("pred_lang")).cast("bigint")
+        ).alias("n_agree"),
+    )
+
+
+def _q220_sql() -> str:
+    from odin_rs_spark.functions.langid import LANGID_FIXTURE
+
+    def word_case(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN {k} THEN '{w}'" for k, w in enumerate(_Q199_WORDS[lang])
+        )
+        return f"CASE (doc_id * 3 + j) % 12 {arms} END"
+
+    lang_arms = " ".join(
+        f"WHEN {k} THEN {word_case(lang)}"
+        for k, lang in enumerate(_Q199_LANGS)
+    )
+    lang_list = ",".join(f"'{l}'" for l in _Q199_LANGS)
+    return f"""
+WITH d AS (SELECT r.range AS doc_id FROM range(60) r),
+wj AS (SELECT doc_id, j.range AS j FROM d, range(15) j
+       WHERE j.range < 10 + doc_id % 5),
+tx AS (SELECT doc_id,
+              string_agg(CASE doc_id % 6 {lang_arms} END, ' ' ORDER BY j)
+                AS text
+       FROM wj GROUP BY doc_id),
+dc AS (SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0 THEN 'none'
+                   WHEN doc_id % 4 = 3
+                     THEN ([{lang_list}])[(doc_id % 6 + 1) % 6 + 1]
+                   ELSE ([{lang_list}])[doc_id % 6 + 1]
+              END AS declared_lang
+       FROM d),
+nt AS (SELECT doc_id, ' ' || text || ' ' AS t FROM tx),
+tg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, length(t) - 2),
+                                    i -> substr(t, i, 3))) AS ngram
+       FROM nt),
+m AS (SELECT * FROM read_csv('{LANGID_FIXTURE}', header = true)),
+sc AS (SELECT tg.doc_id, m.lang, sum(m.score)::BIGINT AS score
+       FROM tg JOIN m ON tg.ngram = m.ngram GROUP BY tg.doc_id, m.lang),
+rk AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang DESC) AS rn
+       FROM sc),
+top AS (SELECT doc_id, lang AS pred_lang FROM rk WHERE rn = 1)
+SELECT declared_lang, pred_lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN declared_lang = pred_lang THEN 1 ELSE 0 END)::BIGINT
+         AS n_agree
+FROM dc JOIN top USING (doc_id) GROUP BY 1, 2
+"""
+
+
+Q220_SQL = _q220_sql()
+
+
+# --------------------------------------------------------------------------
+# q221 — CCNet perplexity bucketing (Wenzek et al. 2020: score every
+# document with a language model and split each language's corpus
+# into head/middle/tail TERCILES by perplexity — the standard
+# quality stratification that later pipelines sample from at
+# different rates). Model = the corpus-own interpolated bigram LM
+# (q98's verified operator); buckets rank by avg_logprob (monotone
+# in perplexity, no transcendental exp on the compare path) with a
+# doc_id tie-break so the ntile split is total-ordered and the
+# oracle replays it exactly. Rollup per (source, bucket). Scale
+# shape: q98's two vocab-side equi-joins + one ntile window per
+# source partition — documents shuffle once, by source.
+# --------------------------------------------------------------------------
+
+def q221_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.bigram_logprob(docs, lam=0.7)
+    scored = scored.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    labeled = scored.withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ),
+    )
+    return labeled.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("avg_logprob"), 6).alias("avg_lp"),
+        F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+        F.round(F.max("avg_logprob"), 6).alias("max_lp"),
+    )
+
+
+Q221_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, i, w[i + 1] AS t,
+         CASE WHEN i > 0 THEN w[i] END AS prev
+  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d)),
+uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
+tot AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+bi AS (
+  SELECT tok.prev, tok.t, count(*) AS cb
+  FROM tok WHERE prev IS NOT NULL GROUP BY tok.prev, tok.t),
+bi2 AS (
+  SELECT bi.prev, bi.t, bi.cb, u2.cu AS cprev
+  FROM bi JOIN uni u2 ON bi.prev = u2.t),
+lp AS (
+  SELECT tok.doc_id,
+         CASE WHEN tok.prev IS NULL THEN ln(uni.cu / tot.n)
+              ELSE ln(0.7 * bi2.cb / bi2.cprev + (1.0 - 0.7) * uni.cu / tot.n)
+         END AS lp
+  FROM tok
+  JOIN uni ON tok.t = uni.t
+  LEFT JOIN bi2 ON tok.prev = bi2.prev AND tok.t = bi2.t
+  CROSS JOIN tot),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(sum(lp) / count(*), 6) AS avg_logprob
+  FROM lp GROUP BY doc_id),
+lb AS (
+  SELECT s.doc_id, doc.source, s.n_tokens, s.avg_logprob,
+         (['head','middle','tail'])[
+           ntile(3) OVER (PARTITION BY doc.source
+                          ORDER BY s.avg_logprob DESC, s.doc_id)] AS bucket
+  FROM sc s JOIN documents doc ON s.doc_id = doc.doc_id)
+SELECT source, bucket, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(avg(avg_logprob), 6) AS avg_lp,
+       round(min(avg_logprob), 6) AS min_lp,
+       round(max(avg_logprob), 6) AS max_lp
+FROM lb GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q222 — incremental recrawl planner (the O(delta) ingest decision a
+# monthly crawl actually runs: join the site's DECLARED state — the
+# sitemap's <lastmod> — against the archive's OBSERVED state — the
+# CDX index's latest capture per URL — and fetch only what's new or
+# stale; q166 diffs two snapshots after the fact, this plans the
+# fetch BEFORE it). Sitemap side parses real XML via from_xml (q163
+# machinery); capture side parses real CDX(J) lines and keys both
+# sides by surt_key (q187 machinery) so URL spelling differences
+# can't split identities. Verdicts: 'new' (never captured), 'stale'
+# (lastmod after the latest capture day), 'fresh'. Rollup per site.
+# Scale shape: both sides reduce to per-URL dims before the join;
+# the join key is the SURT (the index's native sort key, so at scale
+# this is a merge over co-sorted index ranges).
+# --------------------------------------------------------------------------
+
+def q222_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import surt_key
+
+    s = F.col("id")
+    k = F.col("k")
+    # --- sitemap side: one urlset per site, lastmod on a formula ---
+    url = F.concat(
+        F.lit("https://site"), s.cast("string"), F.lit(".example.com/p/"),
+        k.cast("string"),
+    )
+    lastmod = F.concat(
+        F.lit("2026-07-"),
+        F.lpad((1 + (s * 7 + k) % 28).cast("string"), 2, "0"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        spark.range(8)
+        .select("id", F.explode(F.sequence(F.lit(0), 9 + (s % 4))).alias("k"))
+        .select("id", entry.alias("e"))
+        .groupBy("id")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    declared = sitemaps.select(
+        F.col("id").alias("site"),
+        F.explode(
+            F.from_xml(
+                F.col("xml"),
+                "url ARRAY<STRUCT<loc STRING, lastmod STRING>>",
+            )["url"]
+        ).alias("u"),
+    ).select(
+        "site", F.col("u.loc").alias("url"),
+        F.col("u.lastmod").alias("lastmod"),
+        surt_key(F.col("u.loc")).alias("surt"),
+    )
+    # --- CDX side: captures for k % 3 != 0, capture day on a formula ---
+    cap_url = F.concat(
+        F.lit("https://site"), s.cast("string"), F.lit(".example.com/p/"),
+        k.cast("string"),
+    )
+    cap_day = F.lpad((1 + (s + k * 5) % 28).cast("string"), 2, "0")
+    cdx_line = F.concat(
+        F.lit("com,example,site"), s.cast("string"), F.lit(")/p/"),
+        k.cast("string"), F.lit(" 202607"), cap_day,
+        F.lit("120000 {\"url\": \""), cap_url, F.lit("\", \"status\": 200}"),
+    )
+    lines = (
+        spark.range(8)
+        .select("id", F.explode(F.sequence(F.lit(0), 9 + (s % 4))).alias("k"))
+        .filter(k % 3 != 0)
+        .select(cdx_line.alias("line"))
+    )
+    captures = lines.select(
+        F.regexp_extract("line", r"^(\S+) (\S+) (.*)$", 1).alias("surt"),
+        F.regexp_extract("line", r"^(\S+) (\S+) (.*)$", 2).alias("ts"),
+    ).groupBy("surt").agg(F.max("ts").alias("latest_ts"))
+    # --- the plan ---
+    joined = declared.join(captures, "surt", "left")
+    cap_date = F.concat(
+        F.substring("latest_ts", 1, 4), F.lit("-"),
+        F.substring("latest_ts", 5, 2), F.lit("-"),
+        F.substring("latest_ts", 7, 2),
+    )
+    verdict = (
+        F.when(F.col("latest_ts").isNull(), F.lit("new"))
+        .when(F.col("lastmod") > cap_date, F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return joined.withColumn("verdict", verdict).groupBy("site").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum((F.col("verdict") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("verdict") == "stale").cast("bigint")).alias("n_stale"),
+        F.sum((F.col("verdict") == "fresh").cast("bigint")).alias("n_fresh"),
+    )
+
+
+Q222_SQL = """
+WITH s AS (SELECT range AS s FROM range(8)),
+u AS (SELECT s, k.range AS k FROM s, range(14) k
+      WHERE k.range <= 9 + s % 4),
+x AS (SELECT s, k, 1 + (s * 7 + k) % 28 AS lm_day,
+             CASE WHEN k % 3 <> 0 THEN 1 + (s + k * 5) % 28 END AS cap_day
+      FROM u),
+v AS (SELECT s,
+             CASE WHEN cap_day IS NULL THEN 'new'
+                  WHEN lm_day > cap_day THEN 'stale'
+                  ELSE 'fresh' END AS verdict
+      FROM x)
+SELECT s AS site, count(*)::BIGINT AS n_urls,
+       sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN verdict = 'stale' THEN 1 ELSE 0 END)::BIGINT AS n_stale,
+       sum(CASE WHEN verdict = 'fresh' THEN 1 ELSE 0 END)::BIGINT AS n_fresh
+FROM v GROUP BY s
+"""
+
+
+# --------------------------------------------------------------------------
+# q223 — baseline TIFF decode (sources/imagecodec.decode_tiff — the
+# scanned-document format: fax archives, book scans and legal/medical
+# corpora ship baseline TIFF 6.0, the one image family the dispatch
+# was still missing; 16/32-bit DEM TIFFs stay with geotiff.py). The
+# media cycle puts EVERY decoder seam on the verified path: little-
+# and big-endian, single- and multi-strip layouts, PackBits and
+# uncompressed, BlackIsZero / WhiteIsZero (inverted at encode so the
+# decode must invert back) and chunky RGB with equal channels — all
+# eight modes decode to the SAME pixel formula, so one analytic
+# oracle grades them all and any mode-specific drift breaks its
+# media rows. Same image_tile_stats pipeline as PNG/JPEG/GIF/BMP.
+# --------------------------------------------------------------------------
+
+def _formula_tiff_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # no table read -> ship explicitly
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_tiff
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            seed = mid % 25
+            a, b, m = seed % 6 + 1, seed % 5, (seed * 41) % 256
+            ys, xs = np.mgrid[0:18, 0:25]
+            vals = ((m + xs * a + ys * b) % 256).astype(np.uint8)
+            mode = mid % 8
+            if mode == 4:  # chunky RGB, equal channels → same luma
+                img = np.stack([vals, vals, vals], axis=2)
+            else:
+                img = vals
+            out.append(
+                encode_tiff(
+                    img,
+                    packbits=mode in (1, 3, 6),
+                    big_endian=mode in (2, 3, 7),
+                    rows_per_strip=5 if mode in (3, 5, 6) else None,
+                    white_is_zero=mode in (5, 7),
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q223_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import image_tile_stats
+
+    media = _formula_tiff_media(spark, 48)
+    tiles = image_tile_stats(media, nx=5, ny=3)
+    return tiles.select(
+        "media_id",
+        "tile_x",
+        "tile_y",
+        "n_px",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q223_SQL = """
+WITH par AS (
+  SELECT r.range AS media_id, (r.range % 25) AS seed FROM range(48) r),
+pp AS (
+  SELECT media_id, seed % 6 + 1 AS a, seed % 5 AS b, (seed * 41) % 256 AS m
+  FROM par),
+px AS (
+  SELECT media_id, x.range AS x, y.range AS y,
+         (m + x.range * a + y.range * b) % 256 AS v
+  FROM pp, range(25) x, range(18) y),
+t AS (
+  SELECT media_id,
+         CASE WHEN x < 5 THEN 0 WHEN x < 10 THEN 1 WHEN x < 15 THEN 2
+              WHEN x < 20 THEN 3 ELSE 4 END AS tile_x,
+         y // 6 AS tile_y, v
+  FROM px)
+SELECT media_id, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*)::BIGINT AS n_px, round(sum(v)::DOUBLE / count(*), 6) AS mean_luma
+FROM t GROUP BY media_id, tile_x, tile_y
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -12600,6 +13385,15 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q212_langid_route", q212_langid_route, Q212_SQL, "text langid confidence-margin routing"),
         QuerySpec("q213_redirect_chains", q213_redirect_chains, Q213_SQL, "S-warc http-redirect chain-resolution"),
         QuerySpec("q214_sitemap_index", q214_sitemap_index, Q214_SQL, "web sitemapindex two-level discovery"),
+        QuerySpec("q215_mime_sniff", q215_mime_sniff, Q215_SQL, "S-warc whatwg-mime-sniffing audit"),
+        QuerySpec("q216_canonical_cluster", q216_canonical_cluster, Q216_SQL, "web rel-canonical url-dedup"),
+        QuerySpec("q217_noindex_gate", q217_noindex_gate, Q217_SQL, "web robots-meta x-robots-tag gate"),
+        QuerySpec("q218_c4_filters", q218_c4_filters, Q218_SQL, "text c4-cleaning line-rules"),
+        QuerySpec("q219_rendezvous_shard", q219_rendezvous_shard, Q219_SQL, "skew hrw-hash fleet-sharding"),
+        QuerySpec("q220_lang_attr_audit", q220_lang_attr_audit, Q220_SQL, "text lang-attribute langid-crosscheck"),
+        QuerySpec("q221_perplexity_buckets", q221_perplexity_buckets, Q221_SQL, "corpus ccnet-perplexity terciles"),
+        QuerySpec("q222_recrawl_plan", q222_recrawl_plan, Q222_SQL, "web incremental-recrawl sitemap-cdx join"),
+        QuerySpec("q223_tiff_decode", q223_tiff_decode, Q223_SQL, "R9 tiff-decode packbits strips"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),

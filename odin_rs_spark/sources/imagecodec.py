@@ -330,8 +330,11 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_gif(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(buf)
     raise ValueError(
-        "unrecognized image format (PNG, PNM, baseline JPEG, GIF and BMP supported)"
+        "unrecognized image format (PNG, PNM, baseline JPEG, GIF, BMP "
+        "and baseline TIFF supported)"
     )
 
 
@@ -509,3 +512,250 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     ).all():
         return np.ascontiguousarray(rgb[:, :, 0])  # gray palette → (H,W)
     return np.ascontiguousarray(rgb)
+
+
+# -- TIFF (baseline TIFF 6.0 subset) ------------------------------------------
+#
+# The scanned-document format: fax archives, legal/medical corpora and
+# book scans ship baseline TIFF, not PNG. Subset per the public TIFF
+# 6.0 specification: both byte orders (II/MM), single IFD, strip
+# layout (RowsPerStrip < height ⇒ multiple strips), Compression 1
+# (none) and 32773 (PackBits), PhotometricInterpretation 0
+# (WhiteIsZero — inverted back at decode), 1 (BlackIsZero) and 2
+# (RGB), 8 bits per sample, chunky planar config. Tiled TIFFs, LZW/
+# CCITT/JPEG compressions and higher bit depths raise a named
+# ValueError (the geotiff.py module handles the 16/32-bit DEM side).
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): n in 0..127 → copy n+1 literal
+    bytes; n in -127..-1 → repeat next byte 1-n times; -128 → no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Run-favoring PackBits encoder (the fixture twin): runs of ≥3
+    identical bytes become repeat packets, everything else literal."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal stretch: up to the next ≥3-run or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            run = 1
+            while j + run < n and data[j + run] == data[j] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            j += run
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline TIFF → (H,W) gray or (H,W,3) RGB uint8. ValueError-only
+    error contract like the other codecs."""
+    try:
+        return _decode_tiff(buf)
+    except ValueError:
+        raise
+    except Exception as exc:  # struct.error, IndexError…
+        raise ValueError(f"corrupt TIFF: {exc}") from exc
+
+
+def _decode_tiff(buf: bytes) -> np.ndarray:
+    if buf[:4] == b"II*\x00":
+        bo = "<"
+    elif buf[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        tag, typ, count = struct.unpack(bo + "HHI", buf[off:off + 8])
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL/ASCII metadata tags — not needed here
+        total = size * count
+        if total <= 4:
+            raw = buf[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(bo + "I", buf[off + 8:off + 12])
+            raw = buf[voff:voff + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    rps = one(278, h)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits) or planar != 1:
+        raise ValueError(
+            f"unsupported TIFF (bits={bits} planar={planar}); "
+            "8-bit chunky only"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {comp} unsupported "
+            "(uncompressed and PackBits only)"
+        )
+    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+        raise ValueError(
+            f"unsupported TIFF photometric={photo} samples={spp}"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or mismatched")
+    raw = bytearray()
+    rows_done = 0
+    for k, (so, sc) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rps, h - rows_done)
+        expected = strip_rows * w * spp
+        chunk = bytes(buf[so:so + sc])
+        if len(chunk) != sc:
+            raise ValueError("TIFF strip runs past the file")
+        if comp == 32773:
+            chunk = packbits_decode(chunk, expected)
+        elif len(chunk) < expected:
+            raise ValueError(f"TIFF strip {k} short: {len(chunk)}")
+        raw += chunk[:expected]
+        rows_done += strip_rows
+    if rows_done < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if spp == 3:
+        return np.ascontiguousarray(px.reshape(h, w, 3))
+    img = px.reshape(h, w)
+    if photo == 0:  # WhiteIsZero: 0 is white — invert to BlackIsZero
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Fixture twin for `decode_tiff`: gray (H,W) or RGB (H,W,3) uint8
+    → baseline TIFF. Every decoder seam is parameterized — byte
+    order, PackBits, multi-strip layout, WhiteIsZero inversion."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_tiff takes (H,W) gray or (H,W,3) RGB")
+    if white_is_zero and not gray:
+        raise ValueError("WhiteIsZero applies to gray images only")
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    bo = ">" if big_endian else "<"
+    plane = (255 - img) if white_is_zero else img
+    strips = []
+    for y0 in range(0, h, rps):
+        data = plane[y0:y0 + rps].tobytes()
+        strips.append(packbits_encode(data) if packbits else data)
+
+    entries: list[tuple[int, int, list[int]]] = []  # (tag, type, values)
+    entries.append((256, 4, [w]))
+    entries.append((257, 4, [h]))
+    entries.append((258, 3, [8] * spp))
+    entries.append((259, 3, [32773 if packbits else 1]))
+    entries.append((262, 3, [0 if white_is_zero else (2 if spp == 3 else 1)]))
+    entries.append((273, 4, [0] * len(strips)))  # patched below
+    entries.append((277, 3, [spp]))
+    entries.append((278, 4, [rps]))
+    entries.append((279, 4, [len(s) for s in strips]))
+    entries.append((284, 3, [1]))
+    entries.sort()
+
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    ifd_size = 2 + len(entries) * 12 + 4
+    # overflow area for values wider than 4 bytes
+    overflow_at = 8 + ifd_size
+    overflow = bytearray()
+    strip_at = None
+
+    def value_bytes(typ: int, vals: list[int]) -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return struct.pack(bo + fmt * len(vals), *vals)
+
+    # two passes: first compute where strips land, then emit
+    fixed: list[bytes] = []
+    for tag, typ, vals in entries:
+        vb = value_bytes(typ, vals)
+        if len(vb) > 4:
+            overflow += vb
+    strip_at = overflow_at + len(overflow)
+    offs = []
+    at = strip_at
+    for s in strips:
+        offs.append(at)
+        at += len(s)
+    overflow = bytearray()
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = offs
+        vb = value_bytes(typ, vals)
+        if len(vb) <= 4:
+            fixed.append(
+                struct.pack(bo + "HHI", tag, typ, len(vals))
+                + vb.ljust(4, b"\x00")
+            )
+        else:
+            fixed.append(
+                struct.pack(
+                    bo + "HHII", tag, typ, len(vals),
+                    overflow_at + len(overflow),
+                )
+            )
+            overflow += vb
+    ifd = (
+        struct.pack(bo + "H", len(entries))
+        + b"".join(fixed)
+        + struct.pack(bo + "I", 0)
+    )
+    return header + ifd + bytes(overflow) + b"".join(strips)

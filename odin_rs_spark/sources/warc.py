@@ -346,12 +346,87 @@ def decode_body_text(content_type: str | None, body: bytes) -> tuple[str, str]:
         return body.decode("utf-8", "replace"), "utf-8"
 
 
+# WHATWG MIME Sniffing (mimesniff.spec.whatwg.org) §6.1/§6.2 tables,
+# the subset a crawl-audit needs. Three pattern families: leading-
+# whitespace-skipped case-insensitive HTML tags that must end at a
+# tag-terminating byte (0x20 or '>'), exact byte prefixes, and the
+# §7.1 text-or-binary fallback over the spec's binary data byte set.
+_SNIFF_WS = b"\t\n\x0c\r "
+_SNIFF_TAGS = (
+    b"<!DOCTYPE HTML", b"<HTML", b"<HEAD", b"<SCRIPT", b"<IFRAME",
+    b"<H1", b"<DIV", b"<FONT", b"<TABLE", b"<A", b"<STYLE", b"<TITLE",
+    b"<B", b"<BODY", b"<BR", b"<P", b"<!--",
+)
+_SNIFF_PREFIXES = (
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS-Adobe-", "application/postscript"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"\x00\x00\x02\x00", "image/x-icon"),
+    (b"OggS\x00", "application/ogg"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x1f\x8b\x08", "application/x-gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"Rar!\x1a\x07", "application/x-rar-compressed"),
+)
+# §7.1's binary data bytes: 0x00-0x08, 0x0B, 0x0E-0x1A, 0x1C-0x1F
+_SNIFF_BINARY = frozenset(
+    list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B))
+    + list(range(0x1C, 0x20))
+)
+
+
+def sniff_mime(body: bytes) -> str:
+    """Magic-byte content sniffing — what the payload ACTUALLY is,
+    independent of the Content-Type header (crawl servers mislabel
+    constantly: images served as text/html, HTML error pages served
+    under image/*). WHATWG MIME Sniffing §6/§7 subset: HTML tag
+    patterns skip leading whitespace, match case-insensitively and
+    must be terminated by space or '>'; binary formats match exact
+    prefixes (RIFF/ftyp consult their format field); anything else is
+    text/plain iff the first 1445 bytes contain no binary data byte,
+    else application/octet-stream. BOM-led payloads are text/plain
+    per §7.1 step 4."""
+    seq = bytes(body[:1445])
+    if seq.startswith((b"\xfe\xff", b"\xff\xfe", b"\xef\xbb\xbf")):
+        return "text/plain"
+    trimmed = seq.lstrip(_SNIFF_WS)
+    upper = trimmed.upper()
+    for tag in _SNIFF_TAGS:
+        if upper.startswith(tag):
+            rest = trimmed[len(tag):]
+            if rest[:1] in (b" ", b">"):
+                return "text/html"
+    if trimmed.startswith(b"<?xml"):
+        return "text/xml"
+    for prefix, mime in _SNIFF_PREFIXES:
+        if seq.startswith(prefix):
+            return mime
+    if seq.startswith(b"RIFF") and len(seq) >= 12:
+        fmt = seq[8:12]
+        if fmt == b"WEBP":
+            return "image/webp"
+        if fmt == b"WAVE":
+            return "audio/wave"
+        if fmt == b"AVI ":
+            return "video/avi"
+    if seq[4:8] == b"ftyp":
+        return "video/mp4"
+    if any(b in _SNIFF_BINARY for b in seq):
+        return "application/octet-stream"
+    return "text/plain"
+
+
 WARC_SCHEMA = (
     "file string, rec_no int, warc_type string, target_uri string, "
     "warc_date string, record_id string, payload_digest string, "
     "refers_to string, http_status int, mime string, location string, "
     "http_encoding string, charset string, body_len long, "
-    "body_text string, decode_error string"
+    "body_text string, decode_error string, sniffed_mime string"
 )
 
 
@@ -384,10 +459,11 @@ def warc_records(files_df, on_error: str = "raise"):
                 "refers_to": [], "http_status": [], "mime": [],
                 "location": [], "http_encoding": [], "charset": [],
                 "body_len": [], "body_text": [], "decode_error": [],
+                "sniffed_mime": [],
             }
 
             def emit(base, rec_no, wtype, h, status, mime, location, enc,
-                     cs, body_len, text, err):
+                     cs, body_len, text, err, sniffed=None):
                 rows["file"].append(base)
                 rows["rec_no"].append(rec_no)
                 rows["warc_type"].append(wtype)
@@ -404,6 +480,7 @@ def warc_records(files_df, on_error: str = "raise"):
                 rows["body_len"].append(body_len)
                 rows["body_text"].append(text)
                 rows["decode_error"].append(err)
+                rows["sniffed_mime"].append(sniffed)
 
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = os.path.basename(path)
@@ -447,7 +524,8 @@ def warc_records(files_df, on_error: str = "raise"):
                     if text is None:
                         text = body.decode("utf-8", "replace")
                     emit(base, r["rec_no"], wtype, h, status, mime,
-                         location, enc, cs, len(body), text, None)
+                         location, enc, cs, len(body), text, None,
+                         sniff_mime(body))
             yield pd.DataFrame(rows)
 
     # package must reach workers even when no table read shipped it
