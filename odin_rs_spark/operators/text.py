@@ -1513,3 +1513,90 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         (f_lorem * f_brace * f_sent).alias("c4_pass"),
         clean.alias("clean_text"),
     )
+
+
+def line_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The duplicate-LINE repetition signals of the Gopher filter set
+    (Rae et al. 2021 Appendix A — 'fraction of duplicate lines' and
+    'fraction of characters in duplicate lines': boilerplate-heavy
+    pages repeat nav/footer lines verbatim, and the two fractions
+    catch them even when every n-gram statistic looks clean; q74
+    covers the top-n-gram axis, this covers the line axis):
+
+        dup_line_frac = (n_lines - n_distinct_lines) / n_lines
+        dup_char_frac = chars in repeat occurrences / total chars
+
+    Scale shape: lines are hashed (md5) BEFORE the per-doc groupBy, so
+    the shuffle carries (doc_id, hash, len) triples — document text
+    never moves; both aggregations are map-side combinable."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).select(
+        id_col,
+        F.md5(F.col("__line")).alias("__h"),
+        F.length("__line").alias("__len"),
+    )
+    per_line = lines.groupBy(id_col, "__h").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("__len").alias("__len")
+    )
+    return per_line.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_lines"),
+        F.sum(F.col("__cnt") * F.col("__len")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.round(
+            (F.sum("__cnt") - F.count(F.lit(1)))
+            / F.sum("__cnt").cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("__cnt") - 1) * F.col("__len"))
+            / F.sum(F.col("__cnt") * F.col("__len")).cast("double"),
+            6,
+        ).alias("dup_char_frac"),
+    )
+
+
+_CODE_LINE_RE = (
+    r"(^\s{4})|(\t)|([;{}]\s*$)"
+    r"|(\b(def|function|return|import|var|const)\b)"
+)
+
+
+def code_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose routing (the corpus splitter that decides whether
+    a document goes to the code pipeline, the prose pipeline, or a
+    mixed bucket — StarCoder/The-Stack-style builds route FIRST
+    because every downstream statistic differs between the two): a
+    line 'looks like code' when it is 4-space/tab indented, ends in
+    ';'/'{'/'}', or carries a keyword from a small fixed set
+    (def/function/return/import/var/const on word boundaries).
+
+        code_frac > 0.5  → 'code'
+        code_frac > 0.1  → 'mixed'
+        else             → 'prose'
+
+    Adds n_lines / n_code_lines / code_frac / route. Zero shuffle,
+    zero Python — one RE2-safe regexp per line inside a higher-order
+    filter, so the oracle replays the rule verbatim."""
+    lines = F.split(F.col(text_col), "\n")
+    code = F.filter(lines, lambda line: line.rlike(_CODE_LINE_RE))
+    n_lines = F.size(lines)
+    n_code = F.size(code)
+    frac = F.round(n_code / n_lines.cast("double"), 6)
+    return df.select(
+        "*",
+        n_lines.alias("n_lines"),
+        n_code.alias("n_code_lines"),
+        frac.alias("code_frac"),
+        F.when(2 * n_code > n_lines, F.lit("code"))
+        .when(10 * n_code > n_lines, F.lit("mixed"))
+        .otherwise(F.lit("prose"))
+        .alias("route"),
+    )

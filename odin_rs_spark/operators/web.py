@@ -392,3 +392,51 @@ def robots_meta_flags(html, x_robots_tag=None):
     return F.struct(
         _has("noindex").alias("noindex"), _has("nofollow").alias("nofollow")
     )
+
+
+def blocklist_match(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    out_col: str = "block_category",
+) -> DataFrame:
+    """Categorized domain-blocklist filtering (the UT1/URLhaus-style
+    gate every responsible corpus runs: adult/malware/tracker domains
+    out before any content work) — an entry blocks a host AND every
+    subdomain of it, the MOST SPECIFIC (longest) matching entry names
+    the category. Unblocked rows carry NULL.
+
+    Scale shape: the registered_domain_psl recipe — each host explodes
+    into its ≤L label suffixes, one broadcast LEFT equi-join against
+    the blocklist dim (blocklists are ~10^6 rows, hosts ~10^7 distinct
+    — run on the distinct-host dim and broadcast the verdict back to
+    pages), one groupBy on an injected row id picks the longest match.
+    Payload columns ride THROUGH the groupBy (the one-lineage
+    monotonically_increasing_id rule; q183 bug class)."""
+    keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+    labels = F.split(F.col(host_col), r"\.")
+    L = F.size(labels)
+    cand = keyed.select(
+        *df.columns,
+        "__rid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), L),
+                lambda i: F.array_join(F.slice(labels, L - i + 1, i), "."),
+            )
+        ).alias("__sfx"),
+    )
+    dim = blocklist.select(
+        F.col("suffix").alias("__sfx"), F.col("category").alias("__cat")
+    )
+    j = cand.join(F.broadcast(dim), "__sfx", "left")
+    pick = F.max(
+        F.when(
+            F.col("__cat").isNotNull(),
+            F.struct(
+                F.length("__sfx").alias("n"), F.col("__cat").alias("c")
+            ),
+        )
+    )
+    out = j.groupBy("__rid", *df.columns).agg(pick.alias("__m"))
+    return out.select(*df.columns, F.col("__m.c").alias(out_col))

@@ -13320,6 +13320,336 @@ FROM t GROUP BY media_id, tile_x, tile_y
 """
 
 
+# --------------------------------------------------------------------------
+# q224 — categorized domain blocklist (operators/web.blocklist_match
+# — the UT1-style adult/malware/tracker gate a responsible corpus
+# runs BEFORE any content work; an entry blocks the domain and every
+# subdomain, most-specific entry wins). The fixture's list carries a
+# nested pair — 'site5.org' (tracking) and the more specific
+# 'ads.site5.org' (ads) — so longest-match precedence is on the
+# graded path, plus exact-domain entries and a majority of unblocked
+# hosts. Rollup by category (NULL → 'allowed'). Oracle: analytic
+# from the host formula.
+# --------------------------------------------------------------------------
+
+_Q224_SUBS = ("www", "ads", "cdn", "mail")
+_Q224_TLDS = ("com", "net", "org")
+_Q224_LIST = (
+    ("site3.com", "ads"),
+    ("site7.net", "adult"),
+    ("site9.com", "malware"),
+    ("site5.org", "tracking"),
+    ("ads.site5.org", "ads"),
+)
+
+
+def q224_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import blocklist_match
+
+    i = F.col("id")
+    host = F.concat(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _Q224_SUBS]), (i % 4 + 1).cast("int")
+        ),
+        F.lit(".site"), (i % 10).cast("string"), F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _Q224_TLDS]), (i % 3 + 1).cast("int")
+        ),
+    )
+    hosts = spark.range(120).select(host.alias("host"))
+    bl = spark.createDataFrame(list(_Q224_LIST), ["suffix", "category"])
+    out = blocklist_match(hosts, bl)
+    return out.groupBy(
+        F.coalesce(F.col("block_category"), F.lit("allowed")).alias(
+            "category"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.countDistinct("host").alias("n_distinct_hosts"),
+    )
+
+
+Q224_SQL = """
+WITH i AS (SELECT range AS i FROM range(120)),
+h AS (SELECT i,
+             (['www','ads','cdn','mail'])[i % 4 + 1] || '.site'
+               || (i % 10)::VARCHAR || '.'
+               || (['com','net','org'])[i % 3 + 1] AS host,
+             i % 4 AS sub, i % 10 AS st, i % 3 AS tld
+      FROM i),
+c AS (SELECT host,
+             CASE WHEN st = 5 AND tld = 2 AND sub = 1 THEN 'ads'
+                  WHEN st = 5 AND tld = 2 THEN 'tracking'
+                  WHEN st = 3 AND tld = 0 THEN 'ads'
+                  WHEN st = 7 AND tld = 1 THEN 'adult'
+                  WHEN st = 9 AND tld = 0 THEN 'malware'
+                  ELSE 'allowed' END AS category
+      FROM h)
+SELECT category, count(*)::BIGINT AS n_hosts,
+       count(DISTINCT host)::BIGINT AS n_distinct_hosts
+FROM c GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q225 — duplicate-line repetition signals (operators/text.
+# line_repetition_signals — Gopher Appendix A's dup-line and
+# dup-char fractions, the line-axis twin of q74's top-n-gram
+# statistics: boilerplate pages repeat nav/footer lines verbatim).
+# Fixture: formula docs whose line content key c=(d+j²)%5 collides
+# within a doc on a number-theoretic schedule and whose line LENGTH
+# varies with c (so the char fraction genuinely differs from the
+# line fraction). Oracle: analytic replay of the same construction.
+# --------------------------------------------------------------------------
+
+def q225_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import line_repetition_signals
+
+    d = F.col("id")
+    j = F.col("j")
+    c = (d + j * j) % 5
+    line = F.concat(
+        F.lit("segment "), c.cast("string"), F.lit(" "),
+        F.repeat(F.lit("pad"), c.cast("int")),
+    )
+    docs = (
+        spark.range(120)
+        .select("id", F.explode(F.sequence(F.lit(0), 4 + (d % 4))).alias("j"))
+        .select("id", line.alias("line"))
+        .groupBy("id")
+        .agg(F.array_join(F.collect_list("line"), "\n").alias("text"))
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    return line_repetition_signals(docs)
+
+
+Q225_SQL = """
+WITH d AS (SELECT range AS d FROM range(120)),
+j AS (SELECT d, j.range AS j FROM d, range(9) j WHERE j.range <= 4 + d % 4),
+l AS (SELECT d, (d + j * j) % 5 AS c,
+             length('segment ' || ((d + j * j) % 5)::VARCHAR || ' '
+                    || repeat('pad', ((d + j * j) % 5)::INT)) AS len
+      FROM j),
+g AS (SELECT d, c, count(*) AS cnt, min(len) AS len FROM l GROUP BY d, c),
+s AS (SELECT d, sum(cnt) AS n_lines, count(*) AS n_distinct,
+             sum(cnt * len) AS total_chars,
+             sum((cnt - 1) * len) AS dup_chars
+      FROM g GROUP BY d)
+SELECT d AS doc_id, n_lines::BIGINT AS n_lines,
+       n_distinct::BIGINT AS n_distinct_lines,
+       total_chars::BIGINT AS total_chars,
+       round((n_lines - n_distinct) / n_lines::DOUBLE, 6) AS dup_line_frac,
+       round(dup_chars / total_chars::DOUBLE, 6) AS dup_char_frac
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q226 — code-vs-prose routing (operators/text.code_line_stats — the
+# StarCoder/The-Stack-style first split of a mixed corpus: code and
+# prose need different dedup, quality and tokenizer treatment, so
+# the router runs before everything else; thresholds are integer
+# cross-multiplications, no float boundary). Fixture: formula docs
+# whose lines draw from four code shapes (4-space indent, ';' tail,
+# '}' tail, keyword) and three prose shapes on a modular schedule
+# with a per-doc code share, so all three routes appear. Oracle:
+# analytic — line kinds are deterministic by construction, so the
+# oracle derives the counts instead of re-running the regex.
+# --------------------------------------------------------------------------
+
+_Q226_CODE = (
+    "    indented = call(x)",
+    "let y = f(x);",
+    "}",
+    "import os",
+)
+_Q226_PROSE = (
+    "A plain prose sentence continues here",
+    "Words flow without any markers at all",
+    "The quick brown fox jumps over fences",
+)
+
+
+def q226_code_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import code_line_stats
+
+    d = F.col("id")
+    j = F.col("j")
+    k = (d * 2 + j) % 10
+    is_code = k < (d % 8)
+    line = F.when(
+        is_code,
+        F.element_at(
+            F.array(*[F.lit(s) for s in _Q226_CODE]), (k % 4 + 1).cast("int")
+        ),
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _Q226_PROSE]),
+            (k % 3 + 1).cast("int"),
+        )
+    )
+    docs = (
+        spark.range(100)
+        .select("id", F.explode(F.sequence(F.lit(0), 5 + (d % 5))).alias("j"))
+        .select("id", line.alias("line"))
+        .groupBy("id")
+        .agg(F.array_join(F.collect_list("line"), "\n").alias("text"))
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    stats = code_line_stats(docs)
+    return stats.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_code_lines").cast("bigint").alias("n_code_lines"),
+    )
+
+
+Q226_SQL = """
+WITH d AS (SELECT range AS d FROM range(100)),
+j AS (SELECT d, j.range AS j FROM d, range(10) j WHERE j.range <= 5 + d % 5),
+l AS (SELECT d, CASE WHEN (d * 2 + j) % 10 < d % 8 THEN 1 ELSE 0 END AS c
+      FROM j),
+s AS (SELECT d, count(*) AS n_lines, sum(c) AS n_code FROM l GROUP BY d),
+r AS (SELECT d, n_lines, n_code,
+             CASE WHEN 2 * n_code > n_lines THEN 'code'
+                  WHEN 10 * n_code > n_lines THEN 'mixed'
+                  ELSE 'prose' END AS route
+      FROM s)
+SELECT route, count(*)::BIGINT AS n_docs, sum(n_lines)::BIGINT AS n_lines,
+       sum(n_code)::BIGINT AS n_code_lines
+FROM r GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q227 — corpus-compliance flagship (the keep-decision ladder a
+# responsible corpus runs per page, chaining THREE of this wave's
+# verified operators in their real order: domain blocklist first
+# (cheapest, drops whole hosts before any content parse), then the
+# robots-meta/X-Robots-Tag indexing gate, then rel=canonical
+# collapse so the kept set is counted in page IDENTITIES, not URL
+# aliases). Canonical hrefs are ABSOLUTE to the group-base page's
+# host (alias groups span hosts here, the hard case). Rollup per
+# TLD: pages, blocked, noindex-among-unblocked, kept, distinct
+# canonical identities among kept. Oracle: every verdict derived
+# analytically from the i-formula — drift in ANY of the three
+# operators breaks its stage's counts.
+# --------------------------------------------------------------------------
+
+def q227_compliance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import (
+        blocklist_match,
+        canonical_url,
+        robots_meta_flags,
+    )
+
+    i = F.col("id")
+
+    def host_of(e):
+        return F.concat(
+            F.element_at(
+                F.array(*[F.lit(s) for s in _Q224_SUBS]),
+                (e % 4 + 1).cast("int"),
+            ),
+            F.lit(".site"), (e % 10).cast("string"), F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _Q224_TLDS]),
+                (e % 3 + 1).cast("int"),
+            ),
+        )
+
+    base = i - i % 4
+    url = F.concat(F.lit("https://"), host_of(i), F.lit("/p/"), i.cast("string"))
+    target = F.concat(
+        F.lit("https://"), host_of(base), F.lit("/p/"), base.cast("string")
+    )
+    v = i % 4
+    link = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="canonical" href="'), target, F.lit('">')
+        ))
+        .when(v == 1, F.concat(
+            F.lit('<link href="'), target, F.lit('" rel=canonical>')
+        ))
+        .when(v == 2, F.concat(
+            F.lit("<link rel='canonical' href='"), target, F.lit("'>")
+        ))
+        .otherwise(F.lit(""))
+    )
+    meta = F.when(
+        i % 5 == 2, F.lit('<meta name="robots" content="noindex">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), link, meta, F.lit("</head><body>p"),
+        i.cast("string"), F.lit("</body></html>"),
+    )
+    pages = spark.range(144).select(
+        host_of(i).alias("host"), url.alias("url"), html.alias("html"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _Q224_TLDS]), (i % 3 + 1).cast("int")
+        ).alias("tld"),
+    )
+    bl = spark.createDataFrame(list(_Q224_LIST), ["suffix", "category"])
+    staged = blocklist_match(pages, bl)
+    staged = staged.withColumn(
+        "blocked", F.col("block_category").isNotNull()
+    )
+    unblocked = staged.filter(~F.col("blocked"))
+    gated = unblocked.withColumn(
+        "noindex", robots_meta_flags("html")["noindex"]
+    )
+    kept = gated.filter(~F.col("noindex")).withColumn(
+        "canonical", canonical_url("html", "url")
+    )
+    per_tld = staged.groupBy("tld").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("blocked").cast("bigint")).alias("n_blocked"),
+    )
+    gated_tld = gated.groupBy("tld").agg(
+        F.sum(F.col("noindex").cast("bigint")).alias("n_noindex")
+    )
+    kept_tld = kept.groupBy("tld").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("canonical").alias("n_identities"),
+    )
+    # per-TLD aggregates are dim-sized — broadcast the join-backs
+    return per_tld.join(F.broadcast(gated_tld), "tld").join(
+        F.broadcast(kept_tld), "tld"
+    )
+
+
+Q227_SQL = """
+WITH i AS (SELECT range AS i FROM range(144)),
+f AS (SELECT i, i % 4 AS sub, i % 10 AS st, i % 3 AS tld,
+             i - i % 4 AS b, i % 5 = 2 AS noindex
+      FROM i),
+v AS (SELECT *,
+             (st = 5 AND tld = 2 AND sub = 1) OR (st = 5 AND tld = 2)
+             OR (st = 3 AND tld = 0) OR (st = 7 AND tld = 1)
+             OR (st = 9 AND tld = 0) AS blocked,
+             CASE WHEN i % 4 = 3 THEN  -- no link → own URL
+               'https://' || (['www','ads','cdn','mail'])[sub + 1]
+                 || '.site' || st::VARCHAR || '.'
+                 || (['com','net','org'])[tld + 1] || '/p/' || i::VARCHAR
+             ELSE
+               'https://' || (['www','ads','cdn','mail'])[b % 4 + 1]
+                 || '.site' || (b % 10)::VARCHAR || '.'
+                 || (['com','net','org'])[b % 3 + 1] || '/p/' || b::VARCHAR
+             END AS canonical
+      FROM f),
+p AS (SELECT (['com','net','org'])[tld + 1] AS tld_name, * FROM v)
+SELECT tld_name AS tld, count(*)::BIGINT AS n_pages,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+       sum(CASE WHEN NOT blocked AND noindex THEN 1 ELSE 0 END)::BIGINT
+         AS n_noindex,
+       sum(CASE WHEN NOT blocked AND NOT noindex THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       count(DISTINCT CASE WHEN NOT blocked AND NOT noindex
+                           THEN canonical END)::BIGINT AS n_identities
+FROM p GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -13343,20 +13673,28 @@ FROM t GROUP BY media_id, tile_x, tile_y
 #                (Identity-H + wide ToUnicode), q212 confidence-gated
 #                language routing, q213 HTTP redirect-chain
 #                resolution, q214 sitemap-index two-level discovery.
-#   slots 23-41: queries whose CODE/fixtures changed this round —
+#   slots 23-35: the r9 FOURTH-wave queries — q215 WHATWG MIME
+#                sniffing audit, q216 rel=canonical clustering, q217
+#                robots-meta/X-Robots-Tag gate, q218 C4 cleaning
+#                rules, q219 rendezvous-hash fleet sharding, q220
+#                lang-attribute vs trained-langid audit, q221 CCNet
+#                perplexity terciles, q222 incremental recrawl
+#                planner, q223 baseline TIFF decode, q224 domain
+#                blocklist, q225 dup-line repetition signals, q226
+#                code-vs-prose routing, q227 compliance flagship.
+#   slots 36-47: queries whose CODE/fixtures changed this round —
 #                q190 (exif scalar coercion); q162/q167/q169/q192
 #                (HTML comment strip + comment-bearing fixtures);
-#                q174/q175 (cc2 fixtures regenerated with a
-#                comment-bearing body; residual transfer codings);
-#                q153/q182/q183/q187/q193 (warc_records schema grew
-#                record_id/payload_digest/refers_to/decode_error);
-#                q179/q184/q154/q181 (pct_normalize over queries,
-#                url_resolve base-query preservation + new fixture
-#                shapes); q180/q188/q191 (pdfcodec parseable-offset
-#                indexing + font plumbing; officedoc module growth).
-#   slots 42-50: the stalest driver rows — q01 and q08-q15 (the r8
-#                comment's named just-past-the-cap block); q16-q23
-#                fall just past the cap this round.
+#                q174/q175 (cc2 fixtures + residual transfer
+#                codings); q153/q182/q183/q187 (warc_records schema
+#                grew record_id/payload_digest/refers_to/
+#                decode_error in wave 2 and sniffed_mime in wave 4);
+#                q193 (officedoc growth + warc schema).
+#   slots 48-50: the stalest driver rows — q01, q08, q09; q10-q23
+#                and the remaining wave-2 code-changed rows (q179/
+#                q184/q154/q181/q180/q188/q191) fall just past the
+#                cap, all locally green every round via
+#                test_catalog_oracle.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
 # tests/test_catalog_oracle.py.
@@ -13394,6 +13732,10 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q221_perplexity_buckets", q221_perplexity_buckets, Q221_SQL, "corpus ccnet-perplexity terciles"),
         QuerySpec("q222_recrawl_plan", q222_recrawl_plan, Q222_SQL, "web incremental-recrawl sitemap-cdx join"),
         QuerySpec("q223_tiff_decode", q223_tiff_decode, Q223_SQL, "R9 tiff-decode packbits strips"),
+        QuerySpec("q224_blocklist_filter", q224_blocklist_filter, Q224_SQL, "web domain-blocklist category-gate"),
+        QuerySpec("q225_line_repetition", q225_line_repetition, Q225_SQL, "text gopher-dup-line signals"),
+        QuerySpec("q226_code_routing", q226_code_routing, Q226_SQL, "text code-vs-prose corpus-router"),
+        QuerySpec("q227_compliance_pipeline", q227_compliance_pipeline, Q227_SQL, "flagship compliance blocklist-noindex-canonical"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
         QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
@@ -13406,6 +13748,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
         QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
         QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
         QuerySpec("q179_url_rfc3986", q179_url_rfc3986, Q179_SQL, "web url-rfc3986 dot-segments percent-encoding"),
         QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
@@ -13413,9 +13758,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
         QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
-        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
-        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
-        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
         QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
         QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
         QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),

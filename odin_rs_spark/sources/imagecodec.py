@@ -608,6 +608,11 @@ def _decode_tiff(buf: bytes) -> np.ndarray:
         if size is None:
             continue  # RATIONAL/ASCII metadata tags — not needed here
         total = size * count
+        # allocation bound: a tag's value block cannot exceed the file
+        # (a corrupt count of ~2^32 would otherwise build a multi-GB
+        # struct format string — the EXIF allocation-bound lesson)
+        if total > len(buf):
+            raise ValueError(f"TIFF tag {tag} count {count} runs past the file")
         if total <= 4:
             raw = buf[off + 8:off + 8 + total]
         else:
@@ -624,6 +629,9 @@ def _decode_tiff(buf: bytes) -> np.ndarray:
         return default
 
     w, h = one(256), one(257)
+    if w <= 0 or h <= 0 or w * h > len(buf) * 256:
+        # no supported layout packs a pixel into less than 1/256 byte
+        raise ValueError(f"TIFF dimensions {w}x{h} implausible for file size")
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)

@@ -114,8 +114,12 @@ def test_unsupported_rejected():
     # BMP magic now DISPATCHES to the BMP decoder (r7)
     with pytest.raises(ValueError, match="corrupt BMP|unsupported BMP"):
         decode_image(b"BM bmp-ish-garbage....................")
-    with pytest.raises(ValueError, match="unrecognized image format"):
+    # TIFF magic now DISPATCHES to the baseline TIFF decoder (r9),
+    # which rejects this truncated stream as corrupt
+    with pytest.raises(ValueError, match="corrupt TIFF|TIFF"):
         decode_image(b"II*\x00 tiff-is-not-an-image-here")
+    with pytest.raises(ValueError, match="unrecognized image format"):
+        decode_image(b"ICO? not-an-image-signature")
 
 
 def test_pnm_comment_and_roundtrip():

@@ -694,3 +694,55 @@ def test_r9_dims_broadcast_no_smj(spark, sf_dir):
         plan = _executed(q(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, q
         assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, q
+
+
+def test_wave4_text_ops_zero_python_in_plan(spark, sf_dir):
+    """c4_line_filter, code_line_stats, canonical_url and
+    robots_meta_flags are pure column expressions — no Python
+    evaluator in their query plans (q218/q226/q216/q217/q227 all ride
+    on them; at 100 TB a per-row Python hop here would dominate)."""
+    from odin_rs_spark.plans.catalog import (
+        q216_canonical_cluster,
+        q217_noindex_gate,
+        q218_c4_filters,
+        q226_code_routing,
+    )
+
+    for q in (q216_canonical_cluster, q217_noindex_gate, q218_c4_filters,
+              q226_code_routing):
+        plan = _executed(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_wave4_blocklist_broadcast_no_smj(spark, sf_dir):
+    """blocklist_match joins the blocklist dim by BROADCAST hash join
+    (blocklists are ~10^6 rows against ~10^7 distinct hosts — the
+    wrong plan here is a full shuffle of the host dim); the
+    compliance flagship chains it and must keep the same shape."""
+    from odin_rs_spark.plans.catalog import (
+        q224_blocklist_filter,
+        q227_compliance_pipeline,
+    )
+
+    for q in (q224_blocklist_filter, q227_compliance_pipeline):
+        plan = _executed(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, q
+
+
+def test_line_repetition_shuffles_hashes_not_text(spark):
+    """line_repetition_signals hashes lines BEFORE its groupBy — the
+    exchange carries (doc_id, md5, len) triples, never document text:
+    the projection below the first Exchange must already be the
+    3-column hashed form."""
+    from pyspark.sql import functions as F
+
+    from odin_rs_spark.operators.text import line_repetition_signals
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a\nb\na x"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _executed(line_repetition_signals(docs))
+    below_first_exchange = plan.split("Exchange")[-1]
+    assert "md5" in below_first_exchange.lower(), plan[:2000]

@@ -297,3 +297,64 @@ class TestTiffCodec:
         assert (
             decode_image(encode_tiff(img, big_endian=True)) == img
         ).all()
+
+
+class TestTiffFuzz:
+    """The parser-fuzz discipline every codec in this repo follows:
+    truncation at every boundary and byte mutations must raise
+    ValueError (never IndexError/struct.error/silent garbage), and
+    must do so fast (no EOF spins)."""
+
+    def test_truncation_ladder(self):
+        import pytest
+
+        from odin_rs_spark.sources.imagecodec import decode_tiff, encode_tiff
+        import numpy as np
+
+        img = (
+            (np.arange(12)[:, None] * 5 + np.arange(17)[None, :]) % 256
+        ).astype("uint8")
+        buf = encode_tiff(img, packbits=True, rows_per_strip=4)
+        full = decode_tiff(buf)
+        for cut in range(0, len(buf), 7):
+            try:
+                out = decode_tiff(buf[:cut])
+                # a prefix that still decodes must decode CORRECTLY
+                assert (out == full).all()
+            except ValueError:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                pytest.fail(f"cut={cut}: non-ValueError {type(exc)}")
+
+    def test_mutation_sweep(self):
+        import pytest
+
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import decode_tiff, encode_tiff
+
+        img = ((np.arange(10)[:, None] * 3 + np.arange(11)) % 256).astype(
+            "uint8"
+        )
+        buf = bytearray(encode_tiff(img))
+        for pos in range(0, min(len(buf), 120)):
+            mut = bytearray(buf)
+            mut[pos] ^= 0xFF
+            try:
+                decode_tiff(bytes(mut))
+            except ValueError:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                pytest.fail(f"pos={pos}: non-ValueError {type(exc)}")
+
+    def test_sniff_never_raises(self):
+        import hashlib
+
+        from odin_rs_spark.sources.warc import sniff_mime
+
+        # deterministic pseudo-random byte strings of varied length —
+        # sniffing untrusted bytes must never throw
+        for i in range(300):
+            b = hashlib.sha256(str(i).encode()).digest() * (i % 5 + 1)
+            out = sniff_mime(b[: i * 7 % 1600])
+            assert isinstance(out, str) and "/" in out

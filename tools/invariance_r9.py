@@ -9,7 +9,14 @@ QUERIES = ["q189_exif_audit"] + [
     "q197_revisit_resolve", "q198_coding_audit", "q199_langid_trained",
     "q200_pdf_provenance", "q201_contamination", "q202_markdown_extract",
     "q203_feed_scan", "q204_mixture_sample", "q205_jsonld_extract",
-    "q206_mixed_corpus5",
+    "q206_mixed_corpus5", "q207_politeness_schedule", "q208_anchor_text",
+    "q209_nfc_audit", "q210_excel_dates", "q211_pdf_cid_text",
+    "q212_langid_route", "q213_redirect_chains", "q214_sitemap_index",
+    "q215_mime_sniff", "q216_canonical_cluster", "q217_noindex_gate",
+    "q218_c4_filters", "q219_rendezvous_shard", "q220_lang_attr_audit",
+    "q221_perplexity_buckets", "q222_recrawl_plan", "q223_tiff_decode",
+    "q224_blocklist_filter", "q225_line_repetition", "q226_code_routing",
+    "q227_compliance_pipeline",
 ]
 
 SNIPPET = """
