@@ -368,10 +368,12 @@ def robots_meta_flags(html, x_robots_tag=None):
     (the documented REP token table).
 
     Returns a struct column `(noindex boolean, nofollow boolean)`.
-    Pure column math, zero UDF: the tag is located by its name=robots
-    attribute (attribute order free, quoting double/single/absent),
-    content extracted from the matched tag text; tokens match on
-    comma/space boundaries so `noindexing` never false-positives.
+    Pure column math, zero UDF: EVERY name=robots tag is located
+    (real pages carry several; directives union across them, again
+    most-restrictive — attribute order free, quoting double/single/
+    absent), content extracted from each matched tag's text; tokens
+    match on comma/space boundaries so `noindexing` never
+    false-positives.
     """
     html = F.col(html) if isinstance(html, str) else html
     if x_robots_tag is None:
@@ -380,12 +382,14 @@ def robots_meta_flags(html, x_robots_tag=None):
         header = F.coalesce(F.col(x_robots_tag), F.lit(""))
     else:
         header = F.coalesce(x_robots_tag, F.lit(""))
-    tag = F.regexp_extract(
-        html, "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>", 0
+    tags = F.regexp_extract_all(
+        html, F.lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>"), 0
     )
-    quoted = F.regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)", 1)
-    bare = F.regexp_extract(tag, "(?i)content\\s*=\\s*([^\\s\"'>]+)", 1)
-    content = F.when(quoted != "", quoted).otherwise(bare)
+    def _content(tag):
+        quoted = F.regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)", 1)
+        bare = F.regexp_extract(tag, "(?i)content\\s*=\\s*([^\\s\"'>]+)", 1)
+        return F.when(quoted != "", quoted).otherwise(bare)
+    content = F.array_join(F.transform(tags, _content), ",")
     merged = F.lower(F.concat_ws(",", content, header))
     def _has(token):
         return merged.rlike("(^|[ ,])(" + token + "|none)([ ,]|$)")

@@ -13650,6 +13650,525 @@ FROM p GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q228 — WARC request/response pairing (WARC-Concurrent-To, ISO
+# 28500 §5.7: full-capture archives store the REQUEST the crawler
+# sent next to the response it got; the pairing is how a crawl-ops
+# audit attributes fetch behavior — which User-Agent, which Accept
+# headers — to each captured page, and how compliance reviews prove
+# WHICH robots identity fetched what). Request records are not HTTP
+# responses, so their block (request line + headers) rides through
+# warc_records as body_text and the User-Agent parses as a pure
+# column regexp; the pair is an equi-join on concurrent_to =
+# record_id. Rollup per (user_agent, http_status). Oracle: analytic
+# from the fixture formula.
+# --------------------------------------------------------------------------
+
+def _q228_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.warc import encode_warc
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: pair-fixture\r\n"}
+            ]
+            for j in range(20):
+                i = fno * 20 + j
+                uri = f"https://pair.example.org/p/{i}"
+                rid = f"<urn:uuid:resp-{i:08d}>"
+                status = 200 + (i % 3) * 100
+                body = b"page %d" % i
+                hdrs = (
+                    "HTTP/1.1 %d X\r\nContent-Type: text/html\r\n"
+                    "Content-Length: %d\r\n\r\n" % (status, len(body))
+                )
+                recs.append({
+                    "warc_type": "response",
+                    "target_uri": uri,
+                    "record_id": rid,
+                    "content_type": "application/http; msgtype=response",
+                    "block": hdrs.encode() + body,
+                })
+                req = (
+                    "GET /p/%d HTTP/1.1\r\nHost: pair.example.org\r\n"
+                    "User-Agent: bot/%d.0\r\nAccept: text/html\r\n\r\n"
+                    % (i, i % 2)
+                )
+                recs.append({
+                    "warc_type": "request",
+                    "target_uri": uri,
+                    "concurrent_to": rid,
+                    "content_type": "application/http; msgtype=request",
+                    "block": req.encode(),
+                })
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(
+            F.lit("pair_"), F.col("id").cast("string"), F.lit(".warc.gz")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q228_request_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import warc_records
+
+    recs = warc_records(_q228_media(spark))
+    reqs = recs.filter(F.col("warc_type") == "request").select(
+        F.col("concurrent_to").alias("resp_id"),
+        F.regexp_extract(
+            F.col("body_text"), r"(?i)user-agent:\s*([^\r\n]+)", 1
+        ).alias("user_agent"),
+    )
+    resps = recs.filter(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("resp_id"),
+        "http_status",
+        "target_uri",
+    )
+    pairs = resps.join(reqs, "resp_id")
+    return pairs.groupBy("user_agent", "http_status").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("target_uri").alias("n_uris"),
+    )
+
+
+Q228_SQL = """
+WITH i AS (SELECT range AS i FROM range(40)),
+x AS (SELECT 'bot/' || (i % 2)::VARCHAR || '.0' AS user_agent,
+             (200 + (i % 3) * 100)::INT AS http_status
+      FROM i)
+SELECT user_agent, http_status, count(*)::BIGINT AS n_pairs,
+       count(*)::BIGINT AS n_uris
+FROM x GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q229 — encrypted-PDF detection (ISO 32000 §7.6: an /Encrypt entry
+# in the trailer means strings and content streams are RC4/AES-
+# enciphered under a document key — a pipeline that walks them
+# anyway extracts ciphertext garbage into the corpus; ~5-10% of real
+# crawl PDFs are encrypted). parse_pdf_text now REJECTS them with a
+# named error (the brotli/zstd pattern) and parse_pdf_info flags
+# them while still counting pages (the page TREE is not encrypted —
+# provenance stays scannable). Fixture cycles encrypted and plain
+# docs with varying page counts and Info titles; rollup by the flag.
+# Oracle: analytic.
+# --------------------------------------------------------------------------
+
+def _q229_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.pdfcodec import encode_pdf
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            pages = [
+                [f"line {mid} {p} {j}" for j in range(1 + (mid + p) % 2)]
+                for p in range(1 + mid % 3)
+            ]
+            out.append(
+                encode_pdf(
+                    pages,
+                    compress=mid % 2 == 0,
+                    info={"title": f"Doc {mid}"} if mid % 5 != 0 else None,
+                    encrypt_stub=mid % 4 == 0,
+                )
+            )
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(30).select(
+        F.concat(
+            F.lit("enc_"), F.col("id").cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q229_pdf_encryption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.pdfcodec import pdf_info
+
+    info = pdf_info(_q229_media(spark))
+    return info.groupBy("encrypted").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pages").cast("bigint").alias("n_pages"),
+        F.sum(F.col("title").isNotNull().cast("bigint")).alias("n_titled"),
+    )
+
+
+Q229_SQL = """
+WITH i AS (SELECT range AS i FROM range(30)),
+x AS (SELECT i % 4 = 0 AS encrypted, 1 + i % 3 AS n_pages,
+             CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END AS titled
+      FROM i)
+SELECT encrypted, count(*)::BIGINT AS n_docs,
+       sum(n_pages)::BIGINT AS n_pages, sum(titled)::BIGINT AS n_titled
+FROM x GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q230 — decode-quality audit (the post-charset-decode QA measure:
+# U+FFFD replacement characters mean the decoder guessed wrong or
+# the page lied about its encoding (q185's fallback path emits
+# them), and C0 control characters mean binary soup leaked through
+# a text column — both rates are standard corpus health metrics and
+# the flag threshold is an integer cross-multiplication, no float
+# boundary). Seeded deterministically over the documents table the
+# q75-PII way — synthetic docs contain neither, so both engines
+# inject the same damage with chr(). Rollup per source.
+# --------------------------------------------------------------------------
+
+def q230_decode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    damaged = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.repeat(
+                    F.chr(F.lit(0xFFFD)),
+                    (F.col("doc_id") % 4 + 1).cast("int"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.chr(F.lit(7)), F.chr(F.lit(1)))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_repl = F.length("text") - F.length(
+        F.replace(F.col("text"), F.chr(F.lit(0xFFFD)), F.lit(""))
+    )
+    n_ctrl = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), 0
+        )
+    )
+    audited = damaged.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+    )
+    flagged = (200 * (F.col("n_repl") + F.col("n_ctrl")) > F.col("n_chars"))
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_repl").cast("bigint").alias("n_replacement"),
+        F.sum("n_ctrl").cast("bigint").alias("n_control"),
+        F.sum(flagged.cast("bigint")).alias("n_flagged"),
+    )
+
+
+Q230_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 6 = 0
+                      THEN repeat(chr(65533), (doc_id % 4 + 1)::INT)
+                      ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN chr(7) || chr(1)
+                      ELSE '' END AS text
+  FROM documents),
+a AS (
+  SELECT source, length(text) AS n_chars,
+         length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+         length(text)
+           - length(regexp_replace(text,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_ctrl
+  FROM d)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_repl)::BIGINT AS n_replacement,
+       sum(n_ctrl)::BIGINT AS n_control,
+       sum(CASE WHEN 200 * (n_repl + n_ctrl) > n_chars THEN 1 ELSE 0
+           END)::BIGINT AS n_flagged
+FROM a GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q231 — tokenizer fertility by language (tokens-per-word grouped by
+# the PREDICTED language — the multilingual tokenizer-budget audit:
+# an ASCII-regex pre-tokenizer fragments accented scripts into
+# per-character symbols, so fertility differs sharply by language
+# and drives per-language token-budget planning; composing q199's
+# trained router with q112's token accounting makes the difference
+# measurable). Oracle: full scoring replay (read_csv of the same
+# committed model) + identical RE2 token counting.
+# --------------------------------------------------------------------------
+
+def q231_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.langid import (
+        langid_trigram,
+        load_langid_model,
+    )
+    from odin_rs_spark.functions.text import TOKEN_PATTERN
+
+    i = F.col("doc_id")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws])
+        for lang, ws in _Q199_WORDS.items()
+    }
+    words_arr = lang_arrays[_Q199_LANGS[0]]
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        words_arr = F.when(i % 6 == k, lang_arrays[lang]).otherwise(words_arr)
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), 9 + (i % 5).cast("int")),
+            lambda j: F.element_at(words_arr, ((i * 3 + j) % 12 + 1).cast("int")),
+        ),
+        " ",
+    )
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    pred = langid_trigram(docs, load_langid_model(spark), keys=["doc_id"])
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+        ).alias("n_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    )
+    joined = counted.join(pred, "doc_id")
+    return joined.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.avg(F.col("n_tokens") / F.col("n_words").cast("double")), 6
+        ).alias("fertility"),
+    )
+
+
+def _q231_sql() -> str:
+    from odin_rs_spark.functions.langid import LANGID_FIXTURE
+
+    def word_case(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN {k} THEN '{w}'" for k, w in enumerate(_Q199_WORDS[lang])
+        )
+        return f"CASE (doc_id * 3 + j) % 12 {arms} END"
+
+    lang_arms = " ".join(
+        f"WHEN {k} THEN {word_case(lang)}"
+        for k, lang in enumerate(_Q199_LANGS)
+    )
+    return rf"""
+WITH d AS (SELECT r.range AS doc_id FROM range(60) r),
+wj AS (SELECT doc_id, j.range AS j FROM d, range(15) j
+       WHERE j.range < 10 + doc_id % 5),
+tx AS (SELECT doc_id,
+              string_agg(CASE doc_id % 6 {lang_arms} END, ' ' ORDER BY j)
+                AS text
+       FROM wj GROUP BY doc_id),
+ct AS (SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]', 0))
+                AS n_tokens,
+              len(string_split(text, ' ')) AS n_words
+       FROM tx),
+nt AS (SELECT doc_id, ' ' || text || ' ' AS t FROM tx),
+tg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, length(t) - 2),
+                                    i -> substr(t, i, 3))) AS ngram
+       FROM nt),
+m AS (SELECT * FROM read_csv('{LANGID_FIXTURE}', header = true)),
+sc AS (SELECT tg.doc_id, m.lang, sum(m.score)::BIGINT AS score
+       FROM tg JOIN m ON tg.ngram = m.ngram GROUP BY tg.doc_id, m.lang),
+rk AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang DESC) AS rn
+       FROM sc),
+top AS (SELECT doc_id, lang AS pred_lang FROM rk WHERE rn = 1)
+SELECT pred_lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens, sum(n_words)::BIGINT AS n_words,
+       round(avg(n_tokens::DOUBLE / n_words), 6) AS fertility
+FROM ct JOIN top USING (doc_id) GROUP BY 1
+"""
+
+
+Q231_SQL = _q231_sql()
+
+
+# --------------------------------------------------------------------------
+# q232 — MinHash estimator-error audit (the MEASURED complement of
+# q165's analytic S-curve planner: before trusting a b×r banding
+# config at 100 TB, measure |sig-agreement/k − exact-Jaccard| on a
+# deterministic document sample — the standard knob-tuning step of a
+# dedup rollout, and the audit that catches a broken permutation
+# family, which the analytic planner never can). Doc-level
+# signatures come from the SAME mergeable portable-hash machinery as
+# q159 (source_signatures keyed by doc_id); exact Jaccard from the
+# distinct shingle-hash sets. The within-1/8 counter is a pure
+# INTEGER cross-multiplication (|agree·u − k·i|·8 ≤ k·u), no float
+# boundary. Scale shape: the audit runs on a hash sample (here
+# doc_id % 23) — pair volume is C(sample, 2), a chosen constant, and
+# the verdict transfers because the estimator is data-independent.
+# --------------------------------------------------------------------------
+
+_Q232_PERM = 32
+
+
+def q232_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.dedup import source_signatures
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    sig = source_signatures(
+        docs, num_perm=_Q232_PERM, source_col="doc_id"
+    ).select(F.col("source").alias("doc"), "pos", F.col("v"))
+    agree = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.pos") == F.col("y.pos"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(
+            F.sum((F.col("x.v") == F.col("y.v")).cast("bigint")).alias(
+                "agree"
+            )
+        )
+    )
+    from odin_rs_spark.functions.text import norm_text
+    from odin_rs_spark.operators.dedup import (
+        portable_hash60,
+        shingles_from_words,
+    )
+
+    hashes = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                shingles_from_words(F.split(norm_text(F.col("text")), " "))
+            ).alias("s"),
+        )
+        .select("doc", portable_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = hashes.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hashes.alias("x")
+        .join(
+            hashes.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = (
+        agree.join(
+            F.broadcast(sizes.select(F.col("doc").alias("a"), F.col("n").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("b"), F.col("n").alias("n_b"))),
+            "b",
+        )
+        .join(inter, ["a", "b"], "left")
+        .select(
+            "a", "b", "agree", "n_a", "n_b",
+            F.coalesce("n_inter", F.lit(0)).alias("i"),
+        )
+        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("i"))
+    )
+    k = F.lit(_Q232_PERM)
+    abs_err = F.abs(
+        F.col("agree") / k.cast("double") - F.col("i") / F.col("u").cast("double")
+    )
+    within = (
+        F.abs(F.col("agree") * F.col("u") - k * F.col("i")) * 8 <= k * F.col("u")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("agree").cast("bigint").alias("sum_agree"),
+        F.sum("i").cast("bigint").alias("sum_inter"),
+        F.round(F.avg(abs_err), 6).alias("mean_abs_err"),
+        F.sum(within.cast("bigint")).alias("n_within_eighth"),
+    )
+
+
+def _q232_sql() -> str:
+    from odin_rs_spark.operators.dedup import _perm_coeffs
+
+    coeffs = _perm_coeffs(_Q232_PERM)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return (
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 23 = 0),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+                               for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS s
+  FROM d),
+hs AS (SELECT DISTINCT doc_id, """
+        + _H60.format(x="s")
+        + f""" AS h FROM sh),
+perms AS (
+  SELECT p.range AS pos, {a_list}[p.range + 1] AS a,
+         {b_list}[p.range + 1] AS b
+  FROM range({_Q232_PERM}) p),
+sig AS (
+  SELECT doc_id, pos, min(((h % 4294967296) * a + b) % 2147483647) AS v
+  FROM hs, perms GROUP BY doc_id, pos),
+est AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM sig x JOIN sig y ON x.pos = y.pos AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_inter
+  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT e.a, e.b, e.agree, sa.n AS n_a, sb.n AS n_b,
+         coalesce(i.n_inter, 0)::BIGINT AS i,
+         sa.n + sb.n - coalesce(i.n_inter, 0) AS u
+  FROM est e
+  JOIN sizes sa ON e.a = sa.doc_id
+  JOIN sizes sb ON e.b = sb.doc_id
+  LEFT JOIN inter i ON e.a = i.a AND e.b = i.b)
+SELECT count(*)::BIGINT AS n_pairs, sum(agree)::BIGINT AS sum_agree,
+       sum(i)::BIGINT AS sum_inter,
+       round(avg(abs(agree / {float(_Q232_PERM)} - i / u::DOUBLE)), 6)
+         AS mean_abs_err,
+       sum(CASE WHEN abs(agree * u - {_Q232_PERM} * i) * 8
+                     <= {_Q232_PERM} * u THEN 1 ELSE 0 END)::BIGINT
+         AS n_within_eighth
+FROM pairs
+"""
+    )
+
+
+Q232_SQL = _q232_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -13682,18 +14201,21 @@ FROM p GROUP BY 1
 #                planner, q223 baseline TIFF decode, q224 domain
 #                blocklist, q225 dup-line repetition signals, q226
 #                code-vs-prose routing, q227 compliance flagship.
-#   slots 36-47: queries whose CODE/fixtures changed this round —
-#                q190 (exif scalar coercion); q162/q167/q169/q192
-#                (HTML comment strip + comment-bearing fixtures);
-#                q174/q175 (cc2 fixtures + residual transfer
-#                codings); q153/q182/q183/q187 (warc_records schema
-#                grew record_id/payload_digest/refers_to/
-#                decode_error in wave 2 and sniffed_mime in wave 4);
-#                q193 (officedoc growth + warc schema).
-#   slots 48-50: the stalest driver rows — q01, q08, q09; q10-q23
-#                and the remaining wave-2 code-changed rows (q179/
-#                q184/q154/q181/q180/q188/q191) fall just past the
-#                cap, all locally green every round via
+#   slots 36-40: the r9 FIFTH-wave queries — q228 WARC request/
+#                response pairing (Concurrent-To), q229 encrypted-PDF
+#                detection, q230 decode-QA replacement/control rates,
+#                q231 tokenizer fertility by language, q232 MinHash
+#                estimator measured error.
+#   slots 41-50: queries whose CODE changed MOST RECENTLY this round
+#                — q190 (exif scalar coercion); q174/q175/q153/q182/
+#                q183/q187/q193 (warc_records schema grew sniffed_
+#                mime in wave 4 and concurrent_to in wave 5, on top
+#                of the wave-2 revisit/digest columns); q180/q188
+#                (pdfcodec trailer refactor + /Encrypt rejection).
+#   Past the cap: the wave-1 HTML-comment family (q162/q167/q169/
+#                q192), the wave-2 URL family (q179/q184/q154/q181/
+#                q191) and the stalest rows (q01, q08, q09, …) — all
+#                locally re-verified every round via
 #                test_catalog_oracle.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
@@ -13736,11 +14258,12 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q225_line_repetition", q225_line_repetition, Q225_SQL, "text gopher-dup-line signals"),
         QuerySpec("q226_code_routing", q226_code_routing, Q226_SQL, "text code-vs-prose corpus-router"),
         QuerySpec("q227_compliance_pipeline", q227_compliance_pipeline, Q227_SQL, "flagship compliance blocklist-noindex-canonical"),
+        QuerySpec("q228_request_pairing", q228_request_pairing, Q228_SQL, "S-warc request-response concurrent-to"),
+        QuerySpec("q229_pdf_encryption_audit", q229_pdf_encryption_audit, Q229_SQL, "S-pdf encrypt-detection named-rejection"),
+        QuerySpec("q230_decode_quality", q230_decode_quality, Q230_SQL, "text decode-qa replacement-control rates"),
+        QuerySpec("q231_token_fertility", q231_token_fertility, Q231_SQL, "text tokenizer-fertility by-language"),
+        QuerySpec("q232_minhash_error", q232_minhash_error, Q232_SQL, "dedup minhash-estimator measured-error"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
-        QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
-        QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
-        QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
-        QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
         QuerySpec("q153_warc_scan", q153_warc_scan, Q153_SQL, "S-warc common-crawl scan"),
@@ -13748,16 +14271,20 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q183_wat_links", q183_wat_links, Q183_SQL, "S-warc wat-link-graph from_json"),
         QuerySpec("q187_cdx_index", q187_cdx_index, Q187_SQL, "web cdx-index surt-key latest-capture"),
         QuerySpec("q193_mixed_corpus", q193_mixed_corpus, Q193_SQL, "flagship mixed-modality corpus union"),
-        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
-        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
-        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
+        QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
+        QuerySpec("q162_html_extract", q162_html_extract, Q162_SQL, "text html-extract link-density"),
+        QuerySpec("q167_main_text", q167_main_text, Q167_SQL, "text main-text-extraction readability"),
+        QuerySpec("q169_crawl_pipeline", q169_crawl_pipeline, Q169_SQL, "flagship crawl-to-corpus composition"),
+        QuerySpec("q192_table_extract", q192_table_extract, Q192_SQL, "text html-table prose-separation"),
         QuerySpec("q179_url_rfc3986", q179_url_rfc3986, Q179_SQL, "web url-rfc3986 dot-segments percent-encoding"),
         QuerySpec("q184_link_resolve", q184_link_resolve, Q184_SQL, "web url-resolve rfc3986-52 outlinks"),
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
         QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
-        QuerySpec("q180_pdf_text", q180_pdf_text, Q180_SQL, "S-pdf text-extraction flate"),
-        QuerySpec("q188_pdf_objstm", q188_pdf_objstm, Q188_SQL, "S-pdf objstm modern-layout"),
         QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
         QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
         QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
         QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),

@@ -614,14 +614,11 @@ def _parse_pdf_info(buf: bytes) -> dict:
     out = {
         "title": None, "author": None, "subject": None,
         "producer": None, "creation_date": None, "n_pages": 0,
+        "encrypted": False,
     }
-    trailer = None
-    tpos = buf.rfind(b"trailer")
-    if tpos >= 0:
-        try:
-            trailer = _Tok(buf, tpos + 7).value()
-        except ValueError:
-            trailer = None
+    trailer = _trailer_of(buf)
+    if trailer is not None and trailer.get("/Encrypt") is not None:
+        out["encrypted"] = True
     if isinstance(trailer, dict) and trailer.get("/Info") is not None:
         info = _resolve(buf, index, trailer["/Info"], extra)
         if isinstance(info, dict):
@@ -670,21 +667,36 @@ def parse_pdf_text(buf: bytes) -> list[str]:
         raise ValueError(f"corrupt PDF file: {exc}") from exc
 
 
+def _trailer_of(buf: bytes):
+    """The last trailer dictionary, or None when absent/unparsable."""
+    tpos = buf.rfind(b"trailer")
+    if tpos < 0:
+        return None
+    try:
+        t = _Tok(buf, tpos + 7).value()
+    except ValueError:
+        return None
+    return t if isinstance(t, dict) else None
+
+
 def _parse_pdf_text(buf: bytes) -> list[str]:
     if not buf.startswith(b"%PDF-"):
         raise ValueError("not a PDF file (no %PDF header)")
+    trailer = _trailer_of(buf)
+    if trailer is not None and trailer.get("/Encrypt") is not None:
+        # §7.6: strings and streams are RC4/AES-enciphered under a
+        # document key — not decodable without it. Named rejection so
+        # on_error='skip'/'tag' pipelines can account for the loss
+        # (the brotli/zstd pattern).
+        raise ValueError(
+            "encrypted PDF (/Encrypt in trailer): content streams are "
+            "key-protected — extraction rejected, not garbled"
+        )
     index = _index_objects(buf)
     extra = _expand_objstms(buf, index)
 
     # trailer → /Root; fall back to scanning for the /Catalog object
-    root = None
-    tpos = buf.rfind(b"trailer")
-    if tpos >= 0:
-        t = _Tok(buf, tpos + 7)
-        try:
-            root = t.value().get("/Root")
-        except ValueError:
-            root = None
+    root = trailer.get("/Root") if trailer else None
     if root is None:
         for num in list(index) + list(extra):
             _, v = _get_obj(buf, index, num, extra)
@@ -854,6 +866,7 @@ def encode_pdf(
     use_objstm: bool = False,
     font_spec: dict | None = None,
     info: dict | None = None,
+    encrypt_stub: bool = False,
 ) -> bytes:
     """Fixture twin of `parse_pdf_text`: a minimal but structurally
     REAL PDF — header, catalog, page tree, one content stream per
@@ -1037,6 +1050,7 @@ def encode_pdf(
     out += (
         f"trailer\n<< /Size {size} /Root 1 0 R"
         + (f" /Info {info_num} 0 R" if info_num is not None else "")
+        + (" /Encrypt 1 0 R" if encrypt_stub else "")
         + " >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
@@ -1092,7 +1106,8 @@ def pdf_pages(files_df, on_error: str = "raise"):
 
 PDF_INFO_SCHEMA = (
     "file string, title string, author string, subject string, "
-    "producer string, creation_date string, n_pages int"
+    "producer string, creation_date string, n_pages int, "
+    "encrypted boolean"
 )
 
 
@@ -1113,6 +1128,7 @@ def pdf_info(files_df, on_error: str = "raise"):
             rows = {
                 "file": [], "title": [], "author": [], "subject": [],
                 "producer": [], "creation_date": [], "n_pages": [],
+                "encrypted": [],
             }
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
@@ -1126,6 +1142,7 @@ def pdf_info(files_df, on_error: str = "raise"):
                           "creation_date"):
                     rows[k].append(i[k])
                 rows["n_pages"].append(i["n_pages"])
+                rows["encrypted"].append(i["encrypted"])
             yield pd.DataFrame(rows)
 
     from odin_rs_spark.deploy import ensure_shipped

@@ -79,6 +79,10 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
             hdrs.append(b"WARC-Refers-To: " + r["refers_to"].encode())
         if r.get("profile"):  # revisit records carry WARC-Profile
             hdrs.append(b"WARC-Profile: " + r["profile"].encode())
+        if r.get("concurrent_to"):  # request records name their response
+            hdrs.append(
+                b"WARC-Concurrent-To: " + r["concurrent_to"].encode()
+            )
         if r.get("content_type"):
             hdrs.append(b"Content-Type: " + r["content_type"].encode())
         hdrs.append(b"Content-Length: " + str(len(block)).encode())
@@ -424,7 +428,8 @@ def sniff_mime(body: bytes) -> str:
 WARC_SCHEMA = (
     "file string, rec_no int, warc_type string, target_uri string, "
     "warc_date string, record_id string, payload_digest string, "
-    "refers_to string, http_status int, mime string, location string, "
+    "refers_to string, concurrent_to string, http_status int, mime string, "
+    "location string, "
     "http_encoding string, charset string, body_len long, "
     "body_text string, decode_error string, sniffed_mime string"
 )
@@ -456,7 +461,7 @@ def warc_records(files_df, on_error: str = "raise"):
             rows = {
                 "file": [], "rec_no": [], "warc_type": [], "target_uri": [],
                 "warc_date": [], "record_id": [], "payload_digest": [],
-                "refers_to": [], "http_status": [], "mime": [],
+                "refers_to": [], "concurrent_to": [], "http_status": [], "mime": [],
                 "location": [], "http_encoding": [], "charset": [],
                 "body_len": [], "body_text": [], "decode_error": [],
                 "sniffed_mime": [],
@@ -472,6 +477,7 @@ def warc_records(files_df, on_error: str = "raise"):
                 rows["record_id"].append(h.get("warc-record-id"))
                 rows["payload_digest"].append(h.get("warc-payload-digest"))
                 rows["refers_to"].append(h.get("warc-refers-to"))
+                rows["concurrent_to"].append(h.get("warc-concurrent-to"))
                 rows["http_status"].append(status)
                 rows["mime"].append(mime)
                 rows["location"].append(location)

@@ -358,3 +358,50 @@ class TestTiffFuzz:
             b = hashlib.sha256(str(i).encode()).digest() * (i % 5 + 1)
             out = sniff_mime(b[: i * 7 % 1600])
             assert isinstance(out, str) and "/" in out
+
+
+class TestRobotsMetaMultipleTags:
+    def test_directives_union_across_tags(self, spark):
+        from odin_rs_spark.operators.web import robots_meta_flags
+
+        html = (
+            '<meta name="robots" content="noindex">'
+            "<meta name=viewport content=x>"
+            "<meta name='robots' content='nofollow'>"
+        )
+        df = spark.range(1).select(F.lit(html).alias("html"))
+        r = df.select(robots_meta_flags("html").alias("f")).head().f
+        assert (r.noindex, r.nofollow) == (True, True)
+
+
+class TestWave5:
+    def test_encrypted_pdf_named_rejection(self):
+        import pytest
+
+        from odin_rs_spark.sources.pdfcodec import (
+            encode_pdf,
+            parse_pdf_info,
+            parse_pdf_text,
+        )
+
+        buf = encode_pdf([["hello there"]], encrypt_stub=True)
+        with pytest.raises(ValueError, match="encrypted PDF"):
+            parse_pdf_text(buf)
+        info = parse_pdf_info(buf)
+        # provenance stays scannable: the page TREE is not encrypted
+        assert info["encrypted"] is True and info["n_pages"] == 1
+        plain = encode_pdf([["hello there"]])
+        assert parse_pdf_info(plain)["encrypted"] is False
+        assert parse_pdf_text(plain) == ["hello there"]
+
+    def test_concurrent_to_roundtrip(self):
+        from odin_rs_spark.sources.warc import encode_warc, parse_warc
+
+        recs = [{
+            "warc_type": "request",
+            "target_uri": "https://a/",
+            "concurrent_to": "<urn:uuid:resp-1>",
+            "block": b"GET / HTTP/1.1\r\nUser-Agent: bot\r\n\r\n",
+        }]
+        r = parse_warc(encode_warc(recs))[0]
+        assert r["headers"]["warc-concurrent-to"] == "<urn:uuid:resp-1>"

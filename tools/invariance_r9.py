@@ -16,7 +16,9 @@ QUERIES = ["q189_exif_audit"] + [
     "q218_c4_filters", "q219_rendezvous_shard", "q220_lang_attr_audit",
     "q221_perplexity_buckets", "q222_recrawl_plan", "q223_tiff_decode",
     "q224_blocklist_filter", "q225_line_repetition", "q226_code_routing",
-    "q227_compliance_pipeline",
+    "q227_compliance_pipeline", "q228_request_pairing",
+    "q229_pdf_encryption_audit", "q230_decode_quality",
+    "q231_token_fertility", "q232_minhash_error",
 ]
 
 SNIPPET = """
