@@ -1486,7 +1486,7 @@ def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     def _keep(line):
         t = F.trim(line)
-        n_words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        n_words = F.size(F.filter(F.split(t, "\\s+"), lambda w: w != ""))
         return (
             t.rlike('[.!?"]$')
             & (n_words >= 5)

@@ -382,8 +382,9 @@ def robots_meta_flags(html, x_robots_tag=None):
         header = F.coalesce(F.col(x_robots_tag), F.lit(""))
     else:
         header = F.coalesce(x_robots_tag, F.lit(""))
+    # \b after 'robots' keeps an unquoted name=robotsxyz from matching
     tags = F.regexp_extract_all(
-        html, F.lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>"), 0
+        html, F.lit("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots\\b[\"']?[^>]*>"), 0
     )
     def _content(tag):
         quoted = F.regexp_extract(tag, "(?i)content\\s*=\\s*[\"']([^\"']*)", 1)
@@ -444,3 +445,52 @@ def blocklist_match(
     )
     out = j.groupBy("__rid", *df.columns).agg(pick.alias("__m"))
     return out.select(*df.columns, F.col("__m.c").alias(out_col))
+
+
+def frontier_url_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-shape signals a crawl frontier prioritizes by BEFORE
+    fetching anything (the cheapest spam/trap defenses a scheduler
+    has: calendar pages generate infinite date paths, session-id
+    params make one page look like a million, deep digit-heavy paths
+    are auto-generated listings):
+
+      depth           path segments
+      n_params        query parameters
+      f_deep          depth > 8
+      f_date_path     a /2012/05(/...)-style calendar segment pair
+      f_session       sid/sessionid/phpsessid/jsessionid query param
+      f_digit_heavy   2*digits > letters within the path
+      trap_score      sum of the four flags
+
+    Pure column math, zero UDF; every pattern RE2-safe. Thresholds
+    are integers — no float boundary anywhere."""
+    url = F.col(url_col)
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    n_params = F.size(F.filter(F.split(query, "&"), lambda s: s != ""))
+    n_digit = F.length(path) - F.length(
+        F.regexp_replace(path, "[0-9]", "")
+    )
+    n_alpha = F.length(path) - F.length(
+        F.regexp_replace(path, "[A-Za-z]", "")
+    )
+    f_deep = (depth > 8).cast("int")
+    f_date = path.rlike(r"/20[0-9][0-9]/[0-9]{1,2}(/|$)").cast("int")
+    f_session = F.lower(query).rlike(
+        r"(^|&)(sid|sessionid|phpsessid|jsessionid)="
+    ).cast("int")
+    f_digit = (2 * n_digit > n_alpha).cast("int")
+    score = f_deep + f_date + f_session + f_digit
+    return df.select(
+        "*",
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        f_deep.alias("f_deep"),
+        f_date.alias("f_date_path"),
+        f_session.alias("f_session"),
+        f_digit.alias("f_digit_heavy"),
+        score.alias("trap_score"),
+    )

@@ -14169,6 +14169,242 @@ FROM pairs
 Q232_SQL = _q232_sql()
 
 
+# --------------------------------------------------------------------------
+# q233 — hreflang translation clusters (rel="alternate" hreflang=…,
+# the sitemaps.org/search-engine convention by which a site DECLARES
+# its page translations — the free signal multilingual corpus
+# builders mine for document-aligned parallel text before any
+# embedding-based bitext mining): every page of a translation group
+# lists all its language variants plus an x-default; clustering by
+# the x-default href groups the variants, and the per-cluster
+# language inventory is the parallel-corpus candidate list. Pure
+# column math: regexp_extract_all over the alternate link tags →
+# per-tag hreflang/href extraction → explode → cluster rollup.
+# Fixture: formula sites with 2-5 language variants per group and
+# reciprocal declarations (every variant page lists the full set).
+# Oracle: analytic from the group formula.
+# --------------------------------------------------------------------------
+
+_Q233_LANGS = ("en", "es", "de", "fr", "pt")
+
+
+def q233_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = F.col("g")
+    v = F.col("v")
+    n_langs = 2 + (g % 4)
+    langs = F.slice(
+        F.array(*[F.lit(s) for s in _Q233_LANGS]), 1, n_langs.cast("int")
+    )
+    site = F.concat(F.lit("https://s"), (g % 6).cast("string"), F.lit(".example.org"))
+
+    def variant_url(lang):
+        return F.concat(
+            site, F.lit("/"), lang, F.lit("/page"), g.cast("string")
+        )
+
+    alt_tags = F.concat(
+        F.array_join(
+            F.transform(
+                langs,
+                lambda lang: F.concat(
+                    F.lit('<link rel="alternate" hreflang="'), lang,
+                    F.lit('" href="'), variant_url(lang), F.lit('">'),
+                ),
+            ),
+            "",
+        ),
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        variant_url(F.element_at(langs, 1)), F.lit('">'),
+    )
+    pages = (
+        spark.range(30)
+        .select(F.col("id").alias("g"), F.explode(F.sequence(F.lit(0), 1 + (F.col("id") % 4))).alias("v"))
+        .select(
+            variant_url(F.element_at(langs, (v + 1).cast("int"))).alias("page"),
+            F.concat(
+                F.lit("<html><head>"), alt_tags,
+                F.lit("</head><body>p</body></html>"),
+            ).alias("html"),
+        )
+    )
+    tags = pages.select(
+        "page",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit("(?i)<link[^>]*rel\\s*=\\s*[\"']?alternate[^>]*>"),
+                0,
+            )
+        ).alias("tag"),
+    ).select(
+        "page",
+        F.regexp_extract(
+            F.col("tag"), "(?i)hreflang\\s*=\\s*[\"']?([A-Za-z-]+)", 1
+        ).alias("hreflang"),
+        F.regexp_extract(
+            F.col("tag"), "(?i)href\\s*=\\s*[\"']?([^\"'\\s>]+)", 1
+        ).alias("href"),
+    )
+    cluster = tags.filter(F.col("hreflang") == "x-default").select(
+        "page", F.col("href").alias("cluster")
+    )
+    alts = tags.filter(F.col("hreflang") != "x-default")
+    joined = alts.join(cluster, "page")
+    return joined.groupBy("cluster").agg(
+        F.countDistinct("page").alias("n_pages"),
+        F.countDistinct("hreflang").alias("n_langs"),
+        F.array_join(F.array_sort(F.collect_set("hreflang")), ",").alias(
+            "langs"
+        ),
+    )
+
+
+Q233_SQL = """
+WITH g AS (SELECT range AS g, 2 + (range % 4) AS nl FROM range(30)),
+c AS (SELECT g, nl,
+             'https://s' || (g % 6)::VARCHAR || '.example.org/en/page'
+               || g::VARCHAR AS cluster
+      FROM g)
+SELECT cluster, (nl)::BIGINT AS n_pages, (nl)::BIGINT AS n_langs,
+       array_to_string(list_sort(list_slice(
+         ['en','es','de','fr','pt'], 1, nl::INT)), ',') AS langs
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q234 — crawl-trap / URL-spam signals (operators/web.
+# frontier_url_signals — the cheapest scheduler defenses: calendar
+# pages mint infinite /2024/05/... paths, session-id params make one
+# page look like a million, deep digit-heavy paths are generated
+# listings; a frontier scores URL SHAPE before spending a fetch).
+# Fixture cycles six URL shapes — clean shallow, deep path, calendar
+# path, session param, digit-heavy listing, and a clean-but-
+# parameterized search page. Rollup by trap_score with per-flag
+# sums. Oracle: analytic — every flag is decidable from the shape
+# index, so the oracle derives instead of re-running the regexes.
+# --------------------------------------------------------------------------
+
+def q234_frontier_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import frontier_url_signals
+
+    i = F.col("id")
+    v = i % 6
+    host = F.concat(F.lit("https://h"), (i % 7).cast("string"), F.lit(".example.org"))
+    url = (
+        F.when(v == 0, F.concat(host, F.lit("/articles/story-"), i.cast("string")))
+        .when(v == 1, F.concat(
+            host, F.lit("/a/b/c/d/e/f/g/h/i/j/page"), i.cast("string")
+        ))
+        .when(v == 2, F.concat(
+            host, F.lit("/weblog-archive/2024/"), (1 + i % 12).cast("string"),
+            F.lit("/post-title-x"),
+        ))
+        .when(v == 3, F.concat(
+            host, F.lit("/shop/item?phpsessid=abc"), i.cast("string"),
+            F.lit("&c=2"),
+        ))
+        .when(v == 4, F.concat(
+            host, F.lit("/p/"), (i * 733).cast("string"), F.lit("/"),
+            (i * 37).cast("string"),
+        ))
+        .otherwise(F.concat(
+            host, F.lit("/search?q=term"), i.cast("string"), F.lit("&page=2")
+        ))
+    )
+    urls = spark.range(120).select(url.alias("url"))
+    sig = frontier_url_signals(urls)
+    return sig.groupBy("trap_score").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("f_deep").cast("bigint").alias("n_deep"),
+        F.sum("f_date_path").cast("bigint").alias("n_date"),
+        F.sum("f_session").cast("bigint").alias("n_session"),
+        F.sum("f_digit_heavy").cast("bigint").alias("n_digit"),
+        F.sum("n_params").cast("bigint").alias("n_params"),
+    )
+
+
+Q234_SQL = """
+WITH i AS (SELECT range AS i, range % 6 AS v FROM range(120)),
+f AS (SELECT i, v,
+             CASE WHEN v = 1 THEN 1 ELSE 0 END AS f_deep,
+             CASE WHEN v = 2 THEN 1 ELSE 0 END AS f_date,
+             CASE WHEN v = 3 THEN 1 ELSE 0 END AS f_session,
+             CASE WHEN v = 4 THEN 1 ELSE 0 END AS f_digit,
+             CASE WHEN v = 3 OR v = 5 THEN 2 ELSE 0 END AS n_params
+      FROM i)
+SELECT (f_deep + f_date + f_session + f_digit)::INT AS trap_score,
+       count(*)::BIGINT AS n_urls, sum(f_deep)::BIGINT AS n_deep,
+       sum(f_date)::BIGINT AS n_date, sum(f_session)::BIGINT AS n_session,
+       sum(f_digit)::BIGINT AS n_digit, sum(n_params)::BIGINT AS n_params
+FROM f GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q235 — per-domain corpus report card (the mixture-planning input:
+# per REGISTRABLE domain — PSL on-path, so co.uk/github.io hosts
+# group correctly — document counts, token mass, and the Gopher
+# pass rate; CCNet/RefinedWeb-style builds decide per-domain
+# sampling rates from exactly this rollup). Composes q178's PSL
+# machinery with q168's verified quality rules; the oracle EMBEDS
+# Q168_SQL as a CTE (the q206 string-surgery pattern) so the two
+# replays cannot drift, and derives domains analytically from the
+# host formula. Scale shape: PSL join on the distinct-host dim,
+# quality flags zero-shuffle, one rollup by domain.
+# --------------------------------------------------------------------------
+
+def q235_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.web import load_psl, registered_domain_psl
+    from odin_rs_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 9).cast("string")
+    v = F.col("doc_id") % 3
+    host = (
+        F.when(v == 0, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .when(v == 1, F.concat(F.lit("blog.site"), k, F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("site"), k, F.lit(".com")))
+    )
+    flagged = gopher_quality_flags(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "gopher_pass"
+    )
+    hosts = docs.select("doc_id", host.alias("host"))
+    dom = registered_domain_psl(hosts, load_psl(spark))
+    joined = dom.join(flagged, "doc_id")
+    return joined.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("gopher_pass").cast("bigint").alias("n_gopher_pass"),
+    )
+
+
+def _q235_sql() -> str:
+    return f"""
+WITH g AS ({Q168_SQL}),
+h AS (SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'www.site' || (doc_id % 9)::VARCHAR || '.co.uk'
+               WHEN 1 THEN 'blog.site' || (doc_id % 9)::VARCHAR
+                           || '.github.io'
+               ELSE 'site' || (doc_id % 9)::VARCHAR || '.com' END AS host,
+             CASE doc_id % 3
+               WHEN 0 THEN 'site' || (doc_id % 9)::VARCHAR || '.co.uk'
+               WHEN 1 THEN 'site' || (doc_id % 9)::VARCHAR || '.github.io'
+               ELSE 'site' || (doc_id % 9)::VARCHAR || '.com' END AS domain
+      FROM documents)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(n_words)::BIGINT AS n_words,
+       sum(gopher_pass)::BIGINT AS n_gopher_pass
+FROM h JOIN g USING (doc_id) GROUP BY 1
+"""
+
+
+Q235_SQL = _q235_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -14263,6 +14499,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q230_decode_quality", q230_decode_quality, Q230_SQL, "text decode-qa replacement-control rates"),
         QuerySpec("q231_token_fertility", q231_token_fertility, Q231_SQL, "text tokenizer-fertility by-language"),
         QuerySpec("q232_minhash_error", q232_minhash_error, Q232_SQL, "dedup minhash-estimator measured-error"),
+        QuerySpec("q233_hreflang_clusters", q233_hreflang_clusters, Q233_SQL, "web hreflang translation-clusters"),
+        QuerySpec("q234_frontier_signals", q234_frontier_signals, Q234_SQL, "web crawl-trap url-shape signals"),
+        QuerySpec("q235_domain_report", q235_domain_report, Q235_SQL, "flagship per-domain report-card psl-gopher"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

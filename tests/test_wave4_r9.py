@@ -405,3 +405,33 @@ class TestWave5:
         }]
         r = parse_warc(encode_warc(recs))[0]
         assert r["headers"]["warc-concurrent-to"] == "<urn:uuid:resp-1>"
+
+
+class TestWaveHardening:
+    def test_robots_name_boundary(self, spark):
+        from odin_rs_spark.operators.web import robots_meta_flags
+
+        # an unquoted name=robotsxyz meta must NOT be treated as a
+        # robots tag even though 'robots' is its prefix
+        html = "<meta name=robotsxyz content=noindex>"
+        df = spark.range(1).select(F.lit(html).alias("html"))
+        r = df.select(robots_meta_flags("html").alias("f")).head().f
+        assert (r.noindex, r.nofollow) == (False, False)
+
+    def test_c4_tab_separated_words_count(self, spark):
+        from odin_rs_spark.operators.text import c4_line_filter
+
+        df = spark.range(1).select(
+            F.lit("one\ttwo\tthree\tfour\tfive words here.").alias("text")
+        )
+        r = c4_line_filter(df).head()
+        assert r.n_kept_lines == 1  # 7 words when tabs split
+
+    def test_frontier_uppercase_scheme(self, spark):
+        from odin_rs_spark.operators.web import frontier_url_signals
+
+        df = spark.range(1).select(
+            F.lit("HTTPS://h.example.org/a/b/c").alias("url")
+        )
+        r = frontier_url_signals(df).head()
+        assert r.depth == 3

@@ -19,6 +19,8 @@ QUERIES = ["q189_exif_audit"] + [
     "q227_compliance_pipeline", "q228_request_pairing",
     "q229_pdf_encryption_audit", "q230_decode_quality",
     "q231_token_fertility", "q232_minhash_error",
+    "q233_hreflang_clusters", "q234_frontier_signals",
+    "q235_domain_report",
 ]
 
 SNIPPET = """
