@@ -14957,6 +14957,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q236_license_detect", q236_license_detect, Q236_SQL, "code spdx-license governance-routing"),
         QuerySpec("q237_secret_scan", q237_secret_scan, Q237_SQL, "code secret-scan entropy-gate"),
         QuerySpec("q238_zorder_layout", q238_zorder_layout, Q238_SQL, "layout zorder file-skipping audit"),
+        QuerySpec("q239_eml_scan", q239_eml_scan, Q239_SQL, "S-eml mime rfc5322 mail-archive"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
