@@ -1600,3 +1600,57 @@ def code_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("prose"))
         .alias("route"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wikitext → plain text (the encyclopedia corpus modality: Wikipedia
+# dumps ship wikitext, and every LM corpus since GPT-2 extracts it).
+# Grammar per mediawiki.org/wiki/Help:Formatting — templates, tables,
+# refs, file/piped/bare/external links, quote runs, heading markers.
+# ---------------------------------------------------------------------------
+
+# (pattern, Java replacement) pairs, applied IN ORDER; all patterns are
+# RE2-safe (no backreferences/lookaround) so the oracle replays them in
+# DuckDB with \1-style replacements. Templates are stripped innermost-
+# first: each pass removes {{...}} spans with no inner braces, so
+# WIKITEXT_TEMPLATE_PASSES passes handle that nesting depth (deeper
+# nests degrade gracefully: the unresolved outer braces survive as
+# visible text rather than eating the document).
+WIKITEXT_PASSES: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", ""),                                # HTML comments
+    (r"(?is)<ref[^>]*/>|<ref[^>]*>.*?</ref>", ""),          # footnote refs
+    (r"(?s)\{\|.*?\|\}", ""),                               # tables
+    ("__TEMPLATES__", ""),                                  # expanded below
+    (r"(?s)\[\[(?:File|Image):[^\[\]]*\]\]", ""),           # media links
+    (r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", "$1"),               # piped links
+    (r"\[\[([^\[\]|]*)\]\]", "$1"),                         # bare links
+    (r"\[https?://[^ \]]+ ([^\]]*)\]", "$1"),               # ext labeled
+    (r"\[https?://[^ \]]+\]", ""),                          # ext bare
+    # quote runs, spelled \x27 so the oracle's SQL literal carries no
+    # quote characters (5 first: bold-italic before bold before italic)
+    (r"\x27{5}|\x27{3}|\x27{2}", ""),
+    (r"(?m)^[ \t]*={2,}[ \t]*", ""),                        # heading open
+    (r"(?m)[ \t]*={2,}[ \t]*$", ""),                        # heading close
+    (r"\n{3,}", "\n\n"),                                    # blank collapse
+)
+
+WIKITEXT_TEMPLATE_RE = r"(?s)\{\{[^{}]*\}\}"
+WIKITEXT_TEMPLATE_PASSES = 3
+
+
+def wikitext_to_text(c: Column | str) -> Column:
+    """Strip wikitext markup to plain text — comments, <ref> footnotes,
+    {| tables |}, {{templates}} (innermost-first, bounded nesting),
+    [[File:…]] media, piped/bare/external links (labels kept), quote
+    runs, and == heading == markers — then collapse blank runs and
+    trim. Zero UDF: a fixed chain of JVM regexp passes, replayed
+    verbatim by the oracle (group references are written $1 here and
+    \\1 in the RE2 oracle — same semantics, different spelling)."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pat, rep in WIKITEXT_PASSES:
+        if pat == "__TEMPLATES__":
+            for _ in range(WIKITEXT_TEMPLATE_PASSES):
+                out = F.regexp_replace(out, WIKITEXT_TEMPLATE_RE, "")
+        else:
+            out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

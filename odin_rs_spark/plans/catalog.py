@@ -14857,6 +14857,103 @@ FROM rows_
 """
 
 
+# --------------------------------------------------------------------------
+# q240 — wikitext → plain text (operators/text.wikitext_to_text: the
+# Wikipedia-dump extraction every LM corpus runs; grammar per the
+# public MediaWiki Help:Formatting pages). Markup is seeded around
+# each document's real prose — nested templates ({{t|{{u}}}} resolves
+# innermost-first), a table, a named <ref>, a File link with caption,
+# piped/bare/external links, quote runs, a heading and an HTML
+# comment — and the oracle replays the SAME regexp chain in DuckDB
+# ('$1' respelled '\1' for RE2), so every pass and its ORDER is
+# pinned on all 500 documents.
+# --------------------------------------------------------------------------
+
+
+def q240_wikitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.text import wikitext_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    markup = F.concat(
+        F.lit("== H"), d, F.lit(" ==\nIntro '''b"), d,
+        F.lit("''' and ''i"), d, F.lit("'' see [[Page "), d,
+        F.lit("|label "), d, F.lit("]] or [[Plain "), d,
+        F.lit("]].\n{{Infobox x|k="), d, F.lit("|v={{nested "), d,
+        F.lit("}}}}\n<!-- hidden "), d, F.lit(" -->\nA table:\n{| class=\"wiki\"\n|-\n| c"),
+        d, F.lit("\n|}\nRef text<ref name=\"r"), d, F.lit("\">cite "), d,
+        F.lit("</ref> tail.\n[[File:Img"), d, F.lit(".png|thumb|cap "), d,
+        F.lit("]]\nExt [http://ex.com/"), d, F.lit(" ext"), d,
+        F.lit("] and bare [http://ex.org/"), d, F.lit("].\n\n\n\n"),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        wikitext_to_text(markup).alias("text"),
+    ).select("doc_id", "text", F.length("text").alias("n_chars"))
+
+
+Q240_SQL = r"""
+WITH q AS (SELECT repeat(chr(39), 3) AS b3, repeat(chr(39), 2) AS b2),
+d AS (
+  SELECT doc_id,
+         '== H' || doc_id || ' ==' || chr(10)
+         || 'Intro ' || b3 || 'b' || doc_id || b3 || ' and ' || b2 || 'i'
+         || doc_id || b2
+         || ' see [[Page ' || doc_id || '|label ' || doc_id
+         || ']] or [[Plain ' || doc_id || ']].' || chr(10)
+         || '{{Infobox x|k=' || doc_id || '|v={{nested ' || doc_id
+         || '}}}}' || chr(10)
+         || '<!-- hidden ' || doc_id || ' -->' || chr(10)
+         || 'A table:' || chr(10) || '{| class="wiki"' || chr(10) || '|-'
+         || chr(10) || '| c' || doc_id || chr(10) || '|}' || chr(10)
+         || 'Ref text<ref name="r' || doc_id || '">cite ' || doc_id
+         || '</ref> tail.' || chr(10)
+         || '[[File:Img' || doc_id || '.png|thumb|cap ' || doc_id || ']]'
+         || chr(10)
+         || 'Ext [http://ex.com/' || doc_id || ' ext' || doc_id
+         || '] and bare [http://ex.org/' || doc_id || '].'
+         || chr(10) || chr(10) || chr(10) || chr(10) || text AS t
+  FROM documents, q),
+s AS (
+  SELECT doc_id,
+    trim(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        regexp_replace(
+         regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(t,
+                     '(?s)<!--.*?-->', '', 'g'),
+                   '(?is)<ref[^>]*/>|<ref[^>]*>.*?</ref>', '', 'g'),
+                  '(?s)\{\|.*?\|\}', '', 'g'),
+                 '(?s)\{\{[^{}]*\}\}', '', 'g'),
+                '(?s)\{\{[^{}]*\}\}', '', 'g'),
+               '(?s)\{\{[^{}]*\}\}', '', 'g'),
+              '(?s)\[\[(?:File|Image):[^\[\]]*\]\]', '', 'g'),
+             '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+            '\[\[([^\[\]|]*)\]\]', '\1', 'g'),
+           '\[https?://[^ \]]+ ([^\]]*)\]', '\1', 'g'),
+          '\[https?://[^ \]]+\]', '', 'g'),
+         '\x27{5}|\x27{3}|\x27{2}', '', 'g'),
+        '(?m)^[ \t]*={2,}[ \t]*', '', 'g'),
+       '(?m)[ \t]*={2,}[ \t]*$', '', 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g')
+    ) AS text
+  FROM d)
+SELECT doc_id, text, length(text)::INT AS n_chars FROM s
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -14958,6 +15055,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q237_secret_scan", q237_secret_scan, Q237_SQL, "code secret-scan entropy-gate"),
         QuerySpec("q238_zorder_layout", q238_zorder_layout, Q238_SQL, "layout zorder file-skipping audit"),
         QuerySpec("q239_eml_scan", q239_eml_scan, Q239_SQL, "S-eml mime rfc5322 mail-archive"),
+        QuerySpec("q240_wikitext", q240_wikitext, Q240_SQL, "text wikitext-extraction mediawiki"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

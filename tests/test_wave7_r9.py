@@ -180,3 +180,30 @@ class TestZOrderLayout:
         assert rows["natural"].n_rows_matched == 64
         assert rows["zorder"].n_rows_matched == 64
         assert rows["zorder"].n_rows_scanned < rows["natural"].n_rows_scanned
+
+
+class TestWikitext:
+    def _clean(self, spark, s):
+        from odin_rs_spark.operators.text import wikitext_to_text
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(wikitext_to_text("t").alias("o")).collect()[0].o
+
+    def test_links_and_quotes(self, spark):
+        s = "'''B''' and ''i'' see [[Page|label]] or [[Plain]] " \
+            "and [http://e.com/x ext] or [http://e.org/y]."
+        assert self._clean(spark, s) == "B and i see label or Plain and ext or ."
+
+    def test_nested_templates_innermost_first(self, spark):
+        assert self._clean(spark, "a {{t|{{u|{{v}}}}}} b") == "a  b"
+        # beyond the pass bound the outer braces survive visibly
+        # rather than eating the document
+        out = self._clean(spark, "a {{1|{{2|{{3|{{4}}}}}}}} b")
+        assert out.startswith("a {{1|") and out.endswith("b")
+
+    def test_refs_tables_files_headings(self, spark):
+        s = ("== T ==\nx<ref name=\"n\">cite</ref> y<ref/>\n"
+             "{| class=x\n| c\n|}\n[[File:I.png|thumb|cap]]\nend")
+        out = self._clean(spark, s)
+        assert "cite" not in out and "| c" not in out and "cap" not in out
+        assert out.startswith("T\nx y")
