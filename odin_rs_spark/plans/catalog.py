@@ -14954,6 +14954,111 @@ SELECT doc_id, text, length(text)::INT AS n_chars FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q241 — bitext first-pass sentence alignment (operators/bitext:
+# Gale-Church length correlation as a banded linear-cost candidate
+# pass over declared translation pairs — the step between q233's
+# hreflang document pairs and a lexical verifier). Each document gets
+# a pseudo-translation with correlated-but-jittered sentence lengths;
+# every 4th pair DROPS its third sentence so the proportional band
+# must recover the shifted mapping. The oracle replays the split, the
+# integer-math proportional position, the banded candidate join, the
+# argmin window and the penalty gate — every alignment decision, not
+# just the counts.
+# --------------------------------------------------------------------------
+
+
+def q241_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.bitext import align_sentences, split_sentences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ks = F.sequence(F.lit(0), 4 + d % 4)
+
+    def _sent(prefix, k, extra):
+        words = F.transform(
+            F.sequence(F.lit(0), 2 + (d * 7 + k) % 5 + extra),
+            lambda m: F.concat(F.lit(prefix), ((d * 13 + k * 5 + m) % 17).cast("string")),
+        )
+        return F.array_join(words, " ")
+
+    src_text = F.concat(
+        F.array_join(F.transform(ks, lambda k: _sent("sw", k, F.lit(0))), ". "),
+        F.lit("."),
+    )
+    kept = F.filter(ks, lambda k: ~((d % 4 == 0) & (k == 2)))
+    tgt_text = F.concat(
+        F.array_join(
+            F.transform(
+                kept,
+                lambda k: _sent(
+                    "tw", k, ((d + k) % 3 == 0).cast("int")
+                ),
+            ),
+            ". ",
+        ),
+        F.lit("."),
+    )
+    src = split_sentences(docs.select(d.alias("p"), src_text.alias("text")), "p", "text")
+    tgt = split_sentences(docs.select(d.alias("p"), tgt_text.alias("text")), "p", "text")
+    return align_sentences(src, tgt, band=1, max_penalty_pct=35)
+
+
+Q241_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         (SELECT string_agg(sw, '. ' ORDER BY k) FROM (
+            SELECT k.range AS k,
+                   (SELECT string_agg('sw' || ((doc_id*13 + k.range*5 + m.range) % 17),
+                                      ' ' ORDER BY m.range)
+                    FROM range(8) m
+                    WHERE m.range <= 2 + (doc_id*7 + k.range) % 5) AS sw
+            FROM range(9) k WHERE k.range <= 4 + doc_id % 4)) || '.' AS src_text,
+         (SELECT string_agg(tw, '. ' ORDER BY k) FROM (
+            SELECT k.range AS k,
+                   (SELECT string_agg('tw' || ((doc_id*13 + k.range*5 + m.range) % 17),
+                                      ' ' ORDER BY m.range)
+                    FROM range(9) m
+                    WHERE m.range <= 2 + (doc_id*7 + k.range) % 5
+                          + CASE WHEN (doc_id + k.range) % 3 = 0 THEN 1 ELSE 0 END) AS tw
+            FROM range(9) k
+            WHERE k.range <= 4 + doc_id % 4
+              AND NOT (doc_id % 4 = 0 AND k.range = 2))) || '.' AS tgt_text
+  FROM documents),
+ssent AS (
+  SELECT doc_id AS pair_id,
+         generate_subscripts(string_split_regex(src_text, '\.\s+'), 1) - 1 AS i,
+         length(trim(unnest(string_split_regex(src_text, '\.\s+')))) AS len_s,
+         len(list_filter(list_transform(string_split_regex(src_text, '\.\s+'),
+                                        x -> trim(x)), x -> x <> '')) AS n_src
+  FROM t),
+tsent AS (
+  SELECT doc_id AS pair_id,
+         generate_subscripts(string_split_regex(tgt_text, '\.\s+'), 1) - 1 AS j,
+         length(trim(unnest(string_split_regex(tgt_text, '\.\s+')))) AS len_t,
+         len(list_filter(list_transform(string_split_regex(tgt_text, '\.\s+'),
+                                        x -> trim(x)), x -> x <> '')) AS n_tgt
+  FROM t),
+cand AS (
+  SELECT s.pair_id, s.i, s.len_s, tt.j, tt.len_t
+  FROM ssent s JOIN tsent tt
+    ON s.pair_id = tt.pair_id
+   AND tt.j BETWEEN greatest((2*s.i*tt.n_tgt + s.n_src) // (2*s.n_src) - 1, 0)
+                AND least((2*s.i*tt.n_tgt + s.n_src) // (2*s.n_src) + 1,
+                          tt.n_tgt - 1)),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY pair_id, i
+      ORDER BY abs(len_s - len_t)::DOUBLE / (len_s + len_t), j) AS rk
+  FROM cand)
+SELECT pair_id, i::INT AS i, j::INT AS j,
+       len_s::INT AS len_s, len_t::INT AS len_t,
+       floor(100.0 * abs(len_s - len_t) / (len_s + len_t))::INT AS penalty_pct
+FROM best
+WHERE rk = 1 AND 100 * abs(len_s - len_t) <= 35 * (len_s + len_t)
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -15056,6 +15161,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q238_zorder_layout", q238_zorder_layout, Q238_SQL, "layout zorder file-skipping audit"),
         QuerySpec("q239_eml_scan", q239_eml_scan, Q239_SQL, "S-eml mime rfc5322 mail-archive"),
         QuerySpec("q240_wikitext", q240_wikitext, Q240_SQL, "text wikitext-extraction mediawiki"),
+        QuerySpec("q241_bitext_align", q241_bitext_align, Q241_SQL, "bitext gale-church banded-alignment"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

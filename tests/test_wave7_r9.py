@@ -207,3 +207,45 @@ class TestWikitext:
         out = self._clean(spark, s)
         assert "cite" not in out and "| c" not in out and "cap" not in out
         assert out.startswith("T\nx y")
+
+
+class TestBitextAlign:
+    def _sents(self, spark, pairs):
+        from odin_rs_spark.operators.bitext import split_sentences
+
+        df = spark.createDataFrame(pairs, "p bigint, text string")
+        return split_sentences(df, "p", "text")
+
+    def test_recovers_shift_after_dropped_sentence(self, spark):
+        from odin_rs_spark.operators.bitext import align_sentences
+
+        # tgt drops src sentence 1; lengths correlate otherwise
+        src = self._sents(
+            spark, [(0, "aaaa aaaa. bb. cccc cccc cccc. dddd dd.")]
+        )
+        tgt = self._sents(spark, [(0, "AAAA AAA. CCCC CCCC CCC. DDDD DD.")])
+        got = {
+            (r.i, r.j)
+            for r in align_sentences(src, tgt, band=1).collect()
+        }
+        assert (0, 0) in got and (2, 1) in got and (3, 2) in got
+        # the dropped sentence's best candidate is a length mismatch;
+        # whatever it pairs with, the surviving mappings are shifted 1-1
+
+    def test_penalty_gate_drops_mismatches(self, spark):
+        from odin_rs_spark.operators.bitext import align_sentences
+
+        src = self._sents(spark, [(0, "aaaaaaaaaaaaaaaaaaaaaaaa. bb.")])
+        tgt = self._sents(spark, [(0, "AA. BB.")])
+        rows = align_sentences(src, tgt, band=1, max_penalty_pct=35).collect()
+        # the 24-char vs 2-char pair is >35% penalty and must be gone
+        assert all(not (r.i == 0 and r.len_t == 2) for r in rows)
+
+    def test_empty_band_stays_empty(self, spark):
+        from odin_rs_spark.operators.bitext import align_sentences
+
+        src = self._sents(spark, [(0, "aa. bb. cc. dd. ee. ff.")])
+        tgt = self._sents(spark, [(0, "AA.")])
+        # band 0 with jexp past the only target index must not invert
+        rows = align_sentences(src, tgt, band=0).collect()
+        assert all(r.j == 0 for r in rows)
