@@ -287,3 +287,78 @@ def geojson_polygon_rings(coordinates_json: Column | str) -> Column:
             ),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV dialect sniffing (messy-ingest reality: crawled/uploaded tabular
+# files carry no dialect declaration; Python's csv.Sniffer and every
+# warehouse loader infer delimiter + header by consistency voting).
+# Beyond-reference corpus-ingest capability.
+# ---------------------------------------------------------------------------
+
+CSV_SNIFF_DELIMS: tuple[tuple[str, str], ...] = (
+    # (literal, split regex) in priority order for ties
+    (",", ","),
+    (";", ";"),
+    ("\t", "\t"),
+    ("|", r"\|"),
+)
+
+_NUMERIC_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+CSV_SNIFF_LINES = 10
+
+
+def sniff_csv_dialect(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Infer the delimiter and header of raw CSV text by consistency
+    voting: for each candidate delimiter, split the first
+    CSV_SNIFF_LINES lines and find the modal field count (>1); the
+    candidate with the most lines agreeing on one count wins (ties:
+    larger field count, then candidate priority).  Header = first
+    row's fields are all non-numeric while the second row has at
+    least one numeric field (the csv.Sniffer heuristic).
+
+    Adds ``delimiter`` / ``n_fields`` / ``consistency`` /
+    ``has_header``.  Zero UDF — the vote is a higher-order-function
+    chain over an in-row line array, so it replays in the oracle and
+    runs in codegen on a 10^9-file crawl.  Quoted-field embedding of
+    the delimiter is deliberately ignored during SNIFFING (so is
+    csv.Sniffer's fallback path); the real parse afterwards is
+    quote-aware."""
+    lines = F.slice(F.split(F.col(text_col), "\n"), 1, CSV_SNIFF_LINES)
+
+    def vote(split_re: str) -> Column:
+        counts = F.transform(lines, lambda ln: F.size(F.split(ln, split_re)))
+        u = F.array_distinct(F.filter(counts, lambda c: c > 1))
+        # encode (consistency, modal fields) as consistency*1000+fields
+        scores = F.transform(
+            u,
+            lambda v: F.size(F.filter(counts, lambda c: c == v)) * 1000 + v,
+        )
+        return F.coalesce(F.array_max(scores), F.lit(0))
+
+    votes = [vote(sre) for _, sre in CSV_SNIFF_DELIMS]
+    # global score folds in candidate priority (earlier wins ties):
+    # vote * 10 + (n_candidates - position)
+    n = len(CSV_SNIFF_DELIMS)
+    best = F.greatest(*[v * 10 + (n - i) for i, v in enumerate(votes)])
+    delim = F.lit(None).cast("string")
+    split_re = F.lit(None).cast("string")
+    for i, (lit, sre) in reversed(list(enumerate(CSV_SNIFF_DELIMS))):
+        hit = best == votes[i] * 10 + (n - i)
+        delim = F.when(hit, F.lit(lit)).otherwise(delim)
+        split_re = F.when(hit, F.lit(sre)).otherwise(split_re)
+    n_fields = F.floor(best / 10) % 1000
+    consistency = F.floor(best / 10000)
+    f0 = F.split(F.try_element_at(lines, F.lit(1)), split_re)
+    f1 = F.split(F.try_element_at(lines, F.lit(2)), split_re)
+    has_header = (
+        F.size(F.filter(f0, lambda x: x.rlike(_NUMERIC_RE))) == 0
+    ) & (F.size(F.filter(f1, lambda x: x.rlike(_NUMERIC_RE))) > 0)
+    return df.select(
+        "*",
+        delim.alias("delimiter"),
+        n_fields.cast("int").alias("n_fields"),
+        consistency.cast("int").alias("consistency"),
+        F.coalesce(has_header, F.lit(False)).alias("has_header"),
+    )

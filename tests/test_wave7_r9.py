@@ -249,3 +249,43 @@ class TestBitextAlign:
         # band 0 with jexp past the only target index must not invert
         rows = align_sentences(src, tgt, band=0).collect()
         assert all(r.j == 0 for r in rows)
+
+
+class TestCsvSniff:
+    def _sniff(self, spark, text):
+        from odin_rs_spark.sources.formats import sniff_csv_dialect
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return sniff_csv_dialect(df).collect()[0]
+
+    def test_agrees_with_stdlib_sniffer_on_clear_cases(self, spark):
+        import csv
+
+        texts = [
+            "a,b,c\n1,2,x\n3,4,y\n5,6,z",
+            "a;b;c\n1;2;x\n3;4;y\n5;6;z",
+            "a\tb\tc\n1\t2\tx\n3\t4\ty",
+            "a|b|c\n1|2|x\n3|4|y",
+        ]
+        for t in texts:
+            mine = self._sniff(spark, t)
+            std = csv.Sniffer().sniff(t, delimiters=",;\t|")
+            assert mine.delimiter == std.delimiter
+            assert mine.has_header == csv.Sniffer().has_header(t)
+
+    def test_decoy_delimiter_loses_on_field_count(self, spark):
+        # a comma inside a field on EVERY line votes consistently for
+        # ',' — but with fewer fields, so ';' must win the tie-break
+        t = "h;x;name\n1;2;sa,b\n3;4;sa,b\n5;6;sa,b"
+        row = self._sniff(spark, t)
+        assert row.delimiter == ";" and row.n_fields == 3
+
+    def test_ragged_line_reduces_consistency(self, spark):
+        t = "1,2,3\n4,5,6\n7,8\n9,10,11"
+        row = self._sniff(spark, t)
+        assert row.delimiter == "," and row.consistency == 3
+        assert row.n_fields == 3
+
+    def test_headerless_numeric_first_row(self, spark):
+        row = self._sniff(spark, "1,2,x\n3,4,y\n5,6,z")
+        assert not row.has_header
