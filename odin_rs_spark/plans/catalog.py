@@ -15259,6 +15259,203 @@ FROM r GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q244 — distributed PCA top component (similarity.gram_matrix +
+# power_iteration: ONE distributed pass reduces the corpus to a d×d
+# Gram via map-side partial aggregation — the shuffle carries
+# partitions×d² cells, never rows×d² — then everything else runs
+# driver-side on the dim-sized object, the Halko-style split). The
+# covariance is rounded to 9 decimals on BOTH sides before iterating,
+# so the fixed-10-step trajectory is deterministic across engines;
+# per-vector projections round to 6. The oracle rebuilds the Gram
+# cell-for-cell and unrolls the same 10 steps as MATERIALIZED CTEs
+# (the q127 inlining rule). Embedding-hygiene use: the top
+# component's variance share decides whether centering alone is
+# enough before cosine dedup (SemDeDup-family preprocessing).
+# --------------------------------------------------------------------------
+
+_Q244_STEPS = 10
+
+
+def q244_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.similarity import gram_matrix, power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = 64
+    means = {
+        int(r.i): r.m
+        for r in emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    }
+    g = gram_matrix(emb, "embedding").collect()
+    n = g[0].n
+    c_rows = [
+        (r.i, r.j, round(r.g / n - means[r.i] * means[r.j], 9)) for r in g
+    ]
+    v, eig = power_iteration(c_rows, d, steps=_Q244_STEPS)
+    v_lit = F.array(*[F.lit(x) for x in v])
+    mv = sum(means[i] * v[i] for i in range(d))
+    proj = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), v_lit, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        - F.lit(mv)
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(proj, 6).alias("proj1"),
+        F.round(F.lit(eig), 6).alias("eig1"),
+    )
+
+
+def _q244_sql() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, _Q244_STEPS + 1):
+        steps.append(
+            f"""u{t} AS MATERIALIZED (
+  SELECT c.i, sum(c.v * {prev}.x) AS x
+  FROM c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i),
+v{t} AS MATERIALIZED (
+  SELECT i, x / (SELECT sqrt(sum(x * x)) FROM u{t}) AS x FROM u{t})"""
+        )
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT i - 1 AS i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY i),
+g AS MATERIALIZED (
+  SELECT i.range AS i, j.range AS j,
+         sum(embedding[i.range + 1]::DOUBLE
+             * embedding[j.range + 1]::DOUBLE) AS g,
+         count(*) AS n
+  FROM embeddings, range(64) i, range(64) j
+  GROUP BY 1, 2),
+c AS MATERIALIZED (
+  SELECT g.i, g.j,
+         round(g.g / g.n - mi.m * mj.m, 9) AS v
+  FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i),
+v0 AS MATERIALIZED (
+  SELECT range AS i, 1.0 / 8.0 AS x FROM range(64)),
+{chain},
+eig AS MATERIALIZED (
+  SELECT sum({prev}.x * c.v * vj.x) AS e
+  FROM c JOIN {prev} ON c.i = {prev}.i JOIN {prev} vj ON c.j = vj.i),
+mv AS MATERIALIZED (
+  SELECT sum(m.m * {prev}.x) AS s FROM m JOIN {prev} ON m.i = {prev}.i)
+SELECT e.vec_id, e.label,
+       round((SELECT sum(e.embedding[v.i + 1]::DOUBLE * v.x)
+              FROM {prev} v) - (SELECT s FROM mv), 6) AS proj1,
+       round((SELECT e FROM eig), 6) AS eig1
+FROM embeddings e
+"""
+
+
+Q244_SQL = _q244_sql()
+
+
+# --------------------------------------------------------------------------
+# q245 — DDSketch relative-error quantiles (operators/sketches:
+# Masson et al., VLDB 2019 — the MERGEABLE quantile sketch whose
+# guarantee is value-relative, not rank-relative; per-partition
+# bucket counts shuffle as buckets, never values). p50/p95/p99 per
+# event_type, read off the merged sketch, audited against the EXACT
+# rank-k value (deterministic (value, event_id) order) — the
+# rel_err_pct column must sit within α=1% by construction, and the
+# oracle recomputes sketch, quantile walk and audit from scratch.
+# 1/ln γ and γ are inlined as the same double literals on both sides
+# and the bucket product rounds to 6 decimals before ceil, so a 1-ulp
+# ln()/pow() divergence cannot flip a bucket (q147 float-band class).
+# --------------------------------------------------------------------------
+
+_Q245_QS = [(50, 100), (95, 100), (99, 100)]
+
+
+def q245_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from odin_rs_spark.operators.sketches import (
+        dd_gamma,
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = ddsketch_build(ev, "value", ["event_type"])
+    qs = ddsketch_quantiles(sk, ["event_type"], _Q245_QS)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        F.col("event_type").alias("et"),
+        F.col("value").cast("double").alias("exact"),
+        F.row_number().over(w).alias("rk"),
+    )
+    k = F.floor((F.col("q_pct") * F.col("n") + 99) / 100)
+    out = qs.join(
+        ranked,
+        (F.col("event_type") == F.col("et")) & (F.col("rk") == k),
+    )
+    rel = F.round(
+        100 * F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 3
+    )
+    return out.select(
+        "event_type", "q_pct", "n", "bucket", "est", "exact",
+        rel.alias("rel_err_pct"),
+    )
+
+
+def _q245_sql() -> str:
+    import math
+
+    from odin_rs_spark.operators.sketches import dd_gamma
+
+    gamma = dd_gamma()
+    inv = 1.0 / math.log(gamma)
+    vals = ", ".join(f"({num * 100 // den})" for num, den in _Q245_QS)
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         ceil(round(ln(value::DOUBLE) * {inv!r}, 6))::INT AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM s),
+q AS (SELECT * FROM (VALUES {vals}) t(q_pct)),
+hit AS (
+  SELECT event_type, q_pct, n, min(bucket) AS bucket
+  FROM c, q WHERE cum >= (q_pct * n + 99) // 100
+  GROUP BY 1, 2, 3),
+r AS (
+  SELECT event_type AS et, value::DOUBLE AS exact,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk
+  FROM events),
+x AS (
+  SELECT h.event_type, h.q_pct, h.n, h.bucket,
+         round(2.0 * pow({gamma!r}, h.bucket) / ({gamma!r} + 1.0), 6) AS est,
+         r.exact
+  FROM hit h JOIN r ON r.et = h.event_type
+                   AND r.rk = (h.q_pct * h.n + 99) // 100)
+SELECT event_type, q_pct::INT AS q_pct, n::BIGINT AS n, bucket,
+       est, exact, round(100 * abs(est - exact) / exact, 3) AS rel_err_pct
+FROM x
+"""
+
+
+Q245_SQL = _q245_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -15296,17 +15493,25 @@ FROM r GROUP BY 1, 2
 #                detection, q230 decode-QA replacement/control rates,
 #                q231 tokenizer fertility by language, q232 MinHash
 #                estimator measured error.
-#   slots 41-50: queries whose CODE changed MOST RECENTLY this round
-#                — q190 (exif scalar coercion); q174/q175/q153/q182/
-#                q183/q187/q193 (warc_records schema grew sniffed_
-#                mime in wave 4 and concurrent_to in wave 5, on top
-#                of the wave-2 revisit/digest columns); q180/q188
-#                (pdfcodec trailer refactor + /Encrypt rejection).
-#   Past the cap: the wave-1 HTML-comment family (q162/q167/q169/
-#                q192), the wave-2 URL family (q179/q184/q154/q181/
-#                q191) and the stalest rows (q01, q08, q09, …) — all
-#                locally re-verified every round via
-#                test_catalog_oracle.
+#   slots 41-43: the r9 SIXTH-wave queries — q233 hreflang
+#                translation clusters, q234 crawl-trap URL signals,
+#                q235 per-domain report card.
+#   slots 44-50: the r9 SEVENTH-wave queries — q236 SPDX/phrase
+#                license routing, q237 secret scanning with the
+#                entropy gate, q238 z-order file-skipping audit, q239
+#                EML/MIME mail scan, q240 wikitext extraction, q241
+#                banded bitext sentence alignment, q242 CSV dialect
+#                sniffing. (q243, the code-governance flagship, is
+#                slot 51 — first in line next round; its three stage
+#                operators are all graded inside the cap this round.)
+#   Past the cap: the changed-code re-grades (q190 exif coercion;
+#                q174/q175/q153/q182/q183/q187/q193 warc_records
+#                schema growth; q180/q188 pdfcodec trailer/encrypt) —
+#                all green in CORRECTNESS_r08 on the prior code and
+#                locally re-verified on the new code — then the
+#                wave-1/wave-2 families and the stalest rows (q01,
+#                q08, q09, …), all locally re-verified every round
+#                via test_catalog_oracle.
 # Past slot 50: everything graded r7/r8 (freshest last); every
 # registered query is locally re-verified every round by
 # tests/test_catalog_oracle.py.
@@ -15364,6 +15569,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q241_bitext_align", q241_bitext_align, Q241_SQL, "bitext gale-church banded-alignment"),
         QuerySpec("q242_csv_sniff", q242_csv_sniff, Q242_SQL, "S-csv dialect-sniffing consistency-vote"),
         QuerySpec("q243_code_governance", q243_code_governance, Q243_SQL, "flagship code-governance route-license-secret"),
+        QuerySpec("q244_pca_power", q244_pca_power, Q244_SQL, "embedding pca gram power-iteration"),
+        QuerySpec("q245_ddsketch", q245_ddsketch, Q245_SQL, "sketch ddsketch relative-error quantiles"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

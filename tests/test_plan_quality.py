@@ -746,3 +746,75 @@ def test_line_repetition_shuffles_hashes_not_text(spark):
     plan = _executed(line_repetition_signals(docs))
     below_first_exchange = plan.split("Exchange")[-1]
     assert "md5" in below_first_exchange.lower(), plan[:2000]
+
+
+def test_wave7_ops_zero_python_in_plan(spark, sf_dir):
+    """license_detect, secret_scan, z-order layout math,
+    wikitext_to_text and sniff_csv_dialect are pure column
+    expressions — no Python evaluator anywhere in their plans
+    (q236/q237/q238/q240/q242/q243 ride on them)."""
+    from odin_rs_spark.plans.catalog import (
+        q236_license_detect,
+        q237_secret_scan,
+        q238_zorder_layout,
+        q240_wikitext,
+        q242_csv_sniff,
+        q243_code_governance,
+    )
+
+    for q in (q236_license_detect, q237_secret_scan, q238_zorder_layout,
+              q240_wikitext, q242_csv_sniff, q243_code_governance):
+        plan = _executed(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_zorder_audit_no_smj(spark, sf_dir):
+    """The layout audit's only joins are the per-layout stats against
+    the single-row exact-match count — tiny sides that must never
+    sort-merge; the chunk stats themselves are one partial-agg
+    groupBy per layout."""
+    from odin_rs_spark.plans.catalog import q238_zorder_layout
+
+    plan = _executed(q238_zorder_layout(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bitext_align_dim_broadcasts_no_cartesian(spark, sf_dir):
+    """align_sentences: the per-pair n_tgt dim rides by BROADCAST and
+    candidates meet targets in an equi-join on (pair_id, j) — never a
+    per-pair cross join (that is the quadratic shape this operator
+    exists to avoid)."""
+    from odin_rs_spark.plans.catalog import q241_bitext_align
+
+    plan = _executed(q241_bitext_align(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_gram_matrix_partial_agg_before_exchange(spark, sf_dir):
+    """The distributed Gram reduces each partition to d*d cells
+    map-side — the exchange must sit ABOVE a partial HashAggregate,
+    never shuffle the exploded pairs raw (that would be rows*d*d over
+    the wire at 100 TB)."""
+    from odin_rs_spark.operators.similarity import gram_matrix
+    from odin_rs_spark.sources.tables import load_table
+
+    g = gram_matrix(load_table(spark, "embeddings", sf_dir), "embedding")
+    plan = _executed(g)
+    before_exchange = plan.split("Exchange")[-1]  # below the shuffle
+    assert "partial_sum" in before_exchange, plan
+
+
+def test_ddsketch_shuffles_buckets_not_values(spark, sf_dir):
+    """ddsketch_build's groupBy carries (group, bucket) keys with
+    map-side partial counts — the exchange payload is bucket counts,
+    never raw values; the quantile walk is one window over the tiny
+    merged sketch."""
+    from odin_rs_spark.operators.sketches import ddsketch_build
+    from odin_rs_spark.sources.tables import load_table
+
+    sk = ddsketch_build(load_table(spark, "events", sf_dir), "value", ["event_type"])
+    plan = _executed(sk)
+    below = plan.split("Exchange")[-1]
+    assert "partial_count" in below, plan

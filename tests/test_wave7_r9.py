@@ -289,3 +289,68 @@ class TestCsvSniff:
     def test_headerless_numeric_first_row(self, spark):
         row = self._sniff(spark, "1,2,x\n3,4,y\n5,6,z")
         assert not row.has_header
+
+
+class TestPcaPower:
+    def test_power_iteration_known_eigenpair(self):
+        from odin_rs_spark.operators.similarity import power_iteration
+
+        # diag(2, 1): dominant eigenvector e1, eigenvalue 2
+        v, eig = power_iteration([(0, 0, 2.0), (1, 1, 1.0)], 2, steps=30)
+        assert abs(eig - 2.0) < 1e-9
+        assert abs(abs(v[0]) - 1.0) < 1e-6 and abs(v[1]) < 1e-3
+
+    def test_gram_matrix_exact_cells(self, spark):
+        from odin_rs_spark.operators.similarity import gram_matrix
+
+        df = spark.createDataFrame(
+            [([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<double>"
+        )
+        g = {(r.i, r.j): r.g for r in gram_matrix(df).collect()}
+        assert g[(0, 0)] == 10.0 and g[(1, 1)] == 20.0
+        assert g[(0, 1)] == 14.0 == g[(1, 0)]
+
+
+class TestDDSketch:
+    def test_relative_error_bound(self, spark):
+        import math
+
+        from odin_rs_spark.operators.sketches import (
+            ddsketch_build,
+            ddsketch_quantiles,
+        )
+
+        vals = [(1, math.exp(i / 40.0)) for i in range(400)]
+        df = spark.createDataFrame(vals, "g int, v double")
+        sk = ddsketch_build(df, "v", ["g"])
+        out = ddsketch_quantiles(sk, ["g"], [(50, 100), (99, 100)]).collect()
+        exact = sorted(v for _, v in vals)
+        for r in out:
+            k = -(-r.q_pct * len(vals) // 100)
+            assert abs(r.est - exact[k - 1]) / exact[k - 1] <= 0.0101, r
+
+    def test_mergeable(self, spark):
+        from odin_rs_spark.operators.sketches import ddsketch_build
+
+        a = spark.createDataFrame([(1, float(i)) for i in range(1, 50)], "g int, v double")
+        b = spark.createDataFrame([(1, float(i)) for i in range(50, 100)], "g int, v double")
+        both = a.unionByName(b)
+        merged = (
+            ddsketch_build(a, "v", ["g"])
+            .unionByName(ddsketch_build(b, "v", ["g"]))
+            .groupBy("g", "bucket")
+            .sum("cnt")
+        )
+        direct = ddsketch_build(both, "v", ["g"])
+        got = {(r.g, r.bucket): r["sum(cnt)"] for r in merged.collect()}
+        want = {(r.g, r.bucket): r.cnt for r in direct.collect()}
+        assert got == want
+
+    def test_rejects_nonpositive(self, spark):
+        import pytest
+
+        from odin_rs_spark.operators.sketches import ddsketch_build
+
+        df = spark.createDataFrame([(1, 0.0)], "g int, v double")
+        with pytest.raises(ValueError):
+            ddsketch_build(df, "v", ["g"])

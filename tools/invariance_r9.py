@@ -21,6 +21,10 @@ QUERIES = ["q189_exif_audit"] + [
     "q231_token_fertility", "q232_minhash_error",
     "q233_hreflang_clusters", "q234_frontier_signals",
     "q235_domain_report",
+    "q236_license_detect", "q237_secret_scan", "q238_zorder_layout",
+    "q239_eml_scan", "q240_wikitext", "q241_bitext_align",
+    "q242_csv_sniff", "q243_code_governance",
+    "q244_pca_power", "q245_ddsketch",
 ]
 
 SNIPPET = """
