@@ -125,3 +125,66 @@ def layout_audit(
         ).select(F.lit(label).alias("layout"), "*")
         out = audit if out is None else out.unionByName(audit)
     return out.crossJoin(n_match)
+
+
+def hilbert_append(
+    df: DataFrame, x: Column, y: Column, bits: int = 10, out: str = "hkey"
+) -> DataFrame:
+    """2-D Hilbert curve index (the xy→d walk from the public
+    Hilbert-curve literature, top bit down with quadrant rotation) —
+    the locality-preserving alternative to the Morton key: a Hilbert
+    cell is always one CONNECTED run of the curve, so per-file
+    bounding boxes are never split across diagonal jumps the way
+    z-order's are.
+
+    API note: appends a COLUMN via ``bits`` chained projections rather
+    than returning one Column expression — each rotation level reads
+    the previous level's (hx, hy, d) MULTIPLE times, so a nested
+    Column expression grows ~4^bits nodes and OOMs the driver during
+    plan construction; named intermediate columns keep the tree
+    linear (Catalyst's CollapseProject declines to inline non-cheap
+    expressions referenced more than once, so the plan stays linear
+    after optimization too).  Still pure column math, zero UDF,
+    replayed stage-for-stage by the oracle."""
+    cur = df.select(
+        "*",
+        x.cast("bigint").alias("__hx"),
+        y.cast("bigint").alias("__hy"),
+        F.lit(0).cast("bigint").alias("__hd"),
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(
+            F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        ry = F.when(
+            F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        cur = cur.select(
+            "*", rx.alias("__rx"), ry.alias("__ry")
+        ).select(
+            *[c for c in cur.columns if c not in ("__hx", "__hy", "__hd")],
+            (
+                F.col("__hd")
+                + F.lit(s * s) * (3 * F.col("__rx")).bitwiseXOR(F.col("__ry"))
+            ).alias("__hd"),
+            F.when(
+                F.col("__ry") == 0,
+                F.when(
+                    F.col("__rx") == 1, F.lit(s - 1) - F.col("__hy")
+                ).otherwise(F.col("__hy")),
+            )
+            .otherwise(F.col("__hx"))
+            .alias("__hx"),
+            F.when(
+                F.col("__ry") == 0,
+                F.when(
+                    F.col("__rx") == 1, F.lit(s - 1) - F.col("__hx")
+                ).otherwise(F.col("__hx")),
+            )
+            .otherwise(F.col("__hy"))
+            .alias("__hy"),
+        )
+    return cur.select(
+        *[c for c in df.columns], F.col("__hd").alias(out)
+    )

@@ -354,3 +354,84 @@ class TestDDSketch:
         df = spark.createDataFrame([(1, 0.0)], "g int, v double")
         with pytest.raises(ValueError):
             ddsketch_build(df, "v", ["g"])
+
+
+class TestCrawlBudget:
+    def test_waterfill_invariants_on_events(self, spark, sf_dir):
+        from odin_rs_spark.plans.catalog import q247_crawl_budget
+
+        rows = q247_crawl_budget(spark, sf_dir).collect()
+        total_need = sum(r.need for r in rows)
+        budget = 3 * total_need // 5
+        assert sum(r.alloc for r in rows) == min(budget, total_need)
+        # max-min fairness: every capped host's allocation is within 1
+        # of every other capped host's, and no uncapped host exceeds
+        # any capped allocation
+        capped = [r.alloc for r in rows if r.capped]
+        if capped:
+            assert max(capped) - min(capped) <= 1
+            uncapped = [r.alloc for r in rows if not r.capped]
+            assert all(u <= min(capped) + 1 for u in uncapped)
+        assert all(0 <= r.alloc <= r.need for r in rows)
+
+    def test_budget_covers_everything(self, spark):
+        # when B >= total need, everyone gets their full need — the
+        # rest=0 branch (and its divide-by-zero guard)
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.plans import catalog as C
+
+        need = spark.createDataFrame(
+            [("a", 5), ("b", 3)], "host string, need bigint"
+        )
+        # replicate the query's math with budget = total
+        w = C.Window.orderBy("need", "host")
+        total = need.agg(F.sum("need").alias("tot"), F.count(F.lit(1)).alias("m"))
+        ranked = (
+            need.crossJoin(F.broadcast(total))
+            .withColumn("k", F.row_number().over(w))
+            .withColumn("pfx", F.sum("need").over(w))
+            .withColumn("budget", F.col("tot"))
+        )
+        feasible = (
+            F.col("pfx") + (F.col("m") - F.col("k")) * F.col("need")
+            <= F.col("budget")
+        )
+        ks = ranked.where(feasible).agg(F.max("k").alias("kstar")).collect()[0]
+        assert ks.kstar == 2  # all hosts fully allocated
+
+
+class TestHilbert:
+    def test_matches_reference_walk(self, spark):
+        from odin_rs_spark.operators.layout import hilbert_append
+
+        def ref_xy2d(n, x, y):
+            d, s = 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        n = 16
+        df = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("bigint").alias("y"),
+        )
+        got = {
+            (r.x, r.y): r.hkey
+            for r in hilbert_append(df, F.col("x"), F.col("y"), bits=4).collect()
+        }
+        assert all(got[(x, y)] == ref_xy2d(n, x, y) for x in range(n) for y in range(n))
+        # bijective onto [0, n*n) and unit-step between consecutive d
+        pos = {d: xy for xy, d in got.items()}
+        assert sorted(pos) == list(range(n * n))
+        assert all(
+            abs(pos[d - 1][0] - pos[d][0]) + abs(pos[d - 1][1] - pos[d][1]) == 1
+            for d in range(1, n * n)
+        )

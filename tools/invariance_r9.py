@@ -25,6 +25,7 @@ QUERIES = ["q189_exif_audit"] + [
     "q239_eml_scan", "q240_wikitext", "q241_bitext_align",
     "q242_csv_sniff", "q243_code_governance",
     "q244_pca_power", "q245_ddsketch",
+    "q246_stream_ddsketch", "q247_crawl_budget", "q248_hilbert_layout",
 ]
 
 SNIPPET = """
