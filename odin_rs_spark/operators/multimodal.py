@@ -1594,3 +1594,52 @@ def image_oriented_stats(
     return media.select("media_id", "content").mapInPandas(
         fn, ORIENTED_TILE_SCHEMA
     )
+
+
+JPEG_QUALITY_SCHEMA = (
+    "media_id bigint, est_quality int, n_bytes int, mode string"
+)
+
+
+def jpeg_quality_scan(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Per-JPEG encoder-quality estimate from the luma DQT
+    (sources/jpegcodec.jpeg_quality_estimate — the ImageMagick-style
+    IJG inverse): the corpus filter multimodal builds run to drop
+    over-compressed images before any pixel work, because the DQT
+    sits in the first kilobyte and never needs entropy decode.
+    Adds the detected mode (baseline/progressive) from the SOF
+    marker. Bytes never shuffle (mapInPandas scan-local walk)."""
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        from odin_rs_spark.sources.jpegcodec import jpeg_quality_estimate
+
+        for pdf in batches:
+            rows = {"media_id": [], "est_quality": [], "n_bytes": [], "mode": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    q = jpeg_quality_estimate(buf)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                mode = (
+                    "progressive" if b"\xff\xc2" in buf[: buf.find(b"\xff\xda")]
+                    else "baseline"
+                )
+                rows["media_id"].append(int(mid))
+                rows["est_quality"].append(q)
+                rows["n_bytes"].append(len(buf))
+                rows["mode"].append(mode)
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        fn, JPEG_QUALITY_SCHEMA
+    )

@@ -494,3 +494,61 @@ def frontier_url_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
         f_digit.alias("f_digit_heavy"),
         score.alias("trap_score"),
     )
+
+
+def waterfill_alloc(
+    need: DataFrame,
+    budget: Column,
+    key_col: str = "host",
+    need_col: str = "need",
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of an integer budget
+    across keys: keys under the water level receive their full need,
+    the rest are capped at the level, and the integer remainder goes
+    to the first capped keys in (need, key) order.  Adds ``alloc`` and
+    ``capped``.
+
+    Scale shape: every window runs over the per-key DIM (hosts, not
+    pages — dim-sized next to any corpus); the unpartitioned sort
+    window is over that dim only.  ``budget`` is a scalar Column — a
+    literal, or an expression over ``F.col("__tot")`` (the summed
+    need) / ``F.col("__m")`` (the key count), e.g.
+    ``F.floor(3 * F.col("__tot") / 5)`` for a 60% budget."""
+    total = need.agg(
+        F.sum(need_col).alias("__tot"), F.count(F.lit(1)).alias("__m")
+    )
+    w = Window.orderBy(need_col, key_col)
+    ranked = (
+        need.crossJoin(F.broadcast(total))
+        .withColumn("__k", F.row_number().over(w))
+        .withColumn("__pfx", F.sum(need_col).over(w))
+        .withColumn("__b", budget)
+    )
+    feasible = (
+        F.col("__pfx") + (F.col("__m") - F.col("__k")) * F.col(need_col)
+        <= F.col("__b")
+    )
+    kstar = ranked.where(feasible).agg(F.max("__k").alias("__kstar"))
+    solved = ranked.crossJoin(F.broadcast(kstar)).withColumn(
+        "__kstar", F.coalesce(F.col("__kstar"), F.lit(0))
+    )
+    pk = F.max(
+        F.when(F.col("__k") == F.col("__kstar"), F.col("__pfx"))
+    ).over(Window.partitionBy(F.lit(1)))
+    solved = solved.withColumn("__pk", F.coalesce(pk, F.lit(0)))
+    rest = F.col("__m") - F.col("__kstar")
+    # greatest() guard: rest=0 (budget covers every need) must not hit
+    # ANSI divide-by-zero — the outer when() returns full need there
+    level = F.floor(
+        (F.col("__b") - F.col("__pk")) / F.greatest(rest, F.lit(1))
+    )
+    rem = F.col("__b") - F.col("__pk") - rest * level
+    alloc = F.when(F.col("__k") <= F.col("__kstar"), F.col(need_col)).otherwise(
+        level + ((F.col("__k") - F.col("__kstar")) <= rem).cast("bigint")
+    )
+    return solved.select(
+        *need.columns,
+        F.when(rest > 0, alloc).otherwise(F.col(need_col))
+        .cast("bigint")
+        .alias("alloc"),
+    ).withColumn("capped", F.col("alloc") < F.col(need_col))

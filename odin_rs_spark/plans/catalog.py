@@ -15555,52 +15555,14 @@ Q246_SQL = _q246_sql()
 
 
 def q247_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import waterfill_alloc
+
     ev = _t(spark, sf_dir, "events")
     need = ev.groupBy(
         F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias("host")
     ).agg(F.count(F.lit(1)).alias("need"))
-    total = need.agg(
-        F.sum("need").alias("tot"), F.count(F.lit(1)).alias("m")
-    )
-    w = Window.orderBy("need", "host")
-    ranked = (
-        need.crossJoin(F.broadcast(total))
-        .withColumn("k", F.row_number().over(w))
-        .withColumn("pfx", F.sum("need").over(w))
-        .withColumn("budget", F.floor(3 * F.col("tot") / 5))
-    )
-    # feasible k: giving the k smallest hosts their full need and every
-    # larger host AT LEAST need_k stays within budget
-    feasible = F.col("pfx") + (F.col("m") - F.col("k")) * F.col("need") <= F.col(
-        "budget"
-    )
-    kstar = ranked.where(feasible).agg(
-        F.max("k").alias("kstar")
-    )
-    solved = ranked.crossJoin(F.broadcast(kstar)).withColumn(
-        "kstar", F.coalesce(F.col("kstar"), F.lit(0))
-    )
-    pk = F.max(F.when(F.col("k") == F.col("kstar"), F.col("pfx"))).over(
-        Window.partitionBy(F.lit(1))
-    )
-    solved = solved.withColumn("pk", F.coalesce(pk, F.lit(0)))
-    rest = F.col("m") - F.col("kstar")
-    # greatest() guard: rest=0 (budget covers every need) must not hit
-    # ANSI divide-by-zero — the outer when() returns full need there
-    level = F.floor((F.col("budget") - F.col("pk")) / F.greatest(rest, F.lit(1)))
-    rem = F.col("budget") - F.col("pk") - rest * level
-    # capped hosts in (need, host) order get the +1 remainder first
-    alloc = F.when(F.col("k") <= F.col("kstar"), F.col("need")).otherwise(
-        level + ((F.col("k") - F.col("kstar")) <= rem).cast("bigint")
-    )
-    out = solved.select(
-        "host",
-        "need",
-        F.when(rest > 0, alloc).otherwise(F.col("need")).alias("alloc"),
-    )
-    return out.select(
-        "host", "need", F.col("alloc").cast("bigint").alias("alloc"),
-        (F.col("alloc") < F.col("need")).alias("capped"),
+    return waterfill_alloc(need, F.floor(3 * F.col("__tot") / 5)).select(
+        "host", "need", "alloc", "capped"
     )
 
 
@@ -15744,6 +15706,256 @@ m AS (
 Q248_SQL = _q248_sql()
 
 
+# --------------------------------------------------------------------------
+# q249 — JPEG encoder-quality estimation (jpegcodec.scale_quant +
+# jpeg_quality_estimate: the public IJG quality-scaling formula and
+# its ImageMagick-style inverse from the luma DQT — the
+# over-compression filter multimodal corpus builds run BEFORE any
+# pixel work, because the DQT sits in the header). 60 fixtures cycle
+# five quality factors across baseline and progressive encodings;
+# the estimate must recover the encoded factor EXACTLY (the scaling
+# formula inverts exactly for q >= 20; the 255-clamp seam below that
+# is documented and unit-tested). Oracle is analytic from the seed.
+# --------------------------------------------------------------------------
+
+_Q249_QUALS = (30, 50, 75, 85, 95)
+
+
+def _q249_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        out = []
+        for mid in series:
+            mid = int(mid)
+            img = (
+                (np.arange(256).reshape(16, 16) * (1 + mid % 7) + mid) % 200
+                + 20
+            ).astype(np.uint8)
+            q = _Q249_QUALS[mid % 5]
+            if mid % 4 == 0:
+                out.append(encode_jpeg_progressive(img, quality=q))
+            else:
+                out.append(encode_jpeg(img, quality=q))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(60).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q249_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import jpeg_quality_scan
+
+    return jpeg_quality_scan(_q249_media(spark)).select(
+        "media_id", "est_quality", "mode"
+    )
+
+
+Q249_SQL = """
+SELECT range AS media_id,
+       (CASE range % 5 WHEN 0 THEN 30 WHEN 1 THEN 50 WHEN 2 THEN 75
+             WHEN 3 THEN 85 ELSE 95 END)::INT AS est_quality,
+       CASE WHEN range % 4 = 0 THEN 'progressive' ELSE 'baseline' END AS mode
+FROM range(60)
+"""
+
+
+# --------------------------------------------------------------------------
+# q250 — crawl-bootstrap flagship: plan a polite crawl from NOTHING
+# but robots.txt files — the full frontier-planning pipeline in its
+# real order. robots_directives yields each host's Crawl-delay and
+# Sitemap; the sitemap <loc> urls become the frontier; the blocklist
+# gate (2 of 12 hosts) and the trap-signal gate (every 5th url is a
+# session-id calendar) shrink it to the fetchable need; the
+# water-filling allocator spends a 60% global budget max-min fairly;
+# politeness_schedule turns allocations into fetch plans whose
+# makespan is (alloc-1)·delay. One row per host with per-stage counts
+# that break independently (the q227 discipline). The oracle replays
+# the seed formulas, the waterfill windows and the makespan algebra.
+# --------------------------------------------------------------------------
+
+
+def q250_crawl_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.web import (
+        blocklist_match,
+        frontier_url_signals,
+        politeness_schedule,
+        robots_directives,
+        waterfill_alloc,
+    )
+
+    i = F.col("id")
+    host = F.concat(F.lit("h"), i.cast("string"), F.lit(".example"))
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (1 + i % 3).cast("string"),
+        F.lit("\nSitemap: https://"), host, F.lit("/sm.xml\n"),
+    )
+    hosts = spark.range(12).select(
+        host.alias("host"), robots_txt.alias("robots_txt")
+    )
+
+    # sitemap XML per host, then the <loc> scan (the q163 shape)
+    n_urls = 6 + i % 5
+    loc = lambda j: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://"), host,
+        F.when(
+            j % 5 == 4,
+            F.concat(F.lit("/cal?phpsessid=x"), j.cast("string")),
+        ).otherwise(F.concat(F.lit("/page-"), j.cast("string"))),
+        F.lit("</loc></url>"),
+    )
+    sm = spark.range(12).select(
+        host.alias("host"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), n_urls - 1), loc), ""
+            ),
+            F.lit("</urlset>"),
+        ).alias("sm_xml"),
+    )
+    frontier = sm.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("sm_xml"), F.lit("<loc>(.*?)</loc>"), F.lit(1)
+            )
+        ).alias("url"),
+    )
+
+    gated = frontier_url_signals(
+        blocklist_match(
+            frontier,
+            spark.createDataFrame(
+                [("h3.example", "adult"), ("h7.example", "tracker")],
+                "suffix string, category string",
+            ),
+        )
+    )
+    kept = gated.where(
+        F.col("block_category").isNull() & (F.col("trap_score") == 0)
+    )
+
+    stats = gated.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_sitemap_urls"),
+        F.sum(F.col("block_category").isNotNull().cast("bigint")).alias(
+            "n_blocked"
+        ),
+        F.sum(
+            (F.col("block_category").isNull() & (F.col("trap_score") > 0))
+            .cast("bigint")
+        ).alias("n_trap"),
+    )
+    need = kept.groupBy("host").agg(F.count(F.lit(1)).alias("need"))
+    alloc = waterfill_alloc(need, F.floor(3 * F.col("__tot") / 5))
+
+    delays = (
+        robots_directives(hosts)
+        .where(F.col("directive") == "crawl-delay")
+        .select(
+            "host", (F.col("value").cast("int") * 1000).alias("delay_ms")
+        )
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    to_fetch = (
+        kept.join(alloc.select("host", "alloc"), "host")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("alloc"))
+        .select("host", "url")
+    )
+    plan = politeness_schedule(to_fetch, delays)
+    makespan = plan.groupBy("host").agg(
+        F.max("fetch_ms").alias("makespan_ms")
+    )
+
+    return (
+        stats.join(need, "host", "left")
+        .join(alloc.select("host", "alloc", "capped"), "host", "left")
+        .join(delays, "host", "left")
+        .join(makespan, "host", "left")
+        .select(
+            "host",
+            "n_sitemap_urls",
+            "n_blocked",
+            "n_trap",
+            F.coalesce(F.col("need"), F.lit(0)).alias("need"),
+            F.coalesce(F.col("alloc"), F.lit(0)).alias("alloc"),
+            F.coalesce(F.col("capped"), F.lit(False)).alias("capped"),
+            (F.col("delay_ms") / 1000).cast("int").alias("delay_s"),
+            F.coalesce(F.col("makespan_ms"), F.lit(0)).alias("makespan_ms"),
+        )
+    )
+
+
+Q250_SQL = """
+WITH h AS (
+  SELECT range AS i, 'h' || range::VARCHAR || '.example' AS host,
+         6 + range % 5 AS n, 1 + range % 3 AS delay_s
+  FROM range(12)),
+per AS (
+  SELECT i, host, n, delay_s,
+         CASE WHEN n >= 10 THEN 2 ELSE 1 END AS n_trap_raw,
+         i IN (3, 7) AS blocked
+  FROM h),
+stats AS (
+  SELECT host, n AS n_sitemap_urls,
+         CASE WHEN blocked THEN n ELSE 0 END AS n_blocked,
+         CASE WHEN blocked THEN 0 ELSE n_trap_raw END AS n_trap,
+         CASE WHEN blocked THEN 0 ELSE n - n_trap_raw END AS need,
+         delay_s, blocked
+  FROM per),
+nd AS (SELECT host, need FROM stats WHERE need > 0),
+tot AS (SELECT sum(need) AS tot, count(*) AS m FROM nd),
+ranked AS (
+  SELECT host, need, m,
+         row_number() OVER (ORDER BY need, host) AS k,
+         sum(need) OVER (ORDER BY need, host) AS pfx,
+         (3 * tot) // 5 AS budget
+  FROM nd, tot),
+ks AS (
+  SELECT coalesce(max(k), 0) AS kstar
+  FROM ranked WHERE pfx + (m - k) * need <= budget),
+pk AS (
+  SELECT coalesce(max(CASE WHEN r.k = ks.kstar THEN r.pfx END), 0) AS pk
+  FROM ranked r, ks),
+alloc AS (
+  SELECT host, need,
+         CASE WHEN m - kstar = 0 THEN need
+              WHEN k <= kstar THEN need
+              ELSE (budget - pk) // (m - kstar)
+                   + CASE WHEN k - kstar <= budget - pk
+                               - (m - kstar) * ((budget - pk) // (m - kstar))
+                          THEN 1 ELSE 0 END
+         END AS alloc
+  FROM ranked, ks, pk)
+SELECT s.host, s.n_sitemap_urls::BIGINT AS n_sitemap_urls,
+       s.n_blocked::BIGINT AS n_blocked, s.n_trap::BIGINT AS n_trap,
+       s.need::BIGINT AS need,
+       coalesce(a.alloc, 0)::BIGINT AS alloc,
+       coalesce(a.alloc < s.need, FALSE) AS capped,
+       s.delay_s::INT AS delay_s,
+       (CASE WHEN coalesce(a.alloc, 0) > 0
+             THEN (a.alloc - 1) * s.delay_s * 1000 ELSE 0 END)::BIGINT
+         AS makespan_ms
+FROM stats s LEFT JOIN alloc a ON s.host = a.host
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -15789,13 +16001,14 @@ Q248_SQL = _q248_sql()
 #                entropy gate, q238 z-order file-skipping audit, q239
 #                EML/MIME mail scan, q240 wikitext extraction, q241
 #                banded bitext sentence alignment, q242 CSV dialect
-#                sniffing. (Slots 51-56 — q243 code-governance
+#                sniffing. (Slots 51-58 — q243 code-governance
 #                flagship, q244 PCA power iteration, q245 DDSketch,
 #                q246 streaming DDSketch merge, q247 water-filling
-#                crawl budget, q248 Hilbert layout — sit first in
-#                line for next round's cap; q243's three stage
-#                operators are all graded inside the cap this round,
-#                and all six carry full local verification +
+#                crawl budget, q248 Hilbert layout, q249 JPEG quality
+#                estimation, q250 crawl-bootstrap flagship — sit
+#                first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all eight carry full local verification +
 #                invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
@@ -15867,6 +16080,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q246_stream_ddsketch", q246_stream_ddsketch, Q246_SQL, "sketch ddsketch streaming-merge T1"),
         QuerySpec("q247_crawl_budget", q247_crawl_budget, Q247_SQL, "web max-min-fair crawl-budget water-filling"),
         QuerySpec("q248_hilbert_layout", q248_hilbert_layout, Q248_SQL, "layout hilbert-curve file-skipping"),
+        QuerySpec("q249_jpeg_quality", q249_jpeg_quality, Q249_SQL, "multimodal jpeg-quality dqt-estimate"),
+        QuerySpec("q250_crawl_bootstrap", q250_crawl_bootstrap, Q250_SQL, "flagship crawl-bootstrap robots-to-schedule"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

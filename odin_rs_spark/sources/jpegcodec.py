@@ -264,11 +264,60 @@ def _extend(bits: int, cat: int) -> int:
 # -- encoder ---------------------------------------------------------------
 
 
-def _split_planes(a: np.ndarray, subsampling: str):
+def scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Scale an Annex-K quantization table to an IJG/libjpeg quality
+    factor (the public jpeg_quality_scaling formula: scale = 5000/q
+    below 50, 200-2q above; entries floor((b*s+50)/100) clamped to
+    [1, 255]). quality=50 reproduces the base table exactly."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.floor((base.astype(np.int64) * s + 50) / 100).astype(np.int64)
+    return np.clip(t, 1, 255)
+
+
+def jpeg_quality_estimate(buf: bytes) -> int:
+    """Estimate the IJG quality factor a JPEG was encoded with, from
+    its luma DQT (the ImageMagick-style inverse: percent scale =
+    100·Σtbl/Σbase, then invert the scaling formula) — the corpus
+    filter multimodal builds use to drop over-compressed images.
+    Exact for quality ≥ 20 encoded by the formula above; below that
+    the 255 clamp flattens the table and the estimate reads high
+    (documented seam). ValueError on missing/16-bit DQT."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("marker sync lost before DQT")
+        marker = buf[i + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no more DQT
+            break
+        seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if tq == 0:  # luma table
+                    tbl = np.frombuffer(seg[j + 1 : j + 65], np.uint8)
+                    if tbl.size != 64:
+                        raise ValueError("truncated DQT")
+                    s = round(100.0 * int(tbl.sum()) / int(QUANT_LUMA.sum()))
+                    return int((200 - s) // 2 if s <= 100 else round(5000.0 / s))
+                j += 65
+        i += 2 + seg_len
+    raise ValueError("no luma DQT found")
+
+
+def _split_planes(a: np.ndarray, subsampling: str, quality: int | None = None):
     """uint8 image → (planes float64, quant tables, sub420 flag):
     grayscale passthrough or RGB→YCbCr with optional 2x2 chroma
     box-mean subsampling. Shared by the baseline and progressive
-    encoders."""
+    encoders. quality=None keeps the exact Annex-K tables (identical
+    to quality=50 by the scaling formula)."""
     gray = a.ndim == 2
     h, w = a.shape[:2]
     if subsampling not in ("444", "420"):
@@ -277,8 +326,12 @@ def _split_planes(a: np.ndarray, subsampling: str):
     mcu = 16 if sub420 else 8
     if h % mcu or w % mcu:
         raise ValueError(f"encoder requires multiple-of-{mcu} dimensions")
+    ql = QUANT_LUMA if quality is None else scale_quant(QUANT_LUMA, quality)
+    qc = (
+        QUANT_CHROMA if quality is None else scale_quant(QUANT_CHROMA, quality)
+    )
     if gray:
-        return [a.astype(np.float64)], [QUANT_LUMA], False
+        return [a.astype(np.float64)], [ql], False
     r = a[:, :, 0].astype(np.float64)
     g = a[:, :, 1].astype(np.float64)
     b = a[:, :, 2].astype(np.float64)
@@ -288,13 +341,14 @@ def _split_planes(a: np.ndarray, subsampling: str):
     if sub420:
         cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
         cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-    return [y, cb, cr], [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA], sub420
+    return [y, cb, cr], [ql, qc, qc], sub420
 
 
 def encode_jpeg(
     img: np.ndarray,
     subsampling: str = "444",
     restart_interval: int = 0,
+    quality: int | None = None,
 ) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → baseline JFIF bytes
     (Annex-K tables). `subsampling` is "444" or "420" (color only —
@@ -305,7 +359,7 @@ def encode_jpeg(
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    planes, quants, sub420 = _split_planes(a, subsampling)
+    planes, quants, sub420 = _split_planes(a, subsampling, quality)
     mcu = 16 if sub420 else 8
 
     dc_tabs = [_build_huffman(DC_LUMA_SPEC)] + (
@@ -380,12 +434,12 @@ def encode_jpeg(
     out = b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(
-        0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(-1)[ZIGZAG].astype(np.uint8))
+        0xDB, bytes([0]) + bytes(quants[0].reshape(-1)[ZIGZAG].astype(np.uint8))
     )
     if not gray:
         out += seg(
             0xDB,
-            bytes([1]) + bytes(QUANT_CHROMA.reshape(-1)[ZIGZAG].astype(np.uint8)),
+            bytes([1]) + bytes(quants[1].reshape(-1)[ZIGZAG].astype(np.uint8)),
         )
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
@@ -412,7 +466,7 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, subsampling: str = "444"
+    img: np.ndarray, subsampling: str = "444", quality: int | None = None
 ) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8 → PROGRESSIVE (SOF2) JFIF
     bytes — the majority encoding for large web JPEGs and the r7
@@ -431,7 +485,7 @@ def encode_jpeg_progressive(
     a = np.asarray(img, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    planes, quants, sub420 = _split_planes(a, subsampling)
+    planes, quants, sub420 = _split_planes(a, subsampling, quality)
     n = len(planes)
     hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * n
 
@@ -560,12 +614,12 @@ def encode_jpeg_progressive(
     out = b"\xff\xd8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(
-        0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(-1)[ZIGZAG].astype(np.uint8))
+        0xDB, bytes([0]) + bytes(quants[0].reshape(-1)[ZIGZAG].astype(np.uint8))
     )
     if not gray:
         out += seg(
             0xDB,
-            bytes([1]) + bytes(QUANT_CHROMA.reshape(-1)[ZIGZAG].astype(np.uint8)),
+            bytes([1]) + bytes(quants[1].reshape(-1)[ZIGZAG].astype(np.uint8)),
         )
     sof = struct.pack(">BHHB", 8, h, w, n)
     for ci in range(n):

@@ -191,3 +191,49 @@ def test_restart_intervals_exact_and_validated():
     bad[pos + 1] = 0xD5  # wrong restart number
     with pytest.raises(ValueError, match="expected RST"):
         decode_jpeg(bytes(bad))
+
+
+class TestQualityScaling:
+    def test_scale_quant_inverts_exactly_for_q20_plus(self):
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import (
+            QUANT_LUMA,
+            encode_jpeg,
+            jpeg_quality_estimate,
+            scale_quant,
+        )
+
+        img = (np.arange(256).reshape(16, 16) % 200 + 20).astype(np.uint8)
+        for q in (20, 30, 50, 75, 85, 95, 97):
+            assert jpeg_quality_estimate(encode_jpeg(img, quality=q)) == q
+        # quality=None writes the exact Annex-K tables == quality 50
+        buf_none = encode_jpeg(img)
+        assert jpeg_quality_estimate(buf_none) == 50
+        assert buf_none == encode_jpeg(img, quality=50)
+        # the 255-clamp seam: q=10 flattens the table, estimate reads high
+        assert jpeg_quality_estimate(encode_jpeg(img, quality=10)) > 10
+        assert (scale_quant(QUANT_LUMA, 50) == QUANT_LUMA).all()
+
+    def test_decoder_uses_written_tables(self):
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = (np.arange(256).reshape(16, 16) % 200 + 20).astype(np.uint8)
+        errs = [
+            int(abs(decode_jpeg(encode_jpeg(img, quality=q)).astype(int)
+                    - img.astype(int)).max())
+            for q in (30, 75, 95)
+        ]
+        # higher quality must reconstruct strictly better on this image
+        assert errs[0] > errs[1] > errs[2]
+
+    def test_estimate_rejections(self):
+        import pytest
+
+        from odin_rs_spark.sources.jpegcodec import jpeg_quality_estimate
+
+        for bad in (b"", b"\xff\xd8\xff\xd9", b"nope"):
+            with pytest.raises(ValueError):
+                jpeg_quality_estimate(bad)
