@@ -15389,7 +15389,11 @@ def q245_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ddsketch_quantiles,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # DDSketch's domain is positive values (gamma-log buckets): the
+    # non-positive tail is gated out explicitly on BOTH sides — at
+    # sf0.1 the events table carries a handful of zeros (bench caught
+    # the ungated build failing loudly, as designed)
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)
     sk = ddsketch_build(ev, "value", ["event_type"])
     qs = ddsketch_quantiles(sk, ["event_type"], _Q245_QS)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
@@ -15425,7 +15429,7 @@ WITH s AS (
   SELECT event_type,
          ceil(round(ln(value::DOUBLE) * {inv!r}, 6))::INT AS bucket,
          count(*) AS cnt
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value > 0 GROUP BY 1, 2),
 c AS (
   SELECT event_type, bucket, cnt,
          sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
@@ -15440,7 +15444,7 @@ r AS (
   SELECT event_type AS et, value::DOUBLE AS exact,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rk
-  FROM events),
+  FROM events WHERE value > 0),
 x AS (
   SELECT h.event_type, h.q_pct, h.n, h.bucket,
          round(2.0 * pow({gamma!r}, h.bucket) / ({gamma!r} + 1.0), 6) AS est,
@@ -15481,7 +15485,11 @@ def q246_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from odin_rs_spark.streaming.sources import file_stream, split_for_replay
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value") > 0)  # DDSketch positive domain (see q245)
+        .select("event_type", "value", "ts")
+    )
     root = tempfile.mkdtemp(prefix="odin_q246_")
     try:
         split_for_replay(ev, root + "/chunks", n_chunks=4, order_col="ts")
@@ -15524,7 +15532,7 @@ WITH s AS (
   SELECT event_type,
          ceil(round(ln(value::DOUBLE) * {inv!r}, 6))::INT AS bucket,
          count(*) AS cnt
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value > 0 GROUP BY 1, 2),
 c AS (
   SELECT event_type, bucket, cnt,
          sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
@@ -15956,6 +15964,207 @@ FROM stats s LEFT JOIN alloc a ON s.host = a.host
 """
 
 
+# --------------------------------------------------------------------------
+# q251 — TAR shard scan (sources/archive: POSIX ustar, the container
+# training corpora ship in — Pile shards, WebDataset bundles). 30
+# twin-encoded archives: 2-4 text members each under a directory
+# entry, a symlink every 3rd archive, and a prefix-split long path
+# every 5th (the 155+100 ustar field seam). The oracle rebuilds every
+# member row from the seed formula — agreement proves header layout,
+# checksum, octal fields, block padding and prefix reassembly;
+# tests/test_archive.py pins the same twins against stdlib tarfile in
+# BOTH directions.
+# --------------------------------------------------------------------------
+
+
+def _q251_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.archive import encode_tar
+
+        out = []
+        for aid in series:
+            aid = int(aid)
+            members = [(f"shard{aid}/", None, "5", 1700000000 + aid)]
+            for m in range(2 + aid % 3):
+                words = " ".join(
+                    f"tw{(aid * 17 + m * 5 + w) % 29}"
+                    for w in range(6 + (aid + m) % 5)
+                )
+                name = f"shard{aid}/doc{m}.txt"
+                if aid % 5 == 0 and m == 0:
+                    name = ("p" * 80) + f"/shard{aid}/doc{m}.txt"
+                members.append(
+                    (name, words.encode(), "0", 1700000000 + aid * 10 + m)
+                )
+            if aid % 3 == 0:
+                members.append(
+                    (f"shard{aid}/latest", None, "2", 1700000000 + aid)
+                )
+            out.append(encode_tar(members))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(30).select(
+        F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 2, "0"),
+                 F.lit(".tar")).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q251_tar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.archive import tar_members
+
+    return tar_members(_q251_media(spark)).select(
+        "file", "member", "typeflag", "size", "mtime", "text", "n_chars"
+    )
+
+
+Q251_SQL = """
+WITH a AS (SELECT range AS aid FROM range(30)),
+docs AS (
+  SELECT aid, m.range AS m,
+         (SELECT string_agg('tw' || ((aid * 17 + m.range * 5 + w.range) % 29),
+                            ' ' ORDER BY w.range)
+          FROM range(11) w
+          WHERE w.range < 6 + (aid + m.range) % 5) AS words
+  FROM a, range(5) m WHERE m.range < 2 + aid % 3),
+rows_ AS (
+  SELECT aid, -1 AS ord, 'shard' || aid || '/' AS member, '5' AS typeflag,
+         0 AS size, 1700000000 + aid AS mtime, NULL::VARCHAR AS text
+  FROM a
+  UNION ALL
+  SELECT aid, m AS ord,
+         CASE WHEN aid % 5 = 0 AND m = 0
+              THEN repeat('p', 80) || '/shard' || aid || '/doc' || m || '.txt'
+              ELSE 'shard' || aid || '/doc' || m || '.txt' END AS member,
+         '0', length(words), 1700000000 + aid * 10 + m, words
+  FROM docs
+  UNION ALL
+  SELECT aid, 99, 'shard' || aid || '/latest', '2', 0, 1700000000 + aid, NULL
+  FROM a WHERE aid % 3 = 0)
+SELECT 't' || lpad(aid::VARCHAR, 2, '0') || '.tar' AS file,
+       member, typeflag, size::INT AS size, mtime::BIGINT AS mtime,
+       text, length(text)::INT AS n_chars
+FROM rows_
+"""
+
+
+# --------------------------------------------------------------------------
+# q252 — HLL set algebra: audience-overlap estimation by inclusion-
+# exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B), where the UNION
+# sketch is just the bucket-wise register max — the merge that makes
+# HLL a set algebra, not only a counter). All 10 event-type pairs,
+# each audited against the exact distinct intersection. The oracle
+# replays the q99 register chain for the singles AND the pair unions.
+# Scale: the union merge touches registers (groups × 1024 rows),
+# never the key universe — the whole point vs a distinct self-join.
+# --------------------------------------------------------------------------
+
+
+def q252_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(ev, "user_id", ["event_type"], p=10)
+    singles = sketches.hll_estimate(regs, ["event_type"], p=10)
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .where(F.col("ta") < F.col("tb"))
+    )
+    u = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    est_u = sketches.hll_estimate(u, ["ta", "tb"], p=10).select(
+        "ta", "tb", F.col("hll_estimate").alias("est_union")
+    )
+    ea = singles.select(
+        F.col("event_type").alias("ta"), F.col("hll_estimate").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("event_type").alias("tb"), F.col("hll_estimate").alias("est_b")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    out = (
+        est_u.join(ea, "ta").join(eb, "tb").join(exact, ["ta", "tb"])
+    )
+    inter = F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2)
+    return out.select(
+        "ta", "tb", "est_a", "est_b", "est_union",
+        inter.alias("est_inter"), "exact_inter",
+        F.round(
+            (inter - F.col("exact_inter")) / F.col("exact_inter"), 4
+        ).alias("rel_err"),
+    )
+
+
+Q252_SQL = _HLL_CHAIN + f""",
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM events) a,
+       (SELECT DISTINCT event_type FROM events) b
+  WHERE a.event_type < b.event_type),
+regu AS (
+  SELECT p.ta, p.tb, r.bucket, max(r.register) AS register
+  FROM pairs p JOIN reg r
+    ON r.event_type = p.ta OR r.event_type = p.tb
+  GROUP BY p.ta, p.tb, r.bucket),
+estu AS (
+  SELECT ta, tb, count(*) AS nonzero, sum(pow(2.0, -register)) AS s
+  FROM regu GROUP BY ta, tb),
+eu2 AS (
+  SELECT ta, tb,
+         (0.7213/(1.0 + 1.079/1024))*1024*1024 / (s + (1024 - nonzero)) AS raw,
+         1024 - nonzero AS v
+  FROM estu),
+hllu AS (
+  SELECT ta, tb,
+         round(CASE WHEN raw <= 2.5*1024 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 2) AS est_union
+  FROM eu2),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT u.ta, u.tb,
+       ha.hll_estimate AS est_a, hb.hll_estimate AS est_b, u.est_union,
+       round(ha.hll_estimate + hb.hll_estimate - u.est_union, 2) AS est_inter,
+       e.exact_inter::BIGINT AS exact_inter,
+       round((round(ha.hll_estimate + hb.hll_estimate - u.est_union, 2)
+              - e.exact_inter) / e.exact_inter, 4) AS rel_err
+FROM hllu u
+JOIN hll ha ON ha.event_type = u.ta
+JOIN hll hb ON hb.event_type = u.tb
+JOIN exact e ON e.ta = u.ta AND e.tb = u.tb
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16001,15 +16210,16 @@ FROM stats s LEFT JOIN alloc a ON s.host = a.host
 #                entropy gate, q238 z-order file-skipping audit, q239
 #                EML/MIME mail scan, q240 wikitext extraction, q241
 #                banded bitext sentence alignment, q242 CSV dialect
-#                sniffing. (Slots 51-58 — q243 code-governance
+#                sniffing. (Slots 51-60 — q243 code-governance
 #                flagship, q244 PCA power iteration, q245 DDSketch,
 #                q246 streaming DDSketch merge, q247 water-filling
 #                crawl budget, q248 Hilbert layout, q249 JPEG quality
-#                estimation, q250 crawl-bootstrap flagship — sit
-#                first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all eight carry full local verification +
-#                invariance evidence.)
+#                estimation, q250 crawl-bootstrap flagship, q251 TAR
+#                shard scan, q252 HLL set algebra — sit first in line
+#                for next round's cap; q243's three stage operators
+#                are all graded inside the cap this round, and all
+#                ten carry full local verification + invariance
+#                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16082,6 +16292,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q248_hilbert_layout", q248_hilbert_layout, Q248_SQL, "layout hilbert-curve file-skipping"),
         QuerySpec("q249_jpeg_quality", q249_jpeg_quality, Q249_SQL, "multimodal jpeg-quality dqt-estimate"),
         QuerySpec("q250_crawl_bootstrap", q250_crawl_bootstrap, Q250_SQL, "flagship crawl-bootstrap robots-to-schedule"),
+        QuerySpec("q251_tar_scan", q251_tar_scan, Q251_SQL, "S-tar ustar shard-container scan"),
+        QuerySpec("q252_hll_intersection", q252_hll_intersection, Q252_SQL, "sketch hll set-algebra inclusion-exclusion"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
