@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -187,4 +187,31 @@ def hilbert_append(
         )
     return cur.select(
         *[c for c in df.columns], F.col("__hd").alias(out)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_cols: Sequence[str],
+    size_col: str,
+    target_bytes: int,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Small-files compaction planning (the lakehouse OPTIMIZE
+    bin-packing rule: within each table partition, walk files largest-
+    first and cut a new compaction job every time the running total
+    crosses ``target_bytes`` — a job may overshoot by at most one
+    file, the documented greedy behavior real compactors share).
+    Adds ``job`` (0-based per partition).
+
+    Scale shape: one window over the FILE INVENTORY (a dim — even a
+    100 TB table is ~10^6 files), partitioned by the table partition;
+    the data itself is never read — compaction planning is a metadata
+    operation."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(size_col).desc(), *[F.col(c) for c in order_cols]
+    )
+    cum_before = F.sum(size_col).over(w) - F.col(size_col)
+    return files.withColumn(
+        "job", F.floor(cum_before / F.lit(target_bytes)).cast("int")
     )

@@ -1643,3 +1643,93 @@ def jpeg_quality_scan(media: DataFrame, on_error: str = "raise") -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         fn, JPEG_QUALITY_SCHEMA
     )
+
+
+WEBDATASET_SCHEMA = (
+    "file string, key string, caption string, n_caption_words int,"
+    " meta_id bigint, img_w int, img_h int, img_mean double"
+)
+
+
+def webdataset_samples(files_df, on_error: str = "raise") -> DataFrame:
+    """WebDataset-convention multimodal shard reader: a .tar whose
+    members group into SAMPLES by basename — `<key>.jpg` (image),
+    `<key>.txt` (caption), `<key>.json` (metadata) — the layout
+    LAION-style image-text corpora actually ship in. One mapInPandas
+    walk does the tar parse (sources/archive) AND the JPEG decode
+    (sources/jpegcodec) in the scan task, so neither archive bytes
+    nor pixels ever shuffle; rows out = samples in.
+
+    Incomplete samples (missing .jpg or .txt) are dropped — the
+    WebDataset contract treats the sample, not the member, as the
+    unit. meta_id is pulled from the .json sidecar when present."""
+    import json as _json
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        import os
+
+        import numpy as np
+
+        from odin_rs_spark.sources.archive import parse_tar
+        from odin_rs_spark.sources.jpegcodec import decode_jpeg
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "file": [], "key": [], "caption": [], "n_caption_words": [],
+                "meta_id": [], "img_w": [], "img_h": [], "img_mean": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    members = parse_tar(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                base = os.path.basename(path)
+                samples: dict[str, dict] = {}
+                for m in members:
+                    if m["data"] is None:
+                        continue
+                    key, dot, ext = m["name"].rpartition(".")
+                    if dot:
+                        samples.setdefault(key, {})[ext] = m["data"]
+                for key in sorted(samples):
+                    parts = samples[key]
+                    if "jpg" not in parts or "txt" not in parts:
+                        continue
+                    try:
+                        img = decode_jpeg(parts["jpg"])
+                    except ValueError:
+                        if on_error == "skip":
+                            continue
+                        raise
+                    caption = parts["txt"].decode("utf-8", "replace")
+                    meta_id = None
+                    if "json" in parts:
+                        try:
+                            meta_id = int(
+                                _json.loads(parts["json"].decode("utf-8"))["id"]
+                            )
+                        except (ValueError, KeyError, TypeError):
+                            meta_id = None
+                    rows["file"].append(base)
+                    rows["key"].append(key)
+                    rows["caption"].append(caption)
+                    rows["n_caption_words"].append(len(caption.split()))
+                    rows["meta_id"].append(meta_id)
+                    rows["img_h"].append(int(img.shape[0]))
+                    rows["img_w"].append(int(img.shape[1]))
+                    rows["img_mean"].append(float(np.mean(img)))
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(
+        fn, WEBDATASET_SCHEMA
+    )

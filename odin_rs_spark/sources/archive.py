@@ -122,7 +122,7 @@ def encode_tar(members: list[tuple[str, bytes | None, str, int]]) -> bytes:
 
 TAR_SCHEMA = (
     "file string, member string, typeflag string, size int, mtime bigint,"
-    " text string, n_chars int"
+    " text string, n_chars int, data binary"
 )
 
 
@@ -140,7 +140,7 @@ def tar_members(files_df, on_error: str = "raise"):
         for pdf in batches:
             rows: dict[str, list] = {
                 "file": [], "member": [], "typeflag": [], "size": [],
-                "mtime": [], "text": [], "n_chars": [],
+                "mtime": [], "text": [], "n_chars": [], "data": [],
             }
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
@@ -165,6 +165,7 @@ def tar_members(files_df, on_error: str = "raise"):
                     rows["n_chars"].append(
                         len(text) if text is not None else None
                     )
+                    rows["data"].append(m["data"])
             yield pd.DataFrame(rows)
 
     from odin_rs_spark.deploy import ensure_shipped

@@ -435,3 +435,52 @@ class TestHilbert:
             abs(pos[d - 1][0] - pos[d][0]) + abs(pos[d - 1][1] - pos[d][1]) == 1
             for d in range(1, n * n)
         )
+
+
+class TestWebdataset:
+    def test_incomplete_samples_dropped_and_exact_decode(self, spark):
+        import numpy as np
+
+        from odin_rs_spark.operators.multimodal import webdataset_samples
+        from odin_rs_spark.sources.archive import encode_tar
+        from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+        img = np.full((16, 16), 84, np.uint8)  # even constant -> exact
+        tar = encode_tar(
+            [
+                ("a.jpg", encode_jpeg(img), "0", 0),
+                ("a.txt", b"two words", "0", 0),
+                ("a.json", b'{"id": 7}', "0", 0),
+                ("b.jpg", encode_jpeg(img), "0", 0),  # no caption -> drop
+                ("c.txt", b"orphan caption", "0", 0),  # no image -> drop
+            ]
+        )
+        df = spark.createDataFrame([("s.tar", tar)], "path string, content binary")
+        rows = webdataset_samples(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.key == "a" and r.n_caption_words == 2 and r.meta_id == 7
+        assert r.img_mean == 84.0 and r.img_w == 16
+
+
+class TestCompactionPlan:
+    def test_overshoot_at_most_one_file(self, spark):
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.operators.layout import compaction_plan
+
+        files = spark.createDataFrame(
+            [("p", i, s) for i, s in enumerate([90, 80, 50, 40, 30, 20, 10])],
+            "part string, fid int, bytes bigint",
+        )
+        planned = compaction_plan(files, ["part"], "bytes", 100, ["fid"])
+        jobs = {
+            r.job: r.total
+            for r in planned.groupBy("job")
+            .agg(F.sum("bytes").alias("total"))
+            .collect()
+        }
+        # every job except possibly the last holds >= target once closed;
+        # overshoot bounded by one file: job total < target + max file
+        assert all(v < 100 + 90 for v in jobs.values())
+        assert sum(jobs.values()) == 320
