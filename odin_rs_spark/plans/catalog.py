@@ -16320,6 +16320,159 @@ FROM jobs GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q255 — data-quality column profiling (aggregations.profile_columns:
+# the Deequ/ANALYZE-TABLE primitive every ingest runs first — one
+# pass computes per-column row/null/distinct counts and typed min/max
+# bounds; the multi-column count_distinct plans as a single expand +
+# partial agg, so the table is scanned ONCE). Events table, all six
+# columns; timestamps profile as epoch micros. The oracle computes
+# each column's metrics independently and must agree with the
+# single-pass row.
+# --------------------------------------------------------------------------
+
+
+def q255_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.aggregations import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(
+        ev,
+        {
+            "event_id": "numeric",
+            "ts": "timestamp",
+            "user_id": "numeric",
+            "event_type": "string",
+            "value": "numeric",
+            "props": "string",
+        },
+    )
+
+
+Q255_SQL = """
+WITH n AS (SELECT count(*) AS N FROM events)
+SELECT 'event_id' AS column, N AS n_rows,
+       N - count(event_id) AS n_null,
+       round((N - count(event_id)) / N::DOUBLE, 6) AS null_frac,
+       count(DISTINCT event_id) AS n_distinct,
+       min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num
+FROM events, n GROUP BY N
+UNION ALL
+SELECT 'ts', N, N - count(ts), round((N - count(ts)) / N::DOUBLE, 6),
+       count(DISTINCT ts), epoch_us(min(ts))::DOUBLE, epoch_us(max(ts))::DOUBLE
+FROM events, n GROUP BY N
+UNION ALL
+SELECT 'user_id', N, N - count(user_id),
+       round((N - count(user_id)) / N::DOUBLE, 6),
+       count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+FROM events, n GROUP BY N
+UNION ALL
+SELECT 'event_type', N, N - count(event_type),
+       round((N - count(event_type)) / N::DOUBLE, 6),
+       count(DISTINCT event_type), NULL::DOUBLE, NULL::DOUBLE
+FROM events, n GROUP BY N
+UNION ALL
+SELECT 'value', N, N - count(value), round((N - count(value)) / N::DOUBLE, 6),
+       count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE
+FROM events, n GROUP BY N
+UNION ALL
+SELECT 'props', N, N - count(props), round((N - count(props)) / N::DOUBLE, 6),
+       count(DISTINCT props), NULL::DOUBLE, NULL::DOUBLE
+FROM events, n GROUP BY N
+"""
+
+
+# --------------------------------------------------------------------------
+# q256 — Bloom-filter join pruning (the runtime-filter technique: a
+# selective dim's keys compress to a broadcastable bitmap — q95's
+# machinery — and the FACT side drops definite non-members BEFORE the
+# join's exchange; at 100 TB the shuffle you skip is the win, and the
+# false-pass count is the price, both measured here). Dim = purchase
+# users with user_id % 5 = 0; the oracle replays the bloom bit math
+# (the q95 replay) plus the exact memberships.
+# --------------------------------------------------------------------------
+
+_Q256_M = 512  # deliberately tight: the false-pass column must be nonzero to be tested
+_Q256_K = 4
+
+
+def q256_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import dedup as dedup_ops
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    bloom = dedup_ops.bloom_build(dim, "key", m_bits=_Q256_M, k=_Q256_K)
+    fact = ev.select(F.col("user_id").cast("string").alias("key"))
+    probed = dedup_ops.bloom_probe(
+        fact, "key", bloom, m_bits=_Q256_M, k=_Q256_K
+    )
+    member = dim.withColumn("__is_dim", F.lit(1))
+    audited = probed.join(F.broadcast(member), "key", "left")
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("maybe_member").cast("bigint")).alias("n_pass"),
+        F.sum(F.coalesce(F.col("__is_dim"), F.lit(0)).cast("bigint")).alias(
+            "n_match"
+        ),
+        F.sum(
+            (F.col("maybe_member") & F.col("__is_dim").isNull()).cast("bigint")
+        ).alias("n_false_pass"),
+        F.round(
+            1 - F.sum(F.col("maybe_member").cast("bigint"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pruned_frac"),
+    )
+
+
+Q256_SQL = (
+    r"""
+WITH dim AS (
+  SELECT DISTINCT user_id::VARCHAR AS key FROM events
+  WHERE event_type = 'purchase' AND user_id % 5 = 0),
+dh AS (SELECT key, """
+    + _H60.format(x="key")
+    + r""" AS h FROM dim),
+bloom AS (
+  SELECT p // 60 AS word_idx, bit_or(CAST(1 AS BIGINT) << (p % 60)::INT) AS word
+  FROM ("""
+    + _BLOOM_POS.format(key_cols="key", m=_Q256_M, src="dh")
+    + r""")
+  GROUP BY 1),
+fact AS (SELECT user_id::VARCHAR AS key, """
+    + _H60.format(x="user_id::VARCHAR")
+    + r""" AS h FROM events),
+hits AS (
+  SELECT pos.rid,
+         pos.key,
+         sum(CASE WHEN ((word >> (p % 60)::INT) & 1) = 1 THEN 1 ELSE 0 END)
+           AS nbits
+  FROM ("""
+    + _BLOOM_POS.format(
+        key_cols="rid, key",
+        m=_Q256_M,
+        src="(SELECT row_number() OVER () AS rid, key, h FROM fact)",
+    )
+    + r""") pos
+  LEFT JOIN bloom ON pos.p // 60 = bloom.word_idx
+  GROUP BY pos.rid, pos.key)
+SELECT count(*)::BIGINT AS n_fact,
+       sum(CASE WHEN nbits = 4 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(CASE WHEN key IN (SELECT key FROM dim) THEN 1 ELSE 0 END)::BIGINT
+         AS n_match,
+       sum(CASE WHEN nbits = 4 AND key NOT IN (SELECT key FROM dim)
+                THEN 1 ELSE 0 END)::BIGINT AS n_false_pass,
+       round(1 - sum(CASE WHEN nbits = 4 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 4) AS pruned_frac
+FROM hits
+"""
+)
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16371,11 +16524,12 @@ FROM jobs GROUP BY 1
 #                crawl budget, q248 Hilbert layout, q249 JPEG quality
 #                estimation, q250 crawl-bootstrap flagship, q251 TAR
 #                shard scan, q252 HLL set algebra, q253 WebDataset
-#                samples, q254 compaction planning — sit first in
-#                line for next round's cap; q243's three stage
-#                operators are all graded inside the cap this round,
-#                and all twelve carry full local verification +
-#                invariance evidence.)
+#                samples, q254 compaction planning, q255 single-pass
+#                column profiling, q256 Bloom join pruning — sit
+#                first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all fourteen carry full local
+#                verification + invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16452,6 +16606,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q252_hll_intersection", q252_hll_intersection, Q252_SQL, "sketch hll set-algebra inclusion-exclusion"),
         QuerySpec("q253_webdataset", q253_webdataset, Q253_SQL, "flagship webdataset tar-jpeg-caption samples"),
         QuerySpec("q254_compaction_plan", q254_compaction_plan, Q254_SQL, "layout small-files compaction bin-packing"),
+        QuerySpec("q255_data_profile", q255_data_profile, Q255_SQL, "A-profile deequ single-pass column-stats"),
+        QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
