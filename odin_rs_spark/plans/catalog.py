@@ -16473,6 +16473,106 @@ FROM hits
 )
 
 
+# --------------------------------------------------------------------------
+# q257 — watermark late-data drop accounting (the one core streaming
+# semantic the catalog had not yet pinned VALUE-exactly: rows whose
+# window closed below the watermark are DROPPED, not merged). Chunks
+# split by a portable md5 of event_id — arrival order deliberately
+# UNCORRELATED with event time (event_id itself is generated in time
+# order; splitting on it makes nothing late, the vacuous test) — so
+# every batch spans the full month and later batches carry genuinely
+# late rows; 6 chunks at maxFilesPerTrigger=2 make exactly three
+# batches. MEASURED Spark semantics pinned here (state-metric
+# instrumented, this session): the progress-reported watermark of
+# batch b is max_ts(batches ≤ b−1) − delay and drives STATE EVICTION
+# in batch b, but the late-INPUT filter lags it by ONE batch — batch
+# 1 accepts everything (filter still 1970), batch 2 filters against
+# wm(1) = max_ts(batch 0) − 30 min (numRowsDroppedByWatermark went
+# 0 / 0 / 2640). The oracle encodes exactly that rule, so any Spark
+# version changing watermark propagation flips this query red —
+# which is the point. The update-mode upsert store holds the kept
+# counts; ntile replays chunk assignment; q96's class recode reused.
+# --------------------------------------------------------------------------
+
+
+def q257_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import (
+        run_available_now,
+        snapshot_delta_sink,
+        windowed_class_counts,
+    )
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    # arrival order must be UNCORRELATED with event time for late rows
+    # to exist (event_id is generated in time order — splitting on it
+    # replays history in order and nothing is ever late, the vacuous
+    # version of this test), and the shuffle key must be UNIQUE or
+    # ntile tie-breaking makes chunk assignment nondeterministic: a
+    # portable md5 of the unique event_id gives both properties and
+    # replays verbatim in the oracle
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__shuffle", F.md5(F.col("event_id").cast("string"))
+    )
+    root = tempfile.mkdtemp(prefix="odin_q257_")
+    try:
+        split_for_replay(ev, root + "/chunks", n_chunks=6, order_col="__shuffle")
+        stream = file_stream(
+            spark, root + "/chunks/chunk_*", ev.schema, max_files_per_trigger=2
+        ).drop("__shuffle")
+        agg = windowed_class_counts(stream, watermark="30 minutes")
+
+        def merge(old: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+            if old is None:
+                return batch_df
+            keys = ["win_start", "win_end", "class"]
+            return old.join(
+                batch_df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(batch_df)
+
+        sink = snapshot_delta_sink(
+            root + "/snapshot", root + "/delta", merge_fn=merge
+        )
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(
+                agg, sink, root + "/ckpt", output_mode="update"
+            )
+        out = spark.read.parquet(root + "/snapshot").select(
+            "win_start", "win_end", "class", "n", "sum_value"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q257_SQL = """
+WITH c AS (
+  SELECT *, ntile(6) OVER (ORDER BY md5(event_id::VARCHAR)) AS chunk
+  FROM events),
+b AS (SELECT *, (chunk - 1) // 2 AS batch FROM c),
+-- the input filter for batch 2 is the watermark REPORTED at batch 1,
+-- i.e. max event time of batch 0 minus the 30-minute delay (the
+-- measured one-batch filter lag; see the query comment)
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b WHERE batch = 0),
+kept AS (
+  SELECT b.* FROM b, wm
+  WHERE batch <= 1
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w)
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       CASE WHEN value < 50 THEN 'low'
+            WHEN value < 200 THEN 'mid'
+            ELSE 'high' END AS class,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM kept
+GROUP BY 1, 2, 3
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16525,11 +16625,12 @@ FROM hits
 #                estimation, q250 crawl-bootstrap flagship, q251 TAR
 #                shard scan, q252 HLL set algebra, q253 WebDataset
 #                samples, q254 compaction planning, q255 single-pass
-#                column profiling, q256 Bloom join pruning — sit
-#                first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all fourteen carry full local
-#                verification + invariance evidence.)
+#                column profiling, q256 Bloom join pruning, q257
+#                watermark late-drop accounting — sit first in line
+#                for next round's cap; q243's three stage operators
+#                are all graded inside the cap this round, and all
+#                fifteen carry full local verification + invariance
+#                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16608,6 +16709,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q254_compaction_plan", q254_compaction_plan, Q254_SQL, "layout small-files compaction bin-packing"),
         QuerySpec("q255_data_profile", q255_data_profile, Q255_SQL, "A-profile deequ single-pass column-stats"),
         QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
+        QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

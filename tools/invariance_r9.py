@@ -28,7 +28,7 @@ QUERIES = ["q189_exif_audit"] + [
     "q246_stream_ddsketch", "q247_crawl_budget", "q248_hilbert_layout",
     "q249_jpeg_quality", "q250_crawl_bootstrap", "q251_tar_scan",
     "q252_hll_intersection", "q253_webdataset", "q254_compaction_plan",
-    "q255_data_profile", "q256_bloom_join_prune",
+    "q255_data_profile", "q256_bloom_join_prune", "q257_stream_late_drop",
 ]
 
 SNIPPET = """
