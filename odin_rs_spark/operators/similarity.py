@@ -1459,11 +1459,12 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     pairs = df.select(
         F.posexplode(vec_col).alias("i", "xi"), F.col(vec_col).alias("__v")
     ).select("i", "xi", F.posexplode("__v").alias("j", "xj"))
-    n = df.count()
-    return (
-        pairs.groupBy("i", "j")
-        .agg(F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("g"))
-        .withColumn("n", F.lit(n))
+    # n rides the same aggregation (every row contributes exactly one
+    # (i, j) pair per cell, so the per-cell count IS the row count) —
+    # a separate df.count() would be a second full scan at 100 TB
+    return pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi").cast("double") * F.col("xj").cast("double")).alias("g"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

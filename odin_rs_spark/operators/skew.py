@@ -126,11 +126,11 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     of Z-ordered data layout in lakehouse table formats). Pure integer
     expression: 2·bits getbit/shift terms, whole-stage-codegen friendly.
     """
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(F.shiftleft(F.getbit(x.cast("long"), F.lit(i)), 2 * i))
-        z = z.bitwiseOR(F.shiftleft(F.getbit(y.cast("long"), F.lit(i)), 2 * i + 1))
-    return z
+    # same bit layout as the N-ary operators/layout.z_order_key (x on
+    # even bits, y on odd) — delegate so there is one Morton kernel
+    from odin_rs_spark.operators.layout import z_order_key
+
+    return z_order_key([x, y], bits=bits)
 
 
 def write_zordered(
