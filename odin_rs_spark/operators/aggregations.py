@@ -151,18 +151,24 @@ def profile_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
         aggs.append(F.min(v).alias(f"__lo_{c}"))
         aggs.append(F.max(v).alias(f"__hi_{c}"))
     row = df.agg(*aggs)
-    out = None
-    for c in cols:
-        part = row.select(
-            F.lit(c).alias("column"),
-            F.col("__N").alias("n_rows"),
-            (F.col("__N") - F.col(f"__n_{c}")).alias("n_null"),
-            F.round(
-                (F.col("__N") - F.col(f"__n_{c}")) / F.col("__N"), 6
-            ).alias("null_frac"),
-            F.col(f"__d_{c}").alias("n_distinct"),
-            F.col(f"__lo_{c}").alias("min_num"),
-            F.col(f"__hi_{c}").alias("max_num"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # one exploded struct array, NOT a union of per-column selects — a
+    # union re-plans the aggregation per branch (measured: 6 parquet
+    # scans for 6 columns; exchange reuse does not rescue it), which
+    # silently breaks the single-pass contract this operator exists for
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__N").alias("n_rows"),
+                (F.col("__N") - F.col(f"__n_{c}")).alias("n_null"),
+                F.round(
+                    (F.col("__N") - F.col(f"__n_{c}")) / F.col("__N"), 6
+                ).alias("null_frac"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__lo_{c}").alias("min_num"),
+                F.col(f"__hi_{c}").alias("max_num"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("s")).select("s.*")

@@ -97,3 +97,45 @@ def integer_pagerank(
             )
         )
     return mass
+
+
+def integer_hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, 1999) with EXACT integer
+    mass — the unnormalized mutual recursion a ← Σ_in h, h ← Σ_out a
+    from h₀ = 1 (normalization only rescales; rankings are identical,
+    and integer math makes every engine agree bit-for-bit, the
+    integer_pagerank discipline).  Growth is ~(deg²)^k per iteration:
+    keep iterations small enough that scores stay inside BIGINT for
+    the graph at hand (ANSI mode throws on overflow rather than
+    corrupting ranks — by design).
+
+    Returns (node, hub, authority) over all nodes.  Scale shape: each
+    iteration is two hash joins + two partial-agg groupBys keyed on
+    node ids — edge-linear, no per-iteration driver collect."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1).cast("bigint").alias("score"))
+    a = None
+    for _ in range(iterations):
+        a = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+        h = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("score"))
+        )
+    return (
+        nodes.join(h.withColumnRenamed("score", "hub"), "node", "left")
+        .join(a.withColumnRenamed("score", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0)).alias("authority"),
+        )
+    )

@@ -5713,9 +5713,14 @@ FROM c WHERE value >= 5.0 GROUP BY lat_band
 # DuckDB's CTE inlining from going exponential).
 # --------------------------------------------------------------------------
 
-def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from odin_rs_spark.operators.graph import integer_pagerank
-
+def _cohort_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED edge generation (VERDICT r4/r5, shared by q127/q258):
+    connect each user to its next K=3 neighbors in user_id order
+    within each (event_type, hour) cohort via a rank + offset
+    equi-join — O(n·K) edges total, never the group-quadratic
+    all-pairs self-join (a single hot cohort of 10^5 users would
+    otherwise emit 10^10 pairs). The offset table is 3 rows,
+    broadcast."""
     ev = (
         _t(spark, sf_dir, "events")
         .select(
@@ -5725,12 +5730,6 @@ def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # BOUNDED edge generation (VERDICT r4/r5): connect each user to its
-    # next K=3 neighbors in user_id order within each (event_type,
-    # hour) cohort via a rank + offset equi-join — O(n·K) edges total,
-    # never the group-quadratic all-pairs self-join (a single hot
-    # cohort of 10^5 users would otherwise emit 10^10 pairs). The
-    # offset table is 3 rows, broadcast.
     wr = Window.partitionBy("event_type", "hb").orderBy("user_id")
     ranked = ev.withColumn("rk", F.row_number().over(wr))
     offs = spark.range(1, 4).select(F.col("id").alias("__off"))
@@ -5743,9 +5742,15 @@ def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ranked.select(
         "event_type", "hb", F.col("user_id").alias("dst"), F.col("rk").alias("rk_b")
     )
-    edges = left.join(right, ["event_type", "hb", "rk_b"]).select(
+    return left.join(right, ["event_type", "hb", "rk_b"]).select(
         "src", "dst"
     ).distinct()
+
+
+def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.graph import integer_pagerank
+
+    edges = _cohort_edges(spark, sf_dir)
     # 6 iterations: the exactness claim is iteration-count-independent,
     # and each round costs ~1.5 s of fixed small-stage latency here; the
     # graph is driver-small so the query scopes shuffle parallelism to
@@ -16573,6 +16578,74 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q258 — HITS hubs & authorities (Kleinberg 1999) over the q127
+# cohort graph, with EXACT integer mass (unnormalized mutual
+# recursion from h₀=1 — normalization only rescales, rankings are
+# identical, and integer math keeps both engines bit-equal, the
+# integer-pagerank discipline). Three iterations, top-20 authorities
+# with a fully deterministic (authority, hub, node) tie-break; the
+# oracle unrolls the same three a/h stages as MATERIALIZED CTEs over
+# the same bounded O(n·K) edge construction (shared _cohort_edges).
+# --------------------------------------------------------------------------
+
+
+def q258_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.graph import integer_hits
+
+    edges = _cohort_edges(spark, sf_dir)
+    with _stream_state_parallelism(spark, 8):
+        out = integer_hits(edges, iterations=3)
+    return (
+        out.orderBy(
+            F.col("authority").desc(), F.col("hub").desc(), F.col("node")
+        )
+        .limit(20)
+        .select(F.col("node").alias("user_id"), "hub", "authority")
+    )
+
+
+def _q258_sql(iterations: int = 3) -> str:
+    head = """
+WITH ev AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb FROM events),
+rk AS (
+  SELECT user_id, event_type, hb,
+         row_number() OVER (PARTITION BY event_type, hb ORDER BY user_id) AS rk
+  FROM ev),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM rk a JOIN rk b ON a.event_type = b.event_type AND a.hb = b.hb
+  AND b.rk BETWEEN a.rk + 1 AND a.rk + 3),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, 1::BIGINT AS s FROM nodes)"""
+    steps = []
+    for i in range(iterations):
+        steps.append(f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.s)::BIGINT AS s
+  FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+h{i + 1} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.s)::BIGINT AS s
+  FROM e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src)"""
+        )
+    k = iterations
+    return head + "".join(steps) + f"""
+SELECT n.node AS user_id,
+       coalesce(h.s, 0)::BIGINT AS hub,
+       coalesce(a.s, 0)::BIGINT AS authority
+FROM nodes n
+LEFT JOIN h{k} h ON h.node = n.node
+LEFT JOIN a{k} a ON a.node = n.node
+ORDER BY authority DESC, hub DESC, n.node
+LIMIT 20
+"""
+
+
+Q258_SQL = _q258_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16626,11 +16699,11 @@ GROUP BY 1, 2, 3
 #                shard scan, q252 HLL set algebra, q253 WebDataset
 #                samples, q254 compaction planning, q255 single-pass
 #                column profiling, q256 Bloom join pruning, q257
-#                watermark late-drop accounting — sit first in line
-#                for next round's cap; q243's three stage operators
-#                are all graded inside the cap this round, and all
-#                fifteen carry full local verification + invariance
-#                evidence.)
+#                watermark late-drop accounting, q258 integer HITS —
+#                sit first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all sixteen carry full local verification
+#                + invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16710,6 +16783,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q255_data_profile", q255_data_profile, Q255_SQL, "A-profile deequ single-pass column-stats"),
         QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
         QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
+        QuerySpec("q258_graph_hits", q258_graph_hits, Q258_SQL, "graph hits hubs-authorities integer-exact"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

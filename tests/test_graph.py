@@ -48,3 +48,23 @@ def test_iteration_determinism_across_parallelism(spark):
         _edges(spark, pairs).repartition(7), iterations=5
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestIntegerHits:
+    def test_known_hub_and_authority(self, spark):
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.operators.graph import integer_hits
+
+        # star: node 0 points at 1,2,3 (pure hub); 1,2,3 also point at 4
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 4), (2, 4), (3, 4)],
+            "src bigint, dst bigint",
+        )
+        out = {r.node: (r.hub, r.authority) for r in integer_hits(edges, 1).collect()}
+        # after one iteration from h0=1: a(d) = indegree, h(s) = sum a(out)
+        assert out[4][1] == 3          # authority: 3 in-edges
+        assert out[0][0] == 3          # hub 0: a(1)+a(2)+a(3) = 1+1+1
+        assert out[1][0] == 3          # hub 1: a(4) = 3
+        assert out[0][1] == 0          # no in-edges -> zero authority
+        assert out[4][0] == 0          # no out-edges -> zero hub

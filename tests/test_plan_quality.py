@@ -818,3 +818,33 @@ def test_ddsketch_shuffles_buckets_not_values(spark, sf_dir):
     plan = _executed(sk)
     below = plan.split("Exchange")[-1]
     assert "partial_count" in below, plan
+
+
+def test_profile_single_scan_expand_agg(spark, sf_dir):
+    """profile_columns computes every metric in ONE pass: exactly one
+    parquet scan in the plan, with the multi-column count_distinct
+    planned as Expand + partial aggregation."""
+    from odin_rs_spark.plans.catalog import q255_data_profile
+
+    plan = _executed(q255_data_profile(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Expand" in plan
+
+
+def test_hll_union_merge_is_partial_agg(spark, sf_dir):
+    """q252's pair-union register merge aggregates map-side before the
+    exchange — the merge touches registers, never the key universe."""
+    from odin_rs_spark.plans.catalog import q252_hll_intersection
+
+    plan = _executed(q252_hll_intersection(spark, sf_dir))
+    assert "partial_max" in plan or "partial_count" in plan
+
+
+def test_crawl_bootstrap_no_cartesian_blowup(spark, sf_dir):
+    """q250's only cross joins are scalar broadcasts (totals, kstar);
+    the frontier-level joins are hash joins — no nested-loop over the
+    url set."""
+    from odin_rs_spark.plans.catalog import q250_crawl_bootstrap
+
+    plan = _executed(q250_crawl_bootstrap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
