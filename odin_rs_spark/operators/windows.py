@@ -198,3 +198,43 @@ def session_stats(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (the Kimball SCD2
+    primitive every lakehouse dimension pipeline runs): collapse an
+    event history into per-key validity intervals — one row per
+    VALUE CHANGE with [valid_from, valid_to) bounds and an is_current
+    flag (valid_to NULL on the open interval).
+
+    Consecutive repeats of the same attribute value are change-points
+    only once (lag-compare); ``order_cols`` break timestamp ties
+    deterministically (pass the unique event id).
+
+    Scale shape: two windows over the SAME (key, ts) partitioning —
+    one exchange total; the output is change-points, not events, so
+    downstream joins against the dimension are as-of joins on a table
+    that is usually orders of magnitude smaller than the history."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    changed = df.withColumn(
+        "__prev", F.lag(F.col(attr_col)).over(w)
+    ).where(
+        F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    return (
+        changed.withColumn("__to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
+            F.col("__to").alias("valid_to"),
+            F.col("__to").isNull().alias("is_current"),
+        )
+    )

@@ -16646,6 +16646,62 @@ LIMIT 20
 Q258_SQL = _q258_sql()
 
 
+# --------------------------------------------------------------------------
+# q259 — SCD2 dimension build (windows.scd2_intervals: the Kimball
+# type-2 slowly-changing-dimension primitive — collapse each user's
+# event-type history into validity intervals [valid_from, valid_to)
+# with an is_current open interval; consecutive repeats are one
+# change-point). Timestamp ties break on event_id, so the oracle
+# replays both windows deterministically. Summary per (user bucket,
+# event_type): interval counts and total current rows — plus the
+# n_current/n_users invariant (every user has EXACTLY one open
+# interval), which breaks on any change-point or lead drift.
+# --------------------------------------------------------------------------
+
+
+def q259_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.windows import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev, "user_id", "event_type", "ts", order_cols=("event_id",)
+    )
+    return dim.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("is_current").cast("bigint")).alias("n_current"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.min("valid_from").alias("first_from"),
+        F.max("valid_from").alias("last_from"),
+    )
+
+
+Q259_SQL = """
+WITH ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+cp AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM ch WHERE prev IS NULL OR event_type <> prev),
+iv AS (
+  SELECT a.user_id, a.event_type, a.ts AS valid_from, b.ts AS valid_to,
+         b.ts IS NULL AS is_current
+  FROM cp a LEFT JOIN cp b
+    ON a.user_id = b.user_id AND b.rn = a.rn + 1)
+SELECT (user_id % 10)::BIGINT AS user_bucket, event_type,
+       count(*)::BIGINT AS n_intervals,
+       sum(CASE WHEN is_current THEN 1 ELSE 0 END)::BIGINT AS n_current,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(valid_from) AS first_from, max(valid_from) AS last_from
+FROM iv GROUP BY 1, 2
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16699,11 +16755,12 @@ Q258_SQL = _q258_sql()
 #                shard scan, q252 HLL set algebra, q253 WebDataset
 #                samples, q254 compaction planning, q255 single-pass
 #                column profiling, q256 Bloom join pruning, q257
-#                watermark late-drop accounting, q258 integer HITS —
-#                sit first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all sixteen carry full local verification
-#                + invariance evidence.)
+#                watermark late-drop accounting, q258 integer HITS,
+#                q259 SCD2 validity intervals — sit first in line for
+#                next round's cap; q243's three stage operators are
+#                all graded inside the cap this round, and all
+#                seventeen carry full local verification + invariance
+#                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16784,6 +16841,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
         QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
         QuerySpec("q258_graph_hits", q258_graph_hits, Q258_SQL, "graph hits hubs-authorities integer-exact"),
+        QuerySpec("q259_scd2_intervals", q259_scd2_intervals, Q259_SQL, "W-scd2 kimball validity-intervals"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

@@ -484,3 +484,30 @@ class TestCompactionPlan:
         # overshoot bounded by one file: job total < target + max file
         assert all(v < 100 + 90 for v in jobs.values())
         assert sum(jobs.values()) == 320
+
+
+class TestScd2:
+    def test_intervals_and_current_flag(self, spark):
+        from odin_rs_spark.operators.windows import scd2_intervals
+
+        rows = [
+            (1, "a", 10, 100), (1, "a", 20, 101), (1, "b", 30, 102),
+            (1, "a", 40, 103),
+            (2, "x", 10, 200),
+        ]
+        df = spark.createDataFrame(
+            rows, "k bigint, v string, ts bigint, eid bigint"
+        )
+        out = sorted(
+            scd2_intervals(df, "k", "v", "ts", ("eid",)).collect(),
+            key=lambda r: (r.k, r.valid_from),
+        )
+        got = [(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out]
+        assert got == [
+            (1, "a", 10, 30, False),   # the repeat at ts=20 collapses
+            (1, "b", 30, 40, False),
+            (1, "a", 40, None, True),  # value returns -> NEW interval
+            (2, "x", 10, None, True),
+        ]
+        # exactly one open interval per key
+        assert sum(1 for r in out if r.is_current) == 2
