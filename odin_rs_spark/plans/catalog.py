@@ -16702,6 +16702,133 @@ FROM iv GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q260 — ordered funnel analysis (the product-analytics staple next
+# to sessionization: how many users performed view → click →
+# purchase IN ORDER — each step's timestamp must strictly follow the
+# previous step's FIRST qualifying time, the standard "unordered
+# conversions don't count" rule). Three staged aggregations joined on
+# the user dim; counts per user bucket with step-wise conversion
+# rates rounded. The oracle replays the same staged CTEs.
+# --------------------------------------------------------------------------
+
+
+def q260_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        t1.join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            (F.col("user_id") % 5).alias("user_bucket"),
+            F.lit(1).alias("s1"),
+            F.col("t2").isNotNull().cast("int").alias("s2"),
+            F.col("t3").isNotNull().cast("int").alias("s3"),
+        )
+    )
+    return steps.groupBy("user_bucket").agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_full_funnel"),
+        F.round(F.sum("s2") / F.sum("s1"), 4).alias("click_rate"),
+        F.round(F.sum("s3") / F.sum("s1"), 4).alias("funnel_rate"),
+    )
+
+
+Q260_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id),
+s AS (
+  SELECT t1.user_id % 5 AS user_bucket, 1 AS s1,
+         CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END AS s2,
+         CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS s3
+  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+          LEFT JOIN t3 ON t1.user_id = t3.user_id)
+SELECT user_bucket::BIGINT AS user_bucket, sum(s1)::BIGINT AS n_view,
+       sum(s2)::BIGINT AS n_view_click, sum(s3)::BIGINT AS n_full_funnel,
+       round(sum(s2) / sum(s1)::DOUBLE, 4) AS click_rate,
+       round(sum(s3) / sum(s1)::DOUBLE, 4) AS funnel_rate
+FROM s GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q261 — retention cohort triangle (the other analytics staple: users
+# cohorted by FIRST-activity day, retention = fraction active again
+# at day offset d; offsets 0-7). Two aggregations over the events
+# table — cohort dim then (cohort, offset) distinct-user counts — all
+# date math integral. Oracle replays both stages.
+# --------------------------------------------------------------------------
+
+
+def q261_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    active = ev.distinct().join(cohort, "user_id")
+    ret = (
+        active.select(
+            "user_id", "d0", F.datediff(F.col("d"), F.col("d0")).alias("off")
+        )
+        .where(F.col("off").between(0, 7))
+        .groupBy("d0", "off")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    size = cohort.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(size, "d0").select(
+        F.col("d0").cast("string").alias("cohort_day"),
+        "off", "n_active", "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+Q261_SQL = """
+WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+cohort AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+ret AS (
+  SELECT c.d0, (e.d - c.d0) AS off, count(DISTINCT e.user_id) AS n_active
+  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+  WHERE (e.d - c.d0) BETWEEN 0 AND 7
+  GROUP BY 1, 2),
+sz AS (SELECT d0, count(*) AS cohort_size FROM cohort GROUP BY d0)
+SELECT ret.d0::VARCHAR AS cohort_day, off::INT AS off,
+       n_active::BIGINT AS n_active,
+       sz.cohort_size::BIGINT AS cohort_size,
+       round(n_active / sz.cohort_size::DOUBLE, 4) AS retention
+FROM ret JOIN sz ON ret.d0 = sz.d0
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16756,10 +16883,11 @@ FROM iv GROUP BY 1, 2
 #                samples, q254 compaction planning, q255 single-pass
 #                column profiling, q256 Bloom join pruning, q257
 #                watermark late-drop accounting, q258 integer HITS,
-#                q259 SCD2 validity intervals — sit first in line for
-#                next round's cap; q243's three stage operators are
-#                all graded inside the cap this round, and all
-#                seventeen carry full local verification + invariance
+#                q259 SCD2 validity intervals, q260 ordered funnel,
+#                q261 retention cohorts — sit first in line for next
+#                round's cap; q243's three stage operators are all
+#                graded inside the cap this round, and all nineteen
+#                carry full local verification + invariance
 #                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
@@ -16842,6 +16970,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
         QuerySpec("q258_graph_hits", q258_graph_hits, Q258_SQL, "graph hits hubs-authorities integer-exact"),
         QuerySpec("q259_scd2_intervals", q259_scd2_intervals, Q259_SQL, "W-scd2 kimball validity-intervals"),
+        QuerySpec("q260_funnel", q260_funnel, Q260_SQL, "A-funnel ordered-step conversion"),
+        QuerySpec("q261_retention", q261_retention, Q261_SQL, "A-retention cohort-triangle"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

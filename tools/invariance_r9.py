@@ -29,7 +29,8 @@ QUERIES = ["q189_exif_audit"] + [
     "q249_jpeg_quality", "q250_crawl_bootstrap", "q251_tar_scan",
     "q252_hll_intersection", "q253_webdataset", "q254_compaction_plan",
     "q255_data_profile", "q256_bloom_join_prune", "q257_stream_late_drop",
-    "q258_graph_hits", "q259_scd2_intervals",
+    "q258_graph_hits", "q259_scd2_intervals", "q260_funnel",
+    "q261_retention",
 ]
 
 SNIPPET = """
