@@ -16829,6 +16829,223 @@ FROM ret JOIN sz ON ret.d0 = sz.d0
 """
 
 
+# --------------------------------------------------------------------------
+# q262 — forward-fill over an hourly sensor grid (LOCF — the gap
+# repair every station/telemetry pipeline runs before resampling; the
+# reference's weather-station feeds have exactly this shape). Each
+# (user_id%20 station, hour) cell carries the hour's LAST value by
+# (ts, event_id); missing hours fill from the most recent earlier
+# observation via one last(ignorenulls) window over the dense
+# station×hour grid (cross join of two dims — never a per-row
+# explode). Output: per station, observed vs filled cell counts and
+# a checksum of the filled series.
+# --------------------------------------------------------------------------
+
+
+def q262_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            (F.col("user_id") % 20).alias("station"),
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value")).alias("o"),
+        )
+        .groupBy("station", "hr")
+        .agg(F.max("o").alias("o"))
+        .select("station", "hr", F.col("o.value").alias("v"))
+    )
+    hours = ev.select(F.date_trunc("hour", F.col("ts")).alias("hr")).distinct()
+    stations = obs.select("station").distinct()
+    grid = stations.crossJoin(hours)
+    w = (
+        Window.partitionBy("station")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.join(obs, ["station", "hr"], "left").withColumn(
+        "fv", F.last("v", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("station").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("v").isNotNull().cast("bigint")).alias("n_observed"),
+        F.sum(
+            (F.col("v").isNull() & F.col("fv").isNotNull()).cast("bigint")
+        ).alias("n_filled"),
+        F.sum(F.col("fv").isNull().cast("bigint")).alias("n_leading_gaps"),
+        F.round(F.sum("fv"), 4).alias("sum_filled_series"),
+    )
+
+
+Q262_SQL = """
+WITH obs AS (
+  SELECT station, hr, max(o).v AS v FROM (
+    SELECT user_id % 20 AS station, date_trunc('hour', ts) AS hr,
+           struct_pack(ts := ts, event_id := event_id, v := value) AS o
+    FROM events)
+  GROUP BY station, hr),
+hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events),
+stations AS (SELECT DISTINCT station FROM obs),
+grid AS (SELECT station, hr FROM stations, hours),
+filled AS (
+  SELECT g.station, g.hr, o.v,
+         last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.station ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM grid g LEFT JOIN obs o ON g.station = o.station AND g.hr = o.hr)
+SELECT station::BIGINT AS station, count(*)::BIGINT AS n_hours,
+       sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_observed,
+       sum(CASE WHEN v IS NULL AND fv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_filled,
+       sum(CASE WHEN fv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_leading_gaps,
+       round(sum(fv), 4) AS sum_filled_series
+FROM filled GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q263 — event-time disorder audit (the measurement that CHOOSES a
+# watermark: per source, how far behind the running event-time
+# maximum do rows arrive? q257 pins what a watermark DOES; this one
+# tells you what to SET it to). Arrival order = the md5(event_id)
+# shuffle — the SAME arrival process q257 streams (event_id itself is
+# emit-ordered and measures zero disorder, the vacuous audit);
+# disorder_s = running max(ts) − ts at arrival. Report per
+# event_type: max and p95/p99 disorder (exact rank-k on the
+# deterministic (disorder, event_id) order) plus the late fraction a
+# 30-minute watermark would have dropped — read next to q257, this
+# is the watermark-sizing loop closed.
+# --------------------------------------------------------------------------
+
+
+def q263_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = ev.select(
+        "event_type",
+        "event_id",
+        (
+            (F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / 1_000_000.0
+        ).alias("disorder_s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("disorder_s"), F.col("event_id")
+    )
+    ranked = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    k95 = F.floor((95 * F.col("n") + 99) / 100)
+    k99 = F.floor((99 * F.col("n") + 99) / 100)
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("disorder_s"), 3).alias("max_disorder_s"),
+        F.round(
+            F.max(F.when(F.col("rk") == k95, F.col("disorder_s"))), 3
+        ).alias("p95_disorder_s"),
+        F.round(
+            F.max(F.when(F.col("rk") == k99, F.col("disorder_s"))), 3
+        ).alias("p99_disorder_s"),
+        F.round(
+            F.sum((F.col("disorder_s") > 1800).cast("bigint"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("late_frac_30min"),
+    )
+
+
+Q263_SQL = """
+WITH d AS (
+  SELECT event_type, event_id,
+         (epoch_us(max(ts) OVER (PARTITION BY event_type
+                                 ORDER BY md5(event_id::VARCHAR)
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+          - epoch_us(ts)) / 1000000.0 AS disorder_s
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY disorder_s, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d)
+SELECT event_type, max(n)::BIGINT AS n,
+       round(max(disorder_s), 3) AS max_disorder_s,
+       round(max(CASE WHEN rk = (95 * n + 99) // 100
+                      THEN disorder_s END), 3) AS p95_disorder_s,
+       round(max(CASE WHEN rk = (99 * n + 99) // 100
+                      THEN disorder_s END), 3) AS p99_disorder_s,
+       round(sum(CASE WHEN disorder_s > 1800 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS late_frac_30min
+FROM r GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q264 — referential-integrity conformance (the Deequ-style FK audit
+# completing q255's profiling: orphaned foreign keys across the
+# star schema — lineitem→orders, orders→customer, customer→nation —
+# counted by LEFT ANTI joins on the key dims; TPC-H data is
+# conformant by construction, so violations are SEEDED (every 97th
+# orders row gets a custkey pushed past the dim) and the audit must
+# count exactly those).
+# --------------------------------------------------------------------------
+
+
+def q264_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    maxc = cust.agg(F.max("c_custkey")).collect()[0][0]
+    seeded = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + F.lit(maxc)
+        ).otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+
+    def audit(child, key, parent, pkey, label):
+        n = child.count()
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).count()
+        return (label, n, orphans)
+
+    rows = [
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        audit(seeded, "o_custkey", cust, "c_custkey", "orders->customer"),
+        audit(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk string, n_child bigint, n_orphans bigint"
+    )
+
+
+Q264_SQL = """
+WITH maxc AS (SELECT max(c_custkey) AS m FROM customer),
+seeded AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + (SELECT m FROM maxc)
+              ELSE o_custkey END AS o_custkey
+  FROM orders)
+SELECT 'lineitem->orders' AS fk, count(*)::BIGINT AS n_child,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer', count(*)::BIGINT,
+       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM seeded s LEFT JOIN customer c ON s.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation', count(*)::BIGINT,
+       sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -16884,11 +17101,12 @@ FROM ret JOIN sz ON ret.d0 = sz.d0
 #                column profiling, q256 Bloom join pruning, q257
 #                watermark late-drop accounting, q258 integer HITS,
 #                q259 SCD2 validity intervals, q260 ordered funnel,
-#                q261 retention cohorts — sit first in line for next
-#                round's cap; q243's three stage operators are all
-#                graded inside the cap this round, and all nineteen
-#                carry full local verification + invariance
-#                evidence.)
+#                q261 retention cohorts, q262 LOCF gap-fill, q263
+#                event-time disorder audit, q264 FK conformance — sit
+#                first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all twenty-two carry full local
+#                verification + invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -16972,6 +17190,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q259_scd2_intervals", q259_scd2_intervals, Q259_SQL, "W-scd2 kimball validity-intervals"),
         QuerySpec("q260_funnel", q260_funnel, Q260_SQL, "A-funnel ordered-step conversion"),
         QuerySpec("q261_retention", q261_retention, Q261_SQL, "A-retention cohort-triangle"),
+        QuerySpec("q262_forward_fill", q262_forward_fill, Q262_SQL, "W-locf sensor-grid gap-fill"),
+        QuerySpec("q263_disorder_audit", q263_disorder_audit, Q263_SQL, "T-disorder watermark-choice audit"),
+        QuerySpec("q264_fk_conformance", q264_fk_conformance, Q264_SQL, "A-profile fk referential-integrity"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

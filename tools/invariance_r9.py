@@ -30,7 +30,8 @@ QUERIES = ["q189_exif_audit"] + [
     "q252_hll_intersection", "q253_webdataset", "q254_compaction_plan",
     "q255_data_profile", "q256_bloom_join_prune", "q257_stream_late_drop",
     "q258_graph_hits", "q259_scd2_intervals", "q260_funnel",
-    "q261_retention",
+    "q261_retention", "q262_forward_fill", "q263_disorder_audit",
+    "q264_fk_conformance",
 ]
 
 SNIPPET = """
