@@ -17046,6 +17046,86 @@ FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q265 — ZIP member scan (sources/archive.zip_members: stdlib zipfile
+# does the container — the officedoc.py pattern — and the engine adds
+# the walker shape plus NAMED rejections for 7z/rar/zstd/bzip2/xz so
+# an on_error='skip' pipeline counts what it lost instead of labeling
+# it corrupt). 24 twin-built zips mixing stored and deflated members;
+# compressed sizes are zlib-version-dependent and deliberately NOT in
+# the compared output. Oracle rebuilds the member rows from the seed.
+# --------------------------------------------------------------------------
+
+
+def _q265_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import io
+        import zipfile
+
+        out = []
+        for zid in series:
+            zid = int(zid)
+            buf = io.BytesIO()
+            zf = zipfile.ZipFile(buf, "w")
+            for m in range(2 + zid % 3):
+                words = " ".join(
+                    f"zw{(zid * 19 + m * 7 + w) % 31}"
+                    for w in range(5 + (zid + m) % 4)
+                )
+                zi = zipfile.ZipInfo(f"z{zid}/m{m}.txt")
+                zf.writestr(
+                    zi,
+                    words,
+                    compress_type=(
+                        zipfile.ZIP_STORED if m % 2 == 0 else zipfile.ZIP_DEFLATED
+                    ),
+                )
+            zf.close()
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(24).select(
+        F.concat(F.lit("z"), F.lpad(F.col("id").cast("string"), 2, "0"),
+                 F.lit(".zip")).alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q265_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.archive import zip_members
+
+    return zip_members(_q265_media(spark)).select(
+        "file", "member", "size", "method", "text", "n_chars"
+    )
+
+
+Q265_SQL = """
+WITH z AS (SELECT range AS zid FROM range(24)),
+m AS (SELECT zid, mm.range AS m FROM z, range(5) mm
+      WHERE mm.range < 2 + zid % 3),
+w AS (
+  SELECT zid, m,
+         (SELECT string_agg('zw' || ((zid * 19 + m * 7 + ww.range) % 31),
+                            ' ' ORDER BY ww.range)
+          FROM range(9) ww WHERE ww.range < 5 + (zid + m) % 4) AS words
+  FROM m)
+SELECT 'z' || lpad(zid::VARCHAR, 2, '0') || '.zip' AS file,
+       'z' || zid || '/m' || m || '.txt' AS member,
+       length(words)::INT AS size,
+       CASE WHEN m % 2 = 0 THEN 'store' ELSE 'deflate' END AS method,
+       words AS text, length(words)::INT AS n_chars
+FROM w
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -17102,11 +17182,12 @@ FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
 #                watermark late-drop accounting, q258 integer HITS,
 #                q259 SCD2 validity intervals, q260 ordered funnel,
 #                q261 retention cohorts, q262 LOCF gap-fill, q263
-#                event-time disorder audit, q264 FK conformance — sit
-#                first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all twenty-two carry full local
-#                verification + invariance evidence.)
+#                event-time disorder audit, q264 FK conformance, q265
+#                ZIP member scan — sit first in line for next round's
+#                cap; q243's three stage operators are all graded
+#                inside the cap this round, and all twenty-three
+#                carry full local verification + invariance
+#                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -17193,6 +17274,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q262_forward_fill", q262_forward_fill, Q262_SQL, "W-locf sensor-grid gap-fill"),
         QuerySpec("q263_disorder_audit", q263_disorder_audit, Q263_SQL, "T-disorder watermark-choice audit"),
         QuerySpec("q264_fk_conformance", q264_fk_conformance, Q264_SQL, "A-profile fk referential-integrity"),
+        QuerySpec("q265_zip_scan", q265_zip_scan, Q265_SQL, "S-zip member-scan named-rejections"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

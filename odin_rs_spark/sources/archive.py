@@ -172,3 +172,91 @@ def tar_members(files_df, on_error: str = "raise"):
 
     ensure_shipped(files_df.sparkSession)
     return files_df.select("path", "content").mapInPandas(fn, TAR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP members (stdlib zipfile, the officedoc.py pattern — ZIP needs no
+# hand-rolled parser; the VALUE here is the walker shape + the named
+# rejections for archive formats this engine does NOT decode).
+# ---------------------------------------------------------------------------
+
+_ARCHIVE_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"7z\xbc\xaf\x27\x1c", "7z"),
+    (b"Rar!\x1a\x07", "rar"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\x42\x5a\x68", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz"),
+)
+
+
+def sniff_unsupported_archive(buf: bytes) -> None:
+    """Raise a NAMED rejection when the bytes are an archive format
+    this engine does not decode (the grib2 JPEG2000 discipline: a
+    specific error names the format so an on_error='skip' pipeline
+    can COUNT what it lost instead of mislabeling it corrupt)."""
+    for magic, name in _ARCHIVE_MAGICS:
+        if buf[: len(magic)] == magic:
+            raise ValueError(f"unsupported archive format: {name}")
+
+
+ZIP_SCHEMA = (
+    "file string, member string, size int, compressed int, method string,"
+    " text string, n_chars int"
+)
+
+
+def zip_members(files_df, on_error: str = "raise"):
+    """`binaryFile` rows → one row per ZIP member (text decoded as
+    UTF-8 with replacement). Stored and deflated members both on-path;
+    unsupported sibling formats (7z/rar/zstd/bzip2/xz) reject by name
+    BEFORE zipfile sees them."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "file": [], "member": [], "size": [], "compressed": [],
+                "method": [], "text": [], "n_chars": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    sniff_unsupported_archive(buf)
+                    zf = zipfile.ZipFile(io.BytesIO(buf))
+                    infos = zf.infolist()
+                    members = [
+                        (i, zf.read(i.filename)) for i in infos
+                        if not i.is_dir()
+                    ]
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                except Exception as exc:  # BadZipFile, zlib.error...
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"corrupt ZIP: {exc}") from exc
+                base = os.path.basename(path)
+                for info, data in members:
+                    text = data.decode("utf-8", "replace")
+                    rows["file"].append(base)
+                    rows["member"].append(info.filename)
+                    rows["size"].append(info.file_size)
+                    rows["compressed"].append(info.compress_size)
+                    rows["method"].append(
+                        "deflate" if info.compress_type == 8 else "store"
+                    )
+                    rows["text"].append(text)
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, ZIP_SCHEMA)

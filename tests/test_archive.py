@@ -93,3 +93,41 @@ class TestSeams:
         buf = _twin()
         with pytest.raises(ValueError, match="terminator"):
             parse_tar(buf[:-1024])
+
+
+class TestZipAndRejections:
+    def test_zip_members_roundtrip(self, spark):
+        import io
+        import zipfile
+
+        from odin_rs_spark.sources.archive import zip_members
+
+        buf = io.BytesIO()
+        zf = zipfile.ZipFile(buf, "w")
+        zf.writestr("a.txt", "hello", compress_type=zipfile.ZIP_STORED)
+        zf.writestr("b/c.txt", "deflate me " * 10,
+                     compress_type=zipfile.ZIP_DEFLATED)
+        zf.close()
+        df = spark.createDataFrame(
+            [("x.zip", buf.getvalue())], "path string, content binary"
+        )
+        rows = {r.member: r for r in zip_members(df).collect()}
+        assert rows["a.txt"].method == "store" and rows["a.txt"].text == "hello"
+        assert rows["b/c.txt"].method == "deflate"
+        assert rows["b/c.txt"].size == len("deflate me " * 10)
+
+    def test_unsupported_archives_rejected_by_name(self):
+        import pytest
+
+        from odin_rs_spark.sources.archive import sniff_unsupported_archive
+
+        for magic, name in (
+            (b"7z\xbc\xaf\x27\x1c rest", "7z"),
+            (b"Rar!\x1a\x07\x00 rest", "rar"),
+            (b"\x28\xb5\x2f\xfd data", "zstd"),
+            (b"\x42\x5a\x68 9", "bzip2"),
+            (b"\xfd7zXZ\x00 data", "xz"),
+        ):
+            with pytest.raises(ValueError, match=name):
+                sniff_unsupported_archive(magic)
+        sniff_unsupported_archive(b"PK\x03\x04")  # zip passes through
