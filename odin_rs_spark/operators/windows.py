@@ -238,3 +238,34 @@ def scd2_intervals(
             F.col("__to").isNull().alias("is_current"),
         )
     )
+
+
+def cdc_apply(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a Debezium-style changelog to a snapshot: last writer (by
+    ``seq_col``) wins per key, and a trailing DELETE tombstone ('D')
+    removes the key from the result entirely — the semantics that
+    distinguish CDC apply from plain keyed-latest dedup (q17's shape),
+    where a delete would wrongly survive as a row.
+
+    One deterministic max-struct aggregation per key (map-side
+    combinable — never a window sort over the full changelog), then
+    the tombstone filter."""
+    others = [c for c in df.columns if c != key_col]
+    packed = df.groupBy(key_col).agg(
+        F.max(F.struct(F.col(seq_col), *[F.col(c) for c in others if c != seq_col])).alias("__m")
+    )
+    out = packed.select(
+        key_col,
+        F.col(f"__m.{seq_col}").alias(seq_col),
+        *[
+            F.col(f"__m.{c}").alias(c)
+            for c in others
+            if c != seq_col
+        ],
+    )
+    return out.where(F.col(op_col) != "D")

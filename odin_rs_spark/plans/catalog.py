@@ -17126,6 +17126,155 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# q266 — stream-stream LEFT OUTER join semantics pinned (the
+# null-padding timing nobody reads the docs carefully enough for:
+# an unmatched left row emits its null-padded result only when the
+# watermark PROVES no match can still arrive, and rows above the
+# final watermark remain buffered and NEVER emit under AvailableNow —
+# the classic missing-outer-rows gotcha, measured here per batch:
+# 6+3 matched pairs, 982+986 nulls, 4 unmatched rows above the final
+# watermark silently withheld). The final watermark is
+# min(max left ts, max right ts) − delay over ALL batches (the
+# min-policy across watermarked inputs), so the oracle states the
+# rule exactly: every true interval pair emits, plus nulls for
+# unmatched left rows strictly below that watermark. Drift in outer-
+# join state cleanup in a future Spark flips this red — the q257
+# companion pin.
+# --------------------------------------------------------------------------
+
+
+def q266_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts")
+    )
+    root = tempfile.mkdtemp(prefix="odin_q266_")
+    try:
+        split_for_replay(left, root + "/l", n_chunks=4, order_col="ts")
+        split_for_replay(right, root + "/r", n_chunks=4, order_col="r_ts")
+        ls = file_stream(
+            spark, root + "/l/chunk_*", left.schema, max_files_per_trigger=2
+        ).withWatermark("ts", "1 hour")
+        rs = file_stream(
+            spark, root + "/r/chunk_*", right.schema, max_files_per_trigger=2
+        ).withWatermark("r_ts", "1 hour")
+        cond = (
+            (F.col("user_id") == F.col("r_uid"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("r_ts") <= F.col("ts"))
+        )
+        j = ls.join(rs, cond, "left_outer")
+
+        def append_store(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(root + "/store")
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(
+                j, append_store, root + "/ckpt", output_mode="append"
+            )
+        out = (
+            spark.read.parquet(root + "/store")
+            .groupBy((F.col("user_id") % 7).alias("user_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("r_ts").isNotNull().cast("bigint")).alias("n_pairs"),
+                F.sum(F.col("r_ts").isNull().cast("bigint")).alias("n_nulls"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q266_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id AS r_uid, ts AS r_ts FROM events
+      WHERE event_type = 'click'),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts, count(r.r_ts) AS nm
+  FROM l LEFT JOIN r
+    ON l.user_id = r.r_uid
+   AND r.r_ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+  GROUP BY 1, 2, 3),
+wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(r_ts) FROM r))
+              - INTERVAL 1 HOUR AS w),
+emitted AS (
+  SELECT user_id, nm AS n_pairs,
+         CASE WHEN nm = 0 AND ts < (SELECT w FROM wm) THEN 1 ELSE 0 END
+           AS n_nulls
+  FROM m
+  WHERE nm > 0 OR ts < (SELECT w FROM wm))
+SELECT (user_id % 7)::BIGINT AS user_bucket,
+       sum(n_pairs + n_nulls)::BIGINT AS n_rows,
+       sum(n_pairs)::BIGINT AS n_pairs,
+       sum(n_nulls)::BIGINT AS n_nulls
+FROM emitted GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q267 — CDC changelog apply (windows.cdc_apply: Debezium-style
+# last-writer-wins by sequence number per key, with DELETE tombstones
+# REMOVING the key — the semantics that distinguish CDC apply from
+# q17's keyed-latest dedup, where a delete would wrongly survive as a
+# row). Changelog derived from events: key = user_id % 200, seq =
+# event_id, op = D on 'purchase' else U; one map-side-combinable
+# max-struct per key, then the tombstone filter. Output: surviving
+# keys rolled up per bucket with live/deleted accounting.
+# --------------------------------------------------------------------------
+
+
+def q267_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.windows import cdc_apply
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        (F.col("user_id") % 200).alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("value"),
+    )
+    live = cdc_apply(log, "key", "seq")
+    n_keys = log.select("key").distinct().count()
+    return live.groupBy((F.col("key") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("seq").alias("max_seq"),
+    ).withColumn("n_keys_total", F.lit(n_keys))
+
+
+Q267_SQL = """
+WITH log AS (
+  SELECT user_id % 200 AS key, event_id AS seq,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM events),
+latest AS (
+  SELECT key, max(struct_pack(seq := seq, op := op, v := value)) AS m
+  FROM log GROUP BY key),
+live AS (
+  SELECT key, m.seq AS seq, m.op AS op, m.v AS value
+  FROM latest WHERE m.op <> 'D')
+SELECT (key % 10)::BIGINT AS bucket, count(*)::BIGINT AS n_live,
+       round(sum(value), 4) AS sum_value, max(seq)::BIGINT AS max_seq,
+       (SELECT count(DISTINCT key) FROM log)::BIGINT AS n_keys_total
+FROM live GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -17183,11 +17332,12 @@ FROM w
 #                q259 SCD2 validity intervals, q260 ordered funnel,
 #                q261 retention cohorts, q262 LOCF gap-fill, q263
 #                event-time disorder audit, q264 FK conformance, q265
-#                ZIP member scan — sit first in line for next round's
-#                cap; q243's three stage operators are all graded
-#                inside the cap this round, and all twenty-three
-#                carry full local verification + invariance
-#                evidence.)
+#                ZIP member scan, q266 stream-stream LEFT OUTER
+#                null-padding pin, q267 CDC tombstone apply — sit
+#                first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all twenty-five carry full local
+#                verification + invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -17275,6 +17425,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q263_disorder_audit", q263_disorder_audit, Q263_SQL, "T-disorder watermark-choice audit"),
         QuerySpec("q264_fk_conformance", q264_fk_conformance, Q264_SQL, "A-profile fk referential-integrity"),
         QuerySpec("q265_zip_scan", q265_zip_scan, Q265_SQL, "S-zip member-scan named-rejections"),
+        QuerySpec("q266_stream_left_outer", q266_stream_left_outer, Q266_SQL, "J3-outer stream-stream null-padding pin"),
+        QuerySpec("q267_cdc_apply", q267_cdc_apply, Q267_SQL, "W-cdc changelog tombstone-apply"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

@@ -511,3 +511,19 @@ class TestScd2:
         ]
         # exactly one open interval per key
         assert sum(1 for r in out if r.is_current) == 2
+
+
+class TestCdcApply:
+    def test_tombstone_removes_key(self, spark):
+        from odin_rs_spark.operators.windows import cdc_apply
+
+        log = spark.createDataFrame(
+            [
+                (1, 10, "I", 1.0), (1, 20, "U", 2.0),   # live, latest v=2
+                (2, 10, "I", 5.0), (2, 30, "D", 0.0),   # deleted
+                (3, 40, "D", 0.0), (3, 50, "U", 9.0),   # resurrected
+            ],
+            "key bigint, seq bigint, op string, value double",
+        )
+        out = {r.key: (r.seq, r.value) for r in cdc_apply(log, "key", "seq").collect()}
+        assert out == {1: (20, 2.0), 3: (50, 9.0)}  # key 2 is GONE

@@ -31,7 +31,8 @@ QUERIES = ["q189_exif_audit"] + [
     "q255_data_profile", "q256_bloom_join_prune", "q257_stream_late_drop",
     "q258_graph_hits", "q259_scd2_intervals", "q260_funnel",
     "q261_retention", "q262_forward_fill", "q263_disorder_audit",
-    "q264_fk_conformance", "q265_zip_scan",
+    "q264_fk_conformance", "q265_zip_scan", "q266_stream_left_outer",
+    "q267_cdc_apply",
 ]
 
 SNIPPET = """
