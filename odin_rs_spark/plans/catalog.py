@@ -17275,6 +17275,191 @@ FROM live GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q268 — entity resolution / record linkage (the data-integration
+# classic: blocking → pairwise edit distance → transitive closure;
+# Spark's levenshtein() and DuckDB's implement the same unit-cost DP,
+# so the match predicate replays exactly). Records are customer keys
+# with the 6-digit id DOUBLED in the name — any two distinct keys
+# differ by ≥2 edits while the seeded dirty duplicate (every 3rd
+# customer, trailing 'z'→'q') sits at exactly 1, so threshold ≤1
+# links ONLY true duplicates and any false pair breaks the counts.
+# Closure runs through the real connected_components operator
+# (large-star/small-star); the oracle replays it as a recursive
+# min-reach (the q64 pattern). Blocking = the 8-char name prefix,
+# the O(block²) bound every linkage pipeline relies on.
+# --------------------------------------------------------------------------
+
+
+def q268_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.dedup import connected_components
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    k6 = F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+    base = F.concat(F.lit("cust"), k6, k6)
+    originals = cust.select(
+        (F.col("c_custkey") * 2).alias("rid"),
+        F.concat(base, F.lit("z")).alias("name"),
+    )
+    variants = cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        F.concat(base, F.lit("q")).alias("name"),
+    )
+    recs = originals.unionByName(variants).withColumn(
+        "block", F.substring("name", 1, 8)
+    )
+    a = recs.select(
+        "block", F.col("rid").alias("id_a"), F.col("name").alias("na")
+    )
+    b = recs.select(
+        "block", F.col("rid").alias("id_b"), F.col("name").alias("nb")
+    )
+    pairs = (
+        a.join(b, "block")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein(F.col("na"), F.col("nb")) <= 1)
+        )
+        .select("block", "id_a", "id_b")
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    # every record resolves to an entity: unmatched records are their
+    # own singleton entities
+    resolved = recs.join(
+        cc.withColumnRenamed("node", "rid"), "rid", "left"
+    ).withColumn("entity", F.coalesce(F.col("component"), F.col("rid")))
+    return resolved.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct(F.col("entity")).alias("n_entities"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("entity")))
+        .alias("n_merged"),
+    )
+
+
+Q268_SQL = """
+WITH RECURSIVE recs AS (
+  SELECT c_custkey * 2 AS rid,
+         'cust' || lpad(c_custkey::VARCHAR, 6, '0')
+                || lpad(c_custkey::VARCHAR, 6, '0') || 'z' AS name
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 2 + 1,
+         'cust' || lpad(c_custkey::VARCHAR, 6, '0')
+                || lpad(c_custkey::VARCHAR, 6, '0') || 'q'
+  FROM customer WHERE c_custkey % 3 = 0),
+blocked AS (SELECT rid, name, substr(name, 1, 8) AS block FROM recs),
+pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.rid < b.rid
+   AND levenshtein(a.name, b.name) <= 1),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM e
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id),
+cc AS (SELECT id AS rid, min(r) AS component FROM reach GROUP BY id),
+resolved AS (
+  SELECT b.block, b.rid, coalesce(cc.component, b.rid) AS entity
+  FROM blocked b LEFT JOIN cc ON b.rid = cc.rid)
+SELECT block, count(*)::BIGINT AS n_records,
+       count(DISTINCT entity)::BIGINT AS n_entities,
+       (count(*) - count(DISTINCT entity))::BIGINT AS n_merged
+FROM resolved GROUP BY block
+"""
+
+
+# --------------------------------------------------------------------------
+# q269 — grid-DBSCAN spatial clustering (the fire-cluster detection
+# shape the reference domain wants: hotspot points → unit grid cells,
+# CORE cells by density threshold, clusters = connected components of
+# 8-neighbor core-cell adjacency — the grid approximation every
+# at-scale DBSCAN uses, because point-level ε-joins are quadratic
+# while the core-cell dim is tiny). Closure through the real
+# connected_components operator; the oracle replays recursive
+# min-reach over the same integer cell ids. Everything integer:
+# floor(value) % 64 × user_id % 64 cells, minPts = 6.
+# --------------------------------------------------------------------------
+
+_Q269_MINPTS = 6
+
+
+def q269_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.dedup import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.floor(F.col("value")) % 64).cast("bigint").alias("px"),
+        (F.col("user_id") % 64).cast("bigint").alias("py"),
+    )
+    cells = pts.groupBy("px", "py").agg(F.count(F.lit(1)).alias("n_pts"))
+    core = cells.where(F.col("n_pts") >= _Q269_MINPTS).withColumn(
+        "cell", F.col("px") * 64 + F.col("py")
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if not (dx == 0 and dy == 0)],
+        "dx int, dy int",
+    )
+    nbr = core.crossJoin(F.broadcast(offs)).select(
+        F.col("cell").alias("id_a"),
+        ((F.col("px") + F.col("dx")) * 64 + F.col("py") + F.col("dy")).alias(
+            "id_b"
+        ),
+        (F.col("px") + F.col("dx")).alias("nx"),
+        (F.col("py") + F.col("dy")).alias("ny"),
+    )
+    edges = nbr.join(
+        core.select(
+            F.col("px").alias("nx"), F.col("py").alias("ny"),
+            F.col("cell").alias("id_b"),
+        ),
+        ["nx", "ny", "id_b"],
+    ).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    cc = connected_components(edges)
+    labeled = core.join(
+        cc.withColumnRenamed("node", "cell"), "cell", "left"
+    ).withColumn("cluster", F.coalesce(F.col("component"), F.col("cell")))
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_pts").cast("bigint").alias("n_points"),
+        F.min("px").alias("min_x"), F.max("px").alias("max_x"),
+        F.min("py").alias("min_y"), F.max("py").alias("max_y"),
+    )
+
+
+Q269_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT (floor(value)::BIGINT % 64) AS px, user_id % 64 AS py FROM events),
+cells AS (SELECT px, py, count(*) AS n_pts FROM pts GROUP BY px, py),
+core AS (
+  SELECT px, py, n_pts, px * 64 + py AS cell
+  FROM cells WHERE n_pts >= {_Q269_MINPTS}),
+edges AS (
+  SELECT a.cell AS id_a, b.cell AS id_b
+  FROM core a JOIN core b
+    ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+   AND a.cell < b.cell),
+e AS (SELECT id_a AS u, id_b AS v FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT u AS id, u AS r FROM e
+  UNION
+  SELECT e.v AS id, reach.r FROM reach JOIN e ON e.u = reach.id),
+cc AS (SELECT id AS cell, min(r) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT core.*, coalesce(cc.component, core.cell) AS cluster
+  FROM core LEFT JOIN cc ON core.cell = cc.cell)
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_cells,
+       sum(n_pts)::BIGINT AS n_points,
+       min(px)::BIGINT AS min_x, max(px)::BIGINT AS max_x,
+       min(py)::BIGINT AS min_y, max(py)::BIGINT AS max_y
+FROM labeled GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -17333,11 +17518,13 @@ FROM live GROUP BY 1
 #                q261 retention cohorts, q262 LOCF gap-fill, q263
 #                event-time disorder audit, q264 FK conformance, q265
 #                ZIP member scan, q266 stream-stream LEFT OUTER
-#                null-padding pin, q267 CDC tombstone apply — sit
-#                first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all twenty-five carry full local
-#                verification + invariance evidence.)
+#                null-padding pin, q267 CDC tombstone apply, q268
+#                blocking+levenshtein record linkage, q269 grid-DBSCAN
+#                hotspot clustering — sit first in line for next
+#                round's cap; q243's three stage operators are all
+#                graded inside the cap this round, and all twenty-
+#                seven carry full local verification + invariance
+#                evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -17427,6 +17614,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q265_zip_scan", q265_zip_scan, Q265_SQL, "S-zip member-scan named-rejections"),
         QuerySpec("q266_stream_left_outer", q266_stream_left_outer, Q266_SQL, "J3-outer stream-stream null-padding pin"),
         QuerySpec("q267_cdc_apply", q267_cdc_apply, Q267_SQL, "W-cdc changelog tombstone-apply"),
+        QuerySpec("q268_record_linkage", q268_record_linkage, Q268_SQL, "dedup entity-resolution blocking-levenshtein"),
+        QuerySpec("q269_grid_dbscan", q269_grid_dbscan, Q269_SQL, "geo grid-dbscan hotspot-clustering"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

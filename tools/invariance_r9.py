@@ -32,7 +32,7 @@ QUERIES = ["q189_exif_audit"] + [
     "q258_graph_hits", "q259_scd2_intervals", "q260_funnel",
     "q261_retention", "q262_forward_fill", "q263_disorder_audit",
     "q264_fk_conformance", "q265_zip_scan", "q266_stream_left_outer",
-    "q267_cdc_apply",
+    "q267_cdc_apply", "q268_record_linkage", "q269_grid_dbscan",
 ]
 
 SNIPPET = """
