@@ -17460,6 +17460,118 @@ FROM labeled GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q270 — track resampling by linear interpolation (the aircraft/
+# sensor-track operator of the reference domain: observations arrive
+# irregularly, consumers want values at regular epochs). The union-
+# grid trick: epoch rows (a dim: tracks × 6-hour grid) union with
+# observations, ONE forward-fill window carries (prev_ts, prev_v) and
+# ONE backward-fill window carries (next_ts, next_v) onto each epoch
+# row, then the interpolation is pure column math — never a per-epoch
+# join against the observation table. Boundary epochs (no bracket on
+# one side) stay NULL honestly. Oracle replays both fills and the
+# micros-ratio arithmetic; output rounded to 6.
+# --------------------------------------------------------------------------
+
+
+def q270_track_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("user_id") % 25).alias("track"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("v"),
+        F.lit(0).alias("is_epoch"),
+    )
+    epochs = (
+        spark.range(120)
+        .select(
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=F.col("id").cast("int") * 6)
+            ).alias("ts")
+        )
+        .crossJoin(spark.range(25).select(F.col("id").alias("track")))
+        .select("track", "ts", F.lit(None).cast("double").alias("v"),
+                F.lit(1).alias("is_epoch"))
+    )
+    allr = obs.unionByName(epochs)
+    # observation rows sort BEFORE the epoch row at an identical ts, so
+    # an exact-hit observation becomes the epoch's prev bracket
+    wf = (
+        Window.partitionBy("track")
+        .orderBy("ts", "is_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("track")
+        .orderBy(F.col("ts").desc(), F.col("is_epoch").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_ts = F.when(F.col("is_epoch") == 0, F.col("ts"))
+    filled = (
+        allr.withColumn("prev_v", F.last("v", ignorenulls=True).over(wf))
+        .withColumn("prev_ts", F.last(obs_ts, ignorenulls=True).over(wf))
+        .withColumn("next_v", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("next_ts", F.last(obs_ts, ignorenulls=True).over(wb))
+    )
+    span = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("prev_ts"))
+    frac = F.when(span > 0,
+                  (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")))
+                  / span).otherwise(F.lit(0.0))
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    return (
+        filled.where(F.col("is_epoch") == 1)
+        .select(
+            "track", "ts",
+            F.round(
+                F.when(
+                    F.col("prev_ts").isNotNull()
+                    & F.col("next_ts").isNotNull(),
+                    interp,
+                ),
+                6,
+            ).alias("v_interp"),
+        )
+    )
+
+
+Q270_SQL = """
+WITH obs AS (
+  SELECT user_id % 25 AS track, ts, value::DOUBLE AS v, 0 AS is_epoch
+  FROM events),
+epochs AS (
+  SELECT t.track, TIMESTAMP '2024-01-01 00:00:00'
+           + to_hours(6 * e.range) AS ts,
+         NULL::DOUBLE AS v, 1 AS is_epoch
+  FROM range(120) e, (SELECT range AS track FROM range(25)) t),
+allr AS (SELECT * FROM obs UNION ALL SELECT * FROM epochs),
+f AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY track ORDER BY ts, is_epoch
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN is_epoch = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY track ORDER BY ts, is_epoch
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY track ORDER BY ts DESC, is_epoch DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_v,
+    last_value(CASE WHEN is_epoch = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY track ORDER BY ts DESC, is_epoch DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_ts
+  FROM allr)
+SELECT track::BIGINT AS track, ts,
+       round(CASE WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN
+         prev_v + (next_v - prev_v) *
+           (CASE WHEN epoch_us(next_ts) - epoch_us(prev_ts) > 0
+                 THEN (epoch_us(ts) - epoch_us(prev_ts))
+                      / (epoch_us(next_ts) - epoch_us(prev_ts))::DOUBLE
+                 ELSE 0.0 END)
+       END, 6) AS v_interp
+FROM f WHERE is_epoch = 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-9
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -17520,11 +17632,11 @@ FROM labeled GROUP BY 1
 #                ZIP member scan, q266 stream-stream LEFT OUTER
 #                null-padding pin, q267 CDC tombstone apply, q268
 #                blocking+levenshtein record linkage, q269 grid-DBSCAN
-#                hotspot clustering — sit first in line for next
-#                round's cap; q243's three stage operators are all
-#                graded inside the cap this round, and all twenty-
-#                seven carry full local verification + invariance
-#                evidence.)
+#                hotspot clustering, q270 track interpolation — sit
+#                first in line for next round's cap; q243's three
+#                stage operators are all graded inside the cap this
+#                round, and all twenty-eight carry full local
+#                verification + invariance evidence.)
 #   Past the cap: the changed-code re-grades (q190 exif coercion;
 #                q174/q175/q153/q182/q183/q187/q193 warc_records
 #                schema growth; q180/q188 pdfcodec trailer/encrypt) —
@@ -17616,6 +17728,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q267_cdc_apply", q267_cdc_apply, Q267_SQL, "W-cdc changelog tombstone-apply"),
         QuerySpec("q268_record_linkage", q268_record_linkage, Q268_SQL, "dedup entity-resolution blocking-levenshtein"),
         QuerySpec("q269_grid_dbscan", q269_grid_dbscan, Q269_SQL, "geo grid-dbscan hotspot-clustering"),
+        QuerySpec("q270_track_interpolate", q270_track_interpolate, Q270_SQL, "W-track resample linear-interpolation"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),

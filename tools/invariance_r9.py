@@ -33,6 +33,7 @@ QUERIES = ["q189_exif_audit"] + [
     "q261_retention", "q262_forward_fill", "q263_disorder_audit",
     "q264_fk_conformance", "q265_zip_scan", "q266_stream_left_outer",
     "q267_cdc_apply", "q268_record_linkage", "q269_grid_dbscan",
+    "q270_track_interpolate",
 ]
 
 SNIPPET = """
