@@ -230,6 +230,14 @@ def zip_members(files_df, on_error: str = "raise"):
                     sniff_unsupported_archive(buf)
                     zf = zipfile.ZipFile(io.BytesIO(buf))
                     infos = zf.infolist()
+                    # encrypted members reject BY NAME (the pdf /Encrypt
+                    # discipline) — zipfile would raise a RuntimeError
+                    # that the generic wrap below would mislabel corrupt
+                    for i in infos:
+                        if i.flag_bits & 0x1:
+                            raise ValueError(
+                                f"encrypted ZIP member: {i.filename!r}"
+                            )
                     members = [
                         (i, zf.read(i.filename)) for i in infos
                         if not i.is_dir()

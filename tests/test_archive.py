@@ -131,3 +131,31 @@ class TestZipAndRejections:
             with pytest.raises(ValueError, match=name):
                 sniff_unsupported_archive(magic)
         sniff_unsupported_archive(b"PK\x03\x04")  # zip passes through
+
+    def test_encrypted_zip_member_rejected_by_name(self, spark):
+        import io
+        import zipfile
+
+        import pytest
+
+        from odin_rs_spark.sources.archive import zip_members
+
+        buf = io.BytesIO()
+        zf = zipfile.ZipFile(buf, "w")
+        zf.writestr("secret.txt", "x")
+        zf.close()
+        # zipfile.writestr resets flag_bits, so mark the encryption bit
+        # directly in the wire bytes: local header flag at +6 after
+        # PK\x03\x04, central directory flag at +8 after PK\x01\x02
+        raw = bytearray(buf.getvalue())
+        lh = raw.find(b"PK\x03\x04")
+        cd = raw.find(b"PK\x01\x02")
+        raw[lh + 6] |= 0x1
+        raw[cd + 8] |= 0x1
+        df = spark.createDataFrame(
+            [("e.zip", bytes(raw))], "path string, content binary"
+        )
+        with pytest.raises(Exception, match="encrypted ZIP member"):
+            zip_members(df).collect()
+        # skip mode drops the archive instead
+        assert zip_members(df, on_error="skip").count() == 0
