@@ -1615,7 +1615,10 @@ def jpeg_quality_scan(media: DataFrame, on_error: str = "raise") -> DataFrame:
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def fn(batches):
-        from odin_rs_spark.sources.jpegcodec import jpeg_quality_estimate
+        from odin_rs_spark.sources.jpegcodec import (
+            jpeg_quality_estimate,
+            jpeg_sof_mode,
+        )
 
         for pdf in batches:
             rows = {"media_id": [], "est_quality": [], "n_bytes": [], "mode": []}
@@ -1623,14 +1626,13 @@ def jpeg_quality_scan(media: DataFrame, on_error: str = "raise") -> DataFrame:
                 buf = bytes(content)
                 try:
                     q = jpeg_quality_estimate(buf)
+                    # mode from the actual SOF marker via the segment
+                    # walk, not a raw byte scan (ADVICE r9)
+                    mode = jpeg_sof_mode(buf)
                 except ValueError:
                     if on_error == "skip":
                         continue
                     raise
-                mode = (
-                    "progressive" if b"\xff\xc2" in buf[: buf.find(b"\xff\xda")]
-                    else "baseline"
-                )
                 rows["media_id"].append(int(mid))
                 rows["est_quality"].append(q)
                 rows["n_bytes"].append(len(buf))

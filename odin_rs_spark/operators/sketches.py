@@ -242,15 +242,20 @@ def ddsketch_build(
 ) -> DataFrame:
     """Per-group DDSketch: (group…, bucket, cnt) rows — the mergeable
     representation (merge of two sketches = UNION ALL + re-sum).
-    Non-positive values are out of the γ-log domain and rejected
-    loudly rather than binned wrong."""
+    Non-positive and NULL values are out of the γ-log domain and
+    rejected loudly rather than binned wrong (a NULL would otherwise
+    slip a `x <= 0` gate — three-valued logic — and land in a NULL
+    bucket whose NULLS FIRST/LAST ordering differs between engines;
+    ADVICE r9)."""
     import math
 
     inv = 1.0 / math.log(dd_gamma(alpha))
     x = F.col(value_col).cast("double")
-    bad = df.where(x <= 0).limit(1).count()
+    bad = df.where(x.isNull() | (x <= 0)).limit(1).count()
     if bad:
-        raise ValueError("DDSketch requires positive values; filter first")
+        raise ValueError(
+            "DDSketch requires positive non-null values; filter first"
+        )
     return (
         df.groupBy(*group_cols, dd_bucket(x, inv).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))

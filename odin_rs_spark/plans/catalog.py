@@ -17572,11 +17572,84 @@ FROM f WHERE is_epoch = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q271 — S2 on NetCDF-4/HDF5, END-TO-END on real bytes (VERDICT r9 #3):
+# the pure-Python HDF5 subset reader (sources/hdf5.py — superblock,
+# object headers, symbol-table groups, chunked+deflate B-tree layout,
+# DIMENSION_LIST vlen refs through the global heap, all from the public
+# HDF5 File Format Spec v3) decodes a committed GOES-R-shaped granule:
+# int16 CMI packed with scale_factor/add_offset (0.5 / -12, applied
+# IN-KERNEL like the reference's GDAL unpack, odin_gdal/src/lib.rs:
+# 188-208) and an int8 DQF quality mask with the predicate pushed into
+# the decode kernel. Values are pure-arithmetic ((x*37+y*23)%89)*0.5-12
+# — exactly representable — so the oracle REGENERATES the grid from the
+# formula and never touches the file: equality holds IFF superblock
+# walk, B-tree chunk assembly, deflate, dtype decode, scale/offset and
+# mask filtering are all byte-correct. Closes the last reference-domain
+# container gap (GOES-R granules are NetCDF-4, not classic).
+# --------------------------------------------------------------------------
+
+def q271_hdf5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.hdf5 import hdf5_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "grid_hdf5.nc",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = hdf5_grid_cells(files, "CMI", mask_var="DQF", mask_min=2.0)
+    return cells.groupBy((F.col("x") % 4).alias("xb")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_cmi"),
+        F.round(F.avg("mask"), 6).alias("avg_dqf"),
+        F.round(F.min("value"), 6).alias("min_cmi"),
+        F.round(F.max("value"), 6).alias("max_cmi"),
+    )
+
+
+Q271_SQL = """
+WITH g AS (SELECT xx.range AS x, yy.range AS y
+           FROM range(16) xx, range(12) yy),
+c AS (SELECT x, y,
+             ((x * 37 + y * 23) % 89) * 0.5 - 12.0 AS value,
+             ((x * 7 + y * 11) % 4)::DOUBLE AS mask
+      FROM g)
+SELECT (x % 4)::INT AS xb, count(*)::BIGINT AS n_cells,
+       round(sum(value), 6) AS sum_cmi,
+       round(avg(mask), 6) AS avg_dqf,
+       round(min(value), 6) AS min_cmi,
+       round(max(value), 6) AS max_cmi
+FROM c WHERE mask >= 2.0 GROUP BY xb
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
-# evaluates exactly the first 50 queries() entries per round. Round-9
+# evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
 # slots first, then queries whose CODE changed this round, then the
 # stalest-green queries rotate back in as slots allow):
+#   slots 1-28:  q243-q270 — the r9 waves 8-15 queries added AFTER the
+#                r9 cap froze (never driver-graded; VERDICT r9 item 2
+#                ordered them to the cap front). This set also covers
+#                every query whose code changed via the r10 ADVICE
+#                fixes: q245/q246 (ddsketch null gate), q249 (SOF-walk
+#                progressive detection), q251 (tar typeflag block-walk
+#                + PAX/GNU long names), q265 (zip method numbers),
+#                q239 (RFC 5322 named US zones).
+#   next:        NEW r10 queries (HDF5/NetCDF-4, ONNX conv, GOES
+#                streaming flagship, zstd WARC decode, PAX tar shard),
+#                inserted as built.
+#   remainder:   stalest-green fillers (q01, q08-q23 wave-1 block,
+#                q176-q178/q185/q186 — last graded r7/r8) up to slot
+#                50; everything past the cap keeps freshest-last order
+#                and is locally re-verified every round by
+#                tests/test_catalog_oracle.py.
+# Previous (round-9) allocation, kept for the audit trail:
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
 #                the r8 verdict.
@@ -17651,6 +17724,57 @@ FROM f WHERE is_epoch = 1
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
     for s in [
+        QuerySpec("q243_code_governance", q243_code_governance, Q243_SQL, "flagship code-governance route-license-secret"),
+        QuerySpec("q244_pca_power", q244_pca_power, Q244_SQL, "embedding pca gram power-iteration"),
+        QuerySpec("q245_ddsketch", q245_ddsketch, Q245_SQL, "sketch ddsketch relative-error quantiles"),
+        QuerySpec("q246_stream_ddsketch", q246_stream_ddsketch, Q246_SQL, "sketch ddsketch streaming-merge T1"),
+        QuerySpec("q247_crawl_budget", q247_crawl_budget, Q247_SQL, "web max-min-fair crawl-budget water-filling"),
+        QuerySpec("q248_hilbert_layout", q248_hilbert_layout, Q248_SQL, "layout hilbert-curve file-skipping"),
+        QuerySpec("q249_jpeg_quality", q249_jpeg_quality, Q249_SQL, "multimodal jpeg-quality dqt-estimate"),
+        QuerySpec("q250_crawl_bootstrap", q250_crawl_bootstrap, Q250_SQL, "flagship crawl-bootstrap robots-to-schedule"),
+        QuerySpec("q251_tar_scan", q251_tar_scan, Q251_SQL, "S-tar ustar shard-container scan"),
+        QuerySpec("q252_hll_intersection", q252_hll_intersection, Q252_SQL, "sketch hll set-algebra inclusion-exclusion"),
+        QuerySpec("q253_webdataset", q253_webdataset, Q253_SQL, "flagship webdataset tar-jpeg-caption samples"),
+        QuerySpec("q254_compaction_plan", q254_compaction_plan, Q254_SQL, "layout small-files compaction bin-packing"),
+        QuerySpec("q255_data_profile", q255_data_profile, Q255_SQL, "A-profile deequ single-pass column-stats"),
+        QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
+        QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
+        QuerySpec("q258_graph_hits", q258_graph_hits, Q258_SQL, "graph hits hubs-authorities integer-exact"),
+        QuerySpec("q259_scd2_intervals", q259_scd2_intervals, Q259_SQL, "W-scd2 kimball validity-intervals"),
+        QuerySpec("q260_funnel", q260_funnel, Q260_SQL, "A-funnel ordered-step conversion"),
+        QuerySpec("q261_retention", q261_retention, Q261_SQL, "A-retention cohort-triangle"),
+        QuerySpec("q262_forward_fill", q262_forward_fill, Q262_SQL, "W-locf sensor-grid gap-fill"),
+        QuerySpec("q263_disorder_audit", q263_disorder_audit, Q263_SQL, "T-disorder watermark-choice audit"),
+        QuerySpec("q264_fk_conformance", q264_fk_conformance, Q264_SQL, "A-profile fk referential-integrity"),
+        QuerySpec("q265_zip_scan", q265_zip_scan, Q265_SQL, "S-zip member-scan named-rejections"),
+        QuerySpec("q266_stream_left_outer", q266_stream_left_outer, Q266_SQL, "J3-outer stream-stream null-padding pin"),
+        QuerySpec("q267_cdc_apply", q267_cdc_apply, Q267_SQL, "W-cdc changelog tombstone-apply"),
+        QuerySpec("q268_record_linkage", q268_record_linkage, Q268_SQL, "dedup entity-resolution blocking-levenshtein"),
+        QuerySpec("q269_grid_dbscan", q269_grid_dbscan, Q269_SQL, "geo grid-dbscan hotspot-clustering"),
+        QuerySpec("q270_track_interpolate", q270_track_interpolate, Q270_SQL, "W-track resample linear-interpolation"),
+        QuerySpec("q271_hdf5_decode", q271_hdf5_decode, Q271_SQL, "S2 netcdf4-hdf5 chunked-deflate decode"),
+        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
+        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
+        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
+        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
+        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
+        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
+        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
+        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
+        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
+        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
+        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
+        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
+        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
+        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
+        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
+        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
+        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
+        QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
+        QuerySpec("q177_robots_wildcards", q177_robots_wildcards, Q177_SQL, "web robots-wildcards row-multiplicity"),
+        QuerySpec("q178_psl_domains", q178_psl_domains, Q178_SQL, "web public-suffix-list etld1"),
+        QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
+        QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
         QuerySpec("q189_exif_audit", q189_exif_audit, Q189_SQL, "multimodal exif-pii gps-scrub"),
         QuerySpec("q194_pdf_fonts", q194_pdf_fonts, Q194_SQL, "S-pdf simple-font encoding tounicode"),
         QuerySpec("q195_xlsx_cells", q195_xlsx_cells, Q195_SQL, "S-xlsx spreadsheet shared-strings"),
@@ -17701,34 +17825,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q240_wikitext", q240_wikitext, Q240_SQL, "text wikitext-extraction mediawiki"),
         QuerySpec("q241_bitext_align", q241_bitext_align, Q241_SQL, "bitext gale-church banded-alignment"),
         QuerySpec("q242_csv_sniff", q242_csv_sniff, Q242_SQL, "S-csv dialect-sniffing consistency-vote"),
-        QuerySpec("q243_code_governance", q243_code_governance, Q243_SQL, "flagship code-governance route-license-secret"),
-        QuerySpec("q244_pca_power", q244_pca_power, Q244_SQL, "embedding pca gram power-iteration"),
-        QuerySpec("q245_ddsketch", q245_ddsketch, Q245_SQL, "sketch ddsketch relative-error quantiles"),
-        QuerySpec("q246_stream_ddsketch", q246_stream_ddsketch, Q246_SQL, "sketch ddsketch streaming-merge T1"),
-        QuerySpec("q247_crawl_budget", q247_crawl_budget, Q247_SQL, "web max-min-fair crawl-budget water-filling"),
-        QuerySpec("q248_hilbert_layout", q248_hilbert_layout, Q248_SQL, "layout hilbert-curve file-skipping"),
-        QuerySpec("q249_jpeg_quality", q249_jpeg_quality, Q249_SQL, "multimodal jpeg-quality dqt-estimate"),
-        QuerySpec("q250_crawl_bootstrap", q250_crawl_bootstrap, Q250_SQL, "flagship crawl-bootstrap robots-to-schedule"),
-        QuerySpec("q251_tar_scan", q251_tar_scan, Q251_SQL, "S-tar ustar shard-container scan"),
-        QuerySpec("q252_hll_intersection", q252_hll_intersection, Q252_SQL, "sketch hll set-algebra inclusion-exclusion"),
-        QuerySpec("q253_webdataset", q253_webdataset, Q253_SQL, "flagship webdataset tar-jpeg-caption samples"),
-        QuerySpec("q254_compaction_plan", q254_compaction_plan, Q254_SQL, "layout small-files compaction bin-packing"),
-        QuerySpec("q255_data_profile", q255_data_profile, Q255_SQL, "A-profile deequ single-pass column-stats"),
-        QuerySpec("q256_bloom_join_prune", q256_bloom_join_prune, Q256_SQL, "sketch bloom runtime-filter join-pruning"),
-        QuerySpec("q257_stream_late_drop", q257_stream_late_drop, Q257_SQL, "T6 watermark late-data drop accounting"),
-        QuerySpec("q258_graph_hits", q258_graph_hits, Q258_SQL, "graph hits hubs-authorities integer-exact"),
-        QuerySpec("q259_scd2_intervals", q259_scd2_intervals, Q259_SQL, "W-scd2 kimball validity-intervals"),
-        QuerySpec("q260_funnel", q260_funnel, Q260_SQL, "A-funnel ordered-step conversion"),
-        QuerySpec("q261_retention", q261_retention, Q261_SQL, "A-retention cohort-triangle"),
-        QuerySpec("q262_forward_fill", q262_forward_fill, Q262_SQL, "W-locf sensor-grid gap-fill"),
-        QuerySpec("q263_disorder_audit", q263_disorder_audit, Q263_SQL, "T-disorder watermark-choice audit"),
-        QuerySpec("q264_fk_conformance", q264_fk_conformance, Q264_SQL, "A-profile fk referential-integrity"),
-        QuerySpec("q265_zip_scan", q265_zip_scan, Q265_SQL, "S-zip member-scan named-rejections"),
-        QuerySpec("q266_stream_left_outer", q266_stream_left_outer, Q266_SQL, "J3-outer stream-stream null-padding pin"),
-        QuerySpec("q267_cdc_apply", q267_cdc_apply, Q267_SQL, "W-cdc changelog tombstone-apply"),
-        QuerySpec("q268_record_linkage", q268_record_linkage, Q268_SQL, "dedup entity-resolution blocking-levenshtein"),
-        QuerySpec("q269_grid_dbscan", q269_grid_dbscan, Q269_SQL, "geo grid-dbscan hotspot-clustering"),
-        QuerySpec("q270_track_interpolate", q270_track_interpolate, Q270_SQL, "W-track resample linear-interpolation"),
         QuerySpec("q190_oriented_stats", q190_oriented_stats, Q190_SQL, "multimodal exif-orientation normalize"),
         QuerySpec("q174_warc_wire_decode", q174_warc_wire_decode, Q174_SQL, "S-warc http-chunked gzip-content-coding"),
         QuerySpec("q175_crawl_wire_pipeline", q175_crawl_wire_pipeline, Q175_SQL, "flagship crawl-wire-decode composition"),
@@ -17748,28 +17844,6 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q154_url_canonicalize", q154_url_canonicalize, Q154_SQL, "web url-canonicalize domain-rollup"),
         QuerySpec("q181_frontier_pipeline", q181_frontier_pipeline, Q181_SQL, "flagship crawl-frontier composition"),
         QuerySpec("q191_docx_text", q191_docx_text, Q191_SQL, "S-docx ooxml text-extraction"),
-        QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
-        QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
-        QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
-        QuerySpec("q10_asof_purchase_click", q10_asof_purchase_click, Q10_SQL, "J2"),
-        QuerySpec("q11_interval_signup_purchases", q11_interval_signup_purchases, Q11_SQL, "J3"),
-        QuerySpec("q12_minute_histogram", q12_minute_histogram, Q12_SQL, "A2"),
-        QuerySpec("q13_schedule_stats", q13_schedule_stats, Q13_SQL, "A3"),
-        QuerySpec("q14_value_stats", q14_value_stats, Q14_SQL, "A4 A5"),
-        QuerySpec("q15_histogram_cdf", q15_histogram_cdf, Q15_SQL, "A7"),
-        QuerySpec("q16_event_gaps", q16_event_gaps, Q16_SQL, "W3 W4"),
-        QuerySpec("q17_dedup_latest", q17_dedup_latest, Q17_SQL, "U2 W2"),
-        QuerySpec("q18_sessionize", q18_sessionize, Q18_SQL, "T-session"),
-        QuerySpec("q19_union_tagged", q19_union_tagged, Q19_SQL, "U1"),
-        QuerySpec("q20_cosine_topk", q20_cosine_topk, Q20_SQL, "similarity"),
-        QuerySpec("q21_token_stats", q21_token_stats, Q21_SQL, "text"),
-        QuerySpec("q22_lang_id", q22_lang_id, _langid_sql(), "text-langid"),
-        QuerySpec("q23_exact_dedup", q23_exact_dedup, Q23_SQL, "dedup-exact"),
-        QuerySpec("q176_progressive_jpeg", q176_progressive_jpeg, Q176_SQL, "R9 jpeg-progressive sof2 decode"),
-        QuerySpec("q177_robots_wildcards", q177_robots_wildcards, Q177_SQL, "web robots-wildcards row-multiplicity"),
-        QuerySpec("q178_psl_domains", q178_psl_domains, Q178_SQL, "web public-suffix-list etld1"),
-        QuerySpec("q185_charset_decode", q185_charset_decode, Q185_SQL, "S-warc charset whatwg-cp1252"),
-        QuerySpec("q186_robots_directives", q186_robots_directives, Q186_SQL, "web robots-sitemap crawl-delay"),
         QuerySpec("q163_sitemap_scan", q163_sitemap_scan, Q163_SQL, "S-sitemap xml-scan crawl-frontier"),
         QuerySpec("q164_robots_filter", q164_robots_filter, Q164_SQL, "web robots-policy rfc9309"),
         QuerySpec("q166_snapshot_diff", q166_snapshot_diff, Q166_SQL, "corpus crawl-snapshot-diff"),

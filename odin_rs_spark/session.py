@@ -57,4 +57,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package zip to Python workers up front: any Pandas-UDF
+    # closure referencing module-level helpers unpickles on workers that
+    # cannot otherwise import odin_rs_spark when the driver runs from a
+    # cwd off the repo (the --py-files path on a real cluster). Operator
+    # call sites still call ensure_shipped for sessions built elsewhere.
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

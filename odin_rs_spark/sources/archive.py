@@ -31,12 +31,51 @@ def _octal(field: bytes, name: str) -> int:
         raise ValueError(f"bad octal in tar {name}: {field!r}") from exc
 
 
+def _parse_pax(data: bytes) -> dict[str, str]:
+    """PAX extended-header payload → {keyword: value}. Records are
+    '<decimal len> <keyword>=<value>\\n' where len counts the whole
+    record including itself (POSIX.1-2001 pax §interchange format)."""
+    kv: dict[str, str] = {}
+    i = 0
+    while i < len(data):
+        sp = data.find(b" ", i)
+        if sp < 0:
+            raise ValueError("pax record missing length separator")
+        try:
+            ln = int(data[i:sp])
+        except ValueError as exc:
+            raise ValueError(f"bad pax record length: {data[i:sp]!r}") from exc
+        if ln <= sp - i or i + ln > len(data) or data[i + ln - 1 : i + ln] != b"\n":
+            raise ValueError("pax record length out of bounds")
+        rec = data[sp + 1 : i + ln - 1]
+        eq = rec.find(b"=")
+        if eq < 0:
+            raise ValueError("pax record missing '='")
+        kv[rec[:eq].decode("utf-8", "replace")] = rec[eq + 1 :].decode(
+            "utf-8", "replace"
+        )
+        i += ln
+    return kv
+
+
 def parse_tar(buf: bytes) -> list[dict]:
     """TAR bytes → member dicts (name, size, mtime, typeflag, data for
     regular files, None otherwise) in archive order.  Verifies the
-    ustar magic and every header checksum."""
+    ustar magic and every header checksum.
+
+    PAX extended headers (typeflag 'x' per-member, 'g' global) and GNU
+    long-name/long-link blocks ('L'/'K') are consumed and applied:
+    pax `path`/`size`/`mtime` override the following member's header
+    fields (GNU 'L' overrides the name), which is how >100-char paths
+    travel in Pile-style shards.  Data blocks are consumed for EVERY
+    nonzero-size member regardless of typeflag (POSIX: unrecognized
+    typeflags read as regular files), but `data` is surfaced only for
+    regular members ('0'/NUL/'7' contiguous)."""
     out: list[dict] = []
     i = 0
+    pax_global: dict[str, str] = {}
+    pax_next: dict[str, str] = {}
+    gnu_longname: str | None = None
     while i + _BLOCK <= len(buf):
         hdr = buf[i : i + _BLOCK]
         if hdr == b"\x00" * _BLOCK:  # first of the two end blocks
@@ -49,10 +88,6 @@ def parse_tar(buf: bytes) -> list[dict]:
         if stored != calc:
             raise ValueError(f"tar checksum mismatch at offset {i}")
         typeflag = chr(hdr[156]) if hdr[156] else "0"
-        if typeflag == "x" or typeflag == "g":
-            raise ValueError("PAX extended headers unsupported")
-        if typeflag == "L":
-            raise ValueError("GNU long-name extension unsupported")
         prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8", "replace")
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         if prefix:
@@ -60,42 +95,101 @@ def parse_tar(buf: bytes) -> list[dict]:
         size = _octal(hdr[124:136], "size")
         mtime = _octal(hdr[136:148], "mtime")
         i += _BLOCK
-        data = None
-        if typeflag in ("0", "\x00"):
-            if i + size > len(buf):
-                raise ValueError("tar member data truncated")
-            data = buf[i : i + size]
-            i += ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
+        if i + size > len(buf):
+            raise ValueError("tar member data truncated")
+        body = buf[i : i + size]
+        i += ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
+        if typeflag == "g":
+            pax_global.update(_parse_pax(body))
+            continue
+        if typeflag == "x":
+            pax_next = _parse_pax(body)
+            continue
+        if typeflag == "L":  # GNU longname: body names the NEXT member
+            gnu_longname = body.split(b"\x00")[0].decode("utf-8", "replace")
+            continue
+        if typeflag == "K":  # GNU longlink: consumed, not surfaced
+            continue
+        merged = {**pax_global, **pax_next}
+        pax_next = {}
+        if gnu_longname is not None:
+            name = gnu_longname
+            gnu_longname = None
+        if "path" in merged:
+            name = merged["path"]
+        if "size" in merged and int(merged["size"]) != size:
+            # pax size overrides exist for >8 GiB members whose octal
+            # header field cannot hold the real size — the block walk
+            # above already consumed per the header field, so a
+            # differing override means we cannot resync
+            raise ValueError("pax size override unsupported (>8GiB member)")
+        if "mtime" in merged:
+            mtime = int(float(merged["mtime"]))
+        regular = typeflag in ("0", "\x00", "7")
         out.append(
             {
                 "name": name,
                 "size": size,
                 "mtime": mtime,
                 "typeflag": "0" if typeflag == "\x00" else typeflag,
-                "data": data,
+                "data": body if regular else None,
             }
         )
     raise ValueError("tar ended without terminator blocks")
 
 
-def encode_tar(members: list[tuple[str, bytes | None, str, int]]) -> bytes:
+def encode_pax_payload(kv: dict[str, str]) -> bytes:
+    """Fixture twin of `_parse_pax`: '<len> <k>=<v>\\n' records where
+    len counts the whole record (computed by fixpoint on digit width)."""
+    out = bytearray()
+    for k, v in kv.items():
+        body = f" {k}={v}\n".encode()
+        ln = len(body) + 1
+        while len(str(ln)) + len(body) != ln:
+            ln = len(str(ln)) + len(body)
+        out += str(ln).encode() + body
+    return bytes(out)
+
+
+def encode_tar(
+    members: list[tuple[str, bytes | None, str, int]], pax: bool = True
+) -> bytes:
     """Fixture twin of `parse_tar`: members are (name, data, typeflag,
     mtime); data is None for non-regular members.  Writes ustar magic,
     octal fields, the space-seeded checksum and the two terminator
-    blocks — every seam `parse_tar` checks."""
+    blocks — every seam `parse_tar` checks.  A name too long for the
+    ustar name+prefix fields is carried in a preceding PAX 'x' header
+    (`path=` record) when `pax` is true, else rejected."""
+    def ustar_split(nb: bytes) -> tuple[bytes, bytes] | None:
+        """(prefix, name) if nb fits the ustar 155+100 fields, else None."""
+        if len(nb) <= 100:
+            return b"", nb
+        cut = nb[: len(nb) - 100].rfind(b"/")
+        if cut < 0:
+            return None
+        prefix, rest = nb[:cut], nb[cut + 1 :]
+        if len(rest) > 100 or len(prefix) > 155:
+            return None
+        return prefix, rest
+
     out = bytearray()
+    expanded: list[tuple[str, bytes | None, str, int]] = []
     for name, data, typeflag, mtime in members:
         nb = name.encode("utf-8")
-        prefix = b""
-        if len(nb) > 100:
-            cut = nb[: len(nb) - 100].rfind(b"/")
-            if cut < 0:
-                raise ValueError(f"tar name too long to split: {name!r}")
-            prefix, nb = nb[:cut], nb[cut + 1 :]
-        if len(nb) > 100 or len(prefix) > 155:
+        if ustar_split(nb) is None and pax:
+            payload = encode_pax_payload({"path": name})
+            ph = "PaxHeaders/" + nb[:80].decode("utf-8", "ignore")
+            expanded.append((ph, payload, "x", mtime))
+            # byte-safe placeholder; parse_tar applies the pax path
+            name = nb[:100].decode("utf-8", "ignore")
+        expanded.append((name, data, typeflag, mtime))
+    for name, data, typeflag, mtime in expanded:
+        split = ustar_split(name.encode("utf-8"))
+        if split is None:
             # a >100-byte basename cannot be stored in ustar; writing it
             # anyway would silently overwrite the mode/uid fields
             raise ValueError(f"tar name does not fit ustar fields: {name!r}")
+        prefix, nb = split
         hdr = bytearray(_BLOCK)
         hdr[0 : len(nb)] = nb
         hdr[100:108] = b"0000644\x00"
@@ -205,11 +299,17 @@ ZIP_SCHEMA = (
 )
 
 
+# APPNOTE 4.4.5 method ids the stdlib zipfile actually decodes; other
+# methods (imploded=6, deflate64=9, zstd=93, xz=95, …) reject by number
+_ZIP_METHODS = {0: "store", 8: "deflate", 12: "bzip2", 14: "lzma"}
+
+
 def zip_members(files_df, on_error: str = "raise"):
     """`binaryFile` rows → one row per ZIP member (text decoded as
-    UTF-8 with replacement). Stored and deflated members both on-path;
-    unsupported sibling formats (7z/rar/zstd/bzip2/xz) reject by name
-    BEFORE zipfile sees them."""
+    UTF-8 with replacement). Store/deflate/bzip2/lzma members on-path
+    with the method labeled by APPNOTE number; other method ids reject
+    by number; unsupported sibling formats (7z/rar/zstd/bzip2/xz)
+    reject by name BEFORE zipfile sees them."""
     import io
     import zipfile
 
@@ -238,6 +338,15 @@ def zip_members(files_df, on_error: str = "raise"):
                             raise ValueError(
                                 f"encrypted ZIP member: {i.filename!r}"
                             )
+                    # methods beyond what zipfile decodes reject by
+                    # NUMBER (APPNOTE 4.4.5) instead of surfacing a
+                    # zipfile RuntimeError mislabeled as corruption
+                    for i in infos:
+                        if not i.is_dir() and i.compress_type not in _ZIP_METHODS:
+                            raise ValueError(
+                                f"unsupported ZIP compression method "
+                                f"{i.compress_type} in {i.filename!r}"
+                            )
                     members = [
                         (i, zf.read(i.filename)) for i in infos
                         if not i.is_dir()
@@ -257,9 +366,7 @@ def zip_members(files_df, on_error: str = "raise"):
                     rows["member"].append(info.filename)
                     rows["size"].append(info.file_size)
                     rows["compressed"].append(info.compress_size)
-                    rows["method"].append(
-                        "deflate" if info.compress_type == 8 else "store"
-                    )
+                    rows["method"].append(_ZIP_METHODS[info.compress_type])
                     rows["text"].append(text)
                     rows["n_chars"].append(len(text))
             yield pd.DataFrame(rows)

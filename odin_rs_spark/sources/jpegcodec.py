@@ -312,6 +312,40 @@ def jpeg_quality_estimate(buf: bytes) -> int:
     raise ValueError("no luma DQT found")
 
 
+def jpeg_sof_mode(buf: bytes) -> str:
+    """'baseline' / 'progressive' from the actual SOF0/SOF2 marker via
+    a proper segment walk — a raw byte scan for b'\\xff\\xc2' can hit
+    the two-byte sequence inside an APP/EXIF/ICC payload and misreport
+    a baseline file (ADVICE r9). ValueError on other SOF types or a
+    stream with no SOF before SOS/EOI."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("marker sync lost before SOF")
+        marker = buf[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xC0, 0xC2):
+            return "baseline" if marker == 0xC0 else "progressive"
+        if 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                f"SOF{marker - 0xC0} unsupported (baseline/progressive only)"
+            )
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("bad segment length before SOF")
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
 def _split_planes(a: np.ndarray, subsampling: str, quality: int | None = None):
     """uint8 image → (planes float64, quant tables, sub420 flag):
     grayscale passthrough or RGB→YCbCr with optional 2x2 chroma

@@ -183,10 +183,21 @@ def addr_spec(value: str | None) -> str | None:
     return m.group(0).lower() if m else None
 
 
+# RFC 5322 §4.3 gives the eight named US zones specific offsets
+# (minutes east of UTC); UT/GMT are +0000. Military single letters and
+# any other alpha zone carry "no information" → treated as -0000.
+_NAMED_ZONES = {
+    "ut": 0, "gmt": 0, "z": 0,
+    "est": -300, "edt": -240, "cst": -360, "cdt": -300,
+    "mst": -420, "mdt": -360, "pst": -480, "pdt": -420,
+}
+
+
 def parse_date(value: str | None) -> str | None:
     """RFC 5322 date-time → UTC ISO 'YYYY-MM-DDTHH:MM:SSZ'. Obsolete
-    alpha zones (§4.3): UT/GMT/Z are +0000, other alpha zones are
-    treated as -0000 (unknown) per the RFC's guidance."""
+    alpha zones (§4.3): UT/GMT/Z are +0000, the eight named US zones
+    (EST/EDT/CST/CDT/MST/MDT/PST/PDT) get their RFC-assigned offsets,
+    and remaining alpha (military/unknown) zones are -0000."""
     if value is None:
         return None
     m = _DATE_RE.search(value)
@@ -199,12 +210,14 @@ def parse_date(value: str | None) -> str | None:
     dt = datetime.datetime(
         int(year), month, int(day), int(hh), int(mm), int(ss or 0)
     )
+    off = 0
     if zone and zone[0] in "+-":
         off = int(zone[1:3]) * 60 + int(zone[3:5])
         if zone[0] == "-":
             off = -off
-        dt -= datetime.timedelta(minutes=off)
-    # UT/GMT/Z and unknown alpha zones: already UTC-or-unknown -> +0000
+    elif zone:
+        off = _NAMED_ZONES.get(zone.lower(), 0)
+    dt -= datetime.timedelta(minutes=off)
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 

@@ -254,7 +254,28 @@ def ws_fetch_since(
     non-JSON) frame is treated as a protocol error: drop the
     connection and rely on the reconnect replay.
     """
+    import sys
+
+    from pyspark import cloudpickle
+
+    from odin_rs_spark.streaming import datasource as _ds
     from odin_rs_spark.streaming.datasource import _order_key
+
+    # The returned closure references THIS module's globals
+    # (WebSocketClient, encode_frame, …) and datasource._order_key.
+    # cloudpickle serializes the nested function by value, but its
+    # referenced module-level names by REFERENCE unless their modules
+    # are registered — and Spark's Python Data Source source-runner
+    # process does not inherit the driver's sys.path, so a by-reference
+    # pickle dies with ModuleNotFoundError off-path. Register both
+    # modules by value here so the fetcher is self-contained no matter
+    # which cwd the driver runs from (same discipline as
+    # register_rest_source, datasource.py).
+    for _mod in (sys.modules[ws_fetch_since.__module__], _ds):
+        try:
+            cloudpickle.register_pickle_by_value(_mod)
+        except Exception:
+            pass  # older cloudpickle: by-reference (same-path runners)
 
     state: dict = {"client": None, "buffered": []}
 

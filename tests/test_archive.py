@@ -55,9 +55,13 @@ class TestSeams:
         assert deep["name"] == "d/" * 60 + "deep.txt"
         assert deep["data"] == b"prefix split"
 
-    def test_unsplittable_name_rejected(self):
+    def test_unsplittable_name_pax_or_rejected(self):
+        # with pax=False an unsplittable >100-byte name cannot be stored
         with pytest.raises(ValueError):
-            encode_tar([("x" * 130, b"d", "0", 0)])
+            encode_tar([("x" * 130, b"d", "0", 0)], pax=False)
+        # with pax (default) it travels in an 'x' extended header
+        got = parse_tar(encode_tar([("x" * 130, b"d", "0", 0)]))
+        assert got[0]["name"] == "x" * 130 and got[0]["data"] == b"d"
 
     def test_checksum_and_magic_rejections(self):
         buf = bytearray(_twin())
@@ -69,17 +73,68 @@ class TestSeams:
         with pytest.raises(ValueError):
             parse_tar(bytes(buf))
 
-    def test_pax_and_gnu_longname_rejected_loudly(self):
-        buf = bytearray(_twin())
-        for flag in (b"x", b"L"):
-            b2 = bytearray(buf)
-            b2[156] = flag[0]
-            # re-fix checksum so the typeflag is what gets judged
-            hdr = b2[:512]
-            chk = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:512])
-            b2[148:156] = b"%06o\x00 " % chk
-            with pytest.raises(ValueError, match="unsupported"):
-                parse_tar(bytes(b2))
+    def test_pax_longname_stdlib_round_trip(self):
+        """parse_tar reads stdlib PAX_FORMAT archives with >100-char
+        paths (ADVICE/VERDICT r9: Pile-style shards carry these)."""
+        long = "p/" + "q" * 150 + "/leaf.txt"
+        out = io.BytesIO()
+        tf = tarfile.open(fileobj=out, mode="w", format=tarfile.PAX_FORMAT)
+        ti = tarfile.TarInfo(long)
+        ti.size = 5
+        ti.mtime = 1700000010
+        tf.addfile(ti, io.BytesIO(b"world"))
+        tf.close()
+        got = parse_tar(out.getvalue())
+        assert [m["name"] for m in got] == [long]
+        assert got[0]["data"] == b"world"
+        assert got[0]["mtime"] == 1700000010
+
+    def test_gnu_longname_stdlib_round_trip(self):
+        long = "g/" + "r" * 150 + "/leaf.txt"
+        out = io.BytesIO()
+        tf = tarfile.open(fileobj=out, mode="w", format=tarfile.GNU_FORMAT)
+        ti = tarfile.TarInfo(long)
+        ti.size = 3
+        ti.mtime = 1700000011
+        tf.addfile(ti, io.BytesIO(b"gnu"))
+        tf.close()
+        got = parse_tar(out.getvalue())
+        assert [m["name"] for m in got] == [long]
+        assert got[0]["data"] == b"gnu"
+
+    def test_my_pax_twin_reads_back_and_stdlib_agrees(self):
+        long = "a/" + "x" * 150 + "/file.txt"
+        buf = encode_tar([(long, b"hello", "0", 1000)])
+        mine = parse_tar(buf)
+        assert mine[0]["name"] == long and mine[0]["data"] == b"hello"
+        tf = tarfile.open(fileobj=io.BytesIO(buf))
+        assert long in tf.getnames()
+        assert tf.extractfile(long).read() == b"hello"
+
+    def test_unrecognized_typeflag_data_does_not_desync(self):
+        """POSIX: unknown typeflags read as regular files — their data
+        blocks must be consumed so the walk stays aligned (ADVICE r9)."""
+        buf = encode_tar(
+            [("weird", b"payload!", "Z", 10), ("after.txt", b"ok", "0", 11)],
+            pax=False,
+        )
+        got = parse_tar(buf)
+        assert [m["name"] for m in got] == ["weird", "after.txt"]
+        assert got[0]["data"] is None and got[1]["data"] == b"ok"
+        # '7' contiguous files read as regular WITH data
+        got7 = parse_tar(encode_tar([("cont", b"data", "7", 10)], pax=False))
+        assert got7[0]["data"] == b"data"
+
+    def test_pax_size_override_rejected_loudly(self):
+        from odin_rs_spark.sources.archive import encode_pax_payload
+
+        hdrs = encode_pax_payload({"size": "99999"})
+        buf = encode_tar(
+            [("PaxHeaders/x", hdrs, "x", 0), ("x.txt", b"abc", "0", 0)],
+            pax=False,
+        )
+        with pytest.raises(ValueError, match="pax size override"):
+            parse_tar(buf)
 
     def test_truncation_ladder(self):
         buf = _twin()

@@ -237,3 +237,29 @@ class TestQualityScaling:
         for bad in (b"", b"\xff\xd8\xff\xd9", b"nope"):
             with pytest.raises(ValueError):
                 jpeg_quality_estimate(bad)
+
+
+class TestSofMode:
+    def test_mode_from_marker_walk_not_byte_scan(self):
+        """b'\\xff\\xc2' inside an APP1 payload must not flip a
+        baseline file to progressive (ADVICE r9)."""
+        import numpy as np
+
+        from odin_rs_spark.sources.jpegcodec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+            jpeg_sof_mode,
+        )
+
+        img = (np.arange(64 * 64).reshape(64, 64) % 256).astype(np.uint8)
+        base = encode_jpeg(img)
+        assert jpeg_sof_mode(base) == "baseline"
+        assert jpeg_sof_mode(encode_jpeg_progressive(img)) == "progressive"
+        app1 = b"\xff\xe1" + (6).to_bytes(2, "big") + b"zz\xff\xc2"
+        assert jpeg_sof_mode(base[:2] + app1 + base[2:]) == "baseline"
+        import pytest
+
+        with pytest.raises(ValueError, match="no SOF|missing SOI"):
+            jpeg_sof_mode(b"\xff\xd8\xff\xd9")
+        with pytest.raises(ValueError):
+            jpeg_sof_mode(b"not a jpeg")

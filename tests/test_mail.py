@@ -91,6 +91,17 @@ class TestSeams:
         with pytest.raises(ValueError):
             parse_date("not a date")
 
+    def test_named_us_zones_rfc5322(self):
+        """RFC 5322 §4.3 assigns the eight named US zones specific
+        offsets (ADVICE r9); military/unknown alpha zones stay -0000."""
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 EST") == "2000-01-03T17:00:00Z"
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 EDT") == "2000-01-03T16:00:00Z"
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 CST") == "2000-01-03T18:00:00Z"
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 PDT") == "2000-01-03T19:00:00Z"
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 PST") == "2000-01-03T20:00:00Z"
+        # single-letter military zone: no information -> -0000
+        assert parse_date("Mon, 3 Jan 2000 12:00:00 K") == "2000-01-03T12:00:00Z"
+
     def test_addr_spec_forms(self):
         assert addr_spec("Name <A.B@Ex.COM>") == "a.b@ex.com"
         assert addr_spec("c@d.org (comment)") == "c@d.org"

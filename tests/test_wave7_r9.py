@@ -527,3 +527,17 @@ class TestCdcApply:
         )
         out = {r.key: (r.seq, r.value) for r in cdc_apply(log, "key", "seq").collect()}
         assert out == {1: (20, 2.0), 3: (50, 9.0)}  # key 2 is GONE
+
+    def test_null_values_rejected(self, spark):
+        """NULL passes a naive `x <= 0` gate (three-valued logic) and
+        would land in a NULL bucket with engine-dependent ordering —
+        the gate must catch nulls too (ADVICE r9)."""
+        import pytest
+
+        from odin_rs_spark.operators.sketches import ddsketch_build
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (1, None), (1, 3.0)], "g int, v double"
+        )
+        with pytest.raises(ValueError, match="positive non-null"):
+            ddsketch_build(df, "v", ["g"])

@@ -7,6 +7,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import os
 import socket
 import struct
 import threading
@@ -297,3 +298,40 @@ def test_wss_scheme_accepted_plain_rejected():
     """The wss path exists (TLS wrap); unknown schemes still rejected."""
     with pytest.raises(ValueError, match="unsupported websocket scheme"):
         WebSocketClient("http://localhost:1/")
+
+
+def test_ws_fetcher_unpickles_without_repo_on_sys_path(tmp_path):
+    """Regression (VERDICT r9 #1): a ws_fetch_since fetcher must
+    cloudpickle BY VALUE — the Python Data Source source-runner does
+    not inherit the driver's sys.path, so a by-reference pickle of the
+    websocket module dies with ModuleNotFoundError off-path. Pickle the
+    fetcher here, then unpickle it in a subprocess whose sys.path has
+    the repo stripped out."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from odin_rs_spark.streaming.websocket import ws_fetch_since
+
+    fetch = ws_fetch_since("ws://localhost:1/feed", id_field="id")
+    blob = tmp_path / "fetcher.pkl"
+    blob.write_bytes(cloudpickle.dumps(fetch))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "import sys, pickle\n"
+        f"sys.path = [p for p in sys.path if not p.startswith({repo!r})]\n"
+        "sys.modules.pop('odin_rs_spark', None)\n"
+        f"f = pickle.loads(open({str(blob)!r}, 'rb').read())\n"
+        "assert f(None) == []  # connect refused -> empty poll, not ImportError\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
