@@ -167,6 +167,7 @@ def _parse_node(buf: bytes) -> dict:
             node["op"] = val.decode("utf-8")
         elif fno == 5:
             aname, f_val, i_val = "", None, None
+            ints: list[int] = []
             for afno, awt, aval in _fields(val):
                 if afno == 1:
                     aname = aval.decode("utf-8")
@@ -174,7 +175,18 @@ def _parse_node(buf: bytes) -> dict:
                     f_val = struct.unpack("<f", struct.pack("<I", aval))[0]
                 elif afno == 3:
                     i_val = aval
-            node["attrs"][aname] = f_val if f_val is not None else i_val
+                elif afno == 8:  # repeated int64 ints (packed or not)
+                    if awt == 0:
+                        ints.append(aval)
+                    else:
+                        p = 0
+                        while p < len(aval):
+                            d, p = _uvarint(aval, p)
+                            ints.append(d)
+            if ints:
+                node["attrs"][aname] = ints
+            else:
+                node["attrs"][aname] = f_val if f_val is not None else i_val
     return node
 
 
@@ -248,6 +260,70 @@ def onnx_mlp_weights(model: dict) -> dict:
     return {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
 
 
+def onnx_cnn_weights(model: dict) -> dict:
+    """Walk a Conv → Relu → MaxPool → Flatten → Gemm graph (the
+    reference's smoke/fire classifier class, odin_onnx/src/lib.rs:
+    47-150 — a conv net, not an MLP) into the weight dict
+    functions.cnn.cnn_forward consumes ({wc, bc, wd, bd}).
+
+    Scope (errors name anything else): one Conv layer with SAME
+    padding (pads [1,1,1,1] for 3x3), strides [1,1]; one 2x2/2 MaxPool;
+    Flatten; one Gemm head (honoring transB). Multi-conv stacks are the
+    same walk extended — rejected by count until a model needs them."""
+    inits = model["initializers"]
+    conv = pool = gemm = None
+    order: list[str] = []
+    for node in model["nodes"]:
+        op = node["op"]
+        order.append(op)
+        if op == "Conv":
+            if conv is not None:
+                raise ValueError("multiple Conv layers unsupported")
+            ks = node["attrs"].get("kernel_shape")
+            pads = node["attrs"].get("pads", [0, 0, 0, 0])
+            strides = node["attrs"].get("strides", [1, 1])
+            if strides != [1, 1]:
+                raise ValueError(f"Conv strides {strides} unsupported")
+            if ks is not None and list(ks) != [3, 3]:
+                raise ValueError(f"Conv kernel_shape {ks} != [3, 3]")
+            if list(pads) != [1, 1, 1, 1]:
+                raise ValueError(f"Conv pads {pads} != SAME [1,1,1,1]")
+            conv = (inits[node["inputs"][1]], inits[node["inputs"][2]])
+        elif op == "MaxPool":
+            ks = node["attrs"].get("kernel_shape")
+            strides = node["attrs"].get("strides")
+            if list(ks or [2, 2]) != [2, 2] or list(strides or [2, 2]) != [2, 2]:
+                raise ValueError("MaxPool must be 2x2 stride 2")
+            pool = True
+        elif op == "Gemm":
+            w = inits[node["inputs"][1]]
+            b = inits[node["inputs"][2]]
+            if node["attrs"].get("transB"):
+                w = w.T
+            if node["attrs"].get("transA"):
+                raise ValueError("Gemm transA unsupported")
+            gemm = (w, b)
+        elif op in ("Relu", "Flatten"):
+            pass
+        else:
+            raise ValueError(f"unsupported op '{op}' in CNN graph")
+    if conv is None or pool is None or gemm is None:
+        raise ValueError(f"incomplete CNN graph: ops {order}")
+    if order != ["Conv", "Relu", "MaxPool", "Flatten", "Gemm"]:
+        raise ValueError(f"unexpected CNN op order {order}")
+    wc, bc = conv
+    wd, bd = gemm
+    if wc.ndim != 4:
+        raise ValueError(f"Conv weight rank {wc.ndim} != 4 (OIHW)")
+    return {"wc": wc, "bc": bc, "wd": wd, "bd": bd}
+
+
+def load_onnx_cnn(path: str) -> dict:
+    """Read a conv-classifier .onnx file → cnn_forward-ready weights."""
+    with open(path, "rb") as f:
+        return onnx_cnn_weights(parse_onnx(f.read()))
+
+
 def load_onnx_mlp(path: str) -> dict:
     """Read an .onnx file and return mlp_forward-ready weights — the
     load half of the reference's Session::new → run pipeline."""
@@ -267,11 +343,26 @@ def _enc_tensor(name: str, arr: np.ndarray) -> bytes:
     return body
 
 
-def _enc_node(op: str, inputs: list[str], outputs: list[str], name: str) -> bytes:
+def _enc_node(
+    op: str,
+    inputs: list[str],
+    outputs: list[str],
+    name: str,
+    attrs: dict[str, list[int] | int] | None = None,
+) -> bytes:
     body = b"".join(_enc_field(1, 2, s.encode("utf-8")) for s in inputs)
     body += b"".join(_enc_field(2, 2, s.encode("utf-8")) for s in outputs)
     body += _enc_field(3, 2, name.encode("utf-8"))
     body += _enc_field(4, 2, op.encode("utf-8"))
+    for aname, aval in (attrs or {}).items():
+        a = _enc_field(1, 2, aname.encode("utf-8"))
+        if isinstance(aval, list):
+            a += _enc_field(8, 2, b"".join(_enc_varint(v) for v in aval))
+            a += _enc_field(20, 0, 7)  # AttributeType.INTS
+        else:
+            a += _enc_field(3, 0, int(aval))
+            a += _enc_field(20, 0, 2)  # AttributeType.INT
+        body += _enc_field(5, 2, a)
     return body
 
 
@@ -286,12 +377,31 @@ def write_onnx_mlp(path: str, weights: dict, graph_name: str = "mlp") -> None:
         _enc_node("Relu", ["h_pre"], ["h"], "act1"),
         _enc_node("Gemm", ["h", "w2", "b2"], ["logits"], "dense2"),
     ]
-    tensors = [
-        _enc_tensor("w1", np.asarray(weights["w1"])),
-        _enc_tensor("b1", np.asarray(weights["b1"])),
-        _enc_tensor("w2", np.asarray(weights["w2"])),
-        _enc_tensor("b2", np.asarray(weights["b2"])),
+    _write_model(path, nodes, {k: np.asarray(v) for k, v in weights.items()},
+                 graph_name)
+
+
+def write_onnx_cnn(path: str, weights: dict, graph_name: str = "cnn") -> None:
+    """Encode twin of `load_onnx_cnn`: Conv(SAME 3x3) → Relu →
+    MaxPool(2x2/2) → Flatten → Gemm as a minimal valid ModelProto with
+    INTS attributes (kernel_shape/pads/strides) on the wire."""
+    nodes = [
+        _enc_node("Conv", ["x", "wc", "bc"], ["c_pre"], "conv1",
+                  {"kernel_shape": [3, 3], "pads": [1, 1, 1, 1],
+                   "strides": [1, 1]}),
+        _enc_node("Relu", ["c_pre"], ["c"], "act1"),
+        _enc_node("MaxPool", ["c"], ["p"], "pool1",
+                  {"kernel_shape": [2, 2], "strides": [2, 2]}),
+        _enc_node("Flatten", ["p"], ["f"], "flat", {"axis": 1}),
+        _enc_node("Gemm", ["f", "wd", "bd"], ["logits"], "dense"),
     ]
+    _write_model(path, nodes, {k: np.asarray(v) for k, v in weights.items()},
+                 graph_name)
+
+
+def _write_model(path: str, nodes: list[bytes], tensors_in: dict,
+                 graph_name: str) -> None:
+    tensors = [_enc_tensor(k, v) for k, v in tensors_in.items()]
     graph = b"".join(_enc_field(1, 2, n) for n in nodes)
     graph += _enc_field(2, 2, graph_name.encode("utf-8"))
     graph += b"".join(_enc_field(5, 2, t) for t in tensors)

@@ -1596,6 +1596,61 @@ def image_oriented_stats(
     )
 
 
+CNN_CLASSIFY_SCHEMA = "media_id bigint, pred int, margin double"
+
+
+def cnn_classify_media(
+    media: DataFrame, weights: dict, on_error: str = "raise"
+) -> DataFrame:
+    """REAL image decode → conv-net classification in ONE mapInPandas
+    stage (the reference's image classifier path, odin_onnx/src/lib.rs:
+    47-150: load model → fit → forward → scores): PNG/JPEG bytes decode
+    via sources/imagecodec, grayscale via exact luma when RGB, then the
+    dyadic-exact Conv→ReLU→MaxPool→Flatten→Gemm forward of
+    functions/cnn. Bytes never shuffle; weights ride the closure
+    (broadcast-sized). Images must match the model's input side."""
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        import numpy as np
+
+        from odin_rs_spark.functions.cnn import classify_pixels
+        from odin_rs_spark.sources.imagecodec import decode_image, luma
+
+        for pdf in batches:
+            ids, grays = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                g = luma(img) if img.ndim == 3 else img
+                ids.append(int(mid))
+                grays.append(g)
+            if not ids:
+                yield pd.DataFrame(
+                    {"media_id": [], "pred": [], "margin": []}
+                ).astype({"media_id": "int64", "pred": "int32",
+                          "margin": "float64"})
+                continue
+            pred, margin = classify_pixels(np.stack(grays), weights)
+            yield pd.DataFrame(
+                {"media_id": ids, "pred": pred, "margin": margin}
+            )
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        fn, CNN_CLASSIFY_SCHEMA
+    )
+
+
 JPEG_QUALITY_SCHEMA = (
     "media_id bigint, est_quality int, n_bytes int, mode string"
 )

@@ -17628,6 +17628,323 @@ FROM c WHERE mask >= 2.0 GROUP BY xb
 """
 
 
+# --------------------------------------------------------------------------
+# q272 — ONNX CONV net on real decoded pixels (VERDICT r9 #4): the
+# reference's smoke/fire image classifier is a conv net loaded from an
+# .onnx file (odin_onnx/src/lib.rs:47-150); q130 covered the dense
+# class, this covers Conv→ReLU→MaxPool→Flatten→Gemm. Weights come out
+# of a COMMITTED .onnx fixture through the stdlib protobuf wire walk
+# (functions/onnx.load_onnx_cnn — INTS attributes for kernel_shape/
+# pads/strides now on the wire), pixels come out of REAL PNG decode
+# (16x16 grayscale formula images encoded in executors), and the whole
+# network is dyadic-exact (pixels v/256, weights k/16), so the oracle
+# replays EVERYTHING — convolution as a 9-term kernel join with zero
+# padding, pooling as a grouped max, the dense head as an
+# indexed-weight join, argmax with first-max tie-break — with zero
+# tolerance. Keep the px/kw/dw CTEs in sync with the formulas in
+# functions/cnn.formula_cnn_weights and the generator below.
+# --------------------------------------------------------------------------
+
+def _formula_gray16_media(spark: SparkSession, n: int):
+    """q272 fixture generator: n 16x16 grayscale formula PNGs encoded
+    in executors (seed = id % 30; a = seed%5+1, b = seed%3+1,
+    m = (seed*17)%200; v = (m + x*a + y*b) % 200)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.imagecodec import encode_png
+
+        out = []
+        for mid in series:
+            seed = int(mid) % 30
+            a_, b_, m_ = seed % 5 + 1, seed % 3 + 1, (seed * 17) % 200
+            jj, ii = np.mgrid[0:16, 0:16]
+            arr = ((m_ + ii * a_ + jj * b_) % 200).astype(np.uint8)
+            out.append(encode_png(arr, filter_mode="cycle"))
+        return pd.Series(out)
+
+    mk_png = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk_png(F.col("id")).alias("content")
+    )
+
+
+def q272_onnx_conv_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.functions.onnx import load_onnx_cnn
+    from odin_rs_spark.operators.multimodal import cnn_classify_media
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "functions",
+        "fixtures",
+        "cnn_1x16x16_4f_3.onnx",
+    )
+    weights = load_onnx_cnn(fixture)  # driver-side: a conv head is KBs
+    media = _formula_gray16_media(spark, 60)
+    scored = cnn_classify_media(media, weights)
+    return scored.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("margin"), 6).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+    )
+
+
+Q272_SQL = """
+WITH m AS (SELECT range AS media_id, (range % 30) AS seed FROM range(60)),
+par AS (SELECT media_id, seed % 5 + 1 AS a, seed % 3 + 1 AS b,
+               (seed * 17) % 200 AS mm FROM m),
+px AS (
+  SELECT media_id, y.range AS y, x.range AS x,
+         ((mm + x.range * a + y.range * b) % 200) AS v
+  FROM par, range(16) y, range(16) x),
+kw AS (  -- conv kernel, OIHW f in 0..3, dyadic k/16
+  SELECT f.range AS f, dy.range AS dy, dx.range AS dx,
+         (((f.range * 5 + dy.range * 3 + dx.range * 11) % 13) - 6)::DOUBLE
+           / 16 AS w
+  FROM range(4) f, range(3) dy, range(3) dx),
+bc AS (SELECT range AS f, (((range * 3) % 5) - 2)::DOUBLE / 16 AS b
+       FROM range(4)),
+conv AS (  -- SAME zero padding: out-of-range taps contribute 0
+  SELECT g.media_id, k.f, g.y, g.x,
+         sum(k.w * coalesce(p.v::DOUBLE / 256, 0)) AS acc
+  FROM px g
+  CROSS JOIN kw k
+  LEFT JOIN px p ON p.media_id = g.media_id
+                AND p.y = g.y + k.dy - 1 AND p.x = g.x + k.dx - 1
+  GROUP BY g.media_id, k.f, g.y, g.x),
+relu AS (
+  SELECT c.media_id, c.f, c.y, c.x,
+         greatest(c.acc + bc.b, 0) AS v
+  FROM conv c JOIN bc ON bc.f = c.f),
+pool AS (
+  SELECT media_id, f, y // 2 AS py, x // 2 AS px_, max(v) AS v
+  FROM relu GROUP BY media_id, f, y // 2, x // 2),
+flat AS (
+  SELECT media_id, (f * 64 + py * 8 + px_) AS i, v FROM pool),
+dw AS (
+  SELECT i.range AS i, o.range AS o,
+         (((i.range * 13 + o.range * 5) % 17) - 8)::DOUBLE / 16 AS w
+  FROM range(256) i, range(3) o),
+bd AS (SELECT range AS o, (((range * 5) % 3) - 1)::DOUBLE / 16 AS b
+       FROM range(3)),
+logits AS (
+  SELECT fl.media_id, dw.o,
+         sum(fl.v * dw.w) + any_value(bd.b) AS logit
+  FROM flat fl JOIN dw ON dw.i = fl.i JOIN bd ON bd.o = dw.o
+  GROUP BY fl.media_id, dw.o),
+ranked AS (
+  SELECT media_id, o, logit,
+         row_number() OVER (PARTITION BY media_id
+                            ORDER BY logit DESC, o ASC) AS rk
+  FROM logits),
+scored AS (
+  SELECT a.media_id, a.o AS pred, a.logit - b.logit AS margin
+  FROM ranked a JOIN ranked b
+    ON b.media_id = a.media_id AND a.rk = 1 AND b.rk = 2)
+SELECT pred::INT AS pred, count(*)::BIGINT AS n,
+       round(avg(margin), 6) AS avg_margin,
+       round(min(margin), 6) AS min_margin,
+       round(max(margin), 6) AS max_margin
+FROM scored GROUP BY pred
+"""
+
+
+# --------------------------------------------------------------------------
+# q273 — GOES-R LIVE FLAGSHIP (VERDICT r9 #5): SURVEY §3.1 composed
+# end-to-end as ONE streaming query — the reference's live importer
+# loop (odin_goesr/src/live_importer.rs: poll S3 for new NetCDF-4
+# granules → GDAL masked read → fixed-grid projection → DEM enrich →
+# per-class rollup → SpaServer snapshot+delta fan-out) re-expressed as
+# a binaryFile file-stream over REAL NetCDF-4/HDF5 granule bytes
+# (written by the hdf5 twin: chunked+deflate int16 CMI with
+# scale/offset, int8 DQF), maxFilesPerTrigger=1 so each granule is one
+# micro-batch, decoded INSIDE foreachBatch by hdf5_grid_cells (mask
+# predicate + unpack in-kernel — granule bytes never shuffle), GOES
+# fixed-grid → lon/lat (functions/proj), quantized broadcast DEM join
+# (J1), per-batch class counts through snapshot_delta_sink (K1 deltas
+# + K2 running snapshot via an additive merge). The batch-twin oracle
+# replays the granule formula per-granule: totals check the snapshot
+# merge, n_batches (distinct granules per class) checks the
+# one-granule-per-batch delta stream. Chains q122/q133/q91/q96 pieces
+# that existed separately since r3 — nothing chained them until now.
+# --------------------------------------------------------------------------
+
+def q273_goes_stream_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.functions import proj
+    from odin_rs_spark.functions.geo import quantize_cell
+    from odin_rs_spark.sources.hdf5 import hdf5_grid_cells, write_hdf5
+    from odin_rs_spark.streaming.pipelines import (
+        run_available_now,
+        snapshot_delta_sink,
+    )
+
+    ensure_shipped(spark)
+    root = tempfile.mkdtemp(prefix="odin_q273_")
+    try:
+        gdir = root + "/granules"
+        _os.makedirs(gdir)
+        xx, yy = np.meshgrid(np.arange(16), np.arange(12))
+        for g in range(4):
+            write_hdf5(
+                gdir + f"/goes_g{g}.nc",
+                [("y", 12), ("x", 16)],
+                {
+                    "CMI": (["y", "x"],
+                            ((xx * 37 + yy * 23 + g * 7) % 89).astype("<i2")),
+                    "DQF": (["y", "x"],
+                            ((xx * 7 + yy * 11 + g) % 4).astype("<i1")),
+                },
+                chunks={"CMI": (6, 8)},
+                compress={"CMI": 6},
+                var_attrs={"CMI": {"scale_factor": np.float64(0.5),
+                                   "add_offset": np.float64(-12.0)}},
+            )
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp,"
+                " length bigint, content binary"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.nc")
+            .load(gdir)
+        )
+        dem = (
+            spark.range(720 * 360)
+            .select(
+                ((F.col("id") % 720) - 360).cast("int").alias("cx"),
+                ((F.col("id") / 720).cast("int") - 180).alias("cy"),
+            )
+            .withColumn(
+                "elev_m",
+                ((F.col("cx") * 7 + F.col("cy") * 13) % 3000).cast("double"),
+            )
+        )
+
+        def transform(batch_df: DataFrame) -> DataFrame:
+            cells = hdf5_grid_cells(
+                batch_df, "CMI", mask_var="DQF", mask_min=2.0
+            )
+            classed = cells.withColumn(
+                "pixel_class",
+                F.when(F.col("mask") == 2, "good").otherwise("medium"),
+            ).withColumn(
+                "xr", F.lit(-0.024) + F.col("x") * F.lit(0.003)
+            ).withColumn(
+                "yr", F.lit(-0.018) + F.col("y") * F.lit(0.003)
+            )
+            geo = classed.withColumn(
+                "g", proj.goes_to_lonlat("xr", "yr", -75.0)
+            ).filter(F.col("g.lon").isNotNull())
+            enriched = geo.join(
+                F.broadcast(dem),
+                (quantize_cell(F.col("g.lon"), 0.5) == F.col("cx"))
+                & (quantize_cell(F.col("g.lat"), 0.5) == F.col("cy")),
+                "left",
+            )
+            # additive per-batch metrics (merge = sum, finalize at read)
+            return enriched.groupBy("pixel_class").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_cmi"),
+                F.sum(F.round(F.col("g.lat"), 6)).alias("sum_lat"),
+                F.sum("elev_m").alias("sum_elev"),
+            )
+
+        def merge_totals(old: DataFrame | None, batch: DataFrame) -> DataFrame:
+            both = batch if old is None else old.unionByName(batch)
+            return both.groupBy("pixel_class").agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_cmi").alias("sum_cmi"),
+                F.sum("sum_lat").alias("sum_lat"),
+                F.sum("sum_elev").alias("sum_elev"),
+            )
+
+        base_sink = snapshot_delta_sink(
+            root + "/snap", root + "/delta", merge_fn=merge_totals
+        )
+
+        def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
+            base_sink(transform(batch_df), batch_id)
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(stream, sink_fn, root + "/ckpt",
+                              output_mode="append")
+
+        snap = spark.read.parquet(root + "/snap")
+        delta = spark.read.parquet(root + "/delta")
+        batches = delta.groupBy("pixel_class").agg(
+            F.countDistinct("__batch_id").cast("bigint").alias("n_batches")
+        )
+        out = snap.join(batches, "pixel_class").select(
+            "pixel_class",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("sum_cmi", 6).alias("sum_cmi"),
+            F.round("sum_lat", 3).alias("sum_lat"),
+            F.round(F.col("sum_elev") / F.col("n"), 4).alias("avg_elev_m"),
+            "n_batches",
+        )
+        rows = out.collect()  # materialize before the temp store vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q273_sql() -> str:
+    from odin_rs_spark.functions import proj
+
+    return f"""
+WITH g AS (SELECT gg.range AS gran, xx.range AS x, yy.range AS y
+           FROM range(4) gg, range(16) xx, range(12) yy),
+c AS (SELECT gran, x, y,
+             ((x * 37 + y * 23 + gran * 7) % 89) * 0.5 - 12.0 AS cmi,
+             ((x * 7 + y * 11 + gran) % 4) AS dqf
+      FROM g),
+f AS (SELECT gran, cmi,
+             CASE WHEN dqf = 2 THEN 'good' ELSE 'medium' END AS pixel_class,
+             -0.024 + x * 0.003 AS xr,
+             -0.018 + y * 0.003 AS yr
+      FROM c WHERE dqf >= 2),
+geo AS (SELECT gran, pixel_class, cmi,
+               {proj.goes_lon_sql('xr', 'yr', -75.0)} AS lon,
+               {proj.goes_lat_sql('xr', 'yr')} AS lat
+        FROM f),
+dem AS (
+  SELECT CAST((i % 720) - 360 AS INT) AS cx,
+         CAST(i // 720 AS INT) - 180 AS cy,
+         CAST((CAST((i % 720) - 360 AS INT) * 7 + (CAST(i // 720 AS INT) - 180) * 13) % 3000 AS DOUBLE) AS elev_m
+  FROM range(259200) t(i)),
+enr AS (
+  SELECT g.gran, g.pixel_class, g.cmi, g.lat, d.elev_m
+  FROM geo g LEFT JOIN dem d
+    ON CAST(floor(g.lon / 0.5) AS INT) = d.cx
+   AND CAST(floor(g.lat / 0.5) AS INT) = d.cy)
+SELECT pixel_class, count(*)::BIGINT AS n,
+       round(sum(cmi), 6) AS sum_cmi,
+       round(sum(round(lat, 6)), 3) AS sum_lat,
+       round(sum(elev_m) / count(*), 4) AS avg_elev_m,
+       count(DISTINCT gran)::BIGINT AS n_batches
+FROM enr GROUP BY pixel_class
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -17753,6 +18070,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q269_grid_dbscan", q269_grid_dbscan, Q269_SQL, "geo grid-dbscan hotspot-clustering"),
         QuerySpec("q270_track_interpolate", q270_track_interpolate, Q270_SQL, "W-track resample linear-interpolation"),
         QuerySpec("q271_hdf5_decode", q271_hdf5_decode, Q271_SQL, "S2 netcdf4-hdf5 chunked-deflate decode"),
+        QuerySpec("q272_onnx_conv_classify", q272_onnx_conv_classify, Q272_SQL, "UDF onnx-conv maxpool classify"),
+        QuerySpec("q273_goes_stream_flagship", q273_goes_stream_flagship, _q273_sql(), "flagship T1 S2 J1 K1 K2 goes-live"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

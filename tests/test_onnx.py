@@ -161,3 +161,117 @@ def test_truncated_and_corrupt_raise():
     t += _enc_field(8, 2, b"w") + _enc_field(9, 2, b"\x00" * 8)
     with pytest.raises(ValueError, match="raw_data"):
         parse_onnx(_model_bytes([], [t]))
+
+
+# ---------------------------------------------------------------------------
+# conv-net class (VERDICT r9 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_cnn_roundtrip_and_fixture():
+    import numpy as np
+
+    from odin_rs_spark.functions.cnn import formula_cnn_weights
+    from odin_rs_spark.functions.onnx import load_onnx_cnn, write_onnx_cnn
+
+    w = formula_cnn_weights()
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".onnx")
+    write_onnx_cnn(p, w)
+    w2 = load_onnx_cnn(p)
+    for k in w:
+        assert np.array_equal(w[k], w2[k]), k
+
+    import os
+
+    import odin_rs_spark
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+        "functions", "fixtures", "cnn_1x16x16_4f_3.onnx",
+    )
+    wf = load_onnx_cnn(fixture)
+    for k in w:
+        assert np.array_equal(w[k], wf[k]), k
+
+
+def test_cnn_forward_matches_naive_loop():
+    import numpy as np
+
+    from odin_rs_spark.functions.cnn import (
+        cnn_forward,
+        formula_cnn_weights,
+        maxpool2,
+    )
+
+    w = formula_cnn_weights()
+    yy, xx = np.mgrid[0:16, 0:16]
+    g = np.stack([((m * 17 + xx * 3 + yy * 5) % 200) for m in range(4)])
+    x = g.astype(np.float64)[:, None] / 256.0
+    n, c, H, W = x.shape
+    Fh = w["wc"].shape[0]
+    ref = np.zeros((n, Fh, H, W))
+    xp = np.zeros((n, c, H + 2, W + 2))
+    xp[:, :, 1:-1, 1:-1] = x
+    for f in range(Fh):
+        for dy in range(3):
+            for dx in range(3):
+                ref[:, f] += w["wc"][f, 0, dy, dx] * xp[:, 0, dy:dy + H, dx:dx + W]
+        ref[:, f] += w["bc"][f]
+    pool = np.maximum(ref, 0).reshape(n, Fh, 8, 2, 8, 2).max(axis=(3, 5))
+    logits = pool.reshape(n, -1) @ w["wd"] + w["bd"]
+    assert np.array_equal(cnn_forward(x, w), logits)
+    with pytest.raises(ValueError, match="even dims"):
+        maxpool2(np.zeros((1, 1, 3, 4)))
+
+
+def test_cnn_graph_rejections():
+    import numpy as np
+
+    from odin_rs_spark.functions.cnn import formula_cnn_weights
+    from odin_rs_spark.functions.onnx import (
+        onnx_cnn_weights,
+        parse_onnx,
+        write_onnx_cnn,
+    )
+    import tempfile
+
+    w = formula_cnn_weights()
+    p = tempfile.mktemp(suffix=".onnx")
+    write_onnx_cnn(p, w)
+    model = parse_onnx(open(p, "rb").read())
+    # wrong pads reject by value
+    for node in model["nodes"]:
+        if node["op"] == "Conv":
+            node["attrs"]["pads"] = [0, 0, 0, 0]
+    with pytest.raises(ValueError, match="pads"):
+        onnx_cnn_weights(model)
+    # an MLP graph is not a CNN graph
+    from odin_rs_spark.functions.onnx import load_onnx_mlp
+
+    import os
+
+    import odin_rs_spark
+
+    mlp_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+        "functions", "fixtures", "mlp_64_8_3.onnx",
+    )
+    with pytest.raises(ValueError, match="incomplete CNN graph"):
+        onnx_cnn_weights(parse_onnx(open(mlp_fixture, "rb").read()))
+    # and the CNN fixture still fails the MLP walk loudly
+    with pytest.raises(ValueError):
+        load_onnx_mlp(p)
+
+
+def test_ints_attribute_wire_roundtrip():
+    """INTS attributes (kernel_shape/pads/strides) survive the wire."""
+    from odin_rs_spark.functions.onnx import _enc_node, _parse_node
+
+    enc = _enc_node("MaxPool", ["a"], ["b"], "p",
+                    {"kernel_shape": [2, 2], "strides": [2, 2], "axis": 1})
+    node = _parse_node(enc)
+    assert node["attrs"]["kernel_shape"] == [2, 2]
+    assert node["attrs"]["strides"] == [2, 2]
+    assert node["attrs"]["axis"] == 1

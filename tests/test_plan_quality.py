@@ -848,3 +848,51 @@ def test_crawl_bootstrap_no_cartesian_blowup(spark, sf_dir):
 
     plan = _executed(q250_crawl_bootstrap(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_hdf5_decode_shuffle_free_and_dem_broadcast(spark):
+    """q271/q273 plan pins: HDF5 granule bytes decode in the scan stage
+    (no Exchange below the MapInPandas), and the DEM enrichment joins
+    as a BroadcastExchange — granule bytes never shuffle."""
+    import os
+
+    import odin_rs_spark
+    from odin_rs_spark.functions import proj
+    from odin_rs_spark.functions.geo import quantize_cell
+    from odin_rs_spark.sources.hdf5 import hdf5_grid_cells
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "grid_hdf5.nc",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = hdf5_grid_cells(files, "CMI", mask_var="DQF", mask_min=2.0)
+    plan = _executed(cells)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # decode fans out without any shuffle
+
+    from pyspark.sql import functions as F
+
+    dem = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("cx"),
+        (F.col("id") / 10).cast("int").alias("cy"),
+        (F.col("id") % 7).cast("double").alias("elev_m"),
+    )
+    geo = cells.withColumn(
+        "g", proj.goes_to_lonlat(
+            F.lit(-0.024) + F.col("x") * 0.003,
+            F.lit(-0.018) + F.col("y") * 0.003,
+            -75.0,
+        )
+    )
+    enriched = geo.join(
+        F.broadcast(dem),
+        (quantize_cell(F.col("g.lon"), 0.5) == F.col("cx"))
+        & (quantize_cell(F.col("g.lat"), 0.5) == F.col("cy")),
+        "left",
+    )
+    plan2 = _executed(enriched)
+    assert "BroadcastExchange" in plan2
+    assert "Exchange hashpartitioning" not in plan2  # bytes never shuffle
