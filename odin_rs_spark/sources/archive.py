@@ -231,6 +231,8 @@ def tar_members(files_df, on_error: str = "raise"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def fn(batches):
+        import gzip
+
         for pdf in batches:
             rows: dict[str, list] = {
                 "file": [], "member": [], "typeflag": [], "size": [],
@@ -238,7 +240,20 @@ def tar_members(files_df, on_error: str = "raise"):
             }
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    members = parse_tar(bytes(content))
+                    buf = bytes(content)
+                    # transparent .tar.gz / .tar.zst containers
+                    if buf[:2] == b"\x1f\x8b":
+                        try:
+                            buf = gzip.decompress(buf)
+                        except Exception as exc:
+                            raise ValueError(f"corrupt gzip: {exc}") from exc
+                    elif buf[:4] == b"\x28\xb5\x2f\xfd":
+                        from odin_rs_spark.sources.zstdcodec import (
+                            zstd_decompress,
+                        )
+
+                        buf = zstd_decompress(buf)
+                    members = parse_tar(buf)
                 except ValueError:
                     if on_error == "skip":
                         continue
@@ -275,9 +290,10 @@ def tar_members(files_df, on_error: str = "raise"):
 # ---------------------------------------------------------------------------
 
 _ARCHIVE_MAGICS: tuple[tuple[bytes, str], ...] = (
+    # zstd left this list in r10: sources/zstdcodec decodes it for the
+    # .warc.zst / .tar.zst container paths
     (b"7z\xbc\xaf\x27\x1c", "7z"),
     (b"Rar!\x1a\x07", "rar"),
-    (b"\x28\xb5\x2f\xfd", "zstd"),
     (b"\x42\x5a\x68", "bzip2"),
     (b"\xfd7zXZ\x00", "xz"),
 )

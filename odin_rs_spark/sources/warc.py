@@ -104,11 +104,15 @@ def parse_warc(buf: bytes) -> list[dict]:
 
 
 def _parse_warc(buf: bytes) -> list[dict]:
-    if buf[:4] == b"\x28\xb5\x2f\xfd":
-        raise ValueError(
-            "zstd-compressed WARC (.warc.zst): zstandard is not decodable "
-            "with the Python stdlib — environment-blocked seam"
-        )
+    if buf[:4] == b"\x28\xb5\x2f\xfd" or buf[:4] == b"\x5d\x2a\x4d\x18":
+        # .warc.zst: concatenated zstd frames (one per record chunk,
+        # iipc convention), optionally led by a 0x184D2A5D skippable
+        # dictionary frame — decoded by the pure-Python RFC 8878
+        # reader (sources/zstdcodec; was a named rejection until r10).
+        # Dictionary frames still reject by id inside the decoder.
+        from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+        buf = zstd_decompress(buf)
     if buf[:2] == b"\x1f\x8b":
         buf = gunzip_members(buf)
     recs = []
@@ -244,16 +248,22 @@ def decode_http_body(
             except zlib.error as exc:
                 raise ValueError(f"deflate body: {exc}") from exc
         applied.append("deflate")
-    elif ce in ("br", "zstd"):
+    elif ce == "zstd":
+        # real decode since r10 (pure-Python RFC 8878 reader; was a
+        # named rejection while only the stdlib was on hand)
+        from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+        body = zstd_decompress(body)
+        applied.append("zstd")
+    elif ce == "br":
         # named rejection (VERDICT r8 #6, the grib2 JPEG2000 pattern):
-        # brotli and zstandard are real crawl codings the Python 3.11
-        # standard library cannot decode — a specific error lets
-        # on_error='skip' drop and on_error='tag' COUNT them instead
+        # brotli is a real crawl coding the Python 3.11 standard
+        # library cannot decode — a specific error lets
+        # on_error='skip' drop and on_error='tag' COUNT it instead
         # of shipping binary soup
         raise ValueError(
-            f"unsupported Content-Encoding: {ce!r} "
-            f"({'brotli' if ce == 'br' else 'zstandard'} is not decodable "
-            f"with the Python stdlib — environment-blocked seam)"
+            "unsupported Content-Encoding: 'br' (brotli is not decodable "
+            "with the Python stdlib — environment-blocked seam)"
         )
     elif ce not in ("", "identity"):
         raise ValueError(f"unsupported Content-Encoding: {ce!r}")

@@ -179,7 +179,6 @@ class TestZipAndRejections:
         for magic, name in (
             (b"7z\xbc\xaf\x27\x1c rest", "7z"),
             (b"Rar!\x1a\x07\x00 rest", "rar"),
-            (b"\x28\xb5\x2f\xfd data", "zstd"),
             (b"\x42\x5a\x68 9", "bzip2"),
             (b"\xfd7zXZ\x00 data", "xz"),
         ):

@@ -288,15 +288,32 @@ def test_residual_transfer_codings_raise():
     assert dec == b"hello world" and applied == ["chunked"]
 
 
-def test_zstd_and_brotli_named_rejections():
-    """VERDICT r8 #6: brotli bodies and .warc.zst archives raise
-    SPECIFIC errors naming the coding (the grib2 JPEG2000 pattern) so
-    audits can count them."""
+def test_brotli_named_rejection_and_zstd_real_decode():
+    """Brotli bodies still raise a SPECIFIC error naming the coding
+    (the grib2 JPEG2000 pattern) so audits can count them; zstd is a
+    REAL decode since r10 (sources/zstdcodec), both for
+    Content-Encoding: zstd bodies and .warc.zst containers."""
     with pytest.raises(ValueError, match="'br'.*brotli.*stdlib"):
         decode_http_body({"content-encoding": "br"}, b"x")
-    with pytest.raises(ValueError, match="'zstd'.*zstandard.*stdlib"):
-        decode_http_body({"content-encoding": "zstd"}, b"x")
-    with pytest.raises(ValueError, match="warc.zst.*zstandard"):
+
+    from odin_rs_spark.sources.zstdcodec import zstd_compress_store
+
+    body, applied = decode_http_body(
+        {"content-encoding": "zstd"}, zstd_compress_store(b"real zstd body")
+    )
+    assert body == b"real zstd body" and applied == ["zstd"]
+    # corrupt zstd still one catchable ValueError
+    with pytest.raises(ValueError):
+        decode_http_body({"content-encoding": "zstd"}, b"\x28\xb5\x2f\xfdxx")
+
+    # .warc.zst container: zstd frames of a full WARC stream
+    plain = encode_warc(
+        [{"warc_type": "warcinfo", "block": b"software: zst-fixture\r\n"}],
+        gzip_members=False,
+    )
+    recs = parse_warc(zstd_compress_store(plain))
+    assert len(recs) == 1 and recs[0]["headers"]["warc-type"] == "warcinfo"
+    with pytest.raises(ValueError):
         parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 32)
 
 
@@ -352,7 +369,7 @@ def test_warc_tag_mode_and_revisit_resolution(spark, tmp_path):
     assert "brotli" in tagged.decode_error and tagged.body_text is None
     assert tagged.body_len is None and tagged.http_status == 200
     filerow = rows[("zz.warc.gz", -1)]
-    assert "zstandard" in filerow.decode_error and filerow.warc_type is None
+    assert "zstd" in filerow.decode_error and filerow.warc_type is None
     ok = rows[("rv.warc.gz", 0)]
     assert ok.decode_error is None and ok.payload_digest == "sha1:X"
 
