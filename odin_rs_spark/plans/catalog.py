@@ -16017,6 +16017,10 @@ def _q251_media(spark: SparkSession):
                 name = f"shard{aid}/doc{m}.txt"
                 if aid % 5 == 0 and m == 0:
                     name = ("p" * 80) + f"/shard{aid}/doc{m}.txt"
+                elif aid % 5 == 1 and m == 0:
+                    # >100-char UNSPLITTABLE segment: travels in a PAX
+                    # 'x' extended header (r10 — Pile-style shards)
+                    name = ("q" * 120) + f"_shard{aid}_doc{m}.txt"
                 members.append(
                     (name, words.encode(), "0", 1700000000 + aid * 10 + m)
                 )
@@ -16060,6 +16064,8 @@ rows_ AS (
   SELECT aid, m AS ord,
          CASE WHEN aid % 5 = 0 AND m = 0
               THEN repeat('p', 80) || '/shard' || aid || '/doc' || m || '.txt'
+              WHEN aid % 5 = 1 AND m = 0
+              THEN repeat('q', 120) || '_shard' || aid || '_doc' || m || '.txt'
               ELSE 'shard' || aid || '/doc' || m || '.txt' END AS member,
          '0', length(words), 1700000000 + aid * 10 + m, words
   FROM docs
@@ -18116,7 +18122,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q248_hilbert_layout", q248_hilbert_layout, Q248_SQL, "layout hilbert-curve file-skipping"),
         QuerySpec("q249_jpeg_quality", q249_jpeg_quality, Q249_SQL, "multimodal jpeg-quality dqt-estimate"),
         QuerySpec("q250_crawl_bootstrap", q250_crawl_bootstrap, Q250_SQL, "flagship crawl-bootstrap robots-to-schedule"),
-        QuerySpec("q251_tar_scan", q251_tar_scan, Q251_SQL, "S-tar ustar shard-container scan"),
+        QuerySpec("q251_tar_scan", q251_tar_scan, Q251_SQL, "S-tar ustar pax-longname shard-container scan"),
         QuerySpec("q252_hll_intersection", q252_hll_intersection, Q252_SQL, "sketch hll set-algebra inclusion-exclusion"),
         QuerySpec("q253_webdataset", q253_webdataset, Q253_SQL, "flagship webdataset tar-jpeg-caption samples"),
         QuerySpec("q254_compaction_plan", q254_compaction_plan, Q254_SQL, "layout small-files compaction bin-packing"),
