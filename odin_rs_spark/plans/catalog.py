@@ -11011,14 +11011,15 @@ FROM rev LEFT JOIN ob ON rev.d = ob.d LEFT JOIN bt ON rev.d = bt.d
 # q198 — HTTP-coding decode/LOSS audit (VERDICT r8 #6, upgraded r10:
 # `Content-Encoding: zstd` now REALLY decodes through the pure-Python
 # RFC 8878 reader in sources/zstdcodec — the fixture carries genuine
-# zstd frames — while brotli remains the NAMED rejection a pipeline
-# can count, not a silent drop or binary soup): warc_records keeps
+# zstd frames — while LZW 'compress' stands in as the NAMED rejection a pipeline
+# can count (brotli itself decodes via the ctypes libbrotli backend
+# in this environment — q275), not a silent drop or binary soup): warc_records keeps
 # on_error='tag' — a failed decode keeps the record with a NULL body
 # and the error string in `decode_error` — and the audit rolls up
 # records by (decoded?, coding), extracting the coding from the named
 # error for the rejected rows. Fixture responses cycle identity /
-# gzip / br / zstd / chunked+deflate; the oracle derives every bucket
-# analytically (zstd rows land on the decoded side since r10).
+# gzip / compress / zstd / chunked+deflate; the oracle derives every
+# bucket analytically (zstd rows land on the decoded side since r10).
 # At 100 TB this is the loss-accounting query every corpus run ships
 # alongside its output.
 # --------------------------------------------------------------------------
@@ -11047,11 +11048,11 @@ def _q198_media(spark: SparkSession):
                 g = fno * 10 + p
                 body = " ".join(f"ab{(g * 3 + j) % 9}" for j in range(5 + g % 4))
                 mode = g % 5
-                if mode == 2:  # brotli: still a named rejection
-                    raw = b"\x1b\x9c\xfa" + body.encode()  # opaque bytes
+                if mode == 2:  # LZW 'compress': the remaining named loss
+                    raw = b"\x1f\x9d\x90" + body.encode()  # opaque bytes
                     msg = (
                         f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                        f"Content-Encoding: br\r\n"
+                        f"Content-Encoding: compress\r\n"
                         f"Content-Length: {len(raw)}\r\n\r\n"
                     ).encode() + raw
                 elif mode == 3:  # zstd: REAL coded body since r10
@@ -11126,7 +11127,7 @@ b AS (
 c AS (
   SELECT g, uri, blen, mode IN (0, 1, 3, 4) AS decoded,
          CASE mode WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
-                   WHEN 2 THEN 'br' WHEN 3 THEN 'zstd'
+                   WHEN 2 THEN 'compress' WHEN 3 THEN 'zstd'
                    ELSE 'chunked+deflate' END AS coding
   FROM b)
 SELECT decoded, coding, count(*)::BIGINT AS n_records,
@@ -18018,6 +18019,100 @@ FROM b GROUP BY host
 """
 
 
+# --------------------------------------------------------------------------
+# q275 — brotli wire decode (the LAST web content-coding flipped):
+# `Content-Encoding: br` responses decode through the ctypes binding
+# to the system libbrotli (sources/brotlidec — RFC 7932's 122 KB
+# static dictionary and 121 transform rows can only be COPIED, not
+# re-derived, so a pure-Python codec is out of scope; the gated
+# binding is the sanctioned load-try pattern and the named rejection
+# returns wherever no system brotli exists). Fixture responses are
+# encoded IN EXECUTORS by libbrotlienc at three quality levels —
+# quality 9+ emits static-dictionary references for English text, so
+# the reference dictionary/transform machinery is genuinely exercised
+# — and bodies are formula text the oracle regenerates analytically:
+# equality holds IFF the brotli decode returns the exact bytes.
+# --------------------------------------------------------------------------
+
+def _q275_media(spark: SparkSession):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.brotlidec import brotli_compress
+        from odin_rs_spark.sources.warc import encode_warc
+
+        out = []
+        for fno in series:
+            fno = int(fno)
+            recs = [
+                {"warc_type": "warcinfo", "block": b"software: br-fixture\r\n"}
+            ]
+            for p in range(12):
+                g = fno * 12 + p
+                body = ("the " + " ".join(
+                    f"word{(g * 5 + j) % 19} and of that with"
+                    for j in range(3 + g % 4)
+                )).encode()
+                raw = brotli_compress(body, quality=(5, 9, 11)[g % 3])
+                msg = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    f"Content-Encoding: br\r\n"
+                    f"Content-Length: {len(raw)}\r\n\r\n"
+                ).encode() + raw
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://br{g % 3}.example.org/t/{g}",
+                        "content_type": "application/http; msgtype=response",
+                        "block": msg,
+                    }
+                )
+            out.append(encode_warc(recs))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(2).select(
+        F.concat(F.lit("br"), F.col("id").cast("string"), F.lit(".warc.gz"))
+        .alias("path"),
+        mk(F.col("id")).alias("content"),
+    )
+
+
+def q275_brotli_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.warc import warc_records
+
+    recs = warc_records(_q275_media(spark)).filter(
+        F.col("warc_type") == "response"
+    )
+    host = F.regexp_extract("target_uri", r"https://([^/]+)/", 1)
+    return recs.groupBy(host.alias("host"), "http_encoding").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("body_len").cast("bigint").alias("sum_body_len"),
+        F.min("body_text").alias("min_body"),
+    )
+
+
+Q275_SQL = """
+WITH g AS (SELECT range AS g FROM range(24)),
+b AS (
+  SELECT g, 'br' || (g % 3)::VARCHAR || '.example.org' AS host,
+         'the ' || (SELECT string_agg(
+             'word' || ((g * 5 + j.range) % 19)::VARCHAR || ' and of that with',
+             ' ' ORDER BY j.range)
+          FROM range(7) j WHERE j.range < 3 + g % 4) AS body
+  FROM g)
+SELECT host, 'br' AS http_encoding, count(*)::BIGINT AS n_records,
+       sum(length(body))::BIGINT AS sum_body_len,
+       min(body) AS min_body
+FROM b GROUP BY host
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -18146,6 +18241,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q272_onnx_conv_classify", q272_onnx_conv_classify, Q272_SQL, "UDF onnx-conv maxpool classify"),
         QuerySpec("q273_goes_stream_flagship", q273_goes_stream_flagship, _q273_sql(), "flagship T1 S2 J1 K1 K2 goes-live"),
         QuerySpec("q274_warc_zst_scan", q274_warc_zst_scan, Q274_SQL, "S-warc zstd-container rfc8878 scan"),
+        QuerySpec("q275_brotli_decode", q275_brotli_decode, Q275_SQL, "S-warc brotli ctypes-backend decode"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

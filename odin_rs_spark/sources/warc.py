@@ -256,15 +256,25 @@ def decode_http_body(
         body = zstd_decompress(body)
         applied.append("zstd")
     elif ce == "br":
-        # named rejection (VERDICT r8 #6, the grib2 JPEG2000 pattern):
-        # brotli is a real crawl coding the Python 3.11 standard
-        # library cannot decode — a specific error lets
-        # on_error='skip' drop and on_error='tag' COUNT it instead
-        # of shipping binary soup
-        raise ValueError(
-            "unsupported Content-Encoding: 'br' (brotli is not decodable "
-            "with the Python stdlib — environment-blocked seam)"
+        # real decode where a system libbrotli exists (ctypes binding,
+        # sources/brotlidec — RFC 7932's static dictionary cannot be
+        # re-derived for a pure-Python codec, only copied); elsewhere
+        # the named rejection stands (VERDICT r8 #6, the grib2
+        # JPEG2000 pattern): a specific error lets on_error='skip'
+        # drop and on_error='tag' COUNT it instead of binary soup
+        from odin_rs_spark.sources.brotlidec import (
+            brotli_available,
+            brotli_decompress,
         )
+
+        if not brotli_available():
+            raise ValueError(
+                "unsupported Content-Encoding: 'br' (brotli is not "
+                "decodable with the Python stdlib and no system "
+                "libbrotli is present — environment-blocked seam)"
+            )
+        body = brotli_decompress(body)
+        applied.append("br")
     elif ce not in ("", "identity"):
         raise ValueError(f"unsupported Content-Encoding: {ce!r}")
     return body, applied
