@@ -21,9 +21,13 @@ implements the subset that covers regular forecast products:
 - Section 6 bitmap indicator 255 (no bitmap) or 0 (embedded bitmap:
   missing points carry no packed value).
 
-JPEG2000 packing (template 5.40) genuinely needs an external DCT/
-wavelet codec and remains the documented seam — same policy as JPEG in
-imagecodec.py. Missing-value management within complex packing (DRT
+- Section 5 data template **5.40** (JPEG 2000 packing, lossless):
+  section 7 carries a raw J2K codestream of the scaled integer field,
+  decoded by the pure-Python EBCOT/5-3-wavelet codec in
+  `sources/j2kcodec.py` (the seam flipped in r10; lossy compression
+  type ≠ 0 rejects by name).
+
+Missing-value management within complex packing (DRT
 octet 23 ≠ 0) is rejected explicitly: the granules this engine targets
 signal missing data via the section-6 bitmap. The byte-range FETCH side
 of S11 (the reference's .idx scheme) stays scoped out per SURVEY §7.3;
@@ -204,9 +208,9 @@ def _parse_grib2(buf: bytes) -> dict:
             category, number = body[9], body[10]
         elif sec_num == 5:
             (tmpl,) = struct.unpack(">H", body[9:11])
-            if tmpl not in (0, 2, 3):
+            if tmpl not in (0, 2, 3, 40):
                 raise ValueError(
-                    f"data template 5.{tmpl} unsupported (5.0/5.2/5.3 only)"
+                    f"data template 5.{tmpl} unsupported (5.0/5.2/5.3/5.40 only)"
                 )
             (r_ref,) = struct.unpack(">f", body[11:15])
             (e_raw, d_raw) = struct.unpack(">HH", body[15:19])
@@ -217,6 +221,15 @@ def _parse_grib2(buf: bytes) -> dict:
                 "D": _sm16(d_raw),
                 "nbits": body[19],
             }
+            if tmpl == 40:
+                # DRT 5.40 octets 22-23: compression type (0 =
+                # lossless), target compression ratio (255 = lossless)
+                ctype = body[21]
+                if ctype != 0:
+                    raise ValueError(
+                        f"JPEG 2000 compression type {ctype} unsupported "
+                        "(0 = lossless only)"
+                    )
             if tmpl in (2, 3):
                 # DRT 5.2 octets 22-47 (general group splitting); 5.3
                 # appends octets 48-49 (differencing order, descriptor
@@ -288,6 +301,18 @@ def _parse_grib2(buf: bytes) -> dict:
             x = (bits.astype(np.int64) * (1 << np.arange(nb - 1, -1, -1))).sum(
                 axis=1
             )
+    elif pack["tmpl"] == 40:
+        # DRT 5.40: section 7 is a raw J2K codestream of the scaled
+        # integer field (pure-Python Tier-1/Tier-2 decode,
+        # sources/j2kcodec — the last reference-domain seam, flipped)
+        from odin_rs_spark.sources.j2kcodec import decode_j2k
+
+        img = decode_j2k(bytes(values))
+        if img.size != n_packed:
+            raise ValueError(
+                f"JPEG 2000 field has {img.size} samples, expected {n_packed}"
+            )
+        x = img.reshape(-1).astype(np.int64)
     else:
         x, emb_miss = _unpack_complex(values, pack, n_packed)
     vals = (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
@@ -713,6 +738,57 @@ def write_grib2(
     bits = ((flat[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
     packed = np.packbits(bits.reshape(-1)).tobytes()
     sec7 = struct.pack(">IB", 5 + len(packed), 7) + packed
+    body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+    total = 16 + len(body) + 4
+    with open(path, "wb") as f:
+        f.write(sec0 + struct.pack(">Q", total) + body + b"7777")
+
+
+def write_grib2_jpeg2000(
+    path: str,
+    values: np.ndarray,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    e_scale: int = 0,
+    d_scale: int = 0,
+    r_ref: float = 0.0,
+    nbits: int = 12,
+    discipline: int = 0,
+    category: int = 2,
+    number: int = 2,
+    levels: int = 3,
+) -> None:
+    """GRIB2 writer for JPEG 2000 packing (template 5.40 + 7.40) — the
+    fixture twin of the DRT 5.40 read path: the scaled integer field
+    goes through the pure-Python lossless J2K encoder
+    (sources/j2kcodec.encode_j2k), exactly the payload wgrib2/JasPer
+    ship for NOAA HRRR granules."""
+    from odin_rs_spark.sources.j2kcodec import encode_j2k
+
+    nj, ni = values.shape
+    x = (values * (10.0 ** d_scale) - r_ref) * (2.0 ** -e_scale)
+    xi = np.round(x).astype(np.int64)
+    if not np.allclose(x, xi, rtol=0, atol=1e-9):
+        raise ValueError("values not representable under the given scales")
+    if xi.min() < 0 or xi.max() >= (1 << nbits):
+        raise ValueError("packed integers out of nbits range")
+
+    sec0, sec1, sec3, sec4 = _sections_0134(
+        ni, nj, lat0, lon0, dlat, dlon, discipline, category, number
+    )
+    sec5 = (
+        struct.pack(">IBI", 23, 5, ni * nj)
+        + struct.pack(">H", 40)  # template 5.40
+        + struct.pack(">f", r_ref)
+        + struct.pack(">HH", _sm16_enc(e_scale), _sm16_enc(d_scale))
+        + bytes([nbits, 0])  # depth, original field type 0 (float)
+        + bytes([0, 255])  # lossless, target ratio n/a
+    )
+    sec6 = struct.pack(">IBB", 6, 6, 255)
+    codestream = encode_j2k(xi, levels=levels)
+    sec7 = struct.pack(">IB", 5 + len(codestream), 7) + codestream
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
     total = 16 + len(body) + 4
     with open(path, "wb") as f:

@@ -71,15 +71,16 @@ def test_unsupported_packing_template_raises(tmp_path):
     p = str(tmp_path / "t.grib2")
     write_grib2(p, np.zeros((2, 2)), lat0=0, lon0=0, dlat=1, dlon=1, nbits=1)
     buf = bytearray(open(p, "rb").read())
-    # find section 5 and flip its template number to 5.40 (JPEG2000)
+    # find section 5 and flip its template number to 5.4 (IEEE float,
+    # genuinely unsupported; 5.40 became a REAL decode in r10)
     pos = 16
     while pos < len(buf) - 4:
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
         if buf[pos + 4] == 5:
-            struct.pack_into(">H", buf, pos + 9, 40)
+            struct.pack_into(">H", buf, pos + 9, 4)
             break
         pos += ln
-    with pytest.raises(ValueError, match=r"5\.40 unsupported"):
+    with pytest.raises(ValueError, match=r"5\.4 unsupported"):
         parse_grib2(bytes(buf))
 
 
