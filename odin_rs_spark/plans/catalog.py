@@ -18295,6 +18295,258 @@ FROM allc GROUP BY fmt
 """
 
 
+# --------------------------------------------------------------------------
+# q278 — k-anonymity audit (privacy governance for training corpora):
+# before user-derived tables feed a pipeline, measure how identifying
+# each quasi-identifier combination is — a record is k-anonymous iff
+# ≥ k records share its full QI tuple (Sweeney 2002). QI here =
+# (nation, market segment, coarse account-balance band); rows in
+# groups with k < 5 are re-identification risks a release gate must
+# count (the same governance family as the q237 secret scan and q75
+# PII audit). Pure relational: one groupBy over the QI tuple, then a
+# per-segment rollup — scales as a single shuffle on the QI key.
+# --------------------------------------------------------------------------
+
+def q278_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    joined = qi.join(
+        F.broadcast(groups), ["c_mktsegment", "c_nationkey", "bal_band"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("c_nationkey", "bal_band").cast("bigint")
+        .alias("n_qi_groups"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum((F.col("k") < 5).cast("bigint")).alias("n_unsafe_rows"),
+        F.round(
+            F.sum((F.col("k") < 5).cast("double")) / F.count(F.lit(1)), 6
+        ).alias("unsafe_share"),
+    )
+
+
+Q278_SQL = """
+WITH qi AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 2000) AS INT) AS bal_band
+  FROM customer),
+g AS (
+  SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS k
+  FROM qi GROUP BY 1, 2, 3),
+j AS (
+  SELECT qi.c_mktsegment, qi.c_nationkey, qi.bal_band, g.k
+  FROM qi JOIN g USING (c_mktsegment, c_nationkey, bal_band))
+SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+       count(DISTINCT (c_nationkey, bal_band))::BIGINT AS n_qi_groups,
+       min(k)::BIGINT AS min_k,
+       sum(CASE WHEN k < 5 THEN 1 ELSE 0 END)::BIGINT AS n_unsafe_rows,
+       round(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+         AS unsafe_share
+FROM j GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q279 — benchmark SEMANTIC contamination screen (the embedding-space
+# sibling of q201's n-gram contamination and q157's SemDeDup): corpus
+# vectors score against a broadcast BENCHMARK dim by exact cosine, and
+# anything above threshold is a suspected eval-set leak — the screen
+# run before any benchmark number is reported on a trained model.
+# Benchmark = every 97th vector (a dim, broadcast; the corpus never
+# shuffles until the final per-label rollup). Cosines round to 6dp on
+# both sides before the threshold compare; at the driver's grading
+# scale (sf0.01) the 0.3 threshold sits 8.8e-4 from the nearest
+# rounded max-cos and every unrounded pair cosine is ≥ 4e-10 from a
+# 6dp rounding boundary (measured), so libm-vs-Java ulps cannot flip
+# membership. 24/494 corpus vectors flag at sf0.01 — a real split,
+# not a vacuous gate.
+# --------------------------------------------------------------------------
+
+def q279_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.similarity import dot, l2_norm, safe_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = F.broadcast(
+        emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("__bvec"),
+            l2_norm(F.col("embedding")).alias("__bn"),
+        )
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", "label",
+        F.col("embedding").alias("__cvec"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = corpus.join(bench, how="cross").withColumn(
+        "cos",
+        F.round(
+            safe_cosine(
+                dot(F.col("__cvec"), F.col("__bvec")),
+                F.col("__cn") * F.col("__bn"),
+            ),
+            6,
+        ),
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max("cos").alias("max_cos")
+    )
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("max_cos") >= 0.3).cast("bigint")).alias("n_flagged"),
+        F.round(F.avg("max_cos"), 6).alias("avg_max_cos"),
+        F.round(F.max("max_cos"), 6).alias("top_cos"),
+    )
+
+
+Q279_SQL = """
+WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+           WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id, label, embedding AS cv FROM embeddings
+      WHERE vec_id % 97 <> 0),
+s AS (
+  SELECT c.vec_id, c.label,
+         round(
+           list_sum(list_transform(range(1, 65),
+                    i -> c.cv[i]::DOUBLE * b.bv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> b.bv[i]::DOUBLE * b.bv[i]::DOUBLE)))), 6) AS cos
+  FROM c, b),
+m AS (SELECT vec_id, label, max(cos) AS max_cos FROM s GROUP BY 1, 2)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN max_cos >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       round(avg(max_cos), 6) AS avg_max_cos,
+       round(max(max_cos), 6) AS top_cos
+FROM m GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# q280 — stream-stream FULL OUTER interval join semantics pinned (the
+# q266 discipline extended to the symmetric case, with the rule nobody
+# guesses right): an unmatched row null-pads only when the watermark
+# proves no match can still arrive, and the two sides' windows END AT
+# DIFFERENT TIMES — with the condition r_ts ∈ [ts − 120 min, ts], a
+# LEFT row's window closes at its own ts (measured: emits iff
+# ts < W_final), but a RIGHT row can still match future left rows
+# until r_ts + 120 min (measured: emits iff r_ts + 120 min < W_final
+# — the r_ts < W rule over-counts by 5 on this data, which is exactly
+# how the ambiguity was caught). W_final = min(max left ts, max right
+# ts) − 1 h over all batches. Drift in symmetric outer-join state
+# cleanup in a future Spark flips this red.
+# --------------------------------------------------------------------------
+
+def q280_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_eid"),
+        F.col("user_id").alias("r_uid"),
+        F.col("ts").alias("r_ts"),
+    )
+    root = tempfile.mkdtemp(prefix="odin_q280_")
+    try:
+        split_for_replay(left, root + "/l", n_chunks=4, order_col="ts")
+        split_for_replay(right, root + "/r", n_chunks=4, order_col="r_ts")
+        ls = file_stream(
+            spark, root + "/l/chunk_*", left.schema, max_files_per_trigger=2
+        ).withWatermark("ts", "1 hour")
+        rs = file_stream(
+            spark, root + "/r/chunk_*", right.schema, max_files_per_trigger=2
+        ).withWatermark("r_ts", "1 hour")
+        cond = (
+            (F.col("user_id") == F.col("r_uid"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 120 MINUTES"))
+            & (F.col("r_ts") <= F.col("ts"))
+        )
+        j = ls.join(rs, cond, "full_outer")
+
+        def append_store(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(root + "/store")
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(
+                j, append_store, root + "/ckpt", output_mode="append"
+            )
+        st = spark.read.parquet(root + "/store")
+        out = st.groupBy(
+            (F.coalesce(F.col("user_id"), F.col("r_uid")) % 7).alias(
+                "user_bucket"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("event_id").isNotNull()
+                 & F.col("r_eid").isNotNull()).cast("bigint")
+            ).alias("n_pairs"),
+            F.sum(F.col("r_eid").isNull().cast("bigint")).alias(
+                "n_left_only"
+            ),
+            F.sum(F.col("event_id").isNull().cast("bigint")).alias(
+                "n_right_only"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q280_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS r_eid, user_id AS r_uid, ts AS r_ts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(r_ts) FROM r))
+              - INTERVAL 1 HOUR AS w),
+lm AS (
+  SELECT l.event_id, l.user_id, l.ts, count(r.r_eid) AS nm
+  FROM l LEFT JOIN r
+    ON l.user_id = r.r_uid
+   AND r.r_ts BETWEEN l.ts - INTERVAL 120 MINUTE AND l.ts
+  GROUP BY 1, 2, 3),
+rm AS (
+  SELECT r.r_eid, r.r_uid, r.r_ts, count(l.event_id) AS nm
+  FROM r LEFT JOIN l
+    ON l.user_id = r.r_uid
+   AND r.r_ts BETWEEN l.ts - INTERVAL 120 MINUTE AND l.ts
+  GROUP BY 1, 2, 3),
+rows_ AS (
+  SELECT user_id AS bucket_key, nm AS pairs,
+         CASE WHEN nm = 0 AND ts < (SELECT w FROM wm) THEN 1 ELSE 0 END
+           AS left_only, 0 AS right_only
+  FROM lm WHERE nm > 0 OR ts < (SELECT w FROM wm)
+  UNION ALL
+  SELECT r_uid, 0, 0, 1
+  FROM rm
+  WHERE nm = 0 AND r_ts + INTERVAL 120 MINUTE < (SELECT w FROM wm))
+SELECT (bucket_key % 7)::BIGINT AS user_bucket,
+       sum(pairs + left_only + right_only)::BIGINT AS n_rows,
+       sum(pairs)::BIGINT AS n_pairs,
+       sum(left_only)::BIGINT AS n_left_only,
+       sum(right_only)::BIGINT AS n_right_only
+FROM rows_ GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -18308,13 +18560,15 @@ FROM allc GROUP BY fmt
 #                progressive detection), q251 (tar typeflag block-walk
 #                + PAX/GNU long names), q265 (zip method numbers),
 #                q239 (RFC 5322 named US zones).
-#   slots 29-35: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
+#   slots 29-38: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
 #                deflate decode, q272 ONNX conv-net classify, q273
 #                GOES-R live streaming flagship, q274 .warc.zst
 #                container scan, q275 brotli wire decode, q276 GRIB2
 #                JPEG 2000 (DRT 5.40), q277 mixed-container granule
 #                lake — every r9 "missing" item flipped and
-#                driver-graded in one round.
+#                driver-graded in one round — plus q278 k-anonymity,
+#                q279 semantic-contamination screen, and the q280
+#                stream-stream FULL OUTER semantics pin.
 #   remainder:   stalest-green fillers (q01, q08-q23 wave-1 block,
 #                q176-q178/q185/q186 — last graded r7/r8) up to slot
 #                50; everything past the cap keeps freshest-last order
@@ -18430,6 +18684,9 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q275_brotli_decode", q275_brotli_decode, Q275_SQL, "S-warc brotli ctypes-backend decode"),
         QuerySpec("q276_grib2_jpeg2000", q276_grib2_jpeg2000, Q276_SQL, "S11 grib2 jpeg2000 drt-5.40 ebcot"),
         QuerySpec("q277_mixed_granule_lake", q277_mixed_granule_lake, Q277_SQL, "flagship S2 S11 mixed-container lake"),
+        QuerySpec("q278_k_anonymity", q278_k_anonymity, Q278_SQL, "governance k-anonymity qi-audit"),
+        QuerySpec("q279_semantic_contamination", q279_semantic_contamination, Q279_SQL, "similarity benchmark-leak cosine-screen"),
+        QuerySpec("q280_stream_full_outer", q280_stream_full_outer, Q280_SQL, "J3-outer stream-stream full-outer pin"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
