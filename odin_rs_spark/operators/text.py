@@ -1654,3 +1654,52 @@ def wikitext_to_text(c: Column | str) -> Column:
         else:
             out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+def sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence segmentation + per-doc length stats (the corpus-QA
+    signal behind readability scoring and Gopher's mean-words-per-
+    sentence gates): sentences are the non-empty segments after
+    splitting on terminal-punctuation runs ``[.!?]+`` — a deliberately
+    engine-portable rule (no lookbehind, so RE2/DuckDB replays it
+    verbatim). Adds n_sentences, n_words, words_per_sentence."""
+    c = F.col(text_col)
+    segs = F.filter(
+        F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_sent = F.size(segs)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    return df.withColumn("n_sentences", n_sent).withColumn(
+        "n_words", n_words
+    ).withColumn(
+        "words_per_sentence",
+        F.when(n_sent > 0, n_words.cast("double") / n_sent),
+    )
+
+
+def flesch_reading_ease(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease (Flesch 1948): 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), with the standard vowel-group
+    syllable heuristic — a syllable per maximal ``[aeiouy]+`` run in
+    the lowercased text (vowel runs cannot span whitespace, so the
+    per-text count equals the per-word sum; engine-portable). Docs
+    with no sentences or words get NULL. The classic readability gate
+    corpus-quality pipelines bucket on."""
+    out = sentence_stats(df, text_col)
+    syl = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^aeiouy]+"),
+            lambda s: s != "",
+        )
+    )
+    return out.withColumn("n_syllables", syl).withColumn(
+        "flesch",
+        F.when(
+            (F.col("n_sentences") > 0) & (F.col("n_words") > 0),
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+            - F.lit(84.6) * syl / F.col("n_words"),
+        ),
+    )

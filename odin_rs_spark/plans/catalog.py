@@ -18547,6 +18547,341 @@ FROM rows_ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q281 — GDPR deletion cascade (right-to-be-forgotten, the governance
+# op every user-data corpus must run): a forget-list of subjects
+# propagates through the FK chain customer → orders → lineitem, and
+# the audit reports per table how many rows the erasure touches (the
+# number a DPO signs off on BEFORE the delete executes). Shape: the
+# forget list broadcasts; each hop is a semi-join on the FK — no
+# fact-to-fact shuffle, exactly how a 100 TB cascade stays tractable.
+# --------------------------------------------------------------------------
+
+def q281_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(forget),
+        orders["o_custkey"] == forget["c_custkey"],
+        "left_semi",
+    )
+    del_li = li.join(
+        F.broadcast(del_orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    rows = [
+        cust.select(
+            F.lit("customer").alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("c_custkey") % 53 == 0).cast("bigint")).alias(
+                "n_deleted"
+            ),
+        ),
+        orders.select(F.lit("orders"), F.count(F.lit(1)), F.lit(None)).crossJoin(
+            del_orders.select(F.count(F.lit(1)).alias("__d"))
+        ).select(
+            F.lit("orders").alias("tbl"),
+            F.col("count(1)").alias("n_rows"),
+            F.col("__d").alias("n_deleted"),
+        ),
+        li.select(F.lit("lineitem"), F.count(F.lit(1))).crossJoin(
+            del_li.select(F.count(F.lit(1)).alias("__d"))
+        ).select(
+            F.lit("lineitem").alias("tbl"),
+            F.col("count(1)").alias("n_rows"),
+            F.col("__d").alias("n_deleted"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "share", F.round(F.col("n_deleted") / F.col("n_rows"), 6)
+    )
+
+
+Q281_SQL = """
+WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+d_ord AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM f)),
+d_li AS (SELECT 1 FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM d_ord))
+SELECT 'customer' AS tbl, (SELECT count(*) FROM customer)::BIGINT AS n_rows,
+       (SELECT count(*) FROM f)::BIGINT AS n_deleted,
+       round((SELECT count(*) FROM f)
+             / (SELECT count(*) FROM customer)::DOUBLE, 6) AS share
+UNION ALL
+SELECT 'orders', (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM d_ord)::BIGINT,
+       round((SELECT count(*) FROM d_ord)
+             / (SELECT count(*) FROM orders)::DOUBLE, 6)
+UNION ALL
+SELECT 'lineitem', (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM d_li)::BIGINT,
+       round((SELECT count(*) FROM d_li)
+             / (SELECT count(*) FROM lineitem)::DOUBLE, 6)
+"""
+
+
+# --------------------------------------------------------------------------
+# q282 — sentence segmentation + length signals (operators/text
+# sentence_stats): the per-doc sentence counts and words-per-sentence
+# that feed readability and Gopher-style length gates. The split rule
+# ([.!?]+ runs, non-empty trimmed segments) is deliberately RE2-safe
+# so the oracle replays it verbatim — no lookbehind anywhere.
+# --------------------------------------------------------------------------
+
+def q282_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    st = text_ops.sentence_stats(docs)
+    return st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sentences").cast("bigint").alias("n_sentences"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(F.avg("words_per_sentence"), 6).alias("avg_wps"),
+        F.round(F.max("words_per_sentence"), 6).alias("max_wps"),
+    )
+
+
+Q282_SQL = r"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(list_transform(
+             regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+             s -> s <> '')) AS n_sentences,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             w -> w <> '')) AS n_words
+  FROM documents),
+w AS (SELECT source, n_sentences, n_words,
+             CASE WHEN n_sentences > 0
+                  THEN n_words::DOUBLE / n_sentences END AS wps
+      FROM d)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_sentences)::BIGINT AS n_sentences,
+       sum(n_words)::BIGINT AS n_words,
+       round(avg(wps), 6) AS avg_wps,
+       round(max(wps), 6) AS max_wps
+FROM w GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q283 — Flesch reading ease (Flesch 1948; the classic readability
+# gate corpus pipelines bucket on): 206.835 − 1.015·(W/S) −
+# 84.6·(syllables/W), syllables = maximal [aeiouy]+ runs in the
+# lowercased text (runs cannot span whitespace, so the per-text count
+# equals the per-word sum — engine-portable). Buckets: <30 hard,
+# 30-70 standard, ≥70 easy. All inputs are integer counts, so the
+# only FP is the final formula — rounded identically on both sides.
+# --------------------------------------------------------------------------
+
+def q283_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fl = text_ops.flesch_reading_ease(docs).where(F.col("flesch").isNotNull())
+    bucket = (
+        F.when(F.col("flesch") < 30, "hard")
+        .when(F.col("flesch") < 70, "standard")
+        .otherwise("easy")
+    )
+    return fl.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+        F.round(F.min("flesch"), 6).alias("min_flesch"),
+        F.round(F.max("flesch"), 6).alias("max_flesch"),
+    )
+
+
+Q283_SQL = r"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(list_transform(
+             regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+             s -> s <> '')) AS s,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             w -> w <> '')) AS w,
+         len(list_filter(regexp_split_to_array(lower(text), '[^aeiouy]+'),
+             g -> g <> '')) AS syl
+  FROM documents),
+f AS (
+  SELECT source,
+         206.835::DOUBLE - 1.015::DOUBLE * w / s
+           - 84.6::DOUBLE * syl / w AS flesch
+  FROM d WHERE s > 0 AND w > 0)
+SELECT source,
+       CASE WHEN flesch < 30 THEN 'hard'
+            WHEN flesch < 70 THEN 'standard'
+            ELSE 'easy' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(avg(flesch), 6) AS avg_flesch,
+       round(min(flesch), 6) AS min_flesch,
+       round(max(flesch), 6) AS max_flesch
+FROM f GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q284 — AS-OF join against an SCD2 dimension (the warehouse staple on
+# top of q259's interval build): purchases look up the click-activity
+# band the user was in AT PURCHASE TIME — dim rows are
+# [valid_from, valid_to) validity intervals built from click events
+# (attr = floor(value/20) band), the fact side probes with
+# valid_from ≤ ts < valid_to (NULL valid_to = open). Purchases before
+# any click keep a NULL band (left join). One equi-join on user_id +
+# interval filter; the dim is change-points, orders of magnitude
+# smaller than the history.
+# --------------------------------------------------------------------------
+
+def q284_asof_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.windows import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 20).cast("int").alias("band"),
+    )
+    dim = scd2_intervals(clicks, "user_id", "band", "ts",
+                         order_cols=("event_id",))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_uid"), F.col("ts").alias("f_ts"), "value"
+    )
+    joined = facts.join(
+        dim,
+        (F.col("f_uid") == F.col("user_id"))
+        & (F.col("f_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("f_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(F.col("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("f_uid").cast("bigint").alias("n_users"),
+    )
+
+
+Q284_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / 20) AS INT) AS band
+  FROM events WHERE event_type = 'click'),
+ch AS (
+  SELECT user_id, band, ts,
+         lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM c),
+cp AS (
+  SELECT user_id, band, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM ch WHERE prev IS NULL OR band <> prev),
+f AS (SELECT user_id AS f_uid, ts AS f_ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT d.band, count(*)::BIGINT AS n_purchases,
+       round(sum(f.value), 4) AS sum_value,
+       count(DISTINCT f.f_uid)::BIGINT AS n_users
+FROM f LEFT JOIN cp d
+  ON d.user_id = f.f_uid
+ AND f.f_ts >= d.ts
+ AND (d.valid_to IS NULL OR f.f_ts < d.valid_to)
+GROUP BY d.band
+"""
+
+
+# --------------------------------------------------------------------------
+# q285 — ANN recall audit (the honesty metric for the IVF family:
+# report MEASURED recall@k against exact brute force, never assume
+# it): exact top-5 via cosine_topk vs IVF top-5 with the q59 fixed
+# centroids at nprobe=2 (deliberately low so recall < 1 and the
+# audit measures something), per-query overlap/5, then the rollup a
+# pipeline gates its index deployment on. Both sides tie-break
+# identically (cos DESC, vec_id ASC) so the sets are deterministic.
+# --------------------------------------------------------------------------
+
+def q285_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim_ops.cosine_topk(emb, queries, k=5).select(
+        "query_id", F.col("vec_id").alias("e_id")
+    )
+    ivf = sim_ops.ivf_fixed_topk(
+        emb, queries, _Q59_CENTS, k=5, nprobe=2
+    ).select("query_id", F.col("vec_id").alias("i_id"))
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"]) & (F.col("e_id") == F.col("i_id")),
+        "left",
+    ).groupBy(exact["query_id"]).agg(
+        (F.sum(F.col("i_id").isNotNull().cast("int")) / 5.0).alias("recall")
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.sum((F.col("recall") == 1.0).cast("bigint")).alias("n_perfect"),
+    )
+
+
+Q285_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+ex AS (
+  SELECT query_id, vec_id AS e_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_COS.format(a='q2', b='e')} DESC, e.vec_id ASC)
+             AS rk
+    FROM q JOIN embeddings q2 ON q2.vec_id = q.query_id
+    CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+cents AS (
+  SELECT list_position({_Q59_CENTS}, vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings WHERE vec_id IN {tuple(_Q59_CENTS)}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC,
+                                       c.cell ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_Q59_CENT_COS.format(a='e')} DESC,
+                                       c.cell ASC) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id < 20) WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+iv AS (
+  SELECT query_id, vec_id AS i_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {_COS.format(a='qe', b='e')} DESC, c.vec_id ASC)
+             AS rk
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN embeddings qe ON qe.vec_id = c.query_id) WHERE rk <= 5),
+rec AS (
+  SELECT ex.query_id,
+         sum(CASE WHEN iv.i_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0
+           AS recall
+  FROM ex LEFT JOIN iv
+    ON iv.query_id = ex.query_id AND iv.i_id = ex.e_id
+  GROUP BY ex.query_id)
+SELECT count(*)::BIGINT AS n_queries,
+       round(avg(recall), 6) AS avg_recall,
+       round(min(recall), 6) AS min_recall,
+       sum(CASE WHEN recall = 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_perfect
+FROM rec
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -18687,6 +19022,11 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q278_k_anonymity", q278_k_anonymity, Q278_SQL, "governance k-anonymity qi-audit"),
         QuerySpec("q279_semantic_contamination", q279_semantic_contamination, Q279_SQL, "similarity benchmark-leak cosine-screen"),
         QuerySpec("q280_stream_full_outer", q280_stream_full_outer, Q280_SQL, "J3-outer stream-stream full-outer pin"),
+        QuerySpec("q281_gdpr_cascade", q281_gdpr_cascade, Q281_SQL, "governance gdpr fk-cascade erasure-audit"),
+        QuerySpec("q282_sentence_stats", q282_sentence_stats, Q282_SQL, "text sentence-segmentation length-signals"),
+        QuerySpec("q283_readability", q283_readability, Q283_SQL, "text flesch readability-buckets"),
+        QuerySpec("q284_asof_scd2_join", q284_asof_scd2_join, Q284_SQL, "J2 W-scd2 asof-dimension lookup"),
+        QuerySpec("q285_ann_recall_audit", q285_ann_recall_audit, Q285_SQL, "similarity ivf recall-at-k audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
