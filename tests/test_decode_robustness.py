@@ -638,3 +638,89 @@ def test_pdf_cid_truncation_raises_valueerror_only(cut):
     from odin_rs_spark.sources.pdfcodec import parse_pdf_text
 
     _assert_valueerror_or_ok(parse_pdf_text, PDFCID[:cut])
+
+
+# --- round-10 codecs: hdf5, zstd, j2k under the same contract ---------------
+
+HDF5 = open(os.path.join(FIX, "grid_hdf5.nc"), "rb").read()
+ZST = open(os.path.join(FIX, "formula_text_l19.zst"), "rb").read()
+J2K_GRIB = open(os.path.join(FIX, "wind_j2k.grib2"), "rb").read()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(HDF5) - 1), st.integers(1, 255))
+def test_hdf5_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.hdf5 import parse_hdf5
+
+    buf = bytearray(HDF5)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_hdf5, bytes(buf))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, len(ZST) - 1), st.integers(1, 255))
+def test_zstd_mutation_raises_valueerror_only(pos, flip):
+    from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+    buf = bytearray(ZST)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(zstd_decompress, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, len(J2K_GRIB) - 1), st.integers(1, 255))
+def test_j2k_grib_mutation_raises_valueerror_only(pos, flip):
+    buf = bytearray(J2K_GRIB)
+    buf[pos] ^= flip
+    _assert_valueerror_or_ok(parse_grib2, bytes(buf))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_random_bytes_never_crash_r10_codecs(data):
+    from odin_rs_spark.sources.hdf5 import parse_hdf5
+    from odin_rs_spark.sources.j2kcodec import decode_j2k
+    from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+    for fn in (parse_hdf5, zstd_decompress, decode_j2k):
+        _assert_valueerror_or_ok(fn, data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 65535), min_size=1, max_size=64))
+def test_zstd_store_roundtrip_property(vals):
+    from odin_rs_spark.sources.zstdcodec import (
+        zstd_compress_store,
+        zstd_decompress,
+    )
+
+    payload = b"".join(v.to_bytes(2, "big") for v in vals)
+    assert zstd_decompress(zstd_compress_store(payload)) == payload
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 40),
+    st.integers(2, 40),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+def test_j2k_roundtrip_property(h, w, levels, seed):
+    from odin_rs_spark.sources.j2kcodec import decode_j2k, encode_j2k
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 4096, size=(h, w)).astype(np.int64)
+    assert np.array_equal(decode_j2k(encode_j2k(img, levels=levels)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 18), st.integers(0, 1)),
+                min_size=1, max_size=500))
+def test_mq_coder_roundtrip_property(seq):
+    from odin_rs_spark.sources.j2kcodec import MQDecoder, MQEncoder
+
+    enc = MQEncoder()
+    for cx, d in seq:
+        enc.encode(cx, d)
+    dec = MQDecoder(enc.flush())
+    assert all(dec.decode(cx) == d for cx, d in seq)
