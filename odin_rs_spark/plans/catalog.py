@@ -18882,6 +18882,278 @@ FROM rec
 """
 
 
+# --------------------------------------------------------------------------
+# q286 — satellite-tile classification flagship (the reference's
+# ACTUAL inference pipeline: odin_onnx consumes GOES-R imagery —
+# fit image to model size → session.run → class scores — odin_onnx/
+# src/lib.rs:47-150): NetCDF-4/HDF5 granules decode IN-KERNEL
+# (sources/hdf5), the DQF quality mask gates which granules are clean
+# enough to classify (the cloudy-granule skip every production
+# pipeline runs), and clean granules flow through the COMMITTED conv
+# .onnx fixture (functions/cnn + onnx.load_onnx_cnn). Composes the
+# two biggest r10 codecs into the reference's end-to-end use case.
+# Dyadic-exact throughout (pixels raw/256, weights k/16), so the
+# oracle replays granule formula → mask gate → convolution → pooling
+# → dense head → argmax with zero tolerance.
+# --------------------------------------------------------------------------
+
+def q286_satellite_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    import odin_rs_spark
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.functions.onnx import load_onnx_cnn
+    from odin_rs_spark.sources.hdf5 import write_hdf5
+
+    ensure_shipped(spark)
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "functions",
+        "fixtures",
+        "cnn_1x16x16_4f_3.onnx",
+    )
+    weights = load_onnx_cnn(fixture)
+    root = tempfile.mkdtemp(prefix="odin_q286_")
+    try:
+        xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+        for g in range(24):
+            cmi = ((xx * (g % 5 + 1) + yy * (g % 3 + 1) + g * 17) % 200)
+            # per-granule DQF modulus varies the clean share (2/3,
+            # 1/2, 2/5, 1/3) so the cloudy-granule gate REALLY skips
+            dqf = ((xx * 7 + yy * 11 + g) % (3 + g % 4))
+            write_hdf5(
+                root + f"/t_g{g}.nc",
+                [("y", 16), ("x", 16)],
+                {"CMI": (["y", "x"], cmi.astype("<i2")),
+                 "DQF": (["y", "x"], dqf.astype("<i1"))},
+                chunks={"CMI": (8, 8)},
+                compress={"CMI": 6},
+            )
+        files = spark.read.format("binaryFile").load(root)
+
+        import pandas as pd
+
+        def fn(batches):
+            from odin_rs_spark.functions.cnn import classify_pixels
+            from odin_rs_spark.sources.hdf5 import parse_hdf5
+
+            for pdf in batches:
+                rows = {"gran": [], "good_share": [], "pred": [],
+                        "margin": []}
+                ids, grays, shares = [], [], []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    nc = parse_hdf5(bytes(content))
+                    cmi = np.asarray(nc["vars"]["CMI"]["data"])
+                    dqf = np.asarray(nc["vars"]["DQF"]["data"])
+                    share = float((dqf < 2).mean())
+                    gran = int(path.rsplit("_g", 1)[1].split(".")[0])
+                    if share < 0.375:  # cloudy granule: skip classify
+                        continue
+                    ids.append((gran, share))
+                    grays.append(cmi.astype(np.uint8))
+                if ids:
+                    pred, margin = classify_pixels(np.stack(grays), weights)
+                    for (gran, share), p, m in zip(ids, pred, margin):
+                        rows["gran"].append(gran)
+                        rows["good_share"].append(share)
+                        rows["pred"].append(int(p))
+                        rows["margin"].append(float(m))
+                yield pd.DataFrame(rows)
+
+        scored = files.select("path", "content").mapInPandas(
+            fn, "gran int, good_share double, pred int, margin double"
+        )
+        out = scored.groupBy("pred").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_granules"),
+            F.round(F.avg("margin"), 6).alias("avg_margin"),
+            F.round(F.avg("good_share"), 6).alias("avg_good_share"),
+            F.min("gran").cast("int").alias("first_gran"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q286_SQL = """
+WITH m AS (SELECT range AS gran FROM range(24)),
+px AS (
+  SELECT gran, y.range AS y, x.range AS x,
+         ((x.range * (gran % 5 + 1) + y.range * (gran % 3 + 1) + gran * 17)
+            % 200) AS v,
+         ((x.range * 7 + y.range * 11 + gran) % (3 + gran % 4)) AS dqf
+  FROM m, range(16) y, range(16) x),
+gate AS (
+  SELECT gran, avg(CASE WHEN dqf < 2 THEN 1.0 ELSE 0.0 END) AS good_share
+  FROM px GROUP BY gran),
+keep AS (SELECT gran, good_share FROM gate WHERE good_share >= 0.375),
+kw AS (
+  SELECT f.range AS f, dy.range AS dy, dx.range AS dx,
+         (((f.range * 5 + dy.range * 3 + dx.range * 11) % 13) - 6)::DOUBLE
+           / 16 AS w
+  FROM range(4) f, range(3) dy, range(3) dx),
+bc AS (SELECT range AS f, (((range * 3) % 5) - 2)::DOUBLE / 16 AS b
+       FROM range(4)),
+conv AS (
+  SELECT g.gran, k.f, g.y, g.x,
+         sum(k.w * coalesce(p.v::DOUBLE / 256, 0)) AS acc
+  FROM px g
+  JOIN keep kp ON kp.gran = g.gran
+  CROSS JOIN kw k
+  LEFT JOIN px p ON p.gran = g.gran
+                AND p.y = g.y + k.dy - 1 AND p.x = g.x + k.dx - 1
+  GROUP BY g.gran, k.f, g.y, g.x),
+relu AS (
+  SELECT c.gran, c.f, c.y, c.x, greatest(c.acc + bc.b, 0) AS v
+  FROM conv c JOIN bc ON bc.f = c.f),
+pool AS (
+  SELECT gran, f, y // 2 AS py, x // 2 AS px_, max(v) AS v
+  FROM relu GROUP BY gran, f, y // 2, x // 2),
+flat AS (SELECT gran, (f * 64 + py * 8 + px_) AS i, v FROM pool),
+dw AS (
+  SELECT i.range AS i, o.range AS o,
+         (((i.range * 13 + o.range * 5) % 17) - 8)::DOUBLE / 16 AS w
+  FROM range(256) i, range(3) o),
+bd AS (SELECT range AS o, (((range * 5) % 3) - 1)::DOUBLE / 16 AS b
+       FROM range(3)),
+logits AS (
+  SELECT fl.gran, dw.o, sum(fl.v * dw.w) + any_value(bd.b) AS logit
+  FROM flat fl JOIN dw ON dw.i = fl.i JOIN bd ON bd.o = dw.o
+  GROUP BY fl.gran, dw.o),
+ranked AS (
+  SELECT gran, o, logit,
+         row_number() OVER (PARTITION BY gran
+                            ORDER BY logit DESC, o ASC) AS rk
+  FROM logits),
+scored AS (
+  SELECT a.gran, a.o AS pred, a.logit - b.logit AS margin
+  FROM ranked a JOIN ranked b
+    ON b.gran = a.gran AND a.rk = 1 AND b.rk = 2)
+SELECT s.pred::INT AS pred, count(*)::BIGINT AS n_granules,
+       round(avg(s.margin), 6) AS avg_margin,
+       round(avg(k.good_share), 6) AS avg_good_share,
+       min(s.gran)::INT AS first_gran
+FROM scored s JOIN keep k ON k.gran = s.gran
+GROUP BY s.pred
+"""
+
+
+# --------------------------------------------------------------------------
+# q287 — dropDuplicatesWithinWatermark semantics pinned (the streaming
+# dedup-with-TTL API everyone reaches for; T-family pin alongside
+# q257/q266/q280): MEASURED rules on this Spark —
+#   (1) BOTH the late-input filter and the state eviction visible to
+#       batch b use the TWO-batch-lagging watermark W(b−2) = max event
+#       ts of batches ≤ b−2 minus the delay (the same one-extra-batch
+#       input-filter lag q257 measured for aggregations, here measured
+#       for the dedup operator at two data scales — the sf0.01 data
+#       alone could not distinguish the filter lag; sf0.001 could);
+#   (2) a key's stored expiry derives from the MINIMUM candidate event
+#       time + delay, and later duplicates never extend it — so a key
+#       re-emits exactly when its expiry fell behind W(b−2) and a
+#       non-late row arrives.
+# Counts verified IDENTICAL at local[2]/3 and local[16]/16, so the pin
+# is partition-stable. Events replay in 4 md5-shuffled chunks (arrival
+# uncorrelated with event time — the q263 vacuity guard); the oracle
+# unrolls the 4-batch state evolution (eviction → dedup → insert) in
+# MATERIALIZED stages. Drift in the dedup operator's eviction timing
+# in a future Spark flips this red.
+# --------------------------------------------------------------------------
+
+def q287_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.pipelines import run_available_now
+    from odin_rs_spark.streaming.sources import file_stream, split_for_replay
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "ts"
+    )
+    arr = ev.withColumn("__arr", F.md5(F.col("event_id").cast("string")))
+    root = tempfile.mkdtemp(prefix="odin_q287_")
+    try:
+        split_for_replay(arr, root + "/c", n_chunks=4, order_col="__arr")
+        st = file_stream(
+            spark, root + "/c/chunk_*", arr.schema, max_files_per_trigger=1
+        )
+        dd = st.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["k"]
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(root + "/store")
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(dd, sink, root + "/ckpt", output_mode="append")
+        out = (
+            spark.read.parquet(root + "/store")
+            .groupBy((F.col("__b") + 1).cast("int").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+                F.min("k").cast("bigint").alias("min_k"),
+                F.max("k").cast("bigint").alias("max_k"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q287_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT user_id % 50 AS k, ts,
+         ntile(4) OVER (ORDER BY md5(event_id::VARCHAR)) AS b
+  FROM events),
+wm AS MATERIALIZED (
+  SELECT b, max(max_ts) OVER (ORDER BY b) - INTERVAL 30 MINUTE AS w
+  FROM (SELECT b, max(ts) AS max_ts FROM base GROUP BY b)),
+e1 AS MATERIALIZED (
+  SELECT k, min(ts) + INTERVAL 30 MINUTE AS exp
+  FROM base WHERE b = 1 GROUP BY k),
+c2 AS MATERIALIZED (
+  SELECT k, min(ts) AS mts FROM base
+  WHERE b = 2 GROUP BY k),  -- W(0) undefined: no late filter yet
+e2 AS MATERIALIZED (
+  SELECT c2.k, c2.mts + INTERVAL 30 MINUTE AS exp
+  FROM c2 WHERE c2.k NOT IN (SELECT k FROM e1)),
+s2 AS MATERIALIZED (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+s2e AS MATERIALIZED (
+  SELECT * FROM s2 WHERE exp >= (SELECT w FROM wm WHERE b = 1)),
+c3 AS MATERIALIZED (
+  SELECT k, min(ts) AS mts FROM base
+  WHERE b = 3 AND ts >= (SELECT w FROM wm WHERE b = 1) GROUP BY k),
+e3 AS MATERIALIZED (
+  SELECT c3.k, c3.mts + INTERVAL 30 MINUTE AS exp
+  FROM c3 WHERE c3.k NOT IN (SELECT k FROM s2e)),
+s3 AS MATERIALIZED (
+  SELECT * FROM s2e UNION ALL SELECT * FROM e3),
+s3e AS MATERIALIZED (
+  SELECT * FROM s3 WHERE exp >= (SELECT w FROM wm WHERE b = 2)),
+c4 AS MATERIALIZED (
+  SELECT k, min(ts) AS mts FROM base
+  WHERE b = 4 AND ts >= (SELECT w FROM wm WHERE b = 2) GROUP BY k),
+e4 AS MATERIALIZED (
+  SELECT c4.k FROM c4 WHERE c4.k NOT IN (SELECT k FROM s3e)),
+em AS (
+  SELECT 1 AS batch, k FROM e1
+  UNION ALL SELECT 2, k FROM e2
+  UNION ALL SELECT 3, k FROM e3
+  UNION ALL SELECT 4, k FROM e4)
+SELECT batch::INT AS batch, count(*)::BIGINT AS n_emitted,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM em GROUP BY batch
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19027,6 +19299,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q283_readability", q283_readability, Q283_SQL, "text flesch readability-buckets"),
         QuerySpec("q284_asof_scd2_join", q284_asof_scd2_join, Q284_SQL, "J2 W-scd2 asof-dimension lookup"),
         QuerySpec("q285_ann_recall_audit", q285_ann_recall_audit, Q285_SQL, "similarity ivf recall-at-k audit"),
+        QuerySpec("q286_satellite_classify", q286_satellite_classify, Q286_SQL, "flagship S2 UDF hdf5-conv satellite-inference"),
+        QuerySpec("q287_stream_dedup_ttl", q287_stream_dedup_ttl, Q287_SQL, "T-dedup dropDuplicatesWithinWatermark pin"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
