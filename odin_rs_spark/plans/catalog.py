@@ -19167,15 +19167,19 @@ FROM em GROUP BY batch
 #                progressive detection), q251 (tar typeflag block-walk
 #                + PAX/GNU long names), q265 (zip method numbers),
 #                q239 (RFC 5322 named US zones).
-#   slots 29-38: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
+#   slots 29-45: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
 #                deflate decode, q272 ONNX conv-net classify, q273
 #                GOES-R live streaming flagship, q274 .warc.zst
 #                container scan, q275 brotli wire decode, q276 GRIB2
 #                JPEG 2000 (DRT 5.40), q277 mixed-container granule
 #                lake — every r9 "missing" item flipped and
 #                driver-graded in one round — plus q278 k-anonymity,
-#                q279 semantic-contamination screen, and the q280
-#                stream-stream FULL OUTER semantics pin.
+#                q279 semantic-contamination screen, q280 stream-
+#                stream FULL OUTER pin, q281 GDPR cascade, q282/q283
+#                sentence segmentation + Flesch readability, q284
+#                AS-OF SCD2 join, q285 ANN recall audit, q286
+#                satellite conv-inference flagship, q287
+#                dropDuplicatesWithinWatermark pin.
 #   remainder:   stalest-green fillers (q01, q08-q23 wave-1 block,
 #                q176-q178/q185/q186 — last graded r7/r8) up to slot
 #                50; everything past the cap keeps freshest-last order
