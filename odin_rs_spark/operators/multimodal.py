@@ -1622,14 +1622,26 @@ def cnn_classify_media(
 
         for pdf in batches:
             ids, grays = [], []
+            # model input side from the head shape: flat = F·(side/2)²
+            n_filt = weights["wc"].shape[0]
+            in_side = 2 * int(
+                round((weights["wd"].shape[0] / n_filt) ** 0.5)
+            )
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     img = decode_image(bytes(content))
+                    g = luma(img) if img.ndim == 3 else img
+                    if g.shape != (in_side, in_side):
+                        # wrong-sized image must be skippable, not kill
+                        # the whole batch inside np.stack
+                        raise ValueError(
+                            f"image {g.shape} != model input "
+                            f"({in_side}, {in_side})"
+                        )
                 except ValueError:
                     if on_error == "skip":
                         continue
                     raise
-                g = luma(img) if img.ndim == 3 else img
                 ids.append(int(mid))
                 grays.append(g)
             if not ids:

@@ -275,3 +275,26 @@ def test_ints_attribute_wire_roundtrip():
     assert node["attrs"]["kernel_shape"] == [2, 2]
     assert node["attrs"]["strides"] == [2, 2]
     assert node["attrs"]["axis"] == 1
+
+
+def test_cnn_classify_media_skips_wrong_sized_images(spark):
+    """A wrong-sized or undecodable image must be skippable per-row,
+    not kill the whole Arrow batch inside np.stack."""
+    import numpy as np
+
+    from odin_rs_spark.functions.cnn import formula_cnn_weights
+    from odin_rs_spark.operators.multimodal import cnn_classify_media
+    from odin_rs_spark.sources.imagecodec import encode_png
+
+    w = formula_cnn_weights()
+    good = encode_png((np.arange(256).reshape(16, 16) % 200).astype(np.uint8))
+    wrong = encode_png((np.arange(64).reshape(8, 8) % 200).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(wrong)),
+         (3, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    rows = cnn_classify_media(media, w, on_error="skip").collect()
+    assert [r.media_id for r in rows] == [1]
+    with pytest.raises(Exception):
+        cnn_classify_media(media, w, on_error="raise").collect()

@@ -159,3 +159,11 @@ def test_tar_zst_container(spark, tmp_path):
     got = {r.member: r.text for r in rows}
     assert got == {"docs/a.txt": "hello zstd tar",
                    "docs/b.txt": "second member"}
+
+
+def test_literal_expansion_respects_max_output():
+    """RLE/raw literals alone must not blow past max_output (the
+    3-byte-header-to-1MiB expansion class)."""
+    frame = zstd_compress_store(b"A" * 50000, with_checksum=False)
+    with pytest.raises(ValueError, match="max_output"):
+        zstd_decompress(frame, max_output=100)
