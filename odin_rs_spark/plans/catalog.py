@@ -19154,6 +19154,221 @@ FROM em GROUP BY batch
 """
 
 
+# --------------------------------------------------------------------------
+# q288 — GEODESIC track resampling (the great-circle upgrade of q270's
+# linear interpolation — aircraft fly great circles, so the reference's
+# track midpoints belong on the sphere): the t=1/2 slerp of two unit
+# vectors equals the NORMALIZED CHORD MIDPOINT normalize(v0+v1), so the
+# whole operator is pure column trig (lat/lon → ECEF-unit → sum →
+# re-project via atan2) with zero UDFs and no shuffle beyond the
+# consecutive-fix window. Segment great-circle length via haversine
+# guards the vacuous case (coincident fixes). Sums round at 3dp so
+# libm/Java trig ulps cannot flip the compare (q56 discipline).
+# --------------------------------------------------------------------------
+
+def q288_geodesic_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 20).alias("track_id"),
+        "ts",
+        "event_id",
+        (F.lit(20.0) + (F.col("event_id") % 900) * 0.05).alias("lat"),
+        (F.lit(-130.0) + (F.col("event_id") % 1200) * 0.05).alias("lon"),
+    )
+    w = Window.partitionBy("track_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("lat2", F.lead("lat").over(w))
+        .withColumn("lon2", F.lead("lon").over(w))
+        .where(F.col("lat2").isNotNull())
+    )
+    la1, lo1 = F.radians("lat"), F.radians("lon")
+    la2, lo2 = F.radians("lat2"), F.radians("lon2")
+    x = F.cos(la1) * F.cos(lo1) + F.cos(la2) * F.cos(lo2)
+    y = F.cos(la1) * F.sin(lo1) + F.cos(la2) * F.sin(lo2)
+    z = F.sin(la1) + F.sin(la2)
+    mid_lat = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+    mid_lon = F.degrees(F.atan2(y, x))
+    # haversine great-circle angle (radians) per segment
+    dlat, dlon = la2 - la1, lo2 - lo1
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(la1) * F.cos(la2) * F.pow(
+        F.sin(dlon / 2), 2
+    )
+    theta = 2 * F.asin(F.sqrt(a))
+    return seg.groupBy("track_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(F.sum(mid_lat), 3).alias("sum_mid_lat"),
+        F.round(F.sum(mid_lon), 3).alias("sum_mid_lon"),
+        F.round(F.max(theta), 6).alias("max_theta"),
+    )
+
+
+Q288_SQL = """
+WITH p AS (
+  SELECT user_id % 20 AS track_id, ts, event_id,
+         20.0 + (event_id % 900) * 0.05 AS lat,
+         -130.0 + (event_id % 1200) * 0.05 AS lon
+  FROM events),
+s AS (
+  SELECT track_id, lat, lon,
+         lead(lat) OVER (PARTITION BY track_id ORDER BY ts, event_id) AS lat2,
+         lead(lon) OVER (PARTITION BY track_id ORDER BY ts, event_id) AS lon2
+  FROM p),
+seg AS (SELECT * FROM s WHERE lat2 IS NOT NULL),
+v AS (
+  SELECT track_id,
+         cos(radians(lat)) * cos(radians(lon))
+           + cos(radians(lat2)) * cos(radians(lon2)) AS x,
+         cos(radians(lat)) * sin(radians(lon))
+           + cos(radians(lat2)) * sin(radians(lon2)) AS y,
+         sin(radians(lat)) + sin(radians(lat2)) AS z,
+         2 * asin(sqrt(
+           pow(sin((radians(lat2) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(lat2))
+             * pow(sin((radians(lon2) - radians(lon)) / 2), 2))) AS theta
+  FROM seg)
+SELECT track_id::BIGINT AS track_id, count(*)::BIGINT AS n_segments,
+       round(sum(degrees(atan2(z, sqrt(x * x + y * y)))), 3) AS sum_mid_lat,
+       round(sum(degrees(atan2(y, x))), 3) AS sum_mid_lon,
+       round(max(theta), 6) AS max_theta
+FROM v GROUP BY track_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q289 — LINE-level language segmentation (what mC4/CCNet actually run:
+# documents are not monolingual — navigation chrome, quotes and
+# boilerplate switch language mid-page, so language ID must run at
+# line granularity and the DOCUMENT decision is an aggregate): formula
+# docs carry 4 lines each whose language rotates by (doc*7 + line) % 6,
+# every line scores through the COMMITTED trained trigram model
+# (functions/langid, keys=[doc_id, line_no] — the operator is
+# key-generic so line-level is the same broadcast join), and the doc
+# rollup reports the dominant language (line-count argmax, ties → lang
+# DESC) and a mixed-language flag. The oracle replays trigram scoring
+# per line through the same model fixture via read_csv.
+# --------------------------------------------------------------------------
+
+def q289_line_lang_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.langid import langid_trigram, load_langid_model
+
+    d = F.col("doc_id")
+    ln = F.col("line_no")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws])
+        for lang, ws in _Q199_WORDS.items()
+    }
+    # line-language index: docs cycle through monolingual (d%4==0),
+    # 3-1 dominant, 2-1-1, and fully-mixed shapes — so `mixed` and
+    # `dominant_lang` are real measurements, not tie-break artifacts
+    lidx = (d * 7 + (ln * (d % 4)) / F.lit(3)).cast("long") % 6
+    pick = lang_arrays[_Q199_LANGS[0]]
+    for k, lang in enumerate(_Q199_LANGS[1:], start=1):
+        pick = F.when(lidx == k, lang_arrays[lang]).otherwise(pick)
+    line_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (5 + (d + ln) % 3).cast("int")),
+            lambda j: F.element_at(pick, ((d * 5 + ln * 3 + j) % 12 + 1).cast("int")),
+        ),
+        " ",
+    )
+    lines = (
+        spark.range(40)
+        .select(F.col("id").alias("doc_id"))
+        .crossJoin(spark.range(4).select(F.col("id").alias("line_no")))
+        .select("doc_id", "line_no", line_text.alias("text"))
+    )
+    scored = langid_trigram(
+        lines, load_langid_model(spark), keys=["doc_id", "line_no"]
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("pred_lang").alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("pred_lang").desc()
+    )
+    dom = (
+        scored.groupBy("doc_id", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("pred_lang").alias("dominant_lang"))
+    )
+    out = per_doc.join(dom, "doc_id").withColumn(
+        "mixed", F.col("n_langs") > 1
+    )
+    return out.groupBy("dominant_lang", "mixed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_langs"), 6).alias("avg_langs"),
+    )
+
+
+def _q289_sql() -> str:
+    from odin_rs_spark.functions.langid import LANGID_FIXTURE
+
+    def word_case(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN {k} THEN '{w}'"
+            for k, w in enumerate(_Q199_WORDS[lang])
+        )
+        return f"CASE (doc_id * 5 + line_no * 3 + j) % 12 {arms} END"
+
+    lang_arms = " ".join(
+        f"WHEN {k} THEN {word_case(lang)}"
+        for k, lang in enumerate(_Q199_LANGS)
+    )
+    return f"""
+WITH dl AS (
+  SELECT d.range AS doc_id, l.range AS line_no
+  FROM range(40) d, range(4) l),
+wj AS (
+  SELECT doc_id, line_no, j.range AS j
+  FROM dl, range(8) j WHERE j.range < 6 + (doc_id + line_no) % 3),
+tx AS (
+  SELECT doc_id, line_no,
+         string_agg(CASE (doc_id * 7 + (line_no * (doc_id % 4)) // 3) % 6
+                         {lang_arms} END,
+                    ' ' ORDER BY j) AS text
+  FROM wj GROUP BY doc_id, line_no),
+nt AS (SELECT doc_id, line_no, ' ' || text || ' ' AS t FROM tx),
+tg AS (
+  SELECT doc_id, line_no,
+         unnest(list_transform(generate_series(1, length(t) - 2),
+                               i -> substr(t, i, 3))) AS ngram
+  FROM nt),
+m AS (SELECT * FROM read_csv('{LANGID_FIXTURE}', header = true)),
+sc AS (
+  SELECT tg.doc_id, tg.line_no, m.lang, sum(m.score) AS score
+  FROM tg JOIN m ON tg.ngram = m.ngram
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT doc_id, line_no, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id, line_no
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM sc),
+pl AS (SELECT doc_id, line_no, pred_lang FROM best WHERE rn = 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(DISTINCT pred_lang) AS n_langs
+  FROM pl GROUP BY doc_id),
+domc AS (
+  SELECT doc_id, pred_lang, count(*) AS n FROM pl GROUP BY 1, 2),
+dom AS (
+  SELECT doc_id, pred_lang AS dominant_lang FROM (
+    SELECT doc_id, pred_lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n DESC, pred_lang DESC) AS rn
+    FROM domc) WHERE rn = 1)
+SELECT dom.dominant_lang, per_doc.n_langs > 1 AS mixed,
+       count(*)::BIGINT AS n_docs,
+       round(avg(per_doc.n_langs), 6) AS avg_langs
+FROM per_doc JOIN dom USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+Q289_SQL = _q289_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19167,7 +19382,7 @@ FROM em GROUP BY batch
 #                progressive detection), q251 (tar typeflag block-walk
 #                + PAX/GNU long names), q265 (zip method numbers),
 #                q239 (RFC 5322 named US zones).
-#   slots 29-45: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
+#   slots 29-47: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
 #                deflate decode, q272 ONNX conv-net classify, q273
 #                GOES-R live streaming flagship, q274 .warc.zst
 #                container scan, q275 brotli wire decode, q276 GRIB2
@@ -19179,7 +19394,9 @@ FROM em GROUP BY batch
 #                sentence segmentation + Flesch readability, q284
 #                AS-OF SCD2 join, q285 ANN recall audit, q286
 #                satellite conv-inference flagship, q287
-#                dropDuplicatesWithinWatermark pin.
+#                dropDuplicatesWithinWatermark pin, q288 geodesic
+#                track midpoints, q289 line-level language
+#                segmentation.
 #   remainder:   stalest-green fillers (q01, q08-q23 wave-1 block,
 #                q176-q178/q185/q186 — last graded r7/r8) up to slot
 #                50; everything past the cap keeps freshest-last order
@@ -19305,6 +19522,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q285_ann_recall_audit", q285_ann_recall_audit, Q285_SQL, "similarity ivf recall-at-k audit"),
         QuerySpec("q286_satellite_classify", q286_satellite_classify, Q286_SQL, "flagship S2 UDF hdf5-conv satellite-inference"),
         QuerySpec("q287_stream_dedup_ttl", q287_stream_dedup_ttl, Q287_SQL, "T-dedup dropDuplicatesWithinWatermark pin"),
+        QuerySpec("q288_geodesic_midpoints", q288_geodesic_midpoints, Q288_SQL, "W-track geodesic slerp-midpoint resample"),
+        QuerySpec("q289_line_lang_segmentation", q289_line_lang_segmentation, Q289_SQL, "text line-level langid segmentation"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
