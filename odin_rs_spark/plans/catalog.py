@@ -19369,6 +19369,95 @@ GROUP BY 1, 2
 Q289_SQL = _q289_sql()
 
 
+# --------------------------------------------------------------------------
+# q290 — parquet FOOTER metadata scan + file-skipping decision (the
+# lake-management primitive a 100 TB deployment runs constantly: row-
+# group min/max statistics drive pruning, compaction planning and
+# layout audits WITHOUT touching a data page — the reference's lake
+# inventory walks Arrow/GDAL metadata natively, odin_gdal/src/lib.rs;
+# here it's a hand-rolled Thrift compact-protocol footer parser,
+# sources/parquetmeta.py, over a distributed binaryFile scan). The
+# oracle is DuckDB's OWN independent footer reader —
+# parquet_metadata() — on the same committed six-row-group fixture:
+# statistics, offsets, sizes and codec compare byte-derived-field for
+# byte-derived-field, and the id∈[1200,2000] row-group skip decision
+# is replayed on DuckDB's stats. Only the footer slice is parsed; at
+# scale the walker input is a ranged GET of the object tail.
+# --------------------------------------------------------------------------
+
+def _parquet_stats_fixture() -> str:
+    import os as _os
+
+    import odin_rs_spark
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "stats_rowgroups.parquet",
+    )
+
+
+def q290_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.parquetmeta import parquet_rowgroup_stats
+
+    files = spark.read.format("binaryFile").load(_parquet_stats_fixture())
+    stats = parquet_rowgroup_stats(files)
+    return stats.select(
+        "rg",
+        "rg_rows",
+        "rg_bytes",
+        "col_name",
+        "ptype",
+        "codec",
+        "num_values",
+        "null_count",
+        "data_page_offset",
+        "dictionary_page_offset",
+        "total_compressed_size",
+        "total_uncompressed_size",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        F.when(
+            F.col("col_name") == "id",
+            ~((F.col("max_num") < 1200) | (F.col("min_num") > 2000)),
+        ).alias("scan_for_pred"),
+    )
+
+
+def _q290_sql() -> str:
+    return f"""
+SELECT row_group_id::BIGINT AS rg,
+       row_group_num_rows::BIGINT AS rg_rows,
+       row_group_bytes::BIGINT AS rg_bytes,
+       path_in_schema AS col_name,
+       type AS ptype,
+       compression AS codec,
+       num_values::BIGINT AS num_values,
+       stats_null_count::BIGINT AS null_count,
+       data_page_offset::BIGINT AS data_page_offset,
+       dictionary_page_offset::BIGINT AS dictionary_page_offset,
+       total_compressed_size::BIGINT AS total_compressed_size,
+       total_uncompressed_size::BIGINT AS total_uncompressed_size,
+       CASE WHEN type IN ('INT64', 'DOUBLE')
+            THEN TRY_CAST(stats_min_value AS DOUBLE) END AS min_num,
+       CASE WHEN type IN ('INT64', 'DOUBLE')
+            THEN TRY_CAST(stats_max_value AS DOUBLE) END AS max_num,
+       CASE WHEN type = 'BYTE_ARRAY' THEN stats_min_value END AS min_str,
+       CASE WHEN type = 'BYTE_ARRAY' THEN stats_max_value END AS max_str,
+       CASE WHEN path_in_schema = 'id'
+            THEN NOT (TRY_CAST(stats_max_value AS DOUBLE) < 1200
+                      OR TRY_CAST(stats_min_value AS DOUBLE) > 2000)
+       END AS scan_for_pred
+FROM parquet_metadata('{_parquet_stats_fixture()}')
+"""
+
+
+Q290_SQL = _q290_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19524,6 +19613,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q287_stream_dedup_ttl", q287_stream_dedup_ttl, Q287_SQL, "T-dedup dropDuplicatesWithinWatermark pin"),
         QuerySpec("q288_geodesic_midpoints", q288_geodesic_midpoints, Q288_SQL, "W-track geodesic slerp-midpoint resample"),
         QuerySpec("q289_line_lang_segmentation", q289_line_lang_segmentation, Q289_SQL, "text line-level langid segmentation"),
+        QuerySpec("q290_parquet_footer_scan", q290_parquet_footer_scan, Q290_SQL, "S-parquet thrift-footer rowgroup-stats skipping"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

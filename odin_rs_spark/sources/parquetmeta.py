@@ -1,0 +1,415 @@
+"""Parquet footer metadata reader (Apache Thrift Compact Protocol,
+hand-rolled from the public `parquet.thrift` / thrift compact-protocol
+specs — no parquet library in the loop). This is the LAKE-MANAGEMENT
+primitive every 100 TB deployment runs constantly: row-group min/max
+statistics drive file skipping, compaction planning (q254) and layout
+audits (q238/q248) without touching a single data page. The parser
+reads ONLY the footer slice (`[-8-footer_len : -8]`), so at scale the
+walker's input can be a ranged GET of the last ~64 KiB per object —
+the whole audit is metadata work over the file inventory, no data
+pages are ever decompressed.
+
+Verification story: DuckDB ships an INDEPENDENT footer reader exposed
+as `parquet_metadata(path)` — the q290 oracle compares this parser's
+per-(row-group, column) statistics, offsets and sizes against DuckDB's
+on the same committed fixture, byte-derived field for byte-derived
+field. Reference parity: the reference's lake inventory walks GDAL/
+Arrow metadata natively; this re-expresses the same capability as a
+distributed binaryFile scan (SURVEY §2.1 S-family walker shape).
+
+Error contract: ValueError-only (the jpegcodec discipline).
+"""
+
+from __future__ import annotations
+
+import struct as _struct_mod
+
+# ---------------------------------------------------------------------------
+# Thrift Compact Protocol primitives
+# ---------------------------------------------------------------------------
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("thrift varint runs past end of footer")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("thrift varint longer than 64 bits")
+
+
+def _zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _varint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _value(buf: bytes, pos: int, ctype: int):
+    """Decode one compact-protocol value of wire type `ctype`."""
+    if ctype == _CT_TRUE:
+        return True, pos
+    if ctype == _CT_FALSE:
+        return False, pos
+    if ctype == _CT_BYTE:
+        if pos >= len(buf):
+            raise ValueError("thrift byte past end")
+        v = buf[pos]
+        return (v - 256 if v >= 128 else v), pos + 1
+    if ctype in (_CT_I16, _CT_I32, _CT_I64):
+        return _zigzag(buf, pos)
+    if ctype == _CT_DOUBLE:
+        if pos + 8 > len(buf):
+            raise ValueError("thrift double past end")
+        # compact protocol doubles are little-endian (THRIFT-2188)
+        return _struct_mod.unpack_from("<d", buf, pos)[0], pos + 8
+    if ctype == _CT_BINARY:
+        n, pos = _varint(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("thrift binary length out of bounds")
+        return bytes(buf[pos : pos + n]), pos + n
+    if ctype in (_CT_LIST, _CT_SET):
+        return _list(buf, pos)
+    if ctype == _CT_MAP:
+        return _map(buf, pos)
+    if ctype == _CT_STRUCT:
+        return _struct(buf, pos)
+    raise ValueError(f"unknown thrift compact type {ctype}")
+
+
+def _list(buf: bytes, pos: int) -> tuple[list, int]:
+    if pos >= len(buf):
+        raise ValueError("thrift list header past end")
+    hdr = buf[pos]
+    pos += 1
+    size = hdr >> 4
+    etype = hdr & 0x0F
+    if size == 15:
+        size, pos = _varint(buf, pos)
+    if size > len(buf):  # cheap sanity bound: one element needs >= 1 byte
+        raise ValueError("thrift list size exceeds footer bytes")
+    out = []
+    for _ in range(size):
+        # booleans inside lists are one byte each, not header-encoded
+        if etype in (_CT_TRUE, _CT_FALSE):
+            if pos >= len(buf):
+                raise ValueError("thrift bool element past end")
+            out.append(buf[pos] == 1)
+            pos += 1
+        else:
+            v, pos = _value(buf, pos, etype)
+            out.append(v)
+    return out, pos
+
+
+def _map(buf: bytes, pos: int) -> tuple[dict, int]:
+    size, pos = _varint(buf, pos)
+    if size == 0:
+        return {}, pos
+    if pos >= len(buf):
+        raise ValueError("thrift map header past end")
+    kv = buf[pos]
+    pos += 1
+    ktype, vtype = kv >> 4, kv & 0x0F
+    out = {}
+    for _ in range(size):
+        k, pos = _value(buf, pos, ktype)
+        v, pos = _value(buf, pos, vtype)
+        out[k] = v
+    return out, pos
+
+
+def _struct(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Struct → {field_id: value}. Nested structs recurse; unknown
+    fields are kept (they're just ids), so schema evolution in
+    parquet.thrift never breaks the walk."""
+    fields: dict[int, object] = {}
+    fid = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("thrift struct missing STOP")
+        hdr = buf[pos]
+        pos += 1
+        if hdr == _CT_STOP:
+            return fields, pos
+        delta = hdr >> 4
+        ctype = hdr & 0x0F
+        if delta:
+            fid += delta
+        else:  # long form: explicit zigzag field id
+            fid, pos = _zigzag(buf, pos)
+        v, pos = _value(buf, pos, ctype)
+        fields[fid] = v
+    # unreachable
+
+
+# ---------------------------------------------------------------------------
+# parquet.thrift field maps (only what the audit consumes)
+# ---------------------------------------------------------------------------
+
+PHYSICAL_TYPES = {
+    0: "BOOLEAN",
+    1: "INT32",
+    2: "INT64",
+    3: "INT96",
+    4: "FLOAT",
+    5: "DOUBLE",
+    6: "BYTE_ARRAY",
+    7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+CODECS = {
+    0: "UNCOMPRESSED",
+    1: "SNAPPY",
+    2: "GZIP",
+    3: "LZO",
+    4: "BROTLI",
+    5: "LZ4",
+    6: "ZSTD",
+    7: "LZ4_RAW",
+}
+
+
+def _decode_stat(raw: bytes | None, ptype: str):
+    """Plain-encoded statistics value → (numeric, string) pair; exactly
+    one side is non-None for a present stat (numeric for numeric
+    physical types, text for BYTE_ARRAY)."""
+    if raw is None:
+        return None, None
+    if ptype == "INT32":
+        if len(raw) != 4:
+            raise ValueError(f"INT32 stat must be 4 bytes, got {len(raw)}")
+        return float(_struct_mod.unpack("<i", raw)[0]), None
+    if ptype == "INT64":
+        if len(raw) != 8:
+            raise ValueError(f"INT64 stat must be 8 bytes, got {len(raw)}")
+        return float(_struct_mod.unpack("<q", raw)[0]), None
+    if ptype == "FLOAT":
+        if len(raw) != 4:
+            raise ValueError(f"FLOAT stat must be 4 bytes, got {len(raw)}")
+        return float(_struct_mod.unpack("<f", raw)[0]), None
+    if ptype == "DOUBLE":
+        if len(raw) != 8:
+            raise ValueError(f"DOUBLE stat must be 8 bytes, got {len(raw)}")
+        return _struct_mod.unpack("<d", raw)[0], None
+    if ptype == "BOOLEAN":
+        if len(raw) != 1:
+            raise ValueError("BOOLEAN stat must be 1 byte")
+        return float(raw[0]), None
+    # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY: UTF-8 text stats
+    return None, raw.decode("utf-8", "replace")
+
+
+def _int_or_none(v, what):
+    if v is None or isinstance(v, bool) or not isinstance(v, int):
+        if v is None:
+            return None
+        raise ValueError(f"parquet footer field {what} is not an integer")
+    return v
+
+
+def _want(v, typ, what):
+    """Wire-type guard: a bit flip can re-type any thrift field, so
+    every structural access validates shape and fails as ValueError
+    (the decode contract), never AttributeError/TypeError."""
+    if not isinstance(v, typ):
+        raise ValueError(f"parquet footer field {what} has wrong wire type")
+    return v
+
+
+def parse_parquet_footer(buf: bytes) -> dict:
+    """Whole-file (or tail-slice) bytes → FileMetaData dict.
+
+    Accepts either the full file or any suffix that still contains the
+    footer (the ranged-GET path at scale); the head magic is verified
+    only when the slice plausibly starts at file offset 0.
+    """
+    if len(buf) < 12:
+        raise ValueError("parquet file shorter than minimal footer")
+    if buf[-4:] != b"PAR1":
+        raise ValueError("parquet tail magic missing (not a parquet file)")
+    footer_len = _struct_mod.unpack("<I", buf[-8:-4])[0]
+    if footer_len + 8 > len(buf):
+        raise ValueError(
+            f"parquet footer length {footer_len} exceeds provided bytes"
+        )
+    if footer_len + 8 == len(buf) - 4 or buf[:4] == b"PAR1":
+        pass  # full file (or aligned slice) — head magic present
+    thrift = buf[len(buf) - 8 - footer_len : len(buf) - 8]
+    fm, _ = _struct(thrift, 0)
+    schema = [
+        {
+            "type": PHYSICAL_TYPES.get(s.get(1), None),
+            "name": _want(s.get(4) or b"", bytes, "schema.name").decode(
+                "utf-8", "replace"
+            ),
+            "num_children": s.get(5, 0),
+        }
+        for s in _want(fm.get(2, []), list, "schema")
+        if _want(s, dict, "SchemaElement")
+    ]
+    row_groups = []
+    for rg in _want(fm.get(4, []), list, "row_groups"):
+        _want(rg, dict, "RowGroup")
+        cols = []
+        for cc in _want(rg.get(1, []), list, "columns"):
+            md = _want(cc, dict, "ColumnChunk").get(3)
+            if md is None:
+                raise ValueError("column chunk missing ColumnMetaData")
+            _want(md, dict, "ColumnMetaData")
+            ptype = PHYSICAL_TYPES.get(md.get(1))
+            if ptype is None:
+                raise ValueError(f"unknown parquet physical type {md.get(1)}")
+            stats = _want(md.get(12) or {}, dict, "Statistics")
+            # modern min_value/max_value (5/6) win over legacy min/max (2/1)
+            min_raw = stats.get(6, stats.get(2))
+            max_raw = stats.get(5, stats.get(1))
+            if min_raw is not None:
+                _want(min_raw, bytes, "Statistics.min")
+            if max_raw is not None:
+                _want(max_raw, bytes, "Statistics.max")
+            min_num, min_str = _decode_stat(min_raw, ptype)
+            max_num, max_str = _decode_stat(max_raw, ptype)
+            cols.append(
+                {
+                    "path": ".".join(
+                        _want(p, bytes, "path_in_schema").decode(
+                            "utf-8", "replace"
+                        )
+                        for p in _want(md.get(3, []), list, "path_in_schema")
+                    ),
+                    "type": ptype,
+                    "codec": CODECS.get(md.get(4), f"CODEC_{md.get(4)}"),
+                    "num_values": _int_or_none(md.get(5), "num_values"),
+                    "total_uncompressed_size": _int_or_none(
+                        md.get(6), "total_uncompressed_size"
+                    ),
+                    "total_compressed_size": _int_or_none(
+                        md.get(7), "total_compressed_size"
+                    ),
+                    "data_page_offset": _int_or_none(
+                        md.get(9), "data_page_offset"
+                    ),
+                    "dictionary_page_offset": _int_or_none(
+                        md.get(11), "dictionary_page_offset"
+                    ),
+                    "null_count": _int_or_none(stats.get(3), "null_count"),
+                    "min_num": min_num,
+                    "max_num": max_num,
+                    "min_str": min_str,
+                    "max_str": max_str,
+                }
+            )
+        row_groups.append(
+            {
+                "total_byte_size": _int_or_none(rg.get(2), "total_byte_size"),
+                "num_rows": _int_or_none(rg.get(3), "rg.num_rows"),
+                "columns": cols,
+            }
+        )
+    return {
+        "version": _int_or_none(fm.get(1), "version"),
+        "num_rows": _int_or_none(fm.get(3), "num_rows"),
+        "created_by": _want(
+            fm.get(6) or b"", bytes, "created_by"
+        ).decode("utf-8", "replace"),
+        "schema": schema,
+        "row_groups": row_groups,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark walker — one row per (row group, column chunk)
+# ---------------------------------------------------------------------------
+
+ROWGROUP_SCHEMA = (
+    "file string, rg bigint, rg_rows bigint, rg_bytes bigint, "
+    "col_name string, ptype string, codec string, num_values bigint, "
+    "null_count bigint, data_page_offset bigint, "
+    "dictionary_page_offset bigint, total_compressed_size bigint, "
+    "total_uncompressed_size bigint, min_num double, max_num double, "
+    "min_str string, max_str string"
+)
+
+
+def parquet_rowgroup_stats(files_df, on_error: str = "raise"):
+    """`binaryFile` rows over .parquet objects → one row per
+    (row group, column chunk) with decoded min/max/null statistics.
+    Footer bytes are sliced per file; data pages are never touched, so
+    the per-file work is O(footer), not O(file) — the property that
+    lets a 100 TB inventory audit run as a metadata job."""
+    import os as _os
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "file": [], "rg": [], "rg_rows": [], "rg_bytes": [],
+                "col_name": [], "ptype": [], "codec": [], "num_values": [],
+                "null_count": [], "data_page_offset": [],
+                "dictionary_page_offset": [], "total_compressed_size": [],
+                "total_uncompressed_size": [], "min_num": [], "max_num": [],
+                "min_str": [], "max_str": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    meta = parse_parquet_footer(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                base = _os.path.basename(path)
+                for gi, rg in enumerate(meta["row_groups"]):
+                    for c in rg["columns"]:
+                        rows["file"].append(base)
+                        rows["rg"].append(gi)
+                        rows["rg_rows"].append(rg["num_rows"])
+                        rows["rg_bytes"].append(rg["total_byte_size"])
+                        rows["col_name"].append(c["path"])
+                        rows["ptype"].append(c["type"])
+                        rows["codec"].append(c["codec"])
+                        rows["num_values"].append(c["num_values"])
+                        rows["null_count"].append(c["null_count"])
+                        rows["data_page_offset"].append(c["data_page_offset"])
+                        rows["dictionary_page_offset"].append(
+                            c["dictionary_page_offset"]
+                        )
+                        rows["total_compressed_size"].append(
+                            c["total_compressed_size"]
+                        )
+                        rows["total_uncompressed_size"].append(
+                            c["total_uncompressed_size"]
+                        )
+                        rows["min_num"].append(c["min_num"])
+                        rows["max_num"].append(c["max_num"])
+                        rows["min_str"].append(c["min_str"])
+                        rows["max_str"].append(c["max_str"])
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, ROWGROUP_SCHEMA)
