@@ -19458,6 +19458,98 @@ FROM parquet_metadata('{_parquet_stats_fixture()}')
 Q290_SQL = _q290_sql()
 
 
+# --------------------------------------------------------------------------
+# q291 — Avro Object Container scan (the Kafka-archive format: event
+# history lands in object storage as .avro containers, the highest-
+# volume raw feed most corpus pipelines bootstrap from; the reference
+# ingests wire-format event feeds natively, SURVEY §2.1). Hand-rolled
+# OCF reader (sources/avrocodec.py — zigzag varints, map<bytes>
+# metadata, sync-marker verification, blocked arrays) over the
+# binaryFile walker shape; three committed fixture files cover the
+# THREE supported codecs (null / deflate / zstandard — the zstd path
+# exercises the in-repo RFC 8878 decoder inside a second container
+# format), snappy/bzip2/xz are named rejections. 400 formula records
+# per file; the oracle replays the formulas including the nullable-
+# union NULL slots, the boolean field and the array-membership probe
+# (has a 't3' tag), so every decoded field type is load-bearing.
+# --------------------------------------------------------------------------
+
+def q291_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.avrocodec import avro_records
+
+    fixdir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+    )
+    files = spark.read.format("binaryFile").load(
+        [_os.path.join(fixdir, f"events_{c}.avro")
+         for c in ("null", "deflate", "zstandard")]
+    )
+    recs = avro_records(
+        files,
+        {
+            "id": "bigint",
+            "ts": "bigint",
+            "kind": "string",
+            "value": "double",
+            "flag": "boolean",
+            "tags": "array<string>",
+        },
+    )
+    return recs.groupBy("kind", "codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias(
+            "n_null_value"
+        ),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.col("flag").cast("int")).cast("bigint").alias("n_flag"),
+        F.sum(F.size("tags")).cast("bigint").alias("sum_tags"),
+        F.sum(F.array_contains("tags", "t3").cast("int")).cast("bigint").alias(
+            "n_t3"
+        ),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+Q291_SQL = """
+WITH ids AS (
+  SELECT f.range AS f, f.range * 400 + i.range AS id
+  FROM range(3) f, range(400) i),
+t3 AS (
+  SELECT ids.id, max(CASE WHEN j.range < ids.id % 4
+                           AND (ids.id + j.range) % 7 = 3
+                     THEN 1 ELSE 0 END) AS has_t3
+  FROM ids, range(4) j GROUP BY ids.id),
+rec AS (
+  SELECT ids.id,
+         CASE ids.f WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                    ELSE 'zstandard' END AS codec,
+         1700000000 + ids.id * 60 AS ts,
+         CASE ids.id % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                         ELSE 'purchase' END AS kind,
+         CASE WHEN ids.id % 11 = 0 THEN NULL
+              ELSE (ids.id % 97) * 0.25 END AS value,
+         (ids.id % 2 = 0) AS flag,
+         ids.id % 4 AS n_tags,
+         t3.has_t3
+  FROM ids JOIN t3 USING (id))
+SELECT kind, codec, count(*)::BIGINT AS n,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value,
+       round(sum(value::DOUBLE), 6) AS sum_value,
+       sum(CASE WHEN flag THEN 1 ELSE 0 END)::BIGINT AS n_flag,
+       sum(n_tags)::BIGINT AS sum_tags,
+       sum(has_t3)::BIGINT AS n_t3,
+       min(ts)::BIGINT AS min_ts,
+       max(ts)::BIGINT AS max_ts
+FROM rec GROUP BY kind, codec
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19614,6 +19706,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q288_geodesic_midpoints", q288_geodesic_midpoints, Q288_SQL, "W-track geodesic slerp-midpoint resample"),
         QuerySpec("q289_line_lang_segmentation", q289_line_lang_segmentation, Q289_SQL, "text line-level langid segmentation"),
         QuerySpec("q290_parquet_footer_scan", q290_parquet_footer_scan, Q290_SQL, "S-parquet thrift-footer rowgroup-stats skipping"),
+        QuerySpec("q291_avro_scan", q291_avro_scan, Q291_SQL, "S-avro ocf kafka-archive three-codec scan"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -1,0 +1,177 @@
+"""Avro OCF reader (sources/avrocodec): twin round-trips across all
+three codecs, wire-level seams (negative array block counts, sync
+marker, union index), named codec rejections, and the repo's
+truncation/mutation fuzz discipline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from odin_rs_spark.sources.avrocodec import (
+    _write_long,
+    avro_records,
+    encode_avro,
+    parse_avro,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+)
+
+
+def _recs(n=25):
+    return [
+        {
+            "id": i - 3,  # negatives exercise zigzag
+            "name": f"n{i}",
+            "score": None if i % 4 == 0 else i * 0.5,
+            "ok": i % 2 == 0,
+            "raw": bytes([i % 256, 255 - i % 256]),
+            "xs": list(range(i % 5)),
+        }
+        for i in range(n)
+    ]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("codec", ["null", "deflate", "zstandard"])
+    def test_roundtrip(self, codec):
+        buf = encode_avro(SCHEMA, _recs(), codec=codec, block_records=7)
+        out = parse_avro(buf)
+        assert out["codec"] == codec
+        assert out["records"] == _recs()
+
+    def test_empty_file_no_blocks(self):
+        buf = encode_avro(SCHEMA, [])
+        assert parse_avro(buf)["records"] == []
+
+
+class TestWireSeams:
+    def test_negative_array_block_count_form(self):
+        # spec: a negative item count is followed by the block byte
+        # size (writers may emit this for fast skipping)
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "A",
+                "fields": [
+                    {"name": "xs", "type": {"type": "array", "items": "int"}}
+                ],
+            }
+        )
+        buf = bytearray(encode_avro(schema, [{"xs": [5, 6]}]))
+        # locate the data block: after header map + sync. Re-encode the
+        # body by hand: count=1 record, body = array with NEGATIVE count
+        body = _write_long(-2) + _write_long(2) + _write_long(5) + _write_long(6) + _write_long(0)
+        sync = bytes(buf[-16:])
+        # old block = count varint(1) + size varint(1) + 4-byte body + sync
+        head_end = len(buf) - (1 + 1 + 4 + 16)
+        crafted = bytes(buf[:head_end]) + _write_long(1) + _write_long(
+            len(body)
+        ) + body + sync
+        out = parse_avro(crafted)
+        assert out["records"] == [{"xs": [5, 6]}]
+
+    def test_sync_marker_mismatch_raises(self):
+        buf = bytearray(encode_avro(SCHEMA, _recs(5)))
+        buf[-1] ^= 0xFF  # corrupt trailing sync copy
+        with pytest.raises(ValueError, match="sync"):
+            parse_avro(bytes(buf))
+
+    def test_bad_union_index(self):
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "U",
+                "fields": [{"name": "v", "type": ["null", "long"]}],
+            }
+        )
+        good = encode_avro(schema, [{"v": 7}])
+        # union index byte is inside the single data block; flip 1→2
+        bad = good.replace(_write_long(1) + _write_long(7), _write_long(2) + _write_long(7))
+        with pytest.raises(ValueError):
+            parse_avro(bad)
+
+
+class TestRejections:
+    def test_snappy_rejected_by_name(self):
+        # encoder never produces it...
+        with pytest.raises(ValueError):
+            encode_avro(SCHEMA, [], codec="snappy")
+        # ...and the parser names it on a crafted header
+        from odin_rs_spark.sources.avrocodec import _MAGIC
+
+        meta = bytearray(_MAGIC)
+        meta += _write_long(2)
+        for k, v in ((b"avro.schema", SCHEMA.encode()), (b"avro.codec", b"snappy")):
+            meta += _write_long(len(k)) + k + _write_long(len(v)) + v
+        meta += _write_long(0) + bytes(16)
+        with pytest.raises(ValueError, match="unsupported avro codec: snappy"):
+            parse_avro(bytes(meta))
+
+    def test_unsupported_schema_nodes(self):
+        for t in ('{"type":"fixed","name":"f","size":4}', '["null","int","long"]'):
+            schema = (
+                '{"type":"record","name":"R","fields":[{"name":"x","type":%s}]}'
+                % t
+            )
+            with pytest.raises(ValueError, match="unsupported avro"):
+                encode_avro(schema, [])
+
+    def test_missing_magic(self):
+        with pytest.raises(ValueError, match="magic"):
+            parse_avro(b"NotAvro" + bytes(40))
+
+
+class TestFuzz:
+    def test_truncation_ladder_valueerror_only(self):
+        buf = encode_avro(SCHEMA, _recs(), codec="deflate")
+        for cut in range(0, len(buf), 13):
+            try:
+                parse_avro(buf[:cut])
+            except ValueError:
+                pass
+
+    def test_mutation_valueerror_only(self):
+        buf = encode_avro(SCHEMA, _recs(9), codec="null")
+        for off in range(0, len(buf), 5):
+            mutated = bytearray(buf)
+            mutated[off] ^= 0xFF
+            try:
+                parse_avro(bytes(mutated))
+            except ValueError:
+                pass
+
+
+class TestSparkWalker:
+    def test_walker_projects_fields(self, spark, tmp_path):
+        p = tmp_path / "a.avro"
+        p.write_bytes(encode_avro(SCHEMA, _recs(10), codec="deflate"))
+        files = spark.read.format("binaryFile").load(str(p))
+        out = avro_records(
+            files,
+            {"id": "bigint", "name": "string", "score": "double",
+             "ok": "boolean", "xs": "array<int>"},
+        ).collect()
+        assert len(out) == 10
+        byid = {r.id: r for r in out}
+        assert byid[-3].name == "n0" and byid[-3].score is None
+        assert byid[1].xs == [0, 1, 2, 3] and byid[1].codec == "deflate"
+
+    def test_walker_on_error_skip(self, spark, tmp_path):
+        (tmp_path / "bad.avro").write_bytes(b"garbage")
+        files = spark.read.format("binaryFile").load(str(tmp_path / "bad.avro"))
+        assert avro_records(files, {"id": "bigint"}, on_error="skip").count() == 0
