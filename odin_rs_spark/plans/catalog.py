@@ -19550,6 +19550,89 @@ FROM rec GROUP BY kind, codec
 """
 
 
+# --------------------------------------------------------------------------
+# q292 — tensor shard scan (.npy / .npz / .safetensors — the containers
+# embedding shards and model weights actually ship in): hand-rolled
+# NEP-1 and safetensors parsers (sources/tensorfile.py; numpy's own
+# loader is the independent test referee, and a pickled/.npy-object
+# payload is a NAMED rejection — np.load'ing untrusted shards blind is
+# a code-execution hazard at lake scale). Stats reduce inside the scan
+# task (float64 accumulation), so the exchange carries files×tensors
+# tiny rows. Fixture values are dyadic rationals k/8, stored EXACTLY by
+# every dtype including float16, so the oracle replays each tensor's
+# sum/min/max formula with zero tolerance across five dtypes.
+# --------------------------------------------------------------------------
+
+def q292_tensor_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.tensorfile import tensor_stats
+
+    fixdir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+    )
+    files = spark.read.format("binaryFile").load(
+        [_os.path.join(fixdir, n)
+         for n in ("emb_f32.npy", "emb_pack.npz", "weights.safetensors")]
+    )
+    return tensor_stats(files).select(
+        "file",
+        "container",
+        "tensor",
+        "dtype",
+        "n_rows",
+        "n_cols",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+Q292_SQL = """
+WITH emb AS (
+  SELECT ((i.range * 31 + j.range * 17) % 101 - 50) / 8.0 AS v
+  FROM range(64) i, range(16) j),
+train AS (
+  SELECT ((i.range * 13 + j.range * 29) % 89 - 44) / 4.0 AS v
+  FROM range(48) i, range(8) j),
+norms AS (SELECT (i.range % 23) / 2.0 AS v FROM range(48) i),
+w1 AS (
+  SELECT ((i.range * 7 + j.range * 3) % 64 - 32) / 8.0 AS v
+  FROM range(24) i, range(12) j),
+b1 AS (SELECT (i.range * 5 % 31 - 15) / 4.0 AS v FROM range(12) i),
+emb16 AS (
+  SELECT ((i.range * 11 + j.range * 5) % 40 - 20) / 8.0 AS v
+  FROM range(20) i, range(4) j),
+counts AS (SELECT (i.range * 1000 + 7)::DOUBLE AS v FROM range(10) i)
+SELECT 'emb_f32.npy' AS file, 'npy' AS container, 'arr' AS tensor,
+       'float32' AS dtype, 64::BIGINT AS n_rows, 16::BIGINT AS n_cols,
+       1024::BIGINT AS n, round(sum(v), 6) AS sum_v,
+       min(v) AS min_v, max(v) AS max_v FROM emb
+UNION ALL
+SELECT 'emb_pack.npz', 'npz', 'train', 'float64', 48, 8, 384,
+       round(sum(v), 6), min(v), max(v) FROM train
+UNION ALL
+SELECT 'emb_pack.npz', 'npz', 'norms', 'float32', 48, 1, 48,
+       round(sum(v), 6), min(v), max(v) FROM norms
+UNION ALL
+SELECT 'weights.safetensors', 'safetensors', 'w1', 'float32', 24, 12, 288,
+       round(sum(v), 6), min(v), max(v) FROM w1
+UNION ALL
+SELECT 'weights.safetensors', 'safetensors', 'b1', 'float64', 12, 1, 12,
+       round(sum(v), 6), min(v), max(v) FROM b1
+UNION ALL
+SELECT 'weights.safetensors', 'safetensors', 'emb16', 'float16', 20, 4, 80,
+       round(sum(v), 6), min(v), max(v) FROM emb16
+UNION ALL
+SELECT 'weights.safetensors', 'safetensors', 'counts', 'int64', 10, 1, 10,
+       round(sum(v), 6), min(v), max(v) FROM counts
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19707,6 +19790,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q289_line_lang_segmentation", q289_line_lang_segmentation, Q289_SQL, "text line-level langid segmentation"),
         QuerySpec("q290_parquet_footer_scan", q290_parquet_footer_scan, Q290_SQL, "S-parquet thrift-footer rowgroup-stats skipping"),
         QuerySpec("q291_avro_scan", q291_avro_scan, Q291_SQL, "S-avro ocf kafka-archive three-codec scan"),
+        QuerySpec("q292_tensor_shard_scan", q292_tensor_shard_scan, Q292_SQL, "S-tensor npy-npz-safetensors shard stats"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
