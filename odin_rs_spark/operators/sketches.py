@@ -308,3 +308,107 @@ def ddsketch_quantiles(
         *group_cols, "q_pct", "n", "bucket",
         F.round(est, 6).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al., "Theta
+# sketches", 2016). The INTERSECTION-capable member of the family: HLL
+# unions beautifully (q252) but intersects only by inclusion-exclusion
+# with compounding error; a KMV sketch — the k smallest distinct
+# hashes — supports direct set algebra: cut both sketches at the
+# shared threshold theta = min(kth_a, kth_b), intersect the surviving
+# hash SETS, and scale by 1/theta. Deterministic given the hash (no
+# partitioning/order sensitivity), so the DuckDB oracle replays every
+# register. Scale shape: the only wide exchange is distinct(group, h)
+# — already-reduced keys; the per-group sort runs over distinct hashes
+# only, and an epoch pipeline pre-filters h < theta_prev before the
+# sort, capping window input at ~k rows per group.
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = 1 << 60  # portable_hash60 range
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch rows: (group_cols..., rank, h) with the k
+    smallest distinct 60-bit portable hashes of `key_col`, rank 1..k.
+    A group with fewer than k distinct keys keeps them ALL (its sketch
+    is the exact set and estimates become exact)."""
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    h = portable_hash60(F.col(key_col).cast("string"))
+    dist = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per group: exact count when the sketch
+    holds the whole set (n_sk < k), else (k-1) / (kth_min / 2^60)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    est = F.when(F.col("n_sk") < k, F.col("n_sk").cast("double")).otherwise(
+        (k - 1) * float(KMV_SPACE) / F.col("kth")
+    )
+    return agg.select(*group_cols, "n_sk", "kth", F.round(est, 6).alias("est"))
+
+
+def kmv_intersect(
+    sketch: DataFrame, group_cols: list[str], group_col: str, k: int
+) -> DataFrame:
+    """Pairwise theta-sketch intersection estimates across the values
+    of `group_col` (sketch built by kmv_sketch on that single group
+    column). Returns one row per unordered pair (ta < tb): the shared
+    theta threshold, surviving-common count, and the scaled estimate.
+    theta for a side with a complete sketch (n_sk < k) is the full
+    space, so exact sides degrade gracefully to exact intersections."""
+    if group_cols != [group_col]:
+        raise ValueError("kmv_intersect expects the single grouping column")
+    kth = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    side = kth.select(
+        F.col(group_col).alias("g"),
+        "n_sk",
+        F.when(F.col("n_sk") < k, F.lit(KMV_SPACE)).otherwise(
+            F.col("kth")
+        ).alias("theta"),
+    )
+    pairs = (
+        side.alias("a")
+        .join(side.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("ta"),
+            F.col("b.g").alias("tb"),
+            F.col("a.n_sk").alias("nsk_a"),
+            F.col("b.n_sk").alias("nsk_b"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+    )
+    sa = sketch.select(F.col(group_col).alias("ta"), F.col("h").alias("ha"))
+    sb = sketch.select(F.col(group_col).alias("tb"), F.col("h").alias("ha"))
+    common = (
+        pairs.join(sa, "ta")
+        .where(F.col("ha") < F.col("theta"))
+        .join(sb, ["tb", "ha"])
+    )
+    counts = common.groupBy("ta", "tb", "theta").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    out = pairs.join(counts, ["ta", "tb", "theta"], "left").na.fill(
+        {"n_common": 0}
+    )
+    est = F.col("n_common") * float(KMV_SPACE) / F.col("theta")
+    return out.select(
+        "ta", "tb", "nsk_a", "nsk_b", "theta", "n_common",
+        F.round(est, 6).alias("est_inter"),
+    )

@@ -19633,6 +19633,100 @@ SELECT 'weights.safetensors', 'safetensors', 'counts', 'int64', 10, 1, 10,
 """
 
 
+# --------------------------------------------------------------------------
+# q293 — KMV / theta-sketch set intersection (Bar-Yossef 2002; theta
+# sketches 2016): the INTERSECTION-capable sketch — HLL unions (q252)
+# but intersects only via inclusion-exclusion with compounding error;
+# KMV cuts both k-minimum-hash sets at the shared theta and scales the
+# surviving-common count by 1/theta. Audience overlap across all 10
+# event-type pairs, k=64 against 150 distinct users/type at sf0.01, so
+# the ESTIMATION path is live (not the exact small-set fallback), and
+# the exact distinct intersection sits alongside with the relative
+# error. Hashes are portable_hash60, so the oracle replays every
+# sketch register, theta cut and estimate bit-for-bit. Scale: the wide
+# exchange is distinct(type, h); sketch rows per group are <= k.
+# --------------------------------------------------------------------------
+
+def q293_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = sketches.kmv_intersect(sk, ["event_type"], "event_type", k=64)
+    ua = ev.select("event_type", "user_id").distinct()
+    exact = (
+        ua.alias("a")
+        .join(ua.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    out = est.join(exact, ["ta", "tb"], "left").na.fill({"exact_inter": 0})
+    rel = F.when(
+        F.col("exact_inter") > 0,
+        F.round(
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            / F.col("exact_inter"),
+            4,
+        ),
+    )
+    return out.select(
+        "ta", "tb", "nsk_a", "nsk_b", "theta", "n_common", "est_inter",
+        "exact_inter", rel.alias("rel_err"),
+    )
+
+
+Q293_SQL = f"""
+WITH hh AS (
+  SELECT DISTINCT event_type,
+         {_H60.format(x="CAST(user_id AS VARCHAR)")} AS h
+  FROM events),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM hh),
+sk AS (SELECT event_type, h FROM r WHERE rank <= 64),
+side AS (
+  SELECT event_type AS g, count(*) AS n_sk,
+         CASE WHEN count(*) < 64 THEN 1152921504606846976
+              ELSE max(h) END AS theta
+  FROM sk GROUP BY 1),
+pairs AS (
+  SELECT a.g AS ta, b.g AS tb, a.n_sk AS nsk_a, b.n_sk AS nsk_b,
+         least(a.theta, b.theta) AS theta
+  FROM side a JOIN side b ON a.g < b.g),
+common AS (
+  SELECT p.ta, p.tb, count(*) AS n_common
+  FROM pairs p
+  JOIN sk sa ON sa.event_type = p.ta AND sa.h < p.theta
+  JOIN sk sb ON sb.event_type = p.tb AND sb.h = sa.h
+  GROUP BY 1, 2),
+ua AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         count(*) AS exact_inter
+  FROM ua a JOIN ua b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+SELECT p.ta, p.tb, p.nsk_a::BIGINT AS nsk_a, p.nsk_b::BIGINT AS nsk_b,
+       p.theta::BIGINT AS theta,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       round(coalesce(c.n_common, 0) * 1152921504606846976.0 / p.theta, 6)
+         AS est_inter,
+       coalesce(e.exact_inter, 0)::BIGINT AS exact_inter,
+       CASE WHEN coalesce(e.exact_inter, 0) > 0 THEN
+         round(abs(round(coalesce(c.n_common, 0) * 1152921504606846976.0
+                         / p.theta, 6) - e.exact_inter)
+               / e.exact_inter, 4)
+       END AS rel_err
+FROM pairs p
+LEFT JOIN common c ON c.ta = p.ta AND c.tb = p.tb
+LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19791,6 +19885,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q290_parquet_footer_scan", q290_parquet_footer_scan, Q290_SQL, "S-parquet thrift-footer rowgroup-stats skipping"),
         QuerySpec("q291_avro_scan", q291_avro_scan, Q291_SQL, "S-avro ocf kafka-archive three-codec scan"),
         QuerySpec("q292_tensor_shard_scan", q292_tensor_shard_scan, Q292_SQL, "S-tensor npy-npz-safetensors shard stats"),
+        QuerySpec("q293_kmv_intersection", q293_kmv_intersection, Q293_SQL, "sketch kmv-theta set-intersection audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -158,3 +158,61 @@ def test_approx_distinct_within_rsd(spark, events):
     }
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(3, 0.15 * n), (k, got[k], n)
+
+
+class TestKmvThetaSketch:
+    def test_small_set_is_exact(self, spark):
+        from odin_rs_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        df = spark.range(40).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 10).alias("k"),
+        )
+        sk = kmv_sketch(df, "k", ["g"], k=64)
+        est = {r.g: r for r in kmv_estimate(sk, ["g"], 64).collect()}
+        # group 0 = even ids -> 5 distinct keys < k=64: sketch holds
+        # the whole set, estimate is exact
+        assert est["0"].n_sk == 5 and est["0"].est == 5.0
+
+    def test_estimate_within_theory_bound(self, spark):
+        from odin_rs_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+        n, k = 5000, 128
+        df = spark.range(n).select(
+            F.lit("a").alias("g"), F.col("id").alias("k")
+        )
+        est = kmv_estimate(kmv_sketch(df, "k", ["g"], k=k), ["g"], k).collect()[0]
+        # KMV rse ~ 1/sqrt(k-2) ~ 8.9%; allow 4 sigma
+        assert abs(est.est - n) / n < 4 / (k - 2) ** 0.5
+
+    def test_sketch_is_partitioning_invariant(self, spark):
+        from odin_rs_spark.operators.sketches import kmv_sketch
+
+        df = spark.range(1000).select(
+            F.lit("a").alias("g"), F.col("id").alias("k")
+        )
+        a = sorted(r.h for r in kmv_sketch(df, "k", ["g"], k=32).collect())
+        b = sorted(
+            r.h
+            for r in kmv_sketch(df.repartition(13), "k", ["g"], k=32).collect()
+        )
+        assert a == b and len(a) == 32
+
+    def test_intersection_exact_when_sets_small(self, spark):
+        from odin_rs_spark.operators.sketches import kmv_intersect, kmv_sketch
+
+        rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 25)]
+        df = spark.createDataFrame(rows, "g string, k long")
+        sk = kmv_sketch(df, "k", ["g"], k=64)
+        out = kmv_intersect(sk, ["g"], "g", k=64).collect()[0]
+        # both sides complete -> theta = full space -> exact overlap 10
+        assert out.n_common == 10 and out.est_inter == 10.0
+
+    def test_intersect_rejects_multi_group(self, spark):
+        from odin_rs_spark.operators.sketches import kmv_intersect, kmv_sketch
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("a", 1)], "g string, k long")
+        sk = kmv_sketch(df, "k", ["g"], k=4)
+        with _pytest.raises(ValueError):
+            kmv_intersect(sk, ["g", "x"], "g", k=4)
