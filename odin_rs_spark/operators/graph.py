@@ -139,3 +139,65 @@ def integer_hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
             F.coalesce(F.col("authority"), F.lit(0)).alias("authority"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts by DEGREE-ORDERED edge
+    orientation (Suri & Vassilvitskii, WWW 2011; Cohen 2009): orient
+    every undirected edge from the lower-(degree, id) endpoint to the
+    higher, so each node's OUT-degree is O(sqrt(m)) and the wedge
+    self-join enumerates m^(3/2) candidates total instead of
+    sum(deg^2) — a hub with degree 10^6 contributes zero wedges as a
+    center unless its rank demands it, which is what keeps the
+    closure join alive at 100 TB edge scale. Wedges close against the
+    oriented edge list itself (one more hash join); every triangle is
+    found exactly once and credited to all three corners.
+
+    Input may contain duplicates/loops/either direction; it is
+    canonicalized first. Returns (node, degree, triangles).
+    """
+    lo, hi = F.least(src, dst), F.greatest(src, dst)
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # total order: (degree, node) packed into one orderable long
+    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
+    dk = deg.select("node", key)
+    withk = (
+        und.join(dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")
+        .join(dk.withColumnRenamed("node", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    oriented = withk.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("kv1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("kv2"))
+    wedges = e1.join(e2, "u").where(F.col("kv1") < F.col("kv2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .na.fill({"triangles": 0})
+        .select("node", F.col("degree").cast("bigint").alias("degree"), "triangles")
+    )

@@ -19727,6 +19727,74 @@ LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
 """
 
 
+# --------------------------------------------------------------------------
+# q294 — triangle counting + local clustering coefficients by DEGREE-
+# ORDERED edge orientation (Suri & Vassilvitskii WWW 2011): the
+# at-scale triangle algorithm — orient each edge toward the higher
+# (degree, id) endpoint so out-degrees are O(sqrt(m)) and the wedge
+# self-join does m^(3/2) work instead of sum(deg^2); a degree-10^6 hub
+# contributes no wedges as a center. Runs on the same bounded cohort
+# edges as q127/q258. The oracle is an INDEPENDENT method — the naive
+# three-way closure join a<b<c on the canonical edge list — so the
+# orientation trick is verified against first principles, not
+# replayed. Clustering = 2T / (deg * (deg-1)).
+# --------------------------------------------------------------------------
+
+def q294_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.graph import triangle_count
+
+    edges = _cohort_edges(spark, sf_dir)
+    with _stream_state_parallelism(spark, 8):
+        out = triangle_count(edges)
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    )
+    return out.select(
+        F.col("node").alias("user_id"), "degree", "triangles",
+        cc.alias("clustering"),
+    )
+
+
+Q294_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb FROM events),
+rk AS (
+  SELECT user_id, event_type, hb,
+         row_number() OVER (PARTITION BY event_type, hb ORDER BY user_id) AS rk
+  FROM ev),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM rk a JOIN rk b ON a.event_type = b.event_type AND a.hb = b.hb
+  AND b.rk BETWEEN a.rk + 1 AND a.rk + 3),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY node)
+SELECT deg.node AS user_id, deg.degree::BIGINT AS degree,
+       coalesce(tcnt.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         round(2.0 * coalesce(tcnt.triangles, 0)
+               / (deg.degree * (deg.degree - 1)), 6)
+       END AS clustering
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19886,6 +19954,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q291_avro_scan", q291_avro_scan, Q291_SQL, "S-avro ocf kafka-archive three-codec scan"),
         QuerySpec("q292_tensor_shard_scan", q292_tensor_shard_scan, Q292_SQL, "S-tensor npy-npz-safetensors shard stats"),
         QuerySpec("q293_kmv_intersection", q293_kmv_intersection, Q293_SQL, "sketch kmv-theta set-intersection audit"),
+        QuerySpec("q294_triangle_clustering", q294_triangle_clustering, Q294_SQL, "graph oriented-wedge triangle clustering"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

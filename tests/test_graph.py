@@ -68,3 +68,57 @@ class TestIntegerHits:
         assert out[1][0] == 3          # hub 1: a(4) = 3
         assert out[0][1] == 0          # no in-edges -> zero authority
         assert out[4][0] == 0          # no out-edges -> zero hub
+
+
+class TestTriangleCount:
+    def test_k4_complete_graph(self, spark):
+        from odin_rs_spark.operators.graph import triangle_count
+
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r for r in triangle_count(df).collect()}
+        # K4: every node sits in C(3,2)=3 triangles, degree 3
+        assert all(out[n].triangles == 3 and out[n].degree == 3 for n in range(4))
+
+    def test_star_has_no_triangles(self, spark):
+        from odin_rs_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        out = triangle_count(df).collect()
+        assert all(r.triangles == 0 for r in out)
+        assert {r.node: r.degree for r in out}[0] == 5
+
+    def test_canonicalization_dedups_and_drops_loops(self, spark):
+        from odin_rs_spark.operators.graph import triangle_count
+
+        # triangle 1-2-3 given with duplicates, reversals and a loop
+        rows = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 3)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: r.triangles for r in triangle_count(df).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_matches_naive_closure_on_random_graph(self, spark):
+        from odin_rs_spark.operators.graph import triangle_count
+
+        # deterministic pseudo-random graph on 30 nodes
+        rows = [
+            (i, (i * 7 + j * 13) % 30)
+            for i in range(30)
+            for j in range(4)
+            if i != (i * 7 + j * 13) % 30
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        mine = {r.node: r.triangles for r in triangle_count(df).collect()}
+        # naive: canonical edges, three-way closure a<b<c
+        und = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+        naive: dict[int, int] = {}
+        es = sorted(und)
+        eset = set(und)
+        for a, b in es:
+            for c in range(30):
+                if b < c and (b, c) in eset and (a, c) in eset:
+                    for n in (a, b, c):
+                        naive[n] = naive.get(n, 0) + 1
+        assert {k: v for k, v in mine.items() if v} == naive
