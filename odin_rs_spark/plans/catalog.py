@@ -19795,6 +19795,81 @@ FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
 """
 
 
+# --------------------------------------------------------------------------
+# q295 — TRAINED quality classifier routing (the DCLM / fineweb-edu
+# pattern: Gopher/C4 rule filters are recall tools, the keep decision
+# at corpus scale is a trained model): a committed logistic-regression
+# fixture (tools/train_quality.py, the langid/q130 offline-training
+# discipline) scores six text-shape ratio features as PURE COLUMN MATH
+# — each feature one division of two counts, the dot product in a
+# fixed left-to-right order — so the logit is the bit-identical IEEE
+# double in Spark and DuckDB and the oracle replays score and routing
+# decision for every document with zero tolerance. The logit (not the
+# sigmoid) routes: monotone in probability, no libm exp() divergence.
+# --------------------------------------------------------------------------
+
+def q295_quality_model_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.quality import quality_route
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_route(docs, "text").select(
+        "doc_id", "lang", "logit", "bucket"
+    )
+
+
+def _q295_sql() -> str:
+    from odin_rs_spark.functions.quality import (
+        FEATURES,
+        STOPWORDS,
+        load_quality_model,
+    )
+
+    m = load_quality_model()
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    fexpr = {
+        "mean_word_len": "nonspace / n_words",
+        "stopword_ratio": "n_stop / n_words",
+        "punct_ratio": "n_punct / n_chars",
+        "digit_ratio": "n_digit / n_chars",
+        "caps_ratio": "n_caps / n_chars",
+        "distinct_ratio": "n_distinct / n_words",
+    }
+    z = f"({m['__bias__']:.6f})::DOUBLE"
+    for name in FEATURES:
+        z += f" + ({m[name]:.6f})::DOUBLE * ({fexpr[name]})"
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS n_caps
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, n_chars, nonspace, n_punct, n_digit, n_caps,
+         len(words) AS n_words,
+         len(list_filter(words,
+             w -> list_contains([{stops}], lower(w)))) AS n_stop,
+         len(list_distinct(list_transform(words, w -> lower(w))))
+           AS n_distinct
+  FROM c),
+z AS (SELECT doc_id, lang, round({z}, 6) AS logit FROM f)
+SELECT doc_id, lang, logit,
+       CASE WHEN logit >= 1.0 THEN 'keep'
+            WHEN logit < -1.0 THEN 'drop'
+            ELSE 'review' END AS bucket
+FROM z
+"""
+
+
+Q295_SQL = _q295_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -19955,6 +20030,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q292_tensor_shard_scan", q292_tensor_shard_scan, Q292_SQL, "S-tensor npy-npz-safetensors shard stats"),
         QuerySpec("q293_kmv_intersection", q293_kmv_intersection, Q293_SQL, "sketch kmv-theta set-intersection audit"),
         QuerySpec("q294_triangle_clustering", q294_triangle_clustering, Q294_SQL, "graph oriented-wedge triangle clustering"),
+        QuerySpec("q295_quality_model_route", q295_quality_model_route, Q295_SQL, "text trained-lr quality routing"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
