@@ -19870,6 +19870,87 @@ FROM z
 Q295_SQL = _q295_sql()
 
 
+# --------------------------------------------------------------------------
+# q296 — snapshot transaction log: TIME TRAVEL + VACUUM planning (the
+# Delta/Iceberg metadata layer q254's compaction and q290's footer
+# stats sit under: a table IS an ordered log of add/remove file
+# actions; the live set at snapshot s is each file's LATEST action at
+# or before the boundary, and vacuum eligibility is a tombstone older
+# than the retention horizon). One broadcast of the 4-row snapshot dim
+# against the log, one max-struct per (snapshot, file) — the same
+# exchange shape at a billion log entries. The oracle replays the
+# arg_max state machine per boundary; the vacuum count flips from 0 to
+# nonzero only once the horizon clears the first tombstones, so the
+# retention algebra is load-bearing.
+# --------------------------------------------------------------------------
+
+def q296_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = spark.range(360).select(F.col("id").alias("seq"))
+    log = seqs.select(
+        "seq",
+        ((F.col("seq") * 7) % 200).alias("file_id"),
+        F.when(
+            (F.col("seq") >= 160) & (F.col("seq") % 5 == 0), F.lit("remove")
+        ).otherwise(F.lit("add")).alias("op"),
+    ).withColumn(
+        "size_bytes", F.lit(1000) + (F.col("file_id") * 37) % 5000
+    )
+    bounds = spark.range(4).select(
+        F.col("id").alias("snapshot_id"),
+        (F.col("id") * 90 + 89).alias("boundary"),
+    )
+    j = log.join(F.broadcast(bounds), F.col("seq") <= F.col("boundary"))
+    latest = j.groupBy("snapshot_id", "boundary", "file_id").agg(
+        F.max(F.struct("seq", "op", "size_bytes")).alias("m")
+    )
+    state = latest.select(
+        "snapshot_id",
+        "boundary",
+        F.col("m.seq").alias("seq"),
+        F.col("m.op").alias("op"),
+        F.col("m.size_bytes").alias("size_bytes"),
+    )
+    live = F.col("op") == "add"
+    vac = (~live) & (F.col("seq") <= F.col("boundary") - 180)
+    return state.groupBy("snapshot_id", "boundary").agg(
+        F.sum(live.cast("int")).cast("bigint").alias("n_live"),
+        F.sum(F.when(live, F.col("size_bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("live_bytes"),
+        F.sum((~live).cast("int")).cast("bigint").alias("n_tombstones"),
+        F.sum(vac.cast("int")).cast("bigint").alias("n_vacuumable"),
+    )
+
+
+Q296_SQL = """
+WITH log AS (
+  SELECT s.range AS seq, (s.range * 7) % 200 AS file_id,
+         CASE WHEN s.range >= 160 AND s.range % 5 = 0
+              THEN 'remove' ELSE 'add' END AS op,
+         1000 + ((s.range * 7) % 200) * 37 % 5000 AS size_bytes
+  FROM range(360) s),
+bounds AS (
+  SELECT b.range AS snapshot_id, b.range * 90 + 89 AS boundary
+  FROM range(4) b),
+state AS (
+  SELECT b.snapshot_id, b.boundary, l.file_id,
+         arg_max(l.seq, l.seq) AS seq,
+         arg_max(l.op, l.seq) AS op,
+         arg_max(l.size_bytes, l.seq) AS size_bytes
+  FROM bounds b JOIN log l ON l.seq <= b.boundary
+  GROUP BY b.snapshot_id, b.boundary, l.file_id)
+SELECT snapshot_id, boundary,
+       sum(CASE WHEN op = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_live,
+       sum(CASE WHEN op = 'add' THEN size_bytes ELSE 0 END)::BIGINT
+         AS live_bytes,
+       sum(CASE WHEN op = 'remove' THEN 1 ELSE 0 END)::BIGINT
+         AS n_tombstones,
+       sum(CASE WHEN op = 'remove' AND seq <= boundary - 180
+                THEN 1 ELSE 0 END)::BIGINT AS n_vacuumable
+FROM state GROUP BY snapshot_id, boundary
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20031,6 +20112,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q293_kmv_intersection", q293_kmv_intersection, Q293_SQL, "sketch kmv-theta set-intersection audit"),
         QuerySpec("q294_triangle_clustering", q294_triangle_clustering, Q294_SQL, "graph oriented-wedge triangle clustering"),
         QuerySpec("q295_quality_model_route", q295_quality_model_route, Q295_SQL, "text trained-lr quality routing"),
+        QuerySpec("q296_snapshot_time_travel", q296_snapshot_time_travel, Q296_SQL, "layout txn-log time-travel vacuum"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
