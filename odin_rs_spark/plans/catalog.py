@@ -19951,6 +19951,127 @@ FROM state GROUP BY snapshot_id, boundary
 """
 
 
+# --------------------------------------------------------------------------
+# q297 — DTMF decoding by the GOERTZEL single-bin DFT (classic
+# telephony DSP, and the audio-modality capability the existing stats/
+# silence/resample kernels lack: FREQUENCY-domain feature extraction —
+# power at 8 keypad frequencies in O(frames×8), the shape a scan-side
+# kernel wants instead of a full FFT). Ten synthesized calls dial 8
+# keys each (two-tone frames + an inter-digit silence frame, ITU
+# 205-sample blocks at 8 kHz) through REAL WAV encode/decode; the
+# kernel detects each frame's (row, column) pair by band-wise argmax
+# and maps the 4×4 keypad including the A–D military column. The
+# oracle re-synthesizes the tones and replays Goertzel in SQL trig;
+# output is DECISION-LEVEL (frequencies + digit, never raw powers), so
+# the compare is immune to last-ulp libm-vs-Java trig drift while the
+# detected keys remain fully load-bearing.
+# --------------------------------------------------------------------------
+
+def _dtmf_media(spark: SparkSession, n: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import numpy as np
+
+        from odin_rs_spark.sources.audiocodec import encode_wav
+
+        lows, highs = (697, 770, 852, 941), (1209, 1336, 1477, 1633)
+        out = []
+        for mid in series:
+            mid = int(mid)
+            segs = []
+            for k in range(8):
+                d = (mid * 3 + k * 5) % 16
+                flo, fhi = lows[d // 4], highs[d % 4]
+                m = np.arange(410, dtype=np.float64)
+                tone = np.floor(
+                    5000.0 * np.sin(2.0 * np.pi * flo * m / 8000.0)
+                    + 4000.0 * np.sin(2.0 * np.pi * fhi * m / 8000.0)
+                    + 0.5
+                )
+                segs.append(tone)
+                segs.append(np.zeros(205))
+            s = np.concatenate(segs).astype(np.int16)
+            out.append(encode_wav(s, rate=8000))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q297_dtmf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.multimodal import dtmf_decode
+
+    media = _dtmf_media(spark, 10)
+    return dtmf_decode(media)
+
+
+Q297_SQL = """
+WITH calls AS (SELECT r.range AS media_id FROM range(10) r),
+keys AS (
+  SELECT media_id, k.range AS k, (media_id * 3 + k.range * 5) % 16 AS d
+  FROM calls, range(8) k),
+kf AS (
+  SELECT media_id, k, d,
+         [697, 770, 852, 941][d // 4 + 1] AS flo,
+         [1209, 1336, 1477, 1633][d % 4 + 1] AS fhi
+  FROM keys),
+s AS MATERIALIZED (
+  SELECT media_id, k * 3 + (mm.range // 205) AS frame_no,
+         mm.range % 205 AS idx,
+         floor(5000.0 * sin(2 * pi() * flo * mm.range / 8000.0)
+               + 4000.0 * sin(2 * pi() * fhi * mm.range / 8000.0)
+               + 0.5) AS sv
+  FROM kf, range(410) mm),
+fr AS (SELECT f.range AS freq_i,
+              [697, 770, 852, 941, 1209, 1336, 1477, 1633][f.range + 1] AS freq
+       FROM range(8) f),
+g AS MATERIALIZED (
+  SELECT s.media_id, s.frame_no, fr.freq, fr.freq_i,
+         pow(sum(s.sv * cos(2 * pi() * fr.freq * s.idx / 8000.0)), 2)
+           + pow(sum(s.sv * sin(2 * pi() * fr.freq * s.idx / 8000.0)), 2)
+           AS p
+  FROM s, fr GROUP BY 1, 2, 3, 4),
+frames AS (
+  SELECT media_id, fr2.range AS frame_no FROM calls, range(24) fr2),
+mx AS (SELECT media_id, frame_no, max(p) AS pmax FROM g GROUP BY 1, 2),
+lo AS (
+  SELECT media_id, frame_no, freq AS f_low FROM (
+    SELECT media_id, frame_no, freq,
+           row_number() OVER (PARTITION BY media_id, frame_no
+                              ORDER BY p DESC, freq ASC) AS rn
+    FROM g WHERE freq_i < 4) WHERE rn = 1),
+hi AS (
+  SELECT media_id, frame_no, freq AS f_high FROM (
+    SELECT media_id, frame_no, freq,
+           row_number() OVER (PARTITION BY media_id, frame_no
+                              ORDER BY p DESC, freq ASC) AS rn
+    FROM g WHERE freq_i >= 4) WHERE rn = 1)
+SELECT f.media_id, f.frame_no,
+       (coalesce(m.pmax, 0) < 1000000000.0) AS silence,
+       CASE WHEN m.pmax >= 1000000000.0 THEN lo.f_low END::INT AS f_low,
+       CASE WHEN m.pmax >= 1000000000.0 THEN hi.f_high END::INT AS f_high,
+       CASE WHEN m.pmax >= 1000000000.0 THEN
+         substr('123A456B789C*0#D',
+                (CASE lo.f_low WHEN 697 THEN 0 WHEN 770 THEN 1
+                               WHEN 852 THEN 2 ELSE 3 END) * 4
+                + (CASE hi.f_high WHEN 1209 THEN 0 WHEN 1336 THEN 1
+                                  WHEN 1477 THEN 2 ELSE 3 END) + 1, 1)
+       END AS digit
+FROM frames f
+LEFT JOIN mx m ON m.media_id = f.media_id AND m.frame_no = f.frame_no
+LEFT JOIN lo ON lo.media_id = f.media_id AND lo.frame_no = f.frame_no
+LEFT JOIN hi ON hi.media_id = f.media_id AND hi.frame_no = f.frame_no
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20113,6 +20234,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q294_triangle_clustering", q294_triangle_clustering, Q294_SQL, "graph oriented-wedge triangle clustering"),
         QuerySpec("q295_quality_model_route", q295_quality_model_route, Q295_SQL, "text trained-lr quality routing"),
         QuerySpec("q296_snapshot_time_travel", q296_snapshot_time_travel, Q296_SQL, "layout txn-log time-travel vacuum"),
+        QuerySpec("q297_dtmf_decode", q297_dtmf_decode, Q297_SQL, "multimodal goertzel dtmf telephony decode"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

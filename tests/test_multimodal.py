@@ -353,3 +353,56 @@ def test_catmullrom_linear_invariants():
     edge[:, 8:] = 255
     up = resize_catmullrom(edge, 32, 8)
     assert up.min() == 0 and up.max() == 255  # clamped, no wrap
+
+
+class TestDtmfGoertzel:
+    @staticmethod
+    def _call(digits: str, noise: int = 0):
+        import numpy as np
+
+        from odin_rs_spark.operators.multimodal import DTMF_HIGH, DTMF_LOW, DTMF_PAD
+        from odin_rs_spark.sources.audiocodec import encode_wav
+
+        segs = []
+        for ch in digits:
+            d = DTMF_PAD.index(ch)
+            flo, fhi = DTMF_LOW[d // 4], DTMF_HIGH[d % 4]
+            m = np.arange(410, dtype=np.float64)
+            tone = np.floor(
+                5000 * np.sin(2 * np.pi * flo * m / 8000.0)
+                + 4000 * np.sin(2 * np.pi * fhi * m / 8000.0)
+                + 0.5
+            )
+            if noise:
+                tone = tone + ((m * 37).astype(np.int64) % (2 * noise + 1)) - noise
+            segs.append(tone)
+            segs.append(np.zeros(205))
+        s = np.concatenate(segs).astype(np.int16)
+        return encode_wav(s, rate=8000)
+
+    def test_decodes_dialed_sequence(self, spark):
+        from odin_rs_spark.operators.multimodal import dtmf_decode
+
+        number = "18005550*#D"
+        df = spark.createDataFrame(
+            [(0, self._call(number))], "media_id long, content binary"
+        )
+        out = sorted(dtmf_decode(df).collect(), key=lambda r: r.frame_no)
+        # tone spans two frames; take one per key via frame_no % 3 == 0
+        got = "".join(
+            r.digit for r in out if not r.silence and r.frame_no % 3 == 0
+        )
+        assert got == number
+        assert all(r.silence for r in out if r.frame_no % 3 == 2)
+
+    def test_robust_to_additive_noise(self, spark):
+        from odin_rs_spark.operators.multimodal import dtmf_decode
+
+        df = spark.createDataFrame(
+            [(0, self._call("42", noise=50))], "media_id long, content binary"
+        )
+        out = dtmf_decode(df).collect()
+        got = "".join(
+            r.digit for r in out if not r.silence and r.frame_no % 3 == 0
+        )
+        assert got == "42"
