@@ -20072,6 +20072,102 @@ LEFT JOIN hi ON hi.media_id = f.media_id AND hi.frame_no = f.frame_no
 """
 
 
+# --------------------------------------------------------------------------
+# q298 — parquet DATA-PAGE decode + statistics honesty audit (the
+# trust-but-verify layer under q290's footer scan: before file
+# skipping is allowed to elide a petabyte, prove the stats describe
+# the pages — decode every page and verify min/max/null_count against
+# actual values). Pure-Python page walk: page-header thrift, RLE/bit-
+# packed hybrid definition levels, PLAIN and RLE_DICTIONARY encodings,
+# and THREE page codecs across the two fixtures — snappy (the new
+# sources/snappycodec, exercised against parquet-cpp's real
+# compressor), gzip, and zstd through the in-repo RFC 8878 decoder.
+# The oracle never sees this parser: DuckDB reads the same files' DATA
+# for per-row-group aggregates and parquet_metadata() for the stats,
+# and recomputes every ok-flag independently.
+# --------------------------------------------------------------------------
+
+def _pages_plain_fixture() -> str:
+    import os as _os
+
+    import odin_rs_spark
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "pages_plain.parquet",
+    )
+
+
+def q298_parquet_page_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.parquetmeta import parquet_page_audit
+
+    files = spark.read.format("binaryFile").load(
+        [_parquet_stats_fixture(), _pages_plain_fixture()]
+    )
+    out = parquet_page_audit(files, ["id", "val", "name"])
+    return out.select(
+        "file", "rg", "col_name", "n_values", "n_nulls", "stats_nulls_ok",
+        "stats_min_ok", "stats_max_ok",
+        F.round("sum_num", 6).alias("sum_num"),
+    )
+
+
+def _q298_sql() -> str:
+    f1, f2 = _parquet_stats_fixture(), _pages_plain_fixture()
+
+    def per_file(path: str, fname: str, rows: int) -> str:
+        return f"""
+SELECT '{fname}' AS file, id // {rows} AS rg, c.col_name,
+       count(*) AS n_values,
+       sum(CASE WHEN c.col_name = 'name' AND name IS NULL
+                THEN 1 ELSE 0 END) AS n_nulls,
+       CASE c.col_name WHEN 'id' THEN sum(id)::DOUBLE
+                       WHEN 'val' THEN sum(val)::DOUBLE END AS data_sum,
+       CASE c.col_name
+         WHEN 'id' THEN min(id)::VARCHAR
+         WHEN 'val' THEN min(val)::VARCHAR
+         ELSE min(name) END AS data_min,
+       CASE c.col_name
+         WHEN 'id' THEN max(id)::VARCHAR
+         WHEN 'val' THEN max(val)::VARCHAR
+         ELSE max(name) END AS data_max
+FROM read_parquet('{path}'),
+     (VALUES ('id'), ('val'), ('name')) c(col_name)
+GROUP BY 1, 2, 3"""
+
+    return f"""
+WITH data AS ({per_file(f1, 'stats_rowgroups.parquet', 800)}
+UNION ALL {per_file(f2, 'pages_plain.parquet', 700)}),
+meta AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS file,
+         row_group_id AS rg, path_in_schema AS col_name, type,
+         stats_null_count, stats_min_value, stats_max_value
+  FROM parquet_metadata('{f1}')
+  UNION ALL
+  SELECT regexp_extract(file_name, '[^/]+$'), row_group_id,
+         path_in_schema, type, stats_null_count, stats_min_value,
+         stats_max_value
+  FROM parquet_metadata('{f2}'))
+SELECT d.file, d.rg::BIGINT AS rg, d.col_name,
+       d.n_values::BIGINT AS n_values, d.n_nulls::BIGINT AS n_nulls,
+       (m.stats_null_count = d.n_nulls) AS stats_nulls_ok,
+       (CASE WHEN m.type = 'BYTE_ARRAY' THEN m.stats_min_value = d.data_min
+             ELSE TRY_CAST(m.stats_min_value AS DOUBLE)
+                  = TRY_CAST(d.data_min AS DOUBLE) END) AS stats_min_ok,
+       (CASE WHEN m.type = 'BYTE_ARRAY' THEN m.stats_max_value = d.data_max
+             ELSE TRY_CAST(m.stats_max_value AS DOUBLE)
+                  = TRY_CAST(d.data_max AS DOUBLE) END) AS stats_max_ok,
+       round(d.data_sum, 6) AS sum_num
+FROM data d JOIN meta m
+  ON m.file = d.file AND m.rg = d.rg AND m.col_name = d.col_name
+"""
+
+
+Q298_SQL = _q298_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20235,6 +20331,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q295_quality_model_route", q295_quality_model_route, Q295_SQL, "text trained-lr quality routing"),
         QuerySpec("q296_snapshot_time_travel", q296_snapshot_time_travel, Q296_SQL, "layout txn-log time-travel vacuum"),
         QuerySpec("q297_dtmf_decode", q297_dtmf_decode, Q297_SQL, "multimodal goertzel dtmf telephony decode"),
+        QuerySpec("q298_parquet_page_audit", q298_parquet_page_audit, Q298_SQL, "S-parquet page-decode stats-honesty audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

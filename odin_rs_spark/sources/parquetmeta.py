@@ -413,3 +413,265 @@ def parquet_rowgroup_stats(files_df, on_error: str = "raise"):
 
     ensure_shipped(files_df.sparkSession)
     return files_df.select("path", "content").mapInPandas(fn, ROWGROUP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# data-page decode (the trust-but-verify layer: q290 reads the footer
+# STATS; this decodes the PAGES those stats describe, so an audit can
+# prove min/max/null_count against actual values — the check a lake
+# runs before it lets file-skipping elide a petabyte). Scope: data
+# page v1, PLAIN and RLE_DICTIONARY encodings, RLE/bit-packed hybrid
+# definition levels, flat optional columns; codecs UNCOMPRESSED /
+# SNAPPY (sources/snappycodec) / GZIP (zlib) / ZSTD (sources/
+# zstdcodec). Everything else raises BY NAME.
+# ---------------------------------------------------------------------------
+
+_ENC_PLAIN = 0
+_ENC_PLAIN_DICT = 2
+_ENC_RLE = 3
+_ENC_RLE_DICT = 8
+
+
+def _rle_hybrid(data: bytes, pos: int, bitwidth: int, count: int) -> tuple[list[int], int]:
+    """parquet RLE/bit-packed hybrid → `count` ints."""
+    vals: list[int] = []
+    byw = (bitwidth + 7) // 8
+    while len(vals) < count:
+        header, pos = _varint(data, pos)
+        if header & 1:  # bit-packed groups of 8
+            groups = header >> 1
+            nbytes = groups * bitwidth
+            if pos + nbytes > len(data):
+                raise ValueError("rle bit-packed run past end")
+            bits = int.from_bytes(data[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bitwidth) - 1
+            for i in range(groups * 8):
+                vals.append((bits >> (i * bitwidth)) & mask)
+        else:  # rle run
+            run = header >> 1
+            if pos + byw > len(data):
+                raise ValueError("rle run value past end")
+            v = int.from_bytes(data[pos : pos + byw], "little")
+            pos += byw
+            vals.extend([v] * run)
+        if len(vals) > count + 8:
+            # bit-packed runs round up to 8; more than that is corrupt
+            raise ValueError("rle hybrid produced too many values")
+    return vals[:count], pos
+
+
+def _plain_values(data: bytes, pos: int, ptype: str, n: int) -> tuple[list, int]:
+    if ptype in ("INT32", "FLOAT"):
+        need = 4 * n
+        fmt = "<%d%s" % (n, "i" if ptype == "INT32" else "f")
+    elif ptype in ("INT64", "DOUBLE"):
+        need = 8 * n
+        fmt = "<%d%s" % (n, "q" if ptype == "INT64" else "d")
+    elif ptype == "BYTE_ARRAY":
+        out = []
+        for _ in range(n):
+            if pos + 4 > len(data):
+                raise ValueError("byte_array length past end")
+            ln = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            if pos + ln > len(data):
+                raise ValueError("byte_array value past end")
+            out.append(data[pos : pos + ln].decode("utf-8", "replace"))
+            pos += ln
+        return out, pos
+    else:
+        raise ValueError(f"plain decode unsupported for {ptype}")
+    if pos + need > len(data):
+        raise ValueError(f"{ptype} plain values past end")
+    return list(_struct_mod.unpack_from(fmt, data, pos)), pos + need
+
+
+def _decompress_page(payload: bytes, codec: str, usize: int) -> bytes:
+    if codec == "UNCOMPRESSED":
+        out = payload
+    elif codec == "SNAPPY":
+        from odin_rs_spark.sources.snappycodec import snappy_decompress
+
+        out = snappy_decompress(payload)
+    elif codec == "GZIP":
+        import zlib
+
+        try:
+            out = zlib.decompress(payload, wbits=31)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip page: {exc}") from exc
+    elif codec == "ZSTD":
+        from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+        out = zstd_decompress(payload)
+    else:
+        raise ValueError(f"unsupported parquet page codec: {codec}")
+    if len(out) != usize:
+        raise ValueError(
+            f"page decompressed to {len(out)} bytes, header said {usize}"
+        )
+    return out
+
+
+def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
+    """Decode one column chunk's values (None for nulls) straight from
+    the pages — no parquet library. Flat optional columns, data page
+    v1, PLAIN / RLE_DICTIONARY."""
+    meta = parse_parquet_footer(buf)
+    try:
+        rg = meta["row_groups"][rg_index]
+    except IndexError:
+        raise ValueError(f"row group {rg_index} out of range") from None
+    col = next((c for c in rg["columns"] if c["path"] == col_path), None)
+    if col is None:
+        raise ValueError(f"column {col_path!r} not in row group")
+    start = col["data_page_offset"]
+    if col["dictionary_page_offset"] is not None:
+        start = min(start, col["dictionary_page_offset"])
+    pos = start
+    end = start + col["total_compressed_size"]
+    if end > len(buf):
+        raise ValueError("column chunk extends past file")
+    dictionary: list | None = None
+    out: list = []
+    target = col["num_values"]
+    while len(out) < target:
+        if pos >= end:
+            raise ValueError("column chunk pages exhausted early")
+        hdr, pos = _struct(buf[:end], pos)
+        ptype_pg = _int_or_none(hdr.get(1), "page.type")
+        usize = _int_or_none(hdr.get(2), "page.uncompressed_size")
+        csize = _int_or_none(hdr.get(3), "page.compressed_size")
+        if usize is None or csize is None or pos + csize > end:
+            raise ValueError("page sizes out of bounds")
+        payload = _decompress_page(
+            bytes(buf[pos : pos + csize]), col["codec"], usize
+        )
+        pos += csize
+        if ptype_pg == 2:  # dictionary page
+            dh = _want(hdr.get(7) or {}, dict, "dictionary_page_header")
+            nvals = _int_or_none(dh.get(1), "dict.num_values") or 0
+            dictionary, _ = _plain_values(payload, 0, col["type"], nvals)
+            continue
+        if ptype_pg != 0:
+            raise ValueError(f"unsupported page type {ptype_pg} (v2?)")
+        dph = _want(hdr.get(5) or {}, dict, "data_page_header")
+        nvals = _int_or_none(dph.get(1), "page.num_values")
+        enc = _int_or_none(dph.get(2), "page.encoding")
+        if nvals is None:
+            raise ValueError("data page missing num_values")
+        p = 0
+        # definition levels: optional flat column -> bitwidth 1,
+        # 4-byte length prefix, RLE encoding (parquet spec default)
+        if p + 4 > len(payload):
+            raise ValueError("def-level length past end")
+        dlen = int.from_bytes(payload[p : p + 4], "little")
+        p += 4
+        if p + dlen > len(payload):
+            raise ValueError("def levels past end")
+        defs, _ = _rle_hybrid(payload[: p + dlen], p, 1, nvals)
+        p += dlen
+        n_present = sum(defs)
+        if enc == _ENC_PLAIN:
+            vals, p = _plain_values(payload, p, col["type"], n_present)
+        elif enc in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
+            if dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary")
+            if p >= len(payload):
+                raise ValueError("dict indices past end")
+            bw = payload[p]
+            p += 1
+            if bw > 32:
+                raise ValueError(f"dict index bit width {bw} invalid")
+            idx, p = _rle_hybrid(payload, p, bw, n_present) if bw else ([0] * n_present, p)
+            try:
+                vals = [dictionary[i] for i in idx]
+            except IndexError:
+                raise ValueError("dict index out of range") from None
+        else:
+            raise ValueError(f"unsupported data page encoding {enc}")
+        it = iter(vals)
+        for d in defs:
+            out.append(next(it) if d else None)
+    return out
+
+
+PAGE_AUDIT_SCHEMA = (
+    "file string, rg bigint, col_name string, n_values bigint, "
+    "n_nulls bigint, stats_nulls_ok boolean, stats_min_ok boolean, "
+    "stats_max_ok boolean, sum_num double"
+)
+
+
+def parquet_page_audit(files_df, columns: list[str], on_error: str = "raise"):
+    """Decode every row group's pages for `columns` and verify the
+    footer statistics against the DECODED values — the trust-but-
+    verify audit that has to pass before file skipping is allowed to
+    elide data. One row per (file, row group, column)."""
+    import os as _os
+
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "file": [], "rg": [], "col_name": [], "n_values": [],
+                "n_nulls": [], "stats_nulls_ok": [], "stats_min_ok": [],
+                "stats_max_ok": [], "sum_num": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    buf = bytes(content)
+                    meta = parse_parquet_footer(buf)
+                    base = _os.path.basename(path)
+                    for gi, rg in enumerate(meta["row_groups"]):
+                        for c in rg["columns"]:
+                            if c["path"] not in columns:
+                                continue
+                            vals = parquet_column_values(buf, gi, c["path"])
+                            present = [v for v in vals if v is not None]
+                            nn = len(vals) - len(present)
+                            numeric = c["type"] in (
+                                "INT32", "INT64", "FLOAT", "DOUBLE"
+                            )
+                            lo = min(present) if present else None
+                            hi = max(present) if present else None
+                            if numeric:
+                                ok_min = (
+                                    c["min_num"] is not None
+                                    and float(lo) == c["min_num"]
+                                )
+                                ok_max = (
+                                    c["max_num"] is not None
+                                    and float(hi) == c["max_num"]
+                                )
+                                s = float(sum(float(v) for v in present))
+                            else:
+                                ok_min = c["min_str"] == lo
+                                ok_max = c["max_str"] == hi
+                                s = None
+                            rows["file"].append(base)
+                            rows["rg"].append(gi)
+                            rows["col_name"].append(c["path"])
+                            rows["n_values"].append(len(vals))
+                            rows["n_nulls"].append(nn)
+                            rows["stats_nulls_ok"].append(
+                                c["null_count"] == nn
+                            )
+                            rows["stats_min_ok"].append(bool(ok_min))
+                            rows["stats_max_ok"].append(bool(ok_max))
+                            rows["sum_num"].append(s)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, PAGE_AUDIT_SCHEMA)

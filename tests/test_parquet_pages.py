@@ -1,0 +1,170 @@
+"""Snappy codec + parquet data-page decode (sources/snappycodec,
+parquetmeta page layer): parquet-cpp's real snappy output and
+pyarrow's reader are the referees, the fuzz discipline applies, and a
+TAMPERED file proves the stats-honesty audit actually catches a lying
+footer."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from odin_rs_spark.sources.parquetmeta import (
+    parquet_column_values,
+    parquet_page_audit,
+)
+from odin_rs_spark.sources.snappycodec import encode_snappy, snappy_decompress
+
+
+class TestSnappy:
+    def test_twin_roundtrip(self):
+        data = b"hello snappy " * 500
+        assert snappy_decompress(encode_snappy(data)) == data
+        assert snappy_decompress(encode_snappy(b"")) == b""
+
+    def test_hand_built_copies(self):
+        # literal 'abcd' + 1-byte-offset copy len 8 off 4 -> overlap RLE
+        blob = bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+        assert snappy_decompress(blob) == b"abcdabcdabcd"
+        # 2-byte-offset copy
+        blob2 = bytes([8, (4 - 1) << 2]) + b"wxyz" + bytes([((4 - 1) << 2) | 2, 4, 0])
+        assert snappy_decompress(blob2) == b"wxyzwxyz"
+
+    def test_bad_offset_raises(self):
+        blob = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([((4 - 1) << 2) | 1, 9])
+        with pytest.raises(ValueError, match="offset"):
+            snappy_decompress(blob)
+
+    def test_length_mismatch_raises(self):
+        blob = bytes([99, (4 - 1) << 2]) + b"abcd"
+        with pytest.raises(ValueError):
+            snappy_decompress(blob)
+
+    def test_real_parquet_cpp_output(self):
+        # pyarrow writes snappy pages; decoding the whole column is the
+        # end-to-end referee for copy-heavy real compressor output
+        ids = list(range(3000))
+        tbl = pa.table({"x": pa.array([i % 17 for i in ids], pa.int64())})
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy", use_dictionary=False)
+        vals = parquet_column_values(sink.getvalue(), 0, "x")
+        assert vals == [i % 17 for i in ids]
+
+    def test_fuzz_valueerror_only(self):
+        buf = encode_snappy(b"abc" * 300)
+        for cut in range(len(buf)):
+            try:
+                snappy_decompress(buf[:cut])
+            except ValueError:
+                pass
+        for off in range(len(buf)):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                snappy_decompress(bytes(m))
+            except ValueError:
+                pass
+
+
+def _mk_parquet(vals_name=None, compression="snappy", use_dictionary=True):
+    ids = list(range(600))
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "val": pa.array([i * 0.5 for i in ids], pa.float64()),
+    }
+    if vals_name:
+        cols["name"] = pa.array(vals_name, pa.string())
+    sink = io.BytesIO()
+    pq.write_table(
+        pa.table(cols), sink, row_group_size=200,
+        compression=compression, use_dictionary=use_dictionary,
+    )
+    return sink.getvalue()
+
+
+class TestPageDecode:
+    @pytest.mark.parametrize("compression", ["none", "snappy", "gzip", "zstd"])
+    @pytest.mark.parametrize("use_dictionary", [True, False])
+    def test_values_match_pyarrow(self, compression, use_dictionary):
+        names = [None if i % 7 == 0 else f"n{i % 13}" for i in range(600)]
+        buf = _mk_parquet(names, compression, use_dictionary)
+        ref = pq.read_table(io.BytesIO(buf))
+        for rg in range(3):
+            sl = slice(rg * 200, rg * 200 + 200)
+            assert parquet_column_values(buf, rg, "id") == ref["id"].to_pylist()[sl]
+            assert parquet_column_values(buf, rg, "val") == ref["val"].to_pylist()[sl]
+            assert parquet_column_values(buf, rg, "name") == names[sl]
+
+    def test_unsupported_codec_named(self):
+        buf = _mk_parquet(compression="lz4")
+        with pytest.raises(ValueError, match="codec"):
+            parquet_column_values(buf, 0, "id")
+
+    def test_unknown_column_and_rg(self):
+        buf = _mk_parquet()
+        with pytest.raises(ValueError, match="column"):
+            parquet_column_values(buf, 0, "nope")
+        with pytest.raises(ValueError, match="row group"):
+            parquet_column_values(buf, 9, "id")
+
+    def test_page_region_mutation_valueerror_only(self):
+        buf = _mk_parquet(use_dictionary=False)
+        # mutate inside the first column chunk region only
+        for off in range(4, 600, 7):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parquet_column_values(bytes(m), 0, "id")
+            except ValueError:
+                pass
+
+
+class TestStatsHonesty:
+    def test_audit_catches_tampered_value(self, spark, tmp_path):
+        ids = list(range(100))
+        vals = [1.5] * 100
+        vals[37] = 99.5  # the row-group max
+        tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                        "val": pa.array(vals, pa.float64())})
+        p = tmp_path / "t.parquet"
+        pq.write_table(tbl, p, compression="none", use_dictionary=False)
+        raw = p.read_bytes()
+        # corrupt the data page: swap the 99.5 payload for 999.5 so the
+        # footer max (99.5) no longer describes the pages. The pattern
+        # also appears in page-header AND footer statistics (modern +
+        # legacy fields); patch the occurrence that is 8-byte aligned
+        # inside the val chunk's PLAIN value region per the footer
+        from odin_rs_spark.sources.parquetmeta import parse_parquet_footer
+
+        meta = parse_parquet_footer(raw)
+        c = next(c for c in meta["row_groups"][0]["columns"]
+                 if c["path"] == "val")
+        lo = c["data_page_offset"]
+        hi = lo + c["total_compressed_size"]
+        pat, rep = struct.pack("<d", 99.5), struct.pack("<d", 999.5)
+        # last occurrence inside the chunk region = the value itself
+        # (header stats precede the page payload)
+        mid = raw.rfind(pat, lo, hi)
+        assert mid > 0
+        tampered = raw[:mid] + rep + raw[mid + 8 :]
+        q = tmp_path / "tampered.parquet"
+        q.write_bytes(tampered)
+        files = spark.read.format("binaryFile").load(str(q))
+        out = {r.col_name: r for r in
+               parquet_page_audit(files, ["id", "val"]).collect()}
+        assert out["id"].stats_max_ok and out["id"].stats_min_ok
+        assert not out["val"].stats_max_ok  # the lie is caught
+        assert out["val"].stats_min_ok
+
+    def test_honest_file_all_green(self, spark, tmp_path):
+        p = tmp_path / "h.parquet"
+        p.write_bytes(_mk_parquet())
+        files = spark.read.format("binaryFile").load(str(p))
+        rows = parquet_page_audit(files, ["id", "val"]).collect()
+        assert len(rows) == 6
+        assert all(r.stats_min_ok and r.stats_max_ok and r.stats_nulls_ok
+                   for r in rows)
