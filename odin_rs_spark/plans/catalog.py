@@ -19466,9 +19466,10 @@ Q290_SQL = _q290_sql()
 # OCF reader (sources/avrocodec.py — zigzag varints, map<bytes>
 # metadata, sync-marker verification, blocked arrays) over the
 # binaryFile walker shape; three committed fixture files cover the
-# THREE supported codecs (null / deflate / zstandard — the zstd path
-# exercises the in-repo RFC 8878 decoder inside a second container
-# format), snappy/bzip2/xz are named rejections. 400 formula records
+# FOUR supported codecs (null / deflate / zstandard / snappy — the
+# zstd and snappy paths exercise the in-repo decoders inside a second
+# container format, snappy with the spec's CRC32 of the uncompressed
+# block verified), bzip2/xz are named rejections. 400 formula records
 # per file; the oracle replays the formulas including the nullable-
 # union NULL slots, the boolean field and the array-membership probe
 # (has a 't3' tag), so every decoded field type is load-bearing.
@@ -19487,7 +19488,7 @@ def q291_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = spark.read.format("binaryFile").load(
         [_os.path.join(fixdir, f"events_{c}.avro")
-         for c in ("null", "deflate", "zstandard")]
+         for c in ("null", "deflate", "zstandard", "snappy")]
     )
     recs = avro_records(
         files,
@@ -19519,7 +19520,7 @@ def q291_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q291_SQL = """
 WITH ids AS (
   SELECT f.range AS f, f.range * 400 + i.range AS id
-  FROM range(3) f, range(400) i),
+  FROM range(4) f, range(400) i),
 t3 AS (
   SELECT ids.id, max(CASE WHEN j.range < ids.id % 4
                            AND (ids.id + j.range) % 7 = 3
@@ -19528,7 +19529,7 @@ t3 AS (
 rec AS (
   SELECT ids.id,
          CASE ids.f WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-                    ELSE 'zstandard' END AS codec,
+                    WHEN 2 THEN 'zstandard' ELSE 'snappy' END AS codec,
          1700000000 + ids.id * 60 AS ts,
          CASE ids.id % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
                          ELSE 'purchase' END AS kind,

@@ -13,10 +13,12 @@ S-family); this re-expresses the same walker shape over binaryFile.
 Scope (documented): writer schemas of type `record` whose fields are
 primitives (`null boolean int long float double bytes string`),
 two-branch nullable unions `["null", P]`, and arrays of primitives;
-codecs `null`, `deflate` (raw zlib) and `zstandard` (decoded by the
-in-repo RFC 8878 `sources/zstdcodec`). `snappy`, `bzip2` and `xz`
-codecs are rejected BY NAME so skip-mode pipelines can count the loss.
-Error contract: ValueError-only.
+codecs `null`, `deflate` (raw zlib), `snappy` (the in-repo
+`sources/snappycodec` + the spec's trailing CRC32 of the UNCOMPRESSED
+block, verified) and `zstandard` (the in-repo RFC 8878
+`sources/zstdcodec`). `bzip2` and `xz` codecs are rejected BY NAME so
+skip-mode pipelines can count the loss. Error contract:
+ValueError-only.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ _MAGIC = b"Obj\x01"
 _PRIMITIVES = frozenset(
     ["null", "boolean", "int", "long", "float", "double", "bytes", "string"]
 )
-_REJECTED_CODECS = frozenset(["snappy", "bzip2", "xz"])
+_REJECTED_CODECS = frozenset(["bzip2", "xz"])
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +235,7 @@ def parse_avro(buf: bytes) -> dict:
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
     if codec in _REJECTED_CODECS:
         raise ValueError(f"unsupported avro codec: {codec}")
-    if codec not in ("null", "deflate", "zstandard"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"unknown avro codec: {codec}")
     records: list[dict] = []
     while pos < len(buf):
@@ -251,6 +253,17 @@ def parse_avro(buf: bytes) -> dict:
                 block = zlib.decompress(block, wbits=-15)
             except zlib.error as exc:
                 raise ValueError(f"corrupt avro deflate block: {exc}") from exc
+        elif codec == "snappy":
+            # avro snappy blocks carry a BIG-ENDIAN CRC32 of the
+            # uncompressed data after the compressed bytes (spec 1.11)
+            if len(block) < 4:
+                raise ValueError("avro snappy block shorter than its crc")
+            from odin_rs_spark.sources.snappycodec import snappy_decompress
+
+            body, crc = block[:-4], block[-4:]
+            block = snappy_decompress(body)
+            if zlib.crc32(block).to_bytes(4, "big") != crc:
+                raise ValueError("avro snappy block crc mismatch")
         elif codec == "zstandard":
             from odin_rs_spark.sources.zstdcodec import zstd_decompress
 
@@ -281,7 +294,7 @@ def encode_avro(
 ) -> bytes:
     """Fixture twin: records → OCF bytes (same subset as the parser)."""
     fields = _parse_schema(schema_json)
-    if codec not in ("null", "deflate", "zstandard"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"encoder does not produce codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -306,6 +319,12 @@ def encode_avro(
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            from odin_rs_spark.sources.snappycodec import encode_snappy
+
+            payload = encode_snappy(payload) + zlib.crc32(payload).to_bytes(
+                4, "big"
+            )
         elif codec == "zstandard":
             from odin_rs_spark.sources.zstdcodec import zstd_compress_store
 

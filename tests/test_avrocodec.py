@@ -1,5 +1,5 @@
 """Avro OCF reader (sources/avrocodec): twin round-trips across all
-three codecs, wire-level seams (negative array block counts, sync
+four codecs, wire-level seams (negative array block counts, sync
 marker, union index), named codec rejections, and the repo's
 truncation/mutation fuzz discipline."""
 
@@ -47,7 +47,7 @@ def _recs(n=25):
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("codec", ["null", "deflate", "zstandard"])
+    @pytest.mark.parametrize("codec", ["null", "deflate", "zstandard", "snappy"])
     def test_roundtrip(self, codec):
         buf = encode_avro(SCHEMA, _recs(), codec=codec, block_records=7)
         out = parse_avro(buf)
@@ -107,20 +107,25 @@ class TestWireSeams:
 
 
 class TestRejections:
-    def test_snappy_rejected_by_name(self):
-        # encoder never produces it...
+    def test_bzip2_rejected_by_name(self):
         with pytest.raises(ValueError):
-            encode_avro(SCHEMA, [], codec="snappy")
-        # ...and the parser names it on a crafted header
+            encode_avro(SCHEMA, [], codec="bzip2")
         from odin_rs_spark.sources.avrocodec import _MAGIC
 
         meta = bytearray(_MAGIC)
         meta += _write_long(2)
-        for k, v in ((b"avro.schema", SCHEMA.encode()), (b"avro.codec", b"snappy")):
+        for k, v in ((b"avro.schema", SCHEMA.encode()), (b"avro.codec", b"bzip2")):
             meta += _write_long(len(k)) + k + _write_long(len(v)) + v
         meta += _write_long(0) + bytes(16)
-        with pytest.raises(ValueError, match="unsupported avro codec: snappy"):
+        with pytest.raises(ValueError, match="unsupported avro codec: bzip2"):
             parse_avro(bytes(meta))
+
+    def test_snappy_crc_verified(self):
+        buf = bytearray(encode_avro(SCHEMA, _recs(9), codec="snappy"))
+        # trailing CRC32 sits just before the final 16-byte sync copy
+        buf[-18] ^= 0xFF
+        with pytest.raises(ValueError, match="crc mismatch"):
+            parse_avro(bytes(buf))
 
     def test_unsupported_schema_nodes(self):
         for t in ('{"type":"fixed","name":"f","size":4}', '["null","int","long"]'):

@@ -1,7 +1,8 @@
 """Generate the committed Avro Object Container fixtures for q291:
-three files x 400 formula records (global id = file*400 + i), one per
-supported codec (null / deflate / zstandard — zstandard produced by
-the in-repo RFC 8878 store-mode encoder). Deterministic, no RNG."""
+four files x 400 formula records (global id = file*400 + i), one per
+supported codec (null / deflate / zstandard / snappy — zstandard and
+snappy produced by the in-repo encoders, snappy with the spec's
+trailing CRC32). Deterministic, no RNG."""
 
 import json
 import os
@@ -49,7 +50,7 @@ def records(f: int) -> list[dict]:
 
 
 def main() -> None:
-    for f, codec in enumerate(["null", "deflate", "zstandard"]):
+    for f, codec in enumerate(["null", "deflate", "zstandard", "snappy"]):
         path = os.path.join(FIXDIR, f"events_{codec}.avro")
         with open(path, "wb") as fh:
             fh.write(encode_avro(SCHEMA, records(f), codec=codec))
