@@ -20169,6 +20169,73 @@ FROM data d JOIN meta m
 Q298_SQL = _q298_sql()
 
 
+# --------------------------------------------------------------------------
+# q299 — l-diversity audit (Machanavajjhala et al. 2006 — the attack
+# k-anonymity q278 does NOT stop: a QI group can be large yet
+# HOMOGENEOUS in the sensitive attribute, so membership alone
+# discloses it). Sensitive attribute = order priority, quasi-
+# identifiers = q278's (segment, nation, balance band) carried onto
+# the fact rows by a broadcast dim join; per-group l = distinct
+# sensitive values; groups with l < 2 are attribute-disclosure risks
+# and their row mass is the reported exposure. Completes the privacy
+# trio with q278 (k-anonymity) and q281 (GDPR erasure cascade).
+# --------------------------------------------------------------------------
+
+def q299_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 250).cast("int").alias("bal_band"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    qi = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    g = qi.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l"),
+    )
+    risky = F.col("l") < 2
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(risky.cast("int")).cast("bigint").alias("n_homogeneous"),
+        F.sum(F.when(risky, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_exposed"),
+        F.round(
+            F.sum(F.when(risky, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows"),
+            6,
+        ).alias("exposed_share"),
+    )
+
+
+Q299_SQL = """
+WITH qi AS (
+  SELECT c.c_mktsegment, c.c_nationkey,
+         CAST(floor(c.c_acctbal / 250) AS INT) AS bal_band,
+         o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (
+  SELECT c_mktsegment, c_nationkey, bal_band,
+         count(*) AS n_rows,
+         count(DISTINCT o_orderpriority) AS l
+  FROM qi GROUP BY 1, 2, 3)
+SELECT c_mktsegment, count(*)::BIGINT AS n_groups,
+       sum(n_rows)::BIGINT AS n_rows, min(l)::BIGINT AS min_l,
+       sum(CASE WHEN l < 2 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous,
+       sum(CASE WHEN l < 2 THEN n_rows ELSE 0 END)::BIGINT AS rows_exposed,
+       round(sum(CASE WHEN l < 2 THEN n_rows ELSE 0 END)
+             / sum(n_rows)::DOUBLE, 6) AS exposed_share
+FROM g GROUP BY c_mktsegment
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20333,6 +20400,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q296_snapshot_time_travel", q296_snapshot_time_travel, Q296_SQL, "layout txn-log time-travel vacuum"),
         QuerySpec("q297_dtmf_decode", q297_dtmf_decode, Q297_SQL, "multimodal goertzel dtmf telephony decode"),
         QuerySpec("q298_parquet_page_audit", q298_parquet_page_audit, Q298_SQL, "S-parquet page-decode stats-honesty audit"),
+        QuerySpec("q299_l_diversity", q299_l_diversity, Q299_SQL, "governance l-diversity attribute-disclosure"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
