@@ -155,3 +155,57 @@ def meters_to_feet(c: Column | str) -> Column:
 
 def knots_to_mps(c: Column | str) -> Column:
     return _col(c) * F.lit(MPS_PER_KNOT)
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cells(
+    lat: Column, lon: Column, precision: int = 5
+) -> tuple[Column, Column, Column]:
+    """Geohash encode (public Niemeyer 2008 scheme: quantize lon/lat,
+    MSB-first bit interleave starting with LONGITUDE, base32 without
+    a/i/l/o) as PURE column math — the industry-standard spatial
+    STRING key, interoperable with every external geo system, unlike
+    the engine-internal Morton keys of operators/layout. Returns
+    (geohash, lon_cell, lat_cell); the integer cell indices are the
+    ±1-neighbor join keys a radius search blocks on. precision <= 12
+    (5·p bits must stay under 63 for ANSI-safe shifts)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    lon_q = F.least(
+        F.floor((lon + 180.0) / 360.0 * float(1 << nlon)).cast("bigint"),
+        F.lit((1 << nlon) - 1),
+    )
+    lat_q = F.least(
+        F.floor((lat + 90.0) / 180.0 * float(1 << nlat)).cast("bigint"),
+        F.lit((1 << nlat) - 1),
+    )
+    z = F.lit(0).cast("bigint")
+    for k in range(total):
+        if k % 2 == 0:
+            bit = F.shiftright(lon_q, nlon - 1 - k // 2).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(lat_q, nlat - 1 - (k - 1) // 2).bitwiseAND(
+                F.lit(1)
+            )
+        z = z.bitwiseOR(F.shiftleft(bit, total - 1 - k))
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(GEOHASH_B32),
+                (
+                    F.shiftright(z, 5 * (precision - 1 - g)).bitwiseAND(
+                        F.lit(31)
+                    )
+                    + 1
+                ).cast("int"),
+                1,
+            )
+            for g in range(precision)
+        ]
+    )
+    return gh, lon_q, lat_q

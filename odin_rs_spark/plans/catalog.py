@@ -20236,6 +20236,100 @@ FROM g GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q300 — geohash cells + neighbor-density rollup (Niemeyer 2008: the
+# industry-standard base32 spatial STRING key — what external geo
+# systems, Elasticsearch and most tile services block on, unlike the
+# engine-internal Morton/Hilbert keys of operators/layout): quantize →
+# MSB-first lon-leading interleave → base32, all pure column bit math
+# (functions/geo.geohash_cells, pinned against the canonical
+# u4pruydqqvj test vector), then a 3×3 neighbor-cell density join on
+# the INTEGER cell indices — the blocking shape of a radius search.
+# The oracle unrolls all 25 interleave bits and the base32 lookup in
+# SQL and replays the 9-offset neighbor join.
+# --------------------------------------------------------------------------
+
+def q300_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.geo import geohash_cells
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.lit(20.0) + (F.col("event_id") % 900) * 0.05).alias("lat"),
+        (F.lit(-130.0) + (F.col("event_id") % 1200) * 0.05).alias("lon"),
+    )
+    gh, xc, yc = geohash_cells(F.col("lat"), F.col("lon"), precision=5)
+    cells = (
+        pts.select(gh.alias("geohash"), xc.alias("xc"), yc.alias("yc"))
+        .groupBy("geohash", "xc", "yc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"), (F.col("id") / 3).cast("int").alias("dy")
+    ).select("dx", (F.col("dy") - 1).alias("dy"))
+    probe = cells.crossJoin(F.broadcast(offs)).select(
+        "geohash",
+        "xc",
+        "yc",
+        "n",
+        (F.col("xc") + F.col("dx")).alias("nx"),
+        (F.col("yc") + F.col("dy")).alias("ny"),
+    )
+    nbr = cells.select(
+        F.col("xc").alias("nx"), F.col("yc").alias("ny"), F.col("n").alias("nn")
+    )
+    return (
+        probe.join(nbr, ["nx", "ny"])
+        .groupBy("geohash", "xc", "yc", "n")
+        .agg(F.sum("nn").cast("bigint").alias("nbr_n"))
+    )
+
+
+def _q300_sql() -> str:
+    # unroll the 25-bit lon-leading interleave exactly as the column
+    # expression does (13 lon bits, 12 lat bits, MSB first)
+    terms = []
+    for k in range(25):
+        if k % 2 == 0:
+            src = f"((xq >> {13 - 1 - k // 2}) & 1)"
+        else:
+            src = f"((yq >> {12 - 1 - (k - 1) // 2}) & 1)"
+        terms.append(f"({src} << {25 - 1 - k})")
+    z = " | ".join(terms)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{b32}', (CAST((z >> {5 * (5 - 1 - g)}) AS BIGINT) & 31)"
+        f"::INT + 1, 1)"
+        for g in range(5)
+    )
+    return f"""
+WITH p AS (
+  SELECT 20.0 + (event_id % 900) * 0.05 AS lat,
+         -130.0 + (event_id % 1200) * 0.05 AS lon
+  FROM events),
+q AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT),
+               8191) AS xq,
+         least(CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT),
+               4095) AS yq
+  FROM p),
+zc AS (SELECT xq, yq, ({z}) AS z FROM q),
+cells AS (
+  SELECT {chars} AS geohash, xq AS xc, yq AS yc, count(*) AS n
+  FROM zc GROUP BY 1, 2, 3),
+offs AS (
+  SELECT o.range % 3 - 1 AS dx, o.range // 3 - 1 AS dy FROM range(9) o)
+SELECT c.geohash, c.xc::BIGINT AS xc, c.yc::BIGINT AS yc, c.n::BIGINT AS n,
+       sum(nb.n)::BIGINT AS nbr_n
+FROM cells c
+JOIN offs ON TRUE
+JOIN cells nb ON nb.xc = c.xc + offs.dx AND nb.yc = c.yc + offs.dy
+GROUP BY 1, 2, 3, 4
+"""
+
+
+Q300_SQL = _q300_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20401,6 +20495,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q297_dtmf_decode", q297_dtmf_decode, Q297_SQL, "multimodal goertzel dtmf telephony decode"),
         QuerySpec("q298_parquet_page_audit", q298_parquet_page_audit, Q298_SQL, "S-parquet page-decode stats-honesty audit"),
         QuerySpec("q299_l_diversity", q299_l_diversity, Q299_SQL, "governance l-diversity attribute-disclosure"),
+        QuerySpec("q300_geohash_density", q300_geohash_density, Q300_SQL, "geo geohash-cell neighbor-density blocking"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -321,3 +321,53 @@ def test_utm_sql_mirror_matches_duckdb(spark):
     assert abs(d[1] - s.n) < 1e-6
     assert abs(d[2] - s.g.lat) < 1e-9
     assert abs(d[3] - s.g.lon) < 1e-9
+
+
+class TestGeohash:
+    def test_canonical_vector(self, spark):
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.functions.geo import geohash_cells
+
+        df = spark.createDataFrame(
+            [(57.64911, 10.40744)], "lat double, lon double"
+        )
+        for p, want in ((5, "u4pru"), (9, "u4pruydqq"), (11, "u4pruydqqvj")):
+            gh, _, _ = geohash_cells(F.col("lat"), F.col("lon"), p)
+            assert df.select(gh.alias("g")).collect()[0].g == want
+
+    def test_known_city_cells(self, spark):
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.functions.geo import geohash_cells
+
+        # classic published prefixes: London ~ gcpv, NYC ~ dr5r
+        df = spark.createDataFrame(
+            [(51.50642, -0.12721), (40.7484, -73.9857)],
+            "lat double, lon double",
+        )
+        gh, _, _ = geohash_cells(F.col("lat"), F.col("lon"), 4)
+        got = {r.g for r in df.select(gh.alias("g")).collect()}
+        assert got == {"gcpv", "dr5r"}
+
+    def test_edge_clamp_and_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.functions.geo import geohash_cells
+
+        df = spark.createDataFrame(
+            [(90.0, 180.0), (-90.0, -180.0)], "lat double, lon double"
+        )
+        gh, xc, yc = geohash_cells(F.col("lat"), F.col("lon"), 5)
+        rows = df.select(gh.alias("g"), xc.alias("x"), yc.alias("y")).collect()
+        assert rows[0].g == "zzzzz" and rows[0].x == 8191 and rows[0].y == 4095
+        assert rows[1].g == "00000" and rows[1].x == 0 and rows[1].y == 0
+
+    def test_precision_validation(self):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.functions.geo import geohash_cells
+
+        with _pytest.raises(ValueError):
+            geohash_cells(F.lit(0.0), F.lit(0.0), 13)
