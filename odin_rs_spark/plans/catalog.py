@@ -20330,6 +20330,161 @@ GROUP BY 1, 2, 3, 4
 Q300_SQL = _q300_sql()
 
 
+# --------------------------------------------------------------------------
+# q301 — STREAMING Avro ingest flagship (the Kafka-archive replay job:
+# containers land in object storage and a file stream drains them into
+# a live snapshot — T1 × the new S-avro source, the q273 chaining
+# discipline applied to the event-feed format). Four one-codec
+# containers (null/deflate/zstandard/snappy) stream one file per
+# micro-batch through the avro_records walker; per-batch additive
+# aggregates merge into the snapshot+delta sink, and n_batches = 4 per
+# kind PINS that the result really accumulated across four
+# micro-batches rather than one big read. Oracle = the q291 formula
+# replay (stream-merged == batch is the assertion, the q115/q246
+# discipline).
+# --------------------------------------------------------------------------
+
+def q301_avro_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.deploy import ensure_shipped
+    from odin_rs_spark.sources.avrocodec import avro_records, encode_avro
+    from odin_rs_spark.streaming.pipelines import (
+        run_available_now,
+        snapshot_delta_sink,
+    )
+
+    ensure_shipped(spark)
+    root = tempfile.mkdtemp(prefix="odin_q301_")
+    try:
+        adir = root + "/inbox"
+        _os.makedirs(adir)
+        # identical formula records to the committed q291 fixtures
+        import json as _json
+
+        schema = _json.dumps(
+            {
+                "type": "record",
+                "name": "Event",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "ts", "type": "long"},
+                    {"name": "kind", "type": "string"},
+                    {"name": "value", "type": ["null", "double"]},
+                    {"name": "flag", "type": "boolean"},
+                    {"name": "tags",
+                     "type": {"type": "array", "items": "string"}},
+                ],
+            }
+        )
+        for f, codec in enumerate(["null", "deflate", "zstandard", "snappy"]):
+            recs = []
+            for i in range(400):
+                gid = f * 400 + i
+                recs.append(
+                    {
+                        "id": gid,
+                        "ts": 1700000000 + gid * 60,
+                        "kind": ["click", "view", "purchase"][gid % 3],
+                        "value": None if gid % 11 == 0 else (gid % 97) * 0.25,
+                        "flag": gid % 2 == 0,
+                        "tags": [f"t{(gid + j) % 7}" for j in range(gid % 4)],
+                    }
+                )
+            with open(f"{adir}/events_{codec}.avro", "wb") as fh:
+                fh.write(encode_avro(schema, recs, codec=codec))
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp,"
+                " length bigint, content binary"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.avro")
+            .load(adir)
+        )
+
+        def transform(batch_df: DataFrame) -> DataFrame:
+            recs = avro_records(
+                batch_df,
+                {
+                    "id": "bigint",
+                    "kind": "string",
+                    "value": "double",
+                    "tags": "array<string>",
+                },
+            )
+            return recs.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").isNull().cast("int")).alias("n_null"),
+                F.sum("value").alias("sum_value"),
+                F.sum(F.size("tags")).alias("sum_tags"),
+            )
+
+        def merge_totals(old: DataFrame | None, batch: DataFrame) -> DataFrame:
+            both = batch if old is None else old.unionByName(batch)
+            return both.groupBy("kind").agg(
+                F.sum("n").alias("n"),
+                F.sum("n_null").alias("n_null"),
+                F.sum("sum_value").alias("sum_value"),
+                F.sum("sum_tags").alias("sum_tags"),
+            )
+
+        base_sink = snapshot_delta_sink(
+            root + "/snap", root + "/delta", merge_fn=merge_totals
+        )
+
+        def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
+            base_sink(transform(batch_df), batch_id)
+
+        with _stream_state_parallelism(spark, 8):
+            run_available_now(stream, sink_fn, root + "/ckpt",
+                              output_mode="append")
+
+        snap = spark.read.parquet(root + "/snap")
+        delta = spark.read.parquet(root + "/delta")
+        batches = delta.groupBy("kind").agg(
+            F.countDistinct("__batch_id").cast("bigint").alias("n_batches")
+        )
+        return (
+            snap.join(batches, "kind")
+            .select(
+                "kind",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("n_null").cast("bigint").alias("n_null"),
+                F.round("sum_value", 6).alias("sum_value"),
+                F.col("sum_tags").cast("bigint").alias("sum_tags"),
+                "n_batches",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q301_SQL = """
+WITH ids AS (
+  SELECT f.range AS f, f.range * 400 + i.range AS id
+  FROM range(4) f, range(400) i),
+rec AS (
+  SELECT id,
+         CASE id % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                     ELSE 'purchase' END AS kind,
+         CASE WHEN id % 11 = 0 THEN NULL
+              ELSE (id % 97) * 0.25 END AS value,
+         id % 4 AS n_tags
+  FROM ids)
+SELECT kind, count(*)::BIGINT AS n,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       round(sum(value::DOUBLE), 6) AS sum_value,
+       sum(n_tags)::BIGINT AS sum_tags,
+       4::BIGINT AS n_batches
+FROM rec GROUP BY kind
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20496,6 +20651,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q298_parquet_page_audit", q298_parquet_page_audit, Q298_SQL, "S-parquet page-decode stats-honesty audit"),
         QuerySpec("q299_l_diversity", q299_l_diversity, Q299_SQL, "governance l-diversity attribute-disclosure"),
         QuerySpec("q300_geohash_density", q300_geohash_density, Q300_SQL, "geo geohash-cell neighbor-density blocking"),
+        QuerySpec("q301_avro_stream_ingest", q301_avro_stream_ingest, Q301_SQL, "flagship T1 S-avro kafka-archive replay"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
