@@ -20485,6 +20485,131 @@ FROM rec GROUP BY kind
 """
 
 
+# --------------------------------------------------------------------------
+# q302 — Benford first-digit conformance (Newcomb 1881 / Benford 1938;
+# the forensic data-quality screen auditors run on financial facts:
+# naturally-occurring multiplicative amounts follow P(d) = log10(1 +
+# 1/d), and fabricated or truncated feeds do not). First digit is
+# STRING math (no log in the extraction path); the nine expected
+# shares are hardcoded literals on BOTH sides so no libm enters the
+# compare; the chi-square statistic is the standard goodness-of-fit
+# over the observed counts. Both TPC-H columns FAIL the screen — the
+# CORRECT forensic verdict: quantity is a uniform 1..50 draw and
+# extendedprice a bounded formula product, neither a naturally
+# multiplicative amount — the audit fingerprints synthetic data as
+# synthetic. That the statistic also ACCEPTS when it should is pinned
+# in tests (log-uniform series → chi2 < 30 at n=1000 vs ~20000 here).
+# --------------------------------------------------------------------------
+
+_BENFORD = {
+    1: 0.301029995663981195, 2: 0.176091259055681242,
+    3: 0.124938736608299953, 4: 0.096910013008056414,
+    5: 0.079181246047624776, 6: 0.066946789630613199,
+    7: 0.057991946977686754, 8: 0.051152522447381288,
+    9: 0.045757490560675115,
+}
+
+
+def q302_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "l_extendedprice": F.col("l_extendedprice"),
+        "l_quantity": F.col("l_quantity"),
+    }
+    exp_arr = F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)])
+    parts = []
+    for name, c in cols.items():
+        s = F.substring(
+            F.regexp_replace(F.abs(c).cast("string"), r"[^1-9].*$|^0+", ""),
+            1,
+            1,
+        )
+        # ANSI mode: guard the cast — an all-stripped string is NULL,
+        # not a cast error (values < 1 have no significant first digit)
+        d1 = F.when(s != "", s).cast("int")
+        parts.append(
+            li.select(F.lit(name).alias("col_name"), d1.alias("digit"))
+            .where(F.col("digit").isNotNull())
+        )
+    digits = parts[0].unionByName(parts[1])
+    obs = digits.groupBy("col_name", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.groupBy("col_name").agg(F.sum("n").alias("total"))
+    j = obs.join(tot, "col_name").withColumn(
+        "expected",
+        F.element_at(exp_arr, F.col("digit")) * F.col("total"),
+    )
+    chi = j.groupBy("col_name").agg(
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("expected"))
+                * (F.col("n") - F.col("expected"))
+                / F.col("expected")
+            ),
+            4,
+        ).alias("chi2")
+    )
+    return (
+        j.join(chi, "col_name")
+        .select(
+            "col_name",
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_share"),
+            F.round(F.element_at(exp_arr, F.col("digit")), 6).alias(
+                "benford_share"
+            ),
+            "chi2",
+            # conformance gate: log-uniform data lands at chi2 < 30
+            # even at n=10^6; both synthetic columns sit ~20000
+            (F.col("chi2") < 3000.0).alias("conforms"),
+        )
+    )
+
+
+def _q302_sql() -> str:
+    exp = ", ".join(f"{_BENFORD[d]!r}" for d in range(1, 10))
+    return f"""
+WITH exp AS (
+  -- ::DOUBLE on the literal: DuckDB keeps decimal literals in exact
+  -- DECIMAL arithmetic (the q147 gotcha) and (n - expected)^2
+  -- overflows DECIMAL(38) otherwise
+  SELECT d.range + 1 AS digit, ([{exp}])[d.range + 1]::DOUBLE AS share
+  FROM range(9) d),
+src AS (
+  SELECT 'l_extendedprice' AS col_name, l_extendedprice AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', l_quantity FROM lineitem),
+dig AS (
+  SELECT col_name,
+         CAST(substr(regexp_replace(abs(v)::VARCHAR,
+                                    '[^1-9].*$|^0+', '', 'g'), 1, 1)
+              AS INT) AS digit
+  FROM src),
+obs AS (
+  SELECT col_name, digit, count(*) AS n FROM dig
+  WHERE digit IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT col_name, sum(n) AS total FROM obs GROUP BY 1),
+j AS (
+  SELECT o.col_name, o.digit, o.n, t.total, e.share * t.total AS expected,
+         e.share
+  FROM obs o JOIN tot t USING (col_name) JOIN exp e USING (digit)),
+chi AS (
+  SELECT col_name,
+         round(sum((n - expected) * (n - expected) / expected), 4) AS chi2
+  FROM j GROUP BY 1)
+SELECT j.col_name, j.digit, j.n::BIGINT AS n,
+       round(j.n / j.total::DOUBLE, 6) AS observed_share,
+       round(j.share, 6) AS benford_share,
+       chi.chi2, (chi.chi2 < 3000.0) AS conforms
+FROM j JOIN chi USING (col_name)
+"""
+
+
+Q302_SQL = _q302_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20652,6 +20777,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q299_l_diversity", q299_l_diversity, Q299_SQL, "governance l-diversity attribute-disclosure"),
         QuerySpec("q300_geohash_density", q300_geohash_density, Q300_SQL, "geo geohash-cell neighbor-density blocking"),
         QuerySpec("q301_avro_stream_ingest", q301_avro_stream_ingest, Q301_SQL, "flagship T1 S-avro kafka-archive replay"),
+        QuerySpec("q302_benford_audit", q302_benford_audit, Q302_SQL, "A-forensic benford first-digit conformance"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

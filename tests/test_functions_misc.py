@@ -160,3 +160,48 @@ def test_char_entropy_known_values(spark):
     # zero-shuffle, zero-Python plan
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan, plan[:500]
+
+
+class TestBenfordStatistic:
+    def test_log_uniform_series_conforms(self, spark):
+        """A genuinely multiplicative (log-uniform) series must PASS
+        the q302 screen: chi2 far below the 3000 gate, while the
+        synthetic TPC-H columns sit ~20000 (pinned by the oracle)."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        vals = [(10.0 ** (i / 997.0 * 3.0),) for i in range(997)]
+        df = spark.createDataFrame(vals, "v double")
+        s = F.substring(
+            F.regexp_replace(F.abs(F.col("v")).cast("string"),
+                             r"[^1-9].*$|^0+", ""), 1, 1)
+        d1 = F.when(s != "", s).cast("int")
+        obs = (df.select(d1.alias("d")).where(F.col("d").isNotNull())
+               .groupBy("d").count().collect())
+        n = sum(r["count"] for r in obs)
+        chi = sum(
+            (r["count"] - math.log10(1 + 1 / r.d) * n) ** 2
+            / (math.log10(1 + 1 / r.d) * n)
+            for r in obs
+        )
+        assert chi < 30.0, chi
+
+    def test_uniform_series_fails(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select((F.col("id") % 50 + 1.0).alias("v"))
+        s = F.substring(
+            F.regexp_replace(F.abs(F.col("v")).cast("string"),
+                             r"[^1-9].*$|^0+", ""), 1, 1)
+        obs = (df.select(F.when(s != "", s).cast("int").alias("d"))
+               .groupBy("d").count().collect())
+        n = sum(r["count"] for r in obs)
+        chi = sum(
+            (r["count"] - math.log10(1 + 1 / r.d) * n) ** 2
+            / (math.log10(1 + 1 / r.d) * n)
+            for r in obs
+        )
+        assert chi > 300.0, chi
