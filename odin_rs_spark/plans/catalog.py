@@ -20610,6 +20610,132 @@ FROM j JOIN chi USING (col_name)
 Q302_SQL = _q302_sql()
 
 
+# --------------------------------------------------------------------------
+# q303 — IPv4 / CIDR blocklist matching (crawl-infrastructure
+# governance: datacenter and VPN ranges are dropped from crawl logs
+# BEFORE corpus ingestion, and the match must be prefix math, not
+# string prefixes — '10.1' the string also matches 10.100.0.0). Dotted
+# quads parse to uint32 via pure column split/shift math; a CIDR block
+# matches when (ip >> (32-p)) == (net >> (32-p)); the longest matching
+# prefix wins (the routing-table rule, pinned by overlapping blocks in
+# the dim). The oracle replays the shift math bit for bit.
+# --------------------------------------------------------------------------
+
+_Q303_BLOCKS = [
+    # (cidr label, dotted net, prefix) — overlapping on purpose: the
+    # /24 inside the /16 must win for ips in it
+    ("dc-16", "10.32.0.0", 16),
+    ("dc-24", "10.32.7.0", 24),
+    ("vpn-12", "172.16.0.0", 12),
+    ("cloud-20", "192.168.240.0", 20),
+]
+
+
+def q303_cidr_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # formula IPs: a quarter land inside the blocks, rest outside
+    e = F.col("event_id")
+    ip = F.concat_ws(
+        ".",
+        F.when(e % 4 == 0, F.lit(10))
+        .when(e % 4 == 1, F.lit(172))
+        .when(e % 4 == 2, F.lit(192))
+        .otherwise(F.lit(8)),
+        F.when(e % 4 == 0, F.lit(32))
+        .when(e % 4 == 1, (e % 16 + 10).cast("int"))
+        .when(e % 4 == 2, F.lit(168))
+        .otherwise(F.lit(8)),
+        ((e / 4).cast("int") % 256).cast("int"),
+        ((e / 7).cast("int") % 256).cast("int"),
+    )
+    logs = ev.select("event_id", ip.alias("ip"))
+    o = F.split(F.col("ip"), r"\.")
+    ip_u = (
+        F.element_at(o, 1).cast("bigint") * 16777216
+        + F.element_at(o, 2).cast("bigint") * 65536
+        + F.element_at(o, 3).cast("bigint") * 256
+        + F.element_at(o, 4).cast("bigint")
+    )
+    parsed = logs.withColumn("ip_u", ip_u)
+    blocks = spark.createDataFrame(
+        _Q303_BLOCKS, "label string, net string, prefix int"
+    )
+    b = F.split(F.col("net"), r"\.")
+    net_u = (
+        F.element_at(b, 1).cast("bigint") * 16777216
+        + F.element_at(b, 2).cast("bigint") * 65536
+        + F.element_at(b, 3).cast("bigint") * 256
+        + F.element_at(b, 4).cast("bigint")
+    )
+    bdim = blocks.withColumn("net_u", net_u).selectExpr(
+        "label", "prefix", "shiftright(net_u, 32 - prefix) AS hi"
+    )
+    cand = parsed.join(
+        F.broadcast(bdim),
+        F.expr("shiftright(ip_u, 32 - prefix) = hi"),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("prefix").desc_nulls_last()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "label", "prefix")
+    )
+    return best.groupBy(
+        F.coalesce(F.col("label"), F.lit("clean")).alias("verdict"),
+        F.coalesce(F.col("prefix"), F.lit(0)).alias("prefix"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+
+def _q303_sql() -> str:
+    rows = ", ".join(
+        f"('{lab}', '{net}', {p})" for lab, net, p in _Q303_BLOCKS
+    )
+    return f"""
+WITH logs AS (
+  SELECT event_id,
+         (CASE event_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 172
+                            WHEN 2 THEN 192 ELSE 8 END)::BIGINT AS o1,
+         (CASE event_id % 4 WHEN 0 THEN 32
+                            WHEN 1 THEN event_id % 16 + 10
+                            WHEN 2 THEN 168 ELSE 8 END)::BIGINT AS o2,
+         ((event_id // 4) % 256)::BIGINT AS o3,
+         ((event_id // 7) % 256)::BIGINT AS o4
+  FROM events),
+parsed AS (
+  SELECT event_id,
+         o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_u
+  FROM logs),
+blocks AS (
+  SELECT * FROM (VALUES {rows}) b(label, net, prefix)),
+bdim AS (
+  SELECT label, prefix,
+         (string_split(net, '.')[1]::BIGINT * 16777216
+          + string_split(net, '.')[2]::BIGINT * 65536
+          + string_split(net, '.')[3]::BIGINT * 256
+          + string_split(net, '.')[4]::BIGINT) >> (32 - prefix) AS hi
+  FROM blocks),
+cand AS (
+  SELECT p.event_id, b.label, b.prefix
+  FROM parsed p LEFT JOIN bdim b ON (p.ip_u >> (32 - b.prefix)) = b.hi),
+best AS (
+  SELECT event_id, label, prefix FROM (
+    SELECT event_id, label, prefix,
+           row_number() OVER (PARTITION BY event_id
+                              ORDER BY prefix DESC NULLS LAST) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT coalesce(label, 'clean') AS verdict,
+       coalesce(prefix, 0)::INT AS prefix,
+       count(*)::BIGINT AS n_events
+FROM best GROUP BY 1, 2
+"""
+
+
+Q303_SQL = _q303_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20778,6 +20904,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q300_geohash_density", q300_geohash_density, Q300_SQL, "geo geohash-cell neighbor-density blocking"),
         QuerySpec("q301_avro_stream_ingest", q301_avro_stream_ingest, Q301_SQL, "flagship T1 S-avro kafka-archive replay"),
         QuerySpec("q302_benford_audit", q302_benford_audit, Q302_SQL, "A-forensic benford first-digit conformance"),
+        QuerySpec("q303_cidr_blocklist", q303_cidr_blocklist, Q303_SQL, "web ipv4-cidr longest-prefix blocklist"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
