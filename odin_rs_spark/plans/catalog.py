@@ -20736,6 +20736,106 @@ FROM best GROUP BY 1, 2
 Q303_SQL = _q303_sql()
 
 
+# --------------------------------------------------------------------------
+# q304 — dataset card / datasheet flagship ("Datasheets for Datasets",
+# Gebru et al. 2018 — the one-row-per-source governance table a corpus
+# RELEASE ships with): composes four independently-certified surfaces
+# into one rollup — Gopher rule pass rate (q168 operator), TRAINED
+# quality-model keep rate (q295 classifier), exact-duplicate rate
+# (portable md5, q23 discipline), and the dominant declared language
+# with its share (count argmax, ties → lang asc). The oracle EMBEDS
+# the full Q168 and Q295 SQL as CTEs (the q235 string-surgery pattern)
+# so the card's numbers cannot drift from the certified per-doc
+# surfaces they summarize.
+# --------------------------------------------------------------------------
+
+def q304_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.quality import quality_route
+    from odin_rs_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    gop = gopher_quality_flags(docs.select("doc_id", "text")).select(
+        "doc_id", "n_words", "gopher_pass"
+    )
+    qm = quality_route(docs.select("doc_id", "text")).select(
+        "doc_id", (F.col("logit") >= 1.0).cast("int").alias("model_keep")
+    )
+    base = docs.select(
+        "doc_id", "source", "lang", F.md5("text").alias("h")
+    )
+    per_doc = base.join(gop, "doc_id").join(qm, "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(F.sum("gopher_pass") / F.count(F.lit(1)), 6).alias(
+            "gopher_pass_rate"
+        ),
+        F.round(F.sum("model_keep") / F.count(F.lit(1)), 6).alias(
+            "model_keep_rate"
+        ),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("h"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    wl = Window.partitionBy("source").orderBy(
+        F.col("nl").desc(), F.col("lang").asc()
+    )
+    dom = (
+        lc.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang"),
+            F.col("nl").alias("n_dom"),
+        )
+    )
+    return agg.join(dom, "source").select(
+        "source", "n_docs", "n_words", "gopher_pass_rate",
+        "model_keep_rate", "dup_rate", "dominant_lang",
+        F.round(F.col("n_dom") / F.col("n_docs"), 6).alias("dominant_share"),
+    )
+
+
+def _q304_sql() -> str:
+    return f"""
+WITH g AS ({Q168_SQL}),
+qm AS ({Q295_SQL}),
+base AS (
+  SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+per_doc AS (
+  SELECT b.source, b.lang, b.h, g.n_words, g.gopher_pass,
+         CASE WHEN qm.logit >= 1.0 THEN 1 ELSE 0 END AS model_keep
+  FROM base b
+  JOIN g ON g.doc_id = b.doc_id
+  JOIN qm ON qm.doc_id = b.doc_id),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_words)::BIGINT AS n_words,
+         round(sum(gopher_pass) / count(*)::DOUBLE, 6) AS gopher_pass_rate,
+         round(sum(model_keep) / count(*)::DOUBLE, 6) AS model_keep_rate,
+         round((count(*) - count(DISTINCT h)) / count(*)::DOUBLE, 6)
+           AS dup_rate
+  FROM per_doc GROUP BY source),
+lc AS (SELECT source, lang, count(*) AS nl FROM base GROUP BY 1, 2),
+dom AS (
+  SELECT source, lang AS dominant_lang, nl AS n_dom FROM (
+    SELECT source, lang, nl,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY nl DESC, lang ASC) AS rn
+    FROM lc) WHERE rn = 1)
+SELECT a.source, a.n_docs, a.n_words, a.gopher_pass_rate,
+       a.model_keep_rate, a.dup_rate, d.dominant_lang,
+       round(d.n_dom / a.n_docs::DOUBLE, 6) AS dominant_share
+FROM agg a JOIN dom d USING (source)
+"""
+
+
+Q304_SQL = _q304_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -20905,6 +21005,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q301_avro_stream_ingest", q301_avro_stream_ingest, Q301_SQL, "flagship T1 S-avro kafka-archive replay"),
         QuerySpec("q302_benford_audit", q302_benford_audit, Q302_SQL, "A-forensic benford first-digit conformance"),
         QuerySpec("q303_cidr_blocklist", q303_cidr_blocklist, Q303_SQL, "web ipv4-cidr longest-prefix blocklist"),
+        QuerySpec("q304_dataset_card", q304_dataset_card, Q304_SQL, "flagship governance dataset-card datasheet"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
