@@ -20746,7 +20746,11 @@ Q303_SQL = _q303_sql()
 # with its share (count argmax, ties → lang asc). The oracle EMBEDS
 # the full Q168 and Q295 SQL as CTEs (the q235 string-surgery pattern)
 # so the card's numbers cannot drift from the certified per-doc
-# surfaces they summarize.
+# surfaces they summarize. The 0.0 gopher and dup rates at test scale
+# are TRUE facts of the synthetic corpus (docs are sub-50-word and
+# all-unique — verified, not assumed); the model-keep and language
+# columns vary per source, and q23-q25/q168 carry the live dup/gopher
+# testing on seeded data.
 # --------------------------------------------------------------------------
 
 def q304_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
