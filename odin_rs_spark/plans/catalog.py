@@ -20840,6 +20840,139 @@ FROM agg a JOIN dom d USING (source)
 Q304_SQL = _q304_sql()
 
 
+# --------------------------------------------------------------------------
+# q305 — A/B experiment analysis (two-proportion z-test, the pooled-
+# variance form every experimentation platform computes): users hash
+# into arms via the portable md5 stream (no RNG — assignment is
+# deterministic and replayable), conversion = the user purchased
+# within the experiment, and the z statistic is divisions + ONE sqrt —
+# sqrt is correctly-rounded IEEE (unlike libm transcendentals), so the
+# statistic is the bit-identical double in both engines and the
+# significance verdict |z| >= 1.96 compares on the rounded value. Four
+# synthetic experiments with different true effects keep both verdict
+# branches live.
+# --------------------------------------------------------------------------
+
+def q305_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    # deterministic arm assignment per (experiment, user)
+    exps = spark.range(4).select(F.col("id").alias("exp_id"))
+    assign = users.crossJoin(F.broadcast(exps)).select(
+        "user_id",
+        "exp_id",
+        (
+            portable_hash60(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("_exp_"),
+                    F.col("exp_id").cast("string"),
+                )
+            )
+            % 2
+        ).alias("arm"),
+    )
+    # base conversion must be RARE (every user purchases at least once
+    # in the dense synthetic stream, which would make pooled p = 1 and
+    # the z denominator zero): count only every-37th purchase event
+    conv = (
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 37 == 0)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("base_conv", F.lit(1))
+    )
+    # synthetic treatment effect: arm 1 of experiment e ALSO converts
+    # users whose hash clears a per-experiment threshold — effect
+    # grows with exp_id so some experiments are significant, some not
+    eff = (
+        portable_hash60(
+            F.concat(F.col("user_id").cast("string"), F.lit("_lift"))
+        )
+        % 100
+        < F.col("exp_id") * 12
+    )
+    joined = (
+        assign.join(conv, "user_id", "left")
+        .na.fill({"base_conv": 0})
+        .withColumn(
+            "converted",
+            F.greatest(
+                F.col("base_conv"),
+                ((F.col("arm") == 1) & eff).cast("int"),
+            ),
+        )
+    )
+    arms = joined.groupBy("exp_id", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        "exp_id", F.col("n").alias("n0"), F.col("c").alias("c0")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        "exp_id", F.col("n").alias("n1"), F.col("c").alias("c1")
+    )
+    j = a.join(b, "exp_id")
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    z = F.round((p1 - p0) / se, 6)
+    return j.select(
+        "exp_id",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("c0").cast("bigint").alias("c0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.round(p1 - p0, 6).alias("lift"),
+        z.alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+Q305_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+assign AS (
+  SELECT u.user_id, e.range AS exp_id,
+         {_H60.format(x="user_id::VARCHAR || '_exp_' || e.range::VARCHAR")}
+           % 2 AS arm
+  FROM users u, range(4) e),
+conv AS (
+  SELECT DISTINCT user_id, 1 AS base_conv FROM events
+  WHERE event_type = 'purchase' AND event_id % 37 = 0),
+j AS (
+  SELECT a.exp_id, a.arm,
+         greatest(coalesce(c.base_conv, 0),
+           CASE WHEN a.arm = 1
+                 AND {_H60.format(x="a.user_id::VARCHAR || '_lift'")}
+                     % 100 < a.exp_id * 12
+                THEN 1 ELSE 0 END) AS converted
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id),
+arms AS (
+  SELECT exp_id, arm, count(*) AS n, sum(converted) AS c
+  FROM j GROUP BY 1, 2),
+w AS (
+  SELECT a.exp_id, a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
+  FROM arms a JOIN arms b ON a.exp_id = b.exp_id
+  WHERE a.arm = 0 AND b.arm = 1),
+zc AS (
+  SELECT *,
+         round((c1 / n1::DOUBLE - c0 / n0::DOUBLE)
+               / sqrt(((c0 + c1) / (n0 + n1)::DOUBLE)
+                      * (1.0 - (c0 + c1) / (n0 + n1)::DOUBLE)
+                      * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)), 6) AS z
+  FROM w)
+SELECT exp_id, n0::BIGINT AS n0, c0::BIGINT AS c0,
+       n1::BIGINT AS n1, c1::BIGINT AS c1,
+       round(c1 / n1::DOUBLE - c0 / n0::DOUBLE, 6) AS lift,
+       z, (abs(z) >= 1.96) AS significant
+FROM zc
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21010,6 +21143,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q302_benford_audit", q302_benford_audit, Q302_SQL, "A-forensic benford first-digit conformance"),
         QuerySpec("q303_cidr_blocklist", q303_cidr_blocklist, Q303_SQL, "web ipv4-cidr longest-prefix blocklist"),
         QuerySpec("q304_dataset_card", q304_dataset_card, Q304_SQL, "flagship governance dataset-card datasheet"),
+        QuerySpec("q305_ab_test_ztest", q305_ab_test_ztest, Q305_SQL, "A-experiment two-proportion z-test"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
