@@ -20973,6 +20973,182 @@ FROM zc
 """
 
 
+# --------------------------------------------------------------------------
+# q306 — seasonal anomaly detection (the ops-analytics staple: a value
+# is anomalous relative to ITS OWN SEASON — the (event_type,
+# hour-of-day) baseline — not the global mean; W7's LOESS smooths a
+# trend, this scores residuals against a seasonal profile). Exactness
+# discipline: values quantize to integer cents (floor(v·100 + 0.5) on
+# the identical input double in both engines), so sums and sums of
+# squares are EXACT integers, mean/variance are identical IEEE
+# divisions of exact operands, sqrt is correctly rounded, and the
+# |z| ≥ 3 flag compares on the rounded z — zero float drift despite a
+# two-moment computation over 10k doubles. The stats dim (types ×
+# 24 hours) broadcasts back onto events for per-row scoring.
+# --------------------------------------------------------------------------
+
+def q306_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vi = F.floor(F.col("value") * 100 + 0.5)
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        vi.alias("vc"),
+    )
+    stats = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    sd = F.sqrt(var)
+    sdim = stats.select(
+        "event_type", "hod", "n", mean.alias("mu"), sd.alias("sd")
+    )
+    scored = base.join(F.broadcast(sdim), ["event_type", "hod"]).withColumn(
+        "z",
+        F.when(F.col("sd") > 0, F.round((F.col("vc") - F.col("mu")) / F.col("sd"), 6)),
+    )
+    return scored.groupBy("event_type", "hod").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("mu"), 4).alias("mean_cents"),
+        F.round(F.max("sd"), 4).alias("sd_cents"),
+        F.sum((F.abs(F.col("z")) >= 3.0).cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
+
+
+Q306_SQL = """
+WITH base AS (
+  SELECT event_type, extract(hour FROM ts) AS hod,
+         floor(value * 100 + 0.5) AS vc
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type, hod, count(*) AS n, sum(vc) AS s, sum(vc * vc) AS sq
+  FROM base GROUP BY 1, 2),
+sdim AS (
+  SELECT event_type, hod, n, s / n AS mu,
+         sqrt((sq - s * s / n) / n) AS sd
+  FROM stats),
+scored AS (
+  SELECT b.event_type, b.hod, d.n, d.mu, d.sd,
+         CASE WHEN d.sd > 0
+              THEN round((b.vc - d.mu) / d.sd, 6) END AS z
+  FROM base b JOIN sdim d USING (event_type, hod))
+SELECT event_type, hod::BIGINT AS hod, max(n)::BIGINT AS n,
+       round(max(mu), 4) AS mean_cents, round(max(sd), 4) AS sd_cents,
+       sum(CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q307 — MessagePack event-dump scan (Fluentd's forward protocol and
+# Redis dumps ship crawl-fleet logs as CONCATENATED msgpack maps —
+# the wire format of the log side-channel, next to Avro's archive
+# format): hand-rolled decoder (sources/msgpackcodec.py) covering the
+# full non-extension type matrix — the formula records deliberately
+# hit positive/negative fixint, uint32 (bytes_sent), int8/16
+# negatives (delta), float64, fixstr, bool, nil and fixmap — with
+# ext/timestamp types rejected by name. Six per-host dumps are
+# encoded by the twin INSIDE executors; the oracle replays every
+# field formula.
+# --------------------------------------------------------------------------
+
+def _msgpack_media(spark: SparkSession, n_hosts: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        from odin_rs_spark.sources.msgpackcodec import encode_msgpack
+
+        out = []
+        for hid in series:
+            hid = int(hid)
+            buf = bytearray()
+            for i in range(200):
+                gid = hid * 200 + i
+                buf += encode_msgpack(
+                    {
+                        "seq": gid,
+                        "level": ["info", "warn", "error"][gid % 3],
+                        "latency_ms": (gid % 173) * 0.25,
+                        "ok": gid % 2 == 0,
+                        "retry": None if gid % 7 == 0 else gid % 5,
+                        "bytes_sent": gid * 100000,
+                        "delta": 100 - gid,
+                    }
+                )
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n_hosts).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q307_msgpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.sources.msgpackcodec import msgpack_records
+
+    media = _msgpack_media(spark, 6).select(
+        F.col("media_id").cast("string").alias("path"), "content"
+    )
+    recs = msgpack_records(
+        media,
+        {
+            "seq": "bigint",
+            "level": "string",
+            "latency_ms": "double",
+            "ok": "boolean",
+            "retry": "bigint",
+            "bytes_sent": "bigint",
+            "delta": "bigint",
+        },
+    )
+    return recs.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("latency_ms"), 6).alias("sum_latency"),
+        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_ok"),
+        F.sum(F.col("retry").isNull().cast("int")).cast("bigint").alias(
+            "n_null_retry"
+        ),
+        F.sum("bytes_sent").cast("bigint").alias("bytes_sent"),
+        F.min("delta").cast("bigint").alias("min_delta"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+Q307_SQL = """
+WITH ids AS (
+  SELECT h.range * 200 + i.range AS gid FROM range(6) h, range(200) i),
+rec AS (
+  SELECT gid,
+         CASE gid % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                      ELSE 'error' END AS level,
+         (gid % 173) * 0.25 AS latency_ms,
+         gid % 2 = 0 AS ok,
+         CASE WHEN gid % 7 = 0 THEN NULL ELSE gid % 5 END AS retry,
+         gid * 100000 AS bytes_sent,
+         100 - gid AS delta
+  FROM ids)
+SELECT level, count(*)::BIGINT AS n,
+       round(sum(latency_ms::DOUBLE), 6) AS sum_latency,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+       sum(CASE WHEN retry IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_retry,
+       sum(bytes_sent)::BIGINT AS bytes_sent,
+       min(delta)::BIGINT AS min_delta,
+       max(gid)::BIGINT AS max_seq
+FROM rec GROUP BY level
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21144,6 +21320,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q303_cidr_blocklist", q303_cidr_blocklist, Q303_SQL, "web ipv4-cidr longest-prefix blocklist"),
         QuerySpec("q304_dataset_card", q304_dataset_card, Q304_SQL, "flagship governance dataset-card datasheet"),
         QuerySpec("q305_ab_test_ztest", q305_ab_test_ztest, Q305_SQL, "A-experiment two-proportion z-test"),
+        QuerySpec("q306_seasonal_anomaly", q306_seasonal_anomaly, Q306_SQL, "A-anomaly seasonal hour-of-day z-score"),
+        QuerySpec("q307_msgpack_scan", q307_msgpack_scan, Q307_SQL, "S-msgpack fluentd event-dump scan"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
