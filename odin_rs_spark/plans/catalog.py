@@ -21149,6 +21149,105 @@ FROM rec GROUP BY level
 """
 
 
+# --------------------------------------------------------------------------
+# q308 — TextRank keyword extraction (Mihalcea & Tarau 2004: keywords
+# = PageRank over the word co-occurrence graph — the classic unsuper-
+# vised extractor, and a composition proof that the integer-exact
+# pagerank operator is REUSABLE off its cohort graph): tokenize (the
+# Q168 normalization), drop stopwords/short tokens, connect ADJACENT
+# surviving words (window 2, canonical undirected), then 4 rounds of
+# integer-mass diffusion (graph.integer_pagerank — exact, so both
+# engines agree bit-for-bit and the top-k has no float ties). Oracle
+# unrolls the recurrence as MATERIALIZED stages (the q127 pattern)
+# over the same SQL-built edge list.
+# --------------------------------------------------------------------------
+
+def q308_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.functions.quality import STOPWORDS
+    from odin_rs_spark.operators.graph import integer_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ws = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    filtered = F.filter(
+        ws,
+        lambda w: (F.length(w) > 2) & ~F.array_contains(stop_arr, w),
+    )
+    d = docs.select("doc_id", filtered.alias("f")).where(F.size("f") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("f"), 1, F.size("f") - 1),
+                F.slice(F.col("f"), 2, F.size("f") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    edges = (
+        pairs.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .distinct()
+    )
+    with _stream_state_parallelism(spark, 8):
+        ranked = integer_pagerank(edges, iterations=4)
+    w = Window.orderBy(F.col("mass").desc(), F.col("node").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 15)
+        .select("rank", F.col("node").alias("keyword"), "mass")
+    )
+
+
+def _q308_sql(iterations: int = 4) -> str:
+    from odin_rs_spark.functions.quality import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    head = f"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' '),
+           x -> length(x) > 2 AND NOT list_contains([{stops}], x)) AS f
+  FROM documents),
+d AS (SELECT doc_id, f FROM w0 WHERE len(f) >= 2),
+pr AS (
+  SELECT f[j.range + 1] AS a, f[j.range + 2] AS b
+  FROM d, range(200) j WHERE j.range < len(f) - 1),
+ed0 AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+  FROM pr WHERE a != b),
+e AS MATERIALIZED (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
+m0 AS (SELECT node, 1000000::BIGINT AS mass FROM deg)"""
+    steps = []
+    for i in range(iterations):
+        steps.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT m.node, m.mass, deg.d, (m.mass // 2) // deg.d AS share
+  FROM m{i} m JOIN deg ON deg.node = m.node),
+m{i + 1} AS MATERIALIZED (
+  SELECT s.node,
+         (s.mass - s.share * s.d + coalesce(inf.t, 0))::BIGINT AS mass
+  FROM s{i} s LEFT JOIN (
+    SELECT e.dst AS node, sum(s2.share)::BIGINT AS t
+    FROM s{i} s2 JOIN e ON e.src = s2.node GROUP BY e.dst) inf
+  ON inf.node = s.node)""")
+    return head + "".join(steps) + f"""
+SELECT rank, node AS keyword, mass FROM (
+  SELECT node, mass,
+         row_number() OVER (ORDER BY mass DESC, node ASC) AS rank
+  FROM m{iterations})
+WHERE rank <= 15
+"""
+
+
+Q308_SQL = _q308_sql()
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21322,6 +21421,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q305_ab_test_ztest", q305_ab_test_ztest, Q305_SQL, "A-experiment two-proportion z-test"),
         QuerySpec("q306_seasonal_anomaly", q306_seasonal_anomaly, Q306_SQL, "A-anomaly seasonal hour-of-day z-score"),
         QuerySpec("q307_msgpack_scan", q307_msgpack_scan, Q307_SQL, "S-msgpack fluentd event-dump scan"),
+        QuerySpec("q308_textrank_keywords", q308_textrank_keywords, Q308_SQL, "text textrank cooccurrence-pagerank keywords"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
