@@ -21248,6 +21248,189 @@ WHERE rank <= 15
 Q308_SQL = _q308_sql()
 
 
+# --------------------------------------------------------------------------
+# q309 — .jsonl.zst corpus shard scan (THE dominant LLM-corpus shard
+# format: Pile/RedPajama/Dolma ship newline-delimited JSON inside zstd
+# frames): container decompression runs through the in-repo RFC 8878
+# decoder inside the scan kernel (bytes never shuffle), line splitting
+# is kernel-side, and JSON field extraction is JVM-side from_json —
+# the Python boundary carries text lines only. Shards are twin-encoded
+# in executors (zstd_compress_store); the oracle replays the record
+# formulas including the nested-meta extraction.
+# --------------------------------------------------------------------------
+
+def _jsonl_zst_media(spark: SparkSession, n_shards: int):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def _mk(series):
+        import json as _json
+
+        from odin_rs_spark.sources.zstdcodec import zstd_compress_store
+
+        out = []
+        for sid in series:
+            sid = int(sid)
+            lines = []
+            for i in range(300):
+                gid = sid * 300 + i
+                lines.append(
+                    _json.dumps(
+                        {
+                            "id": gid,
+                            "text": "token " * (gid % 7 + 1),
+                            "meta": {
+                                "source": f"src{gid % 5}",
+                                "score": (gid % 89) * 0.5,
+                            },
+                        },
+                        separators=(",", ":"),
+                    )
+                )
+            out.append(zstd_compress_store("\n".join(lines).encode("utf-8")))
+        return pd.Series(out)
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    return spark.range(n_shards).select(
+        F.col("id").alias("media_id"), mk(F.col("id")).alias("content")
+    )
+
+
+def q309_jsonl_zst_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    media = _jsonl_zst_media(spark, 5)
+
+    def fn(batches):
+        from odin_rs_spark.sources.zstdcodec import zstd_decompress
+
+        for pdf in batches:
+            rows = {"shard": [], "line": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                text = zstd_decompress(bytes(content)).decode("utf-8")
+                for ln in text.split("\n"):
+                    rows["shard"].append(int(mid))
+                    rows["line"].append(ln)
+            yield pd.DataFrame(rows)
+
+    lines = media.mapInPandas(fn, "shard bigint, line string")
+    parsed = lines.select(
+        "shard",
+        F.from_json(
+            F.col("line"),
+            "id bigint, text string, meta struct<source string, score double>",
+        ).alias("j"),
+    )
+    return parsed.groupBy(F.col("j.meta.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size(F.split(F.trim(F.col("j.text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.round(F.sum("j.meta.score"), 6).alias("sum_score"),
+        F.min("j.id").cast("bigint").alias("min_id"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+Q309_SQL = """
+WITH ids AS (
+  SELECT s.range * 300 + i.range AS gid FROM range(5) s, range(300) i),
+rec AS (
+  SELECT gid, 'src' || (gid % 5)::VARCHAR AS source,
+         gid % 7 + 1 AS n_tokens,
+         (gid % 89) * 0.5 AS score
+  FROM ids)
+SELECT source, count(*)::BIGINT AS n,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(sum(score::DOUBLE), 6) AS sum_score,
+       min(gid)::BIGINT AS min_id, max(gid)::BIGINT AS max_id
+FROM rec GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q310 — last-touch marketing attribution (the revenue-allocation
+# model every growth team runs: credit each conversion to the LAST
+# non-direct campaign touch within a 72 h lookback, else
+# 'unattributed'): a direct reuse of the J2 as-of operator — purchases
+# as the left, non-direct touches as the right, tolerance = the
+# lookback, event_id as the deterministic equal-ts tie-break — over
+# campaign labels derived from the touch stream. Revenue quantizes to
+# integer cents (the q306 discipline) so attributed sums are exact.
+# The oracle replays the as-of semantics (inclusive window, max
+# (ts, event_id) winner) as a correlated candidate join.
+# --------------------------------------------------------------------------
+
+def q310_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from odin_rs_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    camp = (
+        F.when(F.col("event_id") % 4 == 0, "direct")
+        .when(F.col("event_id") % 4 == 1, "email")
+        .when(F.col("event_id") % 4 == 2, "search")
+        .otherwise("social")
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts", "event_id", camp.alias("campaign"))
+        .where(F.col("campaign") != "direct")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).alias("vc"),
+    )
+    att = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        ts="ts",
+        tolerance_sec=72 * 3600,
+        right_order="event_id",
+    )
+    return att.groupBy(
+        F.coalesce(F.col("campaign"), F.lit("unattributed")).alias("campaign")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("vc").cast("bigint").alias("revenue_cents"),
+    )
+
+
+Q310_SQL = """
+WITH t AS (
+  SELECT user_id, ts AS tt, event_id,
+         CASE event_id % 4 WHEN 1 THEN 'email' WHEN 2 THEN 'search'
+                           WHEN 3 THEN 'social' END AS campaign
+  FROM events
+  WHERE event_type IN ('click', 'view') AND event_id % 4 != 0),
+p AS (
+  SELECT event_id AS pid, user_id, ts AS pt,
+         floor(value * 100 + 0.5) AS vc
+  FROM events WHERE event_type = 'purchase'),
+best AS (
+  SELECT pid, vc, campaign FROM (
+    SELECT p.pid, p.vc, t.campaign,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY t.tt DESC, t.event_id DESC) AS rn
+    FROM p JOIN t ON t.user_id = p.user_id
+     AND t.tt <= p.pt AND t.tt >= p.pt - INTERVAL 72 HOUR)
+  WHERE rn = 1)
+SELECT coalesce(b.campaign, 'unattributed') AS campaign,
+       count(*)::BIGINT AS n_conversions,
+       sum(coalesce(b.vc, p2.vc))::BIGINT AS revenue_cents
+FROM p p2 LEFT JOIN best b ON b.pid = p2.pid
+GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21422,6 +21605,8 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q306_seasonal_anomaly", q306_seasonal_anomaly, Q306_SQL, "A-anomaly seasonal hour-of-day z-score"),
         QuerySpec("q307_msgpack_scan", q307_msgpack_scan, Q307_SQL, "S-msgpack fluentd event-dump scan"),
         QuerySpec("q308_textrank_keywords", q308_textrank_keywords, Q308_SQL, "text textrank cooccurrence-pagerank keywords"),
+        QuerySpec("q309_jsonl_zst_scan", q309_jsonl_zst_scan, Q309_SQL, "S-jsonl-zst corpus-shard scan"),
+        QuerySpec("q310_attribution_last_touch", q310_attribution_last_touch, Q310_SQL, "J2 A-attribution last-touch revenue"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
