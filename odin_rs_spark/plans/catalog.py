@@ -21431,6 +21431,87 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q311 — clamped running inventory balance (the warehouse state
+# machine: stock cannot go negative — demand against an empty shelf is
+# a LOST SALE, not a debt). The naive model is a sequential per-row
+# state machine b_t = max(0, b_{t-1} + f_t); clamping at zero has a
+# CLOSED WINDOW FORM (the reflection identity): b_t = c_t − min(0,
+# running_min(c)_t) with c the plain cumulative flow — which turns the
+# "inherently sequential" scan into two standard prefix windows over
+# ONE partitioning, the algebra that keeps it one exchange at a
+# billion rows instead of a stateful kernel. Cumulative lost sales
+# fall out as −min(0, min(c)). Receipts = odd line numbers, shipments
+# = even, per part bucket; the oracle replays both windows, and the
+# sequential-state-machine equivalence is pinned in tests.
+# --------------------------------------------------------------------------
+
+def q311_clamped_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    flows = li.select(
+        (F.col("l_partkey") % 50).alias("part"),
+        F.col("l_shipdate").alias("d"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.when(
+            F.col("l_linenumber") % 2 == 1, F.col("l_quantity").cast("long")
+        )
+        .otherwise(-F.col("l_quantity").cast("long"))
+        .alias("flow"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("d", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = flows.withColumn("c", F.sum("flow").over(w)).withColumn(
+        "m", F.min("c").over(w)
+    )
+    zero = F.lit(0).cast("bigint")
+    bal = cum.withColumn("balance", F.col("c") - F.least(zero, F.col("m")))
+    return bal.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum("flow").cast("bigint").alias("net_flow"),
+        F.max("balance").cast("bigint").alias("peak_stock"),
+        F.sum((F.col("balance") == 0).cast("int")).cast("bigint").alias(
+            "n_stockout_moves"
+        ),
+        (-F.least(zero, F.min("c"))).cast("bigint").alias("lost_sales"),
+        (F.sum("flow") - F.least(zero, F.min("c")))
+        .cast("bigint")
+        .alias("final_balance"),
+    )
+
+
+Q311_SQL = """
+WITH flows AS (
+  SELECT l_partkey % 50 AS part, l_shipdate AS d, l_orderkey AS ok,
+         l_linenumber AS ln,
+         CASE WHEN l_linenumber % 2 = 1 THEN l_quantity::BIGINT
+              ELSE -(l_quantity::BIGINT) END AS flow
+  FROM lineitem),
+cum AS (
+  SELECT part, d, ok, ln, flow,
+         sum(flow) OVER (PARTITION BY part ORDER BY d, ok, ln
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM flows),
+win AS (
+  SELECT part, flow, c,
+         min(c) OVER (PARTITION BY part ORDER BY d, ok, ln
+                      ROWS UNBOUNDED PRECEDING) AS m
+  FROM cum),
+bal AS (SELECT part, flow, c, c - least(0, m) AS balance FROM win)
+SELECT part, count(*)::BIGINT AS n_moves,
+       sum(flow)::BIGINT AS net_flow,
+       max(balance)::BIGINT AS peak_stock,
+       sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_stockout_moves,
+       (-least(0, min(c)))::BIGINT AS lost_sales,
+       (sum(flow) - least(0, min(c)))::BIGINT AS final_balance
+FROM bal GROUP BY part
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21607,6 +21688,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q308_textrank_keywords", q308_textrank_keywords, Q308_SQL, "text textrank cooccurrence-pagerank keywords"),
         QuerySpec("q309_jsonl_zst_scan", q309_jsonl_zst_scan, Q309_SQL, "S-jsonl-zst corpus-shard scan"),
         QuerySpec("q310_attribution_last_touch", q310_attribution_last_touch, Q310_SQL, "J2 A-attribution last-touch revenue"),
+        QuerySpec("q311_clamped_inventory", q311_clamped_inventory, Q311_SQL, "W-inventory clamped-balance reflection-form"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -205,3 +205,41 @@ class TestBenfordStatistic:
             for r in obs
         )
         assert chi > 300.0, chi
+
+
+class TestClampedBalanceReflection:
+    def test_window_form_equals_sequential_state_machine(self, spark):
+        """q311's closed form b_t = c_t - min(0, running_min(c)_t) must
+        equal the sequential clamp b_t = max(0, b_{t-1} + f_t), with
+        lost sales = -min(0, min(c))."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        flows = [5, -8, 3, -1, -4, 10, -2, -20, 7]
+        df = spark.createDataFrame(
+            [(i, f) for i, f in enumerate(flows)], "i int, flow long"
+        )
+        w = (
+            Window.partitionBy(F.lit(1))
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            df.withColumn("c", F.sum("flow").over(w))
+            .withColumn("m", F.min("c").over(w))
+            .withColumn(
+                "balance",
+                F.col("c") - F.least(F.lit(0).cast("bigint"), F.col("m")),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        b, lost = 0, 0
+        for r, f in zip(out, flows):
+            nxt = b + f
+            if nxt < 0:
+                lost += -nxt
+                nxt = 0
+            b = nxt
+            assert r.balance == b, (r.i, r.balance, b)
+        assert -min(0, min(r.c for r in out)) == lost
