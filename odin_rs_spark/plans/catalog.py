@@ -21540,11 +21540,21 @@ FROM bal GROUP BY part
 #                dropDuplicatesWithinWatermark pin, q288 geodesic
 #                track midpoints, q289 line-level language
 #                segmentation.
-#   remainder:   stalest-green fillers (q01, q08-q23 wave-1 block,
-#                q176-q178/q185/q186 — last graded r7/r8) up to slot
-#                50; everything past the cap keeps freshest-last order
-#                and is locally re-verified every round by
-#                tests/test_catalog_oracle.py.
+#   slots 48-50: the first continuation-session queries — q290 parquet
+#                thrift-footer scan, q291 Avro OCF four-codec scan,
+#                q292 npy/npz/safetensors tensor shards.
+#   past the cap: the rest of the continuation session (q293-q311:
+#                KMV theta intersection, triangle clustering, trained
+#                quality routing, txn-log time travel, DTMF Goertzel,
+#                parquet page audit, l-diversity, geohash density,
+#                streaming Avro ingest, Benford, CIDR, dataset card,
+#                A/B z-test, seasonal anomaly, msgpack, TextRank,
+#                jsonl.zst, attribution, clamped inventory) queue for
+#                the r11 cap front under the same rotation rule, then
+#                stalest-green fillers (q01, q08-q23 wave-1 block,
+#                q176-q178/q185/q186); everything past the cap keeps
+#                freshest-last order and is locally re-verified every
+#                round by tests/test_catalog_oracle.py.
 # Previous (round-9) allocation, kept for the audit trail:
 #   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
 #                zero, fixed this round) rotated to the CAP FRONT per
