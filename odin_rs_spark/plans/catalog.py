@@ -19745,8 +19745,13 @@ def q294_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators.graph import triangle_count
 
     edges = _cohort_edges(spark, sf_dir)
-    with _stream_state_parallelism(spark, 8):
-        out = triangle_count(edges)
+    # full session parallelism on purpose: the cohort graph is
+    # triangle-DENSE (consecutive-rank chains form near-cliques —
+    # 188k edges -> 7.0M triangles / 21M corner rows at sf0.1), so the
+    # ~10 s here is genuine corner-row aggregation, measured: scoping
+    # to 8 partitions (the small-graph q127/q258 trick) makes it
+    # SLOWER (13.2 s) by strangling the wedge join's parallelism
+    out = triangle_count(edges)
     cc = F.when(
         F.col("degree") >= 2,
         F.round(
