@@ -21517,6 +21517,158 @@ FROM bal GROUP BY part
 """
 
 
+# --------------------------------------------------------------------------
+# q312 — JSONL schema-drift audit (the silent killer of long-running
+# ingestion: a producer renames a field, widens int→float, or nests a
+# scalar into an object, and every downstream from_json starts
+# returning NULLs without an error). Two shard GENERATIONS are
+# compared field-by-field: presence counts and the dominant VALUE
+# SHAPE (int / float / bool / object / string / null — sniffed on the
+# stringified value, same definition both engines, quoting-invisible
+# by design and documented), classified as added / removed /
+# shape_changed / stable. The seeded drift: v2 renames lang→language,
+# widens score int→float, and nests a new meta object — all three
+# classes plus stability must surface.
+# --------------------------------------------------------------------------
+
+def q312_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("id")
+    v1 = spark.range(400).select(
+        F.lit("v1").alias("gen"),
+        F.concat(
+            F.lit('{"id":'), i.cast("string"),
+            F.lit(',"text":"doc '), i.cast("string"),
+            F.lit('","lang":"'),
+            F.when(i % 3 == 0, "de").otherwise("en"),
+            F.lit('","score":'), (i % 40).cast("string"),
+            F.lit("}"),
+        ).alias("line"),
+    )
+    v2 = spark.range(400).select(
+        F.lit("v2").alias("gen"),
+        F.concat(
+            F.lit('{"id":'), i.cast("string"),
+            F.lit(',"text":"doc '), i.cast("string"),
+            F.lit('","language":"'),
+            F.when(i % 3 == 0, "de").otherwise("en"),
+            F.lit('","score":'), (i % 40).cast("string"), F.lit(".5"),
+            F.lit(',"meta":{"source":"s'), (i % 5).cast("string"),
+            F.lit('"}}'),
+        ).alias("line"),
+    )
+    lines = v1.unionByName(v2)
+    kv = lines.select(
+        "gen",
+        F.explode(F.from_json(F.col("line"), "map<string,string>")).alias(
+            "field", "value"
+        ),
+    )
+    shape = (
+        F.when(F.col("value").isNull(), "null")
+        .when(F.col("value").rlike(r"^-?[0-9]+$"), "int")
+        .when(F.col("value").rlike(r"^-?[0-9]*\.[0-9]+$"), "float")
+        .when(F.col("value").isin("true", "false"), "bool")
+        .when(F.col("value").startswith("{"), "object")
+        .otherwise("string")
+    )
+    counts = kv.select("gen", "field", shape.alias("shape")).groupBy(
+        "gen", "field", "shape"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("gen", "field").orderBy(
+        F.col("n").desc(), F.col("shape").asc()
+    )
+    dom = (
+        counts.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("gen", "field", "shape", "n")
+    )
+    tot = counts.groupBy("gen", "field").agg(F.sum("n").alias("n_present"))
+    per = dom.join(tot, ["gen", "field"])
+    a = per.where(F.col("gen") == "v1").select(
+        "field",
+        F.col("shape").alias("shape_v1"),
+        F.col("n_present").alias("n_v1"),
+    )
+    b = per.where(F.col("gen") == "v2").select(
+        "field",
+        F.col("shape").alias("shape_v2"),
+        F.col("n_present").alias("n_v2"),
+    )
+    j = a.join(b, "field", "full_outer")
+    drift = (
+        F.when(F.col("shape_v1").isNull(), "added")
+        .when(F.col("shape_v2").isNull(), "removed")
+        .when(F.col("shape_v1") != F.col("shape_v2"), "shape_changed")
+        .otherwise("stable")
+    )
+    return j.select(
+        "field",
+        "shape_v1",
+        "shape_v2",
+        F.coalesce(F.col("n_v1"), F.lit(0)).cast("bigint").alias("n_v1"),
+        F.coalesce(F.col("n_v2"), F.lit(0)).cast("bigint").alias("n_v2"),
+        drift.alias("drift"),
+    )
+
+
+Q312_SQL = """
+WITH v1 AS (
+  SELECT 'v1' AS gen,
+         '{"id":' || i.range || ',"text":"doc ' || i.range || '","lang":"'
+         || CASE WHEN i.range % 3 = 0 THEN 'de' ELSE 'en' END
+         || '","score":' || (i.range % 40) || '}' AS line
+  FROM range(400) i),
+v2 AS (
+  SELECT 'v2' AS gen,
+         '{"id":' || i.range || ',"text":"doc ' || i.range
+         || '","language":"'
+         || CASE WHEN i.range % 3 = 0 THEN 'de' ELSE 'en' END
+         || '","score":' || (i.range % 40) || '.5'
+         || ',"meta":{"source":"s' || (i.range % 5) || '"}}' AS line
+  FROM range(400) i),
+lines AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+kv AS (
+  SELECT gen, k.field,
+         json_extract_string(line, '$.' || k.field) AS value
+  FROM lines, unnest(json_keys(line)) k(field)),
+shaped AS (
+  SELECT gen, field,
+         CASE WHEN value IS NULL THEN 'null'
+              WHEN regexp_full_match(value, '-?[0-9]+') THEN 'int'
+              WHEN regexp_full_match(value, '-?[0-9]*\\.[0-9]+')
+                THEN 'float'
+              WHEN value IN ('true', 'false') THEN 'bool'
+              WHEN value LIKE '{%' THEN 'object'
+              ELSE 'string' END AS shape
+  FROM kv),
+counts AS (
+  SELECT gen, field, shape, count(*) AS n
+  FROM shaped GROUP BY 1, 2, 3),
+dom AS (
+  SELECT gen, field, shape FROM (
+    SELECT gen, field, shape,
+           row_number() OVER (PARTITION BY gen, field
+                              ORDER BY n DESC, shape ASC) AS rn
+    FROM counts) WHERE rn = 1),
+tot AS (SELECT gen, field, sum(n) AS n_present FROM counts GROUP BY 1, 2),
+per AS (
+  SELECT d.gen, d.field, d.shape, t.n_present
+  FROM dom d JOIN tot t ON t.gen = d.gen AND t.field = d.field),
+a AS (SELECT field, shape AS shape_v1, n_present AS n_v1
+      FROM per WHERE gen = 'v1'),
+b AS (SELECT field, shape AS shape_v2, n_present AS n_v2
+      FROM per WHERE gen = 'v2')
+SELECT coalesce(a.field, b.field) AS field, a.shape_v1, b.shape_v2,
+       coalesce(a.n_v1, 0)::BIGINT AS n_v1,
+       coalesce(b.n_v2, 0)::BIGINT AS n_v2,
+       CASE WHEN a.shape_v1 IS NULL THEN 'added'
+            WHEN b.shape_v2 IS NULL THEN 'removed'
+            WHEN a.shape_v1 != b.shape_v2 THEN 'shape_changed'
+            ELSE 'stable' END AS drift
+FROM a FULL OUTER JOIN b ON a.field = b.field
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21704,6 +21856,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q309_jsonl_zst_scan", q309_jsonl_zst_scan, Q309_SQL, "S-jsonl-zst corpus-shard scan"),
         QuerySpec("q310_attribution_last_touch", q310_attribution_last_touch, Q310_SQL, "J2 A-attribution last-touch revenue"),
         QuerySpec("q311_clamped_inventory", q311_clamped_inventory, Q311_SQL, "W-inventory clamped-balance reflection-form"),
+        QuerySpec("q312_schema_drift", q312_schema_drift, Q312_SQL, "governance jsonl schema-drift audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
