@@ -21669,6 +21669,90 @@ FROM a FULL OUTER JOIN b ON a.field = b.field
 """
 
 
+# --------------------------------------------------------------------------
+# q313 — dedup threshold tuning: SimHash precision/recall AGAINST the
+# exact-Jaccard ground truth (the table an operator actually reads
+# before picking a production hamming cutoff — q26 pins the signature
+# math, q232 the MinHash estimator error; this closes the loop by
+# measuring what each hamming threshold t ∈ 1..6 buys and costs
+# against jaccard ≥ 0.8 relevance). Predicted pairs come from the
+# pigeonhole-blocked simhash operator at max_hamming=6 (recall-1 for
+# the thresholds audited); relevant pairs from the certified q24
+# MinHash+verify operator; a full-outer pair join scores tp/fp/fn per
+# threshold. The oracle recomputes BOTH sides all-pairs in SQL.
+# --------------------------------------------------------------------------
+
+def q313_dedup_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    par = _doc_par(spark, docs)
+    ham = dedup_ops.simhash_pairs(docs, max_hamming=6, parallelism=par).select(
+        "id_a", "id_b", "hamming"
+    )
+    rel = dedup_ops.near_dup_pairs(docs, threshold=0.8, parallelism=par).select(
+        "id_a", "id_b", F.lit(1).alias("rel")
+    )
+    lab = ham.join(rel, ["id_a", "id_b"], "full_outer").select(
+        F.col("hamming"),
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    ts = spark.range(1, 7).select(F.col("id").cast("int").alias("t"))
+    x = lab.crossJoin(F.broadcast(ts))
+    pred = F.col("hamming").isNotNull() & (F.col("hamming") <= F.col("t"))
+    agg = x.groupBy("t").agg(
+        F.sum(pred.cast("int")).cast("bigint").alias("n_pred"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum((pred & (F.col("rel") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return agg.select(
+        "t",
+        "n_pred",
+        "n_rel",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0, F.round(F.col("tp") / F.col("n_pred"), 6)
+        ).alias("precision"),
+        F.when(
+            F.col("n_rel") > 0, F.round(F.col("tp") / F.col("n_rel"), 6)
+        ).alias("recall"),
+    )
+
+
+Q313_SQL = _SHINGLE_CTE + f""",
+tok AS (SELECT doc_id, unnest(w) AS tk FROM d),
+th AS (SELECT doc_id, {_H60.format(x="tk")} AS h FROM tok),
+bc AS (
+  SELECT doc_id, j.range AS j,
+         CASE WHEN sum(((h >> j.range) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS b
+  FROM th, range(60) j GROUP BY doc_id, j.range),
+sig AS (
+  SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sig
+  FROM bc GROUP BY doc_id),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+lab AS (
+  SELECT h.hamming, CASE WHEN p.jaccard >= 0.8 THEN 1 ELSE 0 END AS rel
+  FROM ham h JOIN pairs p ON p.id_a = h.id_a AND p.id_b = h.id_b),
+ts AS (SELECT tt.range + 1 AS t FROM range(6) tt),
+agg AS (
+  SELECT ts.t,
+         sum(CASE WHEN lab.hamming <= ts.t THEN 1 ELSE 0 END) AS n_pred,
+         sum(lab.rel) AS n_rel,
+         sum(CASE WHEN lab.hamming <= ts.t AND lab.rel = 1
+                  THEN 1 ELSE 0 END) AS tp
+  FROM lab, ts GROUP BY ts.t)
+SELECT t::INT AS t, n_pred::BIGINT AS n_pred, n_rel::BIGINT AS n_rel,
+       tp::BIGINT AS tp,
+       CASE WHEN n_pred > 0 THEN round(tp / n_pred::DOUBLE, 6) END
+         AS precision,
+       CASE WHEN n_rel > 0 THEN round(tp / n_rel::DOUBLE, 6) END AS recall
+FROM agg
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21857,6 +21941,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q310_attribution_last_touch", q310_attribution_last_touch, Q310_SQL, "J2 A-attribution last-touch revenue"),
         QuerySpec("q311_clamped_inventory", q311_clamped_inventory, Q311_SQL, "W-inventory clamped-balance reflection-form"),
         QuerySpec("q312_schema_drift", q312_schema_drift, Q312_SQL, "governance jsonl schema-drift audit"),
+        QuerySpec("q313_dedup_threshold_tuning", q313_dedup_threshold_tuning, Q313_SQL, "dedup simhash precision-recall tuning"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
