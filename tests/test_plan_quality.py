@@ -896,3 +896,67 @@ def test_hdf5_decode_shuffle_free_and_dem_broadcast(spark):
     plan2 = _executed(enriched)
     assert "BroadcastExchange" in plan2
     assert "Exchange hashpartitioning" not in plan2  # bytes never shuffle
+
+
+def test_kmv_sketch_single_wide_exchange(spark, sf_dir):
+    """kmv_sketch's only wide work is distinct(group, h) + the bounded
+    per-group sort: the plan must carry exactly two exchanges (distinct
+    agg + window) and no cartesian product."""
+    from odin_rs_spark.operators.sketches import kmv_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    plan = _executed(kmv_sketch(ev, "user_id", ["event_type"], k=32))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3  # partial+final agg may split
+
+
+def test_cidr_blocklist_dim_broadcasts(spark, sf_dir):
+    from odin_rs_spark.plans.catalog import q303_cidr_blocklist
+
+    plan = _executed(q303_cidr_blocklist(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parquet_page_audit_is_scan_side(spark, sf_dir):
+    """The audit is mapInPandas over the file inventory: zero
+    exchanges before the kernel — bytes never shuffle."""
+    from odin_rs_spark.plans.catalog import _parquet_stats_fixture
+    from odin_rs_spark.sources.parquetmeta import parquet_page_audit
+
+    files = spark.read.format("binaryFile").load(_parquet_stats_fixture())
+    plan = _executed(parquet_page_audit(files, ["id"]))
+    assert "Exchange" not in plan
+
+def test_tensor_stats_is_scan_side(spark, sf_dir):
+    import os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.tensorfile import tensor_stats
+
+    fix = os.path.join(
+        os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+        "sources", "fixtures", "emb_f32.npy",
+    )
+    files = spark.read.format("binaryFile").load(fix)
+    assert "Exchange" not in _executed(tensor_stats(files))
+
+
+def test_geohash_encode_is_pure_projection(spark, sf_dir):
+    from odin_rs_spark.functions.geo import geohash_cells
+
+    ev = load_table(spark, "events", sf_dir)
+    gh, xc, yc = geohash_cells(
+        (F.col("user_id") % 90).cast("double"),
+        (F.col("user_id") % 180).cast("double"),
+        5,
+    )
+    plan = _executed(ev.select(gh.alias("g"), xc.alias("x"), yc.alias("y")))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_attribution_asof_single_shuffle_per_side(spark, sf_dir):
+    from odin_rs_spark.plans.catalog import q310_attribution_last_touch
+
+    plan = _executed(q310_attribution_last_touch(spark, sf_dir))
+    assert "CartesianProduct" not in plan
