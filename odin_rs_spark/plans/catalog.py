@@ -21753,6 +21753,134 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q314 — Population Stability Index (the ML-ops drift metric every
+# feature store monitors: PSI = Σ (p_i − q_i)·ln(p_i/q_i) between a
+# baseline and a comparison window; < 0.1 stable, 0.1–0.25 watch,
+# > 0.25 shifted). Binning is integer-cent math (exact both engines),
+# shares use Laplace (c+1)/(n+bins) smoothing so empty bins never
+# divide by zero, and the ln() terms — the one libm surface — are
+# rounded at 6dp only AFTER the 10-term sum (the q288 trig
+# discipline). Morning vs afternoon value distributions per event
+# type; per-bin contributions ship alongside the total so the drift
+# is attributable, not just scored.
+# --------------------------------------------------------------------------
+
+def q314_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    binned = ev.select(
+        "event_type",
+        F.when(F.hour("ts") < 12, "base").otherwise("cmp").alias("period"),
+        F.least(
+            F.greatest(
+                (F.floor(F.col("value") * 100 + 0.5) / 2000).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # dense (type × period × bin) grid so empty bins smooth instead of
+    # vanishing
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                spark.range(10).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [("base",), ("cmp",)], "period string"
+                )
+            )
+        )
+    )
+    dense = grid.join(counts, ["event_type", "period", "bin"], "left").na.fill(
+        {"n": 0}
+    )
+    tot = dense.groupBy("event_type", "period").agg(
+        F.sum("n").alias("tot")
+    )
+    share = dense.join(tot, ["event_type", "period"]).select(
+        "event_type",
+        "period",
+        "bin",
+        "n",
+        ((F.col("n") + 1) / (F.col("tot") + 10)).alias("s"),
+    )
+    p = share.where(F.col("period") == "base").select(
+        "event_type", "bin", F.col("n").alias("n_base"), F.col("s").alias("p")
+    )
+    q = share.where(F.col("period") == "cmp").select(
+        "event_type", "bin", F.col("n").alias("n_cmp"), F.col("s").alias("q")
+    )
+    j = p.join(q, ["event_type", "bin"])
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    per_bin = j.select(
+        "event_type", "bin", "n_base", "n_cmp",
+        F.round(term, 6).alias("psi_term"),
+    )
+    total = j.groupBy("event_type").agg(F.round(F.sum(term), 6).alias("psi"))
+    out = per_bin.join(total, "event_type")
+    verdict = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "watch")
+        .otherwise("shifted")
+    )
+    return out.select(
+        "event_type", "bin",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cmp").cast("bigint").alias("n_cmp"),
+        "psi_term", "psi", verdict.alias("verdict"),
+    )
+
+
+Q314_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN extract(hour FROM ts) < 12 THEN 'base' ELSE 'cmp' END
+           AS period,
+         -- floor-then-cast: DuckDB's // on DOUBLE operands does NOT
+         -- truncate and ::INT ROUNDS (the q147 gotcha class)
+         least(greatest(CAST(floor(floor(value * 100 + 0.5) / 2000) AS INT),
+                        0), 9) AS bin
+  FROM events WHERE value IS NOT NULL),
+counts AS (
+  SELECT event_type, period, bin, count(*) AS n FROM e GROUP BY 1, 2, 3),
+grid AS (
+  SELECT t.event_type, pr.period, b.range::INT AS bin
+  FROM (SELECT DISTINCT event_type FROM counts) t,
+       (VALUES ('base'), ('cmp')) pr(period), range(10) b),
+dense AS (
+  SELECT g.event_type, g.period, g.bin, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.period = g.period
+   AND c.bin = g.bin),
+tot AS (SELECT event_type, period, sum(n) AS tot FROM dense GROUP BY 1, 2),
+share AS (
+  SELECT d.event_type, d.period, d.bin, d.n,
+         (d.n + 1) / (t.tot + 10)::DOUBLE AS s
+  FROM dense d JOIN tot t ON t.event_type = d.event_type
+   AND t.period = d.period),
+j AS (
+  SELECT p.event_type, p.bin, p.n AS n_base, q.n AS n_cmp,
+         (p.s - q.s) * ln(p.s / q.s) AS term
+  FROM share p JOIN share q ON q.event_type = p.event_type
+   AND q.bin = p.bin AND p.period = 'base' AND q.period = 'cmp'),
+total AS (SELECT event_type, round(sum(term), 6) AS psi FROM j GROUP BY 1)
+SELECT j.event_type, j.bin, j.n_base::BIGINT AS n_base,
+       j.n_cmp::BIGINT AS n_cmp, round(j.term, 6) AS psi_term, t.psi,
+       CASE WHEN t.psi < 0.1 THEN 'stable'
+            WHEN t.psi < 0.25 THEN 'watch'
+            ELSE 'shifted' END AS verdict
+FROM j JOIN total t USING (event_type)
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -21942,6 +22070,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q311_clamped_inventory", q311_clamped_inventory, Q311_SQL, "W-inventory clamped-balance reflection-form"),
         QuerySpec("q312_schema_drift", q312_schema_drift, Q312_SQL, "governance jsonl schema-drift audit"),
         QuerySpec("q313_dedup_threshold_tuning", q313_dedup_threshold_tuning, Q313_SQL, "dedup simhash precision-recall tuning"),
+        QuerySpec("q314_psi_drift", q314_psi_drift, Q314_SQL, "A-drift population-stability-index"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
