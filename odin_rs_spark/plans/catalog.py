@@ -21881,6 +21881,94 @@ FROM j JOIN total t USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q315 — bot-traffic detection by timing regularity (the crawl-
+# governance signal robots.txt can't give you: automation fires on a
+# CLOCK, so a client whose inter-event gaps have near-zero coefficient
+# of variation is a bot regardless of its user agent — the q234 URL-
+# shape screen's behavioral twin). Gaps are exact integer SECONDS
+# (unix-epoch diffs), the two-moment stats are exact integer sums (the
+# q306 discipline), cv = sqrt(var)/mean rounds at 6dp, and the flag
+# compares on the rounded value with n >= 20 support. Three seeded
+# metronome users (exact 300/600/900 s periods, cv = 0) must flag and
+# every organic user must not — both branches live by construction.
+# --------------------------------------------------------------------------
+
+def q315_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer division of exact epoch MICROS on both sides: the ns
+    # timestamps have sub-second parts, and unix_timestamp-vs-
+    # epoch()::BIGINT would TRUNCATE in Spark but ROUND in DuckDB
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+        "event_id",
+    )
+    bots = spark.range(3).alias("b").crossJoin(
+        spark.range(60).select(F.col("id").alias("k"))
+    ).select(
+        (F.col("b.id") + 9001).alias("user_id"),
+        (
+            F.lit(1700000000)
+            + (F.col("b.id") + 1) * 300 * F.col("k")
+        ).alias("t"),
+        (F.lit(10_000_000) + F.col("b.id") * 100 + F.col("k")).alias(
+            "event_id"
+        ),
+    )
+    allev = ev.unionByName(bots)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (
+        allev.withColumn("prev", F.lag("t").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("user_id", (F.col("t") - F.col("prev")).alias("g"))
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    cv = F.when(mean > 0, F.round(F.sqrt(var) / mean, 6))
+    out = stats.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        cv.alias("cv"),
+    )
+    return out.withColumn(
+        "is_bot", (F.col("n_gaps") >= 20) & (F.col("cv") < 0.1)
+    )
+
+
+Q315_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id FROM events
+  UNION ALL
+  SELECT b.range + 9001,
+         1700000000 + (b.range + 1) * 300 * k.range,
+         10000000 + b.range * 100 + k.range
+  FROM range(3) b, range(60) k),
+gaps AS (
+  SELECT user_id, t - lag(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS g
+  FROM ev),
+g2 AS (SELECT user_id, g FROM gaps WHERE g IS NOT NULL),
+stats AS (
+  SELECT user_id, count(*) AS n, sum(g) AS s, sum(g * g) AS sq
+  FROM g2 GROUP BY user_id)
+SELECT user_id, n::BIGINT AS n_gaps,
+       round(s / n, 6) AS mean_gap_s,
+       CASE WHEN s / n > 0
+            THEN round(sqrt((sq - s * s / n) / n) / (s / n), 6) END AS cv,
+       (n >= 20 AND
+        CASE WHEN s / n > 0
+             THEN round(sqrt((sq - s * s / n) / n) / (s / n), 6) END < 0.1)
+         AS is_bot
+FROM stats
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -22071,6 +22159,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q312_schema_drift", q312_schema_drift, Q312_SQL, "governance jsonl schema-drift audit"),
         QuerySpec("q313_dedup_threshold_tuning", q313_dedup_threshold_tuning, Q313_SQL, "dedup simhash precision-recall tuning"),
         QuerySpec("q314_psi_drift", q314_psi_drift, Q314_SQL, "A-drift population-stability-index"),
+        QuerySpec("q315_bot_regularity", q315_bot_regularity, Q315_SQL, "web bot-detection gap-cv regularity"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
