@@ -21969,6 +21969,99 @@ FROM stats
 """
 
 
+# --------------------------------------------------------------------------
+# q316 — lake fsck: transaction-log live set vs physical listing (the
+# audit q296's time travel implies but doesn't run: a crashed writer
+# leaves ORPHAN files no snapshot references, a lost object makes a
+# referenced file MISSING — silent data loss — and tombstoned files
+# awaiting vacuum must be told apart from true orphans). Full-outer
+# join of the q296 log's final state against a directory-listing dim:
+# ok / missing / tombstoned / orphan, all four seeded and load-bearing
+# (every-11th live file absent from disk; ten never-logged ids
+# present). The oracle replays the arg_max state machine and the
+# four-way classification.
+# --------------------------------------------------------------------------
+
+def q316_lake_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = spark.range(360).select(F.col("id").alias("seq"))
+    log = seqs.select(
+        "seq",
+        ((F.col("seq") * 7) % 200).alias("file_id"),
+        F.when(
+            (F.col("seq") >= 160) & (F.col("seq") % 5 == 0), F.lit("remove")
+        ).otherwise(F.lit("add")).alias("op"),
+        (F.lit(1000) + ((F.col("seq") * 7) % 200) * 37 % 5000).alias(
+            "size_bytes"
+        ),
+    )
+    state = (
+        log.groupBy("file_id")
+        .agg(F.max(F.struct("seq", "op", "size_bytes")).alias("m"))
+        .select(
+            "file_id",
+            F.col("m.op").alias("op"),
+            F.col("m.size_bytes").alias("size_bytes"),
+        )
+    )
+    # physical listing: every log file except each 11th-mod-3 id, plus
+    # ten ids no snapshot has ever referenced
+    disk = (
+        spark.range(200)
+        .select(F.col("id").alias("file_id"))
+        .where(F.col("file_id") % 11 != 3)
+        .unionByName(
+            spark.range(500, 510).select(F.col("id").alias("file_id"))
+        )
+        .withColumn("on_disk", F.lit(1))
+    )
+    j = state.join(disk, "file_id", "full_outer")
+    status = (
+        F.when(F.col("op") == "add",
+               F.when(F.col("on_disk").isNotNull(), "ok").otherwise("missing"))
+        .when(F.col("op") == "remove",
+              F.when(F.col("on_disk").isNotNull(), "tombstoned").otherwise(
+                  "vacuumed"))
+        .otherwise("orphan")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.coalesce(F.col("size_bytes"), F.lit(0)))
+        .cast("bigint")
+        .alias("logged_bytes"),
+    )
+
+
+Q316_SQL = """
+WITH log AS (
+  SELECT s.range AS seq, (s.range * 7) % 200 AS file_id,
+         CASE WHEN s.range >= 160 AND s.range % 5 = 0
+              THEN 'remove' ELSE 'add' END AS op,
+         1000 + ((s.range * 7) % 200) * 37 % 5000 AS size_bytes
+  FROM range(360) s),
+state AS (
+  SELECT file_id, arg_max(op, seq) AS op,
+         arg_max(size_bytes, seq) AS size_bytes
+  FROM log GROUP BY file_id),
+disk AS (
+  SELECT d.range AS file_id, 1 AS on_disk FROM range(200) d
+  WHERE d.range % 11 != 3
+  UNION ALL
+  SELECT o.range, 1 FROM range(500, 510) o),
+j AS (
+  SELECT coalesce(s.file_id, d.file_id) AS file_id, s.op, s.size_bytes,
+         d.on_disk
+  FROM state s FULL OUTER JOIN disk d ON d.file_id = s.file_id)
+SELECT CASE WHEN op = 'add' AND on_disk IS NOT NULL THEN 'ok'
+            WHEN op = 'add' THEN 'missing'
+            WHEN op = 'remove' AND on_disk IS NOT NULL THEN 'tombstoned'
+            WHEN op = 'remove' THEN 'vacuumed'
+            ELSE 'orphan' END AS status,
+       count(*)::BIGINT AS n_files,
+       sum(coalesce(size_bytes, 0))::BIGINT AS logged_bytes
+FROM j GROUP BY 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. Round-10
 # allocation (rotation rule: never-driver-graded queries take cap
@@ -22160,6 +22253,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q313_dedup_threshold_tuning", q313_dedup_threshold_tuning, Q313_SQL, "dedup simhash precision-recall tuning"),
         QuerySpec("q314_psi_drift", q314_psi_drift, Q314_SQL, "A-drift population-stability-index"),
         QuerySpec("q315_bot_regularity", q315_bot_regularity, Q315_SQL, "web bot-detection gap-cv regularity"),
+        QuerySpec("q316_lake_fsck", q316_lake_fsck, Q316_SQL, "layout lake-fsck orphan-missing audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),
