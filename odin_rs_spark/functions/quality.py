@@ -78,12 +78,16 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     n_caps = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
     n_distinct = F.size(F.array_distinct(F.transform(words, F.lower)))
+    # empty text: n_chars = 0 — NULLIF turns the ANSI-mode
+    # divide-by-zero error into NULL ratios, matching the Python
+    # twin's NaN degradation (n_words is never 0: split('') = [''])
+    safe_chars = F.nullif(n_chars, F.lit(0))
     return {
         "mean_word_len": nonspace / n_words,
         "stopword_ratio": n_stop / n_words,
-        "punct_ratio": n_punct / n_chars,
-        "digit_ratio": n_digit / n_chars,
-        "caps_ratio": n_caps / n_chars,
+        "punct_ratio": n_punct / safe_chars,
+        "digit_ratio": n_digit / safe_chars,
+        "caps_ratio": n_caps / safe_chars,
         "distinct_ratio": n_distinct / n_words,
     }
 
@@ -123,6 +127,18 @@ def quality_features_py(text: str) -> dict[str, float]:
     words = re.split(r"\s+", text.strip()) if text.strip() else [""]
     n_words = len(words)
     n_chars = len(text)
+    if n_chars == 0:
+        # the Spark column twin divides by zero into NULL for empty
+        # text; NaN is the plain-Python equivalent (propagates through
+        # quality_logit_py the way NULL propagates through the columns)
+        return {
+            "mean_word_len": float("nan"),
+            "stopword_ratio": float("nan"),
+            "punct_ratio": float("nan"),
+            "digit_ratio": float("nan"),
+            "caps_ratio": float("nan"),
+            "distinct_ratio": float("nan"),
+        }
     nonspace = len(re.sub(r"\s", "", text))
     stops = set(STOPWORDS)
     n_stop = sum(1 for w in words if w.lower() in stops)

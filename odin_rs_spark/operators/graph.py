@@ -170,8 +170,11 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    # total order: (degree, node) packed into one orderable long
-    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
+    # total order: (degree, node) as a struct — struct comparison is
+    # lexicographic in Spark, so ties on degree break by node id with
+    # no collision risk for ids >= 2^32 (a packed degree*2^32+node
+    # long would alias such ids and silently drop triangles)
+    key = F.struct(F.col("degree"), F.col("node")).alias("k")
     dk = deg.select("node", key)
     withk = (
         und.join(dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")

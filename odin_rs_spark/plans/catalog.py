@@ -19465,11 +19465,12 @@ Q290_SQL = _q290_sql()
 # ingests wire-format event feeds natively, SURVEY §2.1). Hand-rolled
 # OCF reader (sources/avrocodec.py — zigzag varints, map<bytes>
 # metadata, sync-marker verification, blocked arrays) over the
-# binaryFile walker shape; three committed fixture files cover the
-# FOUR supported codecs (null / deflate / zstandard / snappy — the
-# zstd and snappy paths exercise the in-repo decoders inside a second
-# container format, snappy with the spec's CRC32 of the uncompressed
-# block verified), bzip2/xz are named rejections. 400 formula records
+# binaryFile walker shape; six committed fixture files cover the full
+# Avro 1.11 codec matrix (null / deflate / zstandard / snappy /
+# bzip2 / xz — the zstd and snappy paths exercise the in-repo
+# decoders inside a second container format, snappy with the spec's
+# CRC32 of the uncompressed block verified; bzip2/xz via stdlib
+# bz2/lzma, flipped from named rejections r11). 400 formula records
 # per file; the oracle replays the formulas including the nullable-
 # union NULL slots, the boolean field and the array-membership probe
 # (has a 't3' tag), so every decoded field type is load-bearing.
@@ -19488,7 +19489,7 @@ def q291_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = spark.read.format("binaryFile").load(
         [_os.path.join(fixdir, f"events_{c}.avro")
-         for c in ("null", "deflate", "zstandard", "snappy")]
+         for c in ("null", "deflate", "zstandard", "snappy", "bzip2", "xz")]
     )
     recs = avro_records(
         files,
@@ -19520,7 +19521,7 @@ def q291_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q291_SQL = """
 WITH ids AS (
   SELECT f.range AS f, f.range * 400 + i.range AS id
-  FROM range(4) f, range(400) i),
+  FROM range(6) f, range(400) i),
 t3 AS (
   SELECT ids.id, max(CASE WHEN j.range < ids.id % 4
                            AND (ids.id + j.range) % 7 = 3
@@ -19529,7 +19530,8 @@ t3 AS (
 rec AS (
   SELECT ids.id,
          CASE ids.f WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-                    WHEN 2 THEN 'zstandard' ELSE 'snappy' END AS codec,
+                    WHEN 2 THEN 'zstandard' WHEN 3 THEN 'snappy'
+                    WHEN 4 THEN 'bzip2' ELSE 'xz' END AS codec,
          1700000000 + ids.id * 60 AS ts,
          CASE ids.id % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
                          ELSE 'purchase' END AS kind,

@@ -16,8 +16,8 @@ two-branch nullable unions `["null", P]`, and arrays of primitives;
 codecs `null`, `deflate` (raw zlib), `snappy` (the in-repo
 `sources/snappycodec` + the spec's trailing CRC32 of the UNCOMPRESSED
 block, verified) and `zstandard` (the in-repo RFC 8878
-`sources/zstdcodec`). `bzip2` and `xz` codecs are rejected BY NAME so
-skip-mode pipelines can count the loss. Error contract:
+`sources/zstdcodec`), `bzip2` (stdlib `bz2`) and `xz` (stdlib
+`lzma`) — the full Avro 1.11 codec matrix. Error contract:
 ValueError-only.
 """
 
@@ -31,7 +31,9 @@ _MAGIC = b"Obj\x01"
 _PRIMITIVES = frozenset(
     ["null", "boolean", "int", "long", "float", "double", "bytes", "string"]
 )
-_REJECTED_CODECS = frozenset(["bzip2", "xz"])
+_CODECS = frozenset(
+    ["null", "deflate", "snappy", "zstandard", "bzip2", "xz"]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -233,9 +235,7 @@ def parse_avro(buf: bytes) -> dict:
         raise ValueError("avro container missing avro.schema metadata")
     fields = _parse_schema(schema_json.decode("utf-8", "replace"))
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
-    if codec in _REJECTED_CODECS:
-        raise ValueError(f"unsupported avro codec: {codec}")
-    if codec not in ("null", "deflate", "snappy", "zstandard"):
+    if codec not in _CODECS:
         raise ValueError(f"unknown avro codec: {codec}")
     records: list[dict] = []
     while pos < len(buf):
@@ -268,6 +268,28 @@ def parse_avro(buf: bytes) -> dict:
             from odin_rs_spark.sources.zstdcodec import zstd_decompress
 
             block = zstd_decompress(block)
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            try:
+                block = _bz2.decompress(block)
+            except (OSError, ValueError) as exc:
+                raise ValueError(f"corrupt avro bzip2 block: {exc}") from exc
+        elif codec == "xz":
+            import lzma as _lzma
+
+            try:
+                block = _lzma.decompress(block)
+            except _lzma.LZMAError as exc:
+                raise ValueError(f"corrupt avro xz block: {exc}") from exc
+        if count > len(block) + 1:
+            # a record consumes at least zero bytes only for degenerate
+            # all-null schemas; bounding count by the decompressed block
+            # size turns a crafted count=2^50 header into the documented
+            # ValueError instead of an OOM allocation loop
+            raise ValueError(
+                f"avro block count {count} exceeds decompressed size {len(block)}"
+            )
         bp = 0
         for _ in range(count):
             rec = {}
@@ -294,7 +316,7 @@ def encode_avro(
 ) -> bytes:
     """Fixture twin: records → OCF bytes (same subset as the parser)."""
     fields = _parse_schema(schema_json)
-    if codec not in ("null", "deflate", "snappy", "zstandard"):
+    if codec not in _CODECS:
         raise ValueError(f"encoder does not produce codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -329,6 +351,14 @@ def encode_avro(
             from odin_rs_spark.sources.zstdcodec import zstd_compress_store
 
             payload = zstd_compress_store(payload)
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            payload = _bz2.compress(payload)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            payload = _lzma.compress(payload)
         out += _write_long(len(chunk)) + _write_long(len(payload)) + payload
         out += sync
     return bytes(out)

@@ -252,13 +252,19 @@ def parse_parquet_footer(buf: bytes) -> dict:
         raise ValueError(
             f"parquet footer length {footer_len} exceeds provided bytes"
         )
-    if footer_len + 8 == len(buf) - 4 or buf[:4] == b"PAR1":
-        pass  # full file (or aligned slice) — head magic present
+    if footer_len + 8 == len(buf) - 4 and buf[:4] != b"PAR1":
+        # the slice is exactly head-magic + footer + tail, i.e. it
+        # plausibly starts at file offset 0 — head magic must be there
+        raise ValueError("parquet head magic missing (not a parquet file)")
     thrift = buf[len(buf) - 8 - footer_len : len(buf) - 8]
     fm, _ = _struct(thrift, 0)
     schema = [
         {
             "type": PHYSICAL_TYPES.get(s.get(1), None),
+            # FieldRepetitionType (parquet.thrift SchemaElement field 3):
+            # 0=REQUIRED, 1=OPTIONAL, 2=REPEATED — REQUIRED flat columns
+            # carry NO definition levels in v1 data pages
+            "repetition": s.get(3),
             "name": _want(s.get(4) or b"", bytes, "schema.name").decode(
                 "utf-8", "replace"
             ),
@@ -526,6 +532,15 @@ def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
     col = next((c for c in rg["columns"] if c["path"] == col_path), None)
     if col is None:
         raise ValueError(f"column {col_path!r} not in row group")
+    # REQUIRED flat columns (repetition 0) omit definition levels
+    # entirely in v1 data pages; REPEATED (2) needs rep levels — out
+    # of the flat-column scope, rejected by name
+    sch = next(
+        (s for s in meta["schema"][1:] if s["name"] == col_path), None
+    )
+    repetition = sch["repetition"] if sch is not None else 1
+    if repetition == 2:
+        raise ValueError("repeated (nested) columns unsupported")
     start = col["data_page_offset"]
     if col["dictionary_page_offset"] is not None:
         start = min(start, col["dictionary_page_offset"])
@@ -562,16 +577,21 @@ def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
         if nvals is None:
             raise ValueError("data page missing num_values")
         p = 0
-        # definition levels: optional flat column -> bitwidth 1,
-        # 4-byte length prefix, RLE encoding (parquet spec default)
-        if p + 4 > len(payload):
-            raise ValueError("def-level length past end")
-        dlen = int.from_bytes(payload[p : p + 4], "little")
-        p += 4
-        if p + dlen > len(payload):
-            raise ValueError("def levels past end")
-        defs, _ = _rle_hybrid(payload[: p + dlen], p, 1, nvals)
-        p += dlen
+        if repetition == 0:
+            # REQUIRED column: max definition level 0 — the def-level
+            # block is absent and every slot holds a value
+            defs = [1] * nvals
+        else:
+            # definition levels: optional flat column -> bitwidth 1,
+            # 4-byte length prefix, RLE encoding (parquet spec default)
+            if p + 4 > len(payload):
+                raise ValueError("def-level length past end")
+            dlen = int.from_bytes(payload[p : p + 4], "little")
+            p += 4
+            if p + dlen > len(payload):
+                raise ValueError("def levels past end")
+            defs, _ = _rle_hybrid(payload[: p + dlen], p, 1, nvals)
+            p += dlen
         n_present = sum(defs)
         if enc == _ENC_PLAIN:
             vals, p = _plain_values(payload, p, col["type"], n_present)

@@ -47,7 +47,9 @@ def _recs(n=25):
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("codec", ["null", "deflate", "zstandard", "snappy"])
+    @pytest.mark.parametrize(
+        "codec", ["null", "deflate", "zstandard", "snappy", "bzip2", "xz"]
+    )
     def test_roundtrip(self, codec):
         buf = encode_avro(SCHEMA, _recs(), codec=codec, block_records=7)
         out = parse_avro(buf)
@@ -107,18 +109,48 @@ class TestWireSeams:
 
 
 class TestRejections:
-    def test_bzip2_rejected_by_name(self):
+    def test_unknown_codec_rejected_by_name(self):
         with pytest.raises(ValueError):
-            encode_avro(SCHEMA, [], codec="bzip2")
+            encode_avro(SCHEMA, [], codec="lz4raw")
         from odin_rs_spark.sources.avrocodec import _MAGIC
 
         meta = bytearray(_MAGIC)
         meta += _write_long(2)
-        for k, v in ((b"avro.schema", SCHEMA.encode()), (b"avro.codec", b"bzip2")):
+        for k, v in ((b"avro.schema", SCHEMA.encode()), (b"avro.codec", b"lz4raw")):
             meta += _write_long(len(k)) + k + _write_long(len(v)) + v
         meta += _write_long(0) + bytes(16)
-        with pytest.raises(ValueError, match="unsupported avro codec: bzip2"):
+        with pytest.raises(ValueError, match="unknown avro codec: lz4raw"):
             parse_avro(bytes(meta))
+
+    def test_block_count_bounded_by_block_size(self):
+        # a crafted count far beyond the decompressed block size must be
+        # a named ValueError, not an allocation loop (ADVICE r10)
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "N",
+                "fields": [{"name": "z", "type": "null"}],
+            }
+        )
+        buf = bytearray(encode_avro(schema, [{"z": None}] * 3))
+        sync = bytes(buf[-16:])
+        # block = count(1 byte varint "3") + size(1 byte "0") + sync
+        head_end = len(buf) - (1 + 1 + 0 + 16)
+        crafted = (
+            bytes(buf[:head_end])
+            + _write_long(1 << 50)
+            + _write_long(0)
+            + sync
+        )
+        with pytest.raises(ValueError, match="count.*exceeds"):
+            parse_avro(crafted)
+
+    def test_corrupt_bzip2_and_xz_blocks_raise_valueerror(self):
+        for codec in ("bzip2", "xz"):
+            buf = bytearray(encode_avro(SCHEMA, _recs(5), codec=codec))
+            buf[-20] ^= 0xFF  # inside the compressed payload
+            with pytest.raises(ValueError):
+                parse_avro(bytes(buf))
 
     def test_snappy_crc_verified(self):
         buf = bytearray(encode_avro(SCHEMA, _recs(9), codec="snappy"))

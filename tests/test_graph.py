@@ -99,6 +99,28 @@ class TestTriangleCount:
         out = {r.node: r.triangles for r in triangle_count(df).collect()}
         assert out == {1: 1, 2: 1, 3: 1}
 
+    def test_node_ids_beyond_2_32_do_not_collide(self, spark):
+        from odin_rs_spark.operators.graph import triangle_count
+
+        # ids differing by exactly 2^32 would alias under a packed
+        # degree*2^32+node key (ADVICE r10); the struct order must not.
+        base = 1 << 32
+        rows = [
+            (1, 2), (2, 1 + base), (1, 1 + base),      # triangle
+            (1, 2 + base), (2 + base, 2), (2, 1),       # same triangle shape shifted
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = {r.node: r.triangles for r in triangle_count(df).collect()}
+        und = {(min(a, b), max(a, b)) for a, b in rows}
+        naive: dict[int, int] = {}
+        for a, b in sorted(und):
+            for c in sorted({n for e in und for n in e}):
+                if b < c and (b, c) in und and (a, c) in und:
+                    for n in (a, b, c):
+                        naive[n] = naive.get(n, 0) + 1
+        assert {k: v for k, v in out.items() if v} == naive
+        assert sum(out.values()) > 0
+
     def test_matches_naive_closure_on_random_graph(self, spark):
         from odin_rs_spark.operators.graph import triangle_count
 

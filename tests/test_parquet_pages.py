@@ -99,6 +99,37 @@ class TestPageDecode:
             assert parquet_column_values(buf, rg, "val") == ref["val"].to_pylist()[sl]
             assert parquet_column_values(buf, rg, "name") == names[sl]
 
+    def test_required_columns_decode_without_def_levels(self):
+        # REQUIRED (non-nullable) flat columns omit the definition-level
+        # block in v1 data pages entirely (ADVICE r10: mis-parsing the
+        # first data bytes as def levels corrupted or spuriously failed)
+        ids = list(range(300))
+        schema = pa.schema(
+            [
+                pa.field("id", pa.int64(), nullable=False),
+                pa.field("val", pa.float64(), nullable=False),
+            ]
+        )
+        table = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "val": pa.array([i * 0.25 for i in ids], pa.float64()),
+            },
+            schema=schema,
+        )
+        for use_dict in (True, False):
+            sink = io.BytesIO()
+            pq.write_table(
+                table, sink, row_group_size=150, use_dictionary=use_dict
+            )
+            buf = sink.getvalue()
+            for rg in range(2):
+                sl = slice(rg * 150, rg * 150 + 150)
+                assert parquet_column_values(buf, rg, "id") == ids[sl]
+                assert parquet_column_values(buf, rg, "val") == [
+                    i * 0.25 for i in ids
+                ][sl]
+
     def test_unsupported_codec_named(self):
         buf = _mk_parquet(compression="lz4")
         with pytest.raises(ValueError, match="codec"):

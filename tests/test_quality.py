@@ -42,6 +42,24 @@ class TestTwins:
             for n in FEATURES:
                 assert getattr(r, n) == ref[n], (r.i, n)
 
+    def test_empty_text_twins_agree_as_null_nan(self, spark):
+        # ADVICE r10: the Spark columns yield NULL ratios on empty text
+        # (divide-by-zero → NULL) while the Python twin raised
+        # ZeroDivisionError; both must now degrade the same way
+        import math
+
+        from pyspark.sql import functions as F
+
+        from odin_rs_spark.functions.quality import quality_logit
+
+        feats = quality_features_py("")
+        assert all(math.isnan(v) for v in feats.values())
+        m = load_quality_model()
+        assert math.isnan(quality_logit_py("", m))
+        df = spark.createDataFrame([("",)], "text string")
+        row = df.select(quality_logit(F.col("text"), m).alias("z")).collect()[0]
+        assert row.z is None or (isinstance(row.z, float) and math.isnan(row.z))
+
     def test_spark_logit_matches_python_twin(self, spark):
         from pyspark.sql import functions as F
 

@@ -1,8 +1,9 @@
 """Generate the committed Avro Object Container fixtures for q291:
-four files x 400 formula records (global id = file*400 + i), one per
-supported codec (null / deflate / zstandard / snappy — zstandard and
-snappy produced by the in-repo encoders, snappy with the spec's
-trailing CRC32). Deterministic, no RNG."""
+six files x 400 formula records (global id = file*400 + i), one per
+supported codec (null / deflate / zstandard / snappy / bzip2 / xz —
+zstandard and snappy produced by the in-repo encoders, snappy with
+the spec's trailing CRC32; bzip2/xz via stdlib bz2/lzma).
+Deterministic, no RNG."""
 
 import json
 import os
@@ -50,7 +51,7 @@ def records(f: int) -> list[dict]:
 
 
 def main() -> None:
-    for f, codec in enumerate(["null", "deflate", "zstandard", "snappy"]):
+    for f, codec in enumerate(["null", "deflate", "zstandard", "snappy", "bzip2", "xz"]):
         path = os.path.join(FIXDIR, f"events_{codec}.avro")
         with open(path, "wb") as fh:
             fh.write(encode_avro(SCHEMA, records(f), codec=codec))
