@@ -54,6 +54,25 @@ def main() -> None:
     # for framework class-loading
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # calibration anchor (VERDICT r10 #8): a fixed synthetic workload
+    # timed on every run so cross-round comparisons can normalize out
+    # host-speed drift (r9→r10 read 1.33× "slower" on unchanged code;
+    # two sessions burned re-measuring before concluding VM noise).
+    # Shuffle + agg + a pandas-UDF leg so it tracks the same resources
+    # the catalog queries use. min-of-3 like the queries themselves.
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(2_000_000).repartition(64).select(
+                F.sum(_warm(F.col("id"))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration = _calibrate()
+
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -93,6 +112,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": calibration,
     }
     if failures:
         out["failures"] = failures
@@ -127,6 +147,7 @@ def main() -> None:
         "n": len(timings),
         "failures": len(failures),
         "sf": sf,
+        "calibration": calibration,
     }
     print(json.dumps(summary))
 

@@ -22065,123 +22065,101 @@ FROM j GROUP BY 1
 
 
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
-# evaluates exactly the first 50 queries() entries per round. Round-10
-# allocation (rotation rule: never-driver-graded queries take cap
-# slots first, then queries whose CODE changed this round, then the
-# stalest-green queries rotate back in as slots allow):
-#   slots 1-28:  q243-q270 — the r9 waves 8-15 queries added AFTER the
-#                r9 cap froze (never driver-graded; VERDICT r9 item 2
-#                ordered them to the cap front). This set also covers
-#                every query whose code changed via the r10 ADVICE
-#                fixes: q245/q246 (ddsketch null gate), q249 (SOF-walk
-#                progressive detection), q251 (tar typeflag block-walk
-#                + PAX/GNU long names), q265 (zip method numbers),
-#                q239 (RFC 5322 named US zones).
-#   slots 29-47: the NEW r10 queries — q271 NetCDF-4/HDF5 chunked+
-#                deflate decode, q272 ONNX conv-net classify, q273
-#                GOES-R live streaming flagship, q274 .warc.zst
-#                container scan, q275 brotli wire decode, q276 GRIB2
-#                JPEG 2000 (DRT 5.40), q277 mixed-container granule
-#                lake — every r9 "missing" item flipped and
-#                driver-graded in one round — plus q278 k-anonymity,
-#                q279 semantic-contamination screen, q280 stream-
-#                stream FULL OUTER pin, q281 GDPR cascade, q282/q283
-#                sentence segmentation + Flesch readability, q284
-#                AS-OF SCD2 join, q285 ANN recall audit, q286
-#                satellite conv-inference flagship, q287
-#                dropDuplicatesWithinWatermark pin, q288 geodesic
-#                track midpoints, q289 line-level language
-#                segmentation.
-#   slots 48-50: the first continuation-session queries — q290 parquet
-#                thrift-footer scan, q291 Avro OCF four-codec scan,
-#                q292 npy/npz/safetensors tensor shards.
-#   past the cap: the rest of the continuation session (q293-q311:
-#                KMV theta intersection, triangle clustering, trained
-#                quality routing, txn-log time travel, DTMF Goertzel,
-#                parquet page audit, l-diversity, geohash density,
-#                streaming Avro ingest, Benford, CIDR, dataset card,
-#                A/B z-test, seasonal anomaly, msgpack, TextRank,
-#                jsonl.zst, attribution, clamped inventory) queue for
-#                the r11 cap front under the same rotation rule, then
-#                stalest-green fillers (q01, q08-q23 wave-1 block,
-#                q176-q178/q185/q186); everything past the cap keeps
-#                freshest-last order and is locally re-verified every
-#                round by tests/test_catalog_oracle.py.
-# Previous (round-9) allocation, kept for the audit trail:
-#   slot 1:      q189 EXIF audit — the r8 driver-red (oracle signed
-#                zero, fixed this round) rotated to the CAP FRONT per
-#                the r8 verdict.
-#   slots 2-22:  the r9 NEW queries — q194 PDF simple-font decoding
-#                (/Encoding /Differences + /ToUnicode CMaps), q195
-#                XLSX cells (shared strings), q196 PPTX slides, q197
-#                WARC revisit resolution (digest dedup), q198
-#                brotli/zstd decode-loss audit, q199 trained
-#                char-trigram language ID, q200 PDF Info provenance,
-#                q201 benchmark-contamination audit, q202 markdown
-#                extraction, q203 RSS/Atom feeds, q204 domain-mixture
-#                sampler, q205 JSON-LD metadata, q206 five-modality
-#                corpus flagship, q207 politeness scheduling, q208
-#                anchor-text aggregation, q209 Unicode NFC audit,
-#                q210 Excel serial dates, q211 CID/Type0 PDF text
-#                (Identity-H + wide ToUnicode), q212 confidence-gated
-#                language routing, q213 HTTP redirect-chain
-#                resolution, q214 sitemap-index two-level discovery.
-#   slots 23-35: the r9 FOURTH-wave queries — q215 WHATWG MIME
-#                sniffing audit, q216 rel=canonical clustering, q217
-#                robots-meta/X-Robots-Tag gate, q218 C4 cleaning
-#                rules, q219 rendezvous-hash fleet sharding, q220
-#                lang-attribute vs trained-langid audit, q221 CCNet
-#                perplexity terciles, q222 incremental recrawl
-#                planner, q223 baseline TIFF decode, q224 domain
-#                blocklist, q225 dup-line repetition signals, q226
-#                code-vs-prose routing, q227 compliance flagship.
-#   slots 36-40: the r9 FIFTH-wave queries — q228 WARC request/
-#                response pairing (Concurrent-To), q229 encrypted-PDF
-#                detection, q230 decode-QA replacement/control rates,
-#                q231 tokenizer fertility by language, q232 MinHash
-#                estimator measured error.
-#   slots 41-43: the r9 SIXTH-wave queries — q233 hreflang
-#                translation clusters, q234 crawl-trap URL signals,
-#                q235 per-domain report card.
-#   slots 44-50: the r9 SEVENTH-wave queries — q236 SPDX/phrase
-#                license routing, q237 secret scanning with the
-#                entropy gate, q238 z-order file-skipping audit, q239
-#                EML/MIME mail scan, q240 wikitext extraction, q241
-#                banded bitext sentence alignment, q242 CSV dialect
-#                sniffing. (Slots 51-60 — q243 code-governance
-#                flagship, q244 PCA power iteration, q245 DDSketch,
-#                q246 streaming DDSketch merge, q247 water-filling
-#                crawl budget, q248 Hilbert layout, q249 JPEG quality
-#                estimation, q250 crawl-bootstrap flagship, q251 TAR
-#                shard scan, q252 HLL set algebra, q253 WebDataset
-#                samples, q254 compaction planning, q255 single-pass
-#                column profiling, q256 Bloom join pruning, q257
-#                watermark late-drop accounting, q258 integer HITS,
-#                q259 SCD2 validity intervals, q260 ordered funnel,
-#                q261 retention cohorts, q262 LOCF gap-fill, q263
-#                event-time disorder audit, q264 FK conformance, q265
-#                ZIP member scan, q266 stream-stream LEFT OUTER
-#                null-padding pin, q267 CDC tombstone apply, q268
-#                blocking+levenshtein record linkage, q269 grid-DBSCAN
-#                hotspot clustering, q270 track interpolation — sit
-#                first in line for next round's cap; q243's three
-#                stage operators are all graded inside the cap this
-#                round, and all twenty-eight carry full local
-#                verification + invariance evidence.)
-#   Past the cap: the changed-code re-grades (q190 exif coercion;
-#                q174/q175/q153/q182/q183/q187/q193 warc_records
-#                schema growth; q180/q188 pdfcodec trailer/encrypt) —
-#                all green in CORRECTNESS_r08 on the prior code and
-#                locally re-verified on the new code — then the
-#                wave-1/wave-2 families and the stalest rows (q01,
-#                q08, q09, …), all locally re-verified every round
-#                via test_catalog_oracle.
-# Past slot 50: everything graded r7/r8 (freshest last); every
-# registered query is locally re-verified every round by
-# tests/test_catalog_oracle.py.
+# evaluates exactly the first 50 queries() entries per round. The
+# rotation rule (stable since r9): never-driver-graded queries take
+# cap slots first, then queries whose CODE changed this round, then
+# the stalest-green queries rotate back in as slots allow. The order
+# is applied by _rotate() from the _CAP_FRONT name list below —
+# editing _CAP_FRONT IS the rotation; the QuerySpec list keeps its
+# historical grouping and does not move.
+#
+# Round-11 allocation:
+#   slots 1-24:  q293-q316 — added after the r10 cap froze, never
+#                driver-graded (VERDICT r10 item 1 ordered them to
+#                the cap front). All pass the local oracle loop and
+#                the r10 judge's external-cwd sweep.
+#   next:        NEW r11 queries appended to _CAP_FRONT as built
+#                (tiled GeoTIFF, lossy JPEG 2000, gpshub ingest,
+#                PDF /DCTDecode images), plus changed-code re-grades:
+#                q291 (avro bzip2/xz codec matrix growth).
+#   remainder:   stalest-green fillers — the wave-2/3 block last
+#                graded in CORRECTNESS_r03 (q08, q09, q100, q101,
+#                q102, q104, ...) fills the cap to 50; anything past
+#                slot 50 spills harmlessly to future rounds.
+# Past slot 50: freshest-last; every registered query is locally
+# re-verified every round by tests/test_catalog_oracle.py.
+_CAP_FRONT = [
+    # never driver-graded (post-r10-cap continuation, q293-q316)
+    "q293_kmv_intersection",
+    "q294_triangle_clustering",
+    "q295_quality_model_route",
+    "q296_snapshot_time_travel",
+    "q297_dtmf_decode",
+    "q298_parquet_page_audit",
+    "q299_l_diversity",
+    "q300_geohash_density",
+    "q301_avro_stream_ingest",
+    "q302_benford_audit",
+    "q303_cidr_blocklist",
+    "q304_dataset_card",
+    "q305_ab_test_ztest",
+    "q306_seasonal_anomaly",
+    "q307_msgpack_scan",
+    "q308_textrank_keywords",
+    "q309_jsonl_zst_scan",
+    "q310_attribution_last_touch",
+    "q311_clamped_inventory",
+    "q312_schema_drift",
+    "q313_dedup_threshold_tuning",
+    "q314_psi_drift",
+    "q315_bot_regularity",
+    "q316_lake_fsck",
+    # new r11 queries + changed-code re-grades are inserted HERE as
+    # they are built (never-graded before stalest, per the rule)
+    "q291_avro_scan",
+    # stalest-green fillers (last graded r3)
+    "q08_customers_without_orders",
+    "q09_urgent_parts",
+    "q100_cms_frequency",
+    "q101_salted_agg",
+    "q102_sampled_quantiles",
+    "q104_matryoshka_topk",
+    "q106_containment_join",
+    "q107_stratified_sample",
+    "q110_budget_select",
+    "q111_frame_sample",
+    "q112_bpe_tokens",
+    "q113_remove_boilerplate",
+    "q114_salted_join",
+    "q116_center_embeddings",
+    "q12_minute_histogram",
+    "q13_schedule_stats",
+    "q14_value_stats",
+    "q15_histogram_cdf",
+    "q17_dedup_latest",
+    "q19_union_tagged",
+    "q91_stream_backfill_live",
+    "q92_line_dedup",
+    "q93_winnow_pairs",
+    "q94_bm25_topk",
+    "q95_bloom_contamination",
+]
+
+
+def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
+    by_name = {s.name: s for s in specs}
+    missing = [n for n in _CAP_FRONT if n not in by_name]
+    if missing:
+        raise ValueError(f"_CAP_FRONT names not in catalog: {missing}")
+    front_set = set(_CAP_FRONT)
+    return [by_name[n] for n in _CAP_FRONT] + [
+        s for s in specs if s.name not in front_set
+    ]
+
+
 CATALOG: dict[str, QuerySpec] = {
     s.name: s
-    for s in [
+    for s in _rotate([
         QuerySpec("q243_code_governance", q243_code_governance, Q243_SQL, "flagship code-governance route-license-secret"),
         QuerySpec("q244_pca_power", q244_pca_power, Q244_SQL, "embedding pca gram power-iteration"),
         QuerySpec("q245_ddsketch", q245_ddsketch, Q245_SQL, "sketch ddsketch relative-error quantiles"),
@@ -22498,7 +22476,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q43_inactive_devices", q43_inactive_devices, Q43_SQL, "T4"),
         QuerySpec("q44_alarm_suppress", q44_alarm_suppress, Q44_SQL, "T5"),
         QuerySpec("q48_mode_s_dispatch", q48_mode_s_dispatch, Q48_SQL, "S8"),
-    ]
+    ])
 }
 
 
