@@ -22064,6 +22064,93 @@ FROM j GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q317 — TILED + COMPRESSED GeoTIFF DEM mosaic (r11: the file shape
+# real DEM tilesets actually ship — GDAL writes tiled DEFLATE/LZW with
+# the horizontal predictor, and the reference reads exactly these via
+# GDAL VRT mosaics, odin_dem/src/lib.rs:260-299, odin_gdal/src/
+# lib.rs:578-624). Two committed column-adjacent mosaic tiles (96x64
+# each on a 0.01-deg north-up lattice): tile A int16 / tiled 32x16 /
+# DEFLATE / predictor 2, tile B uint16 / tiled 16x16 / TIFF6 LZW
+# (early-change variant, decoded by the in-repo codec) / predictor 2.
+# Both decode in-kernel (sources/geotiff.py) into the cell lattice and
+# a 300-point probe set joins by INTEGER global cell index — the J1
+# quantized-join discipline (integer lattice keys, broadcast the small
+# side) with the probe side broadcast. Points on nodata holes survive
+# as band -1 via the left join. The oracle replays both height
+# formulas, the nodata masks and the probe lattice exactly — integer-
+# exact end to end.
+# --------------------------------------------------------------------------
+
+def q317_tiled_dem_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.geotiff import geotiff_grid_cells
+
+    fixdir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+    )
+    files = spark.read.format("binaryFile").load(
+        [_os.path.join(fixdir, "dem_tile_a.tif"),
+         _os.path.join(fixdir, "dem_tile_b.tif")]
+    )
+    cells = geotiff_grid_cells(files).select(
+        # global mosaic column: tile B sits 96 cells east of tile A
+        (F.col("x") + F.when(
+            F.col("path").contains("dem_tile_b"), F.lit(96)
+        ).otherwise(F.lit(0))).alias("gi"),
+        F.col("y").alias("gj"),
+        "value",
+    )
+    probes = spark.range(300).select(
+        ((F.col("id") * 7) % 192).cast("int").alias("gi"),
+        ((F.col("id") * 11) % 64).cast("int").alias("gj"),
+    )
+    hits = cells.join(F.broadcast(probes), ["gi", "gj"], "right")
+    return hits.groupBy(
+        F.when(F.col("gi") < 96, F.lit("A")).otherwise(F.lit("B")).alias("tile"),
+        F.coalesce(
+            F.floor(F.col("value") / 100).cast("int"), F.lit(-1)
+        ).alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("value").alias("sum_height"),
+        F.min("gj").cast("int").alias("min_gj"),
+        F.max("gj").cast("int").alias("max_gj"),
+    )
+
+
+Q317_SQL = """
+WITH pts AS (
+  SELECT (k.range * 7) % 192 AS gi, (k.range * 11) % 64 AS gj
+  FROM range(300) k),
+a AS (
+  SELECT i.range AS gi, j.range AS gj,
+         ((i.range * 17 + j.range * 23) % 700)::DOUBLE AS v
+  FROM range(96) i, range(64) j
+  WHERE (i.range + 2 * j.range) % 13 != 7),
+b AS (
+  SELECT i.range + 96 AS gi, j.range AS gj,
+         ((i.range * 29 + j.range * 31) % 900)::DOUBLE AS v
+  FROM range(96) i, range(64) j
+  WHERE (3 * i.range + j.range) % 11 != 4),
+cells AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+hits AS (
+  SELECT p.gi, p.gj, c.v
+  FROM pts p LEFT JOIN cells c ON c.gi = p.gi AND c.gj = p.gj)
+SELECT CASE WHEN gi < 96 THEN 'A' ELSE 'B' END AS tile,
+       coalesce(floor(v / 100.0), -1)::INT AS band,
+       count(*)::BIGINT AS n_probes,
+       sum(v) AS sum_height,
+       min(gj)::INT AS min_gj,
+       max(gj)::INT AS max_gj
+FROM hits GROUP BY 1, 2
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. The
 # rotation rule (stable since r9): never-driver-graded queries take
@@ -22116,6 +22203,7 @@ _CAP_FRONT = [
     "q316_lake_fsck",
     # new r11 queries + changed-code re-grades are inserted HERE as
     # they are built (never-graded before stalest, per the rule)
+    "q317_tiled_dem_mosaic",
     "q291_avro_scan",
     # stalest-green fillers (last graded r3)
     "q08_customers_without_orders",
@@ -22234,6 +22322,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q314_psi_drift", q314_psi_drift, Q314_SQL, "A-drift population-stability-index"),
         QuerySpec("q315_bot_regularity", q315_bot_regularity, Q315_SQL, "web bot-detection gap-cv regularity"),
         QuerySpec("q316_lake_fsck", q316_lake_fsck, Q316_SQL, "layout lake-fsck orphan-missing audit"),
+        QuerySpec("q317_tiled_dem_mosaic", q317_tiled_dem_mosaic, Q317_SQL, "S2 R7 J1 tiled-deflate-lzw geotiff mosaic"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -7,22 +7,127 @@ and GeoTIFF georeferencing is two tags of doubles, so the DEM byte
 path is real here).
 
 Scope (errors name anything else): classic (non-Big) TIFF, both byte
-orders, single-sample grayscale, uncompressed strips, bit depths 8/16
-uint, 16-bit int, 32-bit float (the common DEM encodings), with the
-GeoTIFF ModelPixelScale (33550) + ModelTiepoint (33922) tags mapping
-pixel (i, j) to (lon, lat) as lon = tx + i·sx, lat = ty − j·sy
-(north-up rasters). Tiled TIFFs and compression raise — the
-documented GDAL seam.
+orders, single-sample grayscale, bit depths 8/16 uint, 16-bit int,
+32-bit float (the common DEM encodings), STRIPPED or TILED layout,
+compression none / DEFLATE (8 and legacy 32946, zlib streams) / LZW
+(5, the TIFF6 MSB-first early-change variant), horizontal-
+differencing predictor 2 for integer samples — i.e. the files real
+DEM tilesets actually ship (tiled + DEFLATE/LZW is what GDAL writes;
+the reference reads them via GDAL VRT mosaics). Georeferencing via
+GeoTIFF ModelPixelScale (33550) + ModelTiepoint (33922): pixel
+(i, j) → (lon, lat) as lon = tx + i·sx, lat = ty − j·sy (north-up
+rasters). BigTIFF and the floating-point predictor 3 raise by name.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 8: 2, 9: 4, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF6 LZW (section 13): MSB-first codes starting at 9 bits,
+    ClearCode 256 / EOI 257, EARLY code-width change (width bumps when
+    the next table index reaches 511/1023/2047 — one code earlier than
+    vanilla LZW). `expected` bounds the output so a crafted stream is
+    a ValueError, not an allocation bomb."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    nbits = 9
+    bitpos = 0
+    total_bits = len(data) * 8
+    prev: bytes | None = None
+    while bitpos + nbits <= total_bits:
+        byte_idx = bitpos >> 3
+        window = int.from_bytes(
+            data[byte_idx : byte_idx + 3].ljust(3, b"\x00"), "big"
+        )
+        code = (window >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            del table[258:]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("lzw: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"lzw: code {code} beyond table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("lzw: output exceeds the declared segment size")
+        prev = entry
+        # EARLY change (TIFF6 / ISO 32000 EarlyChange=1): the encoder
+        # widens as soon as it ADDS entry 511/1023/2047 — one code
+        # before a 9/10/11-bit code actually overflows. The decoder's
+        # table trails the encoder's by exactly one add, so it widens
+        # after ITS add makes len(table) = 511/1023/2047 (last added
+        # index 510/1022/2046) — the tifffile/libtiff-compatible rule.
+        if len(table) in (511, 1023, 2047) and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Fixture twin of `_lzw_decode` (same early-change schedule)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(_LZW_CLEAR, nbits)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen right after ADDING entry 511/1023/2047
+        if next_code in (512, 1024, 2048):
+            nbits += 1
+        elif next_code == 4094:  # table nearly full: reset (libtiff does)
+            emit(_LZW_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = c
+    if w:
+        emit(table[w], nbits)
+    emit(_LZW_EOI, nbits)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
 
 
 def parse_geotiff(buf: bytes) -> dict:
@@ -90,13 +195,13 @@ def _parse_geotiff(buf: bytes) -> dict:
     if ni is None or nj is None:
         raise ValueError("missing ImageWidth/ImageLength")
     comp = one(259, 1)
-    if comp != 1:
-        raise ValueError(f"compression {comp} unsupported (uncompressed only)")
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            f"compression {comp} unsupported (none/LZW/DEFLATE only)"
+        )
     spp = one(277, 1)
     if spp != 1:
         raise ValueError(f"{spp} samples/pixel unsupported (grayscale only)")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF unsupported (stripped only)")
     bits = one(258, 8)
     sfmt = one(339, 1)  # 1 uint, 2 int, 3 float
     np_dtype = {
@@ -108,28 +213,91 @@ def _parse_geotiff(buf: bytes) -> dict:
     }.get((bits, sfmt))
     if np_dtype is None:
         raise ValueError(f"sample format bits={bits} fmt={sfmt} unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("missing/mismatched strip offsets and byte counts")
-    # strip sizes are raw 4-byte fields: bound total against the file
-    # BEFORE any allocation (fuzzer class)
-    need = nj * ni * (bits // 8)
-    total_declared = sum(counts)
-    if total_declared > len(buf) or total_declared < need:
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} unsupported (none/horizontal)")
+    if predictor == 2 and sfmt == 3:
         raise ValueError(
-            f"strip bytes {total_declared} inconsistent with "
-            f"{nj}x{ni}x{bits // 8} raster"
+            "horizontal predictor on float samples unsupported "
+            "(predictor 3 is the float form)"
         )
-    parts = []
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(buf):
-            raise ValueError("strip runs past the file")
-        parts.append(buf[off : off + cnt])
-    raw = b"".join(parts)[:need]
-    vals = (
-        np.frombuffer(raw, dtype=np_dtype).astype(np.float64).reshape(nj, ni)
-    )
+    bps = bits // 8
+    if ni <= 0 or nj <= 0 or ni * nj > (1 << 28):
+        raise ValueError(f"raster {nj}x{ni} out of bounds")
+
+    def decomp(seg: bytes, expected: int) -> bytes:
+        if comp == 1:
+            data = seg
+        elif comp in (8, 32946):  # DEFLATE (zlib stream)
+            try:
+                # max_length caps the allocation: a crafted bomb
+                # segment yields a short-read ValueError, not an OOM
+                data = zlib.decompressobj().decompress(seg, expected)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt deflate segment: {exc}") from exc
+        else:  # 5 — LZW
+            data = _lzw_decode(seg, expected)
+        if len(data) < expected:
+            raise ValueError(
+                f"segment decodes to {len(data)} bytes, expected {expected}"
+            )
+        return data[:expected]
+
+    def unpredict(a: np.ndarray) -> np.ndarray:
+        if predictor == 1:
+            return a
+        # horizontal differencing: each sample stored as the delta to
+        # its left neighbour; undo with a modular row cumsum (wraps in
+        # the sample's own unsigned width, per TIFF6 §14)
+        u = a.view(a.dtype.str.replace("i", "u"))
+        out = np.cumsum(u, axis=1, dtype=u.dtype)
+        return out.view(a.dtype)
+
+    def segment(off: int, cnt: int) -> bytes:
+        if off < 0 or cnt < 0 or off + cnt > len(buf):
+            raise ValueError("segment runs past the file")
+        return bytes(buf[off : off + cnt])
+
+    if 322 in tags or 323 in tags:
+        tw, th = one(322), one(323)
+        toffs, tcnts = tags.get(324), tags.get(325)
+        if not tw or not th or tw <= 0 or th <= 0:
+            raise ValueError("bad TileWidth/TileLength")
+        if not toffs or not tcnts or len(toffs) != len(tcnts):
+            raise ValueError("missing/mismatched tile offsets and byte counts")
+        across = -(-ni // tw)
+        down = -(-nj // th)
+        if len(toffs) != across * down:
+            raise ValueError(
+                f"{len(toffs)} tiles != {across}x{down} tile grid"
+            )
+        full = np.zeros((down * th, across * tw), dtype=np_dtype)
+        for idx, (off, cnt) in enumerate(zip(toffs, tcnts)):
+            data = decomp(segment(off, cnt), tw * th * bps)
+            tile = np.frombuffer(data, dtype=np_dtype).reshape(th, tw)
+            r, c = idx // across, idx % across
+            full[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = unpredict(tile)
+        vals = full[:nj, :ni].astype(np.float64)
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("missing/mismatched strip offsets and byte counts")
+        rps = one(278, nj) or nj
+        if rps <= 0:
+            raise ValueError("bad RowsPerStrip")
+        n_strips = -(-nj // rps)
+        if len(offsets) != n_strips:
+            raise ValueError(
+                f"{len(offsets)} strips != ceil({nj}/{rps}) expected"
+            )
+        rows = []
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            r0, r1 = k * rps, min(nj, (k + 1) * rps)
+            data = decomp(segment(off, cnt), (r1 - r0) * ni * bps)
+            a = np.frombuffer(data, dtype=np_dtype).reshape(r1 - r0, ni)
+            rows.append(unpredict(a))
+        vals = np.vstack(rows).astype(np.float64)
 
     scale = tags.get(33550)
     tie = tags.get(33922)
@@ -171,16 +339,28 @@ def write_geotiff(
     dlon: float,
     dtype: str = "f4",
     nodata: float | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> None:
-    """Minimal little-endian GeoTIFF writer — the fixture twin of
-    `parse_geotiff` (one strip, uncompressed, grayscale). `lat0` is the
-    top row's latitude; `dlat` should be negative for north-up, and
-    ModelPixelScale stores |dlat|. NaN cells encode as `nodata` (which
-    becomes the GDAL_NODATA ASCII tag)."""
+    """Little-endian GeoTIFF writer — the fixture twin of
+    `parse_geotiff` (grayscale; stripped by default, tiled when `tile`
+    = (tw, th); compression none/deflate/lzw; horizontal predictor 2
+    for integer dtypes). `lat0` is the top row's latitude; `dlat`
+    should be negative for north-up, and ModelPixelScale stores
+    |dlat|. NaN cells encode as `nodata` (which becomes the
+    GDAL_NODATA ASCII tag)."""
     nj, ni = values.shape
     np_dtype = {"u1": "<u1", "u2": "<u2", "i2": "<i2", "f4": "<f4"}.get(dtype)
     if np_dtype is None:
         raise ValueError(f"dtype {dtype!r} unsupported (u1/u2/i2/f4)")
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"compression {compression!r} unsupported")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} unsupported")
+    if predictor == 2 and dtype == "f4":
+        raise ValueError("horizontal predictor needs an integer dtype")
     bits = int(np_dtype[-1]) * 8
     sfmt = {"u": 1, "i": 2, "f": 3}[np_dtype[1]]
     v = np.asarray(values, dtype=np.float64)
@@ -188,12 +368,39 @@ def write_geotiff(
         v = np.where(np.isnan(v), nodata, v)
     elif np.isnan(v).any():
         raise ValueError("NaN values need an explicit nodata")
-    data = v.astype(np_dtype).tobytes()
+    arr = v.astype(np_dtype)
+
+    def predict(a: np.ndarray) -> np.ndarray:
+        if predictor == 1:
+            return a
+        u = a.view(a.dtype.str.replace("i", "u")).copy()
+        u[:, 1:] = u[:, 1:] - u[:, :-1]  # modular per-row differencing
+        return u.view(a.dtype)
+
+    def pack(a: np.ndarray) -> bytes:
+        raw = predict(a).tobytes()
+        if comp_id == 8:
+            return zlib.compress(raw, 9)
+        if comp_id == 5:
+            return _lzw_encode(raw)
+        return raw
+
+    segments: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        across, down = -(-ni // tw), -(-nj // th)
+        padded = np.zeros((down * th, across * tw), dtype=np_dtype)
+        padded[:nj, :ni] = arr
+        for r in range(down):
+            for c in range(across):
+                segments.append(
+                    pack(padded[r * th : (r + 1) * th, c * tw : (c + 1) * tw])
+                )
+    else:
+        segments.append(pack(arr))
 
     entries: list[tuple[int, int, int, bytes]] = []
-    extra = bytearray()
-    header_size = 8
-    # layout: header | IFD | extra data | strip
+
     def add(tag: int, typ: int, vals_list: list):
         fmt = _TYPE_FMT[typ]
         payload = struct.pack("<" + fmt * len(vals_list), *vals_list)
@@ -202,25 +409,35 @@ def write_geotiff(
     add(256, 4, [ni])
     add(257, 4, [nj])
     add(258, 3, [bits])
-    add(259, 3, [1])
+    add(259, 3, [comp_id])
     add(262, 3, [1])
     add(277, 3, [1])
-    add(278, 4, [nj])
-    add(279, 4, [len(data)])
+    if predictor != 1:
+        add(317, 3, [predictor])
     add(339, 3, [sfmt])
     add(33550, 12, [abs(dlon), abs(dlat), 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, lon0, lat0, 0.0])
     if nodata is not None:
         nd = f"{nodata}".encode("ascii") + b"\x00"
         entries.append((42113, 2, len(nd), nd))
-    add(273, 4, [0])  # placeholder, patched below
+    n_seg = len(segments)
+    if tile is not None:
+        add(322, 4, [tile[0]])
+        add(323, 4, [tile[1]])
+        add(324, 4, [0] * n_seg)  # patched below
+        add(325, 4, [len(s) for s in segments])
+        off_tag = 324
+    else:
+        add(278, 4, [nj])
+        add(273, 4, [0] * n_seg)  # patched below
+        add(279, 4, [len(s) for s in segments])
+        off_tag = 273
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_off = header_size
+    ifd_off = 8
     data_area_off = ifd_off + 2 + 12 * n + 4
-    # assign overflow offsets
-    blobs: list[bytes] = []
+    # first pass: lay out tag-overflow payloads after the IFD
     cursor = data_area_off
     encoded = []
     for tag, typ, cnt, payload in entries:
@@ -229,12 +446,20 @@ def write_geotiff(
         else:
             encoded.append((tag, typ, cnt, struct.pack("<I", cursor), payload))
             cursor += len(payload)
-    strip_off = cursor
-    # patch StripOffsets (tag 273) value
+    # segments start after the overflow area; patch the offsets array
+    seg_offs = []
+    seg_cursor = cursor
+    for s in segments:
+        seg_offs.append(seg_cursor)
+        seg_cursor += len(s)
+    off_payload = struct.pack("<" + "I" * n_seg, *seg_offs)
     final = []
     for tag, typ, cnt, val4, blob in encoded:
-        if tag == 273:
-            val4 = struct.pack("<I", strip_off)
+        if tag == off_tag:
+            if blob is None:
+                val4 = off_payload.ljust(4, b"\x00")
+            else:
+                blob = off_payload
         final.append((tag, typ, cnt, val4, blob))
 
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
@@ -245,8 +470,9 @@ def write_geotiff(
     for _, _, _, _, blob in final:
         if blob is not None:
             out += blob
-    assert len(out) == strip_off
-    out += data
+    assert len(out) == cursor
+    for s in segments:
+        out += s
     with open(path, "wb") as f:
         f.write(bytes(out))
 

@@ -91,15 +91,21 @@ def test_corrupt_and_unsupported_raise():
         parse_geotiff(b"XX*\x00" + good[4:])
     with pytest.raises(ValueError, match="BigTIFF"):
         parse_geotiff(b"II+\x00" + good[4:])
-    # compression flag
+    # unsupported compression scheme (7 = old JPEG) rejected by name
     bad = bytearray(good)
-    # find the 259 entry and set its value to 5 (LZW)
     for off in range(10, len(bad) - 12, 12):
         if struct.unpack("<H", bad[off : off + 2])[0] == 259:
-            struct.pack_into("<H", bad, off + 8, 5)
+            comp_off = off + 8
+            struct.pack_into("<H", bad, comp_off, 7)
             break
-    with pytest.raises(ValueError, match="compression 5"):
+    with pytest.raises(ValueError, match="compression 7"):
         parse_geotiff(bytes(bad))
+    # flipping an UNCOMPRESSED strip to LZW must be a ValueError from
+    # the LZW decoder (short/garbage stream), never a crash
+    bad_lzw = bytearray(good)
+    struct.pack_into("<H", bad_lzw, comp_off, 5)
+    with pytest.raises(ValueError):
+        parse_geotiff(bytes(bad_lzw))
     # strip bytes inconsistent with the declared raster (fuzzer class:
     # checked BEFORE allocation)
     bad2 = bytearray(good)
@@ -107,7 +113,7 @@ def test_corrupt_and_unsupported_raise():
         if struct.unpack("<H", bad2[off : off + 2])[0] == 256:
             struct.pack_into("<I", bad2, off + 8, 2_000_000)
             break
-    with pytest.raises(ValueError, match="inconsistent|past the file"):
+    with pytest.raises(ValueError, match="decodes to|past the file|out of bounds"):
         parse_geotiff(bytes(bad2))
 
 
@@ -123,3 +129,103 @@ def test_spark_dem_scan_nodata_and_predicate(spark, tmp_path):
     assert set(got) == {(2, 0), (0, 1), (1, 1), (2, 1)}
     assert got[(2, 0)] == (30.0, 102.0, 2.0)
     assert got[(1, 1)] == (50.0, 101.0, 1.0)
+
+
+class TestCompressedTiled:
+    """r11: tiled layout + DEFLATE/LZW + horizontal predictor — the
+    shape real DEM tilesets ship (GDAL's default tiled writer)."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(dtype="f4", compression="deflate"),
+            dict(dtype="f4", compression="lzw"),
+            dict(dtype="i2", compression="deflate", predictor=2),
+            dict(dtype="u2", compression="lzw", predictor=2),
+            dict(dtype="u1", compression="lzw", predictor=2),
+            dict(dtype="f4", compression="none", tile=(16, 16)),
+            dict(dtype="f4", compression="deflate", tile=(16, 16)),
+            dict(dtype="i2", compression="deflate", predictor=2, tile=(32, 8)),
+            dict(dtype="u2", compression="lzw", predictor=2, tile=(16, 16)),
+        ],
+    )
+    def test_roundtrip_matrix(self, tmp_path, kw):
+        # 40x25 with non-tile-aligned edges exercises tile padding/crop
+        v = ((np.arange(40 * 25).reshape(25, 40) * 13) % 251).astype(float)
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, v, lat0=37.0, lon0=-120.0, dlat=-0.01, dlon=0.01, **kw)
+        g = parse_geotiff(open(p, "rb").read())
+        assert (g["nj"], g["ni"]) == (25, 40)
+        assert np.array_equal(g["values"], v)
+        assert abs(g["lat0"] - 37.0) < 1e-12 and abs(g["lon0"] + 120.0) < 1e-12
+
+    def test_lzw_core_crosses_width_boundaries(self):
+        from odin_rs_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+        rng = np.random.RandomState(11)
+        for size in (0, 1, 255, 2000, 50000):
+            for data in (
+                rng.randint(0, 256, size).astype(np.uint8).tobytes(),
+                bytes(np.arange(size) % 5),  # highly compressible
+            ):
+                assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    def test_lzw_output_bound_is_a_valueerror(self):
+        from odin_rs_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+        enc = _lzw_encode(b"abcabcabc" * 50)
+        with pytest.raises(ValueError, match="exceeds"):
+            _lzw_decode(enc, 10)
+
+    def test_predictor_on_float_rejected_by_name(self, tmp_path):
+        with pytest.raises(ValueError, match="predictor"):
+            write_geotiff(
+                str(tmp_path / "x.tif"), np.ones((4, 4)), 0, 0, -1, 1,
+                dtype="f4", predictor=2,
+            )
+
+    def test_committed_mosaic_fixtures_replay_their_formulas(self):
+        import os
+
+        import odin_rs_spark
+
+        fixdir = os.path.join(
+            os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+            "sources", "fixtures",
+        )
+        jj, ii = np.mgrid[0:64, 0:96]
+        for name, h, nd in (
+            ("dem_tile_a.tif", (ii * 17 + jj * 23) % 700, (ii + 2 * jj) % 13 == 7),
+            ("dem_tile_b.tif", (ii * 29 + jj * 31) % 900, (3 * ii + jj) % 11 == 4),
+        ):
+            g = parse_geotiff(open(os.path.join(fixdir, name), "rb").read())
+            assert np.array_equal(np.isnan(g["values"]), nd)
+            assert np.array_equal(g["values"][~nd], h.astype(float)[~nd])
+
+    def test_tiled_mutation_fuzz_valueerror_only(self, tmp_path):
+        v = ((np.arange(48 * 32).reshape(32, 48) * 7) % 300).astype(float)
+        p = str(tmp_path / "m.tif")
+        write_geotiff(
+            p, v, lat0=1.0, lon0=2.0, dlat=-0.5, dlon=0.5,
+            dtype="i2", compression="deflate", predictor=2, tile=(16, 16),
+        )
+        buf = open(p, "rb").read()
+        for off in range(0, len(buf), 7):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parse_geotiff(bytes(m))
+            except ValueError:
+                pass  # the only allowed failure mode
+
+    def test_truncation_ladder_valueerror_only(self, tmp_path):
+        v = np.ones((20, 20))
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, v, 0, 0, -1, 1, dtype="u2",
+                      compression="lzw", predictor=2, tile=(16, 16))
+        buf = open(p, "rb").read()
+        for cut in range(0, len(buf), 11):
+            try:
+                parse_geotiff(buf[:cut])
+            except ValueError:
+                pass
