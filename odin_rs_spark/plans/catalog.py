@@ -22151,6 +22151,72 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q318 — LOSSY JPEG 2000 GRIB2 decode audit (DRT 5.40 compression
+# type 1, flipped r11: 9/7 irreversible wavelet + scalar-expounded
+# quantization, the profile real NOAA HRRR/MRMS granules ship —
+# odin_hrrr/src/lib.rs:262-498 fetches exactly these and reads them
+# through GDAL's OpenJPEG path). The committed fixture packs the
+# integer formula field f(i,j) = (3i² + 5j² + 7ij) mod 4096 (scale
+# 2^-2) at qstep 1.0; the query decodes it in-kernel
+# (sources/j2kcodec 9/7 synthesis + Annex-E bin-center
+# dequantization), recomputes the exact field from the formula and
+# audits the quantization error per x-band. Lossy decode is
+# DETERMINISTIC given bytes (pure float64 numpy, no FMA), so the
+# oracle pins the decoded aggregates as literals emitted by
+# tools/gen_grib2_lossy_fixture.py against the exact same bytes —
+# equality holds IFF the QCD style-2 parse, Mb = G + ε − 1 bitplane
+# accounting, MQ/EBCOT decode, dequantization and 9/7 lifting are all
+# unchanged bit-for-bit.
+# --------------------------------------------------------------------------
+
+def q318_grib2_lossy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.grib2 import grib2_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "hrrr_lossy.grib2",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = grib2_grid_cells(files)
+    x, y = F.col("x").cast("long"), F.col("y").cast("long")
+    exact = ((x * x * 3 + y * y * 5 + x * y * 7) % 4096).cast("double") * 0.25
+    err = F.col("value") - exact
+    return cells.select(
+        (F.col("x") % 8).alias("xb"), "value",
+        exact.alias("exact"), err.alias("err"),
+    ).groupBy("xb").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_dec"),
+        F.round(F.sum("exact"), 6).alias("sum_exact"),
+        F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+        F.round(F.sum(F.abs(F.col("err"))), 6).alias("sum_abs_err"),
+    )
+
+
+Q318_SQL = """
+SELECT xb::INT AS xb, n_cells::BIGINT AS n_cells,
+       sum_dec::DOUBLE AS sum_dec, sum_exact::DOUBLE AS sum_exact,
+       max_abs_err::DOUBLE AS max_abs_err,
+       sum_abs_err::DOUBLE AS sum_abs_err
+FROM (VALUES
+  (0, 768, 377111.5, 377120.0, 0.5, 74.5),
+  (1, 768, 387764.25, 387776.0, 0.25, 55.75),
+  (2, 768, 391384.25, 391392.0, 0.25, 60.75),
+  (3, 768, 385913.75, 385920.0, 0.25, 61.25),
+  (4, 768, 378522.0, 378528.0, 0.5, 66.5),
+  (5, 768, 390711.0, 390720.0, 0.25, 61.0),
+  (6, 768, 392797.0, 392800.0, 0.25, 59.0),
+  (7, 768, 388856.5, 388864.0, 0.5, 66.5)
+) t(xb, n_cells, sum_dec, sum_exact, max_abs_err, sum_abs_err)
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. The
 # rotation rule (stable since r9): never-driver-graded queries take
@@ -22204,6 +22270,7 @@ _CAP_FRONT = [
     # new r11 queries + changed-code re-grades are inserted HERE as
     # they are built (never-graded before stalest, per the rule)
     "q317_tiled_dem_mosaic",
+    "q318_grib2_lossy_audit",
     "q291_avro_scan",
     # stalest-green fillers (last graded r3)
     "q08_customers_without_orders",
@@ -22323,6 +22390,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q315_bot_regularity", q315_bot_regularity, Q315_SQL, "web bot-detection gap-cv regularity"),
         QuerySpec("q316_lake_fsck", q316_lake_fsck, Q316_SQL, "layout lake-fsck orphan-missing audit"),
         QuerySpec("q317_tiled_dem_mosaic", q317_tiled_dem_mosaic, Q317_SQL, "S2 R7 J1 tiled-deflate-lzw geotiff mosaic"),
+        QuerySpec("q318_grib2_lossy_audit", q318_grib2_lossy_audit, Q318_SQL, "S11 grib2 jpeg2000 lossy-9/7 quantization audit"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

@@ -21,11 +21,13 @@ implements the subset that covers regular forecast products:
 - Section 6 bitmap indicator 255 (no bitmap) or 0 (embedded bitmap:
   missing points carry no packed value).
 
-- Section 5 data template **5.40** (JPEG 2000 packing, lossless):
-  section 7 carries a raw J2K codestream of the scaled integer field,
-  decoded by the pure-Python EBCOT/5-3-wavelet codec in
-  `sources/j2kcodec.py` (the seam flipped in r10; lossy compression
-  type ≠ 0 rejects by name).
+- Section 5 data template **5.40** (JPEG 2000 packing, lossless AND
+  lossy): section 7 carries a raw J2K codestream of the scaled
+  integer field, decoded by the pure-Python EBCOT codec in
+  `sources/j2kcodec.py` — 5/3 reversible (compression type 0, the
+  r10 seam) or 9/7 irreversible with scalar quantization
+  (compression type 1, flipped r11 — the profile real HRRR/MRMS
+  granules also ship).
 
 Missing-value management within complex packing (DRT
 octet 23 ≠ 0) is rejected explicitly: the granules this engine targets
@@ -223,12 +225,13 @@ def _parse_grib2(buf: bytes) -> dict:
             }
             if tmpl == 40:
                 # DRT 5.40 octets 22-23: compression type (0 =
-                # lossless), target compression ratio (255 = lossless)
+                # lossless 5/3, 1 = lossy 9/7 — both decode through
+                # sources/j2kcodec; the codestream's own COD/QCD
+                # markers carry the wavelet + quantization choice)
                 ctype = body[21]
-                if ctype != 0:
+                if ctype not in (0, 1):
                     raise ValueError(
-                        f"JPEG 2000 compression type {ctype} unsupported "
-                        "(0 = lossless only)"
+                        f"JPEG 2000 compression type {ctype} unsupported"
                     )
             if tmpl in (2, 3):
                 # DRT 5.2 octets 22-47 (general group splitting); 5.3
@@ -759,12 +762,17 @@ def write_grib2_jpeg2000(
     category: int = 2,
     number: int = 2,
     levels: int = 3,
+    lossy: bool = False,
+    qstep: float = 0.5,
 ) -> None:
     """GRIB2 writer for JPEG 2000 packing (template 5.40 + 7.40) — the
     fixture twin of the DRT 5.40 read path: the scaled integer field
-    goes through the pure-Python lossless J2K encoder
+    goes through the pure-Python J2K encoder
     (sources/j2kcodec.encode_j2k), exactly the payload wgrib2/JasPer
-    ship for NOAA HRRR granules."""
+    ship for NOAA HRRR granules. `lossy=True` packs with the 9/7
+    irreversible wavelet + scalar quantization (compression type 1 in
+    DRT 5.40 octet 22) — the profile real HRRR/MRMS granules also
+    use."""
     from odin_rs_spark.sources.j2kcodec import encode_j2k
 
     nj, ni = values.shape
@@ -784,10 +792,13 @@ def write_grib2_jpeg2000(
         + struct.pack(">f", r_ref)
         + struct.pack(">HH", _sm16_enc(e_scale), _sm16_enc(d_scale))
         + bytes([nbits, 0])  # depth, original field type 0 (float)
-        + bytes([0, 255])  # lossless, target ratio n/a
+        + (bytes([1, 20]) if lossy else bytes([0, 255]))  # ctype, ratio
     )
     sec6 = struct.pack(">IBB", 6, 6, 255)
-    codestream = encode_j2k(xi, levels=levels)
+    codestream = encode_j2k(
+        xi, levels=levels,
+        wavelet="9/7" if lossy else "5/3", qstep=qstep,
+    )
     sec7 = struct.pack(">IB", 5 + len(codestream), 7) + codestream
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
     total = 16 + len(body) + 4

@@ -7,7 +7,9 @@ Scope — exactly the profile wgrib2/JasPer emit for GRIB2 payloads, and
 errors NAME anything else:
 - raw J2K codestreams (SOC..EOC; no JP2 container boxes),
 - single tile, single component, unsigned samples ≤ 16 bit,
-- 5/3 reversible wavelet (lossless), no quantization (Sqcd style 0),
+- 5/3 reversible wavelet (lossless, no quantization / Sqcd style 0)
+  AND (r11) 9/7 irreversible with scalar quantization (Sqcd styles
+  1 derived / 2 expounded, Annex E dequantization at bin centers),
 - one quality layer, LRCP progression, default (whole-subband)
   precincts, code-blocks ≤ 64×64, no SOP/EPH, default code-block
   style (no bypass/reset/termall/VSC/segmentation symbols),
@@ -536,6 +538,157 @@ def dwt53_inverse(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 9/7 irreversible DWT (Annex F, lossy path) — float64 lifting with the
+# T.800 Table F.4 constants; final scaling per (F-12)/(F-13): high-pass
+# ·K, low-pass ·1/K (derivation: the four lifting steps give the
+# low-pass a DC gain of exactly K = 1.230174…, so /K normalizes to 1)
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+_EXT = 4  # lifting support: 4 extension samples each side suffice
+
+
+def _reflect(i: int, n: int) -> int:
+    """Whole-sample symmetric extension index (iterated for small n)."""
+    if n == 1:
+        return 0
+    period = 2 * (n - 1)
+    i %= period
+    return i if i < n else period - i
+
+
+def _fwd97_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1-D forward 9/7 with whole-sample symmetric extension; even
+    indices are low-pass (tile anchored at 0)."""
+    n = len(x)
+    if n == 1:
+        return x.astype(np.float64).copy(), x[:0].astype(np.float64)
+    x = x.astype(np.float64)
+    E = _EXT
+    y = np.empty(n + 2 * E)
+    for i in range(-E, n + E):
+        y[i + E] = x[_reflect(i, n)]
+    m = n + 2 * E
+    for p in range(1, m - 1, 2):
+        y[p] += _A97 * (y[p - 1] + y[p + 1])
+    for p in range(2, m - 2, 2):
+        y[p] += _B97 * (y[p - 1] + y[p + 1])
+    for p in range(3, m - 3, 2):
+        y[p] += _G97 * (y[p - 1] + y[p + 1])
+    for p in range(4, m - 4, 2):
+        y[p] += _D97 * (y[p - 1] + y[p + 1])
+    lo = y[E : E + n : 2] / _K97
+    hi = y[E + 1 : E + n : 2] * _K97
+    return lo.copy(), hi.copy()
+
+
+def _inv97_1d(lo: np.ndarray, hi: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return lo.astype(np.float64).copy()
+    E = _EXT
+    y = np.empty(n + 2 * E)
+    for i in range(-E, n + E):
+        j = _reflect(i, n)
+        y[i + E] = _K97 * lo[j // 2] if j % 2 == 0 else hi[j // 2] / _K97
+    m = n + 2 * E
+    # each undo step may touch [k, m-1-k]; evens/odds interleave so
+    # the original region [E, E+n-1] is fully covered with E = 4
+    for p in range(2, m - 1, 2):
+        y[p] -= _D97 * (y[p - 1] + y[p + 1])
+    for p in range(3, m - 2, 2):
+        y[p] -= _G97 * (y[p - 1] + y[p + 1])
+    for p in range(4, m - 3, 2):
+        y[p] -= _B97 * (y[p - 1] + y[p + 1])
+    for p in range(5, m - 4, 2):
+        y[p] -= _A97 * (y[p - 1] + y[p + 1])
+    return y[E : E + n].copy()
+
+
+def _dwt_forward(img: np.ndarray, levels: int, fwd1d) -> list[dict]:
+    """Shared 2-D multilevel driver (rows then columns per level)."""
+    cur = img
+    out = []
+    dt = cur.dtype
+    for _ in range(levels):
+        h, w = cur.shape
+        lo_rows = np.empty((h, (w + 1) // 2), dt)
+        hi_rows = np.empty((h, w // 2), dt)
+        for r in range(h):
+            lo, hi = fwd1d(cur[r])
+            lo_rows[r], hi_rows[r] = lo, hi
+        ll = np.empty(((h + 1) // 2, (w + 1) // 2), dt)
+        lh = np.empty((h // 2, (w + 1) // 2), dt)
+        hl = np.empty(((h + 1) // 2, w // 2), dt)
+        hh = np.empty((h // 2, w // 2), dt)
+        for c in range(lo_rows.shape[1]):
+            lo, hi = fwd1d(lo_rows[:, c])
+            ll[:, c], lh[:, c] = lo, hi
+        for c in range(hi_rows.shape[1]):
+            lo, hi = fwd1d(hi_rows[:, c])
+            hl[:, c], hh[:, c] = lo, hi
+        out.append({"hl": hl, "lh": lh, "hh": hh})
+        cur = ll
+    out[-1]["ll"] = cur
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int) -> list[dict]:
+    return _dwt_forward(img.astype(np.float64), levels, _fwd97_1d)
+
+
+def dwt97_inverse(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
+    shapes = [shape]
+    for _ in range(len(bands) - 1):
+        h, w = shapes[-1]
+        shapes.append(((h + 1) // 2, (w + 1) // 2))
+    cur = bands[-1]["ll"].astype(np.float64)
+    for lvl in range(len(bands) - 1, -1, -1):
+        h, w = shapes[lvl]
+        hl = bands[lvl]["hl"].astype(np.float64)
+        lh = bands[lvl]["lh"].astype(np.float64)
+        hh = bands[lvl]["hh"].astype(np.float64)
+        lo_rows = np.empty((h, (w + 1) // 2))
+        hi_rows = np.empty((h, w // 2))
+        for c in range((w + 1) // 2):
+            lo_rows[:, c] = _inv97_1d(cur[:, c], lh[:, c], h)
+        for c in range(w // 2):
+            hi_rows[:, c] = _inv97_1d(hl[:, c], hh[:, c], h)
+        out = np.empty((h, w))
+        for r in range(h):
+            out[r] = _inv97_1d(lo_rows[r], hi_rows[r], w)
+        cur = out
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (Annex E): Δ_b = 2^(R_b − ε_b)·(1 + μ_b/2^11)
+# with R_b = component depth + log2 band gain; Mb = G + ε_b − 1 (E-2)
+# ---------------------------------------------------------------------------
+
+def _quant_params(delta: float, r_b: int) -> tuple[int, int]:
+    """Pick (ε, μ) so 2^(R_b−ε)·(1+μ/2048) ≈ delta (nearest μ)."""
+    if delta <= 0:
+        raise ValueError("quantization step must be positive")
+    e = int(np.floor(np.log2(delta)))
+    mant = delta / (2.0 ** e)  # in [1, 2)
+    mu = int(round((mant - 1.0) * 2048))
+    if mu == 2048:
+        mu, e = 0, e + 1
+    eps = r_b - e
+    if not 0 <= eps <= 31:
+        raise ValueError(f"quantization exponent {eps} out of range")
+    return eps, mu
+
+
+def _quant_delta(eps: int, mu: int, r_b: int) -> float:
+    return (2.0 ** (r_b - eps)) * (1.0 + mu / 2048.0)
+
+
+# ---------------------------------------------------------------------------
 # Tier-1: EBCOT code-block coding (Annex D)
 # ---------------------------------------------------------------------------
 # significance contexts (Table D.1), sign contexts (Table D.3),
@@ -852,12 +1005,18 @@ def _read_npasses(br: BitReader) -> int:
 
 
 def encode_j2k(img: np.ndarray, levels: int = 5, cb_exp: int = 6,
-               guard: int = 2) -> bytes:
-    """Unsigned 2-D array → lossless J2K codestream (the GRIB2 DRT
-    5.40 payload form): single tile/component, 5/3 reversible, one
-    LRCP layer, default precincts, `2^cb_exp`-square code blocks."""
+               guard: int = 2, wavelet: str = "5/3",
+               qstep: float = 0.5, qcd_style: int = 2) -> bytes:
+    """Unsigned 2-D array → J2K codestream (the GRIB2 DRT 5.40
+    payload form): single tile/component, one LRCP layer, default
+    precincts, `2^cb_exp`-square code blocks. `wavelet` picks the
+    5/3 reversible (lossless, Sqcd style 0) or 9/7 irreversible path
+    (lossy; scalar-expounded quantization, uniform step `qstep` in
+    DC-shifted sample units across subbands)."""
     if img.ndim != 2:
         raise ValueError("encode_j2k takes a single 2-D component")
+    if wavelet not in ("5/3", "9/7"):
+        raise ValueError(f"wavelet {wavelet!r} unsupported (5/3 or 9/7)")
     h, w = img.shape
     vmax = int(img.max()) if img.size else 0
     vmin = int(img.min()) if img.size else 0
@@ -868,9 +1027,13 @@ def encode_j2k(img: np.ndarray, levels: int = 5, cb_exp: int = 6,
         raise ValueError("sample depth > 16 unsupported")
     levels = max(1, min(levels, max((min(w, h) - 1).bit_length() - 2, 1)))
     cb = 1 << cb_exp
-    # DC level shift then forward 5/3
+    irreversible = wavelet == "9/7"
+    # DC level shift then forward wavelet
     shifted = img.astype(np.int64) - (1 << (depth - 1))
-    bands_fwd = dwt53_forward(shifted, levels)
+    if irreversible:
+        bands_fwd = dwt97_forward(shifted.astype(np.float64), levels)
+    else:
+        bands_fwd = dwt53_forward(shifted, levels)
 
     def band_arr(name: str, lvl: int) -> np.ndarray:
         if name == "ll":
@@ -878,6 +1041,29 @@ def encode_j2k(img: np.ndarray, levels: int = 5, cb_exp: int = 6,
         return bands_fwd[lvl - 1][name]
 
     layout = _band_layout(w, h, levels)
+    # scalar quantization: style 2 (expounded) lists one (ε, μ) per
+    # band at uniform Δ = qstep; style 1 (derived) signals ONE pair
+    # and the decoder derives ε_b = ε0 − N_L + n_b (T.800 E-5), i.e.
+    # Δ_b = Δ0·2^(N_L − n_b). Encoder and decoder share the QUANTIZED
+    # Δ exactly either way.
+    if qcd_style not in (1, 2):
+        raise ValueError("qcd_style must be 1 (derived) or 2 (expounded)")
+    qparams: dict[tuple[str, int], tuple[int, int]] = {}
+    if irreversible:
+        if qcd_style == 2:
+            for name, lvl, _, _ in layout:
+                r_b = depth + _GAIN[name]
+                qparams[(name, lvl)] = _quant_params(qstep, r_b)
+        else:
+            eps0, mu0 = _quant_params(qstep, depth)  # LL: R = depth
+            for name, lvl, _, _ in layout:
+                n_b = levels if name == "ll" else lvl
+                eps_b = eps0 - levels + n_b
+                if eps_b < 0:
+                    raise ValueError(
+                        "derived quantization exponent underflow"
+                    )
+                qparams[(name, lvl)] = (eps_b, mu0)
     # group bands into packets: res 0 = [ll], res r = [hl, lh, hh]
     packets = [[layout[0]]]
     for r in range(1, levels + 1):
@@ -898,7 +1084,14 @@ def encode_j2k(img: np.ndarray, levels: int = 5, cb_exp: int = 6,
             incl_tt = TagTree(nx, ny)
             zbp_tt = TagTree(nx, ny)
             results = []
-            mb = guard + depth + _GAIN[name] - 1
+            if irreversible:
+                eps_b, mu_b = qparams[(name, lvl)]
+                delta_b = _quant_delta(eps_b, mu_b, depth + _GAIN[name])
+                mb = guard + eps_b - 1
+                qarr = np.sign(arr) * np.floor(np.abs(arr) / delta_b)
+                arr = qarr.astype(np.int64)
+            else:
+                mb = guard + depth + _GAIN[name] - 1
             incl_vals = [[0] * nx for _ in range(ny)]
             zbp_vals = [[0] * nx for _ in range(ny)]
             for bi, (x0, y0, cw, ch) in enumerate(blocks):
@@ -946,13 +1139,29 @@ def encode_j2k(img: np.ndarray, levels: int = 5, cb_exp: int = 6,
         ">HHIIIIIIIIH", 38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1
     ) + bytes([depth - 1, 1, 1])
     out += b"\xff\x51" + siz
-    spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])  # 1 = 5/3
+    wav_byte = 0 if irreversible else 1
+    spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, wav_byte])
     cod = struct.pack(">HB", 12, 0) + bytes([0]) + struct.pack(">H", 1) \
         + bytes([0]) + spcod
     out += b"\xff\x52" + cod
-    exps = [depth + _GAIN[name] for name, _, _, _ in layout]
-    qcd = struct.pack(">H", 3 + len(exps)) + bytes([(guard << 5) | 0]) \
-        + bytes([(e << 3) & 0xFF for e in exps])
+    if irreversible and qcd_style == 2:
+        # Sqcd style 2 (scalar expounded): 16-bit (ε<<11 | μ) per band
+        pairs = b"".join(
+            struct.pack(">H", (qparams[(name, lvl)][0] << 11)
+                        | qparams[(name, lvl)][1])
+            for name, lvl, _, _ in layout
+        )
+        qcd = struct.pack(">H", 3 + len(pairs)) \
+            + bytes([(guard << 5) | 2]) + pairs
+    elif irreversible:
+        # Sqcd style 1 (scalar derived): the single LL pair
+        eps_ll, mu_ll = qparams[("ll", levels)]
+        qcd = struct.pack(">H", 5) + bytes([(guard << 5) | 1]) \
+            + struct.pack(">H", (eps_ll << 11) | mu_ll)
+    else:
+        exps = [depth + _GAIN[name] for name, _, _, _ in layout]
+        qcd = struct.pack(">H", 3 + len(exps)) + bytes([(guard << 5) | 0]) \
+            + bytes([(e << 3) & 0xFF for e in exps])
     out += b"\xff\x5c" + qcd
     psot = 12 + 2 + len(body) + 2  # SOT seg + SOD marker + body + EOC? no EOC
     psot = 12 + 2 + len(body)  # SOT header (12) + SOD (2) + body
@@ -982,6 +1191,8 @@ def _decode_j2k(buf: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
     i = 2
     w = h = depth = levels = cb_exp = None
     guard = exps = None
+    qstyle, qpairs = 0, None
+    irreversible = False
     body = None
     while i < len(buf):
         if buf[i] != 0xFF:
@@ -1038,15 +1249,30 @@ def _decode_j2k(buf: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
                 raise ValueError("non-square code blocks unsupported")
             if cbstyle:
                 raise ValueError(f"code-block style 0x{cbstyle:02x} unsupported")
-            if wav != 1:
-                raise ValueError("9/7 irreversible wavelet unsupported")
+            if wav not in (0, 1):
+                raise ValueError(f"wavelet transform {wav} unsupported")
+            irreversible = wav == 0
             cb_exp = cbw + 2
         elif marker == 0x5C:  # QCD
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise ValueError("quantization style unsupported (reversible)")
+            qstyle = sqcd & 0x1F
             guard = sqcd >> 5
-            exps = [b >> 3 for b in seg[1:]]
+            if qstyle == 0:  # no quantization (reversible path)
+                exps = [b >> 3 for b in seg[1:]]
+                qpairs = None
+            elif qstyle in (1, 2):  # scalar derived / scalar expounded
+                body16 = seg[1:]
+                if len(body16) % 2:
+                    raise ValueError("QCD 16-bit step table misaligned")
+                qpairs = [
+                    ((v >> 11) & 0x1F, v & 0x7FF)
+                    for (v,) in struct.iter_unpack(">H", body16)
+                ]
+                exps = None
+                if qstyle == 1 and len(qpairs) != 1:
+                    raise ValueError("derived quantization needs ONE step")
+            else:
+                raise ValueError(f"quantization style {qstyle} unsupported")
         elif marker == 0x90:  # SOT
             isot, psot, tpsot, tnsot = struct.unpack(">HIBB", seg[:8])
             if isot != 0 or tpsot != 0:
@@ -1065,6 +1291,27 @@ def _decode_j2k(buf: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
     layout = _band_layout(w, h, levels)
     if exps is not None and len(exps) not in (0, len(layout)):
         raise ValueError("QCD exponent count mismatch")
+    if irreversible and qstyle == 0:
+        raise ValueError("9/7 wavelet without quantization unsupported")
+    if not irreversible and qstyle != 0:
+        raise ValueError("quantized 5/3 unsupported (style 0 only)")
+    if qstyle == 2 and len(qpairs) != len(layout):
+        raise ValueError("QCD expounded step count mismatch")
+    # per-band (ε, μ): expounded lists every band in packet order;
+    # derived computes ε_b = ε0 − N_L + n_b from the single LL pair
+    # (T.800 eq E-5; n_b = decomposition level, LL's is N_L)
+    band_q: dict[tuple[str, int], tuple[int, int]] = {}
+    if qstyle == 2:
+        for (name, lvl, _, _), pair in zip(layout, qpairs):
+            band_q[(name, lvl)] = pair
+    elif qstyle == 1:
+        eps0, mu0 = qpairs[0]
+        for name, lvl, _, _ in layout:
+            n_b = levels if name == "ll" else lvl
+            eps_b = eps0 - levels + n_b
+            if eps_b < 0:
+                raise ValueError("derived quantization exponent underflow")
+            band_q[(name, lvl)] = (eps_b, mu0)
     packets = [[layout[0]]]
     for r in range(1, levels + 1):
         packets.append(layout[1 + 3 * (r - 1) : 1 + 3 * r])
@@ -1088,7 +1335,10 @@ def _decode_j2k(buf: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
             ny = (bhd + cb - 1) // cb
             incl_tt = TagTree(nx, ny)
             zbp_tt = TagTree(nx, ny)
-            mb = guard + depth + _GAIN[name] - 1
+            if qstyle == 0:
+                mb = guard + depth + _GAIN[name] - 1
+            else:
+                mb = guard + band_q[(name, lvl)][0] - 1  # E-2
             for bi, (x0, y0, cw, ch) in enumerate(blocks):
                 yb, xb = bi // nx, bi % nx
                 if not incl_tt.decode(br, xb, yb, 1):
@@ -1114,6 +1364,23 @@ def _decode_j2k(buf: bytes, max_pixels: int = 64 << 20) -> np.ndarray:
             blk = BlockDecoder(data, cw, ch, name, numbps, npasses).decode()
             bands_out[(name, lvl)][y0 : y0 + ch, x0 : x0 + cw] = blk
 
+    if irreversible:
+        # dequantize to bin centers (T.800 E.1.1.2, r = 1/2): the
+        # float coefficients feed the 9/7 synthesis, then round
+        def deq(name: str, lvl: int) -> np.ndarray:
+            q = bands_out[(name, lvl)].astype(np.float64)
+            eps_b, mu_b = band_q[(name, lvl)]
+            delta = _quant_delta(eps_b, mu_b, depth + _GAIN[name])
+            return np.sign(q) * (np.abs(q) + 0.5) * delta * (q != 0)
+
+        bands_f = []
+        for lvl in range(1, levels + 1):
+            bands_f.append({"hl": deq("hl", lvl), "lh": deq("lh", lvl),
+                            "hh": deq("hh", lvl)})
+        bands_f[-1]["ll"] = deq("ll", levels)
+        img = dwt97_inverse(bands_f, (h, w))
+        img = np.round(img).astype(np.int64) + (1 << (depth - 1))
+        return np.clip(img, 0, (1 << depth) - 1)
     bands = []
     for lvl in range(1, levels + 1):
         d = {"hl": bands_out[("hl", lvl)], "lh": bands_out[("lh", lvl)],

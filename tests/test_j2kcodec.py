@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import random
+import struct
 
 import numpy as np
 import pytest
@@ -225,10 +226,11 @@ class TestGrib2Integration:
         msg = parse_grib2(open(p, "rb").read())
         assert np.allclose(msg["values"], vals, atol=1e-12)
         buf = bytearray(open(p, "rb").read())
-        # flip DRT octet 22 (compression type) to lossy -> named reject
+        # an UNKNOWN DRT octet-22 compression type (2) -> named reject
+        # (0 = lossless and 1 = lossy both decode as of r11)
         i = buf.find(b"\x00\x28")  # template 5.40 big-endian in sec 5
         assert i > 0
-        buf[i + 12] = 1
+        buf[i + 12] = 2
         with pytest.raises(ValueError, match="compression type"):
             parse_grib2(bytes(buf))
 
@@ -240,3 +242,97 @@ class TestGrib2Integration:
         )
         n = grib2_grid_cells(files).count()
         assert n == 48 * 64
+
+
+class TestLossy97:
+    """r11: 9/7 irreversible wavelet + Annex-E scalar quantization
+    (Sqcd styles 1 and 2) — the lossy DRT 5.40 profile."""
+
+    def _field(self):
+        jj, ii = np.mgrid[0:48, 0:64]
+        return (2000 + 800 * np.sin(ii / 9.0)
+                + 500 * np.cos(jj / 7.0)).astype(np.int64)
+
+    def test_dwt97_perfect_reconstruction(self):
+        from odin_rs_spark.sources.j2kcodec import dwt97_forward, dwt97_inverse
+
+        rng = np.random.RandomState(3)
+        for shape in ((2, 2), (5, 9), (17, 23), (64, 48)):
+            img = rng.randn(*shape) * 50
+            for lv in (1, 2, 3):
+                assert np.allclose(
+                    dwt97_inverse(dwt97_forward(img, lv), shape), img,
+                    atol=1e-8,
+                )
+
+    def test_dwt97_dc_gain_is_one(self):
+        from odin_rs_spark.sources.j2kcodec import _fwd97_1d
+
+        lo, hi = _fwd97_1d(np.full(32, 7.5))
+        assert np.allclose(lo, 7.5, atol=1e-9)
+        assert np.allclose(hi, 0.0, atol=1e-9)
+
+    @pytest.mark.parametrize("qstep,tol", [(0.5, 2.0), (2.0, 5.0), (8.0, 16.0)])
+    def test_error_bounded_by_step(self, qstep, tol):
+        img = self._field()
+        buf = encode_j2k(img, levels=3, wavelet="9/7", qstep=qstep)
+        out = decode_j2k(buf)
+        assert np.abs(out.astype(float) - img).max() <= tol
+        # lossy beats lossless on size for any real step
+        assert len(buf) < len(encode_j2k(img, levels=3))
+
+    def test_derived_style1_roundtrip(self):
+        img = self._field()
+        buf = encode_j2k(img, levels=3, wavelet="9/7", qstep=1.0, qcd_style=1)
+        out = decode_j2k(buf)
+        assert np.abs(out.astype(float) - img).max() <= 8.0
+        # QCD marker really is style 1 with a single 16-bit step
+        i = buf.find(b"\xff\x5c")
+        ln = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        assert ln == 5 and (buf[i + 4] & 0x1F) == 1
+
+    def test_decode_deterministic(self):
+        img = self._field()
+        buf = encode_j2k(img, levels=3, wavelet="9/7", qstep=1.0)
+        assert decode_j2k(buf).tobytes() == decode_j2k(buf).tobytes()
+
+    def test_97_without_quantization_rejected(self):
+        img = self._field()
+        buf = bytearray(encode_j2k(img, levels=3, wavelet="9/7", qstep=1.0))
+        # splice in a style-0 QCD: flip Sqcd low bits to 0
+        i = buf.find(b"\xff\x5c")
+        buf[i + 4] &= 0xE0
+        with pytest.raises(ValueError):
+            decode_j2k(bytes(buf))
+
+    def test_lossy_mutation_fuzz_valueerror_only(self):
+        img = self._field()[:16, :16]
+        buf = encode_j2k(img, levels=2, wavelet="9/7", qstep=1.0)
+        for off in range(0, len(buf), 3):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                decode_j2k(bytes(m))
+            except ValueError:
+                pass  # the only allowed failure mode
+
+    def test_grib2_lossy_twin_and_fixture(self):
+        from odin_rs_spark.sources.grib2 import (
+            parse_grib2,
+            write_grib2_jpeg2000,
+        )
+        import tempfile
+
+        jj, ii = np.mgrid[0:20, 0:30]
+        vals = ((ii * 3 + jj * 5) % 97).astype(float) * 0.25
+        p = tempfile.mktemp(suffix=".grib2")
+        write_grib2_jpeg2000(p, vals, 10.0, 20.0, -0.5, 0.5, e_scale=-2,
+                             nbits=8, lossy=True, qstep=1.0)
+        g = parse_grib2(open(p, "rb").read())
+        assert np.abs(g["values"] - vals).max() <= 1.0
+        # committed fixture decodes with the pinned max error
+        fx = os.path.join(FIX, "hrrr_lossy.grib2")
+        gf = parse_grib2(open(fx, "rb").read())
+        jj, ii = np.mgrid[0:64, 0:96]
+        exact = ((3 * ii * ii + 5 * jj * jj + 7 * ii * jj) % 4096) * 0.25
+        assert np.abs(gf["values"] - exact).max() == 0.5
