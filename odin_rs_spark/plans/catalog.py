@@ -22217,6 +22217,133 @@ FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# q319 — gpshub ingest flagship (r11: the reference's LAST deployable
+# crate with no dedicated engine query — gpshub/src/handlers.rs takes
+# JSON PUT position updates per device, models.rs keeps the keyed
+# device store, and a staleness sweep tags devices that stopped
+# reporting). ONE streaming composition of three certified pieces:
+# the events table lands as a JSON position feed (dyadic lat/lon
+# formulas off event_id, so the oracle replays them bit-exactly) →
+# RestFeedDataSource polls it with the cursor as the SOURCE OFFSET in
+# Spark's checkpoint (q118's exactly-once discipline, 2 polls + the
+# empty drain) → position_store_state (applyInPandasWithState keyed
+# device store, streaming/state.py) upserts into the snapshot/delta
+# sink (q103's executor-side anti-join merge) → the q42 staleness
+# classification against the feed clock (max ts − 30 min). The batch
+# twin is latest-fix-per-device with cumulative update counts —
+# equality holds IFF no poll duplicated or dropped rows AND the
+# per-device state survived every micro-batch boundary.
+# --------------------------------------------------------------------------
+
+def q319_gpshub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from odin_rs_spark.streaming.datasource import (
+        drain_polling_source,
+        register_rest_source,
+    )
+    from odin_rs_spark.streaming.pipelines import (
+        latest_per_key_merge,
+        read_sink_or_empty,
+        snapshot_delta_sink,
+    )
+    from odin_rs_spark.streaming.state import position_store_state
+
+    ev = _t(spark, sf_dir, "events")
+    # dyadic position formulas (1/1024, 1/2048 degrees) — exact in
+    # IEEE doubles on both engines
+    feed = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("device"),
+        F.unix_micros("ts").alias("ts_us"),
+        (F.lit(35.0) + (F.col("event_id") % 2048) * F.lit(1.0 / 1024)).alias("lat"),
+        (F.lit(-100.0) + (F.col("event_id") % 4096) * F.lit(1.0 / 2048)).alias("lon"),
+    )
+    root = tempfile.mkdtemp(prefix="odin_q319_")
+    try:
+        feed_dir = root + "/feed"
+        feed.coalesce(1).write.mode("overwrite").json(feed_dir)
+        feed_file = glob.glob(feed_dir + "/part-*")[0]
+        n = ev.count()
+        batch_limit = max(1, -(-n // 2))  # 2 polls + 1 empty drain
+        register_rest_source(spark)
+        ddl = ("id BIGINT, device STRING, ts_us BIGINT, "
+               "lat DOUBLE, lon DOUBLE")
+
+        snap, delta = root + "/snapshot", root + "/delta"
+        sink = snapshot_delta_sink(snap, delta, latest_per_key_merge(["key"]))
+
+        def start_run():
+            stream = (
+                spark.readStream.format("odin_rest")
+                .schema(ddl)
+                .option("path", feed_file)
+                .option("id_field", "id")
+                .option("batch_limit", str(batch_limit))
+                .load()
+                .select(
+                    F.col("device").alias("key"),
+                    F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                    "lat",
+                    "lon",
+                )
+            )
+            store = position_store_state(stream.groupBy("key"))
+            return (
+                store.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", root + "/ckpt")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        with _stream_state_parallelism(spark, 8):
+            drain_polling_source(start_run)
+        kept = read_sink_or_empty(
+            spark, snap,
+            "key string, ts timestamp, lat double, lon double, "
+            "n_updates bigint",
+        )
+        cutoff = F.lit(ev.agg(F.max("ts")).collect()[0][0]) - F.expr(
+            "INTERVAL 30 MINUTES"
+        )
+        out = kept.select(
+            "key", "ts",
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            "n_updates",
+            F.when(F.col("ts") < cutoff, F.lit("stale"))
+            .otherwise(F.lit("live")).alias("status"),
+        )
+        rows = out.collect()  # materialize before the temp store is deleted
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+Q319_SQL = """
+WITH pos AS (
+  SELECT user_id::VARCHAR AS key, ts,
+         35.0 + (event_id % 2048) * (0.0009765625::DOUBLE) AS lat,
+         -100.0 + (event_id % 4096) * (0.00048828125::DOUBLE) AS lon
+  FROM events),
+ranked AS (
+  SELECT key, ts, lat, lon,
+         row_number() OVER (PARTITION BY key ORDER BY ts DESC) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM pos),
+mx AS (SELECT max(ts) AS mt FROM events)
+SELECT key, ts, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       n::BIGINT AS n_updates,
+       CASE WHEN ts < mt - INTERVAL 30 MINUTE THEN 'stale'
+            ELSE 'live' END AS status
+FROM ranked, mx WHERE rn = 1
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. The
 # rotation rule (stable since r9): never-driver-graded queries take
@@ -22271,6 +22398,7 @@ _CAP_FRONT = [
     # they are built (never-graded before stalest, per the rule)
     "q317_tiled_dem_mosaic",
     "q318_grib2_lossy_audit",
+    "q319_gpshub_ingest",
     "q291_avro_scan",
     # stalest-green fillers (last graded r3)
     "q08_customers_without_orders",
@@ -22391,6 +22519,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q316_lake_fsck", q316_lake_fsck, Q316_SQL, "layout lake-fsck orphan-missing audit"),
         QuerySpec("q317_tiled_dem_mosaic", q317_tiled_dem_mosaic, Q317_SQL, "S2 R7 J1 tiled-deflate-lzw geotiff mosaic"),
         QuerySpec("q318_grib2_lossy_audit", q318_grib2_lossy_audit, Q318_SQL, "S11 grib2 jpeg2000 lossy-9/7 quantization audit"),
+        QuerySpec("q319_gpshub_ingest", q319_gpshub_ingest, Q319_SQL, "flagship S9 T3 K1 gpshub position-store staleness"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

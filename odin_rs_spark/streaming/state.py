@@ -127,6 +127,76 @@ def ttl_latest_state(
 
 
 # --------------------------------------------------------------------------
+# T3 — keyed GPS position store (the gpshub twin)
+# --------------------------------------------------------------------------
+
+_POS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("n_updates", LongType()),
+    ]
+)
+_POS_STATE = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("n_updates", LongType()),
+    ]
+)
+
+
+def position_store_state(grouped, output_mode: str = "update") -> DataFrame:
+    """Latest-position-per-device store (T3): the streaming
+    restatement of the reference's GPS hub — JSON position updates
+    PUT per device land in a keyed store that always serves each
+    device's newest fix plus its update count (gpshub/src/
+    handlers.rs update_position → models.rs DeviceStore). Staleness
+    is classified downstream against the feed clock (the q42 stale-
+    keys discipline), so the store itself needs no timers and drains
+    cleanly under Trigger.AvailableNow.
+
+    `grouped` is `stream.groupBy(key_col)` over columns
+    (key string, ts timestamp, lat double, lon double). Emits one
+    row per updated key per micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        ts_us, lat, lon, n = (
+            state.get if state.exists else (0, float("nan"), float("nan"), 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            last = pdf.iloc[-1]
+            new_us = int(last["ts"].value // 1_000)
+            if new_us >= ts_us:
+                ts_us = new_us
+                lat, lon = float(last["lat"]), float(last["lon"])
+            n += len(pdf)
+        state.update((ts_us, lat, lon, n))
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "ts": [pd.Timestamp(ts_us, unit="us")],
+                "lat": [lat],
+                "lon": [lon],
+                "n_updates": [n],
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        fn, _POS_OUT, _POS_STATE, output_mode, GroupStateTimeout.NoTimeout
+    )
+
+
+# --------------------------------------------------------------------------
 # W3/T3 — bounded track trace with near-duplicate collapse
 # --------------------------------------------------------------------------
 

@@ -558,3 +558,39 @@ def test_partitioned_append_sink_retry_idempotent(spark, tmp_path):
     sink(spark.createDataFrame([Row(k=9)]), 1)
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2, 3, 9]
+
+
+def test_position_store_state_matches_batch_latest_fix(spark, tmp_path):
+    """r11 gpshub twin: the keyed device store serves each device's
+    newest fix + cumulative update count across micro-batches."""
+    rows = [
+        # (device, ts, lat, lon) — out-of-order within and across chunks
+        ("d1", "2024-01-01 10:00:00", 35.0, -100.0),
+        ("d1", "2024-01-01 10:02:00", 35.5, -100.5),
+        ("d2", "2024-01-01 10:01:00", 36.0, -101.0),
+        ("d1", "2024-01-01 10:01:00", 35.2, -100.2),
+        ("d2", "2024-01-01 10:03:00", 36.3, -101.3),
+        ("d3", "2024-01-01 10:00:30", 37.0, -102.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime.fromisoformat(t), la, lo) for k, t, la, lo in rows],
+        "key string, ts timestamp, lat double, lon double",
+    )
+    root = str(tmp_path / "replay")
+    sources.split_for_replay(df, root, n_chunks=3, order_col="ts")
+    stream = sources.replay_stream(spark, root, df.schema)
+    out = state.position_store_state(stream.groupBy("key"))
+    emitted: list = []
+    pipelines.run_available_now(
+        out,
+        lambda d, bid: emitted.extend(d.collect()),
+        str(tmp_path / "ckpt"),
+    )
+    final = {}
+    for r in emitted:
+        final[r.key] = r
+    assert final["d1"].lat == 35.5 and final["d1"].lon == -100.5
+    assert final["d1"].n_updates == 3
+    assert final["d2"].lat == 36.3 and final["d2"].n_updates == 2
+    assert final["d3"].n_updates == 1
+    assert final["d1"].ts == dt.datetime.fromisoformat("2024-01-01 10:02:00")
