@@ -22344,6 +22344,69 @@ FROM ranked, mx WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q320 — PDF image XObjects (r11: the /DCTDecode seam wired — VERDICT
+# r10 #5). The committed fixture mixes DCTDecode (JPEG, decoded by the
+# in-repo baseline codec) and FlateDecode (raw 8-bit raster) image
+# XObjects across three pages; pdf_images walks page /Resources →
+# /XObject, decodes in-kernel and emits per-image pixel stats, so
+# image-bearing PDF corpora keep their image modality next to the
+# pdf_pages text leg. The Flate rows' means replay from the modular
+# formulas in SQL (sum/12288 single-division, bit-equal to numpy);
+# the JPEG rows are deterministic-given-bytes and pinned by
+# tools/gen_pdf_image_fixture.py against the exact committed bytes.
+# --------------------------------------------------------------------------
+
+def q320_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.pdfcodec import pdf_images
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "mixed_images.pdf",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    return pdf_images(files).select(
+        "file", "page_no", "name", "width", "height", "bits",
+        "colorspace",
+        F.col("filter").alias("img_filter"),
+        "decoded",
+        F.round("mean_px", 4).alias("mean_px"),
+    )
+
+
+Q320_SQL = """
+WITH g AS (SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j),
+fr AS (
+  SELECT round(sum((i*3 + j*5) % 256 + (i*7 + j*11) % 256
+                   + (i*13 + j*17) % 256)::DOUBLE / 12288.0, 4) AS m
+  FROM g),
+fg AS (
+  SELECT round(sum((i*9 + j*2) % 251)::DOUBLE / 4096.0, 4) AS m FROM g)
+SELECT file, page_no::INT AS page_no, name, width::INT AS width,
+       height::INT AS height, bits::INT AS bits, colorspace, img_filter,
+       decoded, mean_px::DOUBLE AS mean_px
+FROM (
+  SELECT 'mixed_images.pdf' AS file, 0 AS page_no, '/Im0' AS name,
+         64 AS width, 64 AS height, 8 AS bits,
+         '/DeviceGray' AS colorspace, '/DCTDecode' AS img_filter,
+         true AS decoded, 127.6287 AS mean_px
+  UNION ALL
+  SELECT 'mixed_images.pdf', 0, '/Im1', 64, 64, 8, '/DeviceRGB',
+         '/FlateDecode', true, (SELECT m FROM fr)
+  UNION ALL
+  SELECT 'mixed_images.pdf', 1, '/Im0', 64, 64, 8, '/DeviceRGB',
+         '/DCTDecode', true, 126.1077
+  UNION ALL
+  SELECT 'mixed_images.pdf', 2, '/Im0', 64, 64, 8, '/DeviceGray',
+         '/FlateDecode', true, (SELECT m FROM fg))
+"""
+
+
 # Catalog iteration order is a PRIORITY order, not numeric: the driver
 # evaluates exactly the first 50 queries() entries per round. The
 # rotation rule (stable since r9): never-driver-graded queries take
@@ -22399,6 +22462,7 @@ _CAP_FRONT = [
     "q317_tiled_dem_mosaic",
     "q318_grib2_lossy_audit",
     "q319_gpshub_ingest",
+    "q320_pdf_images",
     "q291_avro_scan",
     # stalest-green fillers (last graded r3)
     "q08_customers_without_orders",
@@ -22520,6 +22584,7 @@ CATALOG: dict[str, QuerySpec] = {
         QuerySpec("q317_tiled_dem_mosaic", q317_tiled_dem_mosaic, Q317_SQL, "S2 R7 J1 tiled-deflate-lzw geotiff mosaic"),
         QuerySpec("q318_grib2_lossy_audit", q318_grib2_lossy_audit, Q318_SQL, "S11 grib2 jpeg2000 lossy-9/7 quantization audit"),
         QuerySpec("q319_gpshub_ingest", q319_gpshub_ingest, Q319_SQL, "flagship S9 T3 K1 gpshub position-store staleness"),
+        QuerySpec("q320_pdf_images", q320_pdf_images, Q320_SQL, "multimodal pdf dctdecode-flate image-xobjects"),
         QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "A1 F1 F5"),
         QuerySpec("q08_customers_without_orders", q08_customers_without_orders, Q08_SQL, "U3"),
         QuerySpec("q09_urgent_parts", q09_urgent_parts, Q09_SQL, "U4 J4"),

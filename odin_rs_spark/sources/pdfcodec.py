@@ -25,8 +25,11 @@ CID/Type0 Identity-H composite fonts through their wide /ToUnicode
 replacement characters, the honest answer for raw subset glyph ids),
 and the document-information dictionary (§14.3.3). Out of scope,
 documented: encryption, non-Identity CID encodings (predefined CMaps
-like UniJIS would need the CMap resource files), DCT-in-PDF images
-(q176's decoder exists — wiring it is a seam, not a text concern).
+like UniJIS would need the CMap resource files). Image XObjects
+decode as of r11 (`parse_pdf_images`/`pdf_images`): /DCTDecode
+payloads through the in-repo JPEG decoder, /FlateDecode 8-bit
+DeviceGray/DeviceRGB rasters directly; other image filters surface
+undecoded with the filter named.
 
 Scale shape (`pdf_pages`): binaryFile scan → mapInPandas decode →
 one row per page; document bytes never shuffle; zlib does the heavy
@@ -270,8 +273,9 @@ def _resolve(buf, index, v, extra=None):
     return v
 
 
-def _stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
-    """Stream payload after a stream object's dict, filters applied."""
+def _raw_stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
+    """Stream payload after a stream object's dict, filters NOT
+    applied (the /DCTDecode image path wants the raw JPEG bytes)."""
     # tok.p sits right after the dict; skip whitespace to 'stream'.
     # Bound the scan: at EOF buf[p:p+1] is b'', and `b'' in _WS` is
     # TRUE (empty substring) — unbounded, this loop spins forever on
@@ -292,6 +296,12 @@ def _stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
     raw = buf[p : p + length]
     if len(raw) < length:
         raise ValueError("PDF: stream runs past end of file")
+    return raw
+
+
+def _stream_bytes(buf: bytes, tok: _Tok, d: dict, index: dict) -> bytes:
+    """Stream payload after a stream object's dict, filters applied."""
+    raw = _raw_stream_bytes(buf, tok, d, index)
     filt = d.get("/Filter")
     filts = [filt] if isinstance(filt, str) else (filt or [])
     for f in filts:
@@ -1055,6 +1065,292 @@ def encode_pdf(
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
+
+
+# -- image XObjects (r11: the /DCTDecode seam wired) --------------------------
+
+
+def parse_pdf_images(buf: bytes) -> list[dict]:
+    """PDF bytes → one dict per image XObject in page order:
+    {page_no, name, width, height, bits, colorspace, filter, pixels}.
+
+    /DCTDecode payloads are raw JPEG files — decoded with the
+    in-repo baseline/progressive decoder (sources/jpegcodec, the
+    q176 path); /FlateDecode rasters inflate to raw 8-bit
+    DeviceGray/DeviceRGB samples. Images under any other filter
+    surface with pixels=None (the filter name says why), so skip-mode
+    pipelines can count the loss instead of silently losing the
+    image modality."""
+    try:
+        return _parse_pdf_images(buf)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"corrupt PDF file: {exc}") from exc
+
+
+def _parse_pdf_images(buf: bytes) -> list[dict]:
+    import numpy as np
+
+    if not buf.startswith(b"%PDF-"):
+        raise ValueError("not a PDF file (no %PDF header)")
+    trailer = _trailer_of(buf)
+    if trailer is not None and trailer.get("/Encrypt") is not None:
+        raise ValueError(
+            "encrypted PDF (/Encrypt in trailer): content streams are "
+            "key-protected — extraction rejected, not garbled"
+        )
+    index = _index_objects(buf)
+    extra = _expand_objstms(buf, index)
+    root = trailer.get("/Root") if trailer else None
+    if root is None:
+        for num in list(index) + list(extra):
+            _, v = _get_obj(buf, index, num, extra)
+            if isinstance(v, dict) and v.get("/Type") == "/Catalog":
+                root = ("ref", num)
+                break
+    if root is None:
+        raise ValueError("PDF: no document catalog")
+    cat = _resolve(buf, index, root, extra)
+
+    out: list[dict] = []
+    page_no = 0
+
+    def leaf(node: dict) -> None:
+        nonlocal page_no
+        res = _resolve(buf, index, node.get("/Resources"), extra)
+        xobjs = (
+            _resolve(buf, index, res.get("/XObject"), extra)
+            if isinstance(res, dict) else None
+        )
+        if isinstance(xobjs, dict):
+            for name in sorted(xobjs):
+                ref = xobjs[name]
+                if not (isinstance(ref, tuple) and ref[0] == "ref"):
+                    continue
+                tok, d = _get_obj(buf, index, ref[1], extra)
+                if tok is None or not isinstance(d, dict):
+                    continue
+                if d.get("/Subtype") != "/Image":
+                    continue
+                w = _resolve(buf, index, d.get("/Width"), extra)
+                h = _resolve(buf, index, d.get("/Height"), extra)
+                bits = _resolve(buf, index, d.get("/BitsPerComponent"), extra)
+                cs = d.get("/ColorSpace")
+                cs = cs if isinstance(cs, str) else None
+                filt = d.get("/Filter")
+                filts = [filt] if isinstance(filt, str) else (filt or [])
+                raw = _raw_stream_bytes(buf, tok, d, index)
+                pixels = None
+                if filts == ["/DCTDecode"]:
+                    from odin_rs_spark.sources.jpegcodec import decode_jpeg
+
+                    pixels = decode_jpeg(raw)
+                elif filts in ([], ["/FlateDecode"]):
+                    data = raw
+                    if filts:
+                        try:
+                            data = zlib.decompress(raw)
+                        except zlib.error as exc:
+                            raise ValueError(
+                                f"PDF: bad Flate image: {exc}"
+                            ) from exc
+                    if bits == 8 and cs in ("/DeviceGray", "/DeviceRGB"):
+                        nc = 1 if cs == "/DeviceGray" else 3
+                        if len(data) < w * h * nc:
+                            raise ValueError("PDF: image raster short")
+                        a = np.frombuffer(
+                            data[: w * h * nc], dtype=np.uint8
+                        )
+                        pixels = a.reshape(
+                            (h, w) if nc == 1 else (h, w, 3)
+                        )
+                out.append(
+                    {
+                        "page_no": page_no,
+                        "name": name,
+                        "width": w,
+                        "height": h,
+                        "bits": bits,
+                        "colorspace": cs,
+                        "filter": filts[0] if filts else None,
+                        "pixels": pixels,
+                    }
+                )
+        page_no += 1
+
+    def walk(node_ref) -> None:
+        node = _resolve(buf, index, node_ref, extra)
+        if not isinstance(node, dict):
+            raise ValueError("PDF: page-tree node is not a dictionary")
+        if node.get("/Type") == "/Pages" or "/Kids" in node:
+            for kid in _resolve(buf, index, node.get("/Kids", []), extra):
+                walk(kid)
+            return
+        leaf(node)
+
+    walk(cat.get("/Pages"))
+    return out
+
+
+def encode_pdf_with_images(pages: list[list[tuple]], jpeg_quality=None) -> bytes:
+    """Fixture twin of `parse_pdf_images`: each page is a list of
+    (array, codec) with codec 'jpeg' (DCTDecode via the in-repo
+    encoder) or 'flate' (raw raster deflated). Arrays are uint8
+    (H, W) gray or (H, W, 3) RGB."""
+    import numpy as np
+
+    from odin_rs_spark.sources.jpegcodec import encode_jpeg
+
+    objs: list[tuple[int, bytes]] = []
+    n_pages = len(pages)
+    kids_nums = []
+    next_num = 3
+    page_objs = []
+    for imgs in pages:
+        img_nums = []
+        img_bodies = []
+        for arr, codec in imgs:
+            a = np.asarray(arr, dtype=np.uint8)
+            h, w = a.shape[:2]
+            cs = "/DeviceGray" if a.ndim == 2 else "/DeviceRGB"
+            if codec == "jpeg":
+                data = encode_jpeg(a, quality=jpeg_quality)
+                filt = "/Filter /DCTDecode "
+            elif codec == "flate":
+                data = zlib.compress(a.tobytes(), 9)
+                filt = "/Filter /FlateDecode "
+            else:
+                raise ValueError(f"codec {codec!r} unsupported (jpeg/flate)")
+            body = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} "
+                f"/Height {h} /ColorSpace {cs} /BitsPerComponent 8 "
+                f"{filt}/Length {len(data)} >>"
+            ).encode() + b"\nstream\n" + data + b"\nendstream"
+            img_bodies.append(body)
+            img_nums.append(None)  # assigned below
+        page_objs.append((imgs, img_bodies, img_nums))
+
+    # object layout: 1 catalog, 2 pages; per page: page dict, content
+    # stream, then its image XObjects
+    numbered: list[tuple[int, bytes]] = []
+    num = 3
+    kids = []
+    for imgs, img_bodies, _ in page_objs:
+        page_num = num
+        content_num = num + 1
+        img_start = num + 2
+        num = img_start + len(img_bodies)
+        kids.append(f"{page_num} 0 R")
+        xents = " ".join(
+            f"/Im{i} {img_start + i} 0 R" for i in range(len(img_bodies))
+        )
+        numbered.append(
+            (
+                page_num,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Resources << /XObject << {xents} >> >> "
+                    f"/Contents {content_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        draw = b"\n".join(
+            b"q 100 0 0 100 %d 600 cm /Im%d Do Q" % (72 + 110 * i, i)
+            for i in range(len(img_bodies))
+        )
+        numbered.append(
+            (
+                content_num,
+                f"<< /Length {len(draw)} >>".encode()
+                + b"\nstream\n" + draw + b"\nendstream",
+            )
+        )
+        for i, body in enumerate(img_bodies):
+            numbered.append((img_start + i, body))
+    numbered.insert(0, (1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    numbered.insert(
+        1,
+        (
+            2,
+            f"<< /Type /Pages /Count {n_pages} "
+            f"/Kids [{' '.join(kids)}] >>".encode(),
+        ),
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    size = max(n for n, _ in numbered) + 1
+    offsets: dict[int, int] = {}
+    for n, body in numbered:
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for n in range(1, size):
+        out += f"{offsets[n]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+PDF_IMAGES_SCHEMA = (
+    "file string, page_no int, name string, width int, height int, "
+    "bits int, colorspace string, filter string, decoded boolean, "
+    "mean_px double"
+)
+
+
+def pdf_images(files_df, on_error: str = "raise"):
+    """`binaryFile` rows → one row per image XObject with decoded
+    pixel statistics — the image leg of the PDF modality (text comes
+    from `pdf_pages`). Document bytes never shuffle; JPEG/Flate
+    rasters decode inside the scan task."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {
+                "file": [], "page_no": [], "name": [], "width": [],
+                "height": [], "bits": [], "colorspace": [], "filter": [],
+                "decoded": [], "mean_px": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    imgs = parse_pdf_images(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                base = os.path.basename(path)
+                for im in imgs:
+                    rows["file"].append(base)
+                    rows["page_no"].append(im["page_no"])
+                    rows["name"].append(im["name"])
+                    rows["width"].append(im["width"])
+                    rows["height"].append(im["height"])
+                    rows["bits"].append(im["bits"])
+                    rows["colorspace"].append(im["colorspace"])
+                    rows["filter"].append(im["filter"])
+                    px = im["pixels"]
+                    rows["decoded"].append(px is not None)
+                    rows["mean_px"].append(
+                        float(np.mean(px)) if px is not None else None
+                    )
+            yield pd.DataFrame(rows)
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(files_df.sparkSession)
+    return files_df.select("path", "content").mapInPandas(fn, PDF_IMAGES_SCHEMA)
 
 
 # -- Spark operator -----------------------------------------------------------

@@ -232,3 +232,98 @@ def test_cid_type0_identity_h():
     # Type0 with NO ToUnicode: everything is replacement, not a crash
     fonts = {"/F1": ("cid", {})}
     assert _extract_text(b"BT /F1 1 Tf (\x00\x02) Tj ET", fonts) == "�"
+
+
+class TestImageXObjects:
+    """r11: /DCTDecode + /FlateDecode image XObjects (parse_pdf_images)."""
+
+    def _imgs(self):
+        import numpy as np
+
+        jj, ii = np.mgrid[0:32, 0:32]
+        smooth = np.clip(128 + 70 * np.sin(ii / 6.0) * np.cos(jj / 5.0),
+                         0, 255).astype(np.uint8)
+        rgb = np.stack([smooth, 255 - smooth, smooth // 2], axis=-1)
+        return smooth, rgb
+
+    def test_flate_raster_roundtrips_exactly(self):
+        import numpy as np
+
+        from odin_rs_spark.sources.pdfcodec import (
+            encode_pdf_with_images,
+            parse_pdf_images,
+        )
+
+        smooth, rgb = self._imgs()
+        buf = encode_pdf_with_images([[(smooth, "flate"), (rgb, "flate")]])
+        imgs = parse_pdf_images(buf)
+        assert [i["name"] for i in imgs] == ["/Im0", "/Im1"]
+        assert np.array_equal(imgs[0]["pixels"], smooth)
+        assert np.array_equal(imgs[1]["pixels"], rgb)
+        assert imgs[0]["colorspace"] == "/DeviceGray"
+        assert imgs[1]["colorspace"] == "/DeviceRGB"
+
+    def test_dct_decodes_close_to_source(self):
+        import numpy as np
+
+        from odin_rs_spark.sources.pdfcodec import (
+            encode_pdf_with_images,
+            parse_pdf_images,
+        )
+
+        smooth, rgb = self._imgs()
+        buf = encode_pdf_with_images([[(smooth, "jpeg")], [(rgb, "jpeg")]])
+        imgs = parse_pdf_images(buf)
+        assert imgs[0]["filter"] == "/DCTDecode"
+        assert imgs[0]["page_no"] == 0 and imgs[1]["page_no"] == 1
+        # smooth fields survive baseline JPEG within a few levels
+        assert np.abs(imgs[0]["pixels"].astype(float) - smooth).mean() < 4
+        assert np.abs(imgs[1]["pixels"].astype(float) - rgb).mean() < 6
+
+    def test_unknown_image_filter_surfaces_undecoded(self):
+        from odin_rs_spark.sources.pdfcodec import (
+            encode_pdf_with_images,
+            parse_pdf_images,
+        )
+
+        smooth, _ = self._imgs()
+        buf = encode_pdf_with_images([[(smooth, "flate")]])
+        # rewrite the image's filter name to an unsupported one of the
+        # same length so offsets stay valid
+        buf = buf.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decod_", 1)
+        imgs = parse_pdf_images(buf)
+        assert imgs[0]["pixels"] is None
+        assert imgs[0]["filter"] == "/JBIG2Decod_"
+
+    def test_committed_fixture_shape(self):
+        import os
+
+        import odin_rs_spark
+        from odin_rs_spark.sources.pdfcodec import parse_pdf_images
+
+        p = os.path.join(
+            os.path.dirname(os.path.abspath(odin_rs_spark.__file__)),
+            "sources", "fixtures", "mixed_images.pdf",
+        )
+        imgs = parse_pdf_images(open(p, "rb").read())
+        assert [(i["page_no"], i["name"], i["filter"]) for i in imgs] == [
+            (0, "/Im0", "/DCTDecode"), (0, "/Im1", "/FlateDecode"),
+            (1, "/Im0", "/DCTDecode"), (2, "/Im0", "/FlateDecode"),
+        ]
+        assert all(i["pixels"] is not None for i in imgs)
+
+    def test_image_mutation_fuzz_valueerror_only(self):
+        from odin_rs_spark.sources.pdfcodec import (
+            encode_pdf_with_images,
+            parse_pdf_images,
+        )
+
+        smooth, _ = self._imgs()
+        buf = encode_pdf_with_images([[(smooth, "jpeg"), (smooth, "flate")]])
+        for off in range(0, len(buf), 23):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parse_pdf_images(bytes(m))
+            except ValueError:
+                pass  # the only allowed failure mode
