@@ -426,7 +426,8 @@ def parquet_rowgroup_stats(files_df, on_error: str = "raise"):
 # STATS; this decodes the PAGES those stats describe, so an audit can
 # prove min/max/null_count against actual values — the check a lake
 # runs before it lets file-skipping elide a petabyte). Scope: data
-# page v1, PLAIN and RLE_DICTIONARY encodings, RLE/bit-packed hybrid
+# pages v1 AND v2 (r11: v2's uncompressed level blocks without the
+# 4-byte prefix), PLAIN and RLE_DICTIONARY encodings, RLE/bit-packed hybrid
 # definition levels, flat optional columns; codecs UNCOMPRESSED /
 # SNAPPY (sources/snappycodec) / GZIP (zlib) / ZSTD (sources/
 # zstdcodec). Everything else raises BY NAME.
@@ -522,8 +523,8 @@ def _decompress_page(payload: bytes, codec: str, usize: int) -> bytes:
 
 def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
     """Decode one column chunk's values (None for nulls) straight from
-    the pages — no parquet library. Flat optional columns, data page
-    v1, PLAIN / RLE_DICTIONARY."""
+    the pages — no parquet library. Flat REQUIRED/OPTIONAL columns,
+    data pages v1 and v2, PLAIN / RLE_DICTIONARY."""
     meta = parse_parquet_footer(buf)
     try:
         rg = meta["row_groups"][rg_index]
@@ -560,39 +561,71 @@ def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
         csize = _int_or_none(hdr.get(3), "page.compressed_size")
         if usize is None or csize is None or pos + csize > end:
             raise ValueError("page sizes out of bounds")
-        payload = _decompress_page(
-            bytes(buf[pos : pos + csize]), col["codec"], usize
-        )
+        raw = bytes(buf[pos : pos + csize])
         pos += csize
         if ptype_pg == 2:  # dictionary page
+            payload = _decompress_page(raw, col["codec"], usize)
             dh = _want(hdr.get(7) or {}, dict, "dictionary_page_header")
             nvals = _int_or_none(dh.get(1), "dict.num_values") or 0
             dictionary, _ = _plain_values(payload, 0, col["type"], nvals)
             continue
-        if ptype_pg != 0:
-            raise ValueError(f"unsupported page type {ptype_pg} (v2?)")
-        dph = _want(hdr.get(5) or {}, dict, "data_page_header")
-        nvals = _int_or_none(dph.get(1), "page.num_values")
-        enc = _int_or_none(dph.get(2), "page.encoding")
-        if nvals is None:
-            raise ValueError("data page missing num_values")
-        p = 0
-        if repetition == 0:
-            # REQUIRED column: max definition level 0 — the def-level
-            # block is absent and every slot holds a value
-            defs = [1] * nvals
+        if ptype_pg == 3:
+            # DATA PAGE V2 (DataPageHeaderV2, header field 8): rep/def
+            # levels sit UNCOMPRESSED before the (optionally compressed)
+            # values, RLE WITHOUT the v1 4-byte length prefix — their
+            # byte lengths come from the header itself
+            dph = _want(hdr.get(8) or {}, dict, "data_page_header_v2")
+            nvals = _int_or_none(dph.get(1), "page.num_values")
+            nnulls = _int_or_none(dph.get(2), "page.num_nulls")
+            enc = _int_or_none(dph.get(4), "page.encoding")
+            dlen = _int_or_none(dph.get(5), "page.def_levels_len") or 0
+            rlen = _int_or_none(dph.get(6), "page.rep_levels_len") or 0
+            is_comp = dph.get(7, True)
+            if nvals is None or nnulls is None:
+                raise ValueError("data page v2 missing num_values/num_nulls")
+            if rlen:
+                raise ValueError("repeated (nested) columns unsupported")
+            if dlen > len(raw):
+                raise ValueError("v2 def levels past end")
+            if dlen:
+                defs, _ = _rle_hybrid(raw[:dlen], 0, 1, nvals)
+            else:
+                defs = [1] * nvals
+            vals_raw = raw[dlen:]
+            payload = (
+                _decompress_page(vals_raw, col["codec"], usize - dlen)
+                if is_comp else vals_raw
+            )
+            p = 0
+            n_present = nvals - nnulls
+            if sum(defs) != n_present:
+                raise ValueError("v2 def levels disagree with num_nulls")
+        elif ptype_pg != 0:
+            raise ValueError(f"unsupported page type {ptype_pg}")
         else:
-            # definition levels: optional flat column -> bitwidth 1,
-            # 4-byte length prefix, RLE encoding (parquet spec default)
-            if p + 4 > len(payload):
-                raise ValueError("def-level length past end")
-            dlen = int.from_bytes(payload[p : p + 4], "little")
-            p += 4
-            if p + dlen > len(payload):
-                raise ValueError("def levels past end")
-            defs, _ = _rle_hybrid(payload[: p + dlen], p, 1, nvals)
-            p += dlen
-        n_present = sum(defs)
+            payload = _decompress_page(raw, col["codec"], usize)
+            dph = _want(hdr.get(5) or {}, dict, "data_page_header")
+            nvals = _int_or_none(dph.get(1), "page.num_values")
+            enc = _int_or_none(dph.get(2), "page.encoding")
+            if nvals is None:
+                raise ValueError("data page missing num_values")
+            p = 0
+            if repetition == 0:
+                # REQUIRED column: max definition level 0 — the
+                # def-level block is absent and every slot holds a value
+                defs = [1] * nvals
+            else:
+                # definition levels: optional flat column -> bitwidth 1,
+                # 4-byte length prefix, RLE (parquet spec default)
+                if p + 4 > len(payload):
+                    raise ValueError("def-level length past end")
+                dlen = int.from_bytes(payload[p : p + 4], "little")
+                p += 4
+                if p + dlen > len(payload):
+                    raise ValueError("def levels past end")
+                defs, _ = _rle_hybrid(payload[: p + dlen], p, 1, nvals)
+                p += dlen
+            n_present = sum(defs)
         if enc == _ENC_PLAIN:
             vals, p = _plain_values(payload, p, col["type"], n_present)
         elif enc in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):

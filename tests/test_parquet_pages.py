@@ -199,3 +199,58 @@ class TestStatsHonesty:
         assert len(rows) == 6
         assert all(r.stats_min_ok and r.stats_max_ok and r.stats_nulls_ok
                    for r in rows)
+
+
+class TestDataPageV2:
+    """r11: DataPageHeaderV2 — levels uncompressed before the values,
+    RLE without the v1 4-byte length prefix. pyarrow is the referee."""
+
+    @pytest.mark.parametrize("compression", ["none", "snappy", "gzip", "zstd"])
+    @pytest.mark.parametrize("use_dictionary", [True, False])
+    def test_v2_values_match_pyarrow(self, compression, use_dictionary):
+        ids = list(range(600))
+        names = [None if i % 7 == 0 else f"n{i % 13}" for i in ids]
+        sink = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "val": pa.array([i * 0.5 for i in ids], pa.float64()),
+                    "name": pa.array(names, pa.string()),
+                }
+            ),
+            sink, row_group_size=200, compression=compression,
+            use_dictionary=use_dictionary, data_page_version="2.0",
+        )
+        buf = sink.getvalue()
+        for rg in range(3):
+            sl = slice(rg * 200, rg * 200 + 200)
+            assert parquet_column_values(buf, rg, "id") == ids[sl]
+            assert parquet_column_values(buf, rg, "name") == names[sl]
+
+    def test_v2_required_columns(self):
+        ids = list(range(300))
+        schema = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+        sink = io.BytesIO()
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64())}, schema=schema),
+            sink, row_group_size=150, data_page_version="2.0",
+        )
+        buf = sink.getvalue()
+        assert parquet_column_values(buf, 0, "id") == ids[:150]
+        assert parquet_column_values(buf, 1, "id") == ids[150:]
+
+    def test_v2_mutation_valueerror_only(self):
+        sink = io.BytesIO()
+        pq.write_table(
+            pa.table({"id": pa.array(range(200), pa.int64())}),
+            sink, data_page_version="2.0", use_dictionary=False,
+        )
+        buf = sink.getvalue()
+        for off in range(4, 400, 7):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parquet_column_values(bytes(m), 0, "id")
+            except ValueError:
+                pass
