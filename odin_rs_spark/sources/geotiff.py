@@ -11,12 +11,14 @@ orders, single-sample grayscale, bit depths 8/16 uint, 16-bit int,
 32-bit float (the common DEM encodings), STRIPPED or TILED layout,
 compression none / DEFLATE (8 and legacy 32946, zlib streams) / LZW
 (5, the TIFF6 MSB-first early-change variant), horizontal-
-differencing predictor 2 for integer samples — i.e. the files real
-DEM tilesets actually ship (tiled + DEFLATE/LZW is what GDAL writes;
-the reference reads them via GDAL VRT mosaics). Georeferencing via
-GeoTIFF ModelPixelScale (33550) + ModelTiepoint (33922): pixel
-(i, j) → (lon, lat) as lon = tx + i·sx, lat = ty − j·sy (north-up
-rasters). BigTIFF and the floating-point predictor 3 raise by name.
+differencing predictor 2 for integer samples and the TechNote-3
+floating-point predictor 3 (byte-plane shuffle + byte differencing)
+for f4 — i.e. the files real DEM tilesets actually ship (tiled +
+DEFLATE/LZW with a predictor is what GDAL writes; the reference
+reads them via GDAL VRT mosaics). Georeferencing via GeoTIFF
+ModelPixelScale (33550) + ModelTiepoint (33922): pixel (i, j) →
+(lon, lat) as lon = tx + i·sx, lat = ty − j·sy (north-up rasters).
+BigTIFF raises by name.
 """
 
 from __future__ import annotations
@@ -214,13 +216,17 @@ def _parse_geotiff(buf: bytes) -> dict:
     if np_dtype is None:
         raise ValueError(f"sample format bits={bits} fmt={sfmt} unsupported")
     predictor = one(317, 1)
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor {predictor} unsupported (none/horizontal)")
+    if predictor not in (1, 2, 3):
+        raise ValueError(
+            f"predictor {predictor} unsupported (none/horizontal/float)"
+        )
     if predictor == 2 and sfmt == 3:
         raise ValueError(
             "horizontal predictor on float samples unsupported "
             "(predictor 3 is the float form)"
         )
+    if predictor == 3 and sfmt != 3:
+        raise ValueError("floating-point predictor needs float samples")
     bps = bits // 8
     if ni <= 0 or nj <= 0 or ni * nj > (1 << 28):
         raise ValueError(f"raster {nj}x{ni} out of bounds")
@@ -244,7 +250,7 @@ def _parse_geotiff(buf: bytes) -> dict:
         return data[:expected]
 
     def unpredict(a: np.ndarray) -> np.ndarray:
-        if predictor == 1:
+        if predictor != 2:
             return a
         # horizontal differencing: each sample stored as the delta to
         # its left neighbour; undo with a modular row cumsum (wraps in
@@ -252,6 +258,22 @@ def _parse_geotiff(buf: bytes) -> dict:
         u = a.view(a.dtype.str.replace("i", "u"))
         out = np.cumsum(u, axis=1, dtype=u.dtype)
         return out.view(a.dtype)
+
+    def segment_array(data: bytes, rows: int, width: int) -> np.ndarray:
+        if predictor == 3:
+            # floating-point predictor (TIFF TechNote 3 / libtiff
+            # fpAcc): per row, bytes were shuffled into big-endian
+            # significance PLANES then byte-differenced — undo with a
+            # modular byte cumsum, de-shuffle, read as big-endian floats
+            b = np.frombuffer(data, np.uint8).reshape(rows, width * bps)
+            b = np.cumsum(b, axis=1, dtype=np.uint8)
+            planes = b.reshape(rows, bps, width)
+            sample_bytes = np.ascontiguousarray(planes.transpose(0, 2, 1))
+            return np.frombuffer(
+                sample_bytes.tobytes(), ">f4"
+            ).reshape(rows, width)
+        a = np.frombuffer(data, dtype=np_dtype).reshape(rows, width)
+        return unpredict(a)
 
     def segment(off: int, cnt: int) -> bytes:
         if off < 0 or cnt < 0 or off + cnt > len(buf):
@@ -271,13 +293,14 @@ def _parse_geotiff(buf: bytes) -> dict:
             raise ValueError(
                 f"{len(toffs)} tiles != {across}x{down} tile grid"
             )
-        full = np.zeros((down * th, across * tw), dtype=np_dtype)
+        full = np.zeros((down * th, across * tw), dtype=np.float64)
         for idx, (off, cnt) in enumerate(zip(toffs, tcnts)):
             data = decomp(segment(off, cnt), tw * th * bps)
-            tile = np.frombuffer(data, dtype=np_dtype).reshape(th, tw)
             r, c = idx // across, idx % across
-            full[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = unpredict(tile)
-        vals = full[:nj, :ni].astype(np.float64)
+            full[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = (
+                segment_array(data, th, tw)
+            )
+        vals = full[:nj, :ni]
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
@@ -295,8 +318,7 @@ def _parse_geotiff(buf: bytes) -> dict:
         for k, (off, cnt) in enumerate(zip(offsets, counts)):
             r0, r1 = k * rps, min(nj, (k + 1) * rps)
             data = decomp(segment(off, cnt), (r1 - r0) * ni * bps)
-            a = np.frombuffer(data, dtype=np_dtype).reshape(r1 - r0, ni)
-            rows.append(unpredict(a))
+            rows.append(segment_array(data, r1 - r0, ni))
         vals = np.vstack(rows).astype(np.float64)
 
     scale = tags.get(33550)
@@ -357,10 +379,12 @@ def write_geotiff(
     comp_id = {"none": 1, "lzw": 5, "deflate": 8}.get(compression)
     if comp_id is None:
         raise ValueError(f"compression {compression!r} unsupported")
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(f"predictor {predictor} unsupported")
     if predictor == 2 and dtype == "f4":
         raise ValueError("horizontal predictor needs an integer dtype")
+    if predictor == 3 and dtype != "f4":
+        raise ValueError("floating-point predictor needs dtype f4")
     bits = int(np_dtype[-1]) * 8
     sfmt = {"u": 1, "i": 2, "f": 3}[np_dtype[1]]
     v = np.asarray(values, dtype=np.float64)
@@ -371,14 +395,30 @@ def write_geotiff(
     arr = v.astype(np_dtype)
 
     def predict(a: np.ndarray) -> np.ndarray:
-        if predictor == 1:
+        if predictor != 2:
             return a
         u = a.view(a.dtype.str.replace("i", "u")).copy()
         u[:, 1:] = u[:, 1:] - u[:, :-1]  # modular per-row differencing
         return u.view(a.dtype)
 
+    def row_bytes(a: np.ndarray) -> bytes:
+        if predictor == 3:
+            # fpDiff: big-endian sample bytes shuffled into per-row
+            # significance planes, then byte-differenced
+            rows, width = a.shape
+            be = np.ascontiguousarray(a, dtype=">f4")
+            b = np.frombuffer(be.tobytes(), np.uint8).reshape(
+                rows, width, 4
+            )
+            planes = np.ascontiguousarray(
+                b.transpose(0, 2, 1)
+            ).reshape(rows, width * 4).copy()
+            planes[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            return planes.tobytes()
+        return predict(a).tobytes()
+
     def pack(a: np.ndarray) -> bytes:
-        raw = predict(a).tobytes()
+        raw = row_bytes(a)
         if comp_id == 8:
             return zlib.compress(raw, 9)
         if comp_id == 5:

@@ -229,3 +229,27 @@ class TestCompressedTiled:
                 parse_geotiff(buf[:cut])
             except ValueError:
                 pass
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(compression="deflate", predictor=3),
+            dict(compression="lzw", predictor=3),
+            dict(compression="deflate", predictor=3, tile=(16, 16)),
+            dict(compression="none", predictor=3),
+        ],
+    )
+    def test_float_predictor3_roundtrip(self, tmp_path, kw):
+        # TIFF TechNote 3 floating-point predictor: big-endian byte
+        # planes + byte differencing — what GDAL float DEMs ship
+        v = (np.sin(np.arange(40 * 25).reshape(25, 40) / 7.0)
+             * 1234.5).astype(np.float32).astype(float)
+        p = str(tmp_path / "fp3.tif")
+        write_geotiff(p, v, 37.0, -120.0, -0.01, 0.01, dtype="f4", **kw)
+        g = parse_geotiff(open(p, "rb").read())
+        assert np.array_equal(g["values"], v)
+
+    def test_predictor3_on_int_rejected_by_name(self, tmp_path):
+        with pytest.raises(ValueError, match="float"):
+            write_geotiff(str(tmp_path / "x.tif"), np.ones((4, 4)),
+                          0, 0, -1, 1, dtype="i2", predictor=3)
