@@ -18,7 +18,8 @@ DEFLATE/LZW with a predictor is what GDAL writes; the reference
 reads them via GDAL VRT mosaics). Georeferencing via GeoTIFF
 ModelPixelScale (33550) + ModelTiepoint (33922): pixel (i, j) →
 (lon, lat) as lon = tx + i·sx, lat = ty − j·sy (north-up rasters).
-BigTIFF raises by name.
+Both classic TIFF and BigTIFF (magic 43, 8-byte offsets — the >4 GB
+mosaic form) parse.
 """
 
 from __future__ import annotations
@@ -28,8 +29,10 @@ import zlib
 
 import numpy as np
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 8: 2, 9: 4, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 8: 2, 9: 4, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -154,22 +157,39 @@ def _parse_geotiff(buf: bytes) -> dict:
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack(bo + "H", buf[2:4])
-    if magic == 43:
-        raise ValueError("BigTIFF unsupported (classic TIFF only)")
-    if magic != 42:
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    elif magic == 43:
+        # BigTIFF: 8-byte offsets everywhere (what >4 GB mosaics use)
+        big = True
+        osize, zero = struct.unpack(bo + "HH", buf[4:8])
+        if osize != 8 or zero != 0:
+            raise ValueError(f"BigTIFF offset size {osize} unsupported")
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+    else:
         raise ValueError(f"bad TIFF magic {magic}")
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    inline = 8 if big else 4  # bytes of in-entry value storage
+    entry_sz = 20 if big else 12
+    cnt_sz = 8 if big else 2
 
     def read_entry(pos: int):
-        tag, typ, cnt = struct.unpack(bo + "HHI", buf[pos : pos + 8])
+        tag, typ = struct.unpack(bo + "HH", buf[pos : pos + 4])
+        if big:
+            (cnt,) = struct.unpack(bo + "Q", buf[pos + 4 : pos + 12])
+        else:
+            (cnt,) = struct.unpack(bo + "I", buf[pos + 4 : pos + 8])
         size = _TYPE_SIZE.get(typ)
         if size is None:
             return tag, None
         total = size * cnt
-        if total <= 4:
-            raw = buf[pos + 8 : pos + 8 + total]
+        vpos = pos + (12 if big else 8)
+        if total <= inline:
+            raw = buf[vpos : vpos + total]
         else:
-            (off,) = struct.unpack(bo + "I", buf[pos + 8 : pos + 12])
+            (off,) = struct.unpack(
+                bo + ("Q" if big else "I"), buf[vpos : vpos + inline]
+            )
             if off + total > len(buf):
                 raise ValueError(f"tag {tag} data runs past the file")
             raw = buf[off : off + total]
@@ -178,14 +198,16 @@ def _parse_geotiff(buf: bytes) -> dict:
             return tag, raw
         return tag, list(struct.unpack(bo + fmt * cnt, raw))
 
-    if ifd_off + 2 > len(buf):
+    if ifd_off + cnt_sz > len(buf):
         raise ValueError("IFD offset past the file")
-    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
-    if ifd_off + 2 + 12 * n_entries > len(buf):
+    (n_entries,) = struct.unpack(
+        bo + ("Q" if big else "H"), buf[ifd_off : ifd_off + cnt_sz]
+    )
+    if n_entries > (1 << 16) or ifd_off + cnt_sz + entry_sz * n_entries > len(buf):
         raise ValueError("IFD runs past the file")
     tags: dict[int, list] = {}
     for e in range(n_entries):
-        tag, val = read_entry(ifd_off + 2 + 12 * e)
+        tag, val = read_entry(ifd_off + cnt_sz + entry_sz * e)
         if val is not None:
             tags[tag] = val
 
@@ -364,6 +386,7 @@ def write_geotiff(
     compression: str = "none",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """Little-endian GeoTIFF writer — the fixture twin of
     `parse_geotiff` (grayscale; stripped by default, tiled when `tile`
@@ -475,16 +498,26 @@ def write_geotiff(
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_off = 8
-    data_area_off = ifd_off + 2 + 12 * n + 4
+    inline = 8 if bigtiff else 4
+    if bigtiff:
+        ifd_off = 16
+        data_area_off = ifd_off + 8 + 20 * n + 8
+    else:
+        ifd_off = 8
+        data_area_off = ifd_off + 2 + 12 * n + 4
     # first pass: lay out tag-overflow payloads after the IFD
     cursor = data_area_off
     encoded = []
+    off_fmt = "<Q" if bigtiff else "<I"
     for tag, typ, cnt, payload in entries:
-        if len(payload) <= 4:
-            encoded.append((tag, typ, cnt, payload.ljust(4, b"\x00"), None))
+        if len(payload) <= inline:
+            encoded.append(
+                (tag, typ, cnt, payload.ljust(inline, b"\x00"), None)
+            )
         else:
-            encoded.append((tag, typ, cnt, struct.pack("<I", cursor), payload))
+            encoded.append(
+                (tag, typ, cnt, struct.pack(off_fmt, cursor), payload)
+            )
             cursor += len(payload)
     # segments start after the overflow area; patch the offsets array
     seg_offs = []
@@ -497,16 +530,23 @@ def write_geotiff(
     for tag, typ, cnt, val4, blob in encoded:
         if tag == off_tag:
             if blob is None:
-                val4 = off_payload.ljust(4, b"\x00")
+                val4 = off_payload.ljust(inline, b"\x00")
             else:
                 blob = off_payload
         final.append((tag, typ, cnt, val4, blob))
 
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
-    out += struct.pack("<H", n)
-    for tag, typ, cnt, val4, _ in final:
-        out += struct.pack("<HHI", tag, typ, cnt) + val4
-    out += struct.pack("<I", 0)  # next IFD
+    if bigtiff:
+        out = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_off))
+        out += struct.pack("<Q", n)
+        for tag, typ, cnt, val4, _ in final:
+            out += struct.pack("<HHQ", tag, typ, cnt) + val4
+        out += struct.pack("<Q", 0)  # next IFD
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+        out += struct.pack("<H", n)
+        for tag, typ, cnt, val4, _ in final:
+            out += struct.pack("<HHI", tag, typ, cnt) + val4
+        out += struct.pack("<I", 0)  # next IFD
     for _, _, _, _, blob in final:
         if blob is not None:
             out += blob

@@ -89,7 +89,11 @@ def test_corrupt_and_unsupported_raise():
     good = open(p, "rb").read()
     with pytest.raises(ValueError, match="byte-order"):
         parse_geotiff(b"XX*\x00" + good[4:])
+    # BigTIFF with an unsupported offset size rejects by name; a
+    # classic body behind a BigTIFF magic is a plain ValueError
     with pytest.raises(ValueError, match="BigTIFF"):
+        parse_geotiff(b"II+\x00" + struct.pack("<HHQ", 4, 0, 16) + good[4:])
+    with pytest.raises(ValueError):
         parse_geotiff(b"II+\x00" + good[4:])
     # unsupported compression scheme (7 = old JPEG) rejected by name
     bad = bytearray(good)
@@ -253,3 +257,37 @@ class TestCompressedTiled:
         with pytest.raises(ValueError, match="float"):
             write_geotiff(str(tmp_path / "x.tif"), np.ones((4, 4)),
                           0, 0, -1, 1, dtype="i2", predictor=3)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(dtype="f4", compression="deflate", predictor=3),
+            dict(dtype="i2", compression="lzw", predictor=2, tile=(16, 16)),
+            dict(dtype="u2", compression="none"),
+        ],
+    )
+    def test_bigtiff_roundtrip(self, tmp_path, kw):
+        # BigTIFF (magic 43, 8-byte offsets) — the >4 GB mosaic form
+        v = ((np.arange(40 * 25).reshape(25, 40) * 13) % 251).astype(float)
+        p = str(tmp_path / "big.tif")
+        write_geotiff(p, v, lat0=37.0, lon0=-120.0, dlat=-0.01, dlon=0.01,
+                      bigtiff=True, **kw)
+        buf = open(p, "rb").read()
+        assert buf[:4] == b"II+\x00"
+        g = parse_geotiff(buf)
+        assert np.array_equal(g["values"], v)
+        assert abs(g["lat0"] - 37.0) < 1e-12
+
+    def test_bigtiff_mutation_fuzz_valueerror_only(self, tmp_path):
+        v = np.ones((20, 20))
+        p = str(tmp_path / "bm.tif")
+        write_geotiff(p, v, 0, 0, -1, 1, dtype="u2", compression="deflate",
+                      predictor=2, bigtiff=True, tile=(16, 16))
+        buf = open(p, "rb").read()
+        for off in range(0, len(buf), 9):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parse_geotiff(bytes(m))
+            except ValueError:
+                pass
