@@ -6583,6 +6583,60 @@ def q320_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q321 — BigTIFF + floating-point-predictor DEM granule (r11b: the
+# remaining real-world GeoTIFF forms driver-certified — magic-43
+# 8-byte-offset headers are what >4 GB mosaics use, and predictor 3
+# (TechNote-3 byte-plane shuffle + byte differencing) is what GDAL
+# writes for float rasters). The committed tile is tiled 32x16 +
+# DEFLATE + predictor 3 + BigTIFF with DYADIC heights (k·0.25, exact
+# in f4), so the oracle replays the formula and the nodata mask
+# bit-for-bit through header parse, tile walk, inflate, byte-cumsum
+# un-predict and plane de-shuffle.
+# --------------------------------------------------------------------------
+
+def q321_bigtiff_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.geotiff import geotiff_grid_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "dem_tile_c_big.tif",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    cells = geotiff_grid_cells(files, value_min=50.0)
+    return cells.groupBy(F.col("y").alias("row_j")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 6).alias("sum_height"),
+        F.round(F.min("lat"), 6).alias("lat"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+    )
+
+
+Q321_SQL = """
+WITH g AS (
+  SELECT i.range AS i, j.range AS j,
+         ((i.range * 13 + j.range * 7) % 500) * 0.25 AS h
+  FROM range(96) i, range(64) j
+  WHERE (i.range + 3 * j.range) % 17 != 11),
+c AS (
+  SELECT j, h, 37.0 - j::DOUBLE * 0.01 AS lat,
+         -118.08 + i::DOUBLE * 0.01 AS lon
+  FROM g WHERE h >= 50.0)
+SELECT j::INT AS row_j, count(*)::BIGINT AS n_cells,
+       round(sum(h), 6) AS sum_height,
+       round(min(lat), 6) AS lat,
+       round(min(lon), 6) AS min_lon,
+       round(max(lon), 6) AS max_lon
+FROM c GROUP BY j
+"""
+
+
 Q320_SQL = """
 WITH g AS (SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j),
 fr AS (

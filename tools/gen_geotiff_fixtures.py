@@ -51,5 +51,27 @@ def main() -> None:
     print(pb, os.path.getsize(pb), "bytes")
 
 
+def bigtiff_fp3() -> None:
+    """Third mosaic tile (r11b): BigTIFF + floating-point predictor 3 +
+    DEFLATE + tiled — the >4 GB-mosaic header form and the float
+    predictor GDAL writes, on one committed granule. Heights are
+    dyadic (k * 0.25) so f4 storage is exact and the oracle replays
+    the formula bit-for-bit: h(i,j) = ((i*13 + j*7) % 500) * 0.25,
+    nodata -9999.0 where (i + 3*j) % 17 == 11."""
+    import numpy as np
+
+    jj, ii = np.mgrid[0:64, 0:96]
+    v = (((ii * 13 + jj * 7) % 500) * 0.25).astype(float)
+    v[(ii + 3 * jj) % 17 == 11] = np.nan
+    p = os.path.join(FIXDIR, "dem_tile_c_big.tif")
+    write_geotiff(
+        p, v, lat0=37.0, lon0=-118.08, dlat=-0.01, dlon=0.01,
+        dtype="f4", nodata=-9999.0, compression="deflate", predictor=3,
+        tile=(32, 16), bigtiff=True,
+    )
+    print(p, os.path.getsize(p), "bytes")
+
+
 if __name__ == "__main__":
     main()
+    bigtiff_fp3()
