@@ -12,7 +12,9 @@ S-family); this re-expresses the same walker shape over binaryFile.
 
 Scope (documented): writer schemas of type `record` whose fields are
 primitives (`null boolean int long float double bytes string`),
-two-branch nullable unions `["null", P]`, and arrays of primitives;
+two-branch nullable unions `["null", T]`, and RECURSIVE arrays,
+maps and nested records of any supported type (depth-capped at 16;
+fixed/enum and multi-branch unions stay named rejections);
 codecs `null`, `deflate` (raw zlib), `snappy` (the in-repo
 `sources/snappycodec` + the spec's trailing CRC32 of the UNCOMPRESSED
 block, verified) and `zstandard` (the in-repo RFC 8878
@@ -80,27 +82,36 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
 # schema handling (the supported subset)
 # ---------------------------------------------------------------------------
 
-def _normalize_type(t) -> object:
-    """Schema node → 'prim' | ('union', prim) | ('array', prim).
-    Anything outside the documented subset is a named rejection."""
+def _normalize_type(t, depth: int = 0) -> object:
+    """Schema node → 'prim' | ('union', T) | ('array', T) | ('map', T)
+    | ('record', [(name, T), ...]) — fully RECURSIVE (r11: real Kafka
+    archives nest records and maps). Anything outside the documented
+    subset (fixed/enum, multi-branch unions) is a named rejection; a
+    depth cap keeps crafted schemas from recursing the parser out."""
+    if depth > 16:
+        raise ValueError("avro schema nesting deeper than 16")
     if isinstance(t, str):
         if t not in _PRIMITIVES:
             raise ValueError(f"unsupported avro type {t!r}")
         return t
     if isinstance(t, list):
-        if (
-            len(t) != 2
-            or t[0] != "null"
-            or not isinstance(t[1], str)
-            or t[1] not in _PRIMITIVES
-        ):
+        if len(t) != 2 or t[0] != "null":
             raise ValueError(f"unsupported avro union {t!r}")
-        return ("union", t[1])
+        return ("union", _normalize_type(t[1], depth + 1))
     if isinstance(t, dict) and t.get("type") == "array":
-        items = t.get("items")
-        if not isinstance(items, str) or items not in _PRIMITIVES:
-            raise ValueError(f"unsupported avro array items {items!r}")
-        return ("array", items)
+        return ("array", _normalize_type(t.get("items"), depth + 1))
+    if isinstance(t, dict) and t.get("type") == "map":
+        return ("map", _normalize_type(t.get("values"), depth + 1))
+    if isinstance(t, dict) and t.get("type") == "record":
+        fields = t.get("fields")
+        if not isinstance(fields, list) or not fields:
+            raise ValueError("avro nested record has no fields")
+        out = []
+        for f in fields:
+            if not isinstance(f, dict) or "name" not in f or "type" not in f:
+                raise ValueError("avro record field missing name/type")
+            out.append((str(f["name"]), _normalize_type(f["type"], depth + 1)))
+        return ("record", out)
     raise ValueError(f"unsupported avro schema node {t!r}")
 
 
@@ -155,6 +166,28 @@ def _read_value(buf: bytes, pos: int, ftype) -> tuple[object, int]:
         if idx != 1:
             raise ValueError(f"avro union index {idx} out of range")
         return _read_value(buf, pos, inner)
+    if kind == "record":
+        rec = {}
+        for fname, ft in inner:
+            rec[fname], pos = _read_value(buf, pos, ft)
+        return rec, pos
+    if kind == "map":
+        # blocked key/value pairs; negative count carries a byte size
+        m: dict[str, object] = {}
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return m, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            if n > len(buf):
+                raise ValueError("avro map block count exceeds input")
+            for _ in range(n):
+                kraw, pos = _read_bytes(buf, pos)
+                m[kraw.decode("utf-8", "replace")], pos = _read_value(
+                    buf, pos, inner
+                )
     # array: blocks of `count` items; a NEGATIVE count is followed by a
     # byte size (fast-skip form); a zero count terminates
     items = []
@@ -193,6 +226,20 @@ def _write_value(v, ftype) -> bytes:
         if v is None:
             return _write_long(0)
         return _write_long(1) + _write_value(v, inner)
+    if kind == "record":
+        out = bytearray()
+        for fname, ft in inner:
+            out += _write_value(v.get(fname), ft)
+        return bytes(out)
+    if kind == "map":
+        out = bytearray()
+        if v:
+            out += _write_long(len(v))
+            for k, item in v.items():
+                kb = str(k).encode("utf-8")
+                out += _write_long(len(kb)) + kb + _write_value(item, inner)
+        out += _write_long(0)
+        return bytes(out)
     out = bytearray()
     if v:
         out += _write_long(len(v))

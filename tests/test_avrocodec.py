@@ -212,3 +212,96 @@ class TestSparkWalker:
         (tmp_path / "bad.avro").write_bytes(b"garbage")
         files = spark.read.format("binaryFile").load(str(tmp_path / "bad.avro"))
         assert avro_records(files, {"id": "bigint"}, on_error="skip").count() == 0
+
+
+class TestNestedTypes:
+    """r11: recursive records / maps / arrays-of-records — the shapes
+    real Kafka-archive schemas actually use."""
+
+    SCHEMA = json.dumps(
+        {
+            "type": "record",
+            "name": "Outer",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "geo",
+                    "type": {
+                        "type": "record",
+                        "name": "Geo",
+                        "fields": [
+                            {"name": "lat", "type": "double"},
+                            {"name": "lon", "type": "double"},
+                            {"name": "city", "type": ["null", "string"]},
+                        ],
+                    },
+                },
+                {"name": "attrs", "type": {"type": "map", "values": "long"}},
+                {
+                    "name": "hops",
+                    "type": {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "Hop",
+                            "fields": [
+                                {"name": "host", "type": "string"},
+                                {"name": "ms", "type": "long"},
+                            ],
+                        },
+                    },
+                },
+                {
+                    "name": "extra",
+                    "type": ["null", {"type": "map", "values": "string"}],
+                },
+            ],
+        }
+    )
+
+    def _recs(self, n=20):
+        return [
+            {
+                "id": i,
+                "geo": {
+                    "lat": i * 0.5,
+                    "lon": -i * 0.25,
+                    "city": None if i % 3 == 0 else f"c{i % 5}",
+                },
+                "attrs": {f"k{j}": i * j for j in range(i % 4)},
+                "hops": [
+                    {"host": f"h{j}.example.org", "ms": i + j}
+                    for j in range(i % 3)
+                ],
+                "extra": None if i % 2 else {"a": str(i)},
+            }
+            for i in range(n)
+        ]
+
+    @pytest.mark.parametrize("codec", ["null", "deflate", "zstandard"])
+    def test_nested_roundtrip(self, codec):
+        buf = encode_avro(self.SCHEMA, self._recs(), codec=codec,
+                          block_records=7)
+        assert parse_avro(buf)["records"] == self._recs()
+
+    def test_depth_cap_named(self):
+        t = "long"
+        for i in range(20):
+            t = {"type": "record", "name": f"L{i}",
+                 "fields": [{"name": "x", "type": t}]}
+        schema = json.dumps(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "d", "type": t}]}
+        )
+        with pytest.raises(ValueError, match="nesting"):
+            encode_avro(schema, [])
+
+    def test_nested_mutation_valueerror_only(self):
+        buf = encode_avro(self.SCHEMA, self._recs(9))
+        for off in range(0, len(buf), 5):
+            m = bytearray(buf)
+            m[off] ^= 0xFF
+            try:
+                parse_avro(bytes(m))
+            except ValueError:
+                pass  # the only allowed failure mode
