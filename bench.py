@@ -76,7 +76,13 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, spec in CATALOG.items():
+    # FIXED name-sorted order, decoupled from the grading-cap rotation:
+    # CATALOG order changes every round as queries rotate to the cap
+    # front, and whichever queries run first absorb residual warm-up —
+    # r11 measured the same unchanged query at 1.8 s (late in r10's
+    # order) vs 14.3 s (first in r11's). Sorting pins each query's
+    # position across rounds so per-query deltas stay comparable.
+    for name, spec in sorted(CATALOG.items()):
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
