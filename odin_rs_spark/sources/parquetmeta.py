@@ -494,6 +494,87 @@ def _plain_values(data: bytes, pos: int, ptype: str, n: int) -> tuple[list, int]
     return list(_struct_mod.unpack_from(fmt, data, pos)), pos + need
 
 
+def _delta_binary_packed(data: bytes, pos: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet encodings.md): header
+    <block_size> <miniblocks/block> <total_count> <first zigzag>,
+    then per block <min_delta zigzag> <bitwidth byte/miniblock>
+    <LSB-first bit-packed deltas>. Reads exactly one encoded run."""
+    block_size, pos = _varint(data, pos)
+    n_mini, pos = _varint(data, pos)
+    total, pos = _varint(data, pos)
+    if total == 0:
+        return [], pos
+    first, pos = _zigzag(data, pos)
+    if (
+        block_size <= 0 or n_mini <= 0 or block_size % 128
+        or block_size % n_mini or total > len(data) * 65
+    ):
+        raise ValueError("delta-binary-packed header invalid")
+    per_mini = block_size // n_mini
+    vals = [first]
+    while len(vals) < total:
+        min_delta, pos = _zigzag(data, pos)
+        if pos + n_mini > len(data):
+            raise ValueError("delta miniblock widths past end")
+        widths = data[pos : pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            if len(vals) >= total:
+                break  # trailing miniblocks are omitted by writers
+            if w > 66:
+                raise ValueError(f"delta bit width {w} invalid")
+            nbytes = per_mini * w // 8
+            if pos + nbytes > len(data):
+                raise ValueError("delta miniblock past end")
+            if w == 0:
+                deltas = [0] * per_mini
+            else:
+                bits = int.from_bytes(data[pos : pos + nbytes], "little")
+                mask = (1 << w) - 1
+                deltas = [
+                    (bits >> (i * w)) & mask for i in range(per_mini)
+                ]
+            pos += nbytes
+            for d in deltas:
+                if len(vals) >= total:
+                    break
+                vals.append(vals[-1] + min_delta + d)
+    return vals, pos
+
+
+def _delta_length_byte_array(
+    data: bytes, pos: int
+) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: DBP lengths + concatenated bytes.
+    Prefix/suffix math is BYTE-level, so raw bytes come back; the
+    caller decodes UTF-8 at the end."""
+    lengths, pos = _delta_binary_packed(data, pos)
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(data):
+            raise ValueError("delta-length payload past end")
+        out.append(data[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (incremental/front coding): DBP prefix
+    lengths + DELTA_LENGTH_BYTE_ARRAY suffixes."""
+    prefixes, pos = _delta_binary_packed(data, pos)
+    suffixes, pos = _delta_length_byte_array(data, pos)
+    if len(prefixes) != len(suffixes):
+        raise ValueError("delta-byte-array prefix/suffix count mismatch")
+    out: list[bytes] = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if pfx < 0 or pfx > len(prev):
+            raise ValueError("delta-byte-array prefix out of range")
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out, pos
+
+
 def _decompress_page(payload: bytes, codec: str, usize: int) -> bytes:
     if codec == "UNCOMPRESSED":
         out = payload
@@ -543,10 +624,13 @@ def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
     if repetition == 2:
         raise ValueError("repeated (nested) columns unsupported")
     start = col["data_page_offset"]
-    if col["dictionary_page_offset"] is not None:
+    size = col["total_compressed_size"]
+    if not isinstance(start, int) or not isinstance(size, int):
+        raise ValueError("column chunk offsets/size missing from footer")
+    if isinstance(col["dictionary_page_offset"], int):
         start = min(start, col["dictionary_page_offset"])
     pos = start
-    end = start + col["total_compressed_size"]
+    end = start + size
     if end > len(buf):
         raise ValueError("column chunk extends past file")
     dictionary: list | None = None
@@ -642,8 +726,27 @@ def parquet_column_values(buf: bytes, rg_index: int, col_path: str) -> list:
                 vals = [dictionary[i] for i in idx]
             except IndexError:
                 raise ValueError("dict index out of range") from None
+        elif enc == 5:  # DELTA_BINARY_PACKED (parquet-mr v2 ints)
+            if col["type"] not in ("INT32", "INT64"):
+                raise ValueError("delta-binary-packed on non-int column")
+            vals, p = _delta_binary_packed(payload, p)
+        elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+            if col["type"] != "BYTE_ARRAY":
+                raise ValueError("delta-length on non-byte-array column")
+            raws, p = _delta_length_byte_array(payload, p)
+            vals = [r.decode("utf-8", "replace") for r in raws]
+        elif enc == 7:  # DELTA_BYTE_ARRAY (front coding)
+            if col["type"] != "BYTE_ARRAY":
+                raise ValueError("delta-byte-array on non-byte-array column")
+            raws, p = _delta_byte_array(payload, p)
+            vals = [r.decode("utf-8", "replace") for r in raws]
         else:
             raise ValueError(f"unsupported data page encoding {enc}")
+        if enc in (5, 6, 7) and len(vals) != n_present:
+            raise ValueError(
+                f"delta encoding carries {len(vals)} values, page "
+                f"declares {n_present}"
+            )
         it = iter(vals)
         for d in defs:
             out.append(next(it) if d else None)
