@@ -960,3 +960,29 @@ def test_attribution_asof_single_shuffle_per_side(spark, sf_dir):
 
     plan = _executed(q310_attribution_last_touch(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q317_mosaic_join_broadcasts_the_probe_side(spark):
+    """q317's probe lattice (300 rows) must broadcast against the
+    decoded mosaic cells — at real mosaic scale the cell side is the
+    big one and must NOT shuffle for a 300-row lookup."""
+    from odin_rs_spark.plans.catalog import q317_tiled_dem_mosaic
+
+    plan = _executed(q317_tiled_dem_mosaic(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_new_fixture_scans_are_single_scan(spark):
+    """q318/q320/q321 decode fixtures in-kernel: exactly one
+    binaryFile scan each, no re-read per aggregate branch (the q255
+    union-rescan bug class)."""
+    from odin_rs_spark.plans.catalog import (
+        q318_grib2_lossy_audit,
+        q320_pdf_images,
+        q321_bigtiff_dem,
+    )
+
+    for fn in (q318_grib2_lossy_audit, q320_pdf_images, q321_bigtiff_dem):
+        plan = _executed(fn(spark, "/root/testdata/sf0.001"))
+        assert plan.count("Scan binaryFile") == 1, fn.__name__
