@@ -128,16 +128,18 @@ def quality_features_py(text: str) -> dict[str, float]:
     n_words = len(words)
     n_chars = len(text)
     if n_chars == 0:
-        # the Spark column twin divides by zero into NULL for empty
-        # text; NaN is the plain-Python equivalent (propagates through
-        # quality_logit_py the way NULL propagates through the columns)
+        # mirror the Spark columns FEATURE BY FEATURE: split('') =
+        # [''] makes n_words 1, so the word ratios compute normally
+        # (0, 0 and 1), while the three char-ratios divide by the
+        # NULLIF'd zero — NULL in Spark, NaN here (r11 review: an
+        # all-NaN short-circuit diverged on the word-ratio features)
         return {
-            "mean_word_len": float("nan"),
-            "stopword_ratio": float("nan"),
+            "mean_word_len": 0.0,
+            "stopword_ratio": 0.0,
             "punct_ratio": float("nan"),
             "digit_ratio": float("nan"),
             "caps_ratio": float("nan"),
-            "distinct_ratio": float("nan"),
+            "distinct_ratio": 1.0,
         }
     nonspace = len(re.sub(r"\s", "", text))
     stops = set(STOPWORDS)

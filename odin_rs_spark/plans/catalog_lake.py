@@ -6313,8 +6313,20 @@ def q317_tiled_dem_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") * 7) % 192).cast("int").alias("gi"),
         ((F.col("id") * 11) % 64).cast("int").alias("gj"),
     )
-    hits = cells.join(F.broadcast(probes), ["gi", "gj"], "right")
-    return hits.groupBy(
+    # keep-all-probes WITHOUT an outer join against the big side: a
+    # broadcast hint on the PRESERVED side of an outer join is
+    # unsatisfiable and silently ignored (r11 review) — so the big
+    # cell lattice inner-joins the broadcast probe set, and the probes
+    # that hit nodata holes come back via a tiny anti-join against the
+    # (≤ |probes|-row) hit-key set, union'd with a NULL value
+    # persist the (≤ |probes|-row) hit set so the miss branch reuses it
+    # instead of decoding the mosaic a second time
+    hits = cells.join(F.broadcast(probes), ["gi", "gj"]).persist()
+    misses = probes.join(
+        F.broadcast(hits.select("gi", "gj")), ["gi", "gj"], "left_anti"
+    ).withColumn("value", F.lit(None).cast("double"))
+    joined = hits.select("gi", "gj", "value").unionByName(misses)
+    return joined.groupBy(
         F.when(F.col("gi") < 96, F.lit("A")).otherwise(F.lit("B")).alias("tile"),
         F.coalesce(
             F.floor(F.col("value") / 100).cast("int"), F.lit(-1)

@@ -115,6 +115,20 @@ def _normalize_type(t, depth: int = 0) -> object:
     raise ValueError(f"unsupported avro schema node {t!r}")
 
 
+def _min_type_bytes(t) -> int:
+    """Minimum wire bytes one value of normalized type `t` consumes:
+    'null' is the only zero-byte type; unions/arrays/maps carry at
+    least their index/terminator varint; records sum their fields."""
+    if t == "null":
+        return 0
+    if isinstance(t, str):
+        return 1
+    kind, inner = t
+    if kind == "record":
+        return sum(_min_type_bytes(ft) for _, ft in inner)
+    return 1  # union index / array-map terminator varint
+
+
 def _parse_schema(schema_json: str) -> list[tuple[str, object]]:
     try:
         schema = json.loads(schema_json)
@@ -329,13 +343,22 @@ def parse_avro(buf: bytes) -> dict:
                 block = _lzma.decompress(block)
             except _lzma.LZMAError as exc:
                 raise ValueError(f"corrupt avro xz block: {exc}") from exc
-        if count > len(block) + 1:
-            # a record consumes at least zero bytes only for degenerate
-            # all-null schemas; bounding count by the decompressed block
-            # size turns a crafted count=2^50 header into the documented
-            # ValueError instead of an OOM allocation loop
+        # bound the record count so a crafted count=2^50 header is the
+        # documented ValueError, not an OOM allocation loop. A record
+        # consumes >= _min_record_bytes(fields) wire bytes; only an
+        # all-'null'-field schema is legitimately zero-byte, and that
+        # case gets a fixed sane cap instead (decode still allocates
+        # one dict per record)
+        min_rec = sum(_min_type_bytes(t) for _, t in fields)
+        if min_rec > 0:
+            if count * min_rec > len(block):
+                raise ValueError(
+                    f"avro block count {count} exceeds decompressed "
+                    f"size {len(block)}"
+                )
+        elif count > (1 << 24):
             raise ValueError(
-                f"avro block count {count} exceeds decompressed size {len(block)}"
+                f"avro block count {count} exceeds the zero-byte-record cap"
             )
         bp = 0
         for _ in range(count):

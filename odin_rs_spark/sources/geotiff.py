@@ -315,6 +315,13 @@ def _parse_geotiff(buf: bytes) -> dict:
             raise ValueError(
                 f"{len(toffs)} tiles != {across}x{down} tile grid"
             )
+        # bound the PADDED mosaic too: crafted 60000x60000 tile dims on
+        # a 1x1 image pass the ni*nj guard but would allocate tens of
+        # GB here (fuzzer class — bound before any allocation)
+        if down * th * across * tw > (1 << 28):
+            raise ValueError(
+                f"tile grid {down * th}x{across * tw} out of bounds"
+            )
         full = np.zeros((down * th, across * tw), dtype=np.float64)
         for idx, (off, cnt) in enumerate(zip(toffs, tcnts)):
             data = decomp(segment(off, cnt), tw * th * bps)

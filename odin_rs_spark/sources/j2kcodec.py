@@ -489,52 +489,12 @@ def dwt53_forward(img: np.ndarray, levels: int) -> list[dict]:
     """2-D multilevel forward 5/3: returns [{'ll' (only at the last
     level), 'hl', 'lh', 'hh'}] from level 1 (finest) to `levels`;
     row transform then column transform per level."""
-    cur = img.astype(np.int64)
-    out = []
-    for _ in range(levels):
-        h, w = cur.shape
-        lo_rows = np.empty((h, (w + 1) // 2), np.int64)
-        hi_rows = np.empty((h, w // 2), np.int64)
-        for r in range(h):
-            lo, hi = _fwd53_1d(cur[r])
-            lo_rows[r], hi_rows[r] = lo, hi
-        ll = np.empty(((h + 1) // 2, (w + 1) // 2), np.int64)
-        lh = np.empty((h // 2, (w + 1) // 2), np.int64)
-        hl = np.empty(((h + 1) // 2, w // 2), np.int64)
-        hh = np.empty((h // 2, w // 2), np.int64)
-        for c in range(lo_rows.shape[1]):
-            lo, hi = _fwd53_1d(lo_rows[:, c])
-            ll[:, c], lh[:, c] = lo, hi
-        for c in range(hi_rows.shape[1]):
-            lo, hi = _fwd53_1d(hi_rows[:, c])
-            hl[:, c], hh[:, c] = lo, hi
-        out.append({"hl": hl, "lh": lh, "hh": hh})
-        cur = ll
-    out[-1]["ll"] = cur
-    return out
+    return _dwt_forward(img.astype(np.int64), levels, _fwd53_1d)
 
 
 def dwt53_inverse(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
     """Inverse of `dwt53_forward` for the same shape."""
-    shapes = [shape]
-    for _ in range(len(bands) - 1):
-        h, w = shapes[-1]
-        shapes.append(((h + 1) // 2, (w + 1) // 2))
-    cur = bands[-1]["ll"]
-    for lvl in range(len(bands) - 1, -1, -1):
-        h, w = shapes[lvl]
-        hl, lh, hh = bands[lvl]["hl"], bands[lvl]["lh"], bands[lvl]["hh"]
-        lo_rows = np.empty((h, (w + 1) // 2), np.int64)
-        hi_rows = np.empty((h, w // 2), np.int64)
-        for c in range((w + 1) // 2):
-            lo_rows[:, c] = _inv53_1d(cur[:, c], lh[:, c], h)
-        for c in range(w // 2):
-            hi_rows[:, c] = _inv53_1d(hl[:, c], hh[:, c], h)
-        out = np.empty((h, w), np.int64)
-        for r in range(h):
-            out[r] = _inv53_1d(lo_rows[r], hi_rows[r], w)
-        cur = out
-    return cur
+    return _dwt_inverse(bands, shape, _inv53_1d, np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -636,32 +596,39 @@ def _dwt_forward(img: np.ndarray, levels: int, fwd1d) -> list[dict]:
     return out
 
 
+def _dwt_inverse(
+    bands: list[dict], shape: tuple[int, int], inv1d, dtype
+) -> np.ndarray:
+    """Shared 2-D multilevel inverse driver (columns then rows)."""
+    shapes = [shape]
+    for _ in range(len(bands) - 1):
+        h, w = shapes[-1]
+        shapes.append(((h + 1) // 2, (w + 1) // 2))
+    cur = bands[-1]["ll"].astype(dtype)
+    for lvl in range(len(bands) - 1, -1, -1):
+        h, w = shapes[lvl]
+        hl = bands[lvl]["hl"].astype(dtype)
+        lh = bands[lvl]["lh"].astype(dtype)
+        hh = bands[lvl]["hh"].astype(dtype)
+        lo_rows = np.empty((h, (w + 1) // 2), dtype)
+        hi_rows = np.empty((h, w // 2), dtype)
+        for c in range((w + 1) // 2):
+            lo_rows[:, c] = inv1d(cur[:, c], lh[:, c], h)
+        for c in range(w // 2):
+            hi_rows[:, c] = inv1d(hl[:, c], hh[:, c], h)
+        out = np.empty((h, w), dtype)
+        for r in range(h):
+            out[r] = inv1d(lo_rows[r], hi_rows[r], w)
+        cur = out
+    return cur
+
+
 def dwt97_forward(img: np.ndarray, levels: int) -> list[dict]:
     return _dwt_forward(img.astype(np.float64), levels, _fwd97_1d)
 
 
 def dwt97_inverse(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
-    shapes = [shape]
-    for _ in range(len(bands) - 1):
-        h, w = shapes[-1]
-        shapes.append(((h + 1) // 2, (w + 1) // 2))
-    cur = bands[-1]["ll"].astype(np.float64)
-    for lvl in range(len(bands) - 1, -1, -1):
-        h, w = shapes[lvl]
-        hl = bands[lvl]["hl"].astype(np.float64)
-        lh = bands[lvl]["lh"].astype(np.float64)
-        hh = bands[lvl]["hh"].astype(np.float64)
-        lo_rows = np.empty((h, (w + 1) // 2))
-        hi_rows = np.empty((h, w // 2))
-        for c in range((w + 1) // 2):
-            lo_rows[:, c] = _inv97_1d(cur[:, c], lh[:, c], h)
-        for c in range(w // 2):
-            hi_rows[:, c] = _inv97_1d(hl[:, c], hh[:, c], h)
-        out = np.empty((h, w))
-        for r in range(h):
-            out[r] = _inv97_1d(lo_rows[r], hi_rows[r], w)
-        cur = out
-    return cur
+    return _dwt_inverse(bands, shape, _inv97_1d, np.float64)
 
 
 # ---------------------------------------------------------------------------

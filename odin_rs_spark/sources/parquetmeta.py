@@ -240,8 +240,10 @@ def parse_parquet_footer(buf: bytes) -> dict:
     """Whole-file (or tail-slice) bytes → FileMetaData dict.
 
     Accepts either the full file or any suffix that still contains the
-    footer (the ranged-GET path at scale); the head magic is verified
-    only when the slice plausibly starts at file offset 0.
+    footer (the ranged-GET path at scale). Head magic is NOT checked —
+    it is unverifiable from a suffix slice, and a slice of exactly
+    footer_len+12 bytes is indistinguishable from a minimal full file;
+    the tail magic + thrift parse carry the integrity check.
     """
     if len(buf) < 12:
         raise ValueError("parquet file shorter than minimal footer")
@@ -252,10 +254,11 @@ def parse_parquet_footer(buf: bytes) -> dict:
         raise ValueError(
             f"parquet footer length {footer_len} exceeds provided bytes"
         )
-    if footer_len + 8 == len(buf) - 4 and buf[:4] != b"PAR1":
-        # the slice is exactly head-magic + footer + tail, i.e. it
-        # plausibly starts at file offset 0 — head magic must be there
-        raise ValueError("parquet head magic missing (not a parquet file)")
+    # head magic is deliberately NOT verified: a ranged-GET tail slice
+    # whose length happens to equal footer_len+12 is indistinguishable
+    # from a minimal full file, and rejecting it would break the
+    # documented suffix-slice contract. Integrity rests on the tail
+    # magic plus the thrift footer parse (r11 review).
     thrift = buf[len(buf) - 8 - footer_len : len(buf) - 8]
     fm, _ = _struct(thrift, 0)
     schema = [
@@ -511,6 +514,13 @@ def _delta_binary_packed(data: bytes, pos: int) -> tuple[list[int], int]:
     ):
         raise ValueError("delta-binary-packed header invalid")
     per_mini = block_size // n_mini
+    # spec: each miniblock holds a multiple of 32 values, so
+    # per_mini*w is always whole bytes — anything else would make the
+    # '// 8' below TRUNCATE and silently decode wrong values
+    if per_mini % 32:
+        raise ValueError(
+            f"delta miniblock size {per_mini} not a multiple of 32"
+        )
     vals = [first]
     while len(vals) < total:
         min_delta, pos = _zigzag(data, pos)

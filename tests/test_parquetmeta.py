@@ -108,21 +108,16 @@ class TestTailSlice:
         tail = buf[-(footer_len + 8 + 16) :]  # ranged GET with slop
         assert parse_parquet_footer(tail) == parse_parquet_footer(buf)
 
-    def test_head_magic_verified_on_full_file(self):
-        # a buffer that is exactly head-magic-sized + footer + tail must
-        # actually carry PAR1 at offset 0 (ADVICE r10: check was a no-op)
-        buf = bytearray(_fixture_bytes())
-        assert bytes(buf[:4]) == b"PAR1"
-        buf[0] ^= 0xFF
-        footer_len = struct.unpack("<I", bytes(buf[-8:-4]))[0]
-        if footer_len + 8 == len(buf) - 4:
-            with pytest.raises(ValueError, match="head magic"):
-                parse_parquet_footer(bytes(buf))
-        else:
-            # synthesize the aligned shape: 4 junk head bytes + footer
-            tail = bytes(buf[len(buf) - 8 - footer_len :])
-            with pytest.raises(ValueError, match="head magic"):
-                parse_parquet_footer(b"XXXX" + tail)
+    def test_ambiguous_length_tail_slice_still_parses(self):
+        # a ranged-GET tail slice of exactly footer_len+12 bytes is
+        # indistinguishable from a minimal full file — it must PARSE
+        # (r11 review: a head-magic length heuristic broke the
+        # documented suffix-slice contract)
+        buf = _fixture_bytes()
+        footer_len = struct.unpack("<I", buf[-8:-4])[0]
+        tail = buf[len(buf) - 8 - footer_len :]
+        padded = b"\x00\x00\x00\x00" + tail  # len == footer_len + 12
+        assert parse_parquet_footer(padded) == parse_parquet_footer(buf)
 
     def test_slice_shorter_than_footer_raises(self):
         buf = _fixture_bytes()

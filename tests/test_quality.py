@@ -42,23 +42,41 @@ class TestTwins:
             for n in FEATURES:
                 assert getattr(r, n) == ref[n], (r.i, n)
 
-    def test_empty_text_twins_agree_as_null_nan(self, spark):
-        # ADVICE r10: the Spark columns yield NULL ratios on empty text
-        # (divide-by-zero → NULL) while the Python twin raised
-        # ZeroDivisionError; both must now degrade the same way
+    def test_empty_text_twins_agree_per_feature(self, spark):
+        # ADVICE r10 + r11 review: empty text must degrade the SAME
+        # way per feature in both twins — word ratios compute (split
+        # ('') = ['']), char ratios are NULL/NaN — and the logit goes
+        # NULL/NaN on both sides
         import math
 
         from pyspark.sql import functions as F
 
-        from odin_rs_spark.functions.quality import quality_logit
+        from odin_rs_spark.functions.quality import (
+            quality_features,
+            quality_logit,
+        )
 
-        feats = quality_features_py("")
-        assert all(math.isnan(v) for v in feats.values())
+        py = quality_features_py("")
+        assert py["mean_word_len"] == 0.0
+        assert py["stopword_ratio"] == 0.0
+        assert py["distinct_ratio"] == 1.0
+        assert all(math.isnan(py[k]) for k in
+                   ("punct_ratio", "digit_ratio", "caps_ratio"))
+        df = spark.createDataFrame([("",)], "text string")
+        feats = quality_features(F.col("text"))
+        row = df.select(
+            *[feats[n].alias(n) for n in FEATURES]
+        ).collect()[0]
+        for n in FEATURES:
+            sv, pv = getattr(row, n), py[n]
+            if sv is None:
+                assert math.isnan(pv), n
+            else:
+                assert sv == pv, n
         m = load_quality_model()
         assert math.isnan(quality_logit_py("", m))
-        df = spark.createDataFrame([("",)], "text string")
-        row = df.select(quality_logit(F.col("text"), m).alias("z")).collect()[0]
-        assert row.z is None or (isinstance(row.z, float) and math.isnan(row.z))
+        z = df.select(quality_logit(F.col("text"), m).alias("z")).collect()[0].z
+        assert z is None or (isinstance(z, float) and math.isnan(z))
 
     def test_spark_logit_matches_python_twin(self, spark):
         from pyspark.sql import functions as F
