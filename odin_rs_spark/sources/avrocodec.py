@@ -102,6 +102,14 @@ def _normalize_type(t, depth: int = 0) -> object:
         return ("array", _normalize_type(t.get("items"), depth + 1))
     if isinstance(t, dict) and t.get("type") == "map":
         return ("map", _normalize_type(t.get("values"), depth + 1))
+    if isinstance(t, dict) and t.get("type") in _PRIMITIVES:
+        # dict-wrapped primitive — how real writers attach logicalType
+        # annotations ({"type":"long","logicalType":"timestamp-micros"},
+        # decimal-on-bytes, uuid-on-string...). The wire format is the
+        # BASE primitive; the annotation is presentation-level, so the
+        # raw value round-trips and callers convert (r11: these were
+        # named-rejected, which refused most real event-stream schemas)
+        return _normalize_type(t["type"], depth + 1)
     if isinstance(t, dict) and t.get("type") == "record":
         fields = t.get("fields")
         if not isinstance(fields, list) or not fields:

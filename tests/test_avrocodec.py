@@ -305,3 +305,35 @@ class TestNestedTypes:
                 parse_avro(bytes(m))
             except ValueError:
                 pass  # the only allowed failure mode
+
+
+class TestLogicalTypeWrappers:
+    """r11: dict-wrapped primitives carry logicalType annotations
+    (timestamp-micros, decimal, uuid) — wire format is the base
+    primitive; raw values round-trip."""
+
+    def test_wrapped_primitives_roundtrip(self):
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "E",
+                "fields": [
+                    {"name": "ts", "type": {"type": "long",
+                                            "logicalType": "timestamp-micros"}},
+                    {"name": "d", "type": {"type": "int",
+                                           "logicalType": "date"}},
+                    {"name": "u", "type": {"type": "string",
+                                           "logicalType": "uuid"}},
+                    {"name": "amt", "type": ["null", {
+                        "type": "bytes", "logicalType": "decimal",
+                        "precision": 9, "scale": 2}]},
+                ],
+            }
+        )
+        recs = [
+            {"ts": 1700000000_000000 + i, "d": 19700 + i,
+             "u": f"0000-{i:04d}", "amt": None if i % 3 else bytes([i, 7])}
+            for i in range(10)
+        ]
+        buf = encode_avro(schema, recs, codec="deflate")
+        assert parse_avro(buf)["records"] == recs
