@@ -603,6 +603,28 @@ def _decompress_page(payload: bytes, codec: str, usize: int) -> bytes:
         from odin_rs_spark.sources.zstdcodec import zstd_decompress
 
         out = zstd_decompress(payload)
+    elif codec == "LZ4":  # legacy Hadoop framing (pyarrow's 'lz4')
+        from odin_rs_spark.sources.lz4codec import lz4_hadoop_decompress
+
+        out = lz4_hadoop_decompress(payload, usize)
+    elif codec == "LZ4_RAW":  # bare block (the modern codec id)
+        from odin_rs_spark.sources.lz4codec import lz4_block_decompress
+
+        out = lz4_block_decompress(payload, usize)
+    elif codec == "BROTLI":
+        from odin_rs_spark.sources.brotlidec import (
+            brotli_available,
+            brotli_decompress,
+        )
+
+        if not brotli_available():
+            raise ValueError(
+                "brotli pages need the system libbrotlidec (absent)"
+            )
+        try:
+            out = brotli_decompress(payload, max_output=usize + 1)
+        except RuntimeError as exc:
+            raise ValueError(f"corrupt brotli page: {exc}") from exc
     else:
         raise ValueError(f"unsupported parquet page codec: {codec}")
     if len(out) != usize:

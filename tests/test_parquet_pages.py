@@ -131,9 +131,12 @@ class TestPageDecode:
                 ][sl]
 
     def test_unsupported_codec_named(self):
-        buf = _mk_parquet(compression="lz4")
+        # LZO is the one listed codec with no decode path (no pyarrow
+        # writer either) — reject by name at the page layer
+        from odin_rs_spark.sources.parquetmeta import _decompress_page
+
         with pytest.raises(ValueError, match="codec"):
-            parquet_column_values(buf, 0, "id")
+            _decompress_page(b"\x00" * 16, "LZO", 16)
 
     def test_unknown_column_and_rg(self):
         buf = _mk_parquet()
