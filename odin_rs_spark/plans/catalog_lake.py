@@ -6649,6 +6649,95 @@ FROM c GROUP BY j
 """
 
 
+# --------------------------------------------------------------------------
+# q322 — modern-writer parquet decode (r11b: the page shapes
+# parquet-mr 2.x / arrow actually emit TODAY — v2 data pages with
+# uncompressed level blocks, DELTA_BINARY_PACKED ints,
+# DELTA_BYTE_ARRAY front-coded strings, LZ4 hadoop-framed pages —
+# every one a named rejection before this round). The committed
+# fixture decodes through the hand-rolled page walker
+# (sources/parquetmeta.parquet_column_values) inside mapInPandas; the
+# oracle reads the SAME committed bytes through DuckDB's own
+# independent parquet reader, so the comparison is decoder vs decoder
+# on identical input — the strongest oracle form the repo has for a
+# wire format.
+# --------------------------------------------------------------------------
+
+def _modern_parquet_fixture() -> str:
+    import os as _os
+
+    import odin_rs_spark
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "modern_lz4.parquet",
+    )
+
+
+def q322_modern_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from odin_rs_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(_modern_parquet_fixture())
+
+    def decode(batches):
+        from odin_rs_spark.sources.parquetmeta import (
+            parquet_column_values,
+            parse_parquet_footer,
+        )
+
+        for pdf in batches:
+            for _, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                meta = parse_parquet_footer(buf)
+                for rg in range(len(meta["row_groups"])):
+                    ids = parquet_column_values(buf, rg, "id")
+                    names = parquet_column_values(buf, rg, "name")
+                    vals = parquet_column_values(buf, rg, "val")
+                    yield pd.DataFrame(
+                        {"rg": rg, "id": ids, "name": names, "val": vals}
+                    )
+
+    rows = files.select("path", "content").mapInPandas(
+        decode, "rg int, id bigint, name string, val double"
+    )
+    return rows.groupBy("rg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("name").isNull().cast("int")).cast("bigint").alias(
+            "n_null_name"
+        ),
+        F.sum("id").alias("sum_id"),
+        F.min("name").alias("min_name"),
+        F.max("name").alias("max_name"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+    )
+
+
+def _q322_sql() -> str:
+    # rg from id//300 (not row_number over an unspecified order): the
+    # fixture writes sequential ids with row_group_size=300, so the
+    # id-derived group IS the physical row group
+    return f"""
+WITH t AS (
+  SELECT *, id // 300 AS rg
+  FROM read_parquet('{_modern_parquet_fixture()}'))
+SELECT rg::INT AS rg, count(*)::BIGINT AS n,
+       sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_name,
+       sum(id)::BIGINT AS sum_id,
+       min(name) AS min_name,
+       max(name) AS max_name,
+       round(sum(val), 4) AS sum_val
+FROM t GROUP BY rg
+"""
+
+
+Q322_SQL = _q322_sql()
+
+
 Q320_SQL = """
 WITH g AS (SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j),
 fr AS (
