@@ -315,9 +315,30 @@ ZIP_SCHEMA = (
 )
 
 
-# APPNOTE 4.4.5 method ids the stdlib zipfile actually decodes; other
-# methods (imploded=6, deflate64=9, zstd=93, xz=95, …) reject by number
-_ZIP_METHODS = {0: "store", 8: "deflate", 12: "bzip2", 14: "lzma"}
+# APPNOTE 4.4.5 method ids: store/deflate/bzip2/lzma decode through
+# the stdlib zipfile; zstd (93) and xz (95) — the modern methods
+# zipfiles increasingly carry — decode from the raw member stream via
+# the in-repo RFC 8878 codec and stdlib lzma (r11). Other methods
+# (imploded=6, deflate64=9, …) reject by number.
+_ZIP_METHODS = {0: "store", 8: "deflate", 12: "bzip2", 14: "lzma",
+                93: "zstd", 95: "xz"}
+_ZIP_RAW_METHODS = (93, 95)
+
+
+def _zip_raw_member(buf: bytes, info) -> bytes:
+    """Raw compressed bytes of one member via its local header (the
+    stdlib decompressor table has no zstd/xz entries)."""
+    import struct as _struct
+
+    off = info.header_offset
+    if buf[off : off + 4] != b"PK\x03\x04":
+        raise ValueError(f"bad local header for {info.filename!r}")
+    name_len, extra_len = _struct.unpack_from("<HH", buf, off + 26)
+    start = off + 30 + name_len + extra_len
+    end = start + info.compress_size
+    if end > len(buf):
+        raise ValueError(f"member {info.filename!r} runs past the file")
+    return buf[start:end]
 
 
 def zip_members(files_df, on_error: str = "raise"):
@@ -363,10 +384,45 @@ def zip_members(files_df, on_error: str = "raise"):
                                 f"unsupported ZIP compression method "
                                 f"{i.compress_type} in {i.filename!r}"
                             )
-                    members = [
-                        (i, zf.read(i.filename)) for i in infos
-                        if not i.is_dir()
-                    ]
+                    members = []
+                    for i in infos:
+                        if i.is_dir():
+                            continue
+                        if i.compress_type == 93:
+                            from odin_rs_spark.sources.zstdcodec import (
+                                zstd_decompress,
+                            )
+
+                            data = zstd_decompress(_zip_raw_member(buf, i))
+                        elif i.compress_type == 95:
+                            import lzma as _lzma
+
+                            try:
+                                data = _lzma.decompress(
+                                    _zip_raw_member(buf, i)
+                                )
+                            except _lzma.LZMAError as exc:
+                                raise ValueError(
+                                    f"corrupt xz member: {exc}"
+                                ) from exc
+                        else:
+                            data = zf.read(i.filename)
+                        if len(data) != i.file_size:
+                            raise ValueError(
+                                f"member {i.filename!r} decodes to "
+                                f"{len(data)} bytes, directory says "
+                                f"{i.file_size}"
+                            )
+                        if i.compress_type in _ZIP_RAW_METHODS:
+                            # zipfile's own read() checks CRC; the raw
+                            # paths must too
+                            import zlib as _zlib
+
+                            if _zlib.crc32(data) != i.CRC:
+                                raise ValueError(
+                                    f"member {i.filename!r} CRC mismatch"
+                                )
+                        members.append((i, data))
                 except ValueError:
                     if on_error == "skip":
                         continue

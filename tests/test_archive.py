@@ -213,3 +213,79 @@ class TestZipAndRejections:
             zip_members(df).collect()
         # skip mode drops the archive instead
         assert zip_members(df, on_error="skip").count() == 0
+
+
+class TestZipModernMethods:
+    """r11: zstd (93) and xz (95) ZIP members — zipfile has no
+    decompressor for them, so the raw member stream decodes via the
+    in-repo RFC 8878 codec / stdlib lzma, with CRC verified."""
+
+    @staticmethod
+    def _craft(method: int, payload: bytes, comp: bytes) -> bytes:
+        # minimal one-member zip with an arbitrary APPNOTE method id
+        import struct
+        import zlib
+
+        name = b"m.txt"
+        crc = zlib.crc32(payload)
+        lh = (b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc,
+            len(comp), len(payload), len(name), 0) + name + comp)
+        cd = (b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+            len(comp), len(payload), len(name), 0, 0, 0, 0, 0, 0) + name)
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, len(cd), len(lh), 0)
+        return lh + cd + eocd
+
+    def test_zstd_and_xz_members_decode(self, spark):
+        import lzma
+
+        from odin_rs_spark.sources.archive import zip_members
+        from odin_rs_spark.sources.zstdcodec import zstd_compress_store
+
+        payload = b"modern zip methods " * 30
+        cases = [
+            (93, "zstd", zstd_compress_store(payload)),
+            (95, "xz", lzma.compress(payload)),
+        ]
+        for method, label, comp in cases:
+            buf = self._craft(method, payload, comp)
+            df = spark.createDataFrame(
+                [("m.zip", buf)], "path string, content binary"
+            )
+            rows = zip_members(df).collect()
+            assert len(rows) == 1
+            assert rows[0].method == label
+            assert rows[0].text == payload.decode()
+            assert rows[0].size == len(payload)
+
+    def test_corrupt_modern_member_is_valueerror(self, spark):
+        import lzma
+
+        import pytest
+
+        from odin_rs_spark.sources.archive import zip_members
+
+        payload = b"x" * 100
+        comp = bytearray(lzma.compress(payload))
+        comp[len(comp) // 2] ^= 0xFF
+        buf = self._craft(95, payload, bytes(comp))
+        df = spark.createDataFrame(
+            [("c.zip", buf)], "path string, content binary"
+        )
+        with pytest.raises(Exception, match="corrupt xz|CRC|decodes to"):
+            zip_members(df).collect()
+        assert zip_members(df, on_error="skip").count() == 0
+
+    def test_unknown_method_still_rejects_by_number(self, spark):
+        import pytest
+
+        from odin_rs_spark.sources.archive import zip_members
+
+        buf = self._craft(9, b"abc", b"abc")  # deflate64
+        df = spark.createDataFrame(
+            [("d.zip", buf)], "path string, content binary"
+        )
+        with pytest.raises(Exception, match="method 9"):
+            zip_members(df).collect()
