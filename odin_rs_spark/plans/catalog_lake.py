@@ -6738,6 +6738,69 @@ FROM t GROUP BY rg
 Q322_SQL = _q322_sql()
 
 
+# --------------------------------------------------------------------------
+# q323 — ORC archive scan (r11b: the OTHER major lake columnar format
+# — long-lived lakes routinely carry Hive-era ORC partitions next to
+# parquet, and reading them in-kernel keeps that history on the same
+# binaryFile walker path). Pure-Python ORC reader
+# (sources/orccodec.py — protobuf footer/stripe walk, chunked
+# compression framing over the in-repo codecs, RLEv1 + all four
+# RLEv2 sub-encodings, present streams, dictionary + direct strings)
+# over a committed pyarrow-written fixture (the INDEPENDENT encoder:
+# a symmetric encode/decode bug cannot hide). The oracle replays the
+# record formulas — equality holds IFF the protobuf parse, zstd chunk
+# decode, RLEv2 and null placement are all correct.
+# --------------------------------------------------------------------------
+
+def q323_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import odin_rs_spark
+    from odin_rs_spark.sources.orccodec import orc_records
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(odin_rs_spark.__file__)),
+        "sources",
+        "fixtures",
+        "events_archive.orc",
+    )
+    files = spark.read.format("binaryFile").load(fixture)
+    recs = orc_records(
+        files,
+        {"id": "bigint", "kind": "string", "value": "double",
+         "flag": "boolean"},
+    )
+    return recs.groupBy("kind", "compression").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias(
+            "n_null"
+        ),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.col("flag").cast("int")).cast("bigint").alias("n_flag"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+Q323_SQL = """
+WITH rec AS (
+  SELECT i.range AS id,
+         CASE i.range % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                          ELSE 'purchase' END AS kind,
+         CASE WHEN i.range % 11 = 0 THEN NULL
+              ELSE (i.range % 97) * 0.25 END AS value,
+         (i.range % 2 = 0) AS flag
+  FROM range(600) i)
+SELECT kind, 'zstd' AS compression, count(*)::BIGINT AS n,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       round(sum(value::DOUBLE), 6) AS sum_value,
+       sum(CASE WHEN flag THEN 1 ELSE 0 END)::BIGINT AS n_flag,
+       min(id)::BIGINT AS min_id,
+       max(id)::BIGINT AS max_id
+FROM rec GROUP BY kind
+"""
+
+
 Q320_SQL = """
 WITH g AS (SELECT i.range AS i, j.range AS j FROM range(64) i, range(64) j),
 fr AS (
