@@ -158,11 +158,17 @@ def triangle_count(
     Input may contain duplicates/loops/either direction; it is
     canonicalized first. Returns (node, degree, triangles).
     """
+    from pyspark.storagelevel import StorageLevel
+
     lo, hi = F.least(src, dst), F.greatest(src, dst)
+    # und feeds the degree table (read again for the final join) and the
+    # orientation join: persist the canonicalized edges so the upstream
+    # edge construction + distinct runs once
     und = (
         edges.where(F.col(src) != F.col(dst))
         .select(lo.alias("a"), hi.alias("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -180,11 +186,14 @@ def triangle_count(
         und.join(dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")
         .join(dk.withColumnRenamed("node", "b").withColumnRenamed("k", "kb"), "b")
     )
+    # oriented is read three times below (both wedge legs + the closing
+    # edge list); persisting the 1-row-per-edge frame computes the
+    # dedup/degree/orientation joins once instead of once per leg
     oriented = withk.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("kv1"))
     e2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("kv2"))
     wedges = e1.join(e2, "u").where(F.col("kv1") < F.col("kv2"))
@@ -192,10 +201,14 @@ def triangle_count(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
     tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    # one corner row per (triangle, corner) via explode: the previous
+    # 3-way unionAll of projections of `tris` re-executed the whole
+    # wedge+closure join pipeline once PER BRANCH (three m^{3/2} wedge
+    # enumerations); explode emits the same 3 rows per triangle from a
+    # single execution, and the partial (map-side) count keeps the
+    # shuffle at O(#nodes) either way
     per_node = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v1").alias("node")))
-        .unionAll(tris.select(F.col("v2").alias("node")))
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )
