@@ -1402,16 +1402,44 @@ def semdedup_select(
         )
         .select(id_col, "__cell", "__rank", "__ccos", "__cvec", "__cn")
     )
+    # ranked feeds three consumers (the pair-join probe, its broadcast
+    # build side, and the final left join): persist so the
+    # centroid-assignment + window pipeline runs once
+    from pyspark.storagelevel import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     hi = ranked.select(
         F.col("__cell").alias("__hc"),
         F.col("__rank").alias("__hr"),
         F.col("__cvec").alias("__hv"),
         F.col("__cn").alias("__hn"),
     )
+    # the within-cell pair join is keyed on the CLUSTER id alone, so a
+    # plain shuffle join caps parallelism at #clusters — fine at corpus
+    # scale (SemDeDup uses ~sqrt(N) clusters >> cores) but it strangles
+    # the quadratic in-cell cosine work when #clusters < session width
+    # (8 cells on local[32] left 3/4 of the cores idle). Deterministic
+    # salt: probe rows key on pmod(xxhash64(id), k), the build side
+    # replicates k ways, k shrinks to 1 exactly when #clusters already
+    # covers the session width — the standard hot-key split of guide
+    # §2.5, self-tuning to a no-op at scale.
+    spark = corpus.sparkSession
+    n_cells = max(1, len(list(centroid_ids)))
+    k = max(1, -(-2 * spark.sparkContext.defaultParallelism // n_cells))
+    probe = ranked.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int")
+    )
+    hi_salted = hi.join(
+        F.broadcast(
+            spark.range(k).select(F.col("id").cast("int").alias("__hsalt"))
+        )
+    )
     dropped = (
-        ranked.join(
-            hi,
-            (F.col("__cell") == F.col("__hc")) & (F.col("__hr") < F.col("__rank")),
+        probe.join(
+            hi_salted,
+            (F.col("__cell") == F.col("__hc"))
+            & (F.col("__salt") == F.col("__hsalt"))
+            & (F.col("__hr") < F.col("__rank")),
         )
         .filter(
             safe_cosine(

@@ -2523,7 +2523,7 @@ SELECT query_id, vec_id, approx_dist, rank FROM (
 def q69_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators import corpus as corpus_ops
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     scored = text_ops.quality_score(docs).filter(F.col("quality") >= 0.5)
     deduped = dedup_ops.exact_dedup(scored)
     sampled = corpus_ops.hash_sample(deduped, 0.5, key="doc_id", salt="prep")
@@ -3155,7 +3155,7 @@ SELECT new_id, base_id, jaccard FROM x WHERE jaccard >= 0.8
 # --------------------------------------------------------------------------
 
 def q83_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     spans = dedup_ops.repeated_substring_spans(docs, window_k=8)
     j = spans.join(docs.select("doc_id", "source"), "doc_id")
     ln = F.col("span_end_excl") - F.col("span_start")
@@ -3708,7 +3708,7 @@ BLOOM_K = 4
 def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.functions.text import norm_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
 
     def shingle_hashes(df: DataFrame) -> DataFrame:
         # hash shingles to int64 BEFORE any distinct/shuffle (q78's

@@ -2422,7 +2422,9 @@ FROM c GROUP BY 1, 2
 def q156_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators.text import char_entropy
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _wide(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     out = char_entropy(docs)
     return out.select(
         "doc_id",
@@ -2560,7 +2562,7 @@ _Q159_PERM = 32
 
 
 def q159_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     out = dedup_ops.source_jaccard_matrix(docs, num_perm=_Q159_PERM)
     return out.select(
         "source_a",
@@ -2769,7 +2771,7 @@ _Q162_PRE = (
 def q162_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators.text import html_to_text, link_density
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _wide(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     i = F.col("doc_id")
     p = _Q162_PRE
     html = F.concat(
@@ -3176,7 +3178,7 @@ FROM cls GROUP BY status
 def q167_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.operators.text import extract_main_text
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _wide(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     i = F.col("doc_id")
     html = F.concat(
         F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'),
@@ -3333,7 +3335,7 @@ def q169_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_quality_flags,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _wide(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     i = F.col("doc_id")
     html = F.concat(
         F.lit('<div>nav <a href="/">home</a> <a href="/x">about page</a></div><!-- <li>commented stub</li> --><p>'),

@@ -1957,7 +1957,7 @@ FROM d
 # --------------------------------------------------------------------------
 
 def q201_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _wide(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     words = F.split(norm, " ")
 

@@ -36,6 +36,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _wide(
+    spark: SparkSession,
+    df: DataFrame,
+    rows_per_task: int = 160,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Spread a per-row-HEAVY narrow pipeline (regex/HOF text kernels,
+    in-kernel decoders) across the session when the scan carries fewer
+    partitions than the data warrants: the sf fixture tables are
+    single-row-group parquet files, so Spark plans them as ONE task and
+    a multi-second regex projection runs on one core of 32 (q169
+    measured 5.0 s -> 1.9 s at sf0.1 from this alone). Scale-adaptive
+    by construction: the target caps at defaultParallelism and the
+    repartition is skipped whenever the scan already carries that many
+    partitions — at 100 TB (thousands of row groups) this is a no-op,
+    so it only ever widens the starved small end, mirroring
+    `scaled_parallelism`. rows_per_task defaults lower than the dedup
+    family's 512 because these kernels cost ~0.5-1 ms/row."""
+    from odin_rs_spark.operators.dedup import scaled_parallelism
+
+    n = df.count() if n_rows is None else n_rows
+    target = scaled_parallelism(spark, n, rows_per_task=rows_per_task)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _doc_par(spark: SparkSession, df: DataFrame) -> int:
     """Repartition width for the doc-corpus dedup family, scaled to the
     corpus size instead of the session default (q81 drift, VERDICT r5):
