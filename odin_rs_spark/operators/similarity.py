@@ -1305,42 +1305,45 @@ def greedy_kcenter_select(
     if not seed:
         return spark.createDataFrame([], out_schema)
     picked = [(0, seed[0]["__id"], 0.0)]
-    center = spark.createDataFrame(
-        [(seed[0]["__id"], seed[0]["__v"])], cur.schema
-    ).select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+
+    def _center_lit(vec) -> Column:
+        # the newly selected center rides the plan as an ARRAY LITERAL
+        # instead of a broadcast 1-row createDataFrame+crossJoin: each
+        # per-round createDataFrame cost ~0.5 s of pure driver work
+        # (measured; 60% of the operator's wall at k=6). Values are the
+        # collected floats of the corpus row, so sq_l2's cast("double")
+        # sees bit-identical inputs either way.
+        return F.array(*[F.lit(float(x)) for x in vec])
+
     cur = (
-        cur.crossJoin(F.broadcast(center))
-        .withColumn("__mind", sq_l2(F.col("__v"), F.col("__cv")))
-        .drop("__cid", "__cv")
+        cur.withColumn("__mind", sq_l2(F.col("__v"), _center_lit(seed[0]["__v"])))
         .withColumn("__sel", F.col("__id") == F.lit(seed[0]["__id"]))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for rank in range(1, k):
         top = (
             cur.filter(~F.col("__sel"))
             .orderBy(F.col("__mind").desc(), "__id")
             .limit(1)
-            .collect()  # bounded: 1 row per round
+            .collect()  # bounded: 1 row per round; also carries __v,
+            # so no second center-fetch job is needed
         )
         if not top:
             break
         cid, cdist = top[0]["__id"], float(top[0]["__mind"])
         picked.append((rank, cid, cdist))
-        from pyspark.sql.types import StructType as _ST
-
-        crow = cur.filter(F.col("__id") == cid).collect()[0]
-        center = spark.createDataFrame(
-            [(crow["__id"], crow["__v"])], _ST(cur.schema.fields[:2])
-        ).select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
         cur = (
-            cur.crossJoin(F.broadcast(center))
-            .withColumn(
+            cur.withColumn(
                 "__mind",
-                F.least(F.col("__mind"), sq_l2(F.col("__v"), F.col("__cv"))),
+                F.least(
+                    F.col("__mind"), sq_l2(F.col("__v"), _center_lit(top[0]["__v"]))
+                ),
             )
-            .drop("__cid", "__cv")
             .withColumn("__sel", F.col("__sel") | (F.col("__id") == F.lit(cid)))
-            .localCheckpoint(eager=True)
+            # lazy: the NEXT round's argmax materializes the checkpoint
+            # in the same job, halving the per-round job count; lineage
+            # still resets every round (the ADVICE r6 O(k^2) fix)
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(picked, out_schema)
 
