@@ -6483,7 +6483,9 @@ def q319_gpshub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed_dir = root + "/feed"
         feed.coalesce(1).write.mode("overwrite").json(feed_dir)
         feed_file = glob.glob(feed_dir + "/part-*")[0]
-        n = ev.count()
+        # one job for both scalars the query needs from events (row count
+        # for the poll budget, clock max for the staleness cutoff)
+        n, max_ts = ev.agg(F.count(F.lit(1)), F.max("ts")).collect()[0]
         batch_limit = max(1, -(-n // 2))  # 2 polls + 1 empty drain
         register_rest_source(spark)
         ddl = ("id BIGINT, device STRING, ts_us BIGINT, "
@@ -6523,9 +6525,7 @@ def q319_gpshub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key string, ts timestamp, lat double, lon double, "
             "n_updates bigint",
         )
-        cutoff = F.lit(ev.agg(F.max("ts")).collect()[0][0]) - F.expr(
-            "INTERVAL 30 MINUTES"
-        )
+        cutoff = F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
         out = kept.select(
             "key", "ts",
             F.round("lat", 6).alias("lat"),

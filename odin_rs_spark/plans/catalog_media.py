@@ -571,30 +571,35 @@ def _cohort_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs self-join (a single hot cohort of 10^5 users would
     otherwise emit 10^10 pairs). The offset table is 3 rows,
     broadcast."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("hb"),
-        )
-        .distinct()
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
     )
     wr = Window.partitionBy("event_type", "hb").orderBy("user_id")
-    ranked = ev.withColumn("rk", F.row_number().over(wr))
-    offs = spark.range(1, 4).select(F.col("id").alias("__off"))
-    left = ranked.crossJoin(F.broadcast(offs)).select(
-        "event_type",
-        "hb",
+    # partition-local dedup: under the window's sort every duplicate of
+    # (user, cohort) is adjacent, so keeping first-of-run replaces the
+    # former .distinct() without its extra Exchange; the surviving
+    # sequence is strictly increasing in user_id per cohort
+    dedup = (
+        ev.withColumn("__prev", F.lag("user_id").over(wr))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("user_id")))
+        .drop("__prev")
+    )
+    # next-K neighbors via lead() on the SAME window spec (no re-sort, no
+    # re-shuffle): equivalent to the former rank + offset equi-join,
+    # which re-executed the whole distinct+window pipeline on BOTH join
+    # sides (two Window subtrees in the plan) and shuffled both by
+    # (event_type, hb, rk)
+    nbrs = dedup.select(
         F.col("user_id").alias("src"),
-        (F.col("rk") + F.col("__off")).alias("rk_b"),
+        F.array(*[F.lead("user_id", k).over(wr) for k in (1, 2, 3)]).alias("__ds"),
     )
-    right = ranked.select(
-        "event_type", "hb", F.col("user_id").alias("dst"), F.col("rk").alias("rk_b")
+    return (
+        nbrs.select("src", F.explode("__ds").alias("dst"))
+        .where(F.col("dst").isNotNull())
+        .distinct()
     )
-    return left.join(right, ["event_type", "hb", "rk_b"]).select(
-        "src", "dst"
-    ).distinct()
 
 
 def q127_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
