@@ -11,11 +11,12 @@ diffusion, which buys two things at once:
    so a SQL oracle replays all iterations bit-for-bit — no fp
    summation-order drift, no rounding tolerance, no flaky hash compare
    (the same trick as the dyadic MLP in functions/mlp.py).
-2. **Scale shape**: one equi-join (mass → edges) + one groupBy
-   (inflow) per iteration, lineage cut by eager localCheckpoint each
-   round — identical economics to the star-CC operator. Mass is
-   conserved exactly (what a node can't split evenly it keeps), so a
-   drifting total can't hide a lost-update bug.
+2. **Scale shape**: one equi-join (mass → contribution graph) + one
+   partial-agg groupBy per iteration, each round referencing the mass
+   table exactly once so all rounds fuse into a single job — identical
+   economics to the star-CC operator. Mass is conserved exactly (what
+   a node can't split evenly it keeps), so a drifting total can't hide
+   a lost-update bug.
 
 Semantics per iteration (damping 1/2 via shift, exact):
     share(v)    = (mass(v) // 2) // deg(v)
@@ -54,47 +55,48 @@ def integer_pagerank(
     Returns (node, mass) after `iterations` rounds — see module
     docstring for the per-round recurrence and why it is exact."""
     e = bidirect(edges, src, dst)
-    e = e.localCheckpoint(eager=True)  # iterations re-read the edge list
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # static CONTRIBUTION graph, built once: every real edge carries the
+    # source's degree, plus one self row per node that will carry the
+    # retained mass. Each iteration then references `mass` exactly ONCE
+    # (one join + one partial-agg groupBy), so the old per-round eager
+    # localCheckpoint — 1 job per iteration, needed because `staged` fed
+    # both the retained and the inflow branches — disappears and all
+    # rounds fuse into a single job chain.
+    g = (
+        e.join(deg, "src")
+        .select("src", "dst", F.lit(False).alias("__self"), "__deg")
+        .unionByName(
+            deg.select(
+                F.col("src"),
+                F.col("src").alias("dst"),
+                F.lit(True).alias("__self"),
+                "__deg",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     mass = deg.select(
         F.col("src").alias("node"), F.lit(int(initial_mass)).alias("mass")
     )
-    for i in range(iterations):
-        staged = mass.join(deg, mass["node"] == deg["src"]).select(
-            "node",
-            "mass",
-            "__deg",
-            F.floor(F.floor(F.col("mass") / 2) / F.col("__deg"))
-            .cast("long")
-            .alias("__share"),
-        )
-        # staged feeds BOTH retained and inflow: without a cut the plan
-        # embeds it twice per round and recompute doubles each
-        # iteration (the Spark-side twin of the DuckDB MATERIALIZED
-        # requirement on the oracle's unrolled stages)
-        staged = staged.localCheckpoint(eager=True)
+    for _ in range(iterations):
         # floor(floor(mass/2)/deg) == (mass // 2) // deg exactly: both
         # quotients stay far below 2^53, and IEEE division of exact
         # integers is correctly rounded, so the floor can't slip a ulp.
         # ANSI mode: no overflow possible (mass <= total initial mass).
-        retained = staged.select(
-            "node",
-            (F.col("mass") - F.col("__share") * F.col("__deg")).alias("__ret"),
-        )
-        ee = e.select(F.col("src").alias("__esrc"), F.col("dst").alias("__edst"))
-        inflow = (
-            staged.join(ee, staged["node"] == ee["__esrc"])
-            .groupBy(F.col("__edst").alias("node"))
-            .agg(F.sum("__share").alias("__in"))
-        )
+        share = F.floor(F.floor(F.col("mass") / 2) / F.col("__deg")).cast("long")
         mass = (
-            retained.join(inflow, "node", "left")
+            mass.join(g, mass["node"] == g["src"])
             .select(
-                "node",
-                (F.col("__ret") + F.coalesce(F.col("__in"), F.lit(0))).alias(
-                    "mass"
-                ),
+                F.col("dst").alias("__to"),
+                F.when(
+                    F.col("__self"), F.col("mass") - share * F.col("__deg")
+                )
+                .otherwise(share)
+                .alias("__c"),
             )
+            .groupBy(F.col("__to").alias("node"))
+            .agg(F.sum("__c").alias("mass"))
         )
     return mass
 
