@@ -4968,7 +4968,7 @@ def q118_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         feed = glob.glob(feed_dir + "/part-*")[0]
         n = ev.count()
-        batch_limit = max(1, -(-n // 2))  # ceil(n/2) → 2 polls + 1 empty
+        batch_limit = max(1, -(-n // 2))  # ceil(n/2) → exactly 2 polls
         # (each poll is a full AvailableNow run ≈ 2-3 s of fixed
         # engine/source-runner startup; two non-empty polls already
         # prove the multi-batch offset advance)
@@ -4991,7 +4991,7 @@ def q118_rest_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         with _stream_state_parallelism(spark, 8):
-            drain_polling_source(start_run)
+            drain_polling_source(start_run, expected_rows=n)
         store = spark.read.parquet(root + "/store")
         out = store.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),

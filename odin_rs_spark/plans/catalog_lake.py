@@ -6486,7 +6486,7 @@ def q319_gpshub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one job for both scalars the query needs from events (row count
         # for the poll budget, clock max for the staleness cutoff)
         n, max_ts = ev.agg(F.count(F.lit(1)), F.max("ts")).collect()[0]
-        batch_limit = max(1, -(-n // 2))  # 2 polls + 1 empty drain
+        batch_limit = max(1, -(-n // 2))  # exactly 2 polls
         register_rest_source(spark)
         ddl = ("id BIGINT, device STRING, ts_us BIGINT, "
                "lat DOUBLE, lon DOUBLE")
@@ -6519,7 +6519,7 @@ def q319_gpshub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         with _stream_state_parallelism(spark, 8):
-            drain_polling_source(start_run)
+            drain_polling_source(start_run, expected_rows=n)
         kept = read_sink_or_empty(
             spark, snap,
             "key string, ts timestamp, lat double, lon double, "

@@ -201,7 +201,12 @@ class RestFeedDataSource(DataSource):
         return _RestFeedReader(schema, self.options)
 
 
-def drain_polling_source(start_run, max_runs: int = 64, timeout_sec: float = 300.0) -> int:
+def drain_polling_source(
+    start_run,
+    max_runs: int = 64,
+    timeout_sec: float = 300.0,
+    expected_rows: int | None = None,
+) -> int:
     """Drain a polling source to quiescence: repeatedly run one
     Trigger.AvailableNow pass (for a SimpleDataSourceStreamReader each
     pass = exactly one poll, because the engine's availableNow wrapper
@@ -214,9 +219,18 @@ def drain_polling_source(start_run, max_runs: int = 64, timeout_sec: float = 300
     poller's hand-rolled cursor file. A live deployment instead runs one
     query with a processingTime trigger; this helper is the
     deterministic replay/backfill shape (T1/T11).
+
+    `expected_rows`: when the caller KNOWS the feed's total row count
+    (deterministic replay of a bounded feed), the drain stops as soon
+    as the checkpointed offsets cover it — each confirming pass is a
+    full streaming-query lifecycle (engine + Python source-runner
+    startup), so the trailing empty poll is only worth paying for
+    feeds whose end is genuinely unknown.
     """
     total = 0
     for _ in range(max_runs):
+        if expected_rows is not None and total >= expected_rows:
+            return total
         q = start_run()
         finished = q.awaitTermination(timeout_sec)
         if not finished:

@@ -57,6 +57,32 @@ def test_drain_exactly_once_multibatch(spark, tmp_path):
     assert out.select("id").distinct().count() == 100
 
 
+def test_drain_expected_rows_skips_empty_pass(spark, tmp_path):
+    """With a known feed size the drain stops once the checkpointed
+    offsets cover it — no trailing empty-poll query lifecycle — and
+    ingests exactly the same rows."""
+    root = str(tmp_path)
+    feed = os.path.join(root, "feed.jsonl")
+    _write_feed(feed, 1, 100)
+    register_rest_source(spark)
+    runs = []
+
+    def start_run():
+        q = _start_run(spark, feed, root, 30)
+        runs.append(q)
+        return q
+
+    total = drain_polling_source(start_run, expected_rows=100)
+    assert total == 100
+    assert len(runs) == 4  # 30+30+30+10 — and NO fifth empty pass
+    out = spark.read.parquet(root + "/out")
+    assert out.count() == 100
+    assert out.select("id").distinct().count() == 100
+    # over-estimating the budget degrades to the empty-poll stop
+    total2 = drain_polling_source(start_run, expected_rows=10_000)
+    assert total2 == 0
+
+
 def test_restart_resumes_from_spark_checkpoint(spark, tmp_path):
     """The cursor lives in Spark's offset log: a new query object over
     the same checkpoint picks up past the already-ingested range, and
