@@ -1531,7 +1531,10 @@ def q268_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = originals.unionByName(variants).withColumn(
         "block", F.substring("name", 1, 8)
     )
-    a = recs.select(
+    # the probe side carries the O(block²) levenshtein work; the scan
+    # behind it is a single-row-group parquet file (one task), so widen
+    # it to session parallelism (_wide is a no-op at real table scale)
+    a = _wide(spark, recs, rows_per_task=160).select(
         "block", F.col("rid").alias("id_a"), F.col("name").alias("na")
     )
     b = recs.select(
