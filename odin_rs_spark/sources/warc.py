@@ -661,6 +661,13 @@ def resolve_redirects(recs, max_hops: int = 5):
         .filter(F.col("dst").isNotNull())
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))  # first capture, deterministically
+        # the edge list feeds the chain seed, every hop join and the
+        # still-redirecting probe (max_hops+2 consumers): without a cut
+        # each re-executes the archive decode upstream. Materializing
+        # executor-side is safe by this operator's own scale bound —
+        # one deduped row per 3xx source, orders of magnitude smaller
+        # than the archive.
+        .localCheckpoint(eager=True)
     )
     finals = (
         resp.filter(~F.col("http_status").between(300, 399))
