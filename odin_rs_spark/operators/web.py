@@ -514,6 +514,13 @@ def waterfill_alloc(
     literal, or an expression over ``F.col("__tot")`` (the summed
     need) / ``F.col("__m")`` (the key count), e.g.
     ``F.floor(3 * F.col("__tot") / 5)`` for a 60% budget."""
+    # the per-key need table is dim-sized (the operator's own scale
+    # bound above) and feeds the total agg, the ranked window, the
+    # feasibility probe and the final solve — materialize it once so
+    # the caller's (possibly expensive) frontier pipeline upstream is
+    # not re-executed per consumer, then cut the ranked window the
+    # same way (kstar and the solve both read it)
+    need = need.localCheckpoint(eager=True)
     total = need.agg(
         F.sum(need_col).alias("__tot"), F.count(F.lit(1)).alias("__m")
     )
@@ -523,6 +530,7 @@ def waterfill_alloc(
         .withColumn("__k", F.row_number().over(w))
         .withColumn("__pfx", F.sum(need_col).over(w))
         .withColumn("__b", budget)
+        .localCheckpoint(eager=True)
     )
     feasible = (
         F.col("__pfx") + (F.col("__m") - F.col("__k")) * F.col(need_col)

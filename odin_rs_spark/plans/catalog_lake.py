@@ -76,7 +76,11 @@ def q250_crawl_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "suffix string, category string",
             ),
         )
-    )
+        # the gated frontier feeds stats, the keep filter, the need agg
+        # and the fetch plan — one materialization instead of four
+        # re-plans of the signal pipeline (frontier materialization is
+        # the standard bootstrap shape at crawl scale too)
+    ).localCheckpoint(eager=True)
     kept = gated.where(
         F.col("block_category").isNull() & (F.col("trap_score") == 0)
     )
