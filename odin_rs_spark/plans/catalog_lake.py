@@ -5992,9 +5992,14 @@ def q314_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9),
         ).alias("bin"),
     )
+    # counts is the only frame that touches the events scan, and the
+    # dense-grid/share/PSI algebra below re-references its consumers
+    # pairwise (types+dense, tot+share, p+q, per_bin+total) — without a
+    # cut the scan replans 2^4 ≈ 32 times. It is dim-bounded
+    # (#event_types × 2 periods × 10 bins) at any corpus scale.
     counts = binned.groupBy("event_type", "period", "bin").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
     # dense (type × period × bin) grid so empty bins smooth instead of
     # vanishing
     types = counts.select("event_type").distinct()
@@ -6031,7 +6036,8 @@ def q314_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = share.where(F.col("period") == "cmp").select(
         "event_type", "bin", F.col("n").alias("n_cmp"), F.col("s").alias("q")
     )
-    j = p.join(q, ["event_type", "bin"])
+    # p/q join feeds both the per-bin terms and the per-type total
+    j = p.join(q, ["event_type", "bin"]).localCheckpoint(eager=True)
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
     per_bin = j.select(
         "event_type", "bin", "n_base", "n_cmp",
