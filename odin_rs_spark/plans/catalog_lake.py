@@ -4750,14 +4750,18 @@ def q302_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("digit").isNotNull())
         )
     digits = parts[0].unionByName(parts[1])
+    # obs is the only frame touching the lineitem scan and is
+    # dim-bounded (2 columns × 9 digits); the tot/chi/final algebra
+    # below re-references it pairwise — without cuts the scan replans
+    # 16×. Same for the 18-row j (chi + final output).
     obs = digits.groupBy("col_name", "digit").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=True)
     tot = obs.groupBy("col_name").agg(F.sum("n").alias("total"))
     j = obs.join(tot, "col_name").withColumn(
         "expected",
         F.element_at(exp_arr, F.col("digit")) * F.col("total"),
-    )
+    ).localCheckpoint(eager=True)
     chi = j.groupBy("col_name").agg(
         F.round(
             F.sum(
