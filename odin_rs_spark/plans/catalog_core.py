@@ -3312,9 +3312,15 @@ def q86_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         held, train, threshold=0.8,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+    # ONE execution of the near-dup join: the old union of two
+    # projections re-planned the whole LSH pipeline per branch
+    # (the q255 union-re-plans lesson applied to a join)
     leaked = (
-        leaks.select(F.col("new_id").alias("doc_id"))
-        .union(leaks.select(F.col("base_id").alias("doc_id")))
+        leaks.select(
+            F.explode(F.array(F.col("new_id"), F.col("base_id"))).alias(
+                "doc_id"
+            )
+        )
         .distinct()
         .withColumn("__l", F.lit(1))
     )
