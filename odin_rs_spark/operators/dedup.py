@@ -1332,6 +1332,16 @@ def containment_join_pairs(
         .select(F.col(id_col).alias("id_a"), F.col("__idb").alias("id_b"))
         .distinct()
     )
+    if parallelism:
+        # the verification below is CPU-bound (one array_intersect per
+        # candidate pair) over kilobytes of shuffle data, so AQE's
+        # byte-based coalescing runs it at a handful of tasks (measured
+        # 4 tasks / 2.3 s of the query's wall at sf0.1 on 32 cores);
+        # pin the pair frame to the caller's width instead — the
+        # containment candidate set is orders of magnitude larger than
+        # the prefix-filter survivors of the Jaccard path, so the
+        # starved stage is real work, not overhead
+        cand = cand.repartition(parallelism)
     out = (
         cand.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")),
