@@ -2994,7 +2994,13 @@ def q164_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
         robots_txt.alias("robots_txt"),
     )
-    rules = robots_rules(robots)
+    # rules is a tiny dim (one row per host/agent/rule) consumed by
+    # the has-specific-group probe AND the match join of every
+    # robots_allowed pass, so the line-explode + window-sum parse
+    # pipeline was re-planned per consumer; materialize it once
+    # (guide §5.3 — it is bounded by the robots corpus, not the
+    # frontier)
+    rules = robots_rules(robots).localCheckpoint(eager=True)
 
     k = F.col("k")
     path = (
