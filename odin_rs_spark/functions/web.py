@@ -226,6 +226,16 @@ def registered_domain(host: Column) -> Column:
 
 PSL_FIXTURE = "public_suffix_trimmed.dat"
 
+# session → {(path, mtime_ns, size): DataFrame} — the parsed PSL dim's
+# logical plan, memoized like sources.tables.load_table: the driver-side
+# parse + createDataFrame of ~14k rules costs ~0.25 s and several query
+# builders call it per bench/oracle run. Plan reuse only — the
+# LocalRelation holds the parsed rules (a static dim file), and a
+# changed file or new session rebuilds.
+import weakref as _weakref
+
+_PSL_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
 
 def load_psl(spark, path: str | None = None):
     """Parse a Public Suffix List file (the list's own format) into a
@@ -243,6 +253,12 @@ def load_psl(spark, path: str | None = None):
             "fixtures",
             PSL_FIXTURE,
         )
+    st = _os.stat(path)
+    memo = _PSL_MEMO.setdefault(spark, {})
+    memo_key = (_os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    cached = memo.get(memo_key)
+    if cached is not None:
+        return cached
     rows = []
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
@@ -262,9 +278,11 @@ def load_psl(spark, path: str | None = None):
             else:
                 ps = n_key
             rows.append((key, ps, int(is_exc), int(is_wild)))
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         rows, "key string, ps_labels int, is_exc int, is_wild int"
     )
+    memo[memo_key] = df
+    return df
 
 
 def registered_domain_psl(
