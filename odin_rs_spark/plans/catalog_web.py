@@ -5693,7 +5693,10 @@ WHERE rk = 1 AND 100 * abs(len_s - len_t) <= 35 * (len_s + len_t)
 def q242_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odin_rs_spark.sources.formats import sniff_csv_dialect
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the sniff is a per-row-heavy HOF chain (4 delimiter regex splits
+    # x 6 lines per doc) over a single-row-group scan — widen it like
+    # the other text kernels (guide §2.5; no-op at real table scale)
+    docs = _wide(spark, _t(spark, sf_dir, "documents").select("doc_id"))
     d = F.col("doc_id")
     ncols = 3 + d % 3
     header = d % 3 != 0
