@@ -531,6 +531,13 @@ def jaccard_join_pairs(
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
+    if parallelism:
+        # same §2.5 fix as the containment path: the verification is
+        # CPU-bound (array intersect/union per pair) over kilobytes of
+        # shuffle, and AQE's byte-based coalescing was running it at
+        # ONE task (measured 1.8 s single-task CPU at sf0.1); pin the
+        # candidate frame to the caller's width
+        cand = cand.repartition(parallelism)
     return jaccard_pairs(
         df, cand, id_col, text_col, shingle_n, threshold, shingles=sh
     )
