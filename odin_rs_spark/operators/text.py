@@ -929,8 +929,12 @@ def bpe_train_merges(
         F.array_join(F.filter(F.split(F.col("w"), ""), lambda c: c != ""), "··"),
         F.lit("·"),
     )
-    cur = vocab.select("freq", seg.alias("seg"))
-    n_words = cur.count()  # also materializes the corpus-sized explode
+    # checkpoint FIRST, then count from the checkpoint: the corpus-sized
+    # explode + groupBy runs exactly once (the old count-then-checkpoint
+    # order ran it twice — once for the width probe, once to materialize
+    # the vocabulary; guide §2.1 don't recompute what you already have)
+    cur = vocab.select("freq", seg.alias("seg")).localCheckpoint(eager=True)
+    n_words = cur.count()  # reads the checkpoint — vocabulary-cheap
     # scope the per-round pair-count shuffle to the VOCABULARY volume
     # via explicit repartition on the group keys (ADVICE r6: mutating
     # the session shuffle.partitions leaked into concurrent queries).
@@ -940,7 +944,6 @@ def bpe_train_merges(
     # per word x vocab rows, and at cluster scale par == session width
     # so nothing changes.
     par = scaled_parallelism(spark, n_words)
-    cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         toks = F.split(
@@ -969,6 +972,13 @@ def bpe_train_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, cnt))
+        # LAZY checkpoint (the q142 k-center trick): the next round's
+        # argmax collect materializes it inside its own job, so each
+        # round costs ONE job instead of two (eager checkpoint + collect
+        # was 2k+1 jobs per training run; lazy is k+2, and the final
+        # round's never-consumed segmentation is never materialized at
+        # all). Lineage depth is unchanged — still one replace() per
+        # round on top of the previous checkpoint.
         cur = cur.withColumn(
             "seg",
             F.replace(
@@ -976,7 +986,7 @@ def bpe_train_merges(
                 F.lit(f"·{a}··{b}·"),
                 F.lit(f"·{a}{b}·"),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )

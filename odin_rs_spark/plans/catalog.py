@@ -99,7 +99,9 @@ _CAP_FRONT = [
     "q118_rest_source_ingest",  # drain expected_rows
     "q127_graph_pagerank",    # static contribution graph
     "q258_graph_hits",        # cohort edges via lag/lead
-    "q308_textrank_keywords", # pagerank internals
+    # (q308_textrank_keywords also changed in r11 but already holds a
+    # never-graded slot above — listing it twice was a no-op that
+    # shifted the slot-50 boundary, ADVICE r11)
     "q26_simhash_pairs",      # in-lambda hamming filter
     "q86_split_leakage",      # explode instead of union
     "q213_redirect_chains",   # edge-list checkpoint
@@ -144,6 +146,12 @@ def _rotate(specs: list[QuerySpec]) -> list[QuerySpec]:
     missing = [n for n in _CAP_FRONT if n not in by_name]
     if missing:
         raise ValueError(f"_CAP_FRONT names not in catalog: {missing}")
+    dupes = [n for n in set(_CAP_FRONT) if _CAP_FRONT.count(n) > 1]
+    if dupes:
+        # a duplicate silently collapses in the CATALOG dict and shifts
+        # every later entry up one cap slot (ADVICE r11: q308 appeared
+        # twice and the changed-code re-grade slot was a no-op)
+        raise ValueError(f"_CAP_FRONT has duplicate names: {dupes}")
     front_set = set(_CAP_FRONT)
     return [by_name[n] for n in _CAP_FRONT] + [
         s for s in specs if s.name not in front_set

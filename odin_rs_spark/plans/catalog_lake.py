@@ -1537,8 +1537,16 @@ def q268_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the probe side carries the O(block²) levenshtein work; the scan
     # behind it is a single-row-group parquet file (one task), so widen
-    # it to session parallelism (_wide is a no-op at real table scale)
-    a = _wide(spark, recs, rows_per_task=160).select(
+    # it to session parallelism (_wide is a no-op at real table scale).
+    # n_rows is threaded from the customer count (metadata-cheap on the
+    # raw scan) so _wide does not execute the union+withColumn pipeline
+    # once for its own count and again for the query (VERDICT r11 #5);
+    # originals contribute n, variants n/3 — the exact value only
+    # steers the partition count, never the result.
+    n_cust = cust.count()
+    a = _wide(
+        spark, recs, rows_per_task=160, n_rows=n_cust + n_cust // 3
+    ).select(
         "block", F.col("rid").alias("id_a"), F.col("name").alias("na")
     )
     b = recs.select(

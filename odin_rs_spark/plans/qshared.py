@@ -56,9 +56,20 @@ def _wide(
     family's 512 because these kernels cost ~0.5-1 ms/row."""
     from odin_rs_spark.operators.dedup import scaled_parallelism
 
+    # gate on the partition count FIRST (VERDICT r11 #5): the target is
+    # capped at defaultParallelism, so when the scan already carries
+    # that many partitions the repartition can never fire — return
+    # before paying the count() action at all. At 100 TB (thousands of
+    # row groups) this makes the whole helper metadata-only; the count
+    # is paid only on the starved small end, where it is a cheap
+    # single-row-group footer job (callers whose input is a DERIVED
+    # pipeline must pass n_rows so the pipeline is not executed twice).
+    cur = df.rdd.getNumPartitions()
+    if cur >= spark.sparkContext.defaultParallelism:
+        return df
     n = df.count() if n_rows is None else n_rows
     target = scaled_parallelism(spark, n, rows_per_task=rows_per_task)
-    if df.rdd.getNumPartitions() >= target:
+    if cur >= target:
         return df
     return df.repartition(target)
 

@@ -57,7 +57,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ~95 ms of py4j + JVM relation setup, paid hundreds of times across
     a bench/oracle run for the same ten files. Every action on the
     memoized plan still reads the parquet files afresh — this is plan
-    reuse, not result caching."""
+    reuse, not result caching.
+
+    SAME-OBJECT CONTRACT (ADVICE r11): two load_table calls for the
+    same file return the IDENTICAL DataFrame, so a self-join written
+    with df[col]-style predicates raises AMBIGUOUS_SELF_JOIN (it would
+    have resolved with fresh expression ids before the memo). The
+    failure is LOUD, never silent wrong rows, and the supported
+    self-join spelling works unchanged: join .alias()'d references
+    with F.col("l.x") / string-name conditions (pinned by
+    tests/test_tables.py::test_memoized_self_join_contract)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)

@@ -228,8 +228,13 @@ def drain_polling_source(
     feeds whose end is genuinely unknown.
     """
     total = 0
-    for _ in range(max_runs):
-        if expected_rows is not None and total >= expected_rows:
+    for i in range(max_runs):
+        # the early-out requires at least ONE completed pass (i > 0):
+        # expected_rows == 0 (an empty feed) must still run the single
+        # empty poll so the sink directory exists for the caller's read
+        # — the pre-pass return left q118's spark.read.parquet with no
+        # directory to read (ADVICE r11)
+        if expected_rows is not None and i > 0 and total >= expected_rows:
             return total
         q = start_run()
         finished = q.awaitTermination(timeout_sec)

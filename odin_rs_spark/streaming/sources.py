@@ -62,6 +62,9 @@ def split_for_replay(
     Driver-side ntile assignment only computes chunk boundaries; rows
     never collect to the driver.
     """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col(order_col).asc())
@@ -71,13 +74,38 @@ def split_for_replay(
     # of several streaming queries' wall at sf0.1)
     chunked.persist()
     try:
-        paths = []
-        for i in range(1, n_chunks + 1):
+        # materialize ONCE before fanning out: concurrent first actions
+        # on an unmaterialized persist would each recompute the scan+sort
+        chunked.count()
+
+        def _write(i: int) -> str:
             p = os.path.join(out_dir, f"chunk_{i:04d}")
             chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
                 1
             ).write.mode("overwrite").parquet(p)
-            paths.append(p)
+            return p
+
+        # overlap the independent single-task chunk writes (guide §2.6):
+        # serially each small job's dispatch+commit latency added up to
+        # ~0.1-0.2 s x n_chunks x 2 sides per streaming query. Each write
+        # filters the SAME materialized frame, so file CONTENTS (rows and
+        # row order) are bit-identical to the serial path.
+        with ThreadPoolExecutor(max_workers=min(4, n_chunks)) as pool:
+            paths = list(pool.map(_write, range(1, n_chunks + 1)))
+        # pin replay order explicitly: the file-stream source orders new
+        # files by modification time, which the serial writes implied and
+        # the concurrent writes would leave to scheduling — stamp strictly
+        # increasing mtimes by chunk index so batch composition is exactly
+        # the serial path's, by construction rather than by latency. The
+        # stamps sit strictly in the PAST (now - n_chunks .. now - 1 s):
+        # callers append files AFTER this returns and rely on them
+        # sorting last (q120's update file), which future-dated chunk
+        # stamps would silently break
+        base = time.time() - n_chunks
+        for i, p in enumerate(paths):
+            for name in os.listdir(p):
+                fp = os.path.join(p, name)
+                os.utime(fp, (base + i, base + i))
         return paths
     finally:
         chunked.unpersist()

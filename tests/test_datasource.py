@@ -83,6 +83,28 @@ def test_drain_expected_rows_skips_empty_pass(spark, tmp_path):
     assert total2 == 0
 
 
+def test_drain_expected_rows_zero_still_runs_one_pass(spark, tmp_path):
+    """expected_rows=0 (an empty bounded feed) must still run ONE empty
+    poll: the pass creates the file sink's directory, which callers like
+    q118 read directly after the drain (ADVICE r11 — the pre-pass early
+    return left nothing on disk and the read threw)."""
+    root = str(tmp_path)
+    feed = os.path.join(root, "feed.jsonl")
+    open(feed, "w").close()  # zero records
+    register_rest_source(spark)
+    runs = []
+
+    def start_run():
+        q = _start_run(spark, feed, root, 30)
+        runs.append(q)
+        return q
+
+    total = drain_polling_source(start_run, expected_rows=0)
+    assert total == 0
+    assert len(runs) == 1  # exactly the single confirming empty pass
+    assert os.path.exists(root + "/out")  # sink dir exists for readers
+
+
 def test_restart_resumes_from_spark_checkpoint(spark, tmp_path):
     """The cursor lives in Spark's offset log: a new query object over
     the same checkpoint picks up past the already-ingested range, and

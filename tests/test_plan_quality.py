@@ -986,3 +986,27 @@ def test_new_fixture_scans_are_single_scan(spark):
     for fn in (q318_grib2_lossy_audit, q320_pdf_images, q321_bigtiff_dem):
         plan = _executed(fn(spark, "/root/testdata/sf0.001"))
         assert plan.count("Scan binaryFile") == 1, fn.__name__
+
+
+def test_memoized_self_join_contract(spark, sf_dir):
+    """load_table's plan memo returns the IDENTICAL DataFrame for
+    repeated loads (ADVICE r11): a df[col]-style self-join must fail
+    LOUDLY (ambiguous — never silent wrong rows), and the supported
+    aliased spelling must keep working exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    a = load_table(spark, "region", sf_dir)
+    b = load_table(spark, "region", sf_dir)
+    assert a is b  # the memo contract itself
+    # supported spelling: aliased references
+    j = a.alias("l").join(
+        b.alias("r"), F.col("l.r_regionkey") < F.col("r.r_regionkey")
+    )
+    n = a.count()
+    assert j.count() == n * (n - 1) // 2
+    # df[col] spelling: loud analysis error, not silently-wrong rows
+    import pytest as _pytest
+
+    with _pytest.raises(AnalysisException):
+        a.join(b, a["r_regionkey"] < b["r_regionkey"]).count()

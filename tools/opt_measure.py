@@ -75,7 +75,7 @@ def main() -> None:
         plan_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "plans",
-            "r11",
+            os.environ.get("OPT_PLAN_DIR", "r12"),
         )
         os.makedirs(plan_dir, exist_ok=True)
         for name in names:
