@@ -165,7 +165,13 @@ def triangle_count(
     lo, hi = F.least(src, dst), F.greatest(src, dst)
     # und feeds the degree table (read again for the final join) and the
     # orientation join: persist the canonicalized edges so the upstream
-    # edge construction + distinct runs once
+    # edge construction + distinct runs once.
+    # Lifecycle (VERDICT r11 #8): the persists below are consumed when
+    # the RETURNED plan executes, so the operator cannot unpersist them
+    # itself — they are session-scoped by design. The bench/oracle
+    # harnesses clearCache() between queries; a long-lived session that
+    # calls this repeatedly should spark.catalog.clearCache() (or
+    # unpersist the returned frame's sources) between calls.
     und = (
         edges.where(F.col(src) != F.col(dst))
         .select(lo.alias("a"), hi.alias("b"))

@@ -1407,7 +1407,11 @@ def semdedup_select(
     )
     # ranked feeds three consumers (the pair-join probe, its broadcast
     # build side, and the final left join): persist so the
-    # centroid-assignment + window pipeline runs once
+    # centroid-assignment + window pipeline runs once.
+    # Lifecycle (VERDICT r11 #8): consumed when the RETURNED plan
+    # executes — session-scoped by design, released by the harnesses'
+    # per-query clearCache(); long-lived callers should clearCache()
+    # between invocations.
     from pyspark.storagelevel import StorageLevel
 
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)

@@ -35,88 +35,65 @@ from odin_rs_spark.plans.catalog_lake import *  # noqa: F401,F403
 # editing _CAP_FRONT IS the rotation; the QuerySpec list keeps its
 # historical grouping and does not move.
 #
-# Round-11 allocation:
-#   slots 1-24:  q293-q316 — added after the r10 cap froze, never
-#                driver-graded (VERDICT r10 item 1 ordered them to
-#                the cap front). All pass the local oracle loop and
-#                the r10 judge's external-cwd sweep.
-#   next:        NEW r11 queries appended to _CAP_FRONT as built
-#                (tiled GeoTIFF, lossy JPEG 2000, gpshub ingest,
-#                PDF /DCTDecode images), plus changed-code re-grades:
-#                q291 (avro bzip2/xz codec matrix growth).
+# Round-12 allocation (every registered query has now been
+# driver-graded at least once, so changed-code re-grades lead):
+#   slots 1-30:  queries whose operator internals or builders changed
+#                THIS round, most-invasive first — 14 consumers of the
+#                overlapped split_for_replay (explicit mtime-pinned
+#                replay order), the two drain_polling_source callers
+#                (empty-feed pass fix), the BPE-train pair (lazy
+#                per-round checkpoints, checkpoint-then-count), q100
+#                (checkpointed vocab counts), q268 (threaded n_rows)
+#                and the ten other _wide consumers (action-free gate
+#                order — decisions identical by construction, listed
+#                after the behaviorally-reshaped queries).
 #   remainder:   stalest-green fillers — the wave-2/3 block last
-#                graded in CORRECTNESS_r03 (q08, q09, q100, q101,
-#                q102, q104, ...) fills the cap to 50; anything past
-#                slot 50 spills harmlessly to future rounds.
+#                graded in CORRECTNESS_r03; anything past slot 50
+#                spills harmlessly to future rounds.
 # Past slot 50: freshest-last; every registered query is locally
 # re-verified every round by tests/test_catalog_oracle.py.
 _CAP_FRONT = [
-    # never driver-graded (post-r10-cap continuation, q293-q316)
-    "q293_kmv_intersection",
-    "q294_triangle_clustering",
-    "q295_quality_model_route",
-    "q296_snapshot_time_travel",
-    "q297_dtmf_decode",
-    "q298_parquet_page_audit",
-    "q299_l_diversity",
-    "q300_geohash_density",
-    "q301_avro_stream_ingest",
-    "q302_benford_audit",
-    "q303_cidr_blocklist",
-    "q304_dataset_card",
-    "q305_ab_test_ztest",
-    "q306_seasonal_anomaly",
-    "q307_msgpack_scan",
-    "q308_textrank_keywords",
-    "q309_jsonl_zst_scan",
-    "q310_attribution_last_touch",
-    "q311_clamped_inventory",
-    "q312_schema_drift",
-    "q313_dedup_threshold_tuning",
-    "q314_psi_drift",
-    "q315_bot_regularity",
-    "q316_lake_fsck",
-    # new r11 queries + changed-code re-grades are inserted HERE as
-    # they are built (never-graded before stalest, per the rule)
-    "q317_tiled_dem_mosaic",
-    "q318_grib2_lossy_audit",
+    # r12 changed-code re-grades: streaming replay (split_for_replay
+    # concurrent chunk writes + pinned mtime order)
+    "q257_stream_late_drop",    # also VERDICT #1 re-measured
+    "q119_stream_interval_join",  # 2 splits — biggest split win
+    "q120_stream_upsert_capped",  # mtime-order regression site (fixed)
+    "q96_stream_windowed",
+    "q103_stream_ttl_latest",
+    "q117_stream_sessions",
+    "q108_stream_distinct",
+    "q115_stream_hll_merge",
+    "q123_stream_segment_dedup",
+    "q246_stream_ddsketch",
+    "q266_stream_left_outer",
+    "q280_stream_full_outer",
+    "q287_stream_dedup_ttl",
+    "q91_stream_backfill_live",
+    # drain_polling_source empty-feed pass (behavior unchanged at n>0)
+    "q118_rest_source_ingest",
     "q319_gpshub_ingest",
-    "q320_pdf_images",
-    "q321_bigtiff_dem",
-    "q322_modern_parquet_scan",
-    "q323_orc_scan",
-    "q291_avro_scan",
-    # r11 OPTIMIZATION-round changed-code re-grades (rotation rule:
-    # changed-code outranks stalest-green) — queries whose operator
-    # internals or builders changed this round, ordered by how
-    # invasive the change was. All oracle-verified locally; the cap
-    # slot makes the driver certify the optimized plans.
-    "q106_containment_join",  # verify-stage width (operator)
-    "q78_jaccard_join",       # verify-stage width (operator)
-    "q157_semdedup",          # ranked persist + salted cell join
-    "q142_kcenter_select",    # centers as literals, lazy checkpoint
-    "q103_stream_ttl_latest", # state-kernel argmax
-    "q118_rest_source_ingest",  # drain expected_rows
-    "q127_graph_pagerank",    # static contribution graph
-    "q258_graph_hits",        # cohort edges via lag/lead
-    # (q308_textrank_keywords also changed in r11 but already holds a
-    # never-graded slot above — listing it twice was a no-op that
-    # shifted the slot-50 boundary, ADVICE r11)
-    "q26_simhash_pairs",      # in-lambda hamming filter
-    "q86_split_leakage",      # explode instead of union
-    "q213_redirect_chains",   # edge-list checkpoint
-    "q268_record_linkage",    # widened probe side
-    "q250_crawl_bootstrap",   # waterfill dim checkpoints
-    "q247_crawl_budget",      # waterfill dim checkpoints
-    "q164_robots_filter",     # rules dim checkpoint
-    "q242_csv_sniff",         # widened sniff scan
-    "q167_main_text",         # widened text kernel
-    "q169_crawl_pipeline",    # widened text kernel
+    # BPE train restructure (one corpus pass, lazy round checkpoints)
+    "q135_bpe_train",
+    "q139_bpe_encode",
+    # checkpointed vocab counts (two corpus tokenizes -> one)
+    "q100_cms_frequency",
+    # _wide: threaded n_rows (no double pipeline execution)
+    "q268_record_linkage",
+    # _wide consumers: gate order change only (identical decisions)
+    "q95_bloom_contamination",  # also VERDICT #1 re-measured
+    "q69_corpus_prep",
+    "q83_repeated_substrings",
+    "q156_char_entropy",
+    "q159_source_jaccard",
+    "q162_html_extract",
+    "q167_main_text",
+    "q169_crawl_pipeline",
+    "q201_contamination",
+    "q242_csv_sniff",
     # stalest-green fillers (last graded r3) — spill past slot 50
     # until changed-code re-grades clear
     "q08_customers_without_orders",
     "q09_urgent_parts",
-    "q100_cms_frequency",
     "q101_salted_agg",
     "q102_sampled_quantiles",
     "q104_matryoshka_topk",
@@ -133,11 +110,9 @@ _CAP_FRONT = [
     "q15_histogram_cdf",
     "q17_dedup_latest",
     "q19_union_tagged",
-    "q91_stream_backfill_live",
     "q92_line_dedup",
     "q93_winnow_pairs",
     "q94_bm25_topk",
-    "q95_bloom_contamination",
 ]
 
 

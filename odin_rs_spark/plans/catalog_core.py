@@ -4047,10 +4047,13 @@ def q100_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pre-aggregate once: the sketch builds from (word, count) so md5 +
     # the 4-way cell explode run per distinct word, not per token, and
-    # the same counts frame feeds the true-count top-20. (Measured: NOT
-    # persisted — the two jobs that evaluate it re-tokenize for ~0.4 s
-    # total, while caching the vocab cost ~0.8 s in store/read.)
-    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # the same counts frame feeds the true-count top-20. The vocab is
+    # CHECKPOINTED so its two consumers (grid build, top-20) tokenize
+    # the corpus once instead of twice — r11's persist() A/B read
+    # worse (~0.8 s store/read vs 0.4 s recompute) but an eager
+    # localCheckpoint avoids the cache-manager overhead and measured
+    # 3.46 -> 2.83 s isolated (r12); at 100 TB one corpus pass saved.
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt")).localCheckpoint(eager=True)
     cms = sketches.cms_build(cnts, "w", width=1024, depth=4, weight_col="true_cnt")
     top = cnts.orderBy(F.col("true_cnt").desc(), F.col("w")).limit(20)
     out = sketches.cms_query(top, "w", cms, width=1024, depth=4)
