@@ -77,6 +77,8 @@ _CAP_FRONT = [
     "q139_bpe_encode",
     # checkpointed vocab counts (two corpus tokenizes -> one)
     "q100_cms_frequency",
+    # single-pass digit extraction (two fact scans -> one)
+    "q302_benford_audit",
     # _wide: threaded n_rows (no double pipeline execution)
     "q268_record_linkage",
     # _wide consumers: gate order change only (identical decisions)
@@ -112,7 +114,6 @@ _CAP_FRONT = [
     "q19_union_tagged",
     "q92_line_dedup",
     "q93_winnow_pairs",
-    "q94_bm25_topk",
 ]
 
 

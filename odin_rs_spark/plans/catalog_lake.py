@@ -4743,7 +4743,7 @@ def q302_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity": F.col("l_quantity"),
     }
     exp_arr = F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)])
-    parts = []
+    entries = []
     for name, c in cols.items():
         s = F.substring(
             F.regexp_replace(F.abs(c).cast("string"), r"[^1-9].*$|^0+", ""),
@@ -4753,11 +4753,18 @@ def q302_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANSI mode: guard the cast — an all-stripped string is NULL,
         # not a cast error (values < 1 have no significant first digit)
         d1 = F.when(s != "", s).cast("int")
-        parts.append(
-            li.select(F.lit(name).alias("col_name"), d1.alias("digit"))
-            .where(F.col("digit").isNotNull())
+        entries.append(
+            F.struct(F.lit(name).alias("col_name"), d1.alias("digit"))
         )
-    digits = parts[0].unionByName(parts[1])
+    # ONE lineitem pass emitting both columns' digits (r12): the old
+    # union-of-projections executed the scan once per column — same
+    # (col_name, digit) multiset, the per-row regex count is unchanged
+    # (one eval per column per row), but the fact table is read once
+    digits = (
+        li.select(F.explode(F.array(*entries)).alias("__e"))
+        .select("__e.col_name", "__e.digit")
+        .where(F.col("digit").isNotNull())
+    )
     # obs is the only frame touching the lineitem scan and is
     # dim-bounded (2 columns × 9 digits); the tot/chi/final algebra
     # below re-references it pairwise — without cuts the scan replans
