@@ -79,8 +79,9 @@ _CAP_FRONT = [
     "q100_cms_frequency",
     # single-pass digit extraction (two fact scans -> one)
     "q302_benford_audit",
-    # _wide: threaded n_rows (no double pipeline execution)
+    # _wide/_doc_par: threaded n_rows (no double pipeline execution)
     "q268_record_linkage",
+    "q76_semantic_dedup",
     # _wide consumers: gate order change only (identical decisions)
     "q95_bloom_contamination",  # also VERDICT #1 re-measured
     "q69_corpus_prep",
@@ -113,7 +114,6 @@ _CAP_FRONT = [
     "q17_dedup_latest",
     "q19_union_tagged",
     "q92_line_dedup",
-    "q93_winnow_pairs",
 ]
 
 

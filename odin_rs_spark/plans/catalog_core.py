@@ -2850,8 +2850,16 @@ def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(0.8)).alias("embedding"),
     )
     seeded = emb.unionByName(copy1).unionByName(copy2)
+    # width probe from the RAW embeddings count (metadata-cheap): the
+    # old _doc_par(seeded) executed the 3-branch union once just to
+    # size partitions (VERDICT r11 #5's q268 class). Each planted-copy
+    # branch keeps ~1/100 of the rows; the exact value only steers the
+    # partition count.
+    n_emb = emb.count()
     cc = sim_ops.semantic_dedup_clusters(
-        seeded, threshold=0.99, parallelism=_doc_par(spark, seeded)
+        seeded,
+        threshold=0.99,
+        parallelism=_doc_par(spark, seeded, n_rows=n_emb + 2 * (n_emb // 100 + 1)),
     )
     return cc.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("size"),

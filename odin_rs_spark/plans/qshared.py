@@ -74,15 +74,20 @@ def _wide(
     return df.repartition(target)
 
 
-def _doc_par(spark: SparkSession, df: DataFrame) -> int:
+def _doc_par(
+    spark: SparkSession, df: DataFrame, n_rows: int | None = None
+) -> int:
     """Repartition width for the doc-corpus dedup family, scaled to the
     corpus size instead of the session default (q81 drift, VERDICT r5):
     the count is parquet-metadata-cheap, small fixtures stop paying 32
     partitions of fixed task latency per shuffle, and at 100 TB the
-    value is capped at defaultParallelism — identical to before."""
+    value is capped at defaultParallelism — identical to before.
+    Callers whose frame is a DERIVED pipeline pass n_rows so the width
+    probe does not execute the pipeline (the _wide rule, VERDICT r11
+    #5); the value only steers the partition count, never a result."""
     from odin_rs_spark.operators.dedup import scaled_parallelism
 
-    return scaled_parallelism(spark, df.count())
+    return scaled_parallelism(spark, df.count() if n_rows is None else n_rows)
 
 # re-export EVERYTHING (incl. underscore helpers) down the part chain
 __all__ = [n for n in dir() if not n.startswith("__")]
